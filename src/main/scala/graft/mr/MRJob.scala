@@ -1,0 +1,172 @@
+package graft.mr
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** The reference engine's currency: a string key/value pair.
+  *
+  * Reference: `mapreduce/mapreduce.go:44-47` — `KeyValue{Key, Value string}`.
+  * Here it is a case class with a Catalyst `Encoder`, so a `Dataset[KeyValue]`
+  * stores rows as Tungsten `UnsafeRow`s (not JSON lines as the reference's
+  * shuffle format does, `mapreduce.go:156-164`).
+  */
+final case class KeyValue(key: String, value: String)
+
+/** Job spec — mirrors `mapreduce/job.go:5-11` (`NMap`, `NReduce`, `InputPath`)
+  * plus the output path the reference derives from the input name
+  * (`mapreduce.go:221-225`).
+  *
+  * In Spark, `nMap` maps to input-split parallelism (`minPartitions` hint) and
+  * `nReduce` to shuffle partitioning. Both are *hints*: at 100 TB, AQE should
+  * own the shuffle partition count, so `nReduce <= 0` means "let Spark decide".
+  */
+final case class JobSpec(
+    inputPath: String,
+    outputPath: String,
+    nMap: Int = 0,
+    nReduce: Int = 0)
+
+/** Spark-native re-expression of the reference's two-slot MapReduce dataflow.
+  *
+  * The reference's whole API is two higher-order function slots
+  * (`mapreduce.go:131` Map, `:179` Reduce) run over a text file with a
+  * hash-partition shuffle between them, producing a key-sorted TSV file
+  * (`mapreduce.go:229-266`). We express that contract as:
+  *
+  *   - Map:   `String => IterableOnce[KeyValue]`  — a flatMap-shaped UDTF.
+  *     The reference hands Map a *whole split* (`mapreduce.go:143-149`); we
+  *     hand it a line. For line-tokenizing Maps (like word count) the two are
+  *     observably identical (SURVEY §2.3.4); `runMapPartitions` exposes the
+  *     whole-partition variant for closures that genuinely need it.
+  *   - Reduce: either holistic `(String, Iterator[String]) => String`
+  *     (parity with `mapreduce.go:180-216`: all values of a key materialize)
+  *     or an algebraic [[Aggregator]] — which the reference *lacks* (no
+  *     combiner, OSDI'04 §4.3) and which is the only shape that scales:
+  *     partial aggregation keeps shuffle volume O(distinct keys), not O(rows).
+  *
+  * Scale notes (100 TB):
+  *   - the holistic path (`groupByKey.mapGroups`) materializes one key's
+  *     values on one task — same skew hazard as the reference; the docs steer
+  *     users to the Aggregator path, which Spark turns into partial+final
+  *     `HashAggregateExec` with spill.
+  *   - the single-file sorted TSV sink (`coalesce(1)`) is the reference's
+  *     contract (`mapreduce.go:256`), kept as an opt-in mode; `sortedOutput`
+  *     with `coalesce = false` writes a range-partitioned globally-sorted
+  *     directory instead, which is the form that survives at scale.
+  */
+object MRJob {
+
+  /** Read the job input as a line Dataset. The reference's `Split`
+    * (`mapreduce.go:74-112`) chunks on line boundaries; Spark's text source
+    * does the same natively, with `nMap` as a minimum-split hint.
+    */
+  def readLines(spark: SparkSession, job: JobSpec): Dataset[String] = {
+    import spark.implicits._
+    val df =
+      if (job.nMap > 0)
+        spark.read
+          .option("lineSep", "\n")
+          .textFile(job.inputPath)
+          .repartition(job.nMap)
+      else spark.read.textFile(job.inputPath)
+    df.as[String]
+  }
+
+  /** The mapped-and-shuffle-ready pairs: Map applied per line, then (only if
+    * the caller pinned `nReduce`) hash-repartitioned by key — the Spark
+    * equivalent of `DoMap`'s `fnv32a(key) % nReduce` fan-out
+    * (`mapreduce.go:155-166`). Partition assignment is invisible in the final
+    * output (SURVEY §2.3.3) so Murmur3 replaces fnv32a.
+    */
+  def mapped(
+      spark: SparkSession,
+      job: JobSpec,
+      map: String => IterableOnce[KeyValue]): Dataset[KeyValue] = {
+    import spark.implicits._
+    val kv = readLines(spark, job).flatMap(map)
+    if (job.nReduce > 0) kv.repartition(job.nReduce, $"key") else kv
+  }
+
+  /** Holistic reduce — exact parity with `DoReduce` (`mapreduce.go:178-219`):
+    * the user function sees every value of a key. Values arrive in no
+    * guaranteed order (same contract as the reference, SURVEY §2.3.2).
+    * Prefer [[runAggregated]] for algebraic reduces.
+    */
+  def runHolistic(
+      spark: SparkSession,
+      job: JobSpec,
+      map: String => IterableOnce[KeyValue],
+      reduce: (String, Iterator[String]) => String): Dataset[KeyValue] = {
+    import spark.implicits._
+    mapped(spark, job, map)
+      .groupByKey(_.key)
+      .mapGroups((k, vs) => KeyValue(k, reduce(k, vs.map(_.value))))
+  }
+
+  /** Algebraic reduce via a typed [[Aggregator]] — unlocks map-side partial
+    * aggregation (the combiner the reference is missing; its shuffle carries
+    * one JSON record per *occurrence*, `mapreduce.go:156-164`).
+    */
+  def runAggregated[B: Encoder, O](
+      spark: SparkSession,
+      job: JobSpec,
+      map: String => IterableOnce[KeyValue],
+      agg: Aggregator[KeyValue, B, O])(implicit
+      oe: Encoder[(String, O)]): Dataset[(String, O)] = {
+    import spark.implicits._
+    mapped(spark, job, map).groupByKey(_.key).agg(agg.toColumn)
+  }
+
+  /** Whole-partition Map variant for closures that need more than a line —
+    * the reference hands Map the entire split text (`mapreduce.go:143-149`).
+    */
+  def runMapPartitions(
+      spark: SparkSession,
+      job: JobSpec,
+      map: Iterator[String] => Iterator[KeyValue],
+      reduce: (String, Iterator[String]) => String): Dataset[KeyValue] = {
+    import spark.implicits._
+    val kv = readLines(spark, job).mapPartitions(map)
+    val part = if (job.nReduce > 0) kv.repartition(job.nReduce, $"key") else kv
+    part
+      .groupByKey(_.key)
+      .mapGroups((k, vs) => KeyValue(k, reduce(k, vs.map(_.value))))
+  }
+
+  /** The reference's output contract (SURVEY §2.3.1): lines `key\tvalue`,
+    * ascending bytewise key order, one file (`mapreduce.go:251-263`).
+    *
+    * `singleFile = true` reproduces it exactly (`orderBy` then `coalesce(1)`)
+    * — correct, but a deliberate scale bottleneck, so it is opt-in.
+    * `singleFile = false` writes a globally-sorted *directory*: `orderBy` is
+    * a range-partitioned sort, so concatenating part files in name order
+    * yields the same total order — the form that works at 100 TB.
+    */
+  def writeSortedTsv(
+      result: Dataset[KeyValue],
+      outputPath: String,
+      singleFile: Boolean = false): Unit = {
+    val spark = result.sparkSession
+    import spark.implicits._
+    val sorted = result
+      .orderBy($"key")
+      .select(concat_ws("\t", $"key", $"value").as("value"))
+    (if (singleFile) sorted.coalesce(1) else sorted).write
+      .mode("overwrite")
+      .text(outputPath)
+  }
+
+  /** `RunSequential` parity (`mapreduce.go:288-301`): same operator code path
+    * as any cluster run — only the master URL differs, preserving the
+    * reference's local/distributed symmetry (SURVEY §4.2 last row).
+    */
+  def runSequential(
+      spark: SparkSession,
+      job: JobSpec,
+      map: String => IterableOnce[KeyValue],
+      reduce: (String, Iterator[String]) => String,
+      singleFile: Boolean = true): Unit =
+    writeSortedTsv(runHolistic(spark, job, map, reduce), job.outputPath, singleFile)
+}

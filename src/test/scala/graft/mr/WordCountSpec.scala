@@ -1,0 +1,116 @@
+package graft.mr
+
+import java.nio.file.Files
+
+import org.scalatest.matchers.should.Matchers
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Word-count parity with the reference contract (SURVEY §2.3):
+  * tokenize on non-letters, drop empties, no case folding, per-key count,
+  * output sorted bytewise by key, `key\tvalue` lines.
+  */
+class WordCountSpec extends SparkSpec with Matchers {
+
+  /** Independent brute-force word count (the oracle of SURVEY §5.4). */
+  private def brute(text: String): Map[String, Int] =
+    text
+      .split(WordCount.TokenSep)
+      .filter(_.nonEmpty)
+      .groupBy(identity)
+      .view
+      .mapValues(_.length)
+      .toMap
+
+  test("golden: end-to-end file pipeline produces sorted TSV (wc.go contract)") {
+    val in = Files.createTempFile("wc-in", ".txt")
+    val out = Files.createTempDirectory("wc-out").resolve("res")
+    // Mixed case (no folding), punctuation/digit separators, consecutive
+    // separators, unicode letters, empty line, no trailing newline.
+    Files.writeString(
+      in,
+      "the The THE!\ncafé café 123 foo,,bar\n\nfoo9bar end")
+    WordCount.runFile(spark, in.toString, out.toString, singleFile = true)
+
+    val files = out.toFile.listFiles.filter(_.getName.startsWith("part-"))
+    files.length shouldBe 1 // singleFile contract: exactly one part file
+    val lines = Files.readAllLines(files.head.toPath)
+    lines.toArray.toSeq shouldBe Seq(
+      "THE\t1",
+      "The\t1",
+      "bar\t2",
+      "café\t2",
+      "end\t1",
+      "foo\t2",
+      "the\t1")
+  }
+
+  test("MR closure path and declarative SQL path agree with brute force") {
+    val text = "a b c a B. c? a-a\nz žluťoučký žluťoučký"
+    val in = Files.createTempFile("wc-in2", ".txt")
+    Files.writeString(in, text)
+    val viaMr = WordCount
+      .viaMR(spark, JobSpec(in.toString, ""))
+      .collect()
+      .map(kv => kv.key -> kv.value.toInt)
+      .toMap
+    viaMr shouldBe brute(text)
+
+    import spark.implicits._
+    val df = spark.createDataset(text.split("\n").toSeq).toDF("text")
+    val viaSql = WordCount
+      .viaSql(df, "text")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt)
+      .toMap
+    viaSql shouldBe brute(text)
+  }
+
+  test("property: both paths match brute force on random text") {
+    val wordGen = Gen.oneOf("the", "Café", "a", "B", "žluť", "x1y")
+    val sepGen = Gen.oneOf(" ", ", ", "  ", "!", "\n", " 42 ")
+    val textGen = for {
+      n <- Gen.choose(0, 60)
+      ws <- Gen.listOfN(n, wordGen)
+      ss <- Gen.listOfN(n, sepGen)
+    } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+
+    import spark.implicits._
+    val texts = (0 until 15).flatMap(i =>
+      textGen(Gen.Parameters.default, Seed(42L + i)).toSeq)
+    texts should not be empty
+    val df = spark.createDataset(texts).toDF("text")
+    val got = WordCount
+      .viaSql(df, "text")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt)
+      .toMap
+    got shouldBe brute(texts.mkString(" "))
+  }
+
+  test("reduce is order-insensitive (SURVEY §2.3.2) and aggregator agrees") {
+    val values = Seq("1", "1", "1", "1", "1")
+    WordCount.reduceFn("k", values.iterator) shouldBe
+      WordCount.reduceFn("k", values.reverse.iterator)
+
+    // Aggregator path (partial agg) over a shuffled dataset equals holistic.
+    import spark.implicits._
+    val in = Files.createTempFile("wc-in3", ".txt")
+    Files.writeString(in, "x x y x y z")
+    val agg = MRJob
+      .runAggregated(spark, JobSpec(in.toString, ""), WordCount.mapFn, WordCount.sumAgg)
+      .collect()
+      .toMap
+    agg shouldBe Map("x" -> 3L, "y" -> 2L, "z" -> 1L)
+  }
+
+  test("nReduce pins shuffle partition count; output unaffected") {
+    val in = Files.createTempFile("wc-in4", ".txt")
+    Files.writeString(in, "p q p r q p")
+    val r1 = WordCount.viaMR(spark, JobSpec(in.toString, "", nReduce = 1))
+    val r3 = WordCount.viaMR(spark, JobSpec(in.toString, "", nReduce = 3))
+    r1.collect().sortBy(_.key).toSeq shouldBe r3.collect().sortBy(_.key).toSeq
+  }
+}
