@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -9,28 +10,34 @@ import graft.tables.Tables
   * capability checklist expressed DataFrame-native so Catalyst owns pushdown,
   * pruning, join strategy and partial aggregation.
   *
-  * Determinism conventions (see [[graft.SparkEntry]] scaladoc): exact
-  * DECIMAL(…,2) arithmetic for money sums (the corpus' doubles are 2-decimal),
-  * cast back to double at the end; total ORDER BY on tie-free keys.
+  * Conventions (see [[graft.SparkEntry]] scaladoc):
+  *   - exact DECIMAL(…,2) routing for money sums (corpus doubles are
+  *     2-decimal) so aggregation is order-independent → identical bits on any
+  *     engine / partitioning;
+  *   - integer outputs are BIGINT, float outputs DOUBLE, on both sides;
+  *   - total ORDER BY on a tie-free key set in plan and oracle.
+  *
+  * Scale notes (100 TB): every query here shuffles only on its aggregation /
+  * join keys; dimension joins (region/nation/supplier/band tables) broadcast;
+  * the fact-fact join (lineitem⋈orders) is a shuffled hash join on the join
+  * key with AQE free to pick sort-merge — no driver-side collection anywhere.
   */
 object Relational {
 
-  /** Exact, order-independent sum of a 2-decimal double column: route the
-    * addition through decimal, return double (identical bits on any engine,
-    * any partitioning — the property the oracle hash compare needs).
-    */
+  /** Exact, order-independent sum of a 2-decimal double column. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
-  /** TPC-H Q1-shaped pricing summary. Scan → filter (pushed to parquet) →
-    * hash agg (partial+final) → sort. The whole plan is one
-    * WholeStageCodegen span per stage at sf0.1.
-    */
+  // -------------------------------------------------------------------
+  // q1_agg — TPC-H Q1-shaped pricing summary: scan → pushed filter →
+  // partial+final hash agg → sort. Replaces the reference's combinerless
+  // full-shuffle aggregation (mapreduce.go:156-164 vs OSDI'04 §4.3).
+  // -------------------------------------------------------------------
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(s, dir)
     val disc1 = lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")
     val tax1 = lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)")
     val ep = col("l_extendedprice").cast("decimal(12,2)")
-    l.filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -43,8 +50,272 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Projection + filter — both must reach the parquet scan
+    * (PushedFilters / 3-column ReadSchema in the formatted plan).
+    */
+  def qFilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Star-schema rollup: orders → customer → nation → region, all three
+    * dimension joins broadcast (explicit hint documents intent; sizes are
+    * broadcastable at any SF since dims scale sub-linearly).
+    */
+  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"))
+
+  /** Fact-fact shuffle join (lineitem ⋈ orders on the natural key), then
+    * aggregate — the repartition-join the MR model expresses via tagged
+    * KeyValues (SURVEY §2.2 "Joins"), done natively. AQE may convert to
+    * broadcast at small SF; at 100 TB it is a co-partitioned SMJ.
+    */
+  def qJoinShuffle(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Left-semi join = EXISTS: customers having at least one open order. */
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join = NOT EXISTS: customers with no high-value order. */
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-outer join preserving customers with zero orders (count(o) = 0). */
+  def qJoinOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** Non-equi (range/theta) join: orders banded by price via BETWEEN against
+    * a tiny inline band table — broadcast nested-loop by construction; the
+    * band side is O(1) rows so BNLJ is the *right* plan even at 100 TB.
+    */
+  def qJoinRange(s: SparkSession, dir: String): DataFrame = {
+    val bands = s
+      .createDataFrame(Seq(
+        ("small", 0.0, 100000.0),
+        ("medium", 100000.0, 250000.0),
+        ("large", 250000.0, 1e9)))
+      .toDF("band", "lo", "hi")
+    Tables.orders(s, dir)
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("band"))
+  }
+
+  /** Global sort + limit (top-k): highest-value orders, tie-free. At scale
+    * this is a TakeOrderedAndProject — no full sort materializes.
+    */
+  def qSortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** Distinct (dedup on a projection). */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long").as("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  /** Set operations: nation keys with customers vs with suppliers —
+    * INTERSECT / EXCEPT / UNION surfaced as one tagged result.
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("nk"))
+    val supp = Tables.supplier(s, dir).select(col("s_nationkey").cast("long").as("nk"))
+    val both = cust.intersect(supp).withColumn("tag", lit("both"))
+    val custOnly = cust.distinct().except(supp).withColumn("tag", lit("cust_only"))
+    val suppOnly = supp.distinct().except(cust).withColumn("tag", lit("supp_only"))
+    both.union(custOnly).union(suppOnly).orderBy(col("tag"), col("nk"))
+  }
+
+  /** Window ranking: top-3 orders per customer by price (row_number over a
+    * tie-free order). Shuffles once on the partition key.
+    */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Running (cumulative) window aggregate + lag, per supplier over time.
+    * The running sum is decimal-routed: window accumulation order differs
+    * between engines (DuckDB segment trees vs Spark running buffer), decimal
+    * makes the result association-independent.
+    */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 5)
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_ship", lag(col("l_shipdate"), 1).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_shipdate"), col("running_qty"), col("prev_ship"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Hierarchical aggregation (ROLLUP) over returnflag → linestatus; the
+    * rolled-up level is tagged 'ALL' (corpus columns are non-null so the
+    * coalesce is unambiguous and keeps the sort tie-free).
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** GROUP BY + HAVING: part brands stocking enough distinct types. */
+  def qHaving(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        dsum(col("p_retailprice")).as("total_price"))
+      .filter(col("n_parts") > 5)
+      .orderBy(col("p_brand"))
+
+  /** Conditional aggregation (CASE-pivot): order status mix per priority. */
+  def qCaseAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(lit(0.0))).as("f_value"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Scalar-function battery (string/date/math/conditional) — one row per
+    * order in a pushed-down keyrange, every expression mirrored in DuckDB.
+    */
+  def qScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("status_u"),
+        lower(col("o_orderpriority")).as("prio_l"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_1"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tagged"),
+        regexp_replace(col("o_orderpriority"), "[aeiou]", "_").as("devoweled"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderkey") % 7).cast("long").as("key_mod"),
+        floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+        abs(col("o_totalprice") - 150000.0).as("dist_150k"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 80000, "mid")
+          .otherwise("low").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("pending")).as("status_nn"))
+      .orderBy(col("o_orderkey"))
+
+  /** Ordered string aggregation (LISTAGG-shape): deterministic via
+    * array_sort(collect_list(…)) — exactly list_sort(list(…)) in DuckDB.
+    */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  /** Exact + approximate distinct cardinalities. The HLL column has no
+    * cross-engine oracle (sketch implementations differ) so this query's
+    * oracle covers the exact column only — the approx column is asserted
+    * in ScalaTest to be within 5% of exact.
+    */
+  def qDistinctCount(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+      .orderBy(col("l_returnflag"))
+
+  // -------------------------------------------------------------------
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> q1Agg
+    "q1_agg" -> q1Agg,
+    "q_filter_project" -> qFilterProject,
+    "q_join_broadcast" -> qJoinBroadcast,
+    "q_join_shuffle" -> qJoinShuffle,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_outer" -> qJoinOuter,
+    "q_join_range" -> qJoinRange,
+    "q_sort_limit" -> qSortLimit,
+    "q_distinct" -> qDistinct,
+    "q_setops" -> qSetOps,
+    "q_window_rank" -> qWindowRank,
+    "q_window_running" -> qWindowRunning,
+    "q_rollup" -> qRollup,
+    "q_having" -> qHaving,
+    "q_case_agg" -> qCaseAgg,
+    "q_scalar_funcs" -> qScalarFuncs,
+    "q_string_agg" -> qStringAgg,
+    "q_distinct_count" -> qDistinctCount
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -59,6 +330,140 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_outer" ->
+      """SELECT c_custkey,
+        |  count(o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT band, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN (VALUES ('small', 0.0, 100000.0),
+        |             ('medium', 100000.0, 250000.0),
+        |             ('large', 250000.0, 1e9)) AS bands(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q_setops" ->
+      """WITH cust AS (SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+        |     supp AS (SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier)
+        |SELECT nk, 'both' AS tag FROM (SELECT nk FROM cust INTERSECT SELECT nk FROM supp)
+        |UNION ALL
+        |SELECT nk, 'cust_only' AS tag FROM (SELECT DISTINCT nk FROM cust EXCEPT SELECT nk FROM supp)
+        |UNION ALL
+        |SELECT nk, 'supp_only' AS tag FROM (SELECT DISTINCT nk FROM supp EXCEPT SELECT nk FROM cust)
+        |ORDER BY tag, nk""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_shipdate,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        |  lag(l_shipdate, 1) OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_ship
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_having" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  count(DISTINCT p_type) AS n_types,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM part GROUP BY p_brand HAVING count(*) > 5
+        |ORDER BY p_brand""".stripMargin,
+    "q_case_agg" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |           ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS f_value
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderstatus) AS status_u,
+        |  lower(o_orderpriority) AS prio_l,
+        |  substr(o_orderpriority, 1, 1) AS prio_1,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+        |  concat_ws('#', o_orderstatus, o_orderpriority) AS tagged,
+        |  regexp_replace(o_orderpriority, '[aeiou]', '_', 'g') AS devoweled,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(o_orderkey % 7 AS BIGINT) AS key_mod,
+        |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+        |  abs(o_totalprice - 150000.0) AS dist_150k,
+        |  CASE WHEN o_totalprice > 200000 THEN 'high'
+        |       WHEN o_totalprice > 80000 THEN 'mid'
+        |       ELSE 'low' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_nn
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_string_agg" ->
+      """SELECT r_name,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_suppkey) AS exact_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Relational surface: smoke at sf0.001 (full value parity runs through the
+  * DuckDB gate — tools/check_oracle.py) plus physical-plan shape assertions:
+  * the plan each query *should* produce at scale, not just any plan that
+  * returns the right rows.
+  */
+class RelationalSpec extends SparkSpec with Matchers {
+
+  private def plan(name: String): String =
+    Relational.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("all relational queries return rows at sf0.001") {
+    for ((name, fn) <- Relational.queries) {
+      withClue(s"query $name: ") {
+        fn(spark, sf()).count() should be > 0L
+      }
+    }
+  }
+
+  test("filter+projection are pushed to the parquet scan") {
+    val p = plan("q_filter_project")
+    p should include("PushedFilters")
+    p should include("IsNotNull(l_returnflag)")
+    // pruned read schema: only the needed columns reach the scan
+    p.toLowerCase should not include "l_comment"
+    withClue("projection pruning - scan must not read l_tax: ") {
+      p should include("ReadSchema")
+      p.split("ReadSchema").last should not include "l_tax"
+    }
+  }
+
+  test("dimension joins broadcast; fact-fact join does not collect") {
+    plan("q_join_broadcast") should include("BroadcastHashJoin")
+    val shuffle = plan("q_join_shuffle")
+    // AQE may turn this into broadcast at tiny SF; accept either hash join,
+    // but never a nested loop.
+    shuffle should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("semi/anti joins plan as join types, not subquery re-scans") {
+    plan("q_join_semi") should include("LeftSemi")
+    plan("q_join_anti") should include("LeftAnti")
+  }
+
+  test("global sort+limit plans as top-k (TakeOrderedAndProject)") {
+    plan("q_sort_limit") should include("TakeOrderedAndProject")
+  }
+
+  test("q1 aggregates with partial aggregation (map-side combine)") {
+    val p = plan("q1_agg")
+    p should include("HashAggregate")
+    p.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+  }
+
+  test("approx_count_distinct is within 5% of exact (scale path for distinct)") {
+    import org.apache.spark.sql.functions._
+    val l = graft.tables.Tables.lineitem(spark, sf())
+    val row = l
+      .agg(
+        countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .head()
+    val exact = row.getLong(0).toDouble
+    math.abs(row.getLong(1) - exact) / exact should be < 0.05
+  }
+}
