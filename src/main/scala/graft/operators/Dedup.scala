@@ -1,8 +1,372 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.tables.Tables
+
+/** Deduplication suite over `documents` (and `embeddings` for vector
+  * near-dup): exact, canonical (normalized), n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine.
+  *
+  * The corpus has no natural duplicates (verified: 0 repeated texts,
+  * inter-document 3-gram Jaccard ≈ 0), so each query PLANTS deterministic
+  * duplicates from the base table — identical copies (+[[PlantOffset]]),
+  * token-permuted copies (+[[PermuteOffset]]), tail-appended near-copies —
+  * with the identical construction in the oracle SQL. The operators
+  * themselves never special-case the planted IDs: they find whatever
+  * duplicate structure exists.
+  *
+  * Scale design (100 TB): every dedup here is shuffle-on-key —
+  *   exact/canonical: groupBy(fingerprint) — one shuffle of (hash, id);
+  *   MinHash-LSH: explode shingles → per-doc signature agg → band-key
+  *     equi-join (candidates only) → verify Jaccard on candidates;
+  *   SimHash: per-doc signature agg, then band/bucket join on prefix;
+  *   embedding: sign-bucket LSH equi-join, cosine only on bucket collisions.
+  * No O(n²) cross-join appears anywhere; candidate verification cost is
+  * proportional to true-duplicate density, which is the property that
+  * survives a 1000-executor 100 TB run.
+  */
 object Dedup {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  val PlantOffset = 10000000L
+  val PermuteOffset = 20000000L
+  /** Tail appended to make near- (not exact-) duplicates. */
+  val Tail = " zz yy xx ww vv"
+  /** MinHash: 16 permutations → 8 bands × 2 rows. r=2 tunes the S-curve for
+    * a ~0.8 Jaccard dedup threshold: P(candidate) = 1-(1-J²)⁸ ≈ 1 at J≥0.8,
+    * ≈ 0 at J≤0.2 — misses at J=0.8 are 3·10⁻⁴, false candidates are
+    * verified away by the exact-Jaccard stage.
+    */
+  val NumHashes = 16
+  val RowsPerBand = 2
+  val NumBands: Int = NumHashes / RowsPerBand
+  /** SimHash width for the oracle query (the Scala library also provides
+    * 64-bit; 16 bits keeps the generated oracle SQL tractable).
+    */
+  val SimhashBits = 16
+  /** Embedding LSH: 16 coordinate hyperplanes (every 4th dim). */
+  val BucketDims: Seq[Int] = (0 until 16).map(_ * 4)
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Lowercase letter tokens, empties dropped. */
+  private def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => length(t) > 0)
+
+  /** Distinct word 3-gram shingles. */
+  private def shingles(text: Column): Column = {
+    val tk = tokens(text)
+    array_distinct(
+      when(size(tk) >= 3,
+        transform(
+          sequence(lit(0), size(tk) - 3),
+          i => concat_ws(" ",
+            element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signature element for one seeded permutation: the minimum of
+    * md5(seed|shingle) over the shingle set. Hex-string min is a valid
+    * permutation proxy and is engine-portable (ASCII lexicographic order).
+    */
+  private def minhash(sh: Column, seed: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"$seed|"), x))))
+
+  /** 60-bit integer hash of a token (15 hex chars of md5) — portable as
+    * ('0x'||substr(md5(t),1,15))::BIGINT in DuckDB.
+    */
+  private def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val exact = base.select(
+      (col("doc_id") + PlantOffset).as("doc_id"), col("text"))
+    val permuted = base.select(
+      (col("doc_id") + PermuteOffset).as("doc_id"),
+      array_join(reverse(split(col("text"), "\\s+")), " ").as("text"))
+    base.union(exact).union(permuted)
+  }
+
+  private def nearDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    base.union(base.select(
+      (col("doc_id") + PlantOffset).as("doc_id"),
+      concat(col("text"), lit(Tail)).as("text")))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** Exact + canonical dedup via fingerprint groupBy: one shuffle of
+    * (fingerprint, id, md5). Identical copies collapse under fp_md5;
+    * token-permuted copies additionally collapse under fp_norm.
+    */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    plantedDocs(s, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp_md5"),
+        TextFunctions.normFingerprint(col("text")).as("fp_norm"))
+      .groupBy(col("fp_norm"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("fp_md5")).as("n_exact_variants"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("canonical_id"))
+
+  /** Pairwise n-gram Jaccard, demonstrated on (doc, next-doc) — expected ≈ 0
+    * — and (doc, tail-appended near-copy) — expected ≈ 1. Linear join on a
+    * derived key, not a cross join.
+    */
+  def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = nearDupDocs(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
+    def jac(a: Column, b: Column): Column =
+      size(array_intersect(a, b)).cast("double") /
+        size(array_distinct(concat(a, b)))
+    val base = sh.filter(col("doc_id") < PlantOffset)
+    val nxt = sh.filter(col("doc_id") < PlantOffset)
+      .select((col("doc_id") - 1).as("nxt_id"), col("sh").as("sh_next"))
+    val dup = sh.filter(col("doc_id") >= PlantOffset)
+      .select((col("doc_id") - PlantOffset).as("dup_id"), col("sh").as("sh_dup"))
+    base
+      .join(nxt, col("doc_id") === col("nxt_id"))
+      .join(dup, col("doc_id") === col("dup_id"))
+      .select(
+        col("doc_id"),
+        jac(col("sh"), col("sh_next")).as("j_next"),
+        jac(col("sh"), col("sh_dup")).as("j_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash + LSH banding: signatures by aggregation over exploded
+    * shingles, band keys, candidate pairs via band equi-join, Jaccard
+    * verification on candidates only.
+    */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = nearDupDocs(s, dir)
+    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+
+    // docs with no shingles can't be minhashed (and a null signature would
+    // make every such doc collide on every band) — exclude from banding
+    val sig = withSh
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id") +: (0 until NumHashes).map(k =>
+        minhash(col("sh"), k).as(s"m$k")): _*)
+
+    val bandCols = (0 until NumBands).map { b =>
+      val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", ms: _*)).as("band_key"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+
+    cand
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_distinct(concat(col("sh_a"), col("sh_b"))))).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup signatures: 16-bit bitwise-majority over shingle
+    * hashes, compared via Hamming distance for the planted near-copy
+    * (expected small) vs the next document (expected ≈ random ≈ 8).
+    * Features are 3-gram shingles, not tokens: this corpus draws every
+    * document from one small vocabulary, so token-set signatures are
+    * near-identical corpus-wide — shingle sets are what discriminate.
+    */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = nearDupDocs(s, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(shingles(col("text"))).as("t"))
+    val h = tok.withColumn("h", tokenHash60(col("t")))
+    val votes = (0 until SimhashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
+    val sig = h.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits)
+          .map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+
+    val base = sig.filter(col("doc_id") < PlantOffset)
+    val dup = sig.filter(col("doc_id") >= PlantOffset)
+      .select((col("doc_id") - PlantOffset).as("dup_id"), col("simhash").as("sh_dup"))
+    val nxt = sig.filter(col("doc_id") < PlantOffset)
+      .select((col("doc_id") - 1).as("nxt_id"), col("simhash").as("sh_next"))
+    base
+      .join(dup, col("doc_id") === col("dup_id"))
+      .join(nxt, col("doc_id") === col("nxt_id"))
+      .select(
+        col("doc_id"),
+        col("simhash"),
+        bit_count(col("simhash").bitwiseXOR(col("sh_dup"))).cast("long").as("ham_dup"),
+        bit_count(col("simhash").bitwiseXOR(col("sh_next"))).cast("long").as("ham_next"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-cosine near-dup: plant identical-vector copies, bucket by
+    * 16 coordinate-sign bits, equi-join within buckets, verify cosine on
+    * candidates. Identical vectors share every sign bit so recall of exact
+    * vector dups is 1; random pairs collide with P ≈ 2⁻¹⁶.
+    */
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val corpus = base.union(base.select(
+      (col("vec_id") + PlantOffset).as("vec_id"), col("embedding")))
+    val bucketed = corpus.withColumn("bucket",
+      VectorFunctions.signBucket(col("embedding"), BucketDims))
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 6)
+          .as("cos"))
+    pairs.filter(col("cos") >= 0.99).orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_embedding" -> qDedupEmbedding
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private val toks =
+    "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0)"
+
+  /** DuckDB mirror of [[shingles]] given a tokens list expression. */
+  private def shinglesSql(t: String): String =
+    s"""list_distinct(CASE WHEN len($t) >= 3
+       | THEN list_transform(range(0, len($t) - 2),
+       |        i -> $t[i+1] || ' ' || $t[i+2] || ' ' || $t[i+3])
+       | ELSE [] END)""".stripMargin
+
+  private val plantedSql =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL SELECT doc_id + $PlantOffset, text FROM documents
+       |UNION ALL SELECT doc_id + $PermuteOffset,
+       |  array_to_string(list_reverse(string_split_regex(text, '\\s+')), ' ')
+       |FROM documents""".stripMargin
+
+  private val nearDupSql =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL SELECT doc_id + $PlantOffset, text || '$Tail' FROM documents""".stripMargin
+
+  private val normFpSql =
+    """md5(array_to_string(list_sort(list_distinct(
+      |  list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0))), ' '))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH corpus AS ($plantedSql),
+         |fp AS (SELECT doc_id, md5(text) AS fp_md5, $normFpSql AS fp_norm FROM corpus)
+         |SELECT fp_norm, min(doc_id) AS canonical_id, count(*) AS n_copies,
+         |  count(DISTINCT fp_md5) AS n_exact_variants
+         |FROM fp GROUP BY fp_norm HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""WITH corpus AS ($nearDupSql),
+         |sh AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus)
+         |SELECT a.doc_id AS doc_id,
+         |  CAST(len(list_intersect(a.sh, n.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, n.sh))) AS j_next,
+         |  CAST(len(list_intersect(a.sh, d.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, d.sh))) AS j_dup
+         |FROM sh a
+         |JOIN sh n ON n.doc_id = a.doc_id + 1 AND n.doc_id < $PlantOffset
+         |JOIN sh d ON d.doc_id = a.doc_id + $PlantOffset
+         |WHERE a.doc_id < $PlantOffset
+         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" -> {
+      val sigCols = (0 until NumHashes)
+        .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k")
+        .mkString(",\n  ")
+      val bandRows = (0 until NumBands)
+        .map { b =>
+          val ms = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
+          s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $ms)) AS band_key FROM sig"
+        }
+        .mkString("\nUNION ALL\n")
+      s"""WITH corpus AS ($nearDupSql),
+         |shd AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus),
+         |sig AS (SELECT doc_id, $sigCols FROM shd WHERE len(sh) > 0),
+         |banded AS ($bandRows),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, n_shared_bands,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |FROM cand
+         |JOIN shd sa ON sa.doc_id = doc_a
+         |JOIN shd sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_dedup_simhash" -> {
+      val votes = (0 until SimhashBits)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n  ")
+      val bits = (0 until SimhashBits)
+        .map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH corpus AS ($nearDupSql),
+         |tok AS (SELECT doc_id, unnest(${shinglesSql(toks)}) AS t FROM corpus),
+         |hashed AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+         |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes)
+         |SELECT a.doc_id AS doc_id, a.simhash AS simhash,
+         |  CAST(bit_count(xor(a.simhash, d.simhash)) AS BIGINT) AS ham_dup,
+         |  CAST(bit_count(xor(a.simhash, n.simhash)) AS BIGINT) AS ham_next
+         |FROM sig a
+         |JOIN sig d ON d.doc_id = a.doc_id + $PlantOffset
+         |JOIN sig n ON n.doc_id = a.doc_id + 1 AND n.doc_id < $PlantOffset
+         |WHERE a.doc_id < $PlantOffset
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_embedding" -> {
+      val bucket = BucketDims.zipWithIndex
+        .map { case (d, i) => s"CASE WHEN embedding[${d + 1}] >= 0 THEN ${1 << i} ELSE 0 END" }
+        .mkString(" + ")
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + $PlantOffset, embedding FROM embeddings),
+         |bucketed AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM corpus),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(
+         |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      6) AS cos
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.99
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }
+  )
 }
