@@ -1,8 +1,172 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.tables.Tables
+
+/** Event-stream analytics over the `events` table, run as batch (the
+  * reference has no streaming — SURVEY §2.2; the streaming mirror of the
+  * sessionizer lives in [[graft.streaming]]).
+  *
+  * Scale notes: tumbling windows and sessionization shuffle once on their
+  * natural keys (hour-bucket / user_id); sessionization is two window passes
+  * over the same (user_id, ts) sort order, which Spark executes in a single
+  * sort. Nothing here widens with total history size except the final
+  * aggregates.
+  */
 object Events {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  val SessionGapMinutes = 30
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Tumbling 1-hour windows per event type: count + exact value sum. */
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Gap-based sessionization: a session breaks after 30 idle minutes.
+    * Two stacked windows over one (user_id, ts) sort: lag → new-session
+    * flag → running sum = session index; then per-session aggregates.
+    */
+  def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(
+          col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) >
+              SessionGapMinutes * 60L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"),
+        dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Conversion funnel signup → purchase: per-user first-touch times,
+    * ordered-conversion flags, one summary row.
+    */
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signed_up"),
+        sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("n_purchased"),
+        sum(when(col("t_signup") < col("t_purchase"), 1L).otherwise(0L))
+          .as("n_converted"))
+
+  /** Top-3 users by spend per event type (windowed top-k per group). */
+  def qEventsTopkUsers(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("total_value").desc, col("user_id"))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(dsum(col("value")).as("total_value"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk").cast("long").as("rk"),
+        col("user_id"), col("total_value"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** Semi-structured extraction: the JSON `props` column, parsed and
+    * aggregated — get_json_object stays codegen'd (no UDF).
+    */
+  def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_hourly" -> qEventsHourly,
+    "q_events_sessionize" -> qEventsSessionize,
+    "q_events_funnel" -> qEventsFunnel,
+    "q_events_topk_users" -> qEventsTopkUsers,
+    "q_events_json" -> qEventsJson
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_events_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+         |              > $SessionGapMinutes * 60 * 1000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM flagged)
+         |SELECT user_id, session_idx,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events,
+         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         |FROM sessions GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+    "q_events_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
+        |  sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased,
+        |  sum(CASE WHEN t_signup < t_purchase THEN 1 ELSE 0 END) AS n_converted
+        |FROM per_user""".stripMargin,
+    "q_events_topk_users" ->
+      """WITH totals AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY event_type, user_id),
+        |ranked AS (
+        |  SELECT event_type, user_id, total_value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY total_value DESC, user_id) AS rk
+        |  FROM totals)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, total_value
+        |FROM ranked WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
 }

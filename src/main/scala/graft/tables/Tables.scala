@@ -1,6 +1,8 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver corpus (`TESTDATA.md`): one parquet per table under
   * `/root/testdata/sf{0.001,0.01,0.1}/`. Column pruning + predicate pushdown
@@ -21,7 +23,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) at sf≥0.01, which Spark rejects by
+    * default. Read nanos as long and floor to microseconds — exactly the
+    * truncation DuckDB applies when it reads the same file as its
+    * micro-precision TIMESTAMP, so both engines see identical instants.
+    * (At sf0.001 the file is micros and passes through untouched.)
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

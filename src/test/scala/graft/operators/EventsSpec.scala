@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class EventsSpec extends SparkSpec with Matchers {
+
+  test("sessionize: every event lands in exactly one session; gaps split") {
+    val events = graft.tables.Tables.events(spark, sf())
+    val sessions = Events.qEventsSessionize(spark, sf()).cache()
+    // conservation: session event counts sum to the event count
+    sessions.agg(sum("n_events")).head().getLong(0) shouldBe events.count()
+    // sessions never exceed-gap internally: consecutive sessions of a user
+    // must be separated by more than the gap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_idx")
+    val overlapping = sessions
+      .withColumn("prev_end", lag(col("session_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        unix_micros(col("session_start")) - unix_micros(col("prev_end")) <=
+          Events.SessionGapMinutes * 60L * 1000000L)
+      .count()
+    overlapping shouldBe 0L
+    // durations are non-negative
+    sessions.filter(col("duration_us") < 0).count() shouldBe 0L
+    sessions.unpersist()
+    ()
+  }
+
+  test("funnel counts are consistent") {
+    val r = Events.qEventsFunnel(spark, sf()).head()
+    val (users, signed, purchased, converted) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    signed should be <= users
+    purchased should be <= users
+    converted should be <= signed
+    converted should be <= purchased
+    converted should be > 0L
+  }
+
+  test("hourly windows partition time: counts sum to total") {
+    val total = graft.tables.Tables.events(spark, sf()).count()
+    Events.qEventsHourly(spark, sf()).agg(sum("n")).head().getLong(0) shouldBe total
+  }
+}
