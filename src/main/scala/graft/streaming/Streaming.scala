@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — the unbounded mirror of the batch
+  * operators. The reference has no streaming at all (SURVEY §2.2: the
+  * master blocks on one batch job at a time), so this is north-star
+  * surface, designed Spark-first:
+  *
+  *   - transformations are the SAME declarative expressions as batch
+  *     (word count, windowed aggregation) applied to a streaming Dataset —
+  *     Catalyst plans them incrementally;
+  *   - sessionization needs custom state, so it uses
+  *     `flatMapGroupsWithState` with event-time timeout — the streaming
+  *     twin of [[graft.operators.Events.qEventsSessionize]], emitting a
+  *     session exactly when the watermark passes its gap.
+  *
+  * Scale notes: state is O(open sessions) per user key, partitioned by
+  * user_id across executors; watermarks bound it. Sinks are the caller's
+  * choice (tests use the memory sink).
+  */
+object Streaming {
+
+  /** Streaming word count over a stream of text lines — identical
+    * expression tree to the batch [[graft.mr.WordCount.viaSql]], in
+    * update mode. */
+  def wordCount(lines: DataFrame, textCol: String = "value"): DataFrame =
+    lines
+      .select(explode(split(col(textCol), "[^\\p{L}]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Tumbling event-time windows with a watermark — the streaming mirror
+    * of the hourly batch rollup; append-mode capable (windows finalize
+    * when the watermark passes).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "1 hour",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      session_value: Double)
+
+  /** Internal open-session state (public: Catalyst codegen instantiates it). */
+  final case class SessionState(
+      startUs: Long, endUs: Long, nEvents: Long, totalValue: Double)
+
+  /** Gap-based streaming sessionizer: one state object per user holding the
+    * open session; events extend it or close it (gap exceeded → emit);
+    * event-time timeout flushes sessions the watermark has passed. Late
+    * events beyond the watermark are dropped by construction.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermark: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def tsUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    def toOut(uid: Long, s: SessionState): SessionOut =
+      SessionOut(uid, new Timestamp(s.startUs / 1000), new Timestamp(s.endUs / 1000),
+        s.nEvents, s.totalValue)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toOut(uid, _))
+            state.remove()
+            out.iterator
+          } else {
+            // events within a micro-batch are not ordered — sort this
+            // group's batch; cross-batch order is handled by the gap logic
+            val sorted = it.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = tsUs(e.ts)
+              cur match {
+                case Some(s) if t - s.endUs > gapUs =>
+                  closed += toOut(uid, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.startUs, math.max(s.endUs, t),
+                    s.nEvents + 1, s.totalValue + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session `gap` after its last event, in event time
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes * 60L * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

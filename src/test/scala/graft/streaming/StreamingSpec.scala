@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.streaming.Streaming.{Event, SessionOut}
+
+/** Streaming operators driven through MemoryStream + the memory sink:
+  * incremental results must equal the batch expressions on the same data.
+  */
+class StreamingSpec extends SparkSpec with Matchers {
+
+  test("streaming word count equals batch word count (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = Streaming
+      .wordCount(input.toDF())
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("wc_stream")
+      .start()
+    try {
+      input.addData("the cat and the dog", "a cat")
+      q.processAllAvailable()
+      input.addData("the end")
+      q.processAllAvailable()
+      // update mode re-emits changed keys; latest state per key is the answer
+      val got = spark.table("wc_stream")
+        .groupBy("word").agg(max("cnt").as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got shouldBe Map("the" -> 3L, "cat" -> 2L, "and" -> 1L,
+        "dog" -> 1L, "a" -> 1L, "end" -> 1L)
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark finalize in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming
+      .windowedCounts(events, watermark = "10 minutes", window_ = "1 hour")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("win_stream")
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 00:05:00"), "click", 1.0),
+        (t("2024-01-01 00:40:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0 → hour-0 window finalizes
+      input.addData((t("2024-01-01 03:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stream")
+        .select("window_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      rows should contain(("2024-01-01 00:00:00.0", "click", 2L))
+    } finally q.stop()
+  }
+
+  test("streaming sessionizer closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming
+      .sessionize(input.toDS(), gapMinutes = 30, watermark = "1 minute")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_stream")
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // user 1: two events 10 min apart (one session), then a 2h gap
+      input.addData(
+        Event(1, t("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(2, t("2024-01-01 00:10:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, t("2024-01-01 02:00:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+      // push the watermark forward so the open session times out
+      input.addData(Event(4, t("2024-01-01 06:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(5, t("2024-01-01 09:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sess_stream").as[SessionOut]
+        .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+      val u1 = sessions.filter(_.user_id == 1)
+      u1.length shouldBe 2
+      u1(0).n_events shouldBe 2
+      u1(0).session_value shouldBe 3.0
+      u1(0).session_end.toString shouldBe "2024-01-01 00:10:00.0"
+      u1(1).n_events shouldBe 1
+      u1(1).session_value shouldBe 5.0
+    } finally q.stop()
+  }
+
+  test("streaming sessionizer agrees with batch sessionization on real data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.Events.qEventsSessionize(spark, sf())
+      .select(sum("n_events").as("n"), count(lit(1)).as("sessions"))
+      .head()
+
+    val events = graft.tables.Tables.events(spark, sf())
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => e.ts.getTime)
+    val input = MemoryStream[Event]
+    val q = Streaming
+      .sessionize(input.toDS(), gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_full").start()
+    try {
+      // feed in two event-time-ordered halves, then a far-future flush tick
+      val (h1, h2) = events.splitAt(events.length / 2)
+      input.addData(h1.toIndexedSeq); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq); q.processAllAvailable()
+      input.addData(Event(-1, Timestamp.valueOf("2030-01-01 00:00:00"), -1, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_full").filter(col("user_id") >= 0)
+        .agg(sum("n_events"), count(lit(1))).head()
+      got.getLong(0) shouldBe batch.getLong(0)
+      got.getLong(1) shouldBe batch.getLong(1)
+    } finally q.stop()
+  }
+}
