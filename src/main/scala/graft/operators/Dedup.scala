@@ -56,30 +56,19 @@ object Dedup {
   private def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), t => length(t) > 0)
 
-  /** Distinct word 3-gram shingles. */
-  private def shingles(text: Column): Column = {
-    val tk = tokens(text)
-    array_distinct(
-      when(size(tk) >= 3,
-        transform(
-          sequence(lit(0), size(tk) - 3),
-          i => concat_ws(" ",
-            element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3))))
-        .otherwise(array().cast("array<string>")))
-  }
-
-  /** MinHash signature element for one seeded permutation: the minimum of
-    * md5(seed|shingle) over the shingle set. Hex-string min is a valid
-    * permutation proxy and is engine-portable (ASCII lexicographic order).
+  /** (doc_id, sh): distinct 3-gram shingles via the one-pass
+    * [[graft.functions.WordNGrams]] expression. The earlier
+    * `transform(sequence(...), i -> concat_ws(element_at(tk,...)))`
+    * formulation evaluated an interpreted lambda per shingle — and when the
+    * optimizer inlined the tokenizer into the lambda (CollapseProject /
+    * InferFiltersFromGenerate pushdown), re-split the document once per
+    * element: O(n²) regex work, a 25× slowdown at sf0.1.
     */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$seed|"), x))))
-
-  /** 60-bit integer hash of a token (15 hex chars of md5) — portable as
-    * ('0x'||substr(md5(t),1,15))::BIGINT in DuckDB.
-    */
-  private def tokenHash60(t: Column): Column =
-    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sh",
+        graft.functions.SketchExpressions.wordNGrams(tokens(col("text")), 3))
+      .select(col("doc_id"), col("sh"))
 
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -123,7 +112,7 @@ object Dedup {
     * derived key, not a cross join.
     */
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = nearDupDocs(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sh = withShingles(nearDupDocs(s, dir))
     def jac(a: Column, b: Column): Column =
       size(array_intersect(a, b)).cast("double") /
         size(array_distinct(concat(a, b)))
@@ -142,20 +131,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash + LSH banding: signatures by aggregation over exploded
-    * shingles, band keys, candidate pairs via band equi-join, Jaccard
-    * verification on candidates only.
+  /** (doc_id, sh, hs): shingles + their 60-bit md5 hashes, one flat pass
+    * each; signatures then run through the codegen'd sketch expressions.
+    */
+  private def withHashedShingles(docs: DataFrame): DataFrame =
+    withShingles(docs).withColumn("hs",
+      graft.functions.SketchExpressions.md5Prefix60(col("sh")))
+
+  /** MinHash + LSH banding: one-pass codegen'd affine signatures over the
+    * hashed shingle array, band keys, candidate pairs via band equi-join,
+    * Jaccard verification on candidates only.
     */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val docs = nearDupDocs(s, dir)
-    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val withSh = withShingles(docs)
 
     // docs with no shingles can't be minhashed (and a null signature would
     // make every such doc collide on every band) — exclude from banding
-    val sig = withSh
+    val sig = withHashedShingles(docs)
       .filter(size(col("sh")) > 0)
+      .withColumn("mh",
+        graft.functions.SketchExpressions.affineMinhashes(col("hs"), NumHashes))
       .select(col("doc_id") +: (0 until NumHashes).map(k =>
-        minhash(col("sh"), k).as(s"m$k")): _*)
+        element_at(col("mh"), k + 1).as(s"m$k")): _*)
 
     val bandCols = (0 until NumBands).map { b =>
       val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
@@ -184,25 +182,21 @@ object Dedup {
   }
 
   /** SimHash near-dup signatures: 16-bit bitwise-majority over shingle
-    * hashes, compared via Hamming distance for the planted near-copy
-    * (expected small) vs the next document (expected ≈ random ≈ 8).
+    * hashes (one-pass codegen expression — the earlier explode+groupBy
+    * formulation triggered InferFiltersFromGenerate, which pushed the whole
+    * shingle pipeline into the scan filter), compared via Hamming distance
+    * for the planted near-copy (small) vs the next document (≈ random ≈ 8).
     * Features are 3-gram shingles, not tokens: this corpus draws every
     * document from one small vocabulary, so token-set signatures are
     * near-identical corpus-wide — shingle sets are what discriminate.
     */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = nearDupDocs(s, dir)
-    val tok = docs.select(col("doc_id"),
-      explode(shingles(col("text"))).as("t"))
-    val h = tok.withColumn("h", tokenHash60(col("t")))
-    val votes = (0 until SimhashBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
-    val sig = h.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
+    val sig = withHashedShingles(docs)
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        (0 until SimhashBits)
-          .map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+        graft.functions.SketchExpressions.simhash(col("hs"), SimhashBits)
+          .as("simhash"))
 
     val base = sig.filter(col("doc_id") < PlantOffset)
     val dup = sig.filter(col("doc_id") >= PlantOffset)
@@ -299,8 +293,10 @@ object Dedup {
          |WHERE a.doc_id < $PlantOffset
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" -> {
+      import graft.functions.Sketches
       val sigCols = (0 until NumHashes)
-        .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k")
+        .map(k => s"list_min(list_transform(hs, h -> " +
+          s"((${Sketches.a(k)} * (h % ${Sketches.Prime}) + ${Sketches.b(k)}) % ${Sketches.Prime}))) AS m$k")
         .mkString(",\n  ")
       val bandRows = (0 until NumBands)
         .map { b =>
@@ -310,7 +306,10 @@ object Dedup {
         .mkString("\nUNION ALL\n")
       s"""WITH corpus AS ($nearDupSql),
          |shd AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus),
-         |sig AS (SELECT doc_id, $sigCols FROM shd WHERE len(sh) > 0),
+         |hsd AS (SELECT doc_id, sh,
+         |  list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |  FROM shd),
+         |sig AS (SELECT doc_id, $sigCols FROM hsd WHERE len(sh) > 0),
          |banded AS ($bandRows),
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
@@ -327,17 +326,17 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q_dedup_simhash" -> {
-      val votes = (0 until SimhashBits)
-        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
-        .mkString(",\n  ")
       val bits = (0 until SimhashBits)
-        .map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END")
+        .map(j => s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) " +
+          s">= len(hs) THEN ${1L << j} ELSE 0 END")
         .mkString(" + ")
       s"""WITH corpus AS ($nearDupSql),
-         |tok AS (SELECT doc_id, unnest(${shinglesSql(toks)}) AS t FROM corpus),
-         |hashed AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
-         |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
-         |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes)
+         |shd AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus),
+         |hsd AS (SELECT doc_id, sh,
+         |  list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |  FROM shd),
+         |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hsd
+         |        WHERE len(sh) > 0)
          |SELECT a.doc_id AS doc_id, a.simhash AS simhash,
          |  CAST(bit_count(xor(a.simhash, d.simhash)) AS BIGINT) AS ham_dup,
          |  CAST(bit_count(xor(a.simhash, n.simhash)) AS BIGINT) AS ham_next
