@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Dump formatted physical plans for plan review:
+  * `sbt "runMain graft.tools.Explain q1_agg q_join_shuffle ..."` (no args =
+  * a standard headline set).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q1_agg", "q_filter_project", "q_join_broadcast",
+        "q_join_shuffle", "q_sort_limit", "wc_wordcount", "q_dedup_minhash")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n======== $n ========")
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+    }
+    spark.stop()
+  }
+}
