@@ -173,7 +173,8 @@ case class SimHashSignature(child: Expression, bits: Int) extends LongArrayUnary
   * the per-row virtual call is noise; the per-element lambda was the cost.
   * Mirrors the DuckDB oracle's list_transform/list_distinct construction.
   */
-case class WordNGrams(child: Expression, n: Int) extends UnaryExpression
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -191,16 +192,20 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression
     val len = arr.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](len)
+    val seen =
+      if (distinct) new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      else null
     var i = 0
     while (i <= len - n) {
       val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
       var j = 0
       while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+      val g = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      if (seen == null || seen.add(g)) out.add(g)
       i += 1
     }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -252,8 +257,9 @@ object SketchExpressions {
     GraftColumnBridge.column(AffineMinHashes(GraftColumnBridge.expression(hashes), k))
   def simhash(hashes: Column, bits: Int): Column =
     GraftColumnBridge.column(SimHashSignature(GraftColumnBridge.expression(hashes), bits))
-  def wordNGrams(tokens: Column, n: Int): Column =
-    GraftColumnBridge.column(WordNGrams(GraftColumnBridge.expression(tokens), n))
+  def wordNGrams(tokens: Column, n: Int, distinct: Boolean = true): Column =
+    GraftColumnBridge.column(
+      WordNGrams(GraftColumnBridge.expression(tokens), n, distinct))
   def md5Prefix60(arr: Column): Column =
     GraftColumnBridge.column(Md5Prefix60Array(GraftColumnBridge.expression(arr)))
 }

@@ -104,12 +104,44 @@ object Events {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** As-of join: each purchase matched to the user's most recent signup at
+    * or before it. Spark lacks a native ASOF JOIN; the scalable formulation
+    * is a tagged union + one windowed `last(ignoreNulls)` pass over a single
+    * (user_id, ts) sort — O(n log n) with one shuffle, versus the naive
+    * range-join's O(n·m) per user. The DuckDB oracle uses its native
+    * `ASOF LEFT JOIN` — two very different plans, same answer, which is the
+    * point of the gate.
+    */
+  def qEventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val tagged = ev
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    // signups sort before purchases at equal ts (ASOF >= includes equality)
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "signup", 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_signup_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_signup_ts")))
+          .as("since_signup_us"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> qEventsHourly,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_topk_users" -> qEventsTopkUsers,
-    "q_events_json" -> qEventsJson
+    "q_events_json" -> qEventsJson,
+    "q_events_asof" -> qEventsAsof
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -167,6 +199,14 @@ object Events {
         |  sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
         |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
         |  max(json_extract(props, '$.k')::BIGINT) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_asof" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+        |  s.ts AS last_signup_ts,
+        |  epoch_us(p.ts) - epoch_us(s.ts) AS since_signup_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY event_id""".stripMargin
   )
 }

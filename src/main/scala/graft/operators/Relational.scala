@@ -294,9 +294,82 @@ object Relational {
         countDistinct(col("l_suppkey")).as("exact_supps"))
       .orderBy(col("l_returnflag"))
 
+  /** Statistical aggregates via exact decimal moment sums (Σx, Σx², Σxy …)
+    * finished with IEEE double formulas — deterministic under any
+    * partitioning, unlike builtin stddev/corr whose double accumulation is
+    * order-dependent. The oracle mirrors the same explicit formulas.
+    */
+  def qStats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice").cast("decimal(12,2)")
+    val y = col("o_orderkey").cast("decimal(18,0)")
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_x"),
+        sum(x * x).cast("double").as("sum_x2"),
+        sum(y).cast("double").as("sum_y"),
+        sum(y * y).cast("double").as("sum_y2"),
+        sum(x * y).cast("double").as("sum_xy"))
+      .select(
+        col("o_orderpriority"),
+        col("n"),
+        (col("sum_x") / col("n")).as("mean_price"),
+        // the Σx² − (Σx)²/n cancellation amplifies last-ulp differences
+        // (DuckDB may fuse multiply-add); results are rounded far above the
+        // noise floor (≤1e-5 absolute observed) but far below data scale
+        round((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n"), 2)
+          .as("var_pop_price"),
+        round(sqrt((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n")), 4)
+          .as("stddev_pop_price"),
+        round((col("sum_xy") - col("sum_x") * col("sum_y") / col("n")) /
+          (sqrt(col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) *
+            sqrt(col("sum_y2") - col("sum_y") * col("sum_y") / col("n"))), 9)
+          .as("corr_price_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Exact percentiles (sort-based interpolation), per group. */
+  def qMedian(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        min(col("o_totalprice")).as("p_min"),
+        max(col("o_totalprice")).as("p_max"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Complex-type battery: per-order quantity arrays (sorted for
+    * determinism) with slice / contains / position / element access, and a
+    * struct column flattened back to scalars. Array outputs are stringified
+    * (engine-independent compare).
+    */
+  def qComplexTypes(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 200)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_sort(collect_list(col("l_quantity"))).as("qtys"),
+        max(struct(col("l_quantity").as("q"), col("l_partkey").as("pk"))).as("top"))
+      .select(
+        col("l_orderkey"),
+        size(col("qtys")).cast("long").as("n_lines"),
+        array_join(transform(col("qtys"), q => q.cast("string")), ",").as("qtys_str"),
+        array_join(transform(slice(col("qtys"), 1, 3), q => q.cast("string")), ",")
+          .as("first3_str"),
+        array_contains(col("qtys"), 40.0).as("has_40"),
+        element_at(col("qtys"), -1).as("max_qty"),
+        col("top.q").as("top_q"),
+        col("top.pk").as("top_pk"))
+      .orderBy(col("l_orderkey"))
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats" -> qStats,
+    "q_median" -> qMedian,
+    "q_complex_types" -> qComplexTypes,
     "q1_agg" -> q1Agg,
     "q_filter_project" -> qFilterProject,
     "q_join_broadcast" -> qJoinBroadcast,
@@ -319,6 +392,45 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_stats" ->
+      """WITH sums AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_x,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_x2,
+        |    CAST(sum(CAST(o_orderkey AS DECIMAL(18,0))) AS DOUBLE) AS sum_y,
+        |    CAST(sum(CAST(o_orderkey AS DECIMAL(18,0)) * CAST(o_orderkey AS DECIMAL(18,0))) AS DOUBLE) AS sum_y2,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_orderkey AS DECIMAL(18,0))) AS DOUBLE) AS sum_xy
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n,
+        |  sum_x / n AS mean_price,
+        |  round((sum_x2 - sum_x * sum_x / n) / n, 2) AS var_pop_price,
+        |  round(sqrt((sum_x2 - sum_x * sum_x / n) / n), 4) AS stddev_pop_price,
+        |  round((sum_xy - sum_x * sum_y / n) /
+        |    (sqrt(sum_x2 - sum_x * sum_x / n) * sqrt(sum_y2 - sum_y * sum_y / n)), 9)
+        |    AS corr_price_key
+        |FROM sums ORDER BY o_orderpriority""".stripMargin,
+    "q_median" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  min(o_totalprice) AS p_min,
+        |  max(o_totalprice) AS p_max
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_complex_types" ->
+      """WITH agg AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list(l_quantity)) AS qtys,
+        |    max(struct_pack(q := l_quantity, pk := l_partkey)) AS top
+        |  FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(qtys) AS BIGINT) AS n_lines,
+        |  array_to_string(list_transform(qtys, q -> CAST(q AS VARCHAR)), ',') AS qtys_str,
+        |  array_to_string(list_transform(qtys[1:3], q -> CAST(q AS VARCHAR)), ',') AS first3_str,
+        |  list_contains(qtys, 40.0) AS has_40,
+        |  qtys[-1] AS max_qty,
+        |  top.q AS top_q,
+        |  top.pk AS top_pk
+        |FROM agg ORDER BY l_orderkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

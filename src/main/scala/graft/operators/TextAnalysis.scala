@@ -66,11 +66,60 @@ object TextAnalysis {
         sha2(col("text"), 256).as("fp_sha256"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-wide top-20 bigrams: one-pass n-gram expression, explode,
+    * count, top-k (TakeOrderedAndProject — only 20 rows leave the agg).
+    */
+  def qBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(
+        graft.functions.SketchExpressions.wordNGrams(
+          filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0),
+          2, distinct = false))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  /** TF-IDF: term frequency per (doc, term) from exploded tokens, document
+    * frequency per term, idf = ln(N/df). Two aggregations + one broadcast-
+    * able join on term — the classic shape that scales (no per-doc loops).
+    * Output: top-3 scored terms for the first 20 docs, tf/df kept as exact
+    * integers alongside the double score.
+    */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("nd"))
+    val tokens = docs
+      .select(col("doc_id"), explode(
+        filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
+        .as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tokens.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      // JVM Math.log and libm ln differ in the last ulp for some inputs;
+      // round far above that noise, far below score granularity
+      .withColumn("tfidf",
+        round(col("tf") * log(col("nd").cast("double") / col("df")), 9))
+      .filter(col("doc_id") < 20)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
-    "q_text_fingerprint" -> qTextFingerprint
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_bigrams" -> qBigrams,
+    "q_tfidf" -> qTfidf
   )
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -122,6 +171,38 @@ object TextAnalysis {
         |  md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0))), ' ')) AS fp_norm,
         |  sha256(text) AS fp_sha256
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_bigrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS bigram
+        |  FROM toks)
+        |SELECT bigram, count(*) AS n FROM grams
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(nd.nd AS DOUBLE) / df.df), 9) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd
+        |  WHERE tf.doc_id < 20),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, tfidf
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
   )
 }
