@@ -1,0 +1,74 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+class ScaleSpec extends SparkSpec with Matchers {
+
+  test("bucketed join on the bucket key plans with zero shuffle") {
+    val li = Tables.lineitem(spark, sf()).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    // clear any stale catalog entry AND its on-disk location (a previous
+    // JVM's managed-table dir survives the in-memory catalog)
+    for (t <- Seq("li_bucketed", "o_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    Scale.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Scale.writeBucketed(o, "o_bucketed", "o_orderkey", 8)
+
+    // at test scale the planner prefers broadcast; disable it to expose the
+    // bucketed plan shape that matters at 100 TB (where broadcast is moot)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Scale.bucketedJoin(spark, "li_bucketed", "o_bucketed",
+        "l_orderkey", "o_orderkey")
+      // correct result…
+      joined.count() shouldBe li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      // …and the co-located plan: no Exchange anywhere
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+      plan should include("SortMergeJoin")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+    ()
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.lineitem(spark, sf())
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+
+    val salted = Scale.saltedAgg(li, Seq(col("l_returnflag")), salts = 7)(
+      partials = Seq(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("ps"),
+        count(lit(1)).as("pn")),
+      finals = Seq(
+        sum(col("ps")).cast("double").as("s"),
+        sum(col("pn")).as("n")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+
+    salted shouldBe direct
+  }
+
+  test("AQE skew-join handling is on in the bench/verify sessions") {
+    // AQE splits oversized shuffle partitions at runtime; assert the knobs
+    // these sessions rely on are available and enabled by default
+    spark.conf.get("spark.sql.adaptive.skewJoin.enabled") shouldBe "true"
+  }
+}
