@@ -119,10 +119,59 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** IVF centroid count (deterministic "training": the first k vectors act
+    * as centroids — a seeded k-means would drop in here; the partition/
+    * probe machinery is identical and that is what this query exercises).
+    */
+  val IvfCentroids = 16
+
+  /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
+    * (inverted lists); a query probes only its own nearest centroid's list.
+    * Cost per query falls from |N| to |N|/k on balanced lists — the
+    * centroid assignment is the one-time "index build" (at 100 TB: a write
+    * partitioned by cluster_id, so probes are partition-pruned scans).
+    */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+
+    // nearest-centroid assignment: small cross join (k rows broadcast),
+    // rank by (cos desc, c_id) — deterministic argmax
+    def assign(df: DataFrame, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("c_cos", cosRounded(col("embedding"), col("cv")))
+        .withColumn("c_rk", row_number().over(w))
+        .filter(col("c_rk") === 1)
+        .drop("cv", "c_cos", "c_rk")
+    }
+
+    val lists = assign(emb, "vec_id") // (vec_id, embedding, c_id)
+    val probes = assign(
+      emb.filter(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      "query_id")
+      .select(col("query_id"), col("embedding").as("qv"), col("c_id"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes)
+      .join(lists, Seq("c_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosRounded(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh" -> qAnnLsh,
-    "q_ann_recall" -> qAnnRecall
+    "q_ann_recall" -> qAnnRecall,
+    "q_ann_ivf" -> qAnnIvf
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -174,7 +223,44 @@ object Similarity {
        |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  /** Cosine between two named list columns (mirror of cosSql for arbitrary
+    * column names).
+    */
+  private def cosSqlCols(a: String, b: String): String =
+    s"""round(
+       |  list_sum(list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |  6)""".stripMargin
+
+  private val ivfSql =
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $IvfCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSqlCols("e.embedding", "c.cv")} DESC, c.c_id) AS c_rk
+       |    FROM embeddings e CROSS JOIN centroids c) t
+       |  WHERE c_rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, c_id FROM assigned
+       |  WHERE vec_id < $QueryCount),
+       |scored AS (
+       |  SELECT p.query_id, l.vec_id, ${cosSqlCols("p.qv", "l.embedding")} AS cos
+       |  FROM probes p JOIN assigned l ON p.c_id = l.c_id
+       |  WHERE l.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_ann_ivf" -> (ivfSql + "\nORDER BY query_id, rk"),
     "q_ann_brute" -> (bruteSql + "\nORDER BY query_id, rk"),
     "q_ann_lsh" -> (lshSql + "\nORDER BY query_id, rk"),
     "q_ann_recall" ->
