@@ -50,6 +50,23 @@ object Streaming {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the unbounded twin of
+    * [[graft.operators.Dedup.qDedupExact]]'s fingerprint key: keeps the
+    * first arrival per fingerprint, with state bounded by the watermark
+    * (duplicates arriving later than `watermark` after their original may
+    * pass through — the standard at-scale trade; unbounded state is not an
+    * option on an infinite stream).
+    */
+  def dedupByFingerprint(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -105,6 +105,29 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival per fingerprint within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streaming
+      .dedupByFingerprint(input.toDF().toDF("ts", "text"), watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 00:00:00"), "doc A"),
+        (t("2024-01-01 00:01:00"), "doc B"),
+        (t("2024-01-01 00:02:00"), "doc A")) // dup within watermark
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 00:05:00"), "doc A")) // still within
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream")
+        .select("text").collect().map(_.getString(0)).sorted.toSeq
+      texts shouldBe Seq("doc A", "doc B")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer agrees with batch sessionization on real data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
