@@ -53,6 +53,10 @@ case class AffineMinHashes(child: Expression, k: Int) extends LongArrayUnary {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "affine_minhashes"
 
+  // affine constants hoisted out of the per-element loop (loop-invariant)
+  @transient private lazy val as: Array[Long] = Array.tabulate(k)(Sketches.a)
+  @transient private lazy val bs: Array[Long] = Array.tabulate(k)(Sketches.b)
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -63,7 +67,7 @@ case class AffineMinHashes(child: Expression, k: Int) extends LongArrayUnary {
       val hm = arr.getLong(i) % Sketches.Prime
       var j = 0
       while (j < k) {
-        val v = (Sketches.a(j) * hm + Sketches.b(j)) % Sketches.Prime
+        val v = (as(j) * hm + bs(j)) % Sketches.Prime
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -81,6 +85,13 @@ case class AffineMinHashes(child: Expression, k: Int) extends LongArrayUnary {
       val v = ctx.freshName("v")
       val mins = ctx.freshName("mins")
       val p = Sketches.Prime
+      // affine constants as literal arrays, initialized once per operator
+      // instance — not recomputed per element (this expression exists for
+      // hot-loop speed)
+      val aInit = (0 until k).map(Sketches.a).mkString("new long[]{", "L,", "L}")
+      val bInit = (0 until k).map(Sketches.b).mkString("new long[]{", "L,", "L}")
+      val aArr = ctx.addMutableState("long[]", "minhashA", v => s"$v = $aInit;")
+      val bArr = ctx.addMutableState("long[]", "minhashB", v => s"$v = $bInit;")
       s"""
          |int $n = $arr.numElements();
          |long[] $mins = new long[$k];
@@ -88,9 +99,7 @@ case class AffineMinHashes(child: Expression, k: Int) extends LongArrayUnary {
          |for (int $i = 0; $i < $n; $i++) {
          |  long $hm = $arr.getLong($i) % ${p}L;
          |  for (int $j = 0; $j < $k; $j++) {
-         |    long ${v}a = (1103515245L * ($j + 7) + 12345L) % ${p - 1}L + 1L;
-         |    long ${v}b = (69069L * ($j + 3) + 1013904223L) % ${p}L;
-         |    long $v = (${v}a * $hm + ${v}b) % ${p}L;
+         |    long $v = ($aArr[$j] * $hm + $bArr[$j]) % ${p}L;
          |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
          |}
@@ -106,7 +115,13 @@ case class AffineMinHashes(child: Expression, k: Int) extends LongArrayUnary {
 
 /** `bits`-wide SimHash of a hash array in one pass → BIGINT: bit j is set
   * when at least half the elements have bit j set (2·ones ≥ n), matching
-  * the ±1-vote-sum ≥ 0 convention.
+  * the ±1-vote-sum ≥ 0 convention (Charikar, STOC 2002).
+  *
+  * Empty input yields signature 0 — NOT the all-ones value the 2·0 ≥ 0 tie
+  * rule would produce, which would make every feature-less document pair
+  * with every other at Hamming distance 0 and flood near-dup candidate
+  * output (callers should still filter empties like the oracle's
+  * `WHERE len(sh) > 0`; this guard just de-fangs the trap).
   */
 case class SimHashSignature(child: Expression, bits: Int) extends LongArrayUnary {
   override def dataType: DataType = LongType
@@ -115,6 +130,7 @@ case class SimHashSignature(child: Expression, bits: Int) extends LongArrayUnary
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return 0L
     val ones = new Array[Int](bits)
     var i = 0
     while (i < n) {
@@ -145,6 +161,7 @@ case class SimHashSignature(child: Expression, bits: Int) extends LongArrayUnary
       val sig = ctx.freshName("sig")
       s"""
          |int $n = $arr.numElements();
+         |if ($n == 0) { ${ev.value} = 0L; } else {
          |int[] $ones = new int[$bits];
          |for (int $i = 0; $i < $n; $i++) {
          |  long $h = $arr.getLong($i);
@@ -157,6 +174,7 @@ case class SimHashSignature(child: Expression, bits: Int) extends LongArrayUnary
          |  if (2 * $ones[$j] >= $n) $sig |= (1L << $j);
          |}
          |${ev.value} = $sig;
+         |}
        """.stripMargin
     })
 

@@ -64,14 +64,11 @@ object MRJob {
     */
   def readLines(spark: SparkSession, job: JobSpec): Dataset[String] = {
     import spark.implicits._
-    val df =
-      if (job.nMap > 0)
-        spark.read
-          .option("lineSep", "\n")
-          .textFile(job.inputPath)
-          .repartition(job.nMap)
-      else spark.read.textFile(job.inputPath)
-    df.as[String]
+    // same default line-separator handling in both branches — a pinned
+    // lineSep only here would make CRLF input tokenize differently
+    // depending on whether nMap was hinted
+    val df = spark.read.textFile(job.inputPath)
+    (if (job.nMap > 0) df.repartition(job.nMap) else df).as[String]
   }
 
   /** The mapped-and-shuffle-ready pairs: Map applied per line, then (only if
@@ -93,6 +90,14 @@ object MRJob {
     * the user function sees every value of a key. Values arrive in no
     * guaranteed order (same contract as the reference, SURVEY §2.3.2).
     * Prefer [[runAggregated]] for algebraic reduces.
+    *
+    * When `nReduce` is pinned, this is the literal DoReduce plan: ONE hash
+    * shuffle into exactly nReduce partitions, a per-partition key sort
+    * (`sort.Strings`, `mapreduce.go:203-207`), and a streaming walk over
+    * consecutive key runs. (A `groupByKey` here would add a second shuffle
+    * at the session partition count — its lambda key is opaque to Catalyst —
+    * which both wastes I/O and ignores the knob.) Without `nReduce`, the
+    * Catalyst-managed `groupByKey` path lets AQE size the reduce stage.
     */
   def runHolistic(
       spark: SparkSession,
@@ -100,9 +105,33 @@ object MRJob {
       map: String => IterableOnce[KeyValue],
       reduce: (String, Iterator[String]) => String): Dataset[KeyValue] = {
     import spark.implicits._
-    mapped(spark, job, map)
-      .groupByKey(_.key)
-      .mapGroups((k, vs) => KeyValue(k, reduce(k, vs.map(_.value))))
+    val kv = readLines(spark, job).flatMap(map)
+    if (job.nReduce > 0)
+      kv.repartition(job.nReduce, $"key")
+        .sortWithinPartitions($"key")
+        .mapPartitions(reduceRuns(_, reduce))
+    else
+      kv.groupByKey(_.key)
+        .mapGroups((k, vs) => KeyValue(k, reduce(k, vs.map(_.value))))
+  }
+
+  /** Reduce consecutive same-key runs of a key-sorted partition — keys are
+    * disjoint across partitions after the hash repartition (SURVEY §2.3.3),
+    * so per-partition runs are complete key groups.
+    */
+  private def reduceRuns(
+      it: Iterator[KeyValue],
+      reduceFn: (String, Iterator[String]) => String): Iterator[KeyValue] = {
+    val buf = it.buffered
+    new Iterator[KeyValue] {
+      def hasNext: Boolean = buf.hasNext
+      def next(): KeyValue = {
+        val key = buf.head.key
+        val values = Vector.newBuilder[String]
+        while (buf.hasNext && buf.head.key == key) values += buf.next().value
+        KeyValue(key, reduceFn(key, values.result().iterator))
+      }
+    }
   }
 
   /** Algebraic reduce via a typed [[Aggregator]] — unlocks map-side partial
@@ -129,10 +158,13 @@ object MRJob {
       reduce: (String, Iterator[String]) => String): Dataset[KeyValue] = {
     import spark.implicits._
     val kv = readLines(spark, job).mapPartitions(map)
-    val part = if (job.nReduce > 0) kv.repartition(job.nReduce, $"key") else kv
-    part
-      .groupByKey(_.key)
-      .mapGroups((k, vs) => KeyValue(k, reduce(k, vs.map(_.value))))
+    if (job.nReduce > 0)
+      kv.repartition(job.nReduce, $"key")
+        .sortWithinPartitions($"key")
+        .mapPartitions(reduceRuns(_, reduce))
+    else
+      kv.groupByKey(_.key)
+        .mapGroups((k, vs) => KeyValue(k, reduce(k, vs.map(_.value))))
   }
 
   /** The reference's output contract (SURVEY §2.3.1): lines `key\tvalue`,

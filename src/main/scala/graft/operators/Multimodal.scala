@@ -158,8 +158,7 @@ object Multimodal {
   def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(mediaTable(s, dir))
     feats.toDF()
-      .select(col("media_type"), col("n_bytes"),
-        element_at(col("feature"), 1).cast("double").as("f0"))
+      .select(col("media_type"), col("n_bytes"))
       .groupBy(col("media_type"))
       .agg(
         count(lit(1)).as("n_items"),

@@ -36,9 +36,13 @@ object Scale {
     * sort-merge join with ZERO Exchange when bucket counts match.
     */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      col(leftKey) === col(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    // side-qualified keys: bare col(...) === col(...) is ambiguous when both
+    // tables bucket on the same column name — the common case
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 
   /** Two-phase salted aggregation: partial aggregate on (keys, salt), final
     * on keys. `partials` expresses the per-salt partial aggregate; `finals`

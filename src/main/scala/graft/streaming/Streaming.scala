@@ -25,15 +25,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
-  /** Streaming word count over a stream of text lines — identical
-    * expression tree to the batch [[graft.mr.WordCount.viaSql]], in
-    * update mode. */
+  /** Streaming word count over a stream of text lines — literally the batch
+    * expression tree ([[graft.mr.WordCount.viaSql]] works on a streaming
+    * DataFrame unchanged; one tokenizer definition, one oracle), in update
+    * mode. */
   def wordCount(lines: DataFrame, textCol: String = "value"): DataFrame =
-    lines
-      .select(explode(split(col(textCol), "[^\\p{L}]+")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy(col("word"))
-      .agg(count(lit(1)).as("cnt"))
+    graft.mr.WordCount.viaSql(lines, textCol)
 
   /** Tumbling event-time windows with a watermark — the streaming mirror
     * of the hourly batch rollup; append-mode capable (windows finalize
@@ -96,9 +93,16 @@ object Streaming {
 
     def tsUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
+    // full microsecond fidelity — Timestamp(millis) alone would truncate
+    // to ms and diverge from the batch sessionizer's min(ts)/max(ts)
+    def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+
     def toOut(uid: Long, s: SessionState): SessionOut =
-      SessionOut(uid, new Timestamp(s.startUs / 1000), new Timestamp(s.endUs / 1000),
-        s.nEvents, s.totalValue)
+      SessionOut(uid, usToTs(s.startUs), usToTs(s.endUs), s.nEvents, s.totalValue)
 
     events
       .withWatermark("ts", watermark)
@@ -123,8 +127,10 @@ object Streaming {
                   closed += toOut(uid, s)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
-                  cur = Some(SessionState(s.startUs, math.max(s.endUs, t),
-                    s.nEvents + 1, s.totalValue + e.value))
+                  // min() start: a late cross-batch event inside the
+                  // watermark may precede the open session's first event
+                  cur = Some(SessionState(math.min(s.startUs, t),
+                    math.max(s.endUs, t), s.nEvents + 1, s.totalValue + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

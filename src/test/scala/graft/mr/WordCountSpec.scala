@@ -112,5 +112,14 @@ class WordCountSpec extends SparkSpec with Matchers {
     val r1 = WordCount.viaMR(spark, JobSpec(in.toString, "", nReduce = 1))
     val r3 = WordCount.viaMR(spark, JobSpec(in.toString, "", nReduce = 3))
     r1.collect().sortBy(_.key).toSeq shouldBe r3.collect().sortBy(_.key).toSeq
+    // the reduce genuinely runs at nReduce partitions, with exactly one
+    // shuffle (DoReduce parity: repartition + per-partition sort + run walk)
+    r3.rdd.getNumPartitions shouldBe 3
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // shuffles in the final plan section only
+    val plan = r3.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    withClue(plan) {
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    }
   }
 }

@@ -63,8 +63,9 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = Path(args[1] if len(args) > 1 else "/tmp/verify_out")
     if "--run" in sys.argv:
         subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
