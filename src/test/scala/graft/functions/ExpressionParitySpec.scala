@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Interpreted-eval vs codegen parity for the custom Catalyst expressions.
+  * The dataframe path exercises generated code; `expr.eval(row)` exercises
+  * the interpreted `nullSafeEval` — the two must agree on arbitrary input
+  * or results would depend on whether codegen kicked in (fallback paths,
+  * constant folding, speculative plans).
+  */
+class ExpressionParitySpec extends AnyFunSuite with Matchers {
+
+  private val hsGen: Gen[Seq[Long]] =
+    Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, (1L << 60) - 1)))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g(Gen.Parameters.default, Seed(1234L + i)).toSeq)
+
+  test("AffineMinHashes: interpreted equals brute-force formula") {
+    val expr = AffineMinHashes(BoundReference(0, ArrayType(LongType), nullable = false), 16)
+    for (hs <- samples(hsGen, 40)) {
+      val row = InternalRow(new GenericArrayData(hs.toArray))
+      val got = expr.eval(row).asInstanceOf[ArrayData].toLongArray.toSeq
+      val want =
+        if (hs.isEmpty) Seq.empty[Long]
+        else (0 until 16).map(j =>
+          hs.map(h => (Sketches.a(j) * (h % Sketches.Prime) + Sketches.b(j)) % Sketches.Prime).min)
+      got shouldBe want
+    }
+  }
+
+  test("SimHashSignature: interpreted equals bit-majority brute force") {
+    val expr = SimHashSignature(BoundReference(0, ArrayType(LongType), nullable = false), 16)
+    for (hs <- samples(hsGen, 40)) {
+      val row = InternalRow(new GenericArrayData(hs.toArray))
+      val got = expr.eval(row).asInstanceOf[Long]
+      val want = (0 until 16).map { j =>
+        val ones = hs.count(h => ((h >> j) & 1L) == 1L)
+        if (hs.nonEmpty && 2 * ones >= hs.size) 1L << j else 0L
+      }.sum
+      got shouldBe want
+    }
+  }
+
+  test("WordNGrams: interpreted matches sliding-window reference") {
+    val tokGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dd", "e")))
+    val distinctExpr = WordNGrams(
+      BoundReference(0, ArrayType(StringType), nullable = false), 3, distinct = true)
+    val allExpr = WordNGrams(
+      BoundReference(0, ArrayType(StringType), nullable = false), 3, distinct = false)
+    for (toks <- samples(tokGen, 60)) {
+      val row = InternalRow(new GenericArrayData(
+        toks.map(UTF8String.fromString).toArray[Any]))
+      val want = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      allExpr.eval(row).asInstanceOf[ArrayData]
+        .toArray[UTF8String](StringType).map(_.toString).toSeq shouldBe want
+      distinctExpr.eval(row).asInstanceOf[ArrayData]
+        .toArray[UTF8String](StringType).map(_.toString).toSeq shouldBe want.distinct
+    }
+  }
+
+  test("Md5Prefix60Array: matches hex-prefix parse of full md5") {
+    val expr = Md5Prefix60Array(BoundReference(0, ArrayType(StringType), nullable = false))
+    val strs = Seq("", "a", "hello world", "žluťoučký kůň", "the quick brown fox")
+    val row = InternalRow(new GenericArrayData(
+      strs.map(UTF8String.fromString).toArray[Any]))
+    val got = expr.eval(row).asInstanceOf[ArrayData].toLongArray.toSeq
+    val want = strs.map { s =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    got shouldBe want
+  }
+
+  test("FloatVecDotProduct/Cosine: interpreted equals manual loop") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-100, 100).map(_ / 10.0f))
+    val dot = FloatVecDotProduct(
+      BoundReference(0, ArrayType(FloatType), nullable = false),
+      BoundReference(1, ArrayType(FloatType), nullable = false))
+    val cos = FloatVecCosine(
+      BoundReference(0, ArrayType(FloatType), nullable = false),
+      BoundReference(1, ArrayType(FloatType), nullable = false))
+    for (i <- 0 until 30) {
+      val a = vecGen(Gen.Parameters.default, Seed(4321L + i)).get
+      val b = vecGen(Gen.Parameters.default, Seed(9999L + i)).get
+      val row = InternalRow(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      val wantDot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }
+        .foldLeft(0.0)(_ + _)
+      dot.eval(row).asInstanceOf[Double] shouldBe wantDot
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      val wantCos = if (na == 0.0 || nb == 0.0) 0.0 else wantDot / (na * nb)
+      cos.eval(row).asInstanceOf[Double] shouldBe wantCos
+    }
+  }
+}

@@ -66,6 +66,25 @@ class ScaleSpec extends SparkSpec with Matchers {
     salted shouldBe direct
   }
 
+  test("date-partitioned writes enable partition pruning at the scan") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("part").resolve("events_by_day").toString
+    val ev = Tables.events(spark, sf())
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.partitionBy("day").parquet(out)
+
+    val pruned = spark.read.parquet(out).filter(col("day") === "2024-01-05")
+    // correctness: matches the unpartitioned filter…
+    pruned.count() shouldBe ev.filter(col("day") === "2024-01-05").count()
+    // …and the scan proves pruning: the day predicate is a PartitionFilter,
+    // so only one directory is read (at 100 TB this is the difference
+    // between scanning a day and scanning a history)
+    val scan = pruned.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters: [isnotnull(day#")
+    scan should include("(day#")
+    ()
+  }
+
   test("AQE skew-join handling is on in the bench/verify sessions") {
     // AQE splits oversized shuffle partitions at runtime; assert the knobs
     // these sessions rely on are available and enabled by default
