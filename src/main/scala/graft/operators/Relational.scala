@@ -364,9 +364,67 @@ object Relational {
         col("top.pk").as("top_pk"))
       .orderBy(col("l_orderkey"))
 
+  /** Native pivot with an explicit value list (deterministic columns):
+    * order-status counts per priority, wide. Explicit values keep the plan
+    * a single pass (no extra distinct-collection job) — the form that
+    * scales.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Explicit GROUPING SETS (beyond rollup's prefix hierarchy): totals by
+    * (flag, status), by flag alone, and by status alone — one shuffle,
+    * tagged via coalesced keys like qRollup.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")),
+          Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Correlated + scalar subqueries through the SQL surface: customers
+    * whose spend exceeds their nation's average (correlated agg subquery
+    * in DuckDB terms; here expressed as window-free SQL both engines plan
+    * their own way).
+    */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.init(s, dir)
+    // decimal-routed avg (exact sum / count) so the threshold double is
+    // bit-identical on both engines; same expression in the oracle
+    s.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer
+        |WHERE c_acctbal >
+        |  (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |   FROM customer c2
+        |   WHERE c2.c_nationkey = customer.c_nationkey) * 1.5
+        |ORDER BY c_custkey""".stripMargin)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal"))
+  }
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> qPivot,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_scalar_subquery" -> qScalarSubquery,
     "q_stats" -> qStats,
     "q_median" -> qMedian,
     "q_complex_types" -> qComplexTypes,
@@ -392,6 +450,28 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal
+        |FROM customer
+        |WHERE c_acctbal >
+        |  (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |   FROM customer c2
+        |   WHERE c2.c_nationkey = customer.c_nationkey) * 1.5
+        |ORDER BY c_custkey""".stripMargin,
     "q_stats" ->
       """WITH sums AS (
         |  SELECT o_orderpriority, count(*) AS n,
