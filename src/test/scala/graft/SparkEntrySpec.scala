@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+/** The driver contract itself: registry integrity (Map ++ silently drops
+  * colliding keys across modules), oracle coverage, and the smoke check the
+  * driver performs on `entry`.
+  */
+class SparkEntrySpec extends SparkSpec with Matchers {
+
+  test("query keys are collision-free across modules") {
+    val moduleSizes = Seq(
+      operators.Relational.queries.size,
+      operators.TextAnalysis.queries.size,
+      operators.Dedup.queries.size,
+      operators.Similarity.queries.size,
+      operators.Events.queries.size,
+      operators.Multimodal.queries.size,
+      1) // wc_wordcount
+    SparkEntry.queries.size shouldBe moduleSizes.sum
+  }
+
+  test("every oracle key has a query; every query has an oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    (o -- q) shouldBe empty
+    // full oracle coverage is this engine's bar: no rows-only checks
+    (q -- o) shouldBe empty
+  }
+
+  test("driver smoke contract: entry returns rows on sf0.001") {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("oracle SQL strings are DuckDB-parseable (no stray interpolation)") {
+    // cheap structural sanity: balanced quotes, non-empty, mentions a table
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      withClue(s"$name: ") {
+        sql.trim should not be empty
+        sql.count(_ == '\'') % 2 shouldBe 0
+      }
+    }
+  }
+}
