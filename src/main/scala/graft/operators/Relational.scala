@@ -300,17 +300,25 @@ object Relational {
     * order-dependent. The oracle mirrors the same explicit formulas.
     */
   def qStats(s: SparkSession, dir: String): DataFrame = {
-    val x = col("o_totalprice").cast("decimal(12,2)")
-    val y = col("o_orderkey").cast("decimal(18,0)")
+    // cents-scaled exact moments in one custom TypedImperativeAggregate
+    // (primitive 128-bit sums; the equivalent sum(decimal×decimal)
+    // formulation costs 3.5s at sf0.1 on the BigDecimal path). The round()
+    // makes the double→cents conversion exact: v*100 is within an ulp of
+    // the true integer for 2-decimal money values.
+    val xCents = round(col("o_totalprice") * 100).cast("long")
+    val yKey = col("o_orderkey")
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(x).cast("double").as("sum_x"),
-        sum(x * x).cast("double").as("sum_x2"),
-        sum(y).cast("double").as("sum_y"),
-        sum(y * y).cast("double").as("sum_y2"),
-        sum(x * y).cast("double").as("sum_xy"))
+      .agg(graft.functions.ExactMomentsAggregate
+        .exactMoments(xCents, yKey, xScale = 2).as("m"))
+      .select(
+        col("o_orderpriority"),
+        element_at(col("m"), 1).cast("long").as("n"),
+        element_at(col("m"), 2).as("sum_x"),
+        element_at(col("m"), 3).as("sum_y"),
+        element_at(col("m"), 4).as("sum_x2"),
+        element_at(col("m"), 5).as("sum_y2"),
+        element_at(col("m"), 6).as("sum_xy"))
       .select(
         col("o_orderpriority"),
         col("n"),

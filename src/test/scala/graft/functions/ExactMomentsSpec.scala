@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.functions.ExactMomentsAggregate.exactMoments
+
+class ExactMomentsSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  test("moments match brute force incl. partial/merge across partitions") {
+    val xs = (1L to 4000L).map(i => (i % 7, i * 31 % 1000, i % 89))
+    val df = spark.createDataset(xs).toDF("g", "x", "y").repartition(8)
+    val got = df
+      .groupBy("g")
+      .agg(exactMoments(col("x"), col("y")).as("m"))
+      .orderBy("g")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    for ((g, m) <- got) {
+      val rows = xs.filter(_._1 == g)
+      m(0) shouldBe rows.size.toDouble
+      m(1) shouldBe rows.map(_._2).sum.toDouble
+      m(2) shouldBe rows.map(_._3).sum.toDouble
+      m(3) shouldBe rows.map(r => r._2 * r._2).sum.toDouble
+      m(4) shouldBe rows.map(r => r._3 * r._3).sum.toDouble
+      m(5) shouldBe rows.map(r => r._2 * r._3).sum.toDouble
+    }
+  }
+
+  test("128-bit path: sums of squares beyond Long.MaxValue stay exact") {
+    // 2000 rows of x = 3e9 → Σx² = 2000 · 9e18 = 1.8e22 ≫ 2⁶³
+    val big = 3000000000L
+    val df = spark.createDataset((1 to 2000).map(_ => (big, 1L))).toDF("x", "y")
+    val m = df.agg(exactMoments(col("x"), col("y")).as("m"))
+      .head().getSeq[Double](0)
+    val want = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(big).pow(2)
+        .multiply(java.math.BigInteger.valueOf(2000))).doubleValue()
+    m(3) shouldBe want
+    m(5) shouldBe (big.toDouble * 2000) // Σxy exact in long range
+  }
+
+  test("scale de-scaling is single-rounded (matches decimal cast)") {
+    // x = 123.45 stored as 12345 cents, scale 2: Σx² must equal the double
+    // of the exact decimal 12345²·n/10⁴, not (double of cents²)/1e4
+    val df = spark.createDataset((1 to 3).map(_ => (12345L, 0L))).toDF("x", "y")
+    val m = df.agg(exactMoments(col("x"), col("y"), xScale = 2).as("m"))
+      .head().getSeq[Double](0)
+    m(1) shouldBe java.math.BigDecimal.valueOf(3L * 12345L, 2).doubleValue()
+    m(3) shouldBe new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(12345L * 12345L * 3), 4).doubleValue()
+  }
+}
