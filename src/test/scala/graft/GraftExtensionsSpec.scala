@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The extensions path needs its own session (extensions apply at build
+  * time), separate from the shared test session.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+
+  test("withExtensions installs vec functions for plain SQL") {
+    // create() (not getOrCreate) so extensions apply even when another
+    // suite's session exists; shares the JVM's SparkContext, so no stop()
+    // — stopping would kill the context under the other suites
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .create()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = spark
+      .sql("SELECT vec_dot(array(1f,2f), array(3f,4f)) d, " +
+        "vec_cosine(array(1f,0f), array(0f,1f)) c")
+      .head()
+    r.getDouble(0) shouldBe 11.0
+    r.getDouble(1) shouldBe 0.0
+  }
+}
