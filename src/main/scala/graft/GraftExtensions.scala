@@ -24,14 +24,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  private def binary(name: String)(
+      mk: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != 2)
+        throw new IllegalArgumentException(
+          s"$name requires exactly 2 arguments, got ${args.length}")
+      mk(args(0), args(1))
+    }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two ARRAY<FLOAT> in double"),
-      (args: Seq[Expression]) => FloatVecDotProduct(args(0), args(1))))
+      binary("vec_dot")(FloatVecDotProduct)))
     e.injectFunction((
       FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two ARRAY<FLOAT>"),
-      (args: Seq[Expression]) => FloatVecCosine(args(0), args(1))))
+      binary("vec_cosine")(FloatVecCosine)))
   }
 }

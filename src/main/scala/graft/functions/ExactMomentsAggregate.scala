@@ -10,8 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
-/** Exact second-order moment sums (n, Σx, Σx², Σy, Σy², Σxy) over integer
-  * inputs, as a [[TypedImperativeAggregate]] with 128-bit accumulation.
+/** Exact second-order moment sums — output array order:
+  * [n, Σx, Σy, Σx², Σy², Σxy] — over integer inputs, as a
+  * [[TypedImperativeAggregate]] with signed 128-bit accumulation
+  * (any long inputs, positive or negative, are exact).
   *
   * Motivation: the portable formulation routes each moment through
   * `sum(decimal × decimal)`, which drops Spark's Decimal onto the
@@ -24,8 +26,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *
   * Inputs are longs (callers pre-scale, e.g. money → cents); partial
   * aggregation works as usual (buffers merge with 128-bit adds).
-  */
-/** @param xScale decimal digits the x input was scaled by (e.g. 2 for
+  *
+  * @param xScale decimal digits the x input was scaled by (e.g. 2 for
   *               money→cents) — outputs are de-scaled with a SINGLE
   *               correctly-rounded conversion (Σx²/10^2s via BigDecimal),
   *               never a second double division, so they stay bit-identical
@@ -41,21 +43,31 @@ case class ExactMoments(
     extends TypedImperativeAggregate[Array[Long]] {
 
   // buffer layout: n, sx, sy, sx2.hi, sx2.lo, sy2.hi, sy2.lo, sxy.hi, sxy.lo
+  // (the hi/lo pairs are SIGNED two's-complement 128-bit accumulators)
   private val BufLen = 9
 
   override def children: Seq[Expression] = Seq(x, y)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (x.dataType == LongType && y.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two BIGINT arguments, got " +
+          s"${x.dataType.catalogString} and ${y.dataType.catalogString}")
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](BufLen)
 
-  /** b[hi],b[lo] += v (v ≥ 0) with unsigned carry. */
-  private def add128(b: Array[Long], hi: Int, lo: Int, v: Long): Unit = {
+  /** b[hi:lo] += (vh:vl), signed 128-bit (unsigned lo carry + hi words). */
+  private def add128(b: Array[Long], hi: Int, lo: Int, vh: Long, vl: Long): Unit = {
     val old = b(lo)
-    val nl = old + v
-    // unsigned carry-out of old + v
-    if (((old & v) | ((old | v) & ~nl)) < 0) b(hi) += 1
+    val nl = old + vl
+    // unsigned carry-out of old + vl
+    if (((old & vl) | ((old | vl) & ~nl)) < 0) b(hi) += 1
     b(lo) = nl
+    b(hi) += vh
   }
 
   override def update(b: Array[Long], input: InternalRow): Array[Long] = {
@@ -67,26 +79,30 @@ case class ExactMoments(
       b(0) += 1
       b(1) += xl
       b(2) += yl
-      add128(b, 3, 4, xl * xl)
-      add128(b, 5, 6, yl * yl)
-      add128(b, 7, 8, xl * yl)
+      // full 128-bit products: per-term 64-bit multiply would wrap for
+      // inputs beyond ~3e9 (Math.multiplyHigh gives the signed high word)
+      add128(b, 3, 4, Math.multiplyHigh(xl, xl), xl * xl)
+      add128(b, 5, 6, Math.multiplyHigh(yl, yl), yl * yl)
+      add128(b, 7, 8, Math.multiplyHigh(xl, yl), xl * yl)
     }
     b
   }
 
   override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
     b(0) += o(0); b(1) += o(1); b(2) += o(2)
-    add128(b, 3, 4, o(4)); b(3) += o(3)
-    add128(b, 5, 6, o(6)); b(5) += o(5)
-    add128(b, 7, 8, o(8)); b(7) += o(7)
+    add128(b, 3, 4, o(3), o(4))
+    add128(b, 5, 6, o(5), o(6))
+    add128(b, 7, 8, o(7), o(8))
     b
   }
 
-  /** Exact unsigned-128 / 10^scale → double, single correct rounding. */
+  /** Exact signed-128 / 10^scale → double, single correct rounding. */
   private def d128(hi: Long, lo: Long, scale: Int): Double = {
-    if (hi == 0 && lo >= 0 && scale == 0) return lo.toDouble
+    if (scale == 0 && ((hi == 0 && lo >= 0) || (hi == -1 && lo < 0)))
+      return lo.toDouble
     val bytes = java.nio.ByteBuffer.allocate(16).putLong(hi).putLong(lo).array()
-    new java.math.BigDecimal(new BigInteger(1, bytes), scale).doubleValue()
+    // two's-complement signed magnitude (BigInteger(byte[]) is signed)
+    new java.math.BigDecimal(new BigInteger(bytes), scale).doubleValue()
   }
 
   private def dLong(v: Long, scale: Int): Double =

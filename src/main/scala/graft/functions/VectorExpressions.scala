@@ -134,13 +134,27 @@ object VectorExpressions {
     GraftColumnBridge.column(FloatVecCosine(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  private def binary(name: String)(
+      mk: (org.apache.spark.sql.catalyst.expressions.Expression,
+           org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    args => {
+      if (args.length != 2)
+        throw new IllegalArgumentException(
+          s"$name requires exactly 2 arguments, got ${args.length}")
+      mk(args(0), args(1))
+    }
+
   /** SQL registration: makes `vec_dot` / `vec_cosine` callable from
-    * `spark.sql(...)` — idempotent per session.
+    * `spark.sql(...)` — idempotent per session. (The config-driven install
+    * path is [[graft.GraftExtensions]].)
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDotProduct(exprs(0), exprs(1)), "built-in")
+      "vec_dot", binary("vec_dot")(FloatVecDotProduct), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_cosine", exprs => FloatVecCosine(exprs(0), exprs(1)), "built-in")
+      "vec_cosine", binary("vec_cosine")(FloatVecCosine), "built-in")
   }
 }

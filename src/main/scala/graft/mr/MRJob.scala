@@ -103,9 +103,16 @@ object MRJob {
       spark: SparkSession,
       job: JobSpec,
       map: String => IterableOnce[KeyValue],
+      reduce: (String, Iterator[String]) => String): Dataset[KeyValue] =
+    reduceStage(readLines(spark, job).flatMap(map)(kvEncoder(spark)), job, reduce)
+
+  /** The shared reduce stage (see [[runHolistic]] for the plan rationale). */
+  private def reduceStage(
+      kv: Dataset[KeyValue],
+      job: JobSpec,
       reduce: (String, Iterator[String]) => String): Dataset[KeyValue] = {
+    val spark = kv.sparkSession
     import spark.implicits._
-    val kv = readLines(spark, job).flatMap(map)
     if (job.nReduce > 0)
       kv.repartition(job.nReduce, $"key")
         .sortWithinPartitions($"key")
@@ -113,6 +120,11 @@ object MRJob {
     else
       kv.groupByKey(_.key)
         .mapGroups((k, vs) => KeyValue(k, reduce(k, vs.map(_.value))))
+  }
+
+  private def kvEncoder(spark: SparkSession): Encoder[KeyValue] = {
+    import spark.implicits._
+    implicitly[Encoder[KeyValue]]
   }
 
   /** Reduce consecutive same-key runs of a key-sorted partition — keys are
@@ -127,9 +139,16 @@ object MRJob {
       def hasNext: Boolean = buf.hasNext
       def next(): KeyValue = {
         val key = buf.head.key
-        val values = Vector.newBuilder[String]
-        while (buf.hasNext && buf.head.key == key) values += buf.next().value
-        KeyValue(key, reduceFn(key, values.result().iterator))
+        // stream the run to the reduce (no per-key materialization — a
+        // hot key's values must not all buffer in memory); drain whatever
+        // the reduce did not consume before moving to the next run
+        val values = new Iterator[String] {
+          def hasNext: Boolean = buf.hasNext && buf.head.key == key
+          def next(): String = buf.next().value
+        }
+        val out = KeyValue(key, reduceFn(key, values))
+        while (values.hasNext) values.next()
+        out
       }
     }
   }
@@ -155,17 +174,9 @@ object MRJob {
       spark: SparkSession,
       job: JobSpec,
       map: Iterator[String] => Iterator[KeyValue],
-      reduce: (String, Iterator[String]) => String): Dataset[KeyValue] = {
-    import spark.implicits._
-    val kv = readLines(spark, job).mapPartitions(map)
-    if (job.nReduce > 0)
-      kv.repartition(job.nReduce, $"key")
-        .sortWithinPartitions($"key")
-        .mapPartitions(reduceRuns(_, reduce))
-    else
-      kv.groupByKey(_.key)
-        .mapGroups((k, vs) => KeyValue(k, reduce(k, vs.map(_.value))))
-  }
+      reduce: (String, Iterator[String]) => String): Dataset[KeyValue] =
+    reduceStage(
+      readLines(spark, job).mapPartitions(map)(kvEncoder(spark)), job, reduce)
 
   /** The reference's output contract (SURVEY §2.3.1): lines `key\tvalue`,
     * ascending bytewise key order, one file (`mapreduce.go:251-263`).

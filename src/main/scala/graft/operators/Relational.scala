@@ -412,7 +412,9 @@ object Relational {
     * their own way).
     */
   def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
-    graft.GraftSession.init(s, dir)
+    // only the view this query reads — a full GraftSession.init here would
+    // re-register 10 views (and touch session conf) on every invocation
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
     // decimal-routed avg (exact sum / count) so the threshold double is
     // bit-identical on both engines; same expression in the oracle
     s.sql(

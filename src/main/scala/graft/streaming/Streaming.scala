@@ -74,7 +74,13 @@ object Streaming {
       n_events: Long,
       session_value: Double)
 
-  /** Internal open-session state (public: Catalyst codegen instantiates it). */
+  /** Internal open-session state (public: Catalyst codegen instantiates it).
+    * A user's state is a LIST of open sessions, ordered by start: late
+    * events inside the watermark may open a session before, between, or
+    * bridging existing ones — a single open-session state cannot express
+    * that and silently merges across gaps (diverging from the batch
+    * sessionizer).
+    */
   final case class SessionState(
       startUs: Long, endUs: Long, nEvents: Long, totalValue: Double)
 
@@ -104,44 +110,57 @@ object Streaming {
     def toOut(uid: Long, s: SessionState): SessionOut =
       SessionOut(uid, usToTs(s.startUs), usToTs(s.endUs), s.nEvents, s.totalValue)
 
+    /** Fold one event into the sorted open-session list: extend the session
+      * it lands within `gap` of, merging the neighbor when the event
+      * bridges two sessions; otherwise insert a new session. Keeps the
+      * batch sessionizer's exact semantics for any arrival order of events
+      * within the watermark.
+      */
+    def absorb(sessions: List[SessionState], t: Long, v: Double): List[SessionState] = {
+      val (before, rest) = sessions.span(_.endUs < t - gapUs)
+      rest match {
+        case s :: tail if t >= s.startUs - gapUs =>
+          val merged = SessionState(math.min(s.startUs, t), math.max(s.endUs, t),
+            s.nEvents + 1, s.totalValue + v)
+          // the extended session may now bridge into the next one
+          tail match {
+            case n :: more if n.startUs - merged.endUs <= gapUs =>
+              before ::: SessionState(merged.startUs, math.max(merged.endUs, n.endUs),
+                merged.nEvents + n.nEvents, merged.totalValue + n.totalValue) :: more
+            case _ => before ::: merged :: tail
+          }
+        case _ =>
+          before ::: SessionState(t, t, 1, v) :: rest
+      }
+    }
+
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(toOut(uid, _))
-            state.remove()
-            out.iterator
-          } else {
-            // events within a micro-batch are not ordered — sort this
-            // group's batch; cross-batch order is handled by the gap logic
-            val sorted = it.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
-            val closed = Seq.newBuilder[SessionOut]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = tsUs(e.ts)
-              cur match {
-                case Some(s) if t - s.endUs > gapUs =>
-                  closed += toOut(uid, s)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case Some(s) =>
-                  // min() start: a late cross-batch event inside the
-                  // watermark may precede the open session's first event
-                  cur = Some(SessionState(math.min(s.startUs, t),
-                    math.max(s.endUs, t), s.nEvents + 1, s.totalValue + e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
+        (uid: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val sessions0 = state.getOption.getOrElse(Nil)
+          val sessions =
+            if (state.hasTimedOut) sessions0
+            else {
+              val sorted = it.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+              sorted.foldLeft(sessions0)((acc, e) => absorb(acc, tsUs(e.ts), e.value))
             }
-            cur.foreach { s =>
-              state.update(s)
-              // close the session `gap` after its last event, in event time
-              state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes * 60L * 1000)
-            }
-            closed.result().iterator
+          // a session is final once no in-watermark event can still reach it
+          val (closed, open) = sessions.partition(_.endUs + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake when the earliest open session falls out of reach; must
+            // stay strictly beyond the current watermark (boundary sessions
+            // with end+gap == wm are still open by the strict < above)
+            state.setTimeoutTimestamp(math.max(
+              open.map(_.endUs).min / 1000 + gapMinutes * 60L * 1000,
+              state.getCurrentWatermarkMs() + 1))
           }
+          closed.iterator.map(toOut(uid, _))
       }
   }
 }

@@ -42,6 +42,30 @@ class ExactMomentsSpec extends SparkSpec with Matchers {
     m(5) shouldBe (big.toDouble * 2000) // Σxy exact in long range
   }
 
+  test("negative inputs accumulate exactly (signed 128-bit)") {
+    val rows = Seq((-5L, 3L), (7L, -2L), (-11L, -13L), (0L, 9L))
+    val df = spark.createDataset(rows).toDF("x", "y")
+    val m = df.agg(exactMoments(col("x"), col("y")).as("m"))
+      .head().getSeq[Double](0)
+    m(1) shouldBe rows.map(_._1).sum.toDouble
+    m(2) shouldBe rows.map(_._2).sum.toDouble
+    m(3) shouldBe rows.map(r => r._1 * r._1).sum.toDouble
+    m(5) shouldBe rows.map(r => r._1 * r._2).sum.toDouble // includes -15, -14, 143
+  }
+
+  test("inputs beyond 3e9: per-term products use full 128-bit multiply") {
+    // x = 5e9 → x² = 2.5e19 > Long.MaxValue: a 64-bit product would wrap
+    val big = 5000000000L
+    val df = spark.createDataset(Seq((big, big), (big, big))).toDF("x", "y")
+    val m = df.agg(exactMoments(col("x"), col("y")).as("m"))
+      .head().getSeq[Double](0)
+    val want = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(big).pow(2)
+        .multiply(java.math.BigInteger.valueOf(2))).doubleValue()
+    m(3) shouldBe want
+    m(5) shouldBe want
+  }
+
   test("scale de-scaling is single-rounded (matches decimal cast)") {
     // x = 123.45 stored as 12345 cents, scale 2: Σx² must equal the double
     // of the exact decimal 12345²·n/10⁴, not (double of cents²)/1e4

@@ -105,6 +105,67 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("late event far before the open session starts its own session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming
+      .sessionize(input.toDS(), gapMinutes = 30, watermark = "3 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(Event(1, t("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // 9:00 is inside the 3h watermark but >30min before the open
+      // session — must NOT merge into [10:00,10:00]
+      input.addData(Event(2, t("2024-01-01 09:00:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // flush everything
+      input.addData(Event(3, t("2024-01-01 23:00:00"), 2, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(4, t("2024-01-02 23:00:00"), 2, "click", 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_late").as[SessionOut]
+        .collect().filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      u1.map(_.n_events).toSeq shouldBe Seq(1, 1)
+      u1(0).session_start.toString shouldBe "2024-01-01 09:00:00.0"
+      u1(1).session_start.toString shouldBe "2024-01-01 10:00:00.0"
+    } finally q.stop()
+  }
+
+  test("late event bridging two open sessions merges them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming
+      .sessionize(input.toDS(), gapMinutes = 30, watermark = "6 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_bridge").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // two sessions 50 min apart: [10:00] and [10:50]
+      input.addData(
+        Event(1, t("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Event(2, t("2024-01-01 10:50:00"), 1, "b", 2.0))
+      q.processAllAvailable()
+      // 10:25 is within 30min of both → all three become ONE session
+      input.addData(Event(3, t("2024-01-01 10:25:00"), 1, "c", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(4, t("2024-01-02 23:00:00"), 2, "z", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(5, t("2024-01-03 23:00:00"), 2, "z", 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_bridge").as[SessionOut]
+        .collect().filter(_.user_id == 1)
+      u1.length shouldBe 1
+      u1(0).n_events shouldBe 3
+      u1(0).session_value shouldBe 7.0
+      u1(0).session_start.toString shouldBe "2024-01-01 10:00:00.0"
+      u1(0).session_end.toString shouldBe "2024-01-01 10:50:00.0"
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per fingerprint within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
