@@ -32,6 +32,23 @@ class SparkEntrySpec extends SparkSpec with Matchers {
     SparkEntry.entry(spark).count() should be > 0L
   }
 
+  test("every query's output schema uses only oracle-safe types") {
+    import org.apache.spark.sql.types._
+    val allowed: Set[DataType] =
+      Set(LongType, DoubleType, StringType, BooleanType, TimestampType, TimestampNTZType)
+    for ((name, fn) <- SparkEntry.queries) {
+      val schema = fn(spark, sf()).schema
+      withClue(s"$name: ") {
+        schema.fieldNames.toSeq.distinct.size shouldBe schema.size // no dup names
+        schema.fields.foreach { f =>
+          withClue(s"column ${f.name} (${f.dataType.catalogString}): ") {
+            allowed should contain(f.dataType)
+          }
+        }
+      }
+    }
+  }
+
   test("oracle SQL strings are DuckDB-parseable (no stray interpolation)") {
     // cheap structural sanity: balanced quotes, non-empty, mentions a table
     SparkEntry.oracleSql.foreach { case (name, sql) =>

@@ -73,6 +73,25 @@ class SimilaritySpec extends SparkSpec with Matchers {
     plan should include("BroadcastHashJoin")
   }
 
+  test("seeded random-hyperplane buckets are deterministic and collision-correct") {
+    val emb = graft.tables.Tables.embeddings(spark, sf())
+    val b = VectorFunctions.randomHyperplaneBucket(col("embedding"), dim = 64,
+      planes = 8, seed = 7L)
+    val once = emb.select(col("vec_id"), b.as("bkt")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = emb.select(col("vec_id"), b.as("bkt")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    again shouldBe once // fixed seed → identical buckets across runs
+    once.values.foreach(v => v should (be >= 0L and be < 256L))
+    // identical vectors always share a bucket (the dedup recall property)
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val joinedSame = emb.select(col("vec_id"), b.as("b1"))
+      .join(planted.select((col("vec_id") - 1000000L).as("vec_id"), b.as("b2")), "vec_id")
+      .filter(col("b1") =!= col("b2"))
+      .count()
+    joinedSame shouldBe 0L
+  }
+
   test("LSH recall is measured and nontrivial at sf0.001") {
     val rec = Similarity.qAnnRecall(spark, sf())
       .agg(avg("recall_at_k")).head().getDouble(0)
