@@ -189,6 +189,49 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("shuffled out-of-order delivery reproduces batch sessions exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ground truth: the batch sessionizer on the full table
+    val batch = graft.operators.Events.qEventsSessionize(spark, sf())
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), math.round(r.getDouble(4) * 100)))
+      .toSet
+
+    val events = graft.tables.Tables.events(spark, sf())
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // deterministic shuffle, split into 4 arbitrary-order batches: with a
+    // huge watermark nothing is late, so ANY delivery order must converge
+    // to the batch answer
+    val rnd = new scala.util.Random(42)
+    val shuffled = rnd.shuffle(events.toVector)
+    val input = MemoryStream[Event]
+    val q = Streaming
+      .sessionize(input.toDS(), gapMinutes = 30, watermark = "365 days")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_shuffled").start()
+    try {
+      shuffled.grouped(shuffled.size / 4 + 1).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      // flush: push the watermark past everything
+      input.addData(Event(-1, Timestamp.valueOf("2030-01-01 00:00:00"), -1, "x", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2, Timestamp.valueOf("2032-01-01 00:00:00"), -1, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_shuffled").as[SessionOut]
+        .collect().filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.session_start, s.session_end,
+          s.n_events, math.round(s.session_value * 100)))
+        .toSet
+      got shouldBe batch
+    } finally q.stop()
+  }
+
   test("streaming sessionizer agrees with batch sessionization on real data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
