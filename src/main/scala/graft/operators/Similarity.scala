@@ -86,15 +86,22 @@ object Similarity {
     val (queries, corpus) = table(s, dir)
     val qb = bucketed(
       queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
-      .select(col("query_id"), col("embedding").as("qv"), col("t"), col("bkt"))
-    val cb = bucketed(corpus, "vec_id")
+      .select(col("query_id"), col("t"), col("bkt"))
+    val cb = bucketed(corpus, "vec_id").select(col("vec_id"), col("t"), col("bkt"))
+    // dedup multi-table collisions on the (query, candidate) KEYS only —
+    // a distinct over rows still carrying both embedding arrays would
+    // shuffle ~30× the bytes; vectors re-join after the candidate set is
+    // small (broadcast for queries, vec_id equi-join against the corpus)
     val cand = broadcast(qb)
       .join(cb, qb("t") === cb("t") && qb("bkt") === cb("bkt") &&
         col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
-      .distinct() // a pair may collide in several tables
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), "query_id")
+      .join(corpus, "vec_id")
       .select(col("query_id"), col("vec_id"), cosRounded(col("qv"), col("embedding")).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
