@@ -110,19 +110,62 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** Recall@k of the LSH path against brute-force ground truth, per query. */
+  /** Multi-probe LSH: each query additionally probes every Hamming-1
+    * neighbor of its bucket in every table — (k+1)·L probes instead of L,
+    * recovering candidates that differ by one unlucky sign bit. The probe
+    * fan-out multiplies only the (tiny, broadcast) query side; the corpus
+    * side is untouched, so the scale shape is identical to [[qAnnLsh]].
+    */
+  def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val (queries, corpus) = table(s, dir)
+    val probes = bucketed(
+      queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+      .select(col("query_id"), col("t"),
+        explode(array(
+          col("bkt") +: (0 until BitsPerTable).map(i =>
+            col("bkt").bitwiseXOR(lit(1L << i))): _*)).as("bkt"))
+    val cb = bucketed(corpus, "vec_id").select(col("vec_id"), col("t"), col("bkt"))
+    val cand = broadcast(probes)
+      .join(cb, Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), "query_id")
+      .join(corpus, "vec_id")
+      .select(col("query_id"), col("vec_id"), cosRounded(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Recall@k of the LSH paths (single-probe and multi-probe) against
+    * brute-force ground truth, per query — the measurement that justifies
+    * the probe fan-out.
+    */
   def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val brute = qAnnBrute(s, dir).select(col("query_id"), col("vec_id"))
     val lsh = qAnnLsh(s, dir).select(
       col("query_id").as("l_query_id"), col("vec_id").as("l_vec_id"))
+    val multi = qAnnMultiprobe(s, dir).select(
+      col("query_id").as("m_query_id"), col("vec_id").as("m_vec_id"))
     brute
       .join(lsh,
         col("query_id") === col("l_query_id") && col("vec_id") === col("l_vec_id"),
         "left_outer")
+      .join(multi,
+        col("query_id") === col("m_query_id") && col("vec_id") === col("m_vec_id"),
+        "left_outer")
       .groupBy(col("query_id"))
       .agg(
         (sum(when(col("l_vec_id").isNotNull, 1).otherwise(0)).cast("double") /
-          count(lit(1))).as("recall_at_k"))
+          count(lit(1))).as("recall_at_k"),
+        (sum(when(col("m_vec_id").isNotNull, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("recall_multiprobe"))
       .orderBy(col("query_id"))
   }
 
@@ -177,6 +220,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_multiprobe" -> qAnnMultiprobe,
     "q_ann_recall" -> qAnnRecall,
     "q_ann_ivf" -> qAnnIvf
   )
@@ -230,6 +274,29 @@ object Similarity {
        |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  private val probeMasks: String =
+    (0L +: (0 until BitsPerTable).map(i => 1L << i))
+      .map(m => s"($m)").mkString(", ")
+
+  private val multiprobeSql =
+    s"""WITH buckets AS ($bucketedSql),
+       |qb AS (SELECT vec_id AS query_id, embedding AS qv, t, bkt FROM buckets
+       |       WHERE vec_id < $QueryCount),
+       |probes AS (
+       |  SELECT query_id, qv, t, xor(bkt, m.mask) AS bkt
+       |  FROM qb CROSS JOIN (VALUES $probeMasks) m(mask)),
+       |cand AS (
+       |  SELECT DISTINCT query_id, qv, b.vec_id, b.embedding
+       |  FROM probes JOIN buckets b ON probes.t = b.t AND probes.bkt = b.bkt
+       |   AND b.vec_id <> probes.query_id),
+       |scored AS (SELECT query_id, vec_id, $cosSql AS cos FROM cand),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
   /** Cosine between two named list columns (mirror of cosSql for arbitrary
     * column names).
     */
@@ -270,14 +337,21 @@ object Similarity {
     "q_ann_ivf" -> (ivfSql + "\nORDER BY query_id, rk"),
     "q_ann_brute" -> (bruteSql + "\nORDER BY query_id, rk"),
     "q_ann_lsh" -> (lshSql + "\nORDER BY query_id, rk"),
+    "q_ann_multiprobe" -> (multiprobeSql + "\nORDER BY query_id, rk"),
     "q_ann_recall" ->
       s"""WITH brute AS ($bruteSql),
-         |lsh AS ($lshSql)
+         |lsh AS ($lshSql),
+         |multi AS ($multiprobeSql)
          |SELECT brute.query_id AS query_id,
          |  CAST(sum(CASE WHEN lsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*) AS recall_at_k
-         |FROM brute LEFT JOIN lsh
+         |    / count(*) AS recall_at_k,
+         |  CAST(sum(CASE WHEN multi.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS recall_multiprobe
+         |FROM brute
+         |LEFT JOIN lsh
          |  ON brute.query_id = lsh.query_id AND brute.vec_id = lsh.vec_id
+         |LEFT JOIN multi
+         |  ON brute.query_id = multi.query_id AND brute.vec_id = multi.vec_id
          |GROUP BY brute.query_id
          |ORDER BY query_id""".stripMargin
   )
