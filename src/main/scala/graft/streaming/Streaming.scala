@@ -64,6 +64,36 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Watermarked stream-stream join: each purchase attributed to a signup
+    * of the same user within the preceding `attributionWindow`. Both sides
+    * carry watermarks and the join condition is time-bounded in both
+    * directions — the two constraints Spark needs to bound join state and
+    * emit/expire rows correctly; state per side is O(events inside the
+    * watermark), independent of total history.
+    */
+  def purchaseAttribution(
+      events: DataFrame,
+      watermark: String = "1 hour",
+      attributionWindow: String = "24 hours"): DataFrame = {
+    val signups = events
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", watermark)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(
+      signups,
+      col("user_id") === col("s_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $attributionWindow"),
+      "inner")
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+        col("signup_ts"), col("value"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

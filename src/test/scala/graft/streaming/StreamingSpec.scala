@@ -67,6 +67,32 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to in-window signups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming
+      .purchaseAttribution(input.toDF(), watermark = "10 minutes",
+        attributionWindow = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_stream").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        Event(1, t("2024-01-01 10:00:00"), 1, "signup", 0.0),
+        Event(2, t("2024-01-01 10:30:00"), 1, "purchase", 9.0), // in window
+        Event(3, t("2024-01-01 12:30:00"), 1, "purchase", 5.0), // beyond 1h
+        Event(4, t("2024-01-01 10:20:00"), 2, "purchase", 3.0)) // no signup
+      q.processAllAvailable()
+      input.addData(Event(5, t("2024-01-01 23:00:00"), 3, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_stream")
+        .select("event_id", "signup_ts").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1).toString)
+      rows.toSeq shouldBe Seq(2L -> "2024-01-01 10:00:00.0")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
