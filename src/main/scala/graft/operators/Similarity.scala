@@ -44,6 +44,26 @@ object Similarity {
   private def cosRounded(a: Column, b: Column): Column =
     round(VectorExpressions.vecCosine(a, b), 6)
 
+  /** Shared verify tail for the candidate-generation paths: re-join
+    * vectors onto a (query_id, vec_id) candidate set (broadcast for
+    * queries, vec_id equi-join for the corpus), score, per-query top-k.
+    */
+  private def rankTopK(
+      cand: DataFrame, queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), "query_id")
+      .join(corpus, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        cosRounded(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   private def table(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     (emb.filter(col("vec_id") < QueryCount), emb)
@@ -97,17 +117,7 @@ object Similarity {
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    cand
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qv"))), "query_id")
-      .join(corpus, "vec_id")
-      .select(col("query_id"), col("vec_id"), cosRounded(col("qv"), col("embedding")).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
-      .select(col("query_id"), col("rk").cast("long").as("rk"),
-        col("vec_id"), col("cos"))
-      .orderBy(col("query_id"), col("rk"))
+    rankTopK(cand, queries, corpus)
   }
 
   /** Multi-probe LSH: each query additionally probes every Hamming-1
@@ -130,17 +140,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    cand
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qv"))), "query_id")
-      .join(corpus, "vec_id")
-      .select(col("query_id"), col("vec_id"), cosRounded(col("qv"), col("embedding")).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
-      .select(col("query_id"), col("rk").cast("long").as("rk"),
-        col("vec_id"), col("cos"))
-      .orderBy(col("query_id"), col("rk"))
+    rankTopK(cand, queries, corpus)
   }
 
   /** Recall@k of the LSH paths (single-probe and multi-probe) against

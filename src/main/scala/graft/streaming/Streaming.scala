@@ -64,12 +64,17 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
-  /** Watermarked stream-stream join: each purchase attributed to a signup
-    * of the same user within the preceding `attributionWindow`. Both sides
-    * carry watermarks and the join condition is time-bounded in both
-    * directions — the two constraints Spark needs to bound join state and
-    * emit/expire rows correctly; state per side is O(events inside the
-    * watermark), independent of total history.
+  /** Watermarked stream-stream join: purchase→signup attribution PAIRS —
+    * one row per (purchase, in-window signup); a user with several signups
+    * inside `attributionWindow` yields several rows for that purchase.
+    * Collapsing to the latest signup is a downstream concern (a trivial
+    * max-by in `foreachBatch` or the batch layer): a chained post-join
+    * aggregation is restricted to time-window groups with delayed
+    * watermark propagation, which buys nothing over the batch step here.
+    * Both sides carry watermarks and the join condition is time-bounded in
+    * both directions — the two constraints Spark needs to bound join
+    * state; state is O(events inside the watermark), independent of total
+    * history.
     */
   def purchaseAttribution(
       events: DataFrame,

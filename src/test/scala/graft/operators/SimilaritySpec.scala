@@ -83,13 +83,18 @@ class SimilaritySpec extends SparkSpec with Matchers {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     again shouldBe once // fixed seed → identical buckets across runs
     once.values.foreach(v => v should (be >= 0L and be < 256L))
-    // identical vectors always share a bucket (the dedup recall property)
-    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-    val joinedSame = emb.select(col("vec_id"), b.as("b1"))
-      .join(planted.select((col("vec_id") - 1000000L).as("vec_id"), b.as("b2")), "vec_id")
-      .filter(col("b1") =!= col("b2"))
-      .count()
-    joinedSame shouldBe 0L
+    // identical vectors always share a bucket (the dedup recall property):
+    // two DISTINCT rows with equal embeddings through separate evaluations
+    import spark.implicits._
+    val v1 = Array(0.5f, -1.25f, 3f, 0f)
+    val pair = Seq((1L, v1), (2L, v1.clone()), (3L, v1.map(-_)))
+      .toDF("id", "embedding")
+      .select(col("id"),
+        VectorFunctions.randomHyperplaneBucket(col("embedding"), dim = 4,
+          planes = 8, seed = 7L).as("bkt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pair(1L) shouldBe pair(2L) // equal vectors, equal bucket
+    pair(1L) should not be pair(3L) // negated vector flips every sign bit
   }
 
   test("LSH recall is measured and nontrivial at sf0.001") {

@@ -79,17 +79,25 @@ class StreamingSpec extends SparkSpec with Matchers {
     try {
       def t(s: String) = Timestamp.valueOf(s)
       input.addData(
+        Event(0, t("2024-01-01 09:50:00"), 1, "signup", 0.0), // earlier signup
         Event(1, t("2024-01-01 10:00:00"), 1, "signup", 0.0),
-        Event(2, t("2024-01-01 10:30:00"), 1, "purchase", 9.0), // in window
+        Event(2, t("2024-01-01 10:30:00"), 1, "purchase", 9.0), // in window of both
         Event(3, t("2024-01-01 12:30:00"), 1, "purchase", 5.0), // beyond 1h
         Event(4, t("2024-01-01 10:20:00"), 2, "purchase", 3.0)) // no signup
       q.processAllAvailable()
       input.addData(Event(5, t("2024-01-01 23:00:00"), 3, "click", 0.0))
       q.processAllAvailable()
+      input.addData(Event(6, t("2024-01-02 23:00:00"), 3, "click", 0.0))
+      q.processAllAvailable()
+      // PAIR semantics: one row per (purchase, in-window signup) — the
+      // purchase with two prior signups yields two attribution rows
       val rows = spark.table("attr_stream")
         .select("event_id", "signup_ts").collect()
         .map(r => r.getLong(0) -> r.getTimestamp(1).toString)
-      rows.toSeq shouldBe Seq(2L -> "2024-01-01 10:00:00.0")
+        .sortBy(_._2)
+      rows.toSeq shouldBe Seq(
+        2L -> "2024-01-01 09:50:00.0",
+        2L -> "2024-01-01 10:00:00.0")
     } finally q.stop()
   }
 
