@@ -119,6 +119,32 @@ object Streaming {
   final case class SessionState(
       startUs: Long, endUs: Long, nEvents: Long, totalValue: Double)
 
+  /** Fold one event into a sorted open-session list: extend the session it
+    * lands within `gap` of, merging the neighbor when the event bridges
+    * two sessions; otherwise insert a new session. Preserves the invariant
+    * that consecutive sessions are separated by more than the gap, which
+    * makes the fold order-independent (property-tested against brute-force
+    * sessionization over random permutations).
+    */
+  private[streaming] def absorb(
+      sessions: List[SessionState], t: Long, v: Double, gapUs: Long): List[SessionState] = {
+    val (before, rest) = sessions.span(_.endUs < t - gapUs)
+    rest match {
+      case s :: tail if t >= s.startUs - gapUs =>
+        val merged = SessionState(math.min(s.startUs, t), math.max(s.endUs, t),
+          s.nEvents + 1, s.totalValue + v)
+        // the extended session may now bridge into the next one
+        tail match {
+          case n :: more if n.startUs - merged.endUs <= gapUs =>
+            before ::: SessionState(merged.startUs, math.max(merged.endUs, n.endUs),
+              merged.nEvents + n.nEvents, merged.totalValue + n.totalValue) :: more
+          case _ => before ::: merged :: tail
+        }
+      case _ =>
+        before ::: SessionState(t, t, 1, v) :: rest
+    }
+  }
+
   /** Gap-based streaming sessionizer: one state object per user holding the
     * open session; events extend it or close it (gap exceeded → emit);
     * event-time timeout flushes sessions the watermark has passed. Late
@@ -145,30 +171,6 @@ object Streaming {
     def toOut(uid: Long, s: SessionState): SessionOut =
       SessionOut(uid, usToTs(s.startUs), usToTs(s.endUs), s.nEvents, s.totalValue)
 
-    /** Fold one event into the sorted open-session list: extend the session
-      * it lands within `gap` of, merging the neighbor when the event
-      * bridges two sessions; otherwise insert a new session. Keeps the
-      * batch sessionizer's exact semantics for any arrival order of events
-      * within the watermark.
-      */
-    def absorb(sessions: List[SessionState], t: Long, v: Double): List[SessionState] = {
-      val (before, rest) = sessions.span(_.endUs < t - gapUs)
-      rest match {
-        case s :: tail if t >= s.startUs - gapUs =>
-          val merged = SessionState(math.min(s.startUs, t), math.max(s.endUs, t),
-            s.nEvents + 1, s.totalValue + v)
-          // the extended session may now bridge into the next one
-          tail match {
-            case n :: more if n.startUs - merged.endUs <= gapUs =>
-              before ::: SessionState(merged.startUs, math.max(merged.endUs, n.endUs),
-                merged.nEvents + n.nEvents, merged.totalValue + n.totalValue) :: more
-            case _ => before ::: merged :: tail
-          }
-        case _ =>
-          before ::: SessionState(t, t, 1, v) :: rest
-      }
-    }
-
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -181,7 +183,8 @@ object Streaming {
             if (state.hasTimedOut) sessions0
             else {
               val sorted = it.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
-              sorted.foldLeft(sessions0)((acc, e) => absorb(acc, tsUs(e.ts), e.value))
+              sorted.foldLeft(sessions0)((acc, e) =>
+                absorb(acc, tsUs(e.ts), e.value, gapUs))
             }
           // a session is final once no in-watermark event can still reach it
           val (closed, open) = sessions.partition(_.endUs + gapUs < wmUs)
