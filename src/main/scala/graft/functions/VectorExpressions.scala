@@ -20,16 +20,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 abstract class FloatVecBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires two ARRAY<FLOAT> arguments, " +
-            s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
-    }
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<FLOAT|DOUBLE> arguments, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  /** Whether a side already holds doubles (k-means centroids are exact
+    * integer sums carried as ARRAY<DOUBLE>); floats promote per element.
+    */
+  protected def leftIsDouble: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  protected def rightIsDouble: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  protected def get(a: ArrayData, i: Int, isDouble: Boolean): Double =
+    if (isDouble) a.getDouble(i) else a.getFloat(i).toDouble
+
+  /** Java source for the element accessor of one side. */
+  protected def accessor(arr: String, i: String, isDouble: Boolean): String =
+    if (isDouble) s"$arr.getDouble($i)" else s"((double) $arr.getFloat($i))"
 }
 
 /** Σ aᵢ·bᵢ in double, codegen'd. Vectors shorter than the other are
@@ -47,7 +66,7 @@ case class FloatVecDotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      s += get(a, i, leftIsDouble) * get(b, i, rightIsDouble)
       i += 1
     }
     s
@@ -62,7 +81,7 @@ case class FloatVecDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $s += ${accessor(a, i, leftIsDouble)} * ${accessor(b, i, rightIsDouble)};
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -87,8 +106,8 @@ case class FloatVecCosine(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = get(a, i, leftIsDouble)
+      val y = get(b, i, rightIsDouble)
       dot += x * y
       na += x * x
       nb += y * y
@@ -111,8 +130,8 @@ case class FloatVecCosine(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  double $x = ${accessor(a, i, leftIsDouble)};
+         |  double $y = ${accessor(b, i, rightIsDouble)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)

@@ -217,12 +217,99 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ------------------------------------------------------- trained IVF
+
+  /** Embedding dimensionality of the corpus (TESTDATA.md). */
+  val Dim = 64
+
+  /** Lloyd iterations for the trained-centroid IVF variant. */
+  val KmeansIters = 2
+
+  /** Coordinate quantizer: floor(x·10⁷ + 0.5) as a long. Pure IEEE double
+    * ops + floor, so Spark and DuckDB produce identical integers — which
+    * makes the whole k-means training EXACT (order-independent bigint sums,
+    * no float-accumulation drift between engines).
+    */
+  private def quantLong(c: Column): Column =
+    floor(c.cast("double") * lit(1e7) + lit(0.5)).cast("long")
+
+  /** Row-local nearest-centroid id against driver-collected centroids
+    * (exact integer sums carried as doubles): argmax over 16 codegen'd
+    * cosines via array_min on (−cos, c_id) structs — no shuffle, no window.
+    * Ties on the rounded cosine break toward the smaller c_id, matching the
+    * oracle's `ORDER BY cos DESC, c_id`.
+    */
+  private def assignExpr(cent: Seq[(Long, Array[Double])]): Column =
+    array_min(array(cent.map { case (id, cv) =>
+      struct((-cosRounded(col("embedding"), typedLit(cv))).as("neg"),
+        lit(id).as("c_id"))
+    }: _*)).getField("c_id")
+
+  /** One Lloyd step: assign each vector row-locally, then per-centroid
+    * element-wise SUM of quantized coordinates (cosine is scale-invariant,
+    * so the sum direction ≡ the mean direction — skipping the division
+    * keeps everything in exact integer arithmetic). The shuffle moves only
+    * k·Dim = 1024 partial sums; the 1024-row collect per iteration is the
+    * same driver-roundtrip shape Spark MLlib's KMeans uses.
+    */
+  private def lloydStep(
+      emb: DataFrame, cent: Seq[(Long, Array[Double])]): Seq[(Long, Array[Double])] = {
+    val sums = emb
+      .select(assignExpr(cent).as("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(sum(quantLong(col("v"))).as("s"))
+      .collect()
+    sums.groupBy(_.getLong(0)).toSeq.map { case (id, rows) =>
+      val arr = new Array[Double](Dim)
+      rows.foreach(r => arr(r.getInt(1)) = r.getLong(2).toDouble)
+      (id, arr)
+    }.sortBy(_._1)
+  }
+
+  /** IVF with TRAINED centroids: seeded k-means (init = the first k
+    * vectors, [[KmeansIters]] exact Lloyd steps as above), then the same
+    * inverted-list probe as [[qAnnIvf]]. At 100 TB the training cost is
+    * k·Dim longs over the wire per iteration — negligible — and the final
+    * assignment is a row-local expression, so the index build is one scan
+    * per iteration plus one for the partitioned write.
+    */
+  def qAnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
+    val init: Seq[(Long, Array[Double])] = emb
+      .filter(col("vec_id") < IvfCentroids)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        (r.getLong(0),
+          v.map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray)
+      }.sortBy(_._1).toSeq
+    val cent = (1 to KmeansIters).foldLeft(init)((c, _) => lloydStep(emb, c))
+
+    val assigned = emb.select(col("vec_id"), col("embedding"), assignExpr(cent).as("c_id"))
+    val probes = assigned.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("c_id"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes)
+      .join(assigned, Seq("c_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosRounded(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_multiprobe" -> qAnnMultiprobe,
     "q_ann_recall" -> qAnnRecall,
-    "q_ann_ivf" -> qAnnIvf
+    "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_kmeans" -> qAnnIvfKmeans
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -333,8 +420,57 @@ object Similarity {
        |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  /** Assignment CTE body: nearest centroid (rounded cos DESC, c_id ASC)
+    * from centroid CTE `cte` — the SQL twin of [[assignExpr]].
+    */
+  private def assignSql(cte: String): String =
+    s"""SELECT vec_id, embedding, c_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSqlCols("e.embedding", "c.cv")} DESC, c.c_id) AS c_rk
+       |  FROM embeddings e CROSS JOIN $cte c) t
+       |WHERE c_rk = 1""".stripMargin
+
+  /** Recompute CTE body: exact element-wise bigint sums of quantized
+    * coordinates per centroid — the SQL twin of [[lloydStep]] (1-based
+    * `embedding[pos]` ↔ Spark's 0-based posexplode index).
+    */
+  private def recomputeSql(assigned: String): String =
+    s"""SELECT c_id, list(s ORDER BY pos) AS cv FROM (
+       |  SELECT c_id, pos,
+       |    sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS s
+       |  FROM $assigned CROSS JOIN range(1, ${Dim + 1}) t(pos)
+       |  GROUP BY c_id, pos) u
+       |GROUP BY c_id""".stripMargin
+
+  private val ivfKmeansSql =
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS c_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS cv
+       |  FROM embeddings WHERE vec_id < $IvfCentroids),
+       |a1 AS (${assignSql("c0")}),
+       |c1 AS (${recomputeSql("a1")}),
+       |a2 AS (${assignSql("c1")}),
+       |c2 AS (${recomputeSql("a2")}),
+       |af AS (${assignSql("c2")}),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, c_id FROM af
+       |  WHERE vec_id < $QueryCount),
+       |scored AS (
+       |  SELECT p.query_id, l.vec_id, ${cosSqlCols("p.qv", "l.embedding")} AS cos
+       |  FROM probes p JOIN af l ON p.c_id = l.c_id
+       |  WHERE l.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_ivf" -> (ivfSql + "\nORDER BY query_id, rk"),
+    "q_ann_ivf_kmeans" -> (ivfKmeansSql + "\nORDER BY query_id, rk"),
     "q_ann_brute" -> (bruteSql + "\nORDER BY query_id, rk"),
     "q_ann_lsh" -> (lshSql + "\nORDER BY query_id, rk"),
     "q_ann_multiprobe" -> (multiprobeSql + "\nORDER BY query_id, rk"),

@@ -97,6 +97,45 @@ class SimilaritySpec extends SparkSpec with Matchers {
     pair(1L) should not be pair(3L) // negated vector flips every sign bit
   }
 
+  test("vec_dot / vec_cosine accept double arrays on either side") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(4.0, 5.0, 6.0))).toDF("f", "d")
+    val r = df.select(
+      VectorExpressions.vecDot(col("f"), col("d")).as("fd"),
+      VectorExpressions.vecDot(col("d"), col("f")).as("df"),
+      VectorExpressions.vecCosine(col("d"), col("d")).as("dd"))
+      .head()
+    r.getDouble(0) shouldBe 32.0
+    r.getDouble(1) shouldBe 32.0
+    r.getDouble(2) shouldBe 1.0 +- 1e-12
+  }
+
+  test("k-means IVF: trained centroids yield full top-k per query") {
+    val df = Similarity.qAnnIvfKmeans(spark, sf()).cache()
+    // every query's cluster holds at least TopK members at this SF
+    df.groupBy("query_id").count().agg(min("count"), max("count")).head() match {
+      case row =>
+        row.getLong(0) shouldBe Similarity.TopK.toLong
+        row.getLong(1) shouldBe Similarity.TopK.toLong
+    }
+    // rank order agrees with cos order within each query
+    val bad = df
+      .withColumn("prev",
+        lag(col("cos"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rk")))
+      .filter(col("prev").isNotNull && col("prev") < col("cos"))
+      .count()
+    bad shouldBe 0L
+    df.unpersist()
+    ()
+  }
+
+  test("k-means IVF training is deterministic across invocations") {
+    val once = Similarity.qAnnIvfKmeans(spark, sf()).collect().toSeq
+    val again = Similarity.qAnnIvfKmeans(spark, sf()).collect().toSeq
+    again shouldBe once
+  }
+
   test("LSH recall is measured and nontrivial at sf0.001") {
     val row = Similarity.qAnnRecall(spark, sf())
       .agg(avg("recall_at_k"), avg("recall_multiprobe")).head()
