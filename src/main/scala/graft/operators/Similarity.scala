@@ -143,6 +143,53 @@ object Similarity {
     rankTopK(cand, queries, corpus)
   }
 
+  /** Directed probes per table: the base bucket plus flips of the
+    * [[ProbesDirected]] sign bits with the smallest |coordinate| margin.
+    */
+  val ProbesDirected = 3
+
+  /** Query-directed multi-probe LSH: instead of probing ALL Hamming-1
+    * neighbors (multi-probe's (k+1)·L fan-out), each query probes only the
+    * [[ProbesDirected]] flips whose hyperplane margin |v[coord]| is
+    * smallest — the bits most likely to disagree with a true neighbor
+    * (Lv et al., *Multi-Probe LSH*, VLDB 2007). Probe cost drops from
+    * (k+1)·L = 28 to (1+P)·L = 16 keys per query while keeping most of the
+    * recall; like [[qAnnMultiprobe]], the fan-out touches only the tiny
+    * broadcast query side, so corpus-side cost is unchanged.
+    */
+  def qAnnLshDirected(s: SparkSession, dir: String): DataFrame = {
+    val (queries, corpus) = table(s, dir)
+    // per table t: (margin, bit) structs sorted ascending — field-order
+    // struct compare breaks margin ties toward the lower bit index,
+    // mirroring the oracle's list_sort over the same structs
+    def probesFor(t: Int): Seq[Column] = {
+      val bkt = bucketCol(col("embedding"), t)
+      val byMargin = array_sort(array((0 until BitsPerTable).map(i =>
+        struct(abs(element_at(col("embedding"), t + 4 * i + 1)).as("m"),
+          lit(i).as("i"))): _*))
+      // 1L << bit as a when-chain (the DSL's shiftleft only takes a
+      // literal shift); 6 branches, codegen'd to a switch
+      def pow2(bit: Column): Column =
+        (0 until BitsPerTable).foldLeft(lit(0L))((acc, i) =>
+          when(bit === i, lit(1L << i)).otherwise(acc))
+      struct(lit(t).as("t"), bkt.as("bkt")) +:
+        (1 to ProbesDirected).map(j =>
+          struct(lit(t).as("t"),
+            bkt.bitwiseXOR(pow2(element_at(byMargin, j).getField("i"))).as("bkt")))
+    }
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        explode(array((0 until NumTables).flatMap(probesFor): _*)).as("tb"))
+      .select(col("query_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val cb = bucketed(corpus, "vec_id").select(col("vec_id"), col("t"), col("bkt"))
+    val cand = broadcast(probes)
+      .join(cb, Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    rankTopK(cand, queries, corpus)
+  }
+
   /** Recall@k of the LSH paths (single-probe and multi-probe) against
     * brute-force ground truth, per query — the measurement that justifies
     * the probe fan-out.
@@ -153,6 +200,8 @@ object Similarity {
       col("query_id").as("l_query_id"), col("vec_id").as("l_vec_id"))
     val multi = qAnnMultiprobe(s, dir).select(
       col("query_id").as("m_query_id"), col("vec_id").as("m_vec_id"))
+    val directed = qAnnLshDirected(s, dir).select(
+      col("query_id").as("d_query_id"), col("vec_id").as("d_vec_id"))
     brute
       .join(lsh,
         col("query_id") === col("l_query_id") && col("vec_id") === col("l_vec_id"),
@@ -160,12 +209,17 @@ object Similarity {
       .join(multi,
         col("query_id") === col("m_query_id") && col("vec_id") === col("m_vec_id"),
         "left_outer")
+      .join(directed,
+        col("query_id") === col("d_query_id") && col("vec_id") === col("d_vec_id"),
+        "left_outer")
       .groupBy(col("query_id"))
       .agg(
         (sum(when(col("l_vec_id").isNotNull, 1).otherwise(0)).cast("double") /
           count(lit(1))).as("recall_at_k"),
         (sum(when(col("m_vec_id").isNotNull, 1).otherwise(0)).cast("double") /
-          count(lit(1))).as("recall_multiprobe"))
+          count(lit(1))).as("recall_multiprobe"),
+        (sum(when(col("d_vec_id").isNotNull, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("recall_directed"))
       .orderBy(col("query_id"))
   }
 
@@ -307,6 +361,7 @@ object Similarity {
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_multiprobe" -> qAnnMultiprobe,
+    "q_ann_directed" -> qAnnLshDirected,
     "q_ann_recall" -> qAnnRecall,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans
@@ -372,6 +427,41 @@ object Similarity {
        |probes AS (
        |  SELECT query_id, qv, t, xor(bkt, m.mask) AS bkt
        |  FROM qb CROSS JOIN (VALUES $probeMasks) m(mask)),
+       |cand AS (
+       |  SELECT DISTINCT query_id, qv, b.vec_id, b.embedding
+       |  FROM probes JOIN buckets b ON probes.t = b.t AND probes.bkt = b.bkt
+       |   AND b.vec_id <> probes.query_id),
+       |scored AS (SELECT query_id, vec_id, $cosSql AS cos FROM cand),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
+  /** Margin structs for the directed probe: (|qv[coord]|, bit) per sign
+    * bit of table `t` — the SQL twin of the array_sort in
+    * [[qAnnLshDirected]] (struct field-order compare breaks ties the same
+    * way in both engines).
+    */
+  private val marginsSql: String =
+    "[" + (0 until BitsPerTable)
+      .map(i => s"{'m': abs(qv[t + ${4 * i} + 1]), 'i': $i}")
+      .mkString(", ") + "]"
+
+  private val directedProbeJs: String =
+    (1 to ProbesDirected).map(j => s"($j)").mkString(", ")
+
+  private val directedSql =
+    s"""WITH buckets AS ($bucketedSql),
+       |qb AS (SELECT vec_id AS query_id, embedding AS qv, t, bkt FROM buckets
+       |       WHERE vec_id < $QueryCount),
+       |probes AS (
+       |  SELECT query_id, qv, t, bkt FROM qb
+       |  UNION ALL
+       |  SELECT query_id, qv, t,
+       |    xor(bkt, CAST((1 << list_sort($marginsSql)[j.j].i) AS BIGINT)) AS bkt
+       |  FROM qb CROSS JOIN (VALUES $directedProbeJs) j(j)),
        |cand AS (
        |  SELECT DISTINCT query_id, qv, b.vec_id, b.embedding
        |  FROM probes JOIN buckets b ON probes.t = b.t AND probes.bkt = b.bkt
@@ -474,20 +564,26 @@ object Similarity {
     "q_ann_brute" -> (bruteSql + "\nORDER BY query_id, rk"),
     "q_ann_lsh" -> (lshSql + "\nORDER BY query_id, rk"),
     "q_ann_multiprobe" -> (multiprobeSql + "\nORDER BY query_id, rk"),
+    "q_ann_directed" -> (directedSql + "\nORDER BY query_id, rk"),
     "q_ann_recall" ->
       s"""WITH brute AS ($bruteSql),
          |lsh AS ($lshSql),
-         |multi AS ($multiprobeSql)
+         |multi AS ($multiprobeSql),
+         |directed AS ($directedSql)
          |SELECT brute.query_id AS query_id,
          |  CAST(sum(CASE WHEN lsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*) AS recall_at_k,
          |  CAST(sum(CASE WHEN multi.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*) AS recall_multiprobe
+         |    / count(*) AS recall_multiprobe,
+         |  CAST(sum(CASE WHEN directed.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS recall_directed
          |FROM brute
          |LEFT JOIN lsh
          |  ON brute.query_id = lsh.query_id AND brute.vec_id = lsh.vec_id
          |LEFT JOIN multi
          |  ON brute.query_id = multi.query_id AND brute.vec_id = multi.vec_id
+         |LEFT JOIN directed
+         |  ON brute.query_id = directed.query_id AND brute.vec_id = directed.vec_id
          |GROUP BY brute.query_id
          |ORDER BY query_id""".stripMargin
   )

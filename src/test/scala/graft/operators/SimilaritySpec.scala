@@ -148,4 +148,16 @@ class SimilaritySpec extends SparkSpec with Matchers {
     // Hamming-1 probing recovers one-unlucky-bit misses (0.24→0.82 @sf0.01)
     multi should be > single + 0.2
   }
+
+  test("directed probing lands between single-probe and full multi-probe") {
+    val row = Similarity.qAnnRecall(spark, sf())
+      .agg(avg("recall_at_k"), avg("recall_multiprobe"), avg("recall_directed"))
+      .head()
+    val (single, multi, directed) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    // 16 probe keys (vs multiprobe's 28) must buy a clear chunk of the
+    // recall gap: directed probes the least-confident bits first
+    directed should be > single
+    directed should be <= multi
+    directed should be > single + 0.15
+  }
 }
