@@ -20,10 +20,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional args = subset of query names (focused timing runs);
+    // default = everything registered
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
+
     // JIT + codegen + parquet-footer warmup on the smallest SF so the
     // measured pass times steady-state execution, not first-call overhead.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").write
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").write
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -38,7 +44,6 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
     val pass1 = names.map(n => n -> once(n)).toMap
     val results = names.map { n =>
       val a = pass1(n)

@@ -144,6 +144,120 @@ case class FloatVecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid id for IVF assignment: one codegen'd loop over a
+  * driver-resident centroid table instead of k inlined literal-array
+  * cosine subtrees (which made every k-means iteration re-analyze and
+  * re-janino-compile 16 unrolled 64-element loops). Semantics are
+  * bit-identical to `array_min(array(struct(-round(vec_cosine(v, cᵢ), 6),
+  * idᵢ)))`: per-centroid cosine with sequential double accumulation,
+  * HALF_UP rounding to 6 places (Spark `round`'s double path), ties on
+  * the rounded cosine resolved toward the smaller centroid id — callers
+  * pass centroids sorted by id ascending.
+  */
+case class NearestCentroid(
+    child: Expression,
+    ids: Array[Long],
+    centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(ids.length == centroids.length && ids.nonEmpty,
+    "ids and centroids must align and be non-empty")
+  require((1 until ids.length).forall(i => ids(i - 1) < ids(i)),
+    "centroid ids must be strictly ascending (tie-break contract)")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "nearest_centroid"
+
+  private def elemIsDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${t.catalogString}")
+    }
+
+  /** round(cos, 6) exactly as Spark's Round does doubles: via the
+    * canonical decimal string representation, HALF_UP.
+    */
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val isD = elemIsDouble
+    var best = 0L
+    var bestNeg = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(a.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isD) a.getDouble(i) else a.getFloat(i).toDouble
+        val y = cv(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val cos =
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      val neg = -round6(cos)
+      if (java.lang.Double.compare(neg, bestNeg) < 0) {
+        bestNeg = neg
+        best = ids(c)
+      }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    val getter =
+      if (elemIsDouble) (a: String, i: String) => s"$a.getDouble($i)"
+      else (a: String, i: String) => s"((double) $a.getFloat($i))"
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val cv = ctx.freshName("cv"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val cos = ctx.freshName("cos")
+      val neg = ctx.freshName("neg"); val best = ctx.freshName("best")
+      val bestNeg = ctx.freshName("bestNeg")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |long $best = 0L; double $bestNeg = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] $cv = $centsRef[$c];
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = ${getter(a, i)};
+         |    double $y = $cv[$i];
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $cos = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  double $neg = -java.math.BigDecimal.valueOf($cos)
+         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  if (java.lang.Double.compare($neg, $bestNeg) < 0) {
+         |    $bestNeg = $neg; $best = $idsRef[$c];
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column builders wrapping the native expressions. */
   def vecDot(a: Column, b: Column): Column =
@@ -152,6 +266,10 @@ object VectorExpressions {
   def vecCosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatVecCosine(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def nearestCentroid(v: Column, cent: Seq[(Long, Array[Double])]): Column =
+    GraftColumnBridge.column(NearestCentroid(
+      GraftColumnBridge.expression(v),
+      cent.map(_._1).toArray, cent.map(_._2).toArray))
 
   private def binary(name: String)(
       mk: (org.apache.spark.sql.catalyst.expressions.Expression,

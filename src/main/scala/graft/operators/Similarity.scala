@@ -159,28 +159,32 @@ object Similarity {
     */
   def qAnnLshDirected(s: SparkSession, dir: String): DataFrame = {
     val (queries, corpus) = table(s, dir)
-    // per table t: (margin, bit) structs sorted ascending — field-order
-    // struct compare breaks margin ties toward the lower bit index,
-    // mirroring the oracle's list_sort over the same structs
-    def probesFor(t: Int): Seq[Column] = {
-      val bkt = bucketCol(col("embedding"), t)
-      val byMargin = array_sort(array((0 until BitsPerTable).map(i =>
-        struct(abs(element_at(col("embedding"), t + 4 * i + 1)).as("m"),
-          lit(i).as("i"))): _*))
-      // 1L << bit as a when-chain (the DSL's shiftleft only takes a
-      // literal shift); 6 branches, codegen'd to a switch
-      def pow2(bit: Column): Column =
-        (0 until BitsPerTable).foldLeft(lit(0L))((acc, i) =>
-          when(bit === i, lit(1L << i)).otherwise(acc))
-      struct(lit(t).as("t"), bkt.as("bkt")) +:
-        (1 to ProbesDirected).map(j =>
-          struct(lit(t).as("t"),
-            bkt.bitwiseXOR(pow2(element_at(byMargin, j).getField("i"))).as("bkt")))
-    }
+    // explode the table id FIRST, then build one t-parameterized probe
+    // tree — 4× smaller than inlining every table's expressions (which
+    // cost ~1s of analysis + janino per pass on the composed form).
+    // (margin, bit) structs sort ascending with field-order compare, so
+    // margin ties break toward the lower bit index, mirroring the
+    // oracle's list_sort over the same structs.
+    val t = col("t")
+    val bkt = (0 until BitsPerTable)
+      .map(i => when(element_at(col("embedding"), t + lit(4 * i + 1)) >= 0f,
+        lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    val byMargin = array_sort(array((0 until BitsPerTable).map(i =>
+      struct(abs(element_at(col("embedding"), t + lit(4 * i + 1))).as("m"),
+        lit(i).as("i"))): _*))
+    // 1L << bit as a when-chain (the DSL's shiftleft only takes a
+    // literal shift); 6 branches, codegen'd to a switch
+    def pow2(bit: Column): Column =
+      (0 until BitsPerTable).foldLeft(lit(0L))((acc, i) =>
+        when(bit === i, lit(1L << i)).otherwise(acc))
+    val probeArr = array(
+      bkt +: (1 to ProbesDirected).map(j =>
+        bkt.bitwiseXOR(pow2(element_at(byMargin, j).getField("i")))): _*)
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding"),
-        explode(array((0 until NumTables).flatMap(probesFor): _*)).as("tb"))
-      .select(col("query_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+        explode(array((0 until NumTables).map(lit): _*)).as("t"))
+      .select(col("query_id"), t, explode(probeArr).as("bkt"))
     val cb = bucketed(corpus, "vec_id").select(col("vec_id"), col("t"), col("bkt"))
     val cand = broadcast(probes)
       .join(cb, Seq("t", "bkt"))
@@ -288,12 +292,21 @@ object Similarity {
     floor(c.cast("double") * lit(1e7) + lit(0.5)).cast("long")
 
   /** Row-local nearest-centroid id against driver-collected centroids
-    * (exact integer sums carried as doubles): argmax over 16 codegen'd
-    * cosines via array_min on (−cos, c_id) structs — no shuffle, no window.
-    * Ties on the rounded cosine break toward the smaller c_id, matching the
-    * oracle's `ORDER BY cos DESC, c_id`.
+    * (exact integer sums carried as doubles) — no shuffle, no window.
+    * One custom codegen'd loop ([[VectorExpressions.nearestCentroid]]);
+    * ties on the rounded cosine break toward the smaller c_id, matching
+    * the oracle's `ORDER BY cos DESC, c_id`. [[assignExprPortable]] is the
+    * built-in-only formulation it is proven equal to (SimilaritySpec);
+    * the composed form re-analyzed and re-compiled 16 literal-array
+    * cosine subtrees per Lloyd iteration — 2.5s of the query's 4s.
     */
-  private def assignExpr(cent: Seq[(Long, Array[Double])]): Column =
+  private[operators] def assignExpr(cent: Seq[(Long, Array[Double])]): Column =
+    VectorExpressions.nearestCentroid(col("embedding"), cent)
+
+  /** Built-ins-only assignment (argmax via array_min over (−cos, c_id)
+    * structs) — the reference semantics for [[assignExpr]].
+    */
+  private[operators] def assignExprPortable(cent: Seq[(Long, Array[Double])]): Column =
     array_min(array(cent.map { case (id, cv) =>
       struct((-cosRounded(col("embedding"), typedLit(cv))).as("neg"),
         lit(id).as("c_id"))

@@ -130,6 +130,22 @@ class SimilaritySpec extends SparkSpec with Matchers {
     ()
   }
 
+  test("nearest_centroid expression matches the built-ins-only argmax") {
+    val emb = graft.tables.Tables.embeddings(spark, sf())
+    // arbitrary real centroids: quantized sums-shaped doubles from the corpus
+    val cent = emb.filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray))
+      .sortBy(_._1).toSeq
+    val diff = emb
+      .select(
+        Similarity.assignExpr(cent).as("fast"),
+        Similarity.assignExprPortable(cent).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    diff shouldBe 0L
+  }
+
   test("k-means IVF training is deterministic across invocations") {
     val once = Similarity.qAnnIvfKmeans(spark, sf()).collect().toSeq
     val again = Similarity.qAnnIvfKmeans(spark, sf()).collect().toSeq
