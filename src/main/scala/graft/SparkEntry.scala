@@ -37,7 +37,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Events.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Sampling.queries
 
   /** DuckDB-equivalent SQL per query key (same column names, same order). */
   def oracleSql: Map[String, String] =
@@ -47,7 +48,8 @@ object SparkEntry {
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.Events.oracleSql ++
-      operators.Multimodal.oracleSql
+      operators.Multimodal.oracleSql ++
+      operators.Sampling.oracleSql
 
   // -------------------------------------------------------------------
   // Reference-parity query: word count (wc.go:14-38) over documents.text.

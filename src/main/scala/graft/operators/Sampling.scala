@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Reproducible sampling and dataset-split assignment over `documents` —
+  * the training-pipeline primitives a 100 TB corpus needs to be carved
+  * deterministically:
+  *
+  *   - content-independent hash-mod sampling (NOT `df.sample`, whose
+  *     output depends on partitioning and row order — useless as a stable
+  *     contract across engines, re-runs, or backfills);
+  *   - train/val/test assignment by hash range, so a document's split is
+  *     a pure function of its id — stable under corpus growth, shard
+  *     moves, and engine swaps.
+  *
+  * Both derive a bucket from `md5(doc_id)` (60-bit hex prefix, the same
+  * cross-engine trick the dedup sketches use): one narrow scan, the
+  * filter/assignment is a row-local codegen'd expression, zero shuffle
+  * for the sample and a 3-group aggregate for the split stats.
+  */
+object Sampling {
+
+  /** 1-in-SampleMod deterministic sample. */
+  val SampleMod = 20
+
+  /** md5-prefix bucket in [0, mod): engine-portable (md5 is md5
+    * everywhere; 15 hex chars = 60 bits fits a long exactly).
+    */
+  private def hashBucket(key: Column, mod: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long") % mod
+
+  private def bucketSql(key: String, mod: Int): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT % $mod"
+
+  /** Reproducible 1-in-20 sample: membership is a pure function of
+    * doc_id. The filter never touches `text`, so the scan reads only the
+    * projected columns (check ReadSchema).
+    */
+  def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(hashBucket(col("doc_id"), SampleMod) === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Train/val/test split by hash range (80/10/10) with per-split
+    * corpus stats — the assignment every sharded training job re-derives
+    * identically with no coordination.
+    */
+  def qSplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val b = hashBucket(col("doc_id"), 100)
+    Tables.documents(s, dir)
+      .select(
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
+        col("lang"), col("n_chars"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_hash" -> qSampleHash,
+    "q_split_assign" -> qSplitAssign
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, source, n_chars
+         |FROM documents
+         |WHERE ${bucketSql("doc_id", SampleMod)} = 0
+         |ORDER BY doc_id""".stripMargin,
+    "q_split_assign" ->
+      s"""SELECT
+         |  CASE WHEN ${bucketSql("doc_id", 100)} < 80 THEN 'train'
+         |       WHEN ${bucketSql("doc_id", 100)} < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  count(DISTINCT lang) AS n_langs
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY split""".stripMargin
+  )
+}

@@ -16,6 +16,7 @@ class SparkEntrySpec extends SparkSpec with Matchers {
       operators.Similarity.queries.size,
       operators.Events.queries.size,
       operators.Multimodal.queries.size,
+      operators.Sampling.queries.size,
       1) // wc_wordcount
     SparkEntry.queries.size shouldBe moduleSizes.sum
   }

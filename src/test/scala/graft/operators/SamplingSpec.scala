@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec with Matchers {
+
+  test("hash sample is deterministic and content-independent") {
+    val once = Sampling.qSampleHash(spark, sf()).collect().toSeq
+    val again = Sampling.qSampleHash(spark, sf()).collect().toSeq
+    again shouldBe once
+    // ~1/20 of the corpus, not a degenerate all-or-nothing filter
+    val total = graft.tables.Tables.documents(spark, sf()).count()
+    once.size.toLong should be > 0L
+    once.size.toLong should be < total / 5
+  }
+
+  test("sample filter never reads the text column") {
+    val scan = Sampling.qSampleHash(spark, sf())
+      .queryExecution.executedPlan.toString
+    scan should include("ReadSchema")
+    scan should not include "text"
+  }
+
+  test("split assignment is exhaustive and 80/10/10-shaped") {
+    val rows = Sampling.qSplitAssign(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.keySet shouldBe Set("train", "val", "test")
+    val total = rows.values.sum
+    total shouldBe graft.tables.Tables.documents(spark, sf()).count()
+    // hash ranges approximate the 80/10/10 design on any real corpus
+    rows("train").toDouble / total should be > 0.7
+    rows("val").toDouble / total should be < 0.2
+    rows("test").toDouble / total should be < 0.2
+  }
+
+  test("every document lands in exactly one split under re-evaluation") {
+    // the split is a pure function of doc_id: recomputing the bucket in a
+    // separate plan yields identical membership (no rand(), no
+    // partitioning dependence)
+    val docs = graft.tables.Tables.documents(spark, sf())
+    val b = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val a = docs.select(col("doc_id"), b.as("b1"))
+    val c = docs.repartition(7).select(col("doc_id"), b.as("b2"))
+    val diff = a.join(c, "doc_id").filter(col("b1") =!= col("b2")).count()
+    diff shouldBe 0L
+  }
+}
