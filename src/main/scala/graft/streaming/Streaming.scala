@@ -99,6 +99,71 @@ object Streaming {
         col("signup_ts"), col("value"))
   }
 
+  /** Per-batch latest-signup collapse for [[purchaseAttribution]] pairs:
+    * one row per purchase, keeping the max signup_ts seen IN THIS BATCH.
+    * The non-key columns are functionally dependent on event_id, so
+    * grouping on them only preserves them through the aggregate.
+    */
+  def collapseLatestSignup(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("event_id"), col("user_id"), col("purchase_ts"), col("value"))
+      .agg(max(col("signup_ts")).as("signup_ts"))
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+        col("signup_ts"), col("value"))
+
+  /** Keyed upsert sink for the latest-signup collapse. A chained streaming
+    * aggregation after a stream-stream join is restricted (time-window
+    * groups + delayed watermark propagation), so the production pattern is
+    * foreachBatch: collapse the batch, then MERGE into a keyed store with
+    * max-signup semantics — correct even when one purchase's pairs arrive
+    * across micro-batches (a late in-watermark signup emits its pair in a
+    * later batch). This store is the in-memory stand-in for that MERGE
+    * target (Delta/JDBC upsert at scale); batches arrive sequentially, so
+    * a plain synchronized map suffices.
+    */
+  final class AttributionStore {
+    import scala.collection.mutable
+    private val rows =
+      mutable.Map.empty[Long, (Long, Timestamp, Timestamp, Double)]
+
+    def merge(collapsed: DataFrame): Unit = {
+      val batch = collapsed.collect()
+      rows.synchronized {
+        batch.foreach { r =>
+          val id = r.getLong(0)
+          val cand = (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+            r.getDouble(4))
+          rows.get(id) match {
+            case Some(old) if !old._3.before(cand._3) => ()
+            case _ => rows(id) = cand
+          }
+        }
+      }
+    }
+
+    /** (event_id, user_id, purchase_ts, signup_ts, value) snapshot. */
+    def snapshot: Map[Long, (Long, Timestamp, Timestamp, Double)] =
+      rows.synchronized(rows.toMap)
+  }
+
+  /** Wire [[purchaseAttribution]] → per-batch collapse → keyed upsert:
+    * returns the started query; final one-row-per-purchase state lives in
+    * `store`.
+    */
+  def attributionLatest(
+      events: DataFrame,
+      store: AttributionStore,
+      watermark: String = "1 hour",
+      attributionWindow: String = "24 hours")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    purchaseAttribution(events, watermark, attributionWindow)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.merge(collapseLatestSignup(batch))
+      }
+      .start()
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

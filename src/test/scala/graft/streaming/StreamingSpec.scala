@@ -101,6 +101,43 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("foreachBatch latest-signup collapse upserts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val store = new Streaming.AttributionStore
+    val q = Streaming.attributionLatest(input.toDF(), store,
+      watermark = "10 minutes", attributionWindow = "1 hour")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1: purchase matches the 10:00 signup → pair emits now
+      input.addData(
+        Event(0, t("2024-01-01 10:00:00"), 1, "signup", 0.0),
+        Event(1, t("2024-01-01 10:30:00"), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      // batch 2: LATER signup arrives late but inside the watermark —
+      // its pair for purchase 1 emits in a different micro-batch, so a
+      // per-batch-only collapse would leave two rows; the keyed upsert
+      // must converge on the newer signup
+      input.addData(
+        Event(2, t("2024-01-01 10:25:00"), 1, "signup", 0.0))
+      q.processAllAvailable()
+      val got = store.snapshot
+      got.keySet shouldBe Set(1L)
+      got(1L)._3.toString shouldBe "2024-01-01 10:25:00.0"
+      // and the store state equals the all-data batch collapse
+      val batchPairs = Seq(
+        (1L, 1L, t("2024-01-01 10:30:00"), t("2024-01-01 10:00:00"), 9.0),
+        (1L, 1L, t("2024-01-01 10:30:00"), t("2024-01-01 10:25:00"), 9.0))
+        .toDF("event_id", "user_id", "purchase_ts", "signup_ts", "value")
+      val expected = Streaming.collapseLatestSignup(batchPairs).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getDouble(4)))
+        .toMap
+      got shouldBe expected
+    } finally q.stop()
+  }
+
   test("streaming sessionizer closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
