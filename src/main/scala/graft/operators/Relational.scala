@@ -219,6 +219,20 @@ object Relational {
         col("n"), col("sum_qty"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** Full CUBE over two order dimensions — all four grouping sets (pair,
+    * each single, grand total) in ONE pass: Catalyst's Expand feeds a
+    * single partial+final aggregate, not four scans.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
   /** GROUP BY + HAVING: part brands stocking enough distinct types. */
   def qHaving(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
@@ -452,6 +466,7 @@ object Relational {
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
     "q_having" -> qHaving,
     "q_case_agg" -> qCaseAgg,
     "q_scalar_funcs" -> qScalarFuncs,
@@ -620,6 +635,14 @@ object Relational {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q_having" ->
       """SELECT p_brand, count(*) AS n_parts,
         |  count(DISTINCT p_type) AS n_types,

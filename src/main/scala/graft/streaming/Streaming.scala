@@ -164,6 +164,20 @@ object Streaming {
       }
       .start()
 
+  /** Stream-static enrichment join: tag each streamed event with its
+    * user's segment from a static (batch) dimension. No watermark needed —
+    * the static side is bounded, so there is no join state to expire; each
+    * micro-batch plans a fresh broadcast of the dimension (picking up
+    * dimension updates between batches at re-read sources). At 100 TB of
+    * stream this is THE enrichment shape: the dimension broadcasts, the
+    * stream never shuffles.
+    */
+  def enrichWithSegments(events: DataFrame, segments: DataFrame): DataFrame =
+    events.join(broadcast(segments), Seq("user_id"), "left_outer")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"),
+        coalesce(col("segment"), lit("unknown")).as("segment"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

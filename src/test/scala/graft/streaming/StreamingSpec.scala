@@ -138,6 +138,28 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with broadcast segments") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val segments = Seq((1L, "paid"), (2L, "free")).toDF("user_id", "segment")
+    val input = MemoryStream[Event]
+    val q = Streaming.enrichWithSegments(input.toDF(), segments)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched_stream").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        Event(1, t("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Event(2, t("2024-01-01 10:01:00"), 2, "click", 0.0),
+        Event(3, t("2024-01-01 10:02:00"), 9, "click", 0.0)) // no dimension row
+      q.processAllAvailable()
+      val rows = spark.table("enriched_stream")
+        .select("event_id", "segment").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      rows shouldBe Map(1L -> "paid", 2L -> "free", 3L -> "unknown")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
