@@ -135,7 +135,31 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Daily retention cohorts: cohort = a user's first-activity day;
+    * output = distinct active users per (cohort_day, activity_day) with
+    * the retained fraction of the cohort. Three aggregations, all on
+    * natural keys: first-day per user (shuffle on user_id), activity
+    * matrix (shuffle on user_id for the join, then a tiny day×day agg),
+    * cohort sizes (broadcast back onto the matrix). Nothing scales with
+    * event count except the first pass.
+    */
+  def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val cohortSize = firstDay.groupBy(col("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("cohort_n"))
+    ev.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(cohortSize), "cohort_day")
+      .select(col("cohort_day"), col("day"), col("n_active"), col("cohort_n"),
+        round(col("n_active").cast("double") / col("cohort_n"), 6).as("retention"))
+      .orderBy(col("cohort_day"), col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_retention" -> qEventsRetention,
     "q_events_hourly" -> qEventsHourly,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_funnel" -> qEventsFunnel,
@@ -145,6 +169,22 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |first_day AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        |cohort_size AS (
+        |  SELECT cohort_day, count(DISTINCT user_id) AS cohort_n
+        |  FROM first_day GROUP BY cohort_day),
+        |matrix AS (
+        |  SELECT f.cohort_day, e.day, count(DISTINCT e.user_id) AS n_active
+        |  FROM ev e JOIN first_day f ON e.user_id = f.user_id
+        |  GROUP BY f.cohort_day, e.day)
+        |SELECT m.cohort_day, m.day, m.n_active, c.cohort_n,
+        |  round(CAST(m.n_active AS DOUBLE) / c.cohort_n, 6) AS retention
+        |FROM matrix m JOIN cohort_size c ON m.cohort_day = c.cohort_day
+        |ORDER BY m.cohort_day, day""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n,

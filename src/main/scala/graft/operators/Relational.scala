@@ -219,6 +219,23 @@ object Relational {
         col("n"), col("sum_qty"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** Distribution window functions — ntile / percent_rank / cume_dist per
+    * priority over a deterministic (price, key) order: one sort per
+    * partition serves all three functions in a single Window exec.
+    */
+  def qWindowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   /** Full CUBE over two order dimensions — all four grouping sets (pair,
     * each single, grand total) in ONE pass: Catalyst's Expand feeds a
     * single partial+final aggregate, not four scans.
@@ -465,6 +482,7 @@ object Relational {
     "q_setops" -> qSetOps,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
+    "q_window_dist" -> qWindowDist,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
     "q_having" -> qHaving,
@@ -627,6 +645,15 @@ object Relational {
         |          ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_ship
         |FROM lineitem WHERE l_suppkey <= 5
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cum_dist
+        |FROM orders WHERE o_orderstatus = 'F'
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -29,6 +29,27 @@ class SourcesSpec extends SparkSpec with Matchers {
     back.except(orig).count() shouldBe 0L
   }
 
+  test("orc roundtrip preserves schema and values") {
+    val orig = Tables.orders(spark, sf())
+    val path = tmp("orc")
+    orig.write.orc(path)
+    val back = spark.read.orc(path)
+    back.schema shouldBe orig.schema
+    back.count() shouldBe orig.count()
+    back.except(orig).count() shouldBe 0L
+  }
+
+  test("orc scan pushes filters like parquet") {
+    val orig = Tables.orders(spark, sf())
+    val path = tmp("orcpush")
+    orig.write.orc(path)
+    val plan = spark.read.orc(path)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]")
+  }
+
   test("csv roundtrip with header + explicit schema preserves values") {
     val orig = Tables.customer(spark, sf())
     val path = tmp("csv")
