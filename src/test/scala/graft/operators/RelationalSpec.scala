@@ -68,4 +68,18 @@ class RelationalSpec extends SparkSpec with Matchers {
     val exact = row.getLong(0).toDouble
     math.abs(row.getLong(1) - exact) / exact should be < 0.05
   }
+
+  test("percentile_approx brackets the exact median (scale path for q_median)") {
+    import org.apache.spark.sql.functions._
+    val o = graft.tables.Tables.orders(spark, sf())
+    val row = o
+      .agg(
+        median(col("o_totalprice")).as("exact"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx"))
+      .head()
+    val exact = row.getDouble(0)
+    // single-pass mergeable sketch (the 100 TB path: exact medians need a
+    // full sort; KLL-style summaries shuffle O(sketch) per partition)
+    math.abs(row.getDouble(1) - exact) / exact should be < 0.02
+  }
 }

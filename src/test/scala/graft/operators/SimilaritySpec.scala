@@ -152,6 +152,31 @@ class SimilaritySpec extends SparkSpec with Matchers {
     again shouldBe once
   }
 
+  test("IVF index write partitioned by cluster prunes probe scans") {
+    // the 100 TB shape the qAnnIvf scaladoc claims: materialize the
+    // inverted lists partitioned by cluster id, and a probe of one
+    // cluster must scan ONLY that cluster's partition
+    val emb = graft.tables.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding"))
+    val cent = emb.filter(col("vec_id") < 4).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivf").resolve("index").toString
+    emb.withColumn("c_id", Similarity.assignExpr(cent))
+      .write.partitionBy("c_id").parquet(dir)
+
+    val probe = spark.read.parquet(dir).filter(col("c_id") === 2)
+    val scan = probe.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters")
+    scan should include("c_id")
+    // pruning is real: the probe reads strictly fewer rows than the index
+    val total = spark.read.parquet(dir).count()
+    val probed = probe.count()
+    probed should be > 0L
+    probed should be < total
+  }
+
   test("LSH recall is measured and nontrivial at sf0.001") {
     val row = Similarity.qAnnRecall(spark, sf())
       .agg(avg("recall_at_k"), avg("recall_multiprobe")).head()
