@@ -333,8 +333,10 @@ object Similarity {
     }.sortBy(_._1)
   }
 
-  /** IVF with TRAINED centroids: seeded k-means (init = the first k
-    * vectors, [[KmeansIters]] exact Lloyd steps as above), then the same
+  /** IVF with TRAINED centroids: seeded k-means (init = a deterministic
+    * pseudo-random sample — the k vectors smallest in md5(vec_id) order,
+    * so seeding is independent of ingestion order, unlike first-k; then
+    * [[KmeansIters]] exact Lloyd steps as above), then the same
     * inverted-list probe as [[qAnnIvf]]. At 100 TB the training cost is
     * k·Dim longs over the wire per iteration — negligible — and the final
     * assignment is a row-local expression, so the index build is one scan
@@ -344,7 +346,8 @@ object Similarity {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
 
     val init: Seq[(Long, Array[Double])] = emb
-      .filter(col("vec_id") < IvfCentroids)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(IvfCentroids)
       .collect()
       .map { r =>
         val v = r.getSeq[Float](1)
@@ -551,7 +554,9 @@ object Similarity {
        |  SELECT vec_id AS c_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS cv
-       |  FROM embeddings WHERE vec_id < $IvfCentroids),
+       |  FROM (SELECT * FROM embeddings
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |        LIMIT $IvfCentroids) seeds),
        |a1 AS (${assignSql("c0")}),
        |c1 AS (${recomputeSql("a1")}),
        |a2 AS (${assignSql("c1")}),
