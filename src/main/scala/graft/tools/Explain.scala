@@ -13,7 +13,8 @@ object Explain {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q_filter_project", "q_join_broadcast",
-        "q_join_shuffle", "q_sort_limit", "wc_wordcount", "q_dedup_minhash")
+        "q_join_shuffle", "q_sort_limit", "wc_wordcount", "q_dedup_minhash",
+        "q_ann_ivf_kmeans", "q_window_dist", "q_sample_hash")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
