@@ -64,7 +64,7 @@ object Dedup {
     * InferFiltersFromGenerate pushdown), re-split the document once per
     * element: O(n²) regex work, a 25× slowdown at sf0.1.
     */
-  private def withShingles(docs: DataFrame): DataFrame =
+  private[graft] def withShingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("sh",
         graft.functions.SketchExpressions.wordNGrams(tokens(col("text")), 3))
@@ -80,7 +80,7 @@ object Dedup {
     base.union(exact).union(permuted)
   }
 
-  private def nearDupDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearDupDocs(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     base.union(base.select(
       (col("doc_id") + PlantOffset).as("doc_id"),
@@ -134,7 +134,7 @@ object Dedup {
   /** (doc_id, sh, hs): shingles + their 60-bit md5 hashes, one flat pass
     * each; signatures then run through the codegen'd sketch expressions.
     */
-  private def withHashedShingles(docs: DataFrame): DataFrame =
+  private[graft] def withHashedShingles(docs: DataFrame): DataFrame =
     withShingles(docs).withColumn("hs",
       graft.functions.SketchExpressions.md5Prefix60(col("sh")))
 
@@ -163,12 +163,25 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
 
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // candidate pairs WITHOUT a self-join: group per bucket, emit sorted
+    // in-bucket combinations. A self-join evaluates the whole `banded`
+    // subtree twice (once per side) and shuffles it twice; this shuffles
+    // it once and walks each bucket's membership list. Local bench is a
+    // wash (verify tail dominates at this SF) — the shape is chosen for
+    // 100 TB, where halving the signature computation and shuffle volume
+    // is the bill. Pair semantics are identical (a < b, counted once per
+    // shared band); the O(|bucket|²) blow-up is the same in both forms —
+    // LSH banding keeps buckets at true-duplicate-cluster size by
+    // construction (a size cap on `ids` would be the guard if a corpus
+    // had degenerate all-identical bands).
+    val cand = banded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
 
     cand

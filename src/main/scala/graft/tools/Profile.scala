@@ -3,10 +3,12 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Dedup
 import graft.tables.Tables
 
-/** Ad-hoc sub-plan profiler: times the building blocks of the heavy dedup
-  * queries so optimization targets facts, not guesses.
+/** Ad-hoc sub-plan profiler: times the building blocks of the CURRENT
+  * heavy queries (stage construction mirrors the operators via their
+  * `private[graft]` helpers) so optimization targets facts, not guesses.
   * `sbt "runMain graft.tools.Profile [sfDir]"`.
   */
 object Profile {
@@ -22,56 +24,53 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     def time(label: String)(df: DataFrame): Unit = {
+      // two passes, report the second: first pays analysis+codegen, the
+      // second approximates steady-state execution
+      df.write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"## $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .union(Tables.documents(spark, dir).select(
-        (col("doc_id") + 10000000L).as("doc_id"),
-        concat(col("text"), lit(" zz yy xx ww vv")).as("text")))
-    val tk = docs.withColumn("tk",
-      filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
-    val sh = tk.withColumn("sh",
-      array_distinct(when(size(col("tk")) >= 3,
-        transform(sequence(lit(0), size(col("tk")) - 3),
-          i => concat_ws(" ", element_at(col("tk"), i + 1),
-            element_at(col("tk"), i + 2), element_at(col("tk"), i + 3))))
-        .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), col("sh"))
-
-    time("shingles only")(sh)
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("t"))
-    time("shingles+explode")(exploded)
-    println(exploded.queryExecution.executedPlan.treeString.take(3000))
-    val barrier = sh.repartition(64).select(col("doc_id"), explode(col("sh")).as("t"))
-    time("shingles+barrier+explode")(barrier)
-    val hashed = exploded.withColumn("h",
-      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
-    time("explode+md5+conv")(hashed)
-    val hashedNoConv = exploded.withColumn("h", md5(col("t")))
-    time("explode+md5 (no conv)")(hashedNoConv)
-    val votes = (0 until 16).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
-    time("simhash sig agg")(hashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*))
-
-    val sig16 = (0 until 16).map(k =>
-      array_min(transform(col("sh"), x => md5(concat(lit(s"$k|"), x)))).as(s"m$k"))
-    time("minhash 16xtransform(md5)")(
-      sh.filter(size(col("sh")) > 0).select(col("doc_id") +: sig16: _*))
-
-    val hs = sh.filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"),
-        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
-    val affine = (0 until 16).map { k =>
-      val a = 2 * k + 1
-      val b = 104729 * (k + 1)
-      array_min(transform(col("hs"),
-        h => (lit(a) * (h % 2147483647L) + b) % 2147483647L)).as(s"m$k")
+    // ---- q_dedup_minhash stages (mirrors Dedup.qDedupMinhash) ----
+    val docs = Dedup.nearDupDocs(spark, dir)
+    time("minhash: corpus (scan+union)")(docs)
+    val withSh = Dedup.withShingles(docs)
+    time("minhash: shingles")(withSh)
+    val sig = Dedup.withHashedShingles(docs)
+      .filter(size(col("sh")) > 0)
+      .withColumn("mh",
+        graft.functions.SketchExpressions.affineMinhashes(col("hs"), Dedup.NumHashes))
+      .select(col("doc_id") +: (0 until Dedup.NumHashes).map(k =>
+        element_at(col("mh"), k + 1).as(s"m$k")): _*)
+    time("minhash: signatures")(sig)
+    val bandCols = (0 until Dedup.NumBands).map { b =>
+      val ms = (0 until Dedup.RowsPerBand).map(r => col(s"m${b * Dedup.RowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", ms: _*)).as("band_key"))
     }
-    time("minhash md5-once + affine")(
-      hs.select(col("doc_id") +: affine: _*))
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    time("minhash: banded keys")(banded)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    time("minhash: candidates (band join)")(cand)
+    time("minhash: FULL query")(Dedup.qDedupMinhash(spark, dir))
+
+    // ---- q_events_sessionize stages ----
+    val ev = Tables.events(spark, dir)
+    time("sessionize: events scan")(ev)
+    time("sessionize: FULL query")(
+      graft.operators.Events.qEventsSessionize(spark, dir))
+
+    // ---- q_ann_recall components ----
+    time("ann: brute")(graft.operators.Similarity.qAnnBrute(spark, dir))
+    time("ann: FULL recall")(graft.operators.Similarity.qAnnRecall(spark, dir))
 
     spark.stop()
   }
