@@ -105,4 +105,36 @@ class ExpressionParitySpec extends AnyFunSuite with Matchers {
       cos.eval(row).asInstanceOf[Double] shouldBe wantCos
     }
   }
+
+  test("NearestCentroid: interpreted equals brute-force argmax with ties") {
+    val vecGen = Gen.listOfN(6, Gen.choose(-100, 100).map(_ / 10.0f))
+    def round6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    for (i <- 0 until 30) {
+      val base = (0 until 4).map(c =>
+        vecGen(Gen.Parameters.default, Seed(777L + 31 * i + c)).get
+          .map(_.toDouble).toArray)
+      // force ties: centroid 4 duplicates centroid 1 (argmax must pick the
+      // LOWER id); centroid 5 is all-zero (cos defined as 0.0)
+      val cents = (base :+ base(1).clone() :+ Array.fill(6)(0.0)).toArray
+      val ids = cents.indices.map(_.toLong + 10L).toArray
+      val expr = NearestCentroid(
+        BoundReference(0, ArrayType(FloatType), nullable = false), ids, cents)
+      val vs = vecGen(Gen.Parameters.default, Seed(555L + i)).get :+
+        0.0f // also run a zero query against every centroid set
+      Seq(vs.init, List.fill(6)(0.0f)).foreach { v =>
+        val row = InternalRow(new GenericArrayData(v.toArray))
+        val got = expr.eval(row).asInstanceOf[Long]
+        val want = ids.zip(cents).map { case (id, cv) =>
+          val dot = v.zip(cv).map { case (x, y) => x.toDouble * y }.sum
+          val na = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+          val nb = math.sqrt(cv.foldLeft(0.0)((s, y) => s + y * y))
+          val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+          (-round6(c), id)
+        }.min // (negcos, id) lexicographic min = cos max, tie → lower id
+        got shouldBe want._2
+      }
+    }
+  }
 }
