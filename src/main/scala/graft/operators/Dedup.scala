@@ -144,7 +144,6 @@ object Dedup {
     */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val docs = nearDupDocs(s, dir)
-    val withSh = withShingles(docs)
 
     // docs with no shingles can't be minhashed (and a null signature would
     // make every such doc collide on every band) — exclude from banding
@@ -184,13 +183,18 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
 
+    // verify on the 60-bit hashed shingles, not the strings: same jaccard
+    // modulo md5 collisions (identical in both engines, so still
+    // oracle-exact), 8-byte elements instead of ~20-byte strings through
+    // the two joins, and integer set-intersection in the hot loop
+    val withHs = withHashedShingles(docs).select(col("doc_id"), col("hs"))
     cand
-      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"), col("n_shared_bands"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_distinct(concat(col("sh_a"), col("sh_b"))))).as("jaccard"))
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_distinct(concat(col("hs_a"), col("hs_b"))))).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -331,11 +335,11 @@ object Dedup {
          |   AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, n_shared_bands,
-         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
          |FROM cand
-         |JOIN shd sa ON sa.doc_id = doc_a
-         |JOIN shd sb ON sb.doc_id = doc_b
+         |JOIN hsd sa ON sa.doc_id = doc_a
+         |JOIN hsd sb ON sb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q_dedup_simhash" -> {
