@@ -227,6 +227,41 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Recall@k of the two IVF paths (stand-in centroids and k-means-trained)
+    * against brute-force ground truth — quantifies the probe-one-cluster
+    * tradeoff: scanning |N|/k of the corpus bounds recall by how often a
+    * true neighbor shares the query's cluster.
+    *
+    * Measured at sf0.01: stand-in 0.90, k-means 0.28. The stand-in's high
+    * number is an artifact, not index quality — its "centroids" are the
+    * first k vectors, which CONTAIN the query set, so every query probes
+    * the cluster centered on itself and its neighbors follow it there.
+    * The trained index moves centroids to data means and reports the
+    * honest rate for probing 1/16 of an isotropic corpus (~4× the 1/16
+    * chance rate; real clustered embeddings would score far higher).
+    */
+  def qAnnRecallIvf(s: SparkSession, dir: String): DataFrame = {
+    val brute = qAnnBrute(s, dir).select(col("query_id"), col("vec_id"))
+    val ivf = qAnnIvf(s, dir).select(
+      col("query_id").as("i_query_id"), col("vec_id").as("i_vec_id"))
+    val km = qAnnIvfKmeans(s, dir).select(
+      col("query_id").as("k_query_id"), col("vec_id").as("k_vec_id"))
+    brute
+      .join(ivf,
+        col("query_id") === col("i_query_id") && col("vec_id") === col("i_vec_id"),
+        "left_outer")
+      .join(km,
+        col("query_id") === col("k_query_id") && col("vec_id") === col("k_vec_id"),
+        "left_outer")
+      .groupBy(col("query_id"))
+      .agg(
+        (sum(when(col("i_vec_id").isNotNull, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("recall_ivf"),
+        (sum(when(col("k_vec_id").isNotNull, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("recall_ivf_kmeans"))
+      .orderBy(col("query_id"))
+  }
+
   /** IVF centroid count (deterministic "training": the first k vectors act
     * as centroids — a seeded k-means would drop in here; the partition/
     * probe machinery is identical and that is what this query exercises).
@@ -380,7 +415,8 @@ object Similarity {
     "q_ann_directed" -> qAnnLshDirected,
     "q_ann_recall" -> qAnnRecall,
     "q_ann_ivf" -> qAnnIvf,
-    "q_ann_ivf_kmeans" -> qAnnIvfKmeans
+    "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
+    "q_ann_recall_ivf" -> qAnnRecallIvf
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -579,6 +615,22 @@ object Similarity {
   def oracleSql: Map[String, String] = Map(
     "q_ann_ivf" -> (ivfSql + "\nORDER BY query_id, rk"),
     "q_ann_ivf_kmeans" -> (ivfKmeansSql + "\nORDER BY query_id, rk"),
+    "q_ann_recall_ivf" ->
+      s"""WITH brute AS ($bruteSql),
+         |ivf AS ($ivfSql),
+         |km AS ($ivfKmeansSql)
+         |SELECT brute.query_id AS query_id,
+         |  CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS recall_ivf,
+         |  CAST(sum(CASE WHEN km.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS recall_ivf_kmeans
+         |FROM brute
+         |LEFT JOIN ivf
+         |  ON brute.query_id = ivf.query_id AND brute.vec_id = ivf.vec_id
+         |LEFT JOIN km
+         |  ON brute.query_id = km.query_id AND brute.vec_id = km.vec_id
+         |GROUP BY brute.query_id
+         |ORDER BY query_id""".stripMargin,
     "q_ann_brute" -> (bruteSql + "\nORDER BY query_id, rk"),
     "q_ann_lsh" -> (lshSql + "\nORDER BY query_id, rk"),
     "q_ann_multiprobe" -> (multiprobeSql + "\nORDER BY query_id, rk"),

@@ -190,6 +190,19 @@ class SimilaritySpec extends SparkSpec with Matchers {
     multi should be > single + 0.2
   }
 
+  test("IVF recall: both paths beat chance; stand-in is query-biased") {
+    val row = Similarity.qAnnRecallIvf(spark, sf())
+      .agg(avg("recall_ivf"), avg("recall_ivf_kmeans")).head()
+    val (standIn, trained) = (row.getDouble(0), row.getDouble(1))
+    // probing 1/16 of the corpus at random would land ~1/16 of neighbors
+    trained should be > 1.0 / Similarity.IvfCentroids
+    trained should be <= 1.0
+    // the stand-in's centroids CONTAIN the queries, so each query probes
+    // its own cluster — inflated by construction, never below the honest
+    // trained number on this corpus
+    standIn should be >= trained
+  }
+
   test("directed probing lands between single-probe and full multi-probe") {
     val row = Similarity.qAnnRecall(spark, sf())
       .agg(avg("recall_at_k"), avg("recall_multiprobe"), avg("recall_directed"))
