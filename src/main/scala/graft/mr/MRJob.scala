@@ -178,6 +178,26 @@ object MRJob {
     reduceStage(
       readLines(spark, job).mapPartitions(map)(kvEncoder(spark)), job, reduce)
 
+  /** Whole-split Map — the literal reference contract: Map receives the
+    * entire split as ONE string (`mapreduce.go:143-149` reads the whole
+    * split file into memory before calling Map), not a line iterator.
+    * Split boundaries here are Spark's line-aligned partition boundaries
+    * rather than the reference's `size/nMap` byte ranges; both are
+    * arbitrary line-respecting chunkings, which SURVEY §2.3.4 argues are
+    * observably identical for any Map that decomposes per line — the
+    * chunking-invariance test in WordCountSpec pins that claim across
+    * several nMap values.
+    */
+  def runWholeSplit(
+      spark: SparkSession,
+      job: JobSpec,
+      map: String => IterableOnce[KeyValue],
+      reduce: (String, Iterator[String]) => String): Dataset[KeyValue] =
+    runMapPartitions(spark, job,
+      it => if (it.isEmpty) Iterator.empty
+            else map(it.mkString("\n")).iterator,
+      reduce)
+
   /** The reference's output contract (SURVEY §2.3.1): lines `key\tvalue`,
     * ascending bytewise key order, one file (`mapreduce.go:251-263`).
     *

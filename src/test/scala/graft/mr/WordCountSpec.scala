@@ -106,6 +106,25 @@ class WordCountSpec extends SparkSpec with Matchers {
     agg shouldBe Map("x" -> 3L, "y" -> 2L, "z" -> 1L)
   }
 
+  test("whole-split Map is chunking-invariant across nMap values (§2.3.4)") {
+    val in = Files.createTempFile("wc-ws", ".txt")
+    val text = (1 to 40).map(i => s"alpha beta Gamma$i alpha line$i").mkString("\n")
+    Files.writeString(in, text)
+    // the reference hands Map one whole split string; any line-respecting
+    // chunking (including a single chunk) must produce identical output
+    // for a per-line-decomposable Map like the wc tokenizer
+    val expected = brute(text)
+    Seq(0, 1, 3, 7).foreach { nMap =>
+      val got = MRJob
+        .runWholeSplit(spark, JobSpec(in.toString, "", nMap = nMap),
+          WordCount.mapFn, WordCount.reduceFn)
+        .collect()
+        .map(kv => kv.key -> kv.value.toInt)
+        .toMap
+      got shouldBe expected
+    }
+  }
+
   test("nReduce pins shuffle partition count; output unaffected") {
     val in = Files.createTempFile("wc-in4", ".txt")
     Files.writeString(in, "p q p r q p")
