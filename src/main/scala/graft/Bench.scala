@@ -21,7 +21,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional args = subset of query names (focused timing runs);
-    // default = everything registered
+    // default = everything registered. Unknown names fail fast — inside
+    // the timing loop they would be swallowed by the catch-all and
+    // reported as -1.0, indistinguishable from a real query failure.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")}; " +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted

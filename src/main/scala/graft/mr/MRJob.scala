@@ -178,15 +178,17 @@ object MRJob {
     reduceStage(
       readLines(spark, job).mapPartitions(map)(kvEncoder(spark)), job, reduce)
 
-  /** Whole-split Map — the literal reference contract: Map receives the
-    * entire split as ONE string (`mapreduce.go:143-149` reads the whole
-    * split file into memory before calling Map), not a line iterator.
-    * Split boundaries here are Spark's line-aligned partition boundaries
-    * rather than the reference's `size/nMap` byte ranges; both are
-    * arbitrary line-respecting chunkings, which SURVEY §2.3.4 argues are
-    * observably identical for any Map that decomposes per line — the
-    * chunking-invariance test in WordCountSpec pins that claim across
-    * several nMap values.
+  /** Whole-split Map SHAPE — Map receives its split as ONE string, the
+    * reference's call shape (`mapreduce.go:143-149` reads the whole split
+    * file into memory before calling Map). NOT byte-faithful to the
+    * reference: chunk = this partition's lines re-joined with "\n" (CR of
+    * CRLF input and the trailing newline are normalized away), and with
+    * `nMap` pinned the repartition makes a chunk a round-robin line
+    * subset, not a contiguous byte range. For Maps that decompose per
+    * line, all such chunkings are observably identical (SURVEY §2.3.4 —
+    * pinned across nMap values by WordCountSpec); a Map that is sensitive
+    * to CRLF bytes, line adjacency, or chunk contiguity needs a custom
+    * byte-range input format instead (docs/NEXT.md).
     */
   def runWholeSplit(
       spark: SparkSession,

@@ -147,8 +147,10 @@ object Events {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
     val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    // user_id is unique in firstDay by construction (groupBy above), so a
+    // plain count is the cohort size — no distinct pass
     val cohortSize = firstDay.groupBy(col("cohort_day"))
-      .agg(countDistinct(col("user_id")).as("cohort_n"))
+      .agg(count(lit(1)).as("cohort_n"))
     ev.join(firstDay, "user_id")
       .groupBy(col("cohort_day"), col("day"))
       .agg(countDistinct(col("user_id")).as("n_active"))
@@ -175,7 +177,7 @@ object Events {
         |first_day AS (
         |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
         |cohort_size AS (
-        |  SELECT cohort_day, count(DISTINCT user_id) AS cohort_n
+        |  SELECT cohort_day, count(*) AS cohort_n
         |  FROM first_day GROUP BY cohort_day),
         |matrix AS (
         |  SELECT f.cohort_day, e.day, count(DISTINCT e.user_id) AS n_active

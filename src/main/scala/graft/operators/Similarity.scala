@@ -84,11 +84,25 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** Sign-bit bucket for hash table `t`: bit i = sign of coordinate t+4i. */
-  private def bucketCol(v: Column, t: Int): Column =
+  /** Sign-bit bucket for hash table `t` (as a Column, so query-side probe
+    * construction can parameterize over an exploded table id): bit i =
+    * sign of coordinate t+4i. The hyperplane layout lives ONLY here —
+    * corpus-side banding and query-side probing must always agree on it.
+    */
+  private def bucketColAt(v: Column, t: Column): Column =
     (0 until BitsPerTable)
-      .map(i => when(element_at(v, t + 4 * i + 1) >= 0f, lit(1L << i)).otherwise(0L))
+      .map(i => when(element_at(v, t + lit(4 * i + 1)) >= 0f, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
+
+  private def bucketCol(v: Column, t: Int): Column = bucketColAt(v, lit(t))
+
+  /** Margin of bit i in table `t`: |coordinate| behind that sign bit —
+    * same layout source as [[bucketColAt]].
+    */
+  private def marginStructs(v: Column, t: Column): Column =
+    array_sort(array((0 until BitsPerTable).map(i =>
+      struct(abs(element_at(v, t + lit(4 * i + 1))).as("m"),
+        lit(i).as("i"))): _*))
 
   /** Candidate generation for all L tables: (table_id, bucket) keys. */
   private def bucketed(emb: DataFrame, idCol: String): DataFrame =
@@ -166,13 +180,8 @@ object Similarity {
     // margin ties break toward the lower bit index, mirroring the
     // oracle's list_sort over the same structs.
     val t = col("t")
-    val bkt = (0 until BitsPerTable)
-      .map(i => when(element_at(col("embedding"), t + lit(4 * i + 1)) >= 0f,
-        lit(1L << i)).otherwise(0L))
-      .reduce(_ + _)
-    val byMargin = array_sort(array((0 until BitsPerTable).map(i =>
-      struct(abs(element_at(col("embedding"), t + lit(4 * i + 1))).as("m"),
-        lit(i).as("i"))): _*))
+    val bkt = bucketColAt(col("embedding"), t)
+    val byMargin = marginStructs(col("embedding"), t)
     // 1L << bit as a when-chain (the DSL's shiftleft only takes a
     // literal shift); 6 branches, codegen'd to a switch
     def pow2(bit: Column): Column =
@@ -585,6 +594,14 @@ object Similarity {
        |  GROUP BY c_id, pos) u
        |GROUP BY c_id""".stripMargin
 
+  /** Lloyd-iteration CTE chain derived from [[KmeansIters]] so the oracle
+    * can never drift from the Spark foldLeft when the constant is tuned.
+    */
+  private val lloydCtes: String =
+    (1 to KmeansIters).map(i =>
+      s"""a$i AS (${assignSql(s"c${i - 1}")}),
+         |c$i AS (${recomputeSql(s"a$i")}),""".stripMargin).mkString("\n")
+
   private val ivfKmeansSql =
     s"""WITH c0 AS (
        |  SELECT vec_id AS c_id,
@@ -593,11 +610,8 @@ object Similarity {
        |  FROM (SELECT * FROM embeddings
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |        LIMIT $IvfCentroids) seeds),
-       |a1 AS (${assignSql("c0")}),
-       |c1 AS (${recomputeSql("a1")}),
-       |a2 AS (${assignSql("c1")}),
-       |c2 AS (${recomputeSql("a2")}),
-       |af AS (${assignSql("c2")}),
+       |$lloydCtes
+       |af AS (${assignSql(s"c$KmeansIters")}),
        |probes AS (
        |  SELECT vec_id AS query_id, embedding AS qv, c_id FROM af
        |  WHERE vec_id < $QueryCount),

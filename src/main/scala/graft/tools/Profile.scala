@@ -52,14 +52,16 @@ object Profile {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
     time("minhash: banded keys")(banded)
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = banded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    time("minhash: candidates (band join)")(cand)
+    time("minhash: candidates (bucket pairs)")(cand)
     time("minhash: FULL query")(Dedup.qDedupMinhash(spark, dir))
 
     // ---- q_events_sessionize stages ----
