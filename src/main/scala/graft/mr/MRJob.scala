@@ -200,6 +200,108 @@ object MRJob {
             else map(it.mkString("\n")).iterator,
       reduce)
 
+  /** Byte-faithful re-expression of the reference's `Split`
+    * (`mapreduce.go:74-112`): chunk m's text is EXACTLY the bytes of the
+    * reference's `mrtmp.<file>-<m>` split file.
+    *
+    * Reference semantics reproduced here:
+    *   - lines are scanner-normalized: the trailing `\n` (and a preceding
+    *     `\r`, i.e. CRLF) is stripped, then `"\n"` is appended — so EVERY
+    *     line, including an unterminated last line, contributes
+    *     `bytes(line) + 1`;
+    *   - `nchunk = fileSize/nMap + 1` (original on-disk size, CRs included);
+    *   - a new chunk starts when cumulative normalized bytes `i` exceed
+    *     `nchunk·m` — checked before each line, so chunks are CONTIGUOUS
+    *     line runs, not round-robin subsets.
+    *
+    * Scale shape: the cumulative-bytes rule is a prefix sum, computed
+    * distributedly — pass 1 aggregates one (bytes, lines, maxLine) triple
+    * per partition (a bounded, partition-count-sized collect, never
+    * data-proportional), pass 2 assigns each line its chunk with a
+    * partition-local running offset. The closed-form chunk id
+    * `(i-1)/nchunk` equals the reference's sequential walk whenever no
+    * single line exceeds `nchunk` bytes (the walk advances at most one
+    * chunk per line); pass 1's maxLine guards that precondition and this
+    * method fails loudly if it is violated.
+    */
+  def splitChunks(
+      spark: SparkSession, job: JobSpec): Dataset[(Long, String)] = {
+    require(job.nMap > 0, "splitChunks needs an explicit nMap (reference Split contract)")
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(job.inputPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val size = fs.getFileStatus(path).getLen
+    val nchunk = size / job.nMap + 1
+
+    // Hadoop's line reader applies the same CR?LF normalization as Go's
+    // bufio.Scanner, so a line's normalized contribution is bytes + 1.
+    // (Sole divergence: a LONE \r terminates a line for Hadoop but not for
+    // Go's ScanLines — out of contract for line-oriented text input.)
+    val lines = spark.sparkContext.textFile(job.inputPath, job.nMap)
+    def lineBytes(l: String): Long =
+      l.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1L
+
+    // pass 1: per-partition (bytes, maxLine) — bounded driver roundtrip
+    val partStats = lines
+      .mapPartitionsWithIndex { (pi, it) =>
+        var bytes = 0L; var maxLine = 0L
+        it.foreach { l => val b = lineBytes(l); bytes += b; maxLine = math.max(maxLine, b) }
+        Iterator((pi, bytes, maxLine))
+      }
+      .collect()
+      .sortBy(_._1)
+    val maxLine = if (partStats.isEmpty) 0L else partStats.map(_._3).max
+    require(maxLine <= nchunk,
+      s"a single line ($maxLine bytes) exceeds the chunk size ($nchunk): " +
+        "the reference's one-chunk-per-line advance cannot be reproduced " +
+        "in closed form — raise nMap or pre-split the input")
+    val partStarts = partStats.map(_._2).scanLeft(0L)(_ + _)
+
+    // pass 2: chunk id from the closed form over the running byte offset;
+    // the (global) line index orders lines within a chunk for reassembly
+    val linesPerPart = spark.sparkContext.broadcast(partStarts)
+    val assigned = lines
+      .mapPartitionsWithIndex { (pi, it) =>
+        var i = linesPerPart.value(pi)
+        it.map { l =>
+          val chunk = if (i == 0L) 0L else (i - 1) / nchunk
+          val off = i
+          i += lineBytes(l)
+          (chunk, off, l) // (chunk, offset-before-line, line)
+        }
+      }
+      .toDF("chunk_id", "off", "line")
+
+    // reassemble each chunk in offset order; every line contributes a
+    // trailing "\n" (scanner parity), so the chunk is mkString + "\n"
+    assigned
+      .groupBy(col("chunk_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("off"), col("line")))),
+          s => concat(s.getField("line"), lit("\n"))),
+        "").as("text"))
+      .as[(Long, String)]
+  }
+
+  /** Whole-split Map with BYTE-FAITHFUL reference chunking: Map receives
+    * chunk strings identical to the reference's split files
+    * (`mapreduce.go:143-149` reads the whole split into one string), via
+    * [[splitChunks]]. Use when a Map closure is sensitive to chunk
+    * contiguity or the trailing newline; for per-line Maps,
+    * [[runWholeSplit]]'s partition-shaped chunks are observably identical
+    * and avoid the extra pass.
+    */
+  def runWholeSplitContiguous(
+      spark: SparkSession,
+      job: JobSpec,
+      map: String => IterableOnce[KeyValue],
+      reduce: (String, Iterator[String]) => String): Dataset[KeyValue] = {
+    import spark.implicits._
+    reduceStage(
+      splitChunks(spark, job).flatMap { case (_, text) => map(text) },
+      job, reduce)
+  }
+
   /** The reference's output contract (SURVEY §2.3.1): lines `key\tvalue`,
     * ascending bytewise key order, one file (`mapreduce.go:251-263`).
     *

@@ -43,6 +43,17 @@ object Dedup {
   val NumHashes = 16
   val RowsPerBand = 2
   val NumBands: Int = NumHashes / RowsPerBand
+  /** LSH bucket-size cap: buckets with more members are dropped before pair
+    * generation. Banding keeps buckets at true-duplicate-cluster size by
+    * construction, so on a normal corpus this guard never fires (the oracle
+    * mirrors it exactly either way) — but a degenerate corpus with
+    * thousands of identical documents would otherwise make ONE bucket's
+    * pair list quadratic and sink the stage at 100 TB. A production caller
+    * still gets those documents deduped: exact-hash groupBy ([[qDedupExact]])
+    * collapses identical texts without pair enumeration; near-dup pair
+    * listing inside a >cap cluster is the only thing declined.
+    */
+  val MaxLshBucket = 64
   /** SimHash width for the oracle query (the Scala library also provides
     * 64-bit; 16 bits keeps the generated oracle SQL tractable).
     */
@@ -116,18 +127,32 @@ object Dedup {
     def jac(a: Column, b: Column): Column =
       size(array_intersect(a, b)).cast("double") /
         size(array_distinct(concat(a, b)))
-    val base = sh.filter(col("doc_id") < PlantOffset)
-    val nxt = sh.filter(col("doc_id") < PlantOffset)
-      .select((col("doc_id") - 1).as("nxt_id"), col("sh").as("sh_next"))
-    val dup = sh.filter(col("doc_id") >= PlantOffset)
-      .select((col("doc_id") - PlantOffset).as("dup_id"), col("sh").as("sh_dup"))
-    base
-      .join(nxt, col("doc_id") === col("nxt_id"))
-      .join(dup, col("doc_id") === col("dup_id"))
+    // SINGLE evaluation of the shingle pipeline: each doc explodes into
+    // the comparison rows it participates in (itself; the planted dup of
+    // doc_id−PlantOffset; the successor of doc_id−1) and ONE groupBy
+    // reassembles (self, next, dup) per base doc. The former three-way
+    // self-join re-derived the tokenizer+shingler per branch — Spark
+    // shares no uncached subtrees, so that was 3× the corpus scan. The
+    // not-null filter reproduces the inner-join semantics exactly.
+    val contrib = sh.select(explode(
+      when(col("doc_id") < PlantOffset, array(
+        struct(col("doc_id").as("key"), lit("self").as("role"), col("sh")),
+        struct((col("doc_id") - 1).as("key"), lit("next").as("role"), col("sh"))))
+        .otherwise(array(
+          struct((col("doc_id") - PlantOffset).as("key"), lit("dup").as("role"), col("sh"))))
+    ).as("c")).select(col("c.*"))
+    contrib
+      .groupBy(col("key"))
+      .agg(
+        first(when(col("role") === "self", col("sh")), ignoreNulls = true).as("sh_self"),
+        first(when(col("role") === "next", col("sh")), ignoreNulls = true).as("sh_next"),
+        first(when(col("role") === "dup", col("sh")), ignoreNulls = true).as("sh_dup"))
+      .filter(col("sh_self").isNotNull && col("sh_next").isNotNull &&
+        col("sh_dup").isNotNull)
       .select(
-        col("doc_id"),
-        jac(col("sh"), col("sh_next")).as("j_next"),
-        jac(col("sh"), col("sh_dup")).as("j_dup"))
+        col("key").as("doc_id"),
+        jac(col("sh_self"), col("sh_next")).as("j_next"),
+        jac(col("sh_self"), col("sh_dup")).as("j_dup"))
       .orderBy(col("doc_id"))
   }
 
@@ -138,6 +163,50 @@ object Dedup {
     withShingles(docs).withColumn("hs",
       graft.functions.SketchExpressions.md5Prefix60(col("sh")))
 
+  /** Candidate pairs from a banded (doc_id, band_idx, band_key) DF WITHOUT
+    * a self-join: group per bucket, emit sorted in-bucket combinations. A
+    * self-join evaluates the whole `banded` subtree twice (once per side)
+    * and shuffles it twice; this shuffles it once and walks each bucket's
+    * membership list. Local bench is a wash (verify tail dominates at this
+    * SF) — the shape is chosen for 100 TB, where halving the signature
+    * computation and shuffle volume is the bill. Pair semantics: a < b,
+    * counted once per shared band. Buckets larger than `maxBucket` are
+    * dropped entirely before pair generation (see [[MaxLshBucket]]) —
+    * the guard that keeps a degenerate all-identical corpus from going
+    * quadratic inside one bucket.
+    */
+  private[graft] def minhashCandidates(
+      banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+
+  /** Band keys (doc_id, band_idx, band_key) for a (doc_id, hs) DF — the
+    * signature + banding stage of MinHash-LSH, shared by the query and the
+    * degenerate-corpus spec.
+    */
+  private[graft] def minhashBanded(withHs: DataFrame): DataFrame = {
+    val sig = withHs
+      .filter(size(col("hs")) > 0)
+      .withColumn("mh",
+        graft.functions.SketchExpressions.affineMinhashes(col("hs"), NumHashes))
+      .select(col("doc_id") +: (0 until NumHashes).map(k =>
+        element_at(col("mh"), k + 1).as(s"m$k")): _*)
+    val bandCols = (0 until NumBands).map { b =>
+      val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", ms: _*)).as("band_key"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+  }
+
   /** MinHash + LSH banding: one-pass codegen'd affine signatures over the
     * hashed shingle array, band keys, candidate pairs via band equi-join,
     * Jaccard verification on candidates only.
@@ -145,49 +214,25 @@ object Dedup {
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val docs = nearDupDocs(s, dir)
 
+    // (doc_id, hs) is computed ONCE and persisted: the signature/banding
+    // stage and BOTH sides of the candidate-verify join below read the same
+    // materialization. Spark shares no uncached subtrees, so without this
+    // the tokenize→shingle→md5 pipeline was evaluated 3× per query (round-1
+    // bench: 3.8 s, the suite's second-worst line). At 100 TB the same shape
+    // is a signature table materialized to parquet once and joined from.
+    val withHs = withHashedShingles(docs)
+      .select(col("doc_id"), col("hs"))
+      .persist()
+
     // docs with no shingles can't be minhashed (and a null signature would
-    // make every such doc collide on every band) — exclude from banding
-    val sig = withHashedShingles(docs)
-      .filter(size(col("sh")) > 0)
-      .withColumn("mh",
-        graft.functions.SketchExpressions.affineMinhashes(col("hs"), NumHashes))
-      .select(col("doc_id") +: (0 until NumHashes).map(k =>
-        element_at(col("mh"), k + 1).as(s"m$k")): _*)
-
-    val bandCols = (0 until NumBands).map { b =>
-      val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), md5(concat_ws(",", ms: _*)).as("band_key"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
-
-    // candidate pairs WITHOUT a self-join: group per bucket, emit sorted
-    // in-bucket combinations. A self-join evaluates the whole `banded`
-    // subtree twice (once per side) and shuffles it twice; this shuffles
-    // it once and walks each bucket's membership list. Local bench is a
-    // wash (verify tail dominates at this SF) — the shape is chosen for
-    // 100 TB, where halving the signature computation and shuffle volume
-    // is the bill. Pair semantics are identical (a < b, counted once per
-    // shared band); the O(|bucket|²) blow-up is the same in both forms —
-    // LSH banding keeps buckets at true-duplicate-cluster size by
-    // construction (a size cap on `ids` would be the guard if a corpus
-    // had degenerate all-identical bands).
-    val cand = banded
-      .groupBy(col("band_idx"), col("band_key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+    // make every such doc collide on every band) — minhashBanded excludes
+    // them before banding
+    val cand = minhashCandidates(minhashBanded(withHs), MaxLshBucket)
 
     // verify on the 60-bit hashed shingles, not the strings: same jaccard
     // modulo md5 collisions (identical in both engines, so still
     // oracle-exact), 8-byte elements instead of ~20-byte strings through
     // the two joins, and integer set-intersection in the hot loop
-    val withHs = withHashedShingles(docs).select(col("doc_id"), col("hs"))
     cand
       .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
@@ -215,16 +260,31 @@ object Dedup {
         graft.functions.SketchExpressions.simhash(col("hs"), SimhashBits)
           .as("simhash"))
 
-    val base = sig.filter(col("doc_id") < PlantOffset)
-    val dup = sig.filter(col("doc_id") >= PlantOffset)
-      .select((col("doc_id") - PlantOffset).as("dup_id"), col("simhash").as("sh_dup"))
-    val nxt = sig.filter(col("doc_id") < PlantOffset)
-      .select((col("doc_id") - 1).as("nxt_id"), col("simhash").as("sh_next"))
-    base
-      .join(dup, col("doc_id") === col("dup_id"))
-      .join(nxt, col("doc_id") === col("nxt_id"))
+    // SINGLE-PASS pairing (same shape as [[qDedupJaccard]]): the signature
+    // pipeline is evaluated once — each signed doc explodes into the
+    // comparison rows it participates in, one groupBy reassembles
+    // (self, dup, next) per base doc, and the not-null filter reproduces
+    // the inner-join semantics. The round-1 three-way self-join re-ran
+    // tokenize→shingle→md5→simhash once per branch — 3× the corpus scan
+    // and the bench's worst line at 8.3 s. Shuffle payload here is
+    // (key, role, 16-bit signature) — tiny at any scale.
+    val contrib = sig.select(explode(
+      when(col("doc_id") < PlantOffset, array(
+        struct(col("doc_id").as("key"), lit("self").as("role"), col("simhash")),
+        struct((col("doc_id") - 1).as("key"), lit("next").as("role"), col("simhash"))))
+        .otherwise(array(
+          struct((col("doc_id") - PlantOffset).as("key"), lit("dup").as("role"), col("simhash"))))
+    ).as("c")).select(col("c.*"))
+    contrib
+      .groupBy(col("key"))
+      .agg(
+        max(when(col("role") === "self", col("simhash"))).as("simhash"),
+        max(when(col("role") === "dup", col("simhash"))).as("sh_dup"),
+        max(when(col("role") === "next", col("simhash"))).as("sh_next"))
+      .filter(col("simhash").isNotNull && col("sh_dup").isNotNull &&
+        col("sh_next").isNotNull)
       .select(
-        col("doc_id"),
+        col("key").as("doc_id"),
         col("simhash"),
         bit_count(col("simhash").bitwiseXOR(col("sh_dup"))).cast("long").as("ham_dup"),
         bit_count(col("simhash").bitwiseXOR(col("sh_next"))).cast("long").as("ham_next"))
@@ -328,11 +388,17 @@ object Dedup {
          |  FROM shd),
          |sig AS (SELECT doc_id, $sigCols FROM hsd WHERE len(sh) > 0),
          |banded AS ($bandRows),
+         |ok_buckets AS (
+         |  SELECT band_idx, band_key FROM banded
+         |  GROUP BY band_idx, band_key
+         |  HAVING count(*) > 1 AND count(*) <= $MaxLshBucket),
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
          |  FROM banded a JOIN banded b
          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |   AND a.doc_id < b.doc_id
+         |  JOIN ok_buckets ok
+         |    ON ok.band_idx = a.band_idx AND ok.band_key = a.band_key
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, n_shared_bands,
          |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)

@@ -145,7 +145,8 @@ object Events {
     */
   def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      // to_date (not date_trunc): DATE out, matching DuckDB's date_trunc('day')
+      .select(col("user_id"), to_date(col("ts")).as("day"))
     val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     // user_id is unique in firstDay by construction (groupBy above), so a
     // plain count is the cohort size — no distinct pass
@@ -220,9 +221,9 @@ object Events {
         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
         |  FROM events GROUP BY user_id)
         |SELECT count(*) AS n_users,
-        |  sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
-        |  sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased,
-        |  sum(CASE WHEN t_signup < t_purchase THEN 1 ELSE 0 END) AS n_converted
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+        |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
+        |  CAST(sum(CASE WHEN t_signup < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM per_user""".stripMargin,
     "q_events_topk_users" ->
       """WITH totals AS (
@@ -238,7 +239,7 @@ object Events {
         |FROM ranked WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
         |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
         |  max(json_extract(props, '$.k')::BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -185,7 +185,7 @@ object Multimodal {
     "q_multimodal_features" ->
       """SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
         |  count(*) AS n_items,
-        |  sum(octet_length(encode(text))) AS total_bytes
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
   )
 }

@@ -290,7 +290,8 @@ object Relational {
         year(col("o_orderdate")).cast("long").as("y"),
         month(col("o_orderdate")).cast("long").as("m"),
         dayofmonth(col("o_orderdate")).cast("long").as("d"),
-        date_trunc("month", col("o_orderdate")).as("month_start"),
+        // trunc (not date_trunc): DATE out, matching DuckDB's date_trunc('month')
+        trunc(col("o_orderdate"), "month").as("month_start"),
         (col("o_orderkey") % 7).cast("long").as("key_mod"),
         floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
         abs(col("o_totalprice") - 150000.0).as("dist_150k"),
@@ -495,9 +496,9 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q_pivot" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -678,9 +679,9 @@ object Relational {
         |ORDER BY p_brand""".stripMargin,
     "q_case_agg" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F'
         |           THEN CAST(o_totalprice AS DECIMAL(18,2))
         |           ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS f_value

@@ -283,28 +283,88 @@ object Similarity {
     * centroid assignment is the one-time "index build" (at 100 TB: a write
     * partitioned by cluster_id, so probes are partition-pruned scans).
     */
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Stand-in centroids (the first k vectors) collected to the driver —
+    * the same bounded k·Dim roundtrip the k-means init performs.
+    */
+  private def standInCentroids(emb: DataFrame): Seq[(Long, Array[Double])] =
+    emb.filter(col("vec_id") < IvfCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+
+  /** The IVF index-build stage: every corpus vector assigned to its nearest
+    * stand-in centroid ROW-LOCALLY via the codegen'd [[assignExpr]] loop.
+    * The round-1 formulation cross-joined the corpus against broadcast
+    * centroids and ranked with row_number() over a Window partitioned by
+    * vec_id: that window shuffles N·k rows through an Exchange purely to
+    * compute a row-local argmax — 16× the corpus, a scale-killer at
+    * 100 TB. This plan has NO Exchange and no Window (asserted by
+    * PlanRegressionSpec).
+    */
+  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val centroids = emb.filter(col("vec_id") < IvfCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    emb.select(col("vec_id"), col("embedding"),
+      assignExpr(standInCentroids(emb)).as("c_id"))
+  }
 
-    // nearest-centroid assignment: small cross join (k rows broadcast),
-    // rank by (cos desc, c_id) — deterministic argmax
-    def assign(df: DataFrame, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("c_cos", cosRounded(col("embedding"), col("cv")))
-        .withColumn("c_rk", row_number().over(w))
-        .filter(col("c_rk") === 1)
-        .drop("cv", "c_cos", "c_rk")
-    }
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(s, dir)
+    val probes = assigned.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("c_id"))
 
-    val lists = assign(emb, "vec_id") // (vec_id, embedding, c_id)
-    val probes = assign(
-      emb.filter(col("vec_id") < QueryCount)
-        .select(col("vec_id").as("query_id"), col("embedding")),
-      "query_id")
-      .select(col("query_id"), col("embedding").as("qv"), col("c_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes)
+      .join(assigned, Seq("c_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosRounded(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Root for the persisted IVF index (under java.io.tmpdir; one directory
+    * per source dataset, rebuilt idempotently with mode=overwrite).
+    */
+  private def ivfIndexPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index/" +
+      new java.io.File(dir).getName
+
+  /** IVF with a PERSISTED index — the design the inline [[qAnnIvf]] only
+    * promises: the one-time index build writes the assignment partitioned
+    * by `c_id` to parquet; a query then (a) assigns its probe vector
+    * row-locally, (b) reads back ONLY the probed clusters' partitions —
+    * the `c_id IN (…)` filter is a PartitionFilter, so the scan touches
+    * 1..|probes| of [[IvfCentroids]] directories and never the rest of the
+    * corpus (asserted by PlanRegressionSpec). At 100 TB this is the shape
+    * that makes IVF pay: index build is one scan + one partitioned write,
+    * and each query reads |N|/k, not |N|. Results are identical to
+    * [[qAnnIvf]] (same centroids, assignment, scoring), so it shares the
+    * oracle.
+    */
+  def qAnnIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cent = standInCentroids(emb)
+    val path = ivfIndexPath(dir)
+
+    // index build (idempotent overwrite): row-local assignment, written
+    // clustered by c_id — the partition layout IS the inverted list
+    emb.select(col("vec_id"), col("embedding"), assignExpr(cent).as("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+
+    // probes assign row-locally from the base table (no index scan needed);
+    // their cluster ids are a bounded |Q|-row collect
+    val probes = emb.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        assignExpr(cent).as("c_id"))
+    val probedClusters = probes.select(col("c_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+    // partition-pruned probe: only the probed clusters' directories are read
+    val lists = s.read.parquet(path)
+      .filter(col("c_id").isin(probedClusters.map(Long.box): _*))
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     broadcast(probes)
@@ -424,6 +484,7 @@ object Similarity {
     "q_ann_directed" -> qAnnLshDirected,
     "q_ann_recall" -> qAnnRecall,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_index" -> qAnnIvfIndex,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_ann_recall_ivf" -> qAnnRecallIvf
   )
@@ -628,6 +689,9 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "q_ann_ivf" -> (ivfSql + "\nORDER BY query_id, rk"),
+    // the persisted-index path is result-identical to the inline IVF —
+    // same centroids, assignment, scoring — so it shares the oracle
+    "q_ann_ivf_index" -> (ivfSql + "\nORDER BY query_id, rk"),
     "q_ann_ivf_kmeans" -> (ivfKmeansSql + "\nORDER BY query_id, rk"),
     "q_ann_recall_ivf" ->
       s"""WITH brute AS ($bruteSql),

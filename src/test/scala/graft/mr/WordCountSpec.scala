@@ -125,6 +125,55 @@ class WordCountSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("splitChunks is byte-faithful to the reference Split walk, CRLF included") {
+    // direct simulation of the reference's Split (mapreduce.go:74-112),
+    // written from its observed behavior: scanner-normalize each line
+    // (strip \r?\n, append \n), cut when cumulative bytes exceed
+    // nchunk*m, advancing one chunk at a time
+    def referenceSplit(raw: Array[Byte], nMap: Int): Seq[String] = {
+      val nchunk = raw.length.toLong / nMap + 1
+      val text = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+      val rawLines = text.split("\n", -1).toSeq
+      val lines =
+        (if (rawLines.nonEmpty && rawLines.last.isEmpty) rawLines.init else rawLines)
+          .map(_.stripSuffix("\r"))
+      val chunks = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+      var i = 0L
+      var m = 1
+      lines.foreach { l =>
+        val normalized = l + "\n"
+        if (i > nchunk * m) { chunks += new StringBuilder; m += 1 }
+        chunks.last ++= normalized
+        i += normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      }
+      chunks.map(_.toString).toSeq
+    }
+
+    // CRLF input, unterminated last line, uneven line lengths
+    val raw = ((1 to 30).map(i => s"word$i alpha beta\r\n").mkString +
+      "last line no newline").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val in = Files.createTempFile("wc-contig", ".txt")
+    Files.write(in, raw)
+
+    for (nMap <- Seq(1, 3, 5)) {
+      val got = MRJob.splitChunks(spark, JobSpec(in.toString, "", nMap = nMap))
+        .collect().sortBy(_._1)
+      val expected = referenceSplit(raw, nMap)
+      // contiguity + byte fidelity: chunk strings are EXACTLY the
+      // reference's split files (CR stripped, every line \n-terminated),
+      // and concatenating them in id order reproduces the normalized file
+      got.map(_._2).toSeq shouldBe expected
+      got.map(_._2).mkString shouldBe expected.mkString
+    }
+
+    // and the Map path over contiguous chunks leaves wc output unchanged
+    val viaContig = MRJob
+      .runWholeSplitContiguous(spark, JobSpec(in.toString, "", nMap = 3),
+        WordCount.mapFn, WordCount.reduceFn)
+      .collect().map(kv => kv.key -> kv.value.toInt).toMap
+    viaContig shouldBe brute(new String(raw, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   test("nReduce pins shuffle partition count; output unaffected") {
     val in = Files.createTempFile("wc-in4", ".txt")
     Files.writeString(in, "p q p r q p")

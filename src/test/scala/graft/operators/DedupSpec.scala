@@ -60,6 +60,33 @@ class DedupSpec extends SparkSpec with Matchers {
     ()
   }
 
+  test("LSH bucket-size cap drops degenerate buckets, keeps normal ones") {
+    import spark.implicits._
+    // a degenerate corpus: many IDENTICAL documents — every one lands in
+    // the same bucket in every band, so uncapped pair generation would be
+    // quadratic (n·(n-1)/2 pairs per band)
+    val n = 200
+    val degenerate = (0 until n)
+      .map(i => (i.toLong, "the same words in the same order every time"))
+      .toDF("doc_id", "text")
+    val banded = Dedup.minhashBanded(
+      Dedup.withHashedShingles(degenerate).select(col("doc_id"), col("hs")))
+
+    // capped: the oversized buckets are dropped wholesale -> zero pairs
+    Dedup.minhashCandidates(banded, Dedup.MaxLshBucket).count() shouldBe 0L
+    // uncapped (cap >= bucket size): the quadratic blow-up this guards
+    Dedup.minhashCandidates(banded, n).count() shouldBe n.toLong * (n - 1) / 2
+
+    // and a normal-sized duplicate cluster passes through the cap intact
+    val small = (0 until 3)
+      .map(i => (i.toLong, "a modest duplicate cluster of three documents"))
+      .toDF("doc_id", "text")
+    val smallBanded = Dedup.minhashBanded(
+      Dedup.withHashedShingles(small).select(col("doc_id"), col("hs")))
+    Dedup.minhashCandidates(smallBanded, Dedup.MaxLshBucket)
+      .count() shouldBe 3L
+  }
+
   test("embedding LSH dedup recalls all planted identical vectors at cos=1") {
     val vecs = graft.tables.Tables.embeddings(spark, sf()).count()
     val df = Dedup.qDedupEmbedding(spark, sf()).cache()

@@ -17,9 +17,46 @@ from pathlib import Path
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_type(t: pa.DataType) -> str:
+    """Normalize an Arrow type to the equivalence class the driver's hash
+    respects. String/large_string and tz/unit differences on timestamps are
+    representation-only; integer widths, float widths, and decimal-vs-int are
+    NOT (DuckDB sum(INTEGER) -> HUGEINT -> decimal128(38,0) was the entire
+    round-1 failure class and must be flagged here)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(f"{f.name}:{norm_type(f.type)}" for f in t) + ">"
+    if pa.types.is_map(t):
+        return f"map<{norm_type(t.key_type)},{norm_type(t.item_type)}>"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    return str(t)
+
+
+def schema_problems(spark_tbl: pa.Table, duck_tbl: pa.Table) -> list:
+    st = {f.name: norm_type(f.type) for f in spark_tbl.schema}
+    dt = {f.name: norm_type(f.type) for f in duck_tbl.schema}
+    probs = []
+    for name in sorted(set(st) & set(dt)):
+        if st[name] != dt[name]:
+            probs.append(f"dtype {name}: spark={st[name]} duck={dt[name]}")
+    return probs
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -84,18 +121,25 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_df = pd.read_parquet(res_dir)
+            spark_tbl = pq.read_table(res_dir)
+            spark_df = spark_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark result: {e}")
             n_fail += 1
             continue
         try:
-            duck_df = con.execute(sql).df()
+            duck_tbl = con.execute(sql).arrow()
+            duck_df = duck_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        problems = compare(name, spark_df, duck_df)
+        # Dtype-strict gate first: pandas flattens DuckDB HUGEINT to float64
+        # and 5 == 5.0 passes, so value compare alone is blind to the type
+        # mismatch the driver's hash catches. Compare Arrow types directly.
+        problems = schema_problems(spark_tbl, duck_tbl)
+        if not problems:
+            problems = compare(name, spark_df, duck_df)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
