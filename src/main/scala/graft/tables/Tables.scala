@@ -30,7 +30,12 @@ object Tables {
     * (At sf0.001 the file is micros and passes through untouched.)
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session-level flag, set once and left on deliberately: the parquet
+    // schema converter consults it at scan planning time (not just here),
+    // so restoring it after the read would break later executions of the
+    // returned (lazy) DataFrame
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
