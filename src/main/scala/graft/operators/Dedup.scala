@@ -313,8 +313,40 @@ object Dedup {
     pairs.filter(col("cos") >= 0.99).orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Duplicate CLUSTERS from pair evidence — the step between "detector
+    * found pairs" and "keep one canonical doc per cluster". The canonical
+    * detector emits ADJACENT pairs per fingerprint group (|g|−1 edges —
+    * linear in group size; a million-member duplicate group must emit a
+    * path, not |g|²/2 pairs), so the full cluster only exists as the
+    * TRANSITIVE CLOSURE of the edges. [[ConnectedComponents]] (alternating
+    * large-star/small-star, diameter-independent round count) recovers it.
+    * Output: one row per cluster — canonical id (component min), member
+    * count, member list.
+    */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val fp = plantedDocs(s, dir).select(
+      col("doc_id"), TextFunctions.normFingerprint(col("text")).as("fp_norm"))
+    val edges = fp
+      .groupBy(col("fp_norm"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(zip_with(
+        slice(col("ids"), lit(1), size(col("ids")) - 1),
+        slice(col("ids"), lit(2), size(col("ids")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    ConnectedComponents.components(edges)
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .select(col("component").as("canonical_id"), col("n_members"), col("members"))
+      .orderBy(col("canonical_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -349,6 +381,25 @@ object Dedup {
       |  list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0))), ' '))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($plantedSql),
+         |fp AS (SELECT doc_id, $normFpSql AS fp_norm FROM corpus),
+         |grp AS (SELECT fp_norm, list_sort(list(doc_id)) AS ids
+         |        FROM fp GROUP BY fp_norm HAVING count(*) > 1),
+         |idx AS (SELECT ids, unnest(range(1, len(ids))) AS i FROM grp),
+         |edges AS (SELECT ids[i] AS src, ids[i+1] AS dst FROM idx),
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION SELECT dst AS src, src AS dst FROM edges),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |reach AS (
+         |  SELECT id, id AS label FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, r.label
+         |  FROM reach r JOIN sym e ON e.src = r.id),
+         |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+         |SELECT component AS canonical_id, count(*) AS n_members,
+         |  list_sort(list(id)) AS members
+         |FROM comp GROUP BY component ORDER BY canonical_id""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH corpus AS ($plantedSql),
          |fp AS (SELECT doc_id, md5(text) AS fp_md5, $normFpSql AS fp_norm FROM corpus)

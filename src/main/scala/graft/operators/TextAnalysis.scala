@@ -113,13 +113,92 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Posting-list cap for [[qInvertedIndex]]. */
+  val PostingsCap = 20
+
+  /** Inverted index — the canonical MapReduce application after word count:
+    * word → document frequency + the first [[PostingsCap]] doc ids. The
+    * posting list uses the bounded [[graft.functions.MinKLongs]] aggregate,
+    * NOT `slice(sort_array(collect_list(...)))`: a stopword's group on a
+    * 100 TB corpus is billions of ids, and only a k-bounded buffer keeps
+    * partial aggregation (map-side combine) and shuffle payload at
+    * k·8 bytes per group×partition instead of materializing the group.
+    */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)))
+        .as("word"))
+      .groupBy(col("word"))
+      .agg(
+        count(lit(1)).as("df"),
+        graft.functions.TopKAggregate.minK(col("doc_id"), PostingsCap).as("postings"))
+      .orderBy(col("word"))
+
+  /** Gopher-style repetition signals per document: token/type counts,
+    * type-token ratio, and the most-frequent-bigram share of all bigrams —
+    * the filters that drop boilerplate/spam before training. Single tokenize
+    * pass: per-doc stats ride along the bigram explode (explode_outer keeps
+    * 0/1-token docs), so nothing is re-derived per branch.
+    */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val rawTtr = col("n_types").cast("double") / col("n_tokens")
+    val rawFrac =
+      coalesce(col("top_bigram_n"), lit(0L)).cast("double") / (col("n_tokens") - 1)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(tk).cast("long").as("n_tokens"),
+        size(array_distinct(tk)).cast("long").as("n_types"),
+        explode_outer(
+          graft.functions.SketchExpressions.wordNGrams(tk, 2, distinct = false))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_types"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_types"))
+      .agg(max(when(col("bg").isNotNull, col("c"))).as("top_bigram_n"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0, rawTtr).as("ttr"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        when(col("n_tokens") > 1, rawFrac).as("top_bigram_frac"),
+        (coalesce(when(col("n_tokens") > 0, rawTtr), lit(1.0)) < 0.5 ||
+          coalesce(when(col("n_tokens") > 1, rawFrac), lit(0.0)) > 0.2)
+          .as("flag_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pattern for [[qGrep]] — letters-only literals from the corpus
+    * vocabulary, so Java and RE2 regex semantics agree.
+    */
+  val GrepPattern = "(hash|merge) join"
+
+  /** Distributed grep (the MapReduce paper's second canonical example):
+    * per-source document and match counts for a regex — a pure map stage
+    * plus one tiny keyed aggregation.
+    */
+  def qGrep(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        regexp_count(col("text"), lit(GrepPattern)).cast("long").as("m"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_matching_docs"),
+        sum(col("m")).as("n_matches"))
+      .orderBy(col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_bigrams" -> qBigrams,
-    "q_tfidf" -> qTfidf
+    "q_tfidf" -> qTfidf,
+    "q_inverted_index" -> qInvertedIndex,
+    "q_text_repetition" -> qTextRepetition,
+    "q_grep" -> qGrep
   )
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -203,6 +282,53 @@ object TextAnalysis {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
         |  FROM scored)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, tfidf
-        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_inverted_index" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                     x -> length(x) > 0))) AS word
+         |  FROM documents)
+         |SELECT word, count(*) AS df,
+         |  (list_sort(list(doc_id)))[1:$PostingsCap] AS postings
+         |FROM pairs GROUP BY word ORDER BY word""".stripMargin,
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_types,
+        |    unnest(CASE WHEN len(tk) >= 2
+        |      THEN list_transform(range(0, len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])
+        |      ELSE [NULL] END) AS bg
+        |  FROM toks),
+        |cnt AS (
+        |  SELECT doc_id, n_tokens, n_types, bg, count(*) AS c
+        |  FROM bg GROUP BY doc_id, n_tokens, n_types, bg),
+        |top AS (
+        |  SELECT doc_id, n_tokens, n_types,
+        |    max(CASE WHEN bg IS NOT NULL THEN c END) AS tbn
+        |  FROM cnt GROUP BY doc_id, n_tokens, n_types)
+        |SELECT doc_id, n_tokens, n_types,
+        |  CASE WHEN n_tokens > 0 THEN CAST(n_types AS DOUBLE) / n_tokens END AS ttr,
+        |  CAST(coalesce(tbn, 0) AS BIGINT) AS top_bigram_n,
+        |  CASE WHEN n_tokens > 1
+        |    THEN CAST(coalesce(tbn, 0) AS DOUBLE) / (n_tokens - 1) END AS top_bigram_frac,
+        |  (coalesce(CASE WHEN n_tokens > 0 THEN CAST(n_types AS DOUBLE) / n_tokens END, 1.0) < 0.5
+        |   OR coalesce(CASE WHEN n_tokens > 1
+        |        THEN CAST(coalesce(tbn, 0) AS DOUBLE) / (n_tokens - 1) END, 0.0) > 0.2)
+        |    AS flag_repetitive
+        |FROM top ORDER BY doc_id""".stripMargin,
+    "q_grep" ->
+      s"""WITH m AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(text, '$GrepPattern')) AS BIGINT) AS m
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matching_docs,
+         |  CAST(sum(m) AS BIGINT) AS n_matches
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
   )
 }

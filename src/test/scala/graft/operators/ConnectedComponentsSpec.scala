@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def edgesDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  /** Driver-side union-find ground truth (test-only). */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.map(x => x -> find(x)).toMap
+  }
+
+  private def check(pairs: Seq[(Long, Long)]): Int = {
+    val (mapping, rounds) = ConnectedComponents.componentsWithStats(edgesDf(pairs))
+    val got = mapping.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === unionFind(pairs))
+    rounds
+  }
+
+  test("path graph: component is the path min, rounds ~ log n not diameter") {
+    val n = 512
+    val rounds = check((0L until (n - 1).toLong).map(i => (i, i + 1)))
+    // naive min-label propagation needs 511 rounds on this graph
+    assert(rounds <= 12, s"expected O(log² n) convergence, got $rounds rounds")
+  }
+
+  test("forest of many components with shared structure") {
+    // 50 chains of length 6 with interleaved ids, plus isolated edges
+    val chains = for {
+      c <- 0 until 50
+      i <- 0 until 5
+    } yield (c + 50L * i, c + 50L * (i + 1))
+    val extra = Seq((10000L, 10001L), (20000L, 20002L))
+    check(chains ++ extra)
+  }
+
+  test("deterministic pseudo-random graph matches union-find") {
+    val n = 400L
+    val pairs = (0L until n).flatMap { i =>
+      Seq((i, (i * 7 + 3) % n), (i, (i * i + 11) % n))
+    }.filter { case (a, b) => a != b }
+    check(pairs)
+  }
+
+  test("star input is already converged") {
+    val rounds = check((1L to 40L).map(i => (0L, i)))
+    assert(rounds <= 2)
+  }
+
+  test("duplicate and reversed edges collapse") {
+    check(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)))
+  }
+}

@@ -16,6 +16,7 @@ import subprocess
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -59,8 +60,21 @@ def schema_problems(spark_tbl: pa.Table, duck_tbl: pa.Table) -> list:
     return probs
 
 
+def canon_cell(v):
+    """List/array cells -> tuples so rows containing them sort and hash
+    (pandas sort_values factorizes object columns; ndarray is unhashable)."""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_cell(x) for x in v)
+    return v
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(canon_cell)
     if len(df) > 0:
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
@@ -69,6 +83,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            values_equal(x, y) for x, y in zip(a, b))
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
