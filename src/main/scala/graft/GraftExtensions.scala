@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecCosine, FloatVecDotProduct}
+import graft.functions.{FloatVecCosine, FloatVecDotProduct, MaxFreqCount, MinKLongs}
 
 /** Spark extensions entry point: install the engine's native functions at
   * session build time, with zero user code —
@@ -42,5 +42,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two ARRAY<FLOAT>"),
       binary("vec_cosine")(FloatVecCosine)))
+    e.injectFunction((
+      FunctionIdentifier("max_freq_count"),
+      info("max_freq_count",
+        "max_freq_count(arr) - occurrence count of the most frequent element of ARRAY<STRING>"),
+      args => {
+        if (args.length != 1)
+          throw new IllegalArgumentException(
+            s"max_freq_count requires exactly 1 argument, got ${args.length}")
+        MaxFreqCount(args(0))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("min_k"),
+      info("min_k",
+        "min_k(x, k) - aggregate: the k smallest BIGINT values of the group, ascending"),
+      args => {
+        val k = args match {
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case _ => throw new IllegalArgumentException(
+            "min_k requires (BIGINT column, INT literal k)")
+        }
+        MinKLongs(args(0), k)
+      }))
   }
 }

@@ -270,6 +270,50 @@ case class Md5Prefix60Array(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Occurrence count of the most frequent element of an ARRAY<STRING> (0 for
+  * an empty array), one hash-map pass per row → BIGINT.
+  *
+  * Exists so per-document repetition signals (top-bigram share) stay a pure
+  * map stage: the groupBy(doc, gram) formulation shuffles every exploded
+  * gram of the corpus — ~n_tokens rows per document with string keys —
+  * to compute a value that is row-local. Portable as
+  * `list_max(list_transform(list_distinct(l), x -> len(list_filter(l, y -> y = x))))`
+  * in DuckDB (the oracle uses the equivalent unnest+count formulation).
+  */
+case class MaxFreqCount(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "max_freq_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](len * 2)
+    var best = 0L
+    var i = 0
+    while (i < len) {
+      val k = arr.getUTF8String(i)
+      val cur = counts.get(k)
+      val c = if (cur == null) 1 else cur.intValue() + 1
+      counts.put(k, c)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   def affineMinhashes(hashes: Column, k: Int): Column =
     GraftColumnBridge.column(AffineMinHashes(GraftColumnBridge.expression(hashes), k))
@@ -280,4 +324,6 @@ object SketchExpressions {
       WordNGrams(GraftColumnBridge.expression(tokens), n, distinct))
   def md5Prefix60(arr: Column): Column =
     GraftColumnBridge.column(Md5Prefix60Array(GraftColumnBridge.expression(arr)))
+  def maxFreqCount(arr: Column): Column =
+    GraftColumnBridge.column(MaxFreqCount(GraftColumnBridge.expression(arr)))
 }

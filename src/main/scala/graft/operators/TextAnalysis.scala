@@ -137,35 +137,72 @@ object TextAnalysis {
 
   /** Gopher-style repetition signals per document: token/type counts,
     * type-token ratio, and the most-frequent-bigram share of all bigrams —
-    * the filters that drop boilerplate/spam before training. Single tokenize
-    * pass: per-doc stats ride along the bigram explode (explode_outer keeps
-    * 0/1-token docs), so nothing is re-derived per branch.
+    * the filters that drop boilerplate/spam before training. A pure MAP
+    * stage: the top-bigram count is the row-local [[graft.functions.MaxFreqCount]]
+    * expression over the one-pass n-gram array, so nothing about a
+    * per-document signal shuffles the corpus (the groupBy(doc, gram)
+    * formulation moved ~n_tokens rows per document with string keys through
+    * two Exchanges — at 100 TB that is the whole corpus re-keyed twice for
+    * a value each row can compute itself).
     */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
     val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
     val rawTtr = col("n_types").cast("double") / col("n_tokens")
-    val rawFrac =
-      coalesce(col("top_bigram_n"), lit(0L)).cast("double") / (col("n_tokens") - 1)
+    val rawFrac = col("top_bigram_n").cast("double") / (col("n_tokens") - 1)
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
         size(tk).cast("long").as("n_tokens"),
         size(array_distinct(tk)).cast("long").as("n_types"),
-        explode_outer(
+        graft.functions.SketchExpressions.maxFreqCount(
           graft.functions.SketchExpressions.wordNGrams(tk, 2, distinct = false))
-          .as("bg"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_types"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_types"))
-      .agg(max(when(col("bg").isNotNull, col("c"))).as("top_bigram_n"))
+          .as("top_bigram_n"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_types"),
         when(col("n_tokens") > 0, rawTtr).as("ttr"),
-        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        col("top_bigram_n"),
         when(col("n_tokens") > 1, rawFrac).as("top_bigram_frac"),
         (coalesce(when(col("n_tokens") > 0, rawTtr), lit(1.0)) < 0.5 ||
           coalesce(when(col("n_tokens") > 1, rawFrac), lit(0.0)) > 0.2)
           .as("flag_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII patterns for [[qTextRedact]] — constructs valid in BOTH Java regex
+    * (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction — the scrub pass a training-data pipeline runs before
+    * anything else sees the text. The corpus has no natural PII (letters and
+    * spaces only), so the query PLANTS a deterministic email/phone/IP per
+    * document (same construction in the oracle), then counts and redacts
+    * them. Pure map stage; the redacted text leaves as an md5 so the result
+    * stays narrow.
+    */
+  def qTextRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com call 555-123-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(planted, EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        IpRe, "[IP]")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(planted, lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(planted, lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(planted, lit(IpRe)).cast("long").as("n_ips"),
+        md5(redacted).as("redacted_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -198,6 +235,7 @@ object TextAnalysis {
     "q_tfidf" -> qTfidf,
     "q_inverted_index" -> qInvertedIndex,
     "q_text_repetition" -> qTextRepetition,
+    "q_text_redact" -> qTextRedact,
     "q_grep" -> qGrep
   )
 
@@ -321,6 +359,22 @@ object TextAnalysis {
         |        THEN CAST(coalesce(tbn, 0) AS DOUBLE) / (n_tokens - 1) END, 0.0) > 0.2)
         |    AS flag_repetitive
         |FROM top ORDER BY doc_id""".stripMargin,
+    "q_text_redact" -> {
+      val plantedSql =
+        """text || ' contact user' || doc_id || '@example.com call 555-123-' ||
+          |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          |  ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)""".stripMargin
+      s"""WITH planted AS (SELECT doc_id, $plantedSql AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$EmailRe', '[EMAIL]', 'g'),
+         |    '$PhoneRe', '[PHONE]', 'g'),
+         |    '$IpRe', '[IP]', 'g')) AS redacted_md5
+         |FROM planted ORDER BY doc_id""".stripMargin
+    },
     "q_grep" ->
       s"""WITH m AS (
          |  SELECT source,

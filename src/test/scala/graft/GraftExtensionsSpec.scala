@@ -27,5 +27,15 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       .head()
     r.getDouble(0) shouldBe 11.0
     r.getDouble(1) shouldBe 0.0
+
+    val t = spark
+      .sql("SELECT max_freq_count(array('a','b','a','a')) m")
+      .head()
+    t.getLong(0) shouldBe 3L
+
+    val agg = spark
+      .sql("SELECT min_k(v, 3) ks FROM VALUES (5L), (1L), (9L), (2L), (7L) AS t(v)")
+      .head()
+    agg.getSeq[Long](0) shouldBe Seq(1L, 2L, 5L)
   }
 }

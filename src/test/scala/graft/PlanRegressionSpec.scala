@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 
-import graft.operators.{Relational, Similarity}
+import graft.operators.{Relational, Similarity, TextAnalysis}
 
 /** Locks the 100×-scale plan shapes against optimizer-visible regressions:
   * these assertions fail if a future edit reintroduces a shuffle, loses a
@@ -60,5 +60,24 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     val plan = Relational.qJoinBroadcast(spark, sf())
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
+  }
+
+  test("q_text_repetition is a pure map stage: no aggregate, only the sort") {
+    // per-document signals must not shuffle the corpus — the top-bigram
+    // count is a row-local expression, so the only Exchange allowed is the
+    // final presentation sort's range partitioning
+    val plan = TextAnalysis.qTextRepetition(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "Aggregate"
+    plan.sliding("Exchange".length).count(_ == "Exchange") should be <= 1
+    plan should include("max_freq_count")
+  }
+
+  test("q_inverted_index posting lists aggregate partially (bounded min_k)") {
+    // the k-bounded aggregate must run map-side (partial) so a hot word's
+    // group never materializes — partial_min_k before the Exchange
+    val plan = TextAnalysis.qInvertedIndex(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("partial_min_k")
   }
 }

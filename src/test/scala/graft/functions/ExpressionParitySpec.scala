@@ -69,6 +69,20 @@ class ExpressionParitySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("MaxFreqCount: matches groupBy-count mode on arbitrary arrays") {
+    val tokGen = Gen.choose(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y y", "z", "w", "")))
+    val expr = MaxFreqCount(BoundReference(0, ArrayType(StringType), nullable = false))
+    for (toks <- samples(tokGen, 60)) {
+      val row = InternalRow(new GenericArrayData(
+        toks.map(UTF8String.fromString).toArray[Any]))
+      val want =
+        if (toks.isEmpty) 0L
+        else toks.groupBy(identity).values.map(_.size).max.toLong
+      expr.eval(row).asInstanceOf[Long] shouldBe want
+    }
+  }
+
   test("Md5Prefix60Array: matches hex-prefix parse of full md5") {
     val expr = Md5Prefix60Array(BoundReference(0, ArrayType(StringType), nullable = false))
     val strs = Seq("", "a", "hello world", "žluťoučký kůň", "the quick brown fox")
