@@ -41,7 +41,10 @@ class SparkEntrySpec extends SparkSpec with Matchers {
         // DATE where DuckDB emits DATE (date_trunc('day'/'month')) — the
         // dtype-strict gate proved parity; a Spark TIMESTAMP there is the
         // mismatch the round-2 gate hardening caught
-        DateType)
+        DateType,
+        // BIGINT[] where DuckDB emits list(BIGINT) (posting lists, cluster
+        // members) — the array-aware gate hashes them elementwise
+        ArrayType(LongType, containsNull = false))
     for ((name, fn) <- SparkEntry.queries) {
       val schema = fn(spark, sf()).schema
       withClue(s"$name: ") {
