@@ -344,9 +344,42 @@ object Dedup {
       .orderBy(col("canonical_id"))
   }
 
+  /** Jaccard acceptance threshold for [[qDedupPipeline]]'s verify stage. */
+  val JaccardThreshold = 0.8
+
+  /** The END-TO-END near-dup pipeline, composed from the pieces the other
+    * queries verify in isolation: MinHash signatures → LSH banding →
+    * candidate pairs → exact-Jaccard verify (≥ [[JaccardThreshold]]) →
+    * connected components over the surviving pairs → cluster-size
+    * histogram. This is the production shape: every stage is
+    * shuffle-on-key, candidates scale with duplicate density, and the
+    * closure is diameter-independent — so the composition inherits every
+    * per-stage 100 TB property.
+    */
+  def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val withHs = withHashedShingles(nearDupDocs(s, dir))
+      .select(col("doc_id"), col("hs"))
+      .persist()
+    val verified = minhashCandidates(minhashBanded(withHs), MaxLshBucket)
+      .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_distinct(concat(col("hs_a"), col("hs_b"))))).as("j"))
+      .filter(col("j") >= JaccardThreshold)
+      .select(col("src"), col("dst"))
+    ConnectedComponents.components(verified)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_pipeline" -> qDedupPipeline,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -379,6 +412,44 @@ object Dedup {
   private val normFpSql =
     """md5(array_to_string(list_sort(list_distinct(
       |  list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0))), ' '))""".stripMargin
+
+  /** The MinHash CTE chain (corpus → signatures → bands → capped candidate
+    * pairs), shared verbatim by the q_dedup_minhash and q_dedup_pipeline
+    * oracles — same construction as the Spark side's
+    * [[withHashedShingles]] → [[minhashBanded]] → [[minhashCandidates]].
+    */
+  private def minhashCteChain: String = {
+    import graft.functions.Sketches
+    val sigCols = (0 until NumHashes)
+      .map(k => s"list_min(list_transform(hs, h -> " +
+        s"((${Sketches.a(k)} * (h % ${Sketches.Prime}) + ${Sketches.b(k)}) % ${Sketches.Prime}))) AS m$k")
+      .mkString(",\n  ")
+    val bandRows = (0 until NumBands)
+      .map { b =>
+        val ms = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $ms)) AS band_key FROM sig"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""corpus AS ($nearDupSql),
+       |shd AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus),
+       |hsd AS (SELECT doc_id, sh,
+       |  list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+       |  FROM shd),
+       |sig AS (SELECT doc_id, $sigCols FROM hsd WHERE len(sh) > 0),
+       |banded AS ($bandRows),
+       |ok_buckets AS (
+       |  SELECT band_idx, band_key FROM banded
+       |  GROUP BY band_idx, band_key
+       |  HAVING count(*) > 1 AND count(*) <= $MaxLshBucket),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  JOIN ok_buckets ok
+       |    ON ok.band_idx = a.band_idx AND ok.band_key = a.band_key
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_clusters" ->
@@ -420,45 +491,38 @@ object Dedup {
          |JOIN sh d ON d.doc_id = a.doc_id + $PlantOffset
          |WHERE a.doc_id < $PlantOffset
          |ORDER BY doc_id""".stripMargin,
-    "q_dedup_minhash" -> {
-      import graft.functions.Sketches
-      val sigCols = (0 until NumHashes)
-        .map(k => s"list_min(list_transform(hs, h -> " +
-          s"((${Sketches.a(k)} * (h % ${Sketches.Prime}) + ${Sketches.b(k)}) % ${Sketches.Prime}))) AS m$k")
-        .mkString(",\n  ")
-      val bandRows = (0 until NumBands)
-        .map { b =>
-          val ms = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
-          s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $ms)) AS band_key FROM sig"
-        }
-        .mkString("\nUNION ALL\n")
-      s"""WITH corpus AS ($nearDupSql),
-         |shd AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus),
-         |hsd AS (SELECT doc_id, sh,
-         |  list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
-         |  FROM shd),
-         |sig AS (SELECT doc_id, $sigCols FROM hsd WHERE len(sh) > 0),
-         |banded AS ($bandRows),
-         |ok_buckets AS (
-         |  SELECT band_idx, band_key FROM banded
-         |  GROUP BY band_idx, band_key
-         |  HAVING count(*) > 1 AND count(*) <= $MaxLshBucket),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-         |  FROM banded a JOIN banded b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id
-         |  JOIN ok_buckets ok
-         |    ON ok.band_idx = a.band_idx AND ok.band_key = a.band_key
-         |  GROUP BY a.doc_id, b.doc_id)
+    "q_dedup_minhash" ->
+      s"""WITH $minhashCteChain
          |SELECT doc_a, doc_b, n_shared_bands,
          |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
          |    / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
          |FROM cand
          |JOIN hsd sa ON sa.doc_id = doc_a
          |JOIN hsd sb ON sb.doc_id = doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_pipeline" ->
+      s"""WITH RECURSIVE $minhashCteChain,
+         |verified AS (
+         |  SELECT src, dst FROM (
+         |    SELECT doc_a AS src, doc_b AS dst,
+         |      CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(sa.hs, sb.hs))) AS j
+         |    FROM cand
+         |    JOIN hsd sa ON sa.doc_id = doc_a
+         |    JOIN hsd sb ON sb.doc_id = doc_b)
+         |  WHERE j >= $JaccardThreshold),
+         |sym AS (SELECT src, dst FROM verified
+         |        UNION SELECT dst AS src, src AS dst FROM verified),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |reach AS (
+         |  SELECT id, id AS label FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, r.label
+         |  FROM reach r JOIN sym e ON e.src = r.id),
+         |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "q_dedup_simhash" -> {
       val bits = (0 until SimhashBits)
         .map(j => s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) " +

@@ -161,7 +161,41 @@ object Events {
       .orderBy(col("cohort_day"), col("day"))
   }
 
+  /** Trailing window (rows) for [[qEventsAnomaly]]. */
+  val AnomalyTrailingHours = 24
+  /** Minimum trailing rows before a spike verdict is meaningful. */
+  val AnomalyMinTrailing = 12
+
+  /** Trailing-window spike detection over the hourly event series — the
+    * monitoring pass a pipeline runs over ingestion volumes. Composition:
+    * keyed aggregation → ROWS window over the aggregated series (one sort
+    * per event_type). The spike predicate is EXACT integer arithmetic —
+    * `n · trailing_n > 2 · Σtrailing` avoids both stddev (whose
+    * Welford-vs-naive evaluation differs across engines in the last ulp)
+    * and double comparison at the decision boundary; the double
+    * trailing_avg is derived from exact integers, so it is bit-identical
+    * too.
+    */
+  def qEventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-AnomalyTrailingHours, -1)
+    hourly
+      .withColumn("trailing_n", count(col("n")).over(w))
+      .withColumn("trailing_sum", sum(col("n")).over(w))
+      .select(
+        col("event_type"), col("hour"), col("n"), col("trailing_n"),
+        when(col("trailing_n") > 0,
+          col("trailing_sum").cast("double") / col("trailing_n")).as("trailing_avg"),
+        (col("trailing_n") >= AnomalyMinTrailing &&
+          col("n") * col("trailing_n") > lit(2L) * col("trailing_sum")).as("is_spike"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_anomaly" -> qEventsAnomaly,
     "q_events_retention" -> qEventsRetention,
     "q_events_hourly" -> qEventsHourly,
     "q_events_sessionize" -> qEventsSessionize,
@@ -172,6 +206,23 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_anomaly" ->
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |win AS (
+         |  SELECT event_type, hour, n,
+         |    count(n) OVER w AS trailing_n,
+         |    sum(n) OVER w AS trailing_sum
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+         |               ROWS BETWEEN $AnomalyTrailingHours PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, hour, n, trailing_n,
+         |  CASE WHEN trailing_n > 0
+         |    THEN CAST(trailing_sum AS DOUBLE) / trailing_n END AS trailing_avg,
+         |  (trailing_n >= $AnomalyMinTrailing
+         |   AND n * trailing_n > 2 * trailing_sum) AS is_spike
+         |FROM win ORDER BY event_type, hour""".stripMargin,
     "q_events_retention" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('day', ts) AS day FROM events),
