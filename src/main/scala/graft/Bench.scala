@@ -21,17 +21,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     builds back in, so the headline stays an end-to-end suite cost
   *     comparable with round-1 numbers.
   *   - queries that persist() an intermediate inside the query (the
-  *     MinHash signature table) are NOT memoized: the CacheManager would
-  *     hand pass 2 the previous pass's cached blocks and the measurement
-  *     would silently skip the signature pipeline. They rebuild against a
-  *     cleared cache each pass, paying their whole pipeline every time.
+  *     MinHash signature table; the dedup pipeline) are NOT memoized: the
+  *     CacheManager would hand pass 2 the previous pass's cached blocks and
+  *     the measurement would silently skip the signature pipeline. They
+  *     rebuild against a cleared cache each pass — construction INSIDE the
+  *     timer, so eager builds (the pipeline's connected-components rounds)
+  *     are paid and measured end-to-end every pass.
   */
 object Bench {
 
   /** Queries whose construction persists an intermediate — rebuilt per
     * pass against a cleared cache (see scaladoc).
     */
-  private val selfCaching = Set("q_dedup_minhash")
+  private val selfCaching = Set("q_dedup_minhash", "q_dedup_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,10 +84,20 @@ object Bench {
 
     def once(name: String): Double =
       try {
-        val df = dfFor(name) // construction timed separately (buildSec)
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        if (selfCaching(name)) {
+          // cache cleared + full reconstruction per pass; any EAGER build
+          // the construction performs (the pipeline's closure rounds) must
+          // land inside the timer or the pass would measure only the tail
+          val t0 = System.nanoTime()
+          val df = dfFor(name)
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } else {
+          val df = dfFor(name) // construction timed separately (buildSec)
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
       } catch { case _: Throwable => -1.0 }
     val pass1 = names.map(n => n -> once(n)).toMap
     val results = names.map { n =>

@@ -22,8 +22,14 @@ import org.apache.spark.sql.functions._
   *     no vertex-state table, no broadcast;
   *   - `localCheckpoint` after every round truncates lineage (an iterative
   *     plan otherwise re-executes all prior rounds on every action);
-  *   - convergence is an exact set-equality check (count + anti-join),
-  *     two cheap jobs against checkpointed inputs;
+  *   - convergence = the edge set is a STAR FOREST (no node is both a
+  *     child and a center: src ∩ dst = ∅, one semi-join per round). This
+  *     is sound because every round preserves connected components
+  *     (Kiveris Lemma 1+2): a star forest that split a component would
+  *     disconnect it, and a star whose center is not the component min
+  *     would leave the min reachable only through its center — making the
+  *     center a child too. Detecting the fixpoint STRUCTURALLY also saves
+  *     the extra confirming round an edges-unchanged check needs;
   *   - per-node neighbor lists are bounded by the star-contraction itself:
   *     large-star attaches big neighbors to the local min, so no node
   *     accumulates an unbounded adjacency (the paper's Thm 2).
@@ -31,7 +37,10 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Large-Star: for each node u (over symmetrized edges), connect every
-    * strictly-larger neighbor to m = min(Γ(u) ∪ {u}).
+    * strictly-larger neighbor to m = min(Γ(u) ∪ {u}). Output is NOT
+    * deduplicated — the only consumer is [[smallStar]], whose
+    * `collect_set` dedups on arrival, so a distinct here would buy one
+    * extra full shuffle per round for nothing.
     */
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
@@ -43,7 +52,6 @@ object ConnectedComponents {
         explode(filter(col("nbrs"), v => v > col("src"))).as("v"))
       .where(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** Small-Star: direct each edge large→small, then for each node u connect
@@ -68,30 +76,47 @@ object ConnectedComponents {
     * bound — a 512-node path must converge in ~log rounds, not 512).
     */
   def componentsWithStats(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
     var e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
     var rounds = 0
-    var converged = false
+    var converged = isStarForest(e)
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      // both sides are distinct sets: equal iff same count and no row of
-      // `next` is missing from `e`
-      converged = next.count() == e.count() && next.except(e).isEmpty
-      e = next
+      e = smallStar(largeStar(e)).localCheckpoint()
       rounds += 1
+      converged = isStarForest(e)
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
-    // e is now a star forest: (member, component-min) for every non-root
-    val mapping = nodes
-      .join(e.withColumnRenamed("src", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("dst"), col("id")).as("component"))
+    // e is now a star forest whose edges cover every input node (each
+    // round preserves components, and every component has ≥2 nodes by
+    // construction — self-loops were dropped): children map to their
+    // center, centers to themselves. No join against a node table needed.
+    val mapping = e.select(col("src").as("id"), col("dst").as("component"))
+      .union(e.select(col("dst").as("id"), col("dst").as("component")).distinct())
     (mapping, rounds)
   }
+
+  /** Structural fixpoint signature, one aggregation job: every edge points
+    * child → smaller center, each child has exactly ONE center, and no
+    * node is both child and center. Such a star forest is verifiably a
+    * fixpoint of large∘small star, and each center is its star's minimum =
+    * its component's minimum (centers are smaller than all their children
+    * and components equal stars). Any weaker check admits non-fixpoints:
+    * e.g. {(5,1),(5,2)} has disjoint src/dst sets but small-star still
+    * rewires it (the spec's center-as-src star caught exactly this class).
+    */
+  private def isStarForest(e: DataFrame): Boolean =
+    e.select(col("src").as("n"), lit(1L).as("child"), lit(0L).as("center"),
+        when(col("dst") >= col("src"), 1L).otherwise(0L).as("bad"))
+      .union(e.select(col("dst").as("n"), lit(0L).as("child"),
+        lit(1L).as("center"), lit(0L).as("bad")))
+      .groupBy(col("n"))
+      .agg(sum(col("child")).as("c"), sum(col("center")).as("r"),
+        sum(col("bad")).as("b"))
+      .where(col("c") > 1 || col("b") > 0 || (col("c") > 0 && col("r") > 0))
+      .limit(1)
+      .isEmpty
 
   /** (id, component) for every node appearing in `edges`, where `component`
     * is the minimum node id of the node's connected component.

@@ -66,4 +66,15 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("duplicate and reversed edges collapse") {
     check(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)))
   }
+
+  test("multi-center child is not a fixpoint (convergence-check soundness)") {
+    // {(5,1),(5,2)} has disjoint src/dst sets and child→smaller-center
+    // orientation, but node 5 has two centers — the closure must still run
+    // and fold 2 under 1
+    check(Seq((5L, 1L), (5L, 2L)))
+  }
+
+  test("center-as-src orientation is normalized, not accepted as converged") {
+    check((1L to 10L).map(i => (0L, i)))
+  }
 }
