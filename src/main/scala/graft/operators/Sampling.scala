@@ -64,9 +64,39 @@ object Sampling {
       .orderBy(col("split"))
   }
 
+  /** Per-language sampling rates for [[qSampleStratified]], as 1-in-N mods
+    * (en kept sparsely, low-resource langs kept densely) — the language
+    * rebalancing step of corpus construction.
+    */
+  val StratModsByLang: Seq[(String, Int)] =
+    Seq("en" -> 20, "de" -> 5, "fr" -> 5, "es" -> 2, "zh" -> 1)
+  /** Mod for languages not listed. */
+  val StratDefaultMod = 10
+
+  /** Stratified deterministic sample: per-language 1-in-N hash-mod
+    * membership, summarized per language (count kept + exact expected
+    * membership check stays row-local; no per-stratum pass over the
+    * corpus — ONE scan, the rate lookup is a CASE on `lang`).
+    */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val mod = StratModsByLang.foldRight(lit(StratDefaultMod)) {
+      case ((l, m), acc) => when(col("lang") === l, m).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), mod.as("mod"))
+      .filter(hashBucket(col("doc_id"), 10000) % col("mod") === 0)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("first_doc"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> qSampleHash,
-    "q_split_assign" -> qSplitAssign
+    "q_split_assign" -> qSplitAssign,
+    "q_sample_stratified" -> qSampleStratified
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -75,6 +105,20 @@ object Sampling {
          |FROM documents
          |WHERE ${bucketSql("doc_id", SampleMod)} = 0
          |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" -> {
+      val cases = StratModsByLang
+        .map { case (l, m) => s"WHEN '$l' THEN $m" }
+        .mkString(" ")
+      s"""WITH m AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CASE lang $cases ELSE $StratDefaultMod END AS mod
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc,
+         |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM m
+         |WHERE (${bucketSql("doc_id", 10000)}) % mod = 0
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q_split_assign" ->
       s"""SELECT
          |  CASE WHEN ${bucketSql("doc_id", 100)} < 80 THEN 'train'
