@@ -323,10 +323,13 @@ object Dedup {
     * Output: one row per cluster — canonical id (component min), member
     * count, member list.
     */
-  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val fp = plantedDocs(s, dir).select(
-      col("doc_id"), TextFunctions.normFingerprint(col("text")).as("fp_norm"))
-    val edges = fp
+  /** Adjacent-pair edges per canonical-fingerprint group over the planted
+    * corpus — |g|−1 edges per group (linear), closure left to
+    * [[ConnectedComponents]]. Shared by [[qDedupClusters]] / [[qDedupKeep]].
+    */
+  private def canonicalEdges(s: SparkSession, dir: String): DataFrame =
+    plantedDocs(s, dir)
+      .select(col("doc_id"), TextFunctions.normFingerprint(col("text")).as("fp_norm"))
       .groupBy(col("fp_norm"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -335,13 +338,35 @@ object Dedup {
         slice(col("ids"), lit(2), size(col("ids")) - 1),
         (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    ConnectedComponents.components(edges)
+
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    ConnectedComponents.components(canonicalEdges(s, dir))
       .groupBy(col("component"))
       .agg(
         count(lit(1)).as("n_members"),
         sort_array(collect_list(col("id"))).as("members"))
       .select(col("component").as("canonical_id"), col("n_members"), col("members"))
       .orderBy(col("canonical_id"))
+  }
+
+  /** The keep/drop ledger — what the dedup stage actually DELIVERS to the
+    * next pipeline stage: corpus size, documents inside duplicate clusters,
+    * cluster count, and the resulting kept/dropped totals (keep = one
+    * canonical per cluster + every singleton). Two bounded aggregates over
+    * the component mapping crossed with the corpus count — no join of the
+    * corpus against the mapping is needed for the ledger.
+    */
+  def qDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val comp = ConnectedComponents.components(canonicalEdges(s, dir))
+      .agg(
+        count(lit(1)).as("n_in_clusters"),
+        countDistinct(col("component")).as("n_clusters"))
+    val total = plantedDocs(s, dir).agg(count(lit(1)).as("n_total"))
+    total.crossJoin(comp)
+      .select(
+        col("n_total"), col("n_in_clusters"), col("n_clusters"),
+        (col("n_total") - col("n_in_clusters") + col("n_clusters")).as("n_kept"),
+        (col("n_in_clusters") - col("n_clusters")).as("n_dropped"))
   }
 
   /** Jaccard acceptance threshold for [[qDedupPipeline]]'s verify stage. */
@@ -379,6 +404,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_keep" -> qDedupKeep,
     "q_dedup_pipeline" -> qDedupPipeline,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -451,26 +477,43 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
   }
 
+  /** Canonical-fingerprint adjacent-pair edges + min-label closure CTEs
+    * (ending in `comp(id, component)`), shared by the q_dedup_clusters and
+    * q_dedup_keep oracles — the SQL twin of [[canonicalEdges]] +
+    * [[ConnectedComponents]].
+    */
+  private def closureCtes: String =
+    s"""corpus AS ($plantedSql),
+       |fp AS (SELECT doc_id, $normFpSql AS fp_norm FROM corpus),
+       |grp AS (SELECT fp_norm, list_sort(list(doc_id)) AS ids
+       |        FROM fp GROUP BY fp_norm HAVING count(*) > 1),
+       |idx AS (SELECT ids, unnest(range(1, len(ids))) AS i FROM grp),
+       |edges AS (SELECT ids[i] AS src, ids[i+1] AS dst FROM idx),
+       |sym AS (SELECT src, dst FROM edges
+       |        UNION SELECT dst AS src, src AS dst FROM edges),
+       |nodes AS (SELECT DISTINCT src AS id FROM sym),
+       |reach AS (
+       |  SELECT id, id AS label FROM nodes
+       |  UNION
+       |  SELECT e.dst AS id, r.label
+       |  FROM reach r JOIN sym e ON e.src = r.id),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE corpus AS ($plantedSql),
-         |fp AS (SELECT doc_id, $normFpSql AS fp_norm FROM corpus),
-         |grp AS (SELECT fp_norm, list_sort(list(doc_id)) AS ids
-         |        FROM fp GROUP BY fp_norm HAVING count(*) > 1),
-         |idx AS (SELECT ids, unnest(range(1, len(ids))) AS i FROM grp),
-         |edges AS (SELECT ids[i] AS src, ids[i+1] AS dst FROM idx),
-         |sym AS (SELECT src, dst FROM edges
-         |        UNION SELECT dst AS src, src AS dst FROM edges),
-         |nodes AS (SELECT DISTINCT src AS id FROM sym),
-         |reach AS (
-         |  SELECT id, id AS label FROM nodes
-         |  UNION
-         |  SELECT e.dst AS id, r.label
-         |  FROM reach r JOIN sym e ON e.src = r.id),
-         |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $closureCtes
          |SELECT component AS canonical_id, count(*) AS n_members,
          |  list_sort(list(id)) AS members
          |FROM comp GROUP BY component ORDER BY canonical_id""".stripMargin,
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $closureCtes,
+         |agg AS (SELECT count(*) AS n_in_clusters,
+         |               count(DISTINCT component) AS n_clusters FROM comp),
+         |tot AS (SELECT count(*) AS n_total FROM corpus)
+         |SELECT n_total, n_in_clusters, n_clusters,
+         |  n_total - n_in_clusters + n_clusters AS n_kept,
+         |  n_in_clusters - n_clusters AS n_dropped
+         |FROM tot, agg""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH corpus AS ($plantedSql),
          |fp AS (SELECT doc_id, md5(text) AS fp_md5, $normFpSql AS fp_norm FROM corpus)
