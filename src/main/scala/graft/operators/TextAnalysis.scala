@@ -49,7 +49,10 @@ object TextAnalysis {
     */
   def qLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("lang"), langId(col("text")).as("pred"))
+      // one-pass native scorer; TextFunctions.langId is the portable twin
+      // it is proven equal to (ExpressionParitySpec)
+      .select(col("lang"),
+        graft.functions.LangIdExpression.langId(col("text"), LangMarkers).as("pred"))
       .groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))

@@ -83,6 +83,26 @@ class ExpressionParitySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("LangIdExpr: one-pass scorer equals the portable when-chain") {
+    val markers = graft.functions.TextFunctions.LangMarkers
+    val expr = LangIdExpr(BoundReference(0, StringType, nullable = false), markers)
+    val allMarkers = markers.flatMap(_._2)
+    val wordGen = Gen.oneOf(allMarkers ++ Seq("xx", "Yy", "z9", "", "ÀÉ", "ß"))
+    val docGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    val cjkDoc = "some text 漢字 more"
+    val docs = samples(docGen, 80) ++ Seq("", "   ", cjkDoc, "ümlaut über")
+    // portable reference evaluated through a real DataFrame (codegen path)
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val want = spark.createDataset(docs).toDF("text")
+      .select(graft.functions.TextFunctions.langId(org.apache.spark.sql.functions.col("text")))
+      .collect().map(_.getString(0)).toSeq
+    val got = docs.map(d =>
+      expr.eval(InternalRow(UTF8String.fromString(d))).asInstanceOf[UTF8String].toString)
+    got shouldBe want
+  }
+
   test("Md5Prefix60Array: matches hex-prefix parse of full md5") {
     val expr = Md5Prefix60Array(BoundReference(0, ArrayType(StringType), nullable = false))
     val strs = Seq("", "a", "hello world", "žluťoučký kůň", "the quick brown fox")
