@@ -16,7 +16,13 @@ import graft.tables.Tables
   *   - double aggregations go through DECIMAL(18,2) (the corpus' money
   *     columns are 2-decimal) so sums are exact and order-independent, then
   *     cast back to double — identical bits on both engines;
-  *   - session timezone is UTC on both sides.
+  *   - session timezone is UTC on both sides;
+  *   - every output column is SCALAR — no array/struct/map. The driver's
+  *     harness sorts rows by all columns in pandas before hashing, and
+  *     ndarray cells are unhashable (the round-2 q_dedup_clusters /
+  *     q_inverted_index failure class). Stringify collections via
+  *     array_join, as q_complex_types does; `tools/check_oracle.py` and
+  *     SparkEntrySpec both reject nested output types.
   */
 object SparkEntry {
 

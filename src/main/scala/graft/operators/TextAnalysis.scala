@@ -135,7 +135,11 @@ object TextAnalysis {
       .groupBy(col("word"))
       .agg(
         count(lit(1)).as("df"),
-        graft.functions.TopKAggregate.minK(col("doc_id"), PostingsCap).as("postings"))
+        // stringified: the driver's row-sort hash gate needs scalar cells
+        // (the q_complex_types convention)
+        array_join(transform(
+          graft.functions.TopKAggregate.minK(col("doc_id"), PostingsCap),
+          d => d.cast("string")), ",").as("postings"))
       .orderBy(col("word"))
 
   /** Gopher-style repetition signals per document: token/type counts,
@@ -331,7 +335,7 @@ object TextAnalysis {
          |                                     x -> length(x) > 0))) AS word
          |  FROM documents)
          |SELECT word, count(*) AS df,
-         |  (list_sort(list(doc_id)))[1:$PostingsCap] AS postings
+         |  array_to_string((list_sort(list(doc_id)))[1:$PostingsCap], ',') AS postings
          |FROM pairs GROUP BY word ORDER BY word""".stripMargin,
     "q_text_repetition" ->
       """WITH toks AS (

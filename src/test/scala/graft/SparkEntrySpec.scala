@@ -35,16 +35,18 @@ class SparkEntrySpec extends SparkSpec with Matchers {
 
   test("every query's output schema uses only oracle-safe types") {
     import org.apache.spark.sql.types._
+    // SCALARS ONLY: the driver's harness sorts rows by all columns in
+    // pandas before hashing, and ndarray cells are unhashable — round 2's
+    // two errored queries were exactly array-typed output columns.
+    // Collections must leave stringified (array_join — the q_complex_types
+    // convention).
     val allowed: Set[DataType] =
       Set(LongType, DoubleType, StringType, BooleanType, TimestampType,
         TimestampNTZType,
         // DATE where DuckDB emits DATE (date_trunc('day'/'month')) — the
         // dtype-strict gate proved parity; a Spark TIMESTAMP there is the
         // mismatch the round-2 gate hardening caught
-        DateType,
-        // BIGINT[] where DuckDB emits list(BIGINT) (posting lists, cluster
-        // members) — the array-aware gate hashes them elementwise
-        ArrayType(LongType, containsNull = false))
+        DateType)
     for ((name, fn) <- SparkEntry.queries) {
       val schema = fn(spark, sf()).schema
       withClue(s"$name: ") {

@@ -54,6 +54,19 @@ def schema_problems(spark_tbl: pa.Table, duck_tbl: pa.Table) -> list:
     st = {f.name: norm_type(f.type) for f in spark_tbl.schema}
     dt = {f.name: norm_type(f.type) for f in duck_tbl.schema}
     probs = []
+    # Scalar-only gate: the DRIVER's harness sorts rows by all columns in
+    # pandas before hashing, and ndarray cells are unhashable — a list/
+    # struct/map output column errors there even when values are right
+    # (round 2: q_dedup_clusters, q_inverted_index). canon_cell below keeps
+    # THIS gate able to compare such columns, so without this check the
+    # local gate is laxer than the driver exactly where it hurts.
+    for name, tbl in (("spark", spark_tbl), ("duck", duck_tbl)):
+        for f in tbl.schema:
+            if pa.types.is_nested(f.type):
+                probs.append(
+                    f"non-scalar {name} column {f.name}: {norm_type(f.type)}"
+                    " (driver's row-sort hash cannot process; stringify via"
+                    " array_join)")
     for name in sorted(set(st) & set(dt)):
         if st[name] != dt[name]:
             probs.append(f"dtype {name}: spark={st[name]} duck={dt[name]}")
