@@ -75,10 +75,10 @@ object Dedup {
     * InferFiltersFromGenerate pushdown), re-split the document once per
     * element: O(n²) regex work, a 25× slowdown at sf0.1.
     */
-  private[graft] def withShingles(docs: DataFrame): DataFrame =
+  private[graft] def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .withColumn("sh",
-        graft.functions.SketchExpressions.wordNGrams(tokens(col("text")), 3))
+        graft.functions.SketchExpressions.wordNGrams(tokens(col("text")), n))
       .select(col("doc_id"), col("sh"))
 
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
@@ -159,8 +159,8 @@ object Dedup {
   /** (doc_id, sh, hs): shingles + their 60-bit md5 hashes, one flat pass
     * each; signatures then run through the codegen'd sketch expressions.
     */
-  private[graft] def withHashedShingles(docs: DataFrame): DataFrame =
-    withShingles(docs).withColumn("hs",
+  private[graft] def withHashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    withShingles(docs, n).withColumn("hs",
       graft.functions.SketchExpressions.md5Prefix60(col("sh")))
 
   /** Candidate pairs from a banded (doc_id, band_idx, band_key) DF WITHOUT
@@ -416,7 +416,58 @@ object Dedup {
       .orderBy(col("cluster_size"))
   }
 
+  /** Decontamination: eval-set membership modulus (docs with
+    * doc_id % [[EvalMod]] == 0 form the held-out benchmark), the n-gram
+    * width, and the flagging threshold in distinct shared shingles.
+    * Width 5 on 10-99-token docs plays the role 13-grams play on web pages
+    * (GPT-3 appendix C): wide enough that the small synthetic vocabulary
+    * produces almost no incidental collisions (3-grams flag half the
+    * corpus; 5-grams flag ~1.5%, and those few share genuinely duplicated
+    * template spans), narrow enough that every doc has >= 6 shingles.
+    */
+  val EvalMod = 10L
+  val ContamNgram = 5
+  val ContamMinShared = 5L
+
+  /** Benchmark DECONTAMINATION — flag training documents that share n-gram
+    * content with a held-out eval set, the standard pre-training hygiene
+    * pass (the GPT-3/PaLM 13-gram-collision method, [[ContamNgram]]-gram
+    * here — see width rationale above). The bulk of the flagged set is
+    * PLANTED: eval docs re-enter the training side tail-appended under
+    * +[[PlantOffset]], the same construction as the near-dup queries.
+    *
+    * Scale design (100 TB corpus vs a bounded eval set): the eval side
+    * reduces to a DISTINCT hashed-shingle set — a few million 8-byte keys
+    * for any real benchmark suite — explicitly broadcast; the training side
+    * is one map stage (shingle → explode) followed by a broadcast-hash
+    * semi-join-shaped probe and a groupBy(doc_id) count. The corpus text is
+    * never shuffled, and nothing is quadratic: cost is corpus-linear +
+    * overlap-proportional.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % EvalMod === 0)
+    val train = docs.filter(col("doc_id") % EvalMod =!= 0)
+      .union(evalDocs.select(
+        (col("doc_id") + PlantOffset).as("doc_id"),
+        concat(col("text"), lit(Tail)).as("text")))
+    val evalShingles = withHashedShingles(evalDocs, ContamNgram)
+      .select(explode(col("hs")).as("h"))
+      .distinct()
+    withHashedShingles(train, ContamNgram)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(evalShingles), "h")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContamMinShared)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> qDecontaminate,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_keep" -> qDedupKeep,
@@ -432,12 +483,14 @@ object Dedup {
   private val toks =
     "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0)"
 
-  /** DuckDB mirror of [[shingles]] given a tokens list expression. */
-  private def shinglesSql(t: String): String =
-    s"""list_distinct(CASE WHEN len($t) >= 3
-       | THEN list_transform(range(0, len($t) - 2),
-       |        i -> $t[i+1] || ' ' || $t[i+2] || ' ' || $t[i+3])
+  /** DuckDB mirror of [[withShingles]] given a tokens list expression. */
+  private def shinglesSql(t: String, n: Int = 3): String = {
+    val gram = (1 to n).map(j => s"$t[i+$j]").mkString(" || ' ' || ")
+    s"""list_distinct(CASE WHEN len($t) >= $n
+       | THEN list_transform(range(0, len($t) - ${n - 1}),
+       |        i -> $gram)
        | ELSE [] END)""".stripMargin
+  }
 
   private val plantedSql =
     s"""SELECT doc_id, text FROM documents
@@ -515,6 +568,28 @@ object Dedup {
        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH eval AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % $EvalMod = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % $EvalMod <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $PlantOffset, text || '$Tail' FROM eval),
+         |esh AS (
+         |  SELECT DISTINCT unnest(list_transform(${shinglesSql(toks, ContamNgram)},
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+         |  FROM eval),
+         |tsh AS (
+         |  SELECT doc_id, list_transform(${shinglesSql(toks, ContamNgram)},
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |  FROM train),
+         |tr AS (SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h FROM tsh)
+         |SELECT tr.doc_id, n_shingles, count(*) AS n_shared,
+         |  CAST(count(*) AS DOUBLE) / n_shingles AS overlap
+         |FROM tr JOIN esh USING (h)
+         |GROUP BY tr.doc_id, n_shingles
+         |HAVING count(*) >= $ContamMinShared
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $closureCtes
          |SELECT component AS canonical_id, count(*) AS n_members,

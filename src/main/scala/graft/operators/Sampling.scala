@@ -93,10 +93,47 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  /** Per-source target retention percentages for [[qSourceMix]] — the
+    * editorial knob of corpus construction (curated sources kept whole,
+    * crawl-grade sources downsampled). Integer percents so the kept-token
+    * budget stays exact integer arithmetic on both engines.
+    */
+  val MixPctBySource: Seq[(String, Int)] =
+    Seq("src0" -> 100, "src1" -> 50, "src2" -> 10)
+  /** Retention percent for sources not listed. */
+  val MixDefaultPct = 25
+
+  /** Source-mix reweighting: per-source document/token inventory joined
+    * with the target retention rates into kept-token budgets — the report
+    * that decides what a sampling pass must keep per source. ONE scan of
+    * (source, text) + a #sources-sized aggregate; the rate lookup is a
+    * row-local CASE, and the budget is integer arithmetic (pct/100 with
+    * `div`), exact at any corpus size.
+    */
+  def qSourceMix(s: SparkSession, dir: String): DataFrame = {
+    val pct = MixPctBySource.foldRight(lit(MixDefaultPct)) {
+      case ((src, p), acc) => when(col("source") === src, p).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("source"),
+        graft.functions.TextFunctions.wsTokenCount(col("text")).as("tk"),
+        pct.cast("long").as("pct"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tk")).as("total_tokens"),
+        max(col("pct")).as("target_pct"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("target_pct"),
+        expr("(total_tokens * target_pct) div 100").as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> qSampleHash,
     "q_split_assign" -> qSplitAssign,
-    "q_sample_stratified" -> qSampleStratified
+    "q_sample_stratified" -> qSampleStratified,
+    "q_source_mix" -> qSourceMix
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -118,6 +155,21 @@ object Sampling {
          |FROM m
          |WHERE (${bucketSql("doc_id", 10000)}) % mod = 0
          |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q_source_mix" -> {
+      val cases = MixPctBySource
+        .map { case (src, p) => s"WHEN '$src' THEN $p" }
+        .mkString(" ")
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tk,
+         |    CAST(CASE source $cases ELSE $MixDefaultPct END AS BIGINT) AS pct
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(tk) AS BIGINT) AS total_tokens,
+         |  max(pct) AS target_pct,
+         |  (CAST(sum(tk) AS BIGINT) * max(pct)) // 100 AS kept_tokens
+         |FROM t GROUP BY source ORDER BY source""".stripMargin
     },
     "q_split_assign" ->
       s"""SELECT

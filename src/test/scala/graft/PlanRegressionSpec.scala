@@ -73,6 +73,16 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should include("max_freq_count")
   }
 
+  test("decontamination probes the eval shingle set via broadcast") {
+    // the 100 TB shape: the bounded eval side broadcasts; the corpus side
+    // must never shuffle its shingles to meet it (a SortMergeJoin here
+    // would re-key the whole exploded corpus)
+    val plan = operators.Dedup.qDecontaminate(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("q_inverted_index posting lists aggregate partially (bounded min_k)") {
     // the k-bounded aggregate must run map-side (partial) so a hot word's
     // group never materializes — partial_min_k before the Exchange

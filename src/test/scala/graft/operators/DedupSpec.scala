@@ -87,6 +87,38 @@ class DedupSpec extends SparkSpec with Matchers {
       .count() shouldBe 3L
   }
 
+  test("decontamination flags every planted eval leak, and flags cleanly") {
+    val flagged = Dedup.qDecontaminate(spark, sf()).cache()
+
+    // every eval doc with >= threshold shingles re-entered the training
+    // side tail-appended; appending preserves all original 3-grams, so each
+    // such plant MUST be flagged (recall = 1 on plants)
+    val docs = graft.tables.Tables.documents(spark, sf())
+    val evalWithEnough = Dedup.withShingles(
+      docs.filter(col("doc_id") % Dedup.EvalMod === 0)
+        .select(col("doc_id"), col("text")), Dedup.ContamNgram)
+      // qualified: scalatest Matchers shadows `size` with its SizeWord
+      .filter(org.apache.spark.sql.functions.size(col("sh")) >=
+        lit(Dedup.ContamMinShared))
+      .count()
+    evalWithEnough should be > 0L
+    val plantsFlagged = flagged
+      .filter(col("doc_id") >= Dedup.PlantOffset)
+    plantsFlagged.count() shouldBe evalWithEnough
+    // a full-document leak shares ALL k original shingles; the appended
+    // tail adds at most 7 unshared ones, so overlap >= k/(k+7) > 0.4 at
+    // the k >= 5 flagging threshold — well above a borderline hit
+    plantsFlagged.agg(min("overlap")).head().getDouble(0) should be > 0.4
+
+    // the corpus has ~zero natural cross-document shingle overlap, so
+    // un-planted training docs stay (almost) all unflagged
+    val trainTotal = docs.filter(col("doc_id") % Dedup.EvalMod =!= 0).count()
+    val naturalFlagged = flagged.filter(col("doc_id") < Dedup.PlantOffset).count()
+    naturalFlagged.toDouble / trainTotal should be < 0.02
+    flagged.unpersist()
+    ()
+  }
+
   test("embedding LSH dedup recalls all planted identical vectors at cos=1") {
     val vecs = graft.tables.Tables.embeddings(spark, sf()).count()
     val df = Dedup.qDedupEmbedding(spark, sf()).cache()

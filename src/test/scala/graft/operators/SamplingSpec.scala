@@ -36,6 +36,19 @@ class SamplingSpec extends SparkSpec with Matchers {
     rows("test").toDouble / total should be < 0.2
   }
 
+  test("source-mix budgets: every source covered, exact integer arithmetic") {
+    val rows = Sampling.qSourceMix(spark, sf()).collect()
+    val total = graft.tables.Tables.documents(spark, sf()).count()
+    rows.map(_.getLong(1)).sum shouldBe total // partition of the corpus
+    val pcts = Sampling.MixPctBySource.toMap
+    rows.foreach { r =>
+      val (src, tokens, pct, kept) =
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      pct shouldBe pcts.getOrElse(src, Sampling.MixDefaultPct).toLong
+      kept shouldBe tokens * pct / 100 // JVM long division == SQL div
+    }
+  }
+
   test("every document lands in exactly one split under re-evaluation") {
     // the split is a pure function of doc_id: recomputing the bucket in a
     // separate plan yields identical membership (no rand(), no
