@@ -105,15 +105,31 @@ object Bench {
       val b = once(n)
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
-    def jmap(m: Iterable[(String, Double)]): String = m
-      .map { case (k, v) => "\"" + k + "\":" + v }
+    // Two output lines. The FINAL line is the driver's contract line and is
+    // kept compact (3-decimal per-query values, no build map): the driver
+    // stores only the last ~2 KB of stdout, and the full-precision line of
+    // earlier rounds overflowed that window, so it could never be parsed
+    // from the tail. Full precision (incl. the per-query build map) goes on
+    // the preceding "detail" line and to docs/BENCH_DETAIL.json.
+    def jmap(m: Iterable[(String, Double)], fmt: Double => String): String = m
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val qs = jmap(results)
-    val builds = jmap(buildSec.toSeq.sortBy(_._1).filter(_._2 >= 0.005))
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum +
-      buildSec.values.sum
+    val full: Double => String = _.toString
+    val short: Double => String =
+      v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val builds = buildSec.toSeq.sortBy(_._1).filter(_._2 >= 0.005)
+    val queriesTotal = results.collect { case (_, v) if v >= 0 => v }.sum
+    val buildTotal = buildSec.values.sum
+    val total = queriesTotal + buildTotal
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("docs", "BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // detail dump is best-effort
+    println(detail)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build":$builds,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","build_total":${short(buildTotal)},"queries":${jmap(results, short)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,8 +33,14 @@ object Dedup {
 
   val PlantOffset = 10000000L
   val PermuteOffset = 20000000L
-  /** Tail appended to make near- (not exact-) duplicates. */
+  /** Tail appended to make near- (not exact-) duplicates. Interpolated into
+    * oracle SQL string literals ([[nearDupSql]], the decontamination oracle),
+    * so it must stay quote-free — the require fails fast at class load if a
+    * future edit breaks that.
+    */
   val Tail = " zz yy xx ww vv"
+  require(!Tail.contains("'"),
+    "Dedup.Tail is interpolated into oracle SQL literals and must not contain single quotes")
   /** MinHash: 16 permutations → 8 bands × 2 rows. r=2 tunes the S-curve for
     * a ~0.8 Jaccard dedup threshold: P(candidate) = 1-(1-J²)⁸ ≈ 1 at J≥0.8,
     * ≈ 0 at J≤0.2 — misses at J=0.8 are 3·10⁻⁴, false candidates are
@@ -344,12 +350,42 @@ object Dedup {
     * canonicalEdges → closure construction (~4.6 s of CC scheduling rounds
     * each, constant in data size), and a production pipeline materializes
     * the mapping once per corpus anyway — this is that shape in-session.
+    *
+    * Assumes the corpus dir is immutable within a session (true for every
+    * caller here; a dir whose parquet changes mid-session would serve stale
+    * components). Lifecycle: entries for a session are unpersisted and
+    * evicted when that session's SparkContext ends, so a long-lived process
+    * hosting many sessions neither leaks executor storage nor retains
+    * stopped sessions. Map access is synchronized — the first
+    * materialization runs inside the lock, so concurrent first calls cannot
+    * double-persist (the TrieMap.getOrElseUpdate it replaces could evaluate
+    * the thunk twice and strand one persisted copy).
     */
   private val componentCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def canonicalComponents(s: SparkSession, dir: String): DataFrame =
-    componentCache.getOrElseUpdate((s, dir),
-      ConnectedComponents.components(canonicalEdges(s, dir)).persist())
+    componentCache.synchronized {
+      componentCache.getOrElseUpdate((s, dir), {
+        if (!componentCache.keys.exists(_._1 eq s))
+          s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              componentCache.synchronized {
+                componentCache.filterInPlace { case ((sess, _), df) =>
+                  (sess ne s) || {
+                    // storage dies with the context anyway; unpersist is for
+                    // the shared-context multi-session case and may race the
+                    // shutdown, so a failure here is ignorable
+                    try df.unpersist(blocking = false)
+                    catch { case _: Throwable => () }
+                    false
+                  }
+                }
+              }
+          })
+        ConnectedComponents.components(canonicalEdges(s, dir)).persist()
+      })
+    }
 
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     canonicalComponents(s, dir)

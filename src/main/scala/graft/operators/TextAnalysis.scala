@@ -213,6 +213,110 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Self-repeat n-gram width and plant modulus for [[qTextSelfrepeat]]. */
+  val SelfrepeatNgram = 5
+  val SelfrepeatPlantMod = 5L
+
+  /** Within-document duplicate n-gram fraction (the Gopher repetition
+    * family's other axis: [[qTextRepetition]] measures dominance of ONE
+    * bigram; this measures how much of the document is repeated spans of
+    * any kind — boilerplate headers, chorus lines, copy-paste padding).
+    * The corpus has no natural self-repetition, so every
+    * [[SelfrepeatPlantMod]]-th document is PLANTED doubled (text ++ text,
+    * same construction in the oracle): a doubled document repeats every
+    * 5-gram, pushing repeat_frac to ~0.5+. Pure MAP stage — the n-gram
+    * list, its distinct count, and the ratio are all row-local; nothing
+    * shuffles at any corpus size.
+    */
+  def qTextSelfrepeat(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % SelfrepeatPlantMod === 0,
+      concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
+    val tk = filter(split(lower(planted), "[^a-z]+"), t => length(t) > 0)
+    val rawFrac = (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.SketchExpressions.wordNGrams(
+          tk, SelfrepeatNgram, distinct = false).as("g"))
+      .select(
+        col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct"),
+        when(col("n_grams") > 0, rawFrac).as("repeat_frac"),
+        (coalesce(when(col("n_grams") > 0, rawFrac), lit(0.0)) > 0.3)
+          .as("flag_selfrepeat"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram language-model scoring — the perplexity-proxy quality signal
+    * (a cheap stand-in for the model-based filters of CCNet/LLaMA data
+    * prep): train add-one-smoothed bigram probabilities ON the corpus
+    * itself, then score every document by mean log P(w_i | w_{i-1}) and
+    * perplexity. Shapes for 100 TB: the count tables are vocabulary- (not
+    * corpus-) sized aggregates, the score pass is explode → two keyed
+    * joins against those tables → one groupBy(doc_id) — everything
+    * shuffles on bounded keys, nothing is quadratic, no driver loop. The
+    * double mean is rounded to 9 decimals: engines sum partitions in
+    * different orders and libm/JVM ln() differ in the last ulp, both
+    * ~1e-14 — far below the rounding grain, far above score granularity.
+    */
+  def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), tk.as("tk"))
+    val bg = docs
+      .select(col("doc_id"), explode(
+        graft.functions.SketchExpressions.wordNGrams(col("tk"), 2, distinct = false))
+        .as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val w1Counts = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    val vocab = docs.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bg
+      .join(bgCounts, "bg")
+      .join(w1Counts, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c_bg") + 1).cast("double") / (col("c_w1") + col("v")))), 9)
+          .as("avg_logp"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+        round(exp(-col("avg_logp")), 6).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document n-gram NOVELTY — the curation-side mirror of dedup: how
+    * much of each document's shingle set appears here for the FIRST time
+    * (by doc_id order)? Low-novelty documents are template/near-duplicate
+    * content even when no single pair crosses a dedup threshold; corpus
+    * builders use exactly this to rank sources by marginal contribution.
+    * Shingles travel as 60-bit md5 longs (the dedup sketches' trick), so
+    * the shuffle is 8-byte keys: one groupBy(shingle) for first-occurrence,
+    * one join back, one groupBy(doc) — corpus-linear, shuffle-on-key.
+    */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        graft.functions.SketchExpressions.md5Prefix60(
+          graft.functions.SketchExpressions.wordNGrams(tk, 3)))
+        .as("h"))
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh
+      .join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pattern for [[qGrep]] — letters-only literals from the corpus
     * vocabulary, so Java and RE2 regex semantics agree.
     */
@@ -242,6 +346,9 @@ object TextAnalysis {
     "q_tfidf" -> qTfidf,
     "q_inverted_index" -> qInvertedIndex,
     "q_text_repetition" -> qTextRepetition,
+    "q_text_selfrepeat" -> qTextSelfrepeat,
+    "q_lm_score" -> qLmScore,
+    "q_ngram_novelty" -> qNgramNovelty,
     "q_text_redact" -> qTextRedact,
     "q_grep" -> qGrep
   )
@@ -366,6 +473,79 @@ object TextAnalysis {
         |        THEN CAST(coalesce(tbn, 0) AS DOUBLE) / (n_tokens - 1) END, 0.0) > 0.2)
         |    AS flag_repetitive
         |FROM top ORDER BY doc_id""".stripMargin,
+    "q_text_selfrepeat" -> {
+      val n = SelfrepeatNgram
+      val gram = (1 to n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % $SelfrepeatPlantMod = 0
+         |      THEN text || ' ' || text ELSE text END AS text
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                             x -> length(x) > 0) AS t
+         |  FROM planted),
+         |g AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= $n
+         |    THEN list_transform(range(0, len(t) - ${n - 1}), i -> $gram)
+         |    ELSE [] END AS g5
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CAST(len(g5) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(g5)) AS BIGINT) AS n_distinct,
+         |  CASE WHEN len(g5) > 0
+         |    THEN CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5) END
+         |    AS repeat_frac,
+         |  coalesce(CASE WHEN len(g5) > 0
+         |    THEN CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5) END, 0.0)
+         |    > 0.3 AS flag_selfrepeat
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                             x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS bg
+        |  FROM toks),
+        |w AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+        |bgc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+        |w1c AS (SELECT w1, count(*) AS c_w1 FROM w GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w2) AS v
+        |      FROM (SELECT unnest(t) AS w2 FROM toks)),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(avg(ln(CAST(c_bg + 1 AS DOUBLE) / (c_w1 + v))), 9) AS avg_logp
+        |  FROM w JOIN bgc USING (bg) JOIN w1c USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, avg_logp,
+        |  round(exp(-avg_logp), 6) AS ppl
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                             x -> length(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(0, len(t) - 2),
+        |             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |      ELSE [] END),
+        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+        |  FROM toks),
+        |first AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+        |SELECT sh.doc_id,
+        |  count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS novelty
+        |FROM sh JOIN first USING (h)
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
     "q_text_redact" -> {
       val plantedSql =
         """text || ' contact user' || doc_id || '@example.com call 555-123-' ||

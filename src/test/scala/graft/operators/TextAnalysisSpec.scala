@@ -56,4 +56,56 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     a shouldBe b
     a should not be c
   }
+
+  test("selfrepeat flags exactly the planted doubled documents") {
+    val rows = TextAnalysis.qTextSelfrepeat(spark, sf()).collect()
+    rows.foreach { r =>
+      val (id, nGrams, flagged) = (r.getLong(0), r.getLong(1), r.getBoolean(4))
+      if (id % TextAnalysis.SelfrepeatPlantMod == 0 && nGrams > 0) {
+        // doubling a doc of k 5-grams yields ~2k+4 grams with ~k+4 distinct
+        assert(flagged, s"planted doubled doc $id not flagged")
+        r.getDouble(3) should be > 0.35 // (k-4)/(2k-4) >= 0.375 at k >= 10 tokens
+      } else if (nGrams > 0) {
+        // the corpus has no natural self-repetition (Dedup scaladoc)
+        assert(!flagged, s"unplanted doc $id flagged as self-repeating")
+      }
+    }
+  }
+
+  test("LM score: smoothed bigram log-probs are strictly negative; " +
+    "coverage = docs with >= 2 letter tokens; ppl inverts avg_logp") {
+    val rows = TextAnalysis.qLmScore(spark, sf()).collect()
+    val fns = org.apache.spark.sql.functions
+    val tk = fns.filter(split(lower(col("text")), "[^a-z]+"),
+      t => fns.length(t) > 0)
+    val expected = graft.tables.Tables.documents(spark, sf())
+      .select(col("doc_id"), (fns.size(tk) - 1).cast("long").as("nb"))
+      .filter(col("nb") >= 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.map(_.getLong(0)).toSet shouldBe expected.keySet
+    rows.foreach { r =>
+      assert(r.getLong(1) == expected(r.getLong(0))) // n_bigrams = n_tokens - 1
+      r.getDouble(2) should be < 0.0 // add-one smoothing: P < 1 always
+      r.getDouble(3) shouldBe math.rint(math.exp(-r.getDouble(2)) * 1e6) / 1e6
+    }
+  }
+
+  test("ngram novelty: first doc is fully novel; novel counts partition " +
+    "the corpus' distinct shingle set") {
+    val rows = TextAnalysis.qNgramNovelty(spark, sf()).collect()
+    rows.head.getLong(0) shouldBe rows.map(_.getLong(0)).min
+    rows.head.getDouble(3) shouldBe 1.0 // nothing precedes the first doc
+    rows.foreach { r =>
+      r.getDouble(3) should (be >= 0.0 and be <= 1.0)
+      r.getLong(2) should be <= r.getLong(1)
+    }
+    // every distinct corpus shingle is novel in exactly one document
+    val fns = org.apache.spark.sql.functions
+    val tk = fns.filter(split(lower(col("text")), "[^a-z]+"),
+      t => fns.length(t) > 0)
+    val distinctShingles = graft.tables.Tables.documents(spark, sf())
+      .select(explode(graft.functions.SketchExpressions.wordNGrams(tk, 3)).as("sh"))
+      .distinct().count()
+    rows.map(_.getLong(2)).sum shouldBe distinctShingles
+  }
 }
