@@ -1,0 +1,182 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** INCREMENTAL near-duplicate detection — maintain duplicate clusters as
+  * documents ARRIVE, instead of recomputing the batch pipeline per corpus
+  * snapshot. The batch shape ([[graft.operators.Dedup.qDedupPipeline]]) is
+  * MinHash → LSH bands → candidate pairs → Jaccard verify → connected
+  * components; the streaming twin keeps the signature/banding stage
+  * IDENTICAL (the same codegen expressions on an unbounded DataFrame —
+  * Catalyst plans them incrementally) and replaces the band-bucket
+  * aggregation with per-bucket STATE: each (band_idx, band_key) group holds
+  * its admitted members' hashed-shingle sets, and a newly arriving document
+  * is verified against exactly the members it shares a band with — emitting
+  * a duplicate edge the moment the pair exists, years of corpus later or
+  * one micro-batch later.
+  *
+  * Equivalence to batch (proven in IncrementalDedupSpec over random arrival
+  * orders and micro-batch splits): for any corpus whose band buckets stay
+  * within `maxBucket`, the verified edge SET equals the batch pipeline's,
+  * so the transitive closure — the clusters — is identical regardless of
+  * arrival order. The one deliberate divergence: the batch cap drops an
+  * over-cap bucket RETROACTIVELY (it sees final bucket sizes); a stream
+  * cannot un-emit, so the cap here is admission control — the first
+  * `maxBucket` arrivals per bucket participate, later ones are ignored for
+  * that band. Both enforce the same 100 TB property (no quadratic pair
+  * generation inside a degenerate bucket); they differ only on WHICH pairs
+  * of an over-cap bucket survive.
+  *
+  * Scale design: state per bucket is ≤ maxBucket members × |hs| longs, keyed
+  * by band key and hash-partitioned across executors like any keyed state;
+  * per-arrival work is O(bucket members) verifications, so total cost is
+  * candidate-density-proportional — the same bill as batch. State here never
+  * expires (clusters are forever); a production deployment with bounded
+  * retention would add an event-time timeout per bucket, which bounds state
+  * by the watermark at the price of missing duplicates farther apart than
+  * the retention window ([[Streaming.dedupByFingerprint]] makes the same
+  * trade for exact dedup).
+  */
+object IncrementalDedup {
+
+  /** One document's membership in one LSH band bucket. */
+  final case class BandRow(doc_id: Long, hs: Seq[Long], band_idx: Int, band_key: String)
+
+  /** Admitted bucket member retained in state. */
+  final case class BandMember(doc_id: Long, hs: Seq[Long])
+
+  /** A verified duplicate pair, src < dst. */
+  final case class DupEdge(src: Long, dst: Long)
+
+  /** Signature + banding for a (doc_id, text) DataFrame, hs retained for
+    * the verify stage — the SAME expressions as the batch
+    * [[graft.operators.Dedup.minhashBanded]] (affine MinHash over 60-bit
+    * hashed 3-gram shingles, md5 band keys), so stream and batch band
+    * assignments are bit-identical. Works on bounded and unbounded inputs
+    * alike: every step is a narrow projection.
+    */
+  def bandedSignatures(docs: DataFrame): DataFrame = {
+    val withHs = Dedup.withHashedShingles(docs).select(col("doc_id"), col("hs"))
+    val sig = withHs
+      .filter(size(col("hs")) > 0)
+      .withColumn("mh",
+        graft.functions.SketchExpressions.affineMinhashes(col("hs"), Dedup.NumHashes))
+    val bandCols = (0 until Dedup.NumBands).map { b =>
+      val ms = (0 until Dedup.RowsPerBand)
+        .map(r => element_at(col("mh"), b * Dedup.RowsPerBand + r + 1))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", ms: _*)).as("band_key"))
+    }
+    sig
+      .select(col("doc_id"), col("hs"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("hs"),
+        col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Exact Jaccard over hashed-shingle sets — the verify metric of the
+    * batch pipeline (identical md5 hashing both sides, so collisions — and
+    * therefore values — agree).
+    */
+  private[streaming] def jaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    val sa = a.toSet
+    val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  /** Stateful per-bucket pair generation + verification: emits each
+    * verified edge (j >= threshold) the first time its pair shares a band.
+    * Within a micro-batch, a bucket's arrivals are processed in doc_id
+    * order so admission under the cap is deterministic for the
+    * batch-equivalence proof (micro-batch boundaries already impose an
+    * order between batches; this pins the order within one).
+    *
+    * The same pair may emit from several bands (batch counts shared bands
+    * instead) and, across restarts, state replay keeps emission
+    * at-least-once — consumers must be idempotent, which the union-find
+    * [[ClusterStore]] is by construction.
+    */
+  def incrementalEdges(
+      banded: DataFrame,
+      threshold: Double = Dedup.JaccardThreshold,
+      maxBucket: Int = Dedup.MaxLshBucket): Dataset[DupEdge] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded.as[BandRow]
+      .groupByKey(r => (r.band_idx, r.band_key))
+      .flatMapGroupsWithState[List[BandMember], DupEdge](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), rows: Iterator[BandRow], state: GroupState[List[BandMember]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[DupEdge]
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (members.size < maxBucket && !members.exists(_.doc_id == r.doc_id)) {
+              members.foreach { m =>
+                if (jaccard(m.hs, r.hs) >= threshold)
+                  out += DupEdge(math.min(m.doc_id, r.doc_id), math.max(m.doc_id, r.doc_id))
+              }
+              members = BandMember(r.doc_id, r.hs) :: members
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
+  /** Incrementally-maintained duplicate clusters: a driver-side union-find
+    * MERGE target for the edge stream (the in-memory stand-in for a keyed
+    * store, same pattern as [[Streaming.AttributionStore]]). Union is
+    * commutative/associative/idempotent, so duplicate edge emissions,
+    * batch boundaries, and arrival order are all absorbed — the snapshot
+    * after any prefix of arrivals equals the batch closure over the edges
+    * seen so far.
+    */
+  final class ClusterStore {
+    import scala.collection.mutable
+    private val parent = mutable.Map.empty[Long, Long]
+
+    private def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+
+    def merge(edges: DataFrame): Unit = {
+      val batch = edges.collect()
+      parent.synchronized {
+        batch.foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (a != b) parent(math.max(a, b)) = math.min(a, b)
+          parent.getOrElseUpdate(math.min(a, b), math.min(a, b))
+        }
+      }
+    }
+
+    /** doc_id → component minimum, for every doc that appeared in an edge —
+      * the same contract as [[graft.operators.ConnectedComponents.components]].
+      */
+    def snapshot: Map[Long, Long] = parent.synchronized {
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+  }
+
+  /** Wire docs → banding → stateful verify → union-find store; returns the
+    * started query. `store.snapshot` is the live cluster mapping.
+    */
+  def run(docs: DataFrame, store: ClusterStore,
+      threshold: Double = Dedup.JaccardThreshold,
+      maxBucket: Int = Dedup.MaxLshBucket)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalEdges(bandedSignatures(docs), threshold, maxBucket)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => store.merge(batch) }
+      .start()
+}

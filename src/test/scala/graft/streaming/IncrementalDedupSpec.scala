@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.operators.{ConnectedComponents, Dedup}
+
+/** Batch ≡ stream proof for [[IncrementalDedup]]: the incrementally
+  * maintained clusters must equal the batch pipeline's transitive closure
+  * for ANY arrival order and micro-batch split (the property that makes the
+  * operator usable — a backfill replaying history and a live stream must
+  * agree).
+  */
+class IncrementalDedupSpec extends SparkSpec with Matchers {
+
+  /** Batch truth: the verified-edge closure exactly as
+    * [[Dedup.qDedupPipeline]] builds it (bands → capped candidates →
+    * Jaccard ≥ threshold → connected components).
+    */
+  private val fns = org.apache.spark.sql.functions
+
+  private lazy val batchComponents: Map[Long, Long] = {
+    val withHs = Dedup.withHashedShingles(Dedup.nearDupDocs(spark, sf()))
+      .select(col("doc_id"), col("hs"))
+      .persist()
+    val verified = Dedup
+      .minhashCandidates(Dedup.minhashBanded(withHs), Dedup.MaxLshBucket)
+      .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+        (fns.size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          fns.size(array_distinct(fns.concat(col("hs_a"), col("hs_b"))))).as("j"))
+      .filter(col("j") >= Dedup.JaccardThreshold)
+      .select(col("src"), col("dst"))
+    val comp = ConnectedComponents.components(verified).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    withHs.unpersist()
+    comp
+  }
+
+  test("incremental clusters equal the batch closure for shuffled arrivals " +
+    "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Dedup.nearDupDocs(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    batchComponents should not be empty // the planted corpus has duplicates
+
+    for (seed <- Seq(1, 42, 2026)) {
+      val order = new scala.util.Random(seed).shuffle(docs)
+      val input = MemoryStream[(Long, String)]
+      val store = new IncrementalDedup.ClusterStore
+      val q = IncrementalDedup.run(
+        input.toDF().toDF("doc_id", "text"), store)
+      try {
+        order.grouped(math.max(1, order.size / 4 + 1)).foreach { chunk =>
+          input.addData(chunk)
+          q.processAllAvailable()
+        }
+        withClue(s"arrival order seed=$seed: ") {
+          store.snapshot shouldBe batchComponents
+        }
+      } finally q.stop()
+    }
+  }
+
+  test("per-bucket admission cap bounds state and pair work on a " +
+    "degenerate all-identical stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // 100 identical docs — every band bucket would go quadratic uncapped
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val input = MemoryStream[(Long, String)]
+    val cap = 8
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = IncrementalDedup
+      .incrementalEdges(IncrementalDedup.bandedSignatures(
+        input.toDF().toDF("doc_id", "text")), maxBucket = cap)
+      .toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        edges.synchronized {
+          edges ++= b.collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData((0L until 100L).map(i => (i, text)))
+      q.processAllAvailable()
+      // only the first `cap` arrivals per bucket participate: every emitted
+      // pair is within the admitted prefix, never the 100²/2 uncapped set
+      val pairs = edges.synchronized(edges.distinct)
+      pairs.size shouldBe cap * (cap - 1) / 2
+      pairs.foreach { case (a, b) =>
+        a should be < cap.toLong
+        b should be < cap.toLong
+      }
+    } finally q.stop()
+  }
+}
