@@ -27,6 +27,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * Inputs are longs (callers pre-scale, e.g. money → cents); partial
   * aggregation works as usual (buffers merge with 128-bit adds).
   *
+  * EXACTNESS DOMAIN (the bound a 100 TB deployment must check): every
+  * accumulator — the linear sums included, they are 128-bit too precisely
+  * so the count is never the weakest link — is exact while its magnitude
+  * stays below 2¹²⁷ ≈ 1.7·10³⁸. The binding constraint is the largest
+  * square: N·max(x²) < 2¹²⁷, e.g. cent-scaled prices up to 10⁸ (a million
+  * currency units) stay exact to N ≈ 10²² rows — far beyond any corpus.
+  * Beyond that the sums wrap SILENTLY (no runtime guard: a per-row check
+  * would cost more than the aggregation); if inputs can exceed ~10¹⁰ at
+  * ~10¹⁸ rows, promote the buffer to 192-bit before trusting the output.
+  * ExactMomentsSpec pins the edge: per-value |x| up to Long.MaxValue and
+  * linear sums crossing 2⁶³ both stay exact.
+  *
   * @param xScale decimal digits the x input was scaled by (e.g. 2 for
   *               money→cents) — outputs are de-scaled with a SINGLE
   *               correctly-rounded conversion (Σx²/10^2s via BigDecimal),
@@ -42,9 +54,13 @@ case class ExactMoments(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
-  // buffer layout: n, sx, sy, sx2.hi, sx2.lo, sy2.hi, sy2.lo, sxy.hi, sxy.lo
-  // (the hi/lo pairs are SIGNED two's-complement 128-bit accumulators)
-  private val BufLen = 9
+  // buffer layout: n, sx.hi, sx.lo, sy.hi, sy.lo, sx2.hi, sx2.lo,
+  // sy2.hi, sy2.lo, sxy.hi, sxy.lo — every hi/lo pair is a SIGNED
+  // two's-complement 128-bit accumulator (the linear sums too: a plain
+  // 64-bit Σx wraps at ~9·10¹⁸, reachable at ~10¹² rows of large scaled
+  // inputs — exactly the silent-wrong-answer class this aggregate exists
+  // to rule out)
+  private val BufLen = 11
 
   override def children: Seq[Expression] = Seq(x, y)
   override def nullable: Boolean = false
@@ -77,22 +93,25 @@ case class ExactMoments(
       val xl = xv.asInstanceOf[Long]
       val yl = yv.asInstanceOf[Long]
       b(0) += 1
-      b(1) += xl
-      b(2) += yl
+      // sign-extended high word keeps the linear sums exact past 2⁶³
+      add128(b, 1, 2, xl >> 63, xl)
+      add128(b, 3, 4, yl >> 63, yl)
       // full 128-bit products: per-term 64-bit multiply would wrap for
       // inputs beyond ~3e9 (Math.multiplyHigh gives the signed high word)
-      add128(b, 3, 4, Math.multiplyHigh(xl, xl), xl * xl)
-      add128(b, 5, 6, Math.multiplyHigh(yl, yl), yl * yl)
-      add128(b, 7, 8, Math.multiplyHigh(xl, yl), xl * yl)
+      add128(b, 5, 6, Math.multiplyHigh(xl, xl), xl * xl)
+      add128(b, 7, 8, Math.multiplyHigh(yl, yl), yl * yl)
+      add128(b, 9, 10, Math.multiplyHigh(xl, yl), xl * yl)
     }
     b
   }
 
   override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
-    b(0) += o(0); b(1) += o(1); b(2) += o(2)
+    b(0) += o(0)
+    add128(b, 1, 2, o(1), o(2))
     add128(b, 3, 4, o(3), o(4))
     add128(b, 5, 6, o(5), o(6))
     add128(b, 7, 8, o(7), o(8))
+    add128(b, 9, 10, o(9), o(10))
     b
   }
 
@@ -105,18 +124,14 @@ case class ExactMoments(
     new java.math.BigDecimal(new BigInteger(bytes), scale).doubleValue()
   }
 
-  private def dLong(v: Long, scale: Int): Double =
-    if (scale == 0) v.toDouble
-    else java.math.BigDecimal.valueOf(v, scale).doubleValue()
-
   override def eval(b: Array[Long]): Any =
     new GenericArrayData(Array(
       b(0).toDouble,
-      dLong(b(1), xScale),
-      dLong(b(2), yScale),
-      d128(b(3), b(4), 2 * xScale),
-      d128(b(5), b(6), 2 * yScale),
-      d128(b(7), b(8), xScale + yScale)))
+      d128(b(1), b(2), xScale),
+      d128(b(3), b(4), yScale),
+      d128(b(5), b(6), 2 * xScale),
+      d128(b(7), b(8), 2 * yScale),
+      d128(b(9), b(10), xScale + yScale)))
 
   override def serialize(b: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(BufLen * 8)

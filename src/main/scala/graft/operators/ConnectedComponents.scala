@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 /** Distributed connected components over an edge list — the transitive-
   * closure step every dedup pipeline needs between "pair evidence" and
@@ -22,25 +23,50 @@ import org.apache.spark.sql.functions._
   *     no vertex-state table, no broadcast;
   *   - `localCheckpoint` after every round truncates lineage (an iterative
   *     plan otherwise re-executes all prior rounds on every action);
-  *   - convergence = the edge set is a STAR FOREST (no node is both a
-  *     child and a center: src ∩ dst = ∅, one semi-join per round). This
-  *     is sound because every round preserves connected components
-  *     (Kiveris Lemma 1+2): a star forest that split a component would
-  *     disconnect it, and a star whose center is not the component min
-  *     would leave the min reachable only through its center — making the
-  *     center a child too. Detecting the fixpoint STRUCTURALLY also saves
-  *     the extra confirming round an edges-unchanged check needs;
+  *   - convergence is the paper's CHANGE COUNT, carried by a
+  *     LongAccumulator updated inside the round's own materialization:
+  *     each star aggregation tags every emitted edge that differs from its
+  *     input form (large-star: the group rewired to a center other than
+  *     itself; small-star: a non-self node re-attached), so ONE action per
+  *     round both materializes the next edge set and reports whether
+  *     anything moved. Zero changes ⇔ the round was an identity ⇔ the edge
+  *     set is a star forest (a non-star-forest always rewires: a node with
+  *     two centers is re-pointed by small-star, a child-and-center by
+  *     large-star), and each star's center is then its component minimum.
+  *     Task retries can only over-count an accumulator, never under-count,
+  *     so a spurious nonzero costs one extra round and a premature
+  *     convergence is impossible. The earlier structural check detected the
+  *     fixpoint without the confirming round but spent an extra aggregation
+  *     job per round — the accumulator trades one cheap tail round for two
+  *     fewer stages in every round;
   *   - per-node neighbor lists are bounded by the star-contraction itself:
   *     large-star attaches big neighbors to the local min, so no node
   *     accumulates an unbounded adjacency (the paper's Thm 2).
   */
 object ConnectedComponents {
 
+  /** Pipe (src, dst, chg) rows through `acc`, dropping the flag — the
+    * counting runs inside whatever job materializes the returned frame, so
+    * convergence detection costs no extra action.
+    */
+  private def countChanges(flagged: DataFrame, acc: LongAccumulator): DataFrame = {
+    val spark = flagged.sparkSession
+    import spark.implicits._
+    flagged.as[(Long, Long, Boolean)]
+      .mapPartitions { it =>
+        it.map { case (s, d, chg) => if (chg) acc.add(1L); (s, d) }
+      }
+      .toDF("src", "dst")
+  }
+
   /** Large-Star: for each node u (over symmetrized edges), connect every
     * strictly-larger neighbor to m = min(Γ(u) ∪ {u}). Output is NOT
     * deduplicated — the only consumer is [[smallStar]], whose
     * `collect_set` dedups on arrival, so a distinct here would buy one
-    * extra full shuffle per round for nothing.
+    * extra full shuffle per round for nothing. Every emitted row carries
+    * `chg` = (m ≠ u): when false for all emissions, the output set equals
+    * the input (each input edge is re-emitted through its smaller
+    * endpoint's group unchanged).
     */
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
@@ -49,13 +75,17 @@ object ConnectedComponents {
       .agg(collect_set(col("dst")).as("nbrs"))
       .select(
         least(array_min(col("nbrs")), col("src")).as("m"),
+        (least(array_min(col("nbrs")), col("src")) =!= col("src")).as("chg"),
         explode(filter(col("nbrs"), v => v > col("src"))).as("v"))
       .where(col("v") =!= col("m"))
-      .select(col("v").as("src"), col("m").as("dst"))
+      .select(col("v").as("src"), col("m").as("dst"), col("chg"))
   }
 
   /** Small-Star: direct each edge large→small, then for each node u connect
-    * every small neighbor (and u itself) to m = min(N(u) ∪ {u}).
+    * every small neighbor (and u itself) to m = min(N(u) ∪ {u}). Emitted
+    * rows carry `chg` = (v ≠ u): a singleton neighborhood re-emits only its
+    * own (u, m) input edge (no change); any other emission re-attaches a
+    * neighbor, i.e. the round moved an edge.
     */
   private[operators] def smallStar(edges: DataFrame): DataFrame = {
     val directed = edges.select(
@@ -64,28 +94,37 @@ object ConnectedComponents {
     directed.groupBy(col("src"))
       .agg(collect_set(col("dst")).as("nbrs"))
       .select(
+        col("src").as("u"),
         least(array_min(col("nbrs")), col("src")).as("m"),
         explode(array_union(col("nbrs"), array(col("src")))).as("v"))
       .where(col("v") =!= col("m"))
-      .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
+      .select(col("v").as("src"), col("m").as("dst"), (col("v") =!= col("u")).as("chg"))
   }
 
   /** (components, rounds): component mapping plus how many large+small
-    * rounds convergence took (exposed so specs can assert the O(log² n)
-    * bound — a 512-node path must converge in ~log rounds, not 512).
+    * rounds ran (exposed so specs can assert the O(log² n) bound — a
+    * 512-node path must converge in ~log rounds, not 512; the count
+    * includes the one confirming round that observes zero changes).
     */
   def componentsWithStats(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = edges.sparkSession
     var e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
     var rounds = 0
-    var converged = isStarForest(e)
+    var converged = false
     while (!converged && rounds < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      val changes = spark.sparkContext.longAccumulator(s"cc-changes-round-$rounds")
+      // duplicate (src,dst) emissions from different small-star groups may
+      // disagree on chg, so count BEFORE distinct — the accumulator only
+      // feeds a zero/nonzero decision
+      val next = countChanges(smallStar(countChanges(largeStar(e), changes)), changes)
+        .distinct()
+        .localCheckpoint() // the ONE action of the round; counting rides along
       rounds += 1
-      converged = isStarForest(e)
+      converged = changes.value == 0L // next == e, a fixpoint = star forest
+      e = next
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
     // e is now a star forest whose edges cover every input node (each
@@ -96,27 +135,6 @@ object ConnectedComponents {
       .union(e.select(col("dst").as("id"), col("dst").as("component")).distinct())
     (mapping, rounds)
   }
-
-  /** Structural fixpoint signature, one aggregation job: every edge points
-    * child → smaller center, each child has exactly ONE center, and no
-    * node is both child and center. Such a star forest is verifiably a
-    * fixpoint of large∘small star, and each center is its star's minimum =
-    * its component's minimum (centers are smaller than all their children
-    * and components equal stars). Any weaker check admits non-fixpoints:
-    * e.g. {(5,1),(5,2)} has disjoint src/dst sets but small-star still
-    * rewires it (the spec's center-as-src star caught exactly this class).
-    */
-  private def isStarForest(e: DataFrame): Boolean =
-    e.select(col("src").as("n"), lit(1L).as("child"), lit(0L).as("center"),
-        when(col("dst") >= col("src"), 1L).otherwise(0L).as("bad"))
-      .union(e.select(col("dst").as("n"), lit(0L).as("child"),
-        lit(1L).as("center"), lit(0L).as("bad")))
-      .groupBy(col("n"))
-      .agg(sum(col("child")).as("c"), sum(col("center")).as("r"),
-        sum(col("bad")).as("b"))
-      .where(col("c") > 1 || col("b") > 0 || (col("c") > 0 && col("r") > 0))
-      .limit(1)
-      .isEmpty
 
   /** (id, component) for every node appearing in `edges`, where `component`
     * is the minimum node id of the node's connected component.

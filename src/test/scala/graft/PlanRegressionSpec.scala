@@ -90,4 +90,35 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
       .queryExecution.executedPlan.toString
     plan should include("partial_min_k")
   }
+
+  test("q_text_selfrepeat is a pure map stage: no aggregate, only the sort") {
+    // the repeated-span fraction is row-local (one n-gram array + its
+    // distinct count per document); nothing about it may shuffle the corpus
+    val plan = TextAnalysis.qTextSelfrepeat(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "Aggregate"
+    plan.sliding("Exchange".length).count(_ == "Exchange") should be <= 1
+  }
+
+  test("q_lm_score: the vocabulary-size side joins via broadcast, " +
+    "never a corpus re-shuffle against a 1-row side") {
+    val plan = TextAnalysis.qLmScore(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the 1-row vocab aggregate must broadcast (nested-loop on 1 row is
+    // free; a shuffle against it would re-key the whole exploded corpus)
+    plan should include("Broadcast")
+    // token explosion feeds partial aggregation before any Exchange
+    plan should include("partial_count")
+  }
+
+  test("q_ngram_novelty shuffles 8-byte hashed shingles, not strings") {
+    // first-occurrence needs one groupBy(shingle); the shingle must be the
+    // 60-bit md5 long (md5_prefix60) before the Exchange so the shuffle
+    // payload is fixed-width
+    val df = TextAnalysis.qNgramNovelty(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("md5_prefix60")
+    import org.apache.spark.sql.types.LongType
+    df.schema("n_shingles").dataType shouldBe LongType
+  }
 }

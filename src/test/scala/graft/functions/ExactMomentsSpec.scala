@@ -66,6 +66,25 @@ class ExactMomentsSpec extends SparkSpec with Matchers {
     m(5) shouldBe want
   }
 
+  test("linear sums crossing 2^63 stay exact (128-bit linear accumulators)") {
+    // 2 rows of x = 8e18: Σx = 1.6e19 > Long.MaxValue — a plain 64-bit
+    // running sum wraps negative here; Σx² = 1.28e38 still < 2¹²⁷.
+    // Repartitioned so the merge path exercises the 128-bit add too.
+    val big = 8000000000000000000L
+    val df = spark.createDataset(Seq((big, -big), (big, -big)))
+      .toDF("x", "y").repartition(2)
+    val m = df.agg(exactMoments(col("x"), col("y")).as("m"))
+      .head().getSeq[Double](0)
+    val want = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(big).multiply(java.math.BigInteger.valueOf(2)))
+      .doubleValue()
+    m(1) shouldBe want
+    m(2) shouldBe -want
+    m(5) shouldBe new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(big).pow(2)
+        .multiply(java.math.BigInteger.valueOf(-2))).doubleValue()
+  }
+
   test("scale de-scaling is single-rounded (matches decimal cast)") {
     // x = 123.45 stored as 12345 cents, scale 2: Σx² must equal the double
     // of the exact decimal 12345²·n/10⁴, not (double of cents²)/1e4

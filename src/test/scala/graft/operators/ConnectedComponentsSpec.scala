@@ -77,4 +77,31 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("center-as-src orientation is normalized, not accepted as converged") {
     check((1L to 10L).map(i => (0L, i)))
   }
+
+  test("one Spark job per round: convergence detection rides the round's " +
+    "own materialization, no separate check action") {
+    val group = s"cc-jobcount-${System.nanoTime()}"
+    // AQE splits every shuffle materialization into its own job, which
+    // hides the action count; the claim under test is actions-per-round,
+    // so probe with AQE off (the algorithm is identical either way)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup(group, "cc job-count probe")
+    val rounds =
+      try ConnectedComponents
+        .componentsWithStats(edgesDf((0L until 63L).map(i => (i, i + 1))))._2
+      finally {
+        spark.sparkContext.clearJobGroup()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      }
+    // statusTracker is fed asynchronously from the listener bus
+    def jobs(): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    val deadline = System.currentTimeMillis() + 5000
+    while (jobs() < rounds + 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    // 1 job for the initial dedup/checkpoint + exactly 1 per round
+    assert(jobs() === rounds + 1,
+      s"expected ${rounds + 1} jobs (init + $rounds rounds), got ${jobs()}")
+  }
 }
