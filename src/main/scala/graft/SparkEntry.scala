@@ -44,7 +44,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Events.queries ++
       operators.Multimodal.queries ++
-      operators.Sampling.queries
+      operators.Sampling.queries ++
+      operators.Embeddings.queries
 
   /** DuckDB-equivalent SQL per query key (same column names, same order). */
   def oracleSql: Map[String, String] =
@@ -55,7 +56,8 @@ object SparkEntry {
       operators.Similarity.oracleSql ++
       operators.Events.oracleSql ++
       operators.Multimodal.oracleSql ++
-      operators.Sampling.oracleSql
+      operators.Sampling.oracleSql ++
+      operators.Embeddings.oracleSql
 
   // -------------------------------------------------------------------
   // Reference-parity query: word count (wc.go:14-38) over documents.text.

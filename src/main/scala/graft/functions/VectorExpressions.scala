@@ -258,7 +258,107 @@ case class NearestCentroid(
     copy(child = newChild)
 }
 
+/** One-pass int8 symmetric-quantization error statistics for a vector —
+  * the index-build preprocessing report (how much precision does 8-bit
+  * storage cost this embedding?). Output ARRAY<DOUBLE>
+  * [max_abs, max_abs_err, sum_abs_err, n]:
+  * scale = max_abs/levels, qᵢ = floor(xᵢ/scale + 0.5) (HALF-UP via floor —
+  * identical in Java and SQL, unlike engine round() on .5 ties),
+  * errᵢ = |xᵢ − qᵢ·scale|. A zero vector quantizes exactly (all errors 0).
+  * Every step is deterministic IEEE double arithmetic, so the DuckDB
+  * oracle twin matches bit-for-bit (the sum is sequential left-to-right).
+  */
+case class FloatVecQuantStats(child: Expression, levels: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(levels > 0, "levels must be positive")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_quant_stats"
+
+  private def elemIsDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val isD = elemIsDouble
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isD) a.getDouble(i) else a.getFloat(i).toDouble
+      val ax = math.abs(x)
+      if (ax > maxAbs) maxAbs = ax
+      i += 1
+    }
+    var maxErr = 0.0
+    var sumErr = 0.0
+    if (maxAbs > 0.0) {
+      val scale = maxAbs / levels
+      i = 0
+      while (i < n) {
+        val x = if (isD) a.getDouble(i) else a.getFloat(i).toDouble
+        val err = math.abs(x - math.floor(x / scale + 0.5) * scale)
+        if (err > maxErr) maxErr = err
+        sumErr += err
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(maxAbs, maxErr, sumErr, n.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter =
+      if (elemIsDouble) (a: String, i: String) => s"$a.getDouble($i)"
+      else (a: String, i: String) => s"((double) $a.getFloat($i))"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs"); val ax = ctx.freshName("ax")
+      val scale = ctx.freshName("scale"); val x = ctx.freshName("x")
+      val err = ctx.freshName("err"); val maxErr = ctx.freshName("maxErr")
+      val sumErr = ctx.freshName("sumErr")
+      s"""
+         |int $n = $a.numElements();
+         |double $maxAbs = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $ax = java.lang.Math.abs(${getter(a, i)});
+         |  if ($ax > $maxAbs) $maxAbs = $ax;
+         |}
+         |double $maxErr = 0.0; double $sumErr = 0.0;
+         |if ($maxAbs > 0.0) {
+         |  double $scale = $maxAbs / $levels;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = ${getter(a, i)};
+         |    double $err = java.lang.Math.abs(
+         |      $x - java.lang.Math.floor($x / $scale + 0.5) * $scale);
+         |    if ($err > $maxErr) $maxErr = $err;
+         |    $sumErr += $err;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new double[] { $maxAbs, $maxErr, $sumErr, (double) $n });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+  def vecQuantStats(v: Column, levels: Int): Column =
+    GraftColumnBridge.column(FloatVecQuantStats(
+      GraftColumnBridge.expression(v), levels))
+
   /** Column builders wrapping the native expressions. */
   def vecDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatVecDotProduct(

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+import graft.tables.Tables
+
+/** Embedding PREPROCESSING over `embeddings` — the hygiene/report stage an
+  * index-build pipeline runs before any ANN structure is trained: norm
+  * distribution per label (catches unnormalized or degenerate vectors) and
+  * int8 scalar-quantization error (what 4× storage compression costs in
+  * precision). Both are pure map stages plus a label-sized (or per-vector)
+  * aggregate — nothing shuffles the vectors themselves at any corpus size,
+  * and the per-row math runs in the codegen'd vector expressions
+  * ([[graft.functions.FloatVecDotProduct]] /
+  * [[graft.functions.FloatVecQuantStats]]), not interpreted lambdas.
+  */
+object Embeddings {
+
+  /** Quantization levels: symmetric int8 (−127..127). */
+  val QuantLevels = 127
+
+  /** Per-label L2-norm distribution: count, min/max/mean norm. Norms are
+    * rounded to 6 decimals BEFORE aggregating (sqrt-of-sequential-sum is
+    * deterministic per row, but rounding pins the cross-engine contract at
+    * the same grain the cosine queries use); the mean is rounded to 9 —
+    * partition summation order differs between engines.
+    */
+  def qEmbeddingNorms(s: SparkSession, dir: String): DataFrame = {
+    val nrm = round(
+      sqrt(VectorExpressions.vecDot(col("embedding"), col("embedding"))), 6)
+    Tables.embeddings(s, dir)
+      // label is INT32 in parquet; the oracle contract is BIGINT/DOUBLE only
+      .select(col("label").cast("long").as("label"), nrm.as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        round(avg(col("nrm")), 9).as("avg_norm"))
+      .orderBy(col("label"))
+  }
+
+  /** Int8 symmetric-quantization error report per vector: the max input
+    * magnitude (sets the scale), the worst and mean absolute reconstruction
+    * error. One codegen'd pass per row; quantization uses
+    * floor(x/scale + 0.5) — half-up via floor, which Java and SQL agree on
+    * (engine round() differs on .5 ties).
+    */
+  def qEmbeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        VectorExpressions.vecQuantStats(col("embedding"), QuantLevels).as("qs"))
+      .select(
+        col("vec_id"),
+        element_at(col("qs"), 1).as("max_abs"),
+        element_at(col("qs"), 2).as("max_abs_err"),
+        round(element_at(col("qs"), 3) / element_at(col("qs"), 4), 9)
+          .as("mean_abs_err"))
+      .orderBy(col("vec_id"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_norms" -> qEmbeddingNorms,
+    "q_embedding_quantize" -> qEmbeddingQuantize
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_embedding_norms" ->
+      """WITH n AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    round(sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  min(nrm) AS min_norm, max(nrm) AS max_norm,
+        |  round(avg(nrm), 9) AS avg_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "q_embedding_quantize" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT vec_id, e,
+         |    list_max(list_transform(e, x -> abs(x))) AS max_abs,
+         |    len(e) AS n
+         |  FROM v),
+         |err AS (
+         |  SELECT vec_id, max_abs, n,
+         |    CASE WHEN max_abs = 0 THEN list_transform(e, x -> 0.0)
+         |         ELSE list_transform(e, x ->
+         |           abs(x - floor(x / (max_abs / $QuantLevels) + 0.5)
+         |                 * (max_abs / $QuantLevels)))
+         |    END AS errs
+         |  FROM m)
+         |SELECT vec_id, max_abs,
+         |  list_max(errs) AS max_abs_err,
+         |  round(list_sum(errs) / n, 9) AS mean_abs_err
+         |FROM err ORDER BY vec_id""".stripMargin
+  )
+}

@@ -17,6 +17,7 @@ class SparkEntrySpec extends SparkSpec with Matchers {
       operators.Events.queries.size,
       operators.Multimodal.queries.size,
       operators.Sampling.queries.size,
+      operators.Embeddings.queries.size,
       1) // wc_wordcount
     SparkEntry.queries.size shouldBe moduleSizes.sum
   }

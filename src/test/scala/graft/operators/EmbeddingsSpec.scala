@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.functions.VectorExpressions
+
+class EmbeddingsSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def stats(v: Seq[Float], levels: Int = 127): Seq[Double] =
+    Seq(Tuple1(v)).toDF("e")
+      .select(VectorExpressions.vecQuantStats(col("e"), levels).as("qs"))
+      .head().getSeq[Double](0)
+
+  test("quant stats match a driver-side reference incl. negatives") {
+    val v = Seq(0.5f, -1.25f, 0.125f, 2.0f, -0.0078125f)
+    val got = stats(v)
+    val xs = v.map(_.toDouble)
+    val maxAbs = xs.map(math.abs).max
+    val scale = maxAbs / 127
+    val errs = xs.map(x => math.abs(x - math.floor(x / scale + 0.5) * scale))
+    got(0) shouldBe maxAbs
+    got(1) shouldBe errs.max
+    got(2) shouldBe errs.sum
+    got(3) shouldBe xs.size.toDouble
+  }
+
+  test("zero vector quantizes exactly; max element itself has zero error") {
+    stats(Seq(0f, 0f, 0f)) shouldBe Seq(0.0, 0.0, 0.0, 3.0)
+    // the scale-setting element maps to exactly +/-levels, so its error is 0
+    val got = stats(Seq(1.0f, -1.0f))
+    got(0) shouldBe 1.0
+    got(1) shouldBe 0.0
+  }
+
+  test("norms query: per-label partition of the table, bounded stats") {
+    val rows = Embeddings.qEmbeddingNorms(spark, sf()).collect()
+    val total = graft.tables.Tables.embeddings(spark, sf()).count()
+    rows.map(_.getLong(1)).sum shouldBe total
+    rows.foreach { r =>
+      r.getDouble(2) should be <= r.getDouble(4) // min <= avg
+      r.getDouble(4) should be <= r.getDouble(3) // avg <= max
+    }
+  }
+
+  test("quantize query: errors bounded by half a quantization step") {
+    val rows = Embeddings.qEmbeddingQuantize(spark, sf()).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (maxAbs, maxErr, meanErr) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // |x - q*scale| <= scale/2 by construction of half-up rounding
+      maxErr should be <= maxAbs / Embeddings.QuantLevels / 2 * 1.0000001
+      meanErr should be <= maxErr
+      meanErr should be >= 0.0
+    }
+  }
+}
