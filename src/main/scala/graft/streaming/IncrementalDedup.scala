@@ -52,16 +52,19 @@ object IncrementalDedup {
   /** A verified duplicate pair, src < dst. */
   final case class DupEdge(src: Long, dst: Long)
 
-  /** Signature + banding for a (doc_id, text) DataFrame, hs retained for
-    * the verify stage — the SAME expressions as the batch
+  /** Signature + banding for a (doc_id, text, *carry) DataFrame, hs
+    * retained for the verify stage — the SAME expressions as the batch
     * [[graft.operators.Dedup.minhashBanded]] (affine MinHash over 60-bit
     * hashed 3-gram shingles, md5 band keys), so stream and batch band
     * assignments are bit-identical. Works on bounded and unbounded inputs
-    * alike: every step is a narrow projection.
+    * alike: every step is a narrow projection (carried columns ride along —
+    * no join, which on a stream would be a stateful stream-stream join).
     */
-  def bandedSignatures(docs: DataFrame): DataFrame = {
-    val withHs = Dedup.withHashedShingles(docs).select(col("doc_id"), col("hs"))
-    val sig = withHs
+  private def banded(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val sig = docs
+      .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
+        graft.functions.SketchExpressions.wordNGrams(tk, 3)))
       .filter(size(col("hs")) > 0)
       .withColumn("mh",
         graft.functions.SketchExpressions.affineMinhashes(col("hs"), Dedup.NumHashes))
@@ -70,11 +73,22 @@ object IncrementalDedup {
         .map(r => element_at(col("mh"), b * Dedup.RowsPerBand + r + 1))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", ms: _*)).as("band_key"))
     }
+    val keep = Seq(col("doc_id"), col("hs")) ++ carry.map(col)
     sig
-      .select(col("doc_id"), col("hs"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("hs"),
-        col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
+      .select(keep :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(keep :+ col("bk.band_idx").as("band_idx")
+        :+ col("bk.band_key").as("band_key"): _*)
   }
+
+  /** Banding for a (doc_id, text) stream — rows bind to [[BandRow]]. */
+  def bandedSignatures(docs: DataFrame): DataFrame = banded(docs, Nil)
+
+  /** Banding for a (doc_id, text, ts) stream — rows bind to
+    * [[TimedBandRow]]; `ts` rides the projection so the caller's watermark
+    * survives into the stateful stage.
+    */
+  def bandedSignaturesWithTs(docs: DataFrame): DataFrame =
+    banded(docs, Seq("ts"))
 
   /** Exact Jaccard over hashed-shingle sets — the verify metric of the
     * batch pipeline (identical md5 hashing both sides, so collisions — and
@@ -174,6 +188,93 @@ object IncrementalDedup {
       maxBucket: Int = Dedup.MaxLshBucket)
       : org.apache.spark.sql.streaming.StreamingQuery =
     incrementalEdges(bandedSignatures(docs), threshold, maxBucket)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => store.merge(batch) }
+      .start()
+
+  /** [[BandRow]] plus the document's event time, for the retention
+    * variant.
+    */
+  final case class TimedBandRow(doc_id: Long, hs: Seq[Long], band_idx: Int,
+      band_key: String, ts: java.sql.Timestamp)
+
+  /** Retained bucket state for [[incrementalEdgesWithRetention]]. */
+  final case class TimedBucket(members: List[BandMember], lastMs: Long)
+
+  /** RETENTION-BOUNDED incremental dedup — the production trade for an
+    * infinite stream: [[incrementalEdges]] keeps every bucket forever
+    * (state grows with distinct content), while this variant expires a
+    * bucket once the watermark passes `retention` beyond its last arrival,
+    * via event-time timeout. Duplicates arriving within `retention` of the
+    * bucket's previous activity are still found; a pair farther apart than
+    * the retention window is MISSED by construction — the same bounded-
+    * state trade [[Streaming.dedupByFingerprint]] makes for exact dedup
+    * (and the reason the unbounded variant exists for backfills, where
+    * "state" is just the corpus). State: ≤ maxBucket members per LIVE
+    * bucket, so total state is bounded by arrival rate × retention, not by
+    * corpus history.
+    *
+    * Callers must put a watermark on `ts` BEFORE the banding stage they
+    * pass in (see [[runWithRetention]]); the timeout timestamp is
+    * last-arrival + retention.
+    */
+  def incrementalEdgesWithRetention(
+      banded: DataFrame,
+      retention: java.time.Duration,
+      threshold: Double = Dedup.JaccardThreshold,
+      maxBucket: Int = Dedup.MaxLshBucket): Dataset[DupEdge] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val retMs = retention.toMillis
+    banded.as[TimedBandRow]
+      .groupByKey(r => (r.band_idx, r.band_key))
+      .flatMapGroupsWithState[TimedBucket, DupEdge](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, String), rows: Iterator[TimedBandRow], state: GroupState[TimedBucket]) =>
+          if (state.hasTimedOut) {
+            // bucket idle past retention: drop it; a future duplicate of
+            // its content re-opens an empty bucket (and misses the pair)
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(TimedBucket(Nil, 0L))
+            var members = prev.members
+            var lastMs = prev.lastMs
+            val out = List.newBuilder[DupEdge]
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              if (members.size < maxBucket && !members.exists(_.doc_id == r.doc_id)) {
+                members.foreach { m =>
+                  if (jaccard(m.hs, r.hs) >= threshold)
+                    out += DupEdge(math.min(m.doc_id, r.doc_id),
+                      math.max(m.doc_id, r.doc_id))
+                }
+                members = BandMember(r.doc_id, r.hs) :: members
+              }
+              lastMs = math.max(lastMs, r.ts.getTime)
+            }
+            state.update(TimedBucket(members, lastMs))
+            // strictly beyond the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(lastMs + retMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Wire a (doc_id, text, ts) stream through watermark → banding →
+    * retention-bounded verify → union-find store.
+    */
+  def runWithRetention(docs: DataFrame, store: ClusterStore,
+      retention: java.time.Duration,
+      watermarkDelay: String = "0 seconds",
+      threshold: Double = Dedup.JaccardThreshold,
+      maxBucket: Int = Dedup.MaxLshBucket)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalEdgesWithRetention(
+      bandedSignaturesWithTs(docs.withWatermark("ts", watermarkDelay)),
+      retention, threshold, maxBucket)
       .toDF()
       .writeStream
       .outputMode("append")

@@ -67,6 +67,47 @@ class IncrementalDedupSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("retention-bounded variant: in-window duplicates found, buckets " +
+    "expire after the watermark passes retention, and re-open cleanly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val textA = "alpha beta gamma delta epsilon"
+    val textB = "omega sigma tau upsilon phi"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val store = new IncrementalDedup.ClusterStore
+    val q = IncrementalDedup.runWithRetention(
+      input.toDF().toDF("doc_id", "text", "ts"), store,
+      retention = java.time.Duration.ofHours(1))
+    try {
+      // batch 1: A and B open buckets at 10:00; A's duplicate lands at
+      // 10:30, inside retention → edge (1,2)
+      input.addData((1L, textA, t("2024-01-01 10:00:00")),
+        (3L, textB, t("2024-01-01 10:00:00")),
+        (2L, textA, t("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      store.snapshot shouldBe Map(1L -> 1L, 2L -> 1L)
+
+      // batch 2: unrelated filler pushes the watermark to 13:00 — both
+      // buckets' last activity + 1h is long past, so they expire
+      input.addData((100L, "one two three four five", t("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+
+      // batch 3: B's duplicate arrives at 14:00 — 4h after B, bucket gone,
+      // pair (3,4) is MISSED by construction
+      input.addData((4L, textB, t("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      store.snapshot shouldBe Map(1L -> 1L, 2L -> 1L)
+
+      // batch 4: another copy at 14:20 — within retention of the RE-OPENED
+      // bucket → edge (4,5); the old member 3 stays absent
+      input.addData((5L, textB, t("2024-01-01 14:20:00")))
+      q.processAllAvailable()
+      store.snapshot shouldBe Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L)
+    } finally q.stop()
+  }
+
   test("per-bucket admission cap bounds state and pair work on a " +
     "degenerate all-identical stream") {
     import spark.implicits._
