@@ -31,6 +31,24 @@ object Events {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** SLIDING (hopping) window rollup — 2-hour windows every hour, so each
+    * event lands in exactly size/slide = 2 windows. Spark's `window()`
+    * aligns hops to the epoch; the oracle reproduces the same assignment
+    * arithmetically (trunc-hour and trunc-hour − 1 h). Scale shape: the
+    * explode-by-2 happens inside the aggregation input (no join, no
+    * per-window pass), so cost is 2× the tumbling rollup regardless of
+    * corpus size.
+    */
+  def qEventsSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Gap-based sessionization: a session breaks after 30 idle minutes.
     * Two stacked windows over one (user_id, ts) sort: lag → new-session
     * flag → running sum = session index; then per-session aggregates.
@@ -198,6 +216,7 @@ object Events {
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_retention" -> qEventsRetention,
     "q_events_hourly" -> qEventsHourly,
+    "q_events_sliding" -> qEventsSliding,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_topk_users" -> qEventsTopkUsers,
@@ -244,6 +263,14 @@ object Events {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_events_sliding" ->
+      """WITH hops AS (
+        |  SELECT date_trunc('hour', ts) - to_hours(k) AS window_start,
+        |    event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT window_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM hops GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_events_sessionize" ->
       s"""WITH flagged AS (
          |  SELECT user_id, event_id, ts, value,

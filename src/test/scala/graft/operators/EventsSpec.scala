@@ -44,4 +44,11 @@ class EventsSpec extends SparkSpec with Matchers {
     val total = graft.tables.Tables.events(spark, sf()).count()
     Events.qEventsHourly(spark, sf()).agg(sum("n")).head().getLong(0) shouldBe total
   }
+
+  test("sliding windows double-cover time: counts sum to 2x total") {
+    // 2-hour windows hopping hourly → every event in exactly size/slide = 2
+    val total = graft.tables.Tables.events(spark, sf()).count()
+    Events.qEventsSliding(spark, sf())
+      .agg(sum("n")).head().getLong(0) shouldBe 2 * total
+  }
 }
