@@ -166,9 +166,60 @@ object Multimodal {
       .orderBy(col("media_type"))
   }
 
+  /** Frame geometry for [[qMultimodalFrames]] (the fake codec's "video"
+    * is the payload chopped into fixed-size chunks).
+    */
+  val FrameBytes = 32
+  val FrameStride = 4
+
+  /** One sampled frame of one media item. */
+  final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** The frame-sampling operator: every `stride`-th frame of each video
+    * payload, decoded executor-side through the codec (same mapPartitions
+    * batch shape as [[extractFeatures]]). Downstream consumers (frame-level
+    * feature extraction, frame dedup) read the typed Dataset directly.
+    */
+  def sampleFrames(
+      media: DataFrame,
+      frameBytes: Int = FrameBytes,
+      stride: Int = FrameStride,
+      codec: MediaCodec = ByteStatsCodec): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("media_type") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        codec.open()
+        it.flatMap { case (id, payload) =>
+          codec.sampleFrames(payload, frameBytes, stride).zipWithIndex
+            .map { case (f, i) => MediaFrame(id, i, f) }
+        }
+      }
+  }
+
+  /** Frame-sample report per video: how many frames survive the stride and
+    * the fingerprint of the first sampled frame. Oracle-checked because the
+    * fake codec's frames are byte ranges of the payload, which DuckDB can
+    * reproduce with substr arithmetic — so the mapPartitions plumbing
+    * (executor-side codec, explode shape, typed rows) is verified
+    * end-to-end against SQL, not just spec-tested.
+    */
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(s, dir)).toDF()
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        first(when(col("frame_idx") === 0, md5(col("frame"))), ignoreNulls = true)
+          .as("first_frame_md5"))
+      .orderBy(col("media_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
-    "q_multimodal_features" -> qMultimodalFeatures
+    "q_multimodal_features" -> qMultimodalFeatures,
+    "q_multimodal_frames" -> qMultimodalFrames
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -186,6 +237,16 @@ object Multimodal {
       """SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
         |  count(*) AS n_items,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
+    "q_multimodal_frames" ->
+      s"""WITH v AS (
+         |  SELECT doc_id AS media_id, text,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents WHERE doc_id % 3 = 2)
+         |SELECT media_id,
+         |  CAST(((n + ${FrameBytes - 1}) // $FrameBytes - 1) // $FrameStride + 1
+         |    AS BIGINT) AS n_sampled,
+         |  md5(substr(text, 1, $FrameBytes)) AS first_frame_md5
+         |FROM v ORDER BY media_id""".stripMargin
   )
 }

@@ -51,6 +51,28 @@ class MultimodalSpec extends SparkSpec with Matchers {
       p.slice(60, 70).toSeq, p.slice(90, 100).toSeq)
   }
 
+  test("distributed frame sampling: only videos, dense sampled indices, " +
+    "stride arithmetic matches the codec") {
+    val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf()))
+      .collect()
+    frames should not be empty
+    frames.foreach { f =>
+      f.media_id % 3 shouldBe 2 // mediaTable routes doc_id%3==2 to video
+      f.frame.length should be <= Multimodal.FrameBytes
+    }
+    // per-item sampled count equals the codec run driver-side on the payload
+    val byId = frames.groupBy(_.media_id)
+    val payloads = Multimodal.mediaTable(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("media_type") === "video")
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    byId.foreach { case (id, fs) =>
+      fs.map(_.frame_idx).sorted shouldBe (0 until fs.length)
+      fs.length shouldBe Multimodal.ByteStatsCodec
+        .sampleFrames(payloads(id), Multimodal.FrameBytes, Multimodal.FrameStride).length
+    }
+  }
+
   test("metadata aggregations prune the payload column from the scan") {
     val plan = Multimodal.qMultimodalFeatures(spark, sf())
       .queryExecution.executedPlan.toString
