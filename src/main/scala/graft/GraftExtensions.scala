@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecCosine, FloatVecDotProduct, MaxFreqCount, MinKLongs}
+import graft.functions.{FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, MaxFreqCount, MinKLongs}
 
 /** Spark extensions entry point: install the engine's native functions at
   * session build time, with zero user code —
@@ -42,6 +42,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two ARRAY<FLOAT>"),
       binary("vec_cosine")(FloatVecCosine)))
+    e.injectFunction((
+      FunctionIdentifier("vec_quant_stats"),
+      info("vec_quant_stats",
+        "vec_quant_stats(v, levels) - [max_abs, max_abs_err, sum_abs_err, n] of symmetric integer quantization"),
+      args => {
+        val levels = args match {
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case _ => throw new IllegalArgumentException(
+            "vec_quant_stats requires (ARRAY<FLOAT|DOUBLE> column, INT literal levels)")
+        }
+        FloatVecQuantStats(args(0), levels)
+      }))
     e.injectFunction((
       FunctionIdentifier("max_freq_count"),
       info("max_freq_count",

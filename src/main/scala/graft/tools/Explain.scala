@@ -14,7 +14,10 @@ object Explain {
       if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q_filter_project", "q_join_broadcast",
         "q_join_shuffle", "q_sort_limit", "wc_wordcount", "q_dedup_minhash",
-        "q_ann_ivf_kmeans", "q_window_dist", "q_sample_hash")
+        "q_ann_ivf_kmeans", "q_window_dist", "q_sample_hash",
+        "q_decontaminate", "q_lm_score", "q_ngram_novelty",
+        "q_text_selfrepeat", "q_embedding_quantize", "q_events_sliding",
+        "q_multimodal_frames")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

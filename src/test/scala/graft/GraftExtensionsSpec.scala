@@ -37,5 +37,12 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       .sql("SELECT min_k(v, 3) ks FROM VALUES (5L), (1L), (9L), (2L), (7L) AS t(v)")
       .head()
     agg.getSeq[Long](0) shouldBe Seq(1L, 2L, 5L)
+
+    val qs = spark
+      .sql("SELECT vec_quant_stats(array(1.0f, -1.0f, 0.5f), 127) q")
+      .head().getSeq[Double](0)
+    qs(0) shouldBe 1.0 // max_abs
+    qs(1) should be <= 1.0 / 127 / 2 // worst error within half a step
+    qs(3) shouldBe 3.0
   }
 }
