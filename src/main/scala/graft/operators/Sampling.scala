@@ -129,11 +129,48 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Quality bands → 1-in-N keep rates for [[qQualitySample]]: high-quality
+    * documents kept whole, low-quality heavily downsampled — the
+    * quality-weighted retention step between scoring and training-set
+    * assembly.
+    */
+  val QualityHigh = 0.7
+  val QualityMid = 0.5
+  val QualityMods: (Int, Int, Int) = (1, 2, 10) // high, mid, low
+
+  /** Quality-weighted deterministic sampling: band each document by its
+    * quality score ([[graft.functions.TextFunctions.qualityScore]] — the
+    * same expression q_text_quality hash-matches against DuckDB, so band
+    * assignment is cross-engine exact), then keep 1-in-N by hash-mod with
+    * a per-band N. ONE scan: score, band, membership, and the kept-token
+    * sum are all row-local; the aggregate is 3 groups.
+    */
+  def qQualitySample(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.functions.TextFunctions.qualityScore(col("text"))
+    val (hi, mid, lo) = QualityMods
+    val band = when(q >= QualityHigh, "high")
+      .when(q >= QualityMid, "mid").otherwise("low")
+    val mod = when(q >= QualityHigh, hi).when(q >= QualityMid, mid).otherwise(lo)
+    val kept = hashBucket(col("doc_id"), 10000) % mod === 0
+    Tables.documents(s, dir)
+      .select(
+        band.as("band"),
+        kept.as("kept"),
+        graft.functions.TextFunctions.wsTokenCount(col("text")).as("tk"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("band"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> qSampleHash,
     "q_split_assign" -> qSplitAssign,
     "q_sample_stratified" -> qSampleStratified,
-    "q_source_mix" -> qSourceMix
+    "q_source_mix" -> qSourceMix,
+    "q_quality_sample" -> qQualitySample
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -170,6 +207,26 @@ object Sampling {
          |  max(pct) AS target_pct,
          |  (CAST(sum(tk) AS BIGINT) * max(pct)) // 100 AS kept_tokens
          |FROM t GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q_quality_sample" -> {
+      val (hi, mid, lo) = QualityMods
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tk,
+         |    ${TextAnalysis.qualitySqlExpr} AS q
+         |  FROM documents),
+         |banded AS (
+         |  SELECT tk,
+         |    CASE WHEN q >= $QualityHigh THEN 'high'
+         |         WHEN q >= $QualityMid THEN 'mid' ELSE 'low' END AS band,
+         |    (${bucketSql("doc_id", 10000)})
+         |      % (CASE WHEN q >= $QualityHigh THEN $hi
+         |              WHEN q >= $QualityMid THEN $mid ELSE $lo END) = 0 AS kept
+         |  FROM scored)
+         |SELECT band, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept THEN tk ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM banded GROUP BY band ORDER BY band""".stripMargin
     },
     "q_split_assign" ->
       s"""SELECT

@@ -354,6 +354,16 @@ object TextAnalysis {
   )
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.qualityScore]] over a
+    * `text` column — shared with the quality-weighted sampling oracle
+    * ([[Sampling]]), so the formula lives in exactly one SQL string.
+    */
+  private[operators] def qualitySqlExpr: String =
+    s"""0.4 * (CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x IN ($stopList))) AS DOUBLE)
+       |       / len(string_split_regex(trim(text), '\\s+')))
+       |+ 0.3 * (1.0 - CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text))
+       |+ 0.3 * least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)""".stripMargin
   private def markerList(lang: String): String =
     LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
   private def score(lang: String): String =

@@ -49,6 +49,20 @@ class SamplingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("quality-weighted sample: bands partition the corpus, keep rates " +
+    "track the per-band mods") {
+    val rows = Sampling.qQualitySample(spark, sf()).collect()
+    val total = graft.tables.Tables.documents(spark, sf()).count()
+    rows.map(_.getLong(1)).sum shouldBe total
+    val (hi, mid, lo) = Sampling.QualityMods
+    val modByBand = Map("high" -> hi, "mid" -> mid, "low" -> lo)
+    rows.foreach { r =>
+      val (band, nDocs, nKept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      nKept should be <= nDocs
+      if (modByBand(band) == 1) nKept shouldBe nDocs // keep-all band
+    }
+  }
+
   test("every document lands in exactly one split under re-evaluation") {
     // the split is a pure function of doc_id: recomputing the bucket in a
     // separate plan yields identical membership (no rand(), no
