@@ -437,6 +437,46 @@ object Similarity {
     }.sortBy(_._1)
   }
 
+  /** Trained centroids memoized per (session, corpus dir): the seeded
+    * k-means training (init scan + [[KmeansIters]] Lloyd scans) is a
+    * one-time index-build cost that [[qAnnIvfKmeans]], [[qAnnRecallIvf]]
+    * and [[qDedupSemantic]] all need for the SAME corpus — a production
+    * pipeline trains once and reuses the centroid table. The values are
+    * k·Dim doubles (bounded, driver-side); entries are evicted when their
+    * session's SparkContext ends so a long-lived multi-session process
+    * does not retain stopped sessions (same lifecycle pattern as
+    * Dedup.componentCache). Training is deterministic in the corpus, so
+    * memoization is invisible to results (SimilaritySpec pins run-to-run
+    * equality). Assumes the dir's parquet is immutable in-session.
+    */
+  private val centroidCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Seq[(Long, Array[Double])]]
+  private[operators] def trainedCentroids(
+      s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    centroidCache.synchronized {
+      centroidCache.getOrElseUpdate((s, dir), {
+        if (!centroidCache.keys.exists(_._1 eq s))
+          s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              centroidCache.synchronized {
+                centroidCache.filterInPlace { case ((sess, _), _) => sess ne s }
+              }
+          })
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val init: Seq[(Long, Array[Double])] = emb
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(IvfCentroids)
+          .collect()
+          .map { r =>
+            val v = r.getSeq[Float](1)
+            (r.getLong(0),
+              v.map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray)
+          }.sortBy(_._1).toSeq
+        (1 to KmeansIters).foldLeft(init)((c, _) => lloydStep(emb, c))
+      })
+    }
+
   /** IVF with TRAINED centroids: seeded k-means (init = a deterministic
     * pseudo-random sample — the k vectors smallest in md5(vec_id) order,
     * so seeding is independent of ingestion order, unlike first-k; then
@@ -448,17 +488,7 @@ object Similarity {
     */
   def qAnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-
-    val init: Seq[(Long, Array[Double])] = emb
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(IvfCentroids)
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Float](1)
-        (r.getLong(0),
-          v.map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray)
-      }.sortBy(_._1).toSeq
-    val cent = (1 to KmeansIters).foldLeft(init)((c, _) => lloydStep(emb, c))
+    val cent = trainedCentroids(s, dir)
 
     val assigned = emb.select(col("vec_id"), col("embedding"), assignExpr(cent).as("c_id"))
     val probes = assigned.filter(col("vec_id") < QueryCount)
@@ -477,6 +507,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** SemDeDup cosine threshold: only near-identical vectors count as
+    * semantic duplicates (the planted exact copies score 1.0; random
+    * isotropic pairs at Dim=64 concentrate near 0, so organic
+    * false-positive pairs are ~impossible at 0.95).
+    */
+  val SemDedupCos = 0.95
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with the k-means index, then find near-duplicate
+    * pairs ONLY within a cluster — the cluster assignment bounds the
+    * pairwise cost to Σ|cluster|² instead of |N|², which is the entire
+    * trick that makes embedding dedup feasible at 100 TB (k grows with N
+    * to hold |cluster| ≈ N/k constant; the join shuffles on c_id so each
+    * cluster's pairs are generated partition-locally). Corpus = base ∪
+    * planted identical copies (the [[Dedup]] convention); training uses
+    * the base table via [[trainedCentroids]] — shared with the ANN
+    * queries, as a production pipeline shares its index. Output: one row
+    * per cluster — size, duplicate-pair count, and how many vectors a
+    * keep-smallest-id policy drops.
+    */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val cent = trainedCentroids(s, dir)
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val corpus = base.union(base.select(
+      (col("vec_id") + Dedup.PlantOffset).as("vec_id"), col("embedding")))
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding"), assignExpr(cent).as("c_id"))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosRounded(col("a.embedding"), col("b.embedding")) >= SemDedupCos)
+      .select(col("a.c_id").as("c_id"), col("b.vec_id").as("b_id"))
+    val perCluster = pairs.groupBy(col("c_id")).agg(
+      count(lit(1)).as("n_dup_pairs"),
+      countDistinct(col("b_id")).as("n_dropped"))
+    assigned.groupBy(col("c_id")).agg(count(lit(1)).as("n_vectors"))
+      .join(perCluster, Seq("c_id"), "left_outer")
+      .select(col("c_id"), col("n_vectors"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(col("c_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh" -> qAnnLsh,
@@ -486,7 +559,8 @@ object Similarity {
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_index" -> qAnnIvfIndex,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
-    "q_ann_recall_ivf" -> qAnnRecallIvf
+    "q_ann_recall_ivf" -> qAnnRecallIvf,
+    "q_dedup_semantic" -> qDedupSemantic
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -633,14 +707,15 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   /** Assignment CTE body: nearest centroid (rounded cos DESC, c_id ASC)
-    * from centroid CTE `cte` — the SQL twin of [[assignExpr]].
+    * from centroid CTE `cte` over relation `src` — the SQL twin of
+    * [[assignExpr]].
     */
-  private def assignSql(cte: String): String =
+  private def assignSql(cte: String, src: String = "embeddings"): String =
     s"""SELECT vec_id, embedding, c_id FROM (
        |  SELECT e.vec_id, e.embedding, c.c_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSqlCols("e.embedding", "c.cv")} DESC, c.c_id) AS c_rk
-       |  FROM embeddings e CROSS JOIN $cte c) t
+       |  FROM $src e CROSS JOIN $cte c) t
        |WHERE c_rk = 1""".stripMargin
 
   /** Recompute CTE body: exact element-wise bigint sums of quantized
@@ -709,6 +784,34 @@ object Similarity {
          |  ON brute.query_id = km.query_id AND brute.vec_id = km.vec_id
          |GROUP BY brute.query_id
          |ORDER BY query_id""".stripMargin,
+    "q_dedup_semantic" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS c_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS cv
+         |  FROM (SELECT * FROM embeddings
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |        LIMIT $IvfCentroids) seeds),
+         |$lloydCtes
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + ${Dedup.PlantOffset}, embedding FROM embeddings),
+         |af AS (${assignSql(s"c$KmeansIters", "corpus")}),
+         |pairs AS (
+         |  SELECT a.c_id, b.vec_id AS b_id
+         |  FROM af a JOIN af b
+         |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  WHERE ${cosSqlCols("a.embedding", "b.embedding")} >= $SemDedupCos),
+         |per_cluster AS (
+         |  SELECT c_id, count(*) AS n_dup_pairs, count(DISTINCT b_id) AS n_dropped
+         |  FROM pairs GROUP BY c_id),
+         |sizes AS (SELECT c_id, count(*) AS n_vectors FROM af GROUP BY c_id)
+         |SELECT s.c_id AS c_id, s.n_vectors,
+         |  coalesce(p.n_dup_pairs, 0) AS n_dup_pairs,
+         |  coalesce(p.n_dropped, 0) AS n_dropped
+         |FROM sizes s LEFT JOIN per_cluster p ON s.c_id = p.c_id
+         |ORDER BY c_id""".stripMargin,
     "q_ann_brute" -> (bruteSql + "\nORDER BY query_id, rk"),
     "q_ann_lsh" -> (lshSql + "\nORDER BY query_id, rk"),
     "q_ann_multiprobe" -> (multiprobeSql + "\nORDER BY query_id, rk"),

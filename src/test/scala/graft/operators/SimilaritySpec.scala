@@ -203,6 +203,35 @@ class SimilaritySpec extends SparkSpec with Matchers {
     standIn should be >= trained
   }
 
+  test("semantic dedup drops exactly the planted copies on this corpus") {
+    val df = Similarity.qDedupSemantic(spark, sf()).cache()
+    val nBase = graft.tables.Tables.embeddings(spark, sf()).count()
+    val row = df.agg(
+      sum("n_vectors"), sum("n_dropped"), sum("n_dup_pairs")).head()
+    // corpus = base ∪ planted identical copies
+    row.getLong(0) shouldBe 2 * nBase
+    // every planted copy shares its base vector's cluster (identical
+    // embedding → identical assignment) and scores cos 1.0, so it drops;
+    // isotropic random pairs can't reach 0.95 at Dim=64
+    row.getLong(1) shouldBe nBase
+    row.getLong(2) should be >= nBase
+    df.unpersist()
+    ()
+  }
+
+  test("semantic dedup pairs within clusters only — no cartesian product") {
+    val plan = Similarity.qDedupSemantic(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("trained centroids are memoized per corpus dir") {
+    val once = Similarity.trainedCentroids(spark, sf())
+    val again = Similarity.trainedCentroids(spark, sf())
+    again should be theSameInstanceAs once
+  }
+
   test("directed probing lands between single-probe and full multi-probe") {
     val row = Similarity.qAnnRecall(spark, sf())
       .agg(avg("recall_at_k"), avg("recall_multiprobe"), avg("recall_directed"))
