@@ -165,7 +165,58 @@ object Sampling {
       .orderBy(col("band"))
   }
 
+  /** Context-window length (tokens) for [[qPack]] — small enough that the
+    * synthetic corpus produces multi-pack streams at every SF.
+    */
+  val PackCtxLen = 512L
+  /** Per-source stream shards for [[qPack]]: each (source, shard) stream
+    * packs independently, so parallelism scales with shard count, not
+    * source count.
+    */
+  val PackShards = 8
+
+  /** Sequence packing: concatenate each (source, shard) document stream in
+    * doc_id order and cut it into [[PackCtxLen]]-token training sequences
+    * (the concat-and-chunk packing LM pipelines use — no per-document
+    * padding, documents may span a boundary). The running token offset is
+    * ONE window over (source, shard) — the only shuffle — and every stream
+    * packs independently, so at 100 TB parallelism is #sources × #shards
+    * and no stream needs global coordination. Report per source: document
+    * and token inventory, pack count (= Σ per-stream ⌈tokens/ctx⌉), and
+    * how many documents straddle a pack boundary (expected fraction ≈
+    * mean_doc_tokens / ctx — the attention-mask fragmentation cost).
+    */
+  def qPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      hashBucket(col("doc_id"), PackShards).as("shard"),
+      graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long").as("tk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("seq_end", sum(col("tk")).over(w))
+      .withColumn("spans",
+        col("tk") > 0 &&
+          expr(s"((seq_end - tk) div $PackCtxLen) != ((seq_end - 1) div $PackCtxLen)"))
+      .groupBy(col("source"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tk")).as("tokens"),
+        sum(when(col("spans"), 1L).otherwise(0L)).as("n_spanning"))
+      .withColumn("n_packs", expr(s"(tokens + ${PackCtxLen - 1}) div $PackCtxLen"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        sum(col("n_packs")).as("n_packs"),
+        sum(col("n_spanning")).as("n_spanning"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack" -> qPack,
     "q_sample_hash" -> qSampleHash,
     "q_split_assign" -> qSplitAssign,
     "q_sample_stratified" -> qSampleStratified,
@@ -174,6 +225,30 @@ object Sampling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    ${bucketSql("doc_id", PackShards)} AS shard,
+         |    CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS tk
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, shard, tk,
+         |    sum(tk) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq_end
+         |  FROM t),
+         |g AS (
+         |  SELECT source, shard, count(*) AS n_docs,
+         |    CAST(sum(tk) AS BIGINT) AS tokens,
+         |    sum(CASE WHEN tk > 0
+         |             AND ((seq_end - tk) // $PackCtxLen) <> ((seq_end - 1) // $PackCtxLen)
+         |        THEN 1 ELSE 0 END) AS n_spanning
+         |  FROM c GROUP BY source, shard)
+         |SELECT source,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum((tokens + ${PackCtxLen - 1}) // $PackCtxLen) AS BIGINT) AS n_packs,
+         |  CAST(sum(n_spanning) AS BIGINT) AS n_spanning
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source, n_chars
          |FROM documents

@@ -116,6 +116,74 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Bucket width (BPE tokens) for [[qLenHist]]. */
+  val LenHistWidth = 32L
+
+  /** Document-length histogram over BPE-ish token counts — the first plot
+    * anyone makes of a training corpus (sequence-length planning, truncation
+    * budgets, packing efficiency forecasts). ONE scan, a row-local bucket
+    * expression, and an aggregate with #buckets groups; exact integers end
+    * to end.
+    */
+  def qLenHist(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(bpeTokenCount(col("text")).cast("long").as("tk"))
+      .groupBy(expr(s"(tk div $LenHistWidth) * $LenHistWidth").as("bucket_lo"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tk")).as("bucket_tokens"),
+        min(col("tk")).as("min_tk"),
+        max(col("tk")).as("max_tk"))
+      .orderBy(col("bucket_lo"))
+
+  /** Minimum bigram occurrence count for [[qTextPmi]] (kills the noise
+    * floor where PMI is maximal for hapax pairs).
+    */
+  val PmiMinCount = 5L
+  /** Top collocations reported by [[qTextPmi]]. */
+  val PmiTopK = 20
+
+  /** Bigram collocations by pointwise mutual information:
+    * pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) over bigram
+    * occurrences and p(·) over unigram occurrences. The statistics are
+    * three exact-integer aggregates (unigram counts, bigram counts, the
+    * two corpus totals); the join keying bigrams back to their parts
+    * shuffles on word — vocabulary-sized, never corpus-sized — and the
+    * totals are 1-row broadcasts. The ln is evaluated on one double
+    * division of exact integers and rounded far above libm's last-ulp
+    * noise (the q_tfidf convention), so ranks are cross-engine stable.
+    */
+  def qTextPmi(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bi = toks.select(explode(
+        graft.functions.SketchExpressions.wordNGrams(col("t"), 2, distinct = false))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinCount)
+    val nUni = uni.agg(sum(col("n_w")).as("n_uni"))
+    // total bigram occurrences must count ALL bigrams, not just frequent ones
+    val nBig = toks
+      .select(greatest(size(col("t")) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum(col("nb")).as("n_big"))
+
+    bi
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBig))
+      .withColumn("pmi",
+        expr("round(ln((CAST(n_ab AS DOUBLE) * n_uni * n_uni) / " +
+          "(CAST(n_a AS DOUBLE) * n_b * n_big)), 9)"))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(PmiTopK)
+  }
+
   /** Posting-list cap for [[qInvertedIndex]]. */
   val PostingsCap = 20
 
@@ -339,6 +407,8 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> qTextTokens,
+    "q_len_hist" -> qLenHist,
+    "q_text_pmi" -> qTextPmi,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
     "q_text_fingerprint" -> qTextFingerprint,
@@ -378,6 +448,43 @@ object TextAnalysis {
         |  CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS BIGINT) AS n_punct,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_len_hist" ->
+      s"""WITH t AS (
+         |  SELECT CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS tk
+         |  FROM documents)
+         |SELECT (tk // $LenHistWidth) * $LenHistWidth AS bucket_lo,
+         |  count(*) AS n_docs,
+         |  CAST(sum(tk) AS BIGINT) AS bucket_tokens,
+         |  min(tk) AS min_tk,
+         |  max(tk) AS max_tk
+         |FROM t GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin,
+    "q_text_pmi" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                     x -> length(x) > 0) AS t
+         |  FROM documents),
+         |uni AS (
+         |  SELECT w, count(*) AS n_w
+         |  FROM (SELECT unnest(t) AS w FROM toks) u GROUP BY w),
+         |bi AS (
+         |  SELECT bigram, count(*) AS n_ab FROM (
+         |    SELECT unnest(CASE WHEN len(t) >= 2
+         |      THEN list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+         |      ELSE [] END) AS bigram
+         |    FROM toks) g
+         |  GROUP BY bigram HAVING count(*) >= $PmiMinCount),
+         |n_uni AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_uni FROM uni),
+         |n_big AS (
+         |  SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_big FROM toks)
+         |SELECT bigram, n_ab,
+         |  a.n_w AS n_a, b.n_w AS n_b,
+         |  round(ln((CAST(n_ab AS DOUBLE) * n_uni * n_uni) /
+         |           (CAST(a.n_w AS DOUBLE) * b.n_w * n_big)), 9) AS pmi
+         |FROM bi
+         |JOIN uni a ON a.w = string_split(bigram, ' ')[1]
+         |JOIN uni b ON b.w = string_split(bigram, ' ')[2]
+         |CROSS JOIN n_uni CROSS JOIN n_big
+         |ORDER BY pmi DESC, bigram LIMIT $PmiTopK""".stripMargin,
     "q_text_quality" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,

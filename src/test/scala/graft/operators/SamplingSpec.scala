@@ -24,6 +24,54 @@ class SamplingSpec extends SparkSpec with Matchers {
     scan should not include "text"
   }
 
+  test("sequence packing agrees with a per-stream driver-side simulation") {
+    val width = Sampling.PackCtxLen
+    // same stream definition as qPack: (source, md5-shard), doc_id order
+    val rows = graft.tables.Tables.documents(spark, sf())
+      .select(
+        col("source"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % Sampling.PackShards).as("shard"),
+        col("doc_id"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text"))
+          .cast("long").as("tk"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    case class Agg(docs: Long = 0, tokens: Long = 0, packs: Long = 0, spanning: Long = 0)
+    val expected = rows.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((src, _), stream) =>
+        var off = 0L
+        var spanning = 0L
+        stream.sortBy(_._3).foreach { case (_, _, _, tk) =>
+          if (tk > 0 && off / width != (off + tk - 1) / width) spanning += 1
+          off += tk
+        }
+        src -> Agg(stream.size.toLong, off, (off + width - 1) / width, spanning)
+      }
+      .groupBy(_._1)
+      .map { case (src, streams) =>
+        src -> streams.map(_._2).foldLeft(Agg()) { (a, b) =>
+          Agg(a.docs + b.docs, a.tokens + b.tokens,
+            a.packs + b.packs, a.spanning + b.spanning)
+        }
+      }
+
+    val got = Sampling.qPack(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        Agg(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    got shouldBe expected
+  }
+
+  test("packing window shuffles once: a single Exchange below the aggregate") {
+    val plan = Sampling.qPack(spark, sf()).queryExecution.executedPlan.toString
+    // the stream window and the (source, shard) aggregate share the
+    // hashpartitioning; only the #sources-sized final agg re-shuffles
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
   test("split assignment is exhaustive and 80/10/10-shaped") {
     val rows = Sampling.qSplitAssign(spark, sf()).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

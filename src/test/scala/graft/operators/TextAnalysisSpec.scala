@@ -57,6 +57,33 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     a should not be c
   }
 
+  test("length histogram partitions the corpus into width-aligned buckets") {
+    val width = TextAnalysis.LenHistWidth
+    val rows = TextAnalysis.qLenHist(spark, sf()).collect()
+    val total = graft.tables.Tables.documents(spark, sf()).count()
+    rows.map(_.getLong(1)).sum shouldBe total
+    rows.foreach { r =>
+      val (lo, minTk, maxTk) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      lo % width shouldBe 0
+      minTk should be >= lo
+      maxTk should be < lo + width
+    }
+  }
+
+  test("PMI collocations: exact counts, finite scores, threshold respected") {
+    val rows = TextAnalysis.qTextPmi(spark, sf()).collect()
+    rows should have size TextAnalysis.PmiTopK.toLong.toInt
+    rows.foreach { r =>
+      r.getLong(1) should be >= TextAnalysis.PmiMinCount // n_ab
+      r.getLong(2) should be >= r.getLong(1) // a unigram occurs >= its pairs
+      r.getLong(3) should be >= r.getLong(1)
+      assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+    }
+    // descending by pmi (ties broken by bigram — total order)
+    val pmis = rows.map(_.getDouble(4)).toSeq
+    pmis shouldBe pmis.sorted.reverse
+  }
+
   test("selfrepeat flags exactly the planted doubled documents") {
     val rows = TextAnalysis.qTextSelfrepeat(spark, sf()).collect()
     rows.foreach { r =>
