@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, MaxFreqCount, MinKLongs}
+import graft.functions.{FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, MaxFreqCount, MinKDistinctLongs, MinKLongs}
 
 /** Spark extensions entry point: install the engine's native functions at
   * session build time, with zero user code —
@@ -75,6 +75,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "min_k requires (BIGINT column, INT literal k)")
         }
         MinKLongs(args(0), k)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("min_k_distinct"),
+      info("min_k_distinct",
+        "min_k_distinct(x, k) - aggregate: the k smallest DISTINCT BIGINT values, ascending (KMV sketch buffer)"),
+      args => {
+        val k = args match {
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case _ => throw new IllegalArgumentException(
+            "min_k_distinct requires (BIGINT column, INT literal k)")
+        }
+        MinKDistinctLongs(args(0), k)
       }))
   }
 }

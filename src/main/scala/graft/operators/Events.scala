@@ -212,7 +212,43 @@ object Events {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Sketch size for [[qKmv]]. */
+  val KmvK = 64
+
+  /** Approximate distinct counting via a KMV (k minimum values) sketch,
+    * next to the exact count it approximates: hash each user id to a
+    * uniform 60-bit value (the md5-prefix trick every sampler here uses),
+    * keep the k smallest DISTINCT hashes per group
+    * ([[graft.functions.MinKDistinctLongs]] — bounded buffer, map-side
+    * combinable, mergeable across partitions), and estimate
+    * D̂ = (k−1)·2⁶⁰ / h₍ₖ₎. Under k distinct values the sketch IS the
+    * exact count. This is the mergeable-sketch shape that replaces exact
+    * count-distinct at 100 TB (exact needs a shuffle of every distinct
+    * key; the sketch ships k longs per group×partition) — the exact count
+    * rides along here as the honesty check, and the estimator is plain
+    * IEEE arithmetic so the DuckDB oracle reproduces it bit-for-bit.
+    */
+  def qKmv(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), h.as("hv"))
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        graft.functions.TopKAggregate.minKDistinct(col("hv"), KmvK).as("kmv"))
+      .select(
+        col("event_type"), col("n_exact"),
+        size(col("kmv")).cast("long").as("kmv_size"),
+        when(size(col("kmv")) < KmvK, size(col("kmv")).cast("double"))
+          .otherwise(expr(
+            s"round((${KmvK - 1}.0 * 1152921504606846976) / CAST(element_at(kmv, $KmvK) AS DOUBLE), 6)"))
+          .as("est"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv" -> qKmv,
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_retention" -> qEventsRetention,
     "q_events_hourly" -> qEventsHourly,
@@ -225,6 +261,30 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_kmv" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, hv,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+         |  FROM h),
+         |sizes AS (
+         |  SELECT event_type, count(*) AS n_h FROM h GROUP BY event_type),
+         |kth AS (SELECT event_type, hv AS hk FROM r WHERE rk = $KmvK),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY event_type)
+         |SELECT ex.event_type AS event_type, ex.n_exact,
+         |  CAST(least(sizes.n_h, $KmvK) AS BIGINT) AS kmv_size,
+         |  CASE WHEN kth.hk IS NOT NULL
+         |       THEN round((${KmvK - 1}.0 * 1152921504606846976) / CAST(kth.hk AS DOUBLE), 6)
+         |       ELSE CAST(sizes.n_h AS DOUBLE) END AS est
+         |FROM ex
+         |JOIN sizes ON ex.event_type = sizes.event_type
+         |LEFT JOIN kth ON ex.event_type = kth.event_type
+         |ORDER BY event_type""".stripMargin,
     "q_events_anomaly" ->
       s"""WITH hourly AS (
          |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n

@@ -184,6 +184,40 @@ object TextAnalysis {
       .limit(PmiTopK)
   }
 
+  /** Head-vocabulary size for [[qVocabCoverage]] (the synthetic corpus
+    * draws from a ~30-word vocabulary, so a small head keeps coverage
+    * informative; a real corpus would use 10⁴–10⁵).
+    */
+  val VocabSize = 10
+
+  /** Head-vocabulary coverage per source: build the corpus' top-[[VocabSize]]
+    * token vocabulary (count desc, word asc — a total order, so the head is
+    * deterministic), then measure what fraction of each source's token mass
+    * it covers — the tokenizer/vocab fit diagnostic run before committing a
+    * tokenizer to a corpus. Two aggregates (vocabulary-sized, then
+    * source-sized) and one broadcast join of the tiny head table against
+    * the exploded token stream; nothing corpus-sized shuffles twice.
+    */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(
+        filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
+        .as("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(VocabSize)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("word"), "left_outer")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+      .select(col("source"), col("n_tokens"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_tokens"), 6).as("coverage"))
+      .orderBy(col("source"))
+  }
+
   /** Posting-list cap for [[qInvertedIndex]]. */
   val PostingsCap = 20
 
@@ -409,6 +443,7 @@ object TextAnalysis {
     "q_text_tokens" -> qTextTokens,
     "q_len_hist" -> qLenHist,
     "q_text_pmi" -> qTextPmi,
+    "q_vocab" -> qVocabCoverage,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
     "q_text_fingerprint" -> qTextFingerprint,
@@ -485,6 +520,21 @@ object TextAnalysis {
          |JOIN uni b ON b.w = string_split(bigram, ' ')[2]
          |CROSS JOIN n_uni CROSS JOIN n_big
          |ORDER BY pmi DESC, bigram LIMIT $PmiTopK""".stripMargin,
+    "q_vocab" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                                    x -> length(x) > 0)) AS word
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT word FROM (
+         |    SELECT word, count(*) AS n FROM toks GROUP BY word
+         |    ORDER BY n DESC, word LIMIT $VocabSize) v)
+         |SELECT source, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN vocab.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |  round(CAST(sum(CASE WHEN vocab.word IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS coverage
+         |FROM toks LEFT JOIN vocab ON toks.word = vocab.word
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q_text_quality" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,

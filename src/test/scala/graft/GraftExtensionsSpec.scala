@@ -38,6 +38,12 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       .head()
     agg.getSeq[Long](0) shouldBe Seq(1L, 2L, 5L)
 
+    val kd = spark
+      .sql("SELECT min_k_distinct(v, 3) ks FROM VALUES " +
+        "(5L), (5L), (1L), (1L), (9L), (2L) AS t(v)")
+      .head()
+    kd.getSeq[Long](0) shouldBe Seq(1L, 2L, 5L)
+
     val qs = spark
       .sql("SELECT vec_quant_stats(array(1.0f, -1.0f, 0.5f), 127) q")
       .head().getSeq[Double](0)

@@ -21,6 +21,37 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got.orderBy("g").collect().toSeq === want.orderBy("g").collect().toSeq)
   }
 
+  test("min_k_distinct equals slice(array_sort(array_distinct)) and is " +
+    "partitioning-invariant") {
+    import spark.implicits._
+    // heavy duplication so dedup actually matters: 5000 rows over ~40
+    // distinct values per group
+    val rows = (0 until 5000).map { i =>
+      (s"g${i % 5}", ((i * 2654435761L) % 40L))
+    }
+    val want = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.take(8)).toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val got = rows.toDF("g", "v").repartition(parts).groupBy("g")
+        .agg(TopKAggregate.minKDistinct(col("v"), 8).as("k"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got === want, s"at $parts partitions")
+    }
+  }
+
+  test("min_k_distinct: duplicates never occupy sketch slots") {
+    import spark.implicits._
+    // 3 distinct values, each repeated 100x, k=4: result must be all 3
+    // values, not 4 copies from the duplicate stream
+    val df = (0 until 300).map(i => ("g", (i % 3).toLong)).toDF("g", "v")
+      .repartition(5)
+    val got = df.groupBy("g")
+      .agg(TopKAggregate.minKDistinct(col("v"), 4).as("k"))
+      .head().getSeq[Long](1)
+    assert(got.toSeq === Seq(0L, 1L, 2L))
+  }
+
   test("groups smaller than k return all values sorted; nulls are skipped") {
     import spark.implicits._
     val df = Seq(

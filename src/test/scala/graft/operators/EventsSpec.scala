@@ -45,6 +45,22 @@ class EventsSpec extends SparkSpec with Matchers {
     Events.qEventsHourly(spark, sf()).agg(sum("n")).head().getLong(0) shouldBe total
   }
 
+  test("KMV sketch: exact under k, within theory error when saturated") {
+    val rows = Events.qKmv(spark, sf()).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (exact, size, est) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      size should be <= Events.KmvK.toLong
+      if (size < Events.KmvK) {
+        // under-full sketch holds every distinct hash: the estimate IS exact
+        est shouldBe exact.toDouble
+      } else {
+        // KMV standard error is ~1/sqrt(k-2) ≈ 12.7% at k=64; allow 4 sigma
+        math.abs(est - exact) / exact should be < 0.51
+      }
+    }
+  }
+
   test("sliding windows double-cover time: counts sum to 2x total") {
     // 2-hour windows hopping hourly → every event in exactly size/slide = 2
     val total = graft.tables.Tables.events(spark, sf()).count()

@@ -84,6 +84,19 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     pmis shouldBe pmis.sorted.reverse
   }
 
+  test("vocab coverage: counts are consistent and the head covers most mass") {
+    val rows = TextAnalysis.qVocabCoverage(spark, sf()).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (n, cov, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      cov should be <= n
+      frac shouldBe (cov.toDouble / n) +- 1e-6
+      // ~30-word synthetic vocabulary: the top-10 head must carry real mass
+      frac should be > 0.1
+      frac should be <= 1.0
+    }
+  }
+
   test("selfrepeat flags exactly the planted doubled documents") {
     val rows = TextAnalysis.qTextSelfrepeat(spark, sf()).collect()
     rows.foreach { r =>
