@@ -111,6 +111,29 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should include("partial_count")
   }
 
+  test("q_pack: the stream window's partitioning feeds the stream aggregate " +
+    "without a second corpus-sized Exchange") {
+    val plan = operators.Sampling.qPack(spark, sf())
+      .queryExecution.executedPlan.toString
+    // window over (source, shard), then the (source, shard) aggregate —
+    // same keys, so exactly one Exchange may appear below the Window and
+    // none between Window and the first HashAggregate
+    val windowIdx = plan.indexOf("Window")
+    windowIdx should be > 0
+    // the stream aggregate is the NEAREST HashAggregate above the window
+    // (plan prints top-down); no Exchange may separate them — the window's
+    // hashpartitioning(source, shard) satisfies the aggregate's requirement
+    val streamAggIdx = plan.lastIndexOf("HashAggregate", windowIdx)
+    streamAggIdx should be > 0
+    plan.substring(streamAggIdx, windowIdx) should not include "Exchange"
+  }
+
+  test("q_kmv sketch aggregates partially: bounded buffers before the Exchange") {
+    val plan = operators.Events.qKmv(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("partial_min_k_distinct")
+  }
+
   test("q_ngram_novelty shuffles 8-byte hashed shingles, not strings") {
     // first-occurrence needs one groupBy(shingle); the shingle must be the
     // 60-bit md5 long (md5_prefix60) before the Exchange so the shuffle
