@@ -117,12 +117,16 @@ object Bench {
     val full: Double => String = _.toString
     val short: Double => String =
       v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // per-query values at 10 ms resolution keep the contract line well
-    // inside the driver's 2 KB tail as the registry grows (78 queries at
-    // 3 decimals left <50 chars of headroom); full precision is on the
+    // per-query values at 10 ms resolution with trailing zeros trimmed
+    // ("0.20"→"0.2", "1.00"→"1") keep the contract line inside the
+    // driver's 2 KB tail as the registry grows (84 queries at plain %.2f
+    // measured 1898 chars — 28 of headroom); full precision is on the
     // detail line
-    val short2: Double => String =
-      v => String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val short2: Double => String = { v =>
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     val builds = buildSec.toSeq.sortBy(_._1).filter(_._2 >= 0.005)
     val queriesTotal = results.collect { case (_, v) if v >= 0 => v }.sum
     val buildTotal = buildSec.values.sum
@@ -134,8 +138,11 @@ object Bench {
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail dump is best-effort
     println(detail)
+    // build_total and the full sfDir live on the detail line; the contract
+    // line carries the basename so every byte of the tail window buys a
+    // per-query value
     println(
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","build_total":${short(buildTotal)},"queries":${jmap(results, short2)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${jmap(results, short2)},"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }
