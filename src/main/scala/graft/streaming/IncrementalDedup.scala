@@ -180,6 +180,79 @@ object IncrementalDedup {
     }
   }
 
+  /** Fully DISTRIBUTED incremental closure — the scale path past
+    * [[ClusterStore]], whose union-find lives in driver memory (fine while
+    * the duplicate-cluster node set fits on the driver; a 100 TB corpus'
+    * duplicate population does not). State is a persisted
+    * (id, component) star-forest DataFrame. Each micro-batch's edges are
+    * unioned with the previous forest re-expressed as (component → id)
+    * edges and re-closed with the alternating-star algorithm
+    * ([[graft.operators.ConnectedComponents]]): a star forest carries the
+    * same partition as the original edge prefix and its labels are member
+    * minima, so the re-closure equals the batch closure over every edge
+    * seen so far — the same invariant the union-find maintains, with no
+    * driver-side collection anywhere. Since the prior state is already a
+    * star forest, each merge converges in O(log²(batch)) rounds over
+    * |state| + |batch| edges, not the full history's edge count.
+    *
+    * Incremental cost note: the re-closure rescans the whole forest per
+    * micro-batch; a production deployment amortizes that by merging every
+    * N batches or partitioning the forest by component range. The
+    * correctness contract (snapshot ≡ batch closure after every merge) is
+    * what this class pins down.
+    */
+  final class DistributedClusterStore(spark: org.apache.spark.sql.SparkSession) {
+    private var state: Option[DataFrame] = None
+
+    def merge(edges: DataFrame): Unit = synchronized {
+      val newEdges = edges
+        .select(col("src"), col("dst"))
+        .where(col("src") =!= col("dst"))
+      if (!newEdges.isEmpty) {
+        val all = state match {
+          case Some(m) =>
+            newEdges.union(
+              m.where(col("id") =!= col("component"))
+                .select(col("component").as("src"), col("id").as("dst")))
+          case None => newEdges
+        }
+        val next = graft.operators.ConnectedComponents.components(all).persist()
+        next.count() // materialize before releasing the predecessor's blocks
+        state.foreach(_.unpersist(blocking = false))
+        state = Some(next)
+      }
+    }
+
+    /** Live (id, component) mapping — the distributed product; empty frame
+      * before any edge arrives.
+      */
+    def mapping: DataFrame = synchronized {
+      state.getOrElse {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("id", "component")
+      }
+    }
+
+    /** Driver-side view for tests/small corpora (collects the mapping). */
+    def snapshot: Map[Long, Long] =
+      mapping.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Wire docs → banding → stateful verify → DISTRIBUTED closure; returns
+    * the started query. `store.mapping` is the live cluster mapping as a
+    * DataFrame.
+    */
+  def runDistributed(docs: DataFrame, store: DistributedClusterStore,
+      threshold: Double = Dedup.JaccardThreshold,
+      maxBucket: Int = Dedup.MaxLshBucket)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalEdges(bandedSignatures(docs), threshold, maxBucket)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => store.merge(batch) }
+      .start()
+
   /** Wire docs → banding → stateful verify → union-find store; returns the
     * started query. `store.snapshot` is the live cluster mapping.
     */

@@ -67,6 +67,38 @@ class IncrementalDedupSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("distributed closure equals the batch closure and the union-find " +
+    "after every micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Dedup.nearDupDocs(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val order = new scala.util.Random(7).shuffle(docs)
+
+    val input = MemoryStream[(Long, String)]
+    val dist = new IncrementalDedup.DistributedClusterStore(spark)
+    val uf = new IncrementalDedup.ClusterStore
+    val qd = IncrementalDedup.runDistributed(
+      input.toDF().toDF("doc_id", "text"), dist)
+    val qu = IncrementalDedup.run(
+      input.toDF().toDF("doc_id", "text"), uf)
+    try {
+      order.grouped(math.max(1, order.size / 3 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        qd.processAllAvailable()
+        qu.processAllAvailable()
+        // mid-stream: the distributed mapping equals the union-find over
+        // the same prefix — snapshot ≡ closure(edges so far)
+        dist.snapshot shouldBe uf.snapshot
+      }
+      dist.snapshot shouldBe batchComponents
+      // the mapping is consumable as a DataFrame without driver collection
+      dist.mapping.groupBy("component").count()
+        .agg(fns.max("count")).head().getLong(0) should be >= 2L
+    } finally { qd.stop(); qu.stop() }
+  }
+
   test("retention-bounded variant: in-window duplicates found, buckets " +
     "expire after the watermark passes retention, and re-open cleanly") {
     import spark.implicits._
