@@ -215,8 +215,81 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Per-(source, shard) stream totals of next-fit packing, emitted by the
+    * [[qPackFit]] state machine.
+    */
+  private[operators] final case class PackedStream(
+      source: String, shard: Long, n_docs: Long, total: Long, kept: Long,
+      dropped: Long, packs: Long, padding: Long)
+
+  /** NO-SPLIT sequence packing (next-fit): documents never straddle a
+    * context window — a doc that doesn't fit the current pack's remainder
+    * closes it (remainder becomes PADDING) and opens the next; a doc longer
+    * than the window is truncated to it (overflow becomes DROPPED tokens).
+    * This is the packing used when attention must not cross document
+    * boundaries; the padding/dropped columns are exactly the efficiency
+    * price versus [[qPack]]'s concat-and-chunk (zero padding, boundary
+    * crossings instead).
+    *
+    * The pack assignment is a sequential recurrence over each stream
+    * (current fill decides the next doc's fate — not expressible as a
+    * window function, which cannot fold state forward with resets), so this
+    * is the one place the module drops to `mapPartitions`: streams are
+    * repartitioned to their (source, shard) key and sorted within
+    * partitions, the state machine walks each stream contiguously, and
+    * across streams the work stays embarrassingly parallel — per-stream
+    * sequentiality is inherent to the operator, not a plan artifact. Emits
+    * one summary row per stream (bounded), then a #sources-sized aggregate.
+    */
+  def qPackFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ctx = PackCtxLen
+    Tables.documents(s, dir)
+      .select(
+        col("source"),
+        hashBucket(col("doc_id"), PackShards).as("shard"),
+        col("doc_id"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long").as("tk"))
+      .repartition(col("source"), col("shard"))
+      .sortWithinPartitions(col("source"), col("shard"), col("doc_id"))
+      .as[(String, Long, Long, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[PackedStream]
+        var cur: (String, Long) = null
+        var fill, packs, padding, dropped, kept, total, nDocs = 0L
+        def close(): Unit = if (cur != null)
+          out += PackedStream(cur._1, cur._2, nDocs, total, kept, dropped,
+            packs, padding + (ctx - fill))
+        it.foreach { case (src, shard, _, tk) =>
+          if (cur == null || cur != ((src, shard))) {
+            close()
+            cur = (src, shard)
+            fill = 0L; packs = 0L; padding = 0L; dropped = 0L
+            kept = 0L; total = 0L; nDocs = 0L
+          }
+          val eff = math.min(tk, ctx)
+          if (packs == 0L) { packs = 1L; fill = eff }
+          else if (fill + eff > ctx) { packs += 1; padding += ctx - fill; fill = eff }
+          else fill += eff
+          nDocs += 1; total += tk; kept += eff; dropped += tk - eff
+        }
+        close()
+        out.iterator
+      }
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("packs")).as("n_packs"),
+        sum(col("total")).as("total_tokens"),
+        sum(col("kept")).as("kept_tokens"),
+        sum(col("dropped")).as("dropped_tokens"),
+        sum(col("padding")).as("padding_tokens"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack" -> qPack,
+    "q_pack_fit" -> qPackFit,
     "q_sample_hash" -> qSampleHash,
     "q_split_assign" -> qSplitAssign,
     "q_sample_stratified" -> qSampleStratified,
@@ -249,6 +322,55 @@ object Sampling {
          |  CAST(sum((tokens + ${PackCtxLen - 1}) // $PackCtxLen) AS BIGINT) AS n_packs,
          |  CAST(sum(n_spanning) AS BIGINT) AS n_spanning
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q_pack_fit" -> {
+      val c = PackCtxLen
+      s"""WITH RECURSIVE base AS (
+         |  SELECT source,
+         |    ${bucketSql("doc_id", PackShards)} AS shard,
+         |    doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS tk
+         |  FROM documents),
+         |seq AS (
+         |  SELECT source, shard, tk,
+         |    row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+         |  FROM base),
+         |step AS (
+         |  SELECT source, shard, rn,
+         |    least(tk, $c) AS fill,
+         |    CAST(1 AS BIGINT) AS packs,
+         |    CAST(0 AS BIGINT) AS padding,
+         |    tk - least(tk, $c) AS dropped,
+         |    least(tk, $c) AS kept,
+         |    tk AS total
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT p.source, p.shard, n.rn,
+         |    CASE WHEN p.fill + least(n.tk, $c) > $c
+         |         THEN least(n.tk, $c) ELSE p.fill + least(n.tk, $c) END,
+         |    CASE WHEN p.fill + least(n.tk, $c) > $c THEN p.packs + 1 ELSE p.packs END,
+         |    CASE WHEN p.fill + least(n.tk, $c) > $c
+         |         THEN p.padding + ($c - p.fill) ELSE p.padding END,
+         |    p.dropped + (n.tk - least(n.tk, $c)),
+         |    p.kept + least(n.tk, $c),
+         |    p.total + n.tk
+         |  FROM step p
+         |  JOIN seq n ON n.source = p.source AND n.shard = p.shard AND n.rn = p.rn + 1),
+         |last AS (
+         |  SELECT source, shard, max(rn) AS mx FROM seq GROUP BY source, shard),
+         |fin AS (
+         |  SELECT st.source, st.rn AS n_docs, st.packs, st.total, st.kept,
+         |    st.dropped, st.padding + ($c - st.fill) AS padding
+         |  FROM step st
+         |  JOIN last l ON st.source = l.source AND st.shard = l.shard AND st.rn = l.mx)
+         |SELECT source,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(packs) AS BIGINT) AS n_packs,
+         |  CAST(sum(total) AS BIGINT) AS total_tokens,
+         |  CAST(sum(kept) AS BIGINT) AS kept_tokens,
+         |  CAST(sum(dropped) AS BIGINT) AS dropped_tokens,
+         |  CAST(sum(padding) AS BIGINT) AS padding_tokens
+         |FROM fin GROUP BY source ORDER BY source""".stripMargin
+    },
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source, n_chars
          |FROM documents

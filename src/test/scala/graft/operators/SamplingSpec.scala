@@ -64,6 +64,48 @@ class SamplingSpec extends SparkSpec with Matchers {
     got shouldBe expected
   }
 
+  test("no-split packing agrees with a next-fit simulation and the padding " +
+    "identity holds") {
+    val ctx = Sampling.PackCtxLen
+    val rows = graft.tables.Tables.documents(spark, sf())
+      .select(
+        col("source"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % Sampling.PackShards).as("shard"),
+        col("doc_id"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text"))
+          .cast("long").as("tk"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // (docs, packs, total, kept, dropped, padding) per stream, summed per source
+    val expected = rows.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((src, _), stream) =>
+        var fill, packs, padding, dropped, kept, total = 0L
+        stream.sortBy(_._3).foreach { case (_, _, _, tk) =>
+          val eff = math.min(tk, ctx)
+          if (packs == 0L) { packs = 1L; fill = eff }
+          else if (fill + eff > ctx) { packs += 1; padding += ctx - fill; fill = eff }
+          else fill += eff
+          total += tk; kept += eff; dropped += tk - eff
+        }
+        src -> Seq(stream.size.toLong, packs, total, kept, dropped,
+          padding + (ctx - fill))
+      }
+      .groupBy(_._1)
+      .map { case (src, streams) =>
+        src -> streams.map(_._2).transpose.map(_.sum)
+      }
+
+    val got = Sampling.qPackFit(spark, sf()).collect()
+      .map(r => r.getString(0) -> (1 to 6).map(r.getLong).toSeq).toMap
+    got shouldBe expected
+    // padding is exactly the unfilled remainder of every pack
+    got.values.foreach { case Seq(_, packs, _, kept, _, padding) =>
+      padding shouldBe packs * ctx - kept
+    }
+  }
+
   test("packing window shuffles once: a single Exchange below the aggregate") {
     val plan = Sampling.qPack(spark, sf()).queryExecution.executedPlan.toString
     // the stream window and the (source, shard) aggregate share the
