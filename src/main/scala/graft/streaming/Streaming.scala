@@ -47,6 +47,52 @@ object Streaming {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming KMV sketch state: the ≤ k smallest distinct hashes,
+    * ascending.
+    */
+  final case class KmvInput(event_type: String, hv: Long)
+  /** Per-key estimate emitted each micro-batch (update semantics). */
+  final case class KmvEstimate(event_type: String, kmv_size: Long, est: Double)
+
+  /** Streaming approximate distinct count — the KMV sketch
+    * ([[graft.operators.Events.qKmv]]'s estimator) as keyed streaming
+    * state. The sketch buffer (k smallest DISTINCT hashes) is a
+    * commutative-idempotent set fold, so the state after any arrival order
+    * and micro-batch split equals the batch sketch over the same rows —
+    * the streaming estimate converges to the batch q_kmv estimate exactly
+    * (StreamingSpec pins it). State per key is ≤ k longs, which is the
+    * entire point of running a sketch instead of exact distinct on an
+    * unbounded stream (exact needs every seen id in state, forever).
+    */
+  def kmvDistinct(events: DataFrame, k: Int): Dataset[KmvEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pow60 = 1152921504606846976L // 2^60, the hash range
+    events
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .as[KmvInput]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[List[Long], KmvEstimate](GroupStateTimeout.NoTimeout()) {
+        (et: String, rows: Iterator[KmvInput], state: GroupState[List[Long]]) =>
+          var s = state.getOption.getOrElse(Nil) // ascending, ≤ k, distinct
+          rows.foreach { r =>
+            if (!s.contains(r.hv)) {
+              val (lo, hi) = s.span(_ < r.hv)
+              s = (lo ::: r.hv :: hi).take(k)
+            }
+          }
+          state.update(s)
+          // same estimator, same rounding as the batch q_kmv SQL
+          val est =
+            if (s.size < k) s.size.toDouble
+            else BigDecimal((k - 1).toDouble * pow60 / s.last.toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          KmvEstimate(et, s.size.toLong, est)
+      }
+  }
+
   /** Streaming exact dedup — the unbounded twin of
     * [[graft.operators.Dedup.qDedupExact]]'s fingerprint key: keeps the
     * first arrival per fingerprint, with state bounded by the watermark

@@ -39,6 +39,43 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("streaming KMV estimate converges to the batch q_kmv estimate " +
+    "under shuffled micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.tables.Tables.events(spark, sf())
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.operators.Events.qKmv(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+
+    val order = new scala.util.Random(11).shuffle(rows)
+    val input = MemoryStream[(String, Long)]
+    val q = Streaming
+      .kmvDistinct(input.toDF().toDF("event_type", "user_id"),
+        graft.operators.Events.KmvK)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("kmv_stream")
+      .start()
+    try {
+      order.grouped(math.max(1, order.size / 5 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // update mode: the LAST emission per key is the converged sketch;
+      // batch number is the micro-batch sequence, so max(kmv_size) rows
+      // are the latest (the sketch only grows)
+      val got = spark.table("kmv_stream")
+        .groupBy("event_type")
+        .agg(max(struct(col("kmv_size"), col("est"))).as("s"))
+        .select(col("event_type"), col("s.kmv_size"), col("s.est"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      got shouldBe batch
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark finalize in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
