@@ -215,6 +215,32 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Per-document pack ASSIGNMENT for [[qPack]]'s concat-and-chunk layout —
+    * the consumable product (which training sequence holds each document),
+    * not just the inventory report: stream-local pack index and token
+    * offset, from the same single window. A training-data writer would
+    * `partitionBy(source, shard)` this and write sequences; the sample here
+    * is bounded to the first documents per stream so the result stays a
+    * report (the full assignment is the same plan minus the filter).
+    */
+  def qPackIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      hashBucket(col("doc_id"), PackShards).as("shard"),
+      graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long").as("tk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("seq_end", sum(col("tk")).over(w))
+      .select(col("doc_id"), col("source"), col("shard"), col("tk"),
+        (col("seq_end") - col("tk")).as("seq_start"),
+        expr(s"(seq_end - tk) div $PackCtxLen").as("pack_id"))
+      .filter(col("doc_id") < 100)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-(source, shard) stream totals of next-fit packing, emitted by the
     * [[qPackFit]] state machine.
     */
@@ -289,6 +315,7 @@ object Sampling {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack" -> qPack,
+    "q_pack_ids" -> qPackIds,
     "q_pack_fit" -> qPackFit,
     "q_sample_hash" -> qSampleHash,
     "q_split_assign" -> qSplitAssign,
@@ -322,6 +349,21 @@ object Sampling {
          |  CAST(sum((tokens + ${PackCtxLen - 1}) // $PackCtxLen) AS BIGINT) AS n_packs,
          |  CAST(sum(n_spanning) AS BIGINT) AS n_spanning
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q_pack_ids" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    ${bucketSql("doc_id", PackShards)} AS shard,
+         |    CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS tk
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, shard, tk,
+         |    sum(tk) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq_end
+         |  FROM t)
+         |SELECT doc_id, source, shard, tk,
+         |  CAST(seq_end - tk AS BIGINT) AS seq_start,
+         |  CAST((seq_end - tk) // $PackCtxLen AS BIGINT) AS pack_id
+         |FROM c WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q_pack_fit" -> {
       val c = PackCtxLen
       s"""WITH RECURSIVE base AS (

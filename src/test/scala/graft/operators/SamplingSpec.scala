@@ -64,6 +64,30 @@ class SamplingSpec extends SparkSpec with Matchers {
     got shouldBe expected
   }
 
+  test("pack assignment: offsets are stream-cumulative and pack ids are " +
+    "offset-consistent") {
+    val ctx = Sampling.PackCtxLen
+    val rows = Sampling.qPackIds(spark, sf()).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (tk, start, pack) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      tk should be >= 0L
+      start should be >= 0L
+      pack shouldBe start / ctx
+    }
+    // within a stream, offsets advance by exactly the token counts
+    rows.groupBy(r => (r.getString(1), r.getLong(2))).values.foreach { stream =>
+      val byDoc = stream.sortBy(_.getLong(0))
+      byDoc.sliding(2).foreach {
+        case Array(a, b) =>
+          // contiguous only when no unsampled doc sits between; offsets
+          // still must be non-decreasing by a's token count
+          b.getLong(4) should be >= a.getLong(4) + a.getLong(3)
+        case _ => ()
+      }
+    }
+  }
+
   test("no-split packing agrees with a next-fit simulation and the padding " +
     "identity holds") {
     val ctx = Sampling.PackCtxLen
