@@ -93,6 +93,56 @@ object Streaming {
       }
   }
 
+  /** Misra-Gries heavy-hitter state: tracked (id, counter) pairs + total
+    * arrivals seen.
+    */
+  final case class MgState(counters: List[(Long, Long)], n_seen: Long)
+  /** One tracked heavy-hitter candidate, emitted per micro-batch. */
+  final case class HeavyHitter(event_type: String, user_id: Long,
+      est: Long, n_seen: Long)
+
+  /** Streaming heavy hitters per key — the Misra-Gries summary (Misra &
+    * Gries 1982, "Finding repeated elements") as keyed streaming state:
+    * ≤ k counters per group, every arrival either increments its counter,
+    * claims a free slot, or decrements ALL counters (discarding zeros).
+    * Guarantees after n arrivals: every id with true count > n/(k+1) is
+    * tracked, and a tracked id's estimate sits in
+    * [true − n/(k+1), true] — deterministic bounds, any arrival order.
+    * This is the bounded-state replacement for exact per-id counting when
+    * the id domain is unbounded (exact top-k needs every id's count; the
+    * batch q_events_topk_users can afford it, an infinite stream cannot).
+    * Emits the tracked set each micro-batch (update semantics).
+    */
+  def heavyHitters(events: DataFrame, k: Int): Dataset[HeavyHitter] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, HeavyHitter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (et: String, rows: Iterator[(String, Long)], state: GroupState[MgState]) =>
+          val prev = state.getOption.getOrElse(MgState(Nil, 0L))
+          var counters = scala.collection.mutable.Map(prev.counters: _*)
+          var n = prev.n_seen
+          rows.foreach { case (_, uid) =>
+            n += 1
+            counters.get(uid) match {
+              case Some(c) => counters(uid) = c + 1
+              case None if counters.size < k => counters(uid) = 1L
+              case None =>
+                counters = counters.collect {
+                  case (u, c) if c > 1 => (u, c - 1)
+                }
+            }
+          }
+          state.update(MgState(counters.toList.sortBy(_._1), n))
+          counters.toList.sortBy(_._1)
+            .map { case (u, c) => HeavyHitter(et, u, c, n) }.iterator
+      }
+  }
+
   /** Streaming exact dedup — the unbounded twin of
     * [[graft.operators.Dedup.qDedupExact]]'s fingerprint key: keeps the
     * first arrival per fingerprint, with state bounded by the watermark

@@ -52,6 +52,35 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got.toSeq === Seq(0L, 1L, 2L))
   }
 
+  test("min_k_distinct: random streams, random buffer splits, and serde " +
+    "round-trips all agree with distinct.sorted.take(k)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.LongType
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(100 + seed)
+      val k = 1 + rnd.nextInt(16)
+      val n = rnd.nextInt(400)
+      // small value domain forces heavy duplication
+      val values = Seq.fill(n)(rnd.nextInt(60).toLong)
+      val agg = MinKDistinctLongs(BoundReference(0, LongType, nullable = true), k)
+      // random partial-buffer split (the shuffle's map-side shape), each
+      // buffer serde-round-tripped before merging (the wire shape)
+      val chunks = if (values.isEmpty) Seq(Seq.empty[Long])
+        else values.grouped(1 + rnd.nextInt(values.size)).toSeq
+      val buffers = chunks.map { chunk =>
+        val b = chunk.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+          agg.update(b, InternalRow(v))
+        }
+        agg.deserialize(agg.serialize(b))
+      }
+      val merged = buffers.reduceLeft(agg.merge)
+      val got = agg.eval(merged).asInstanceOf[ArrayData].toLongArray.toSeq
+      assert(got === values.distinct.sorted.take(k), s"seed=$seed k=$k n=$n")
+    }
+  }
+
   test("groups smaller than k return all values sorted; nulls are skipped") {
     import spark.implicits._
     val df = Seq(

@@ -76,6 +76,52 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("Misra-Gries heavy hitters: planted heavy user always tracked, " +
+    "estimates within the deterministic bound, state bounded by k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 10
+    // synthetic skew: user 999 is ~30% of arrivals (far above n/(k+1) ≈ 9%),
+    // the rest spread over 200 ids; shuffled, delivered in 4 micro-batches
+    val arrivals = new scala.util.Random(3).shuffle(
+      (0 until 300).map(i => ("click", 999L)) ++
+        (0 until 700).map(i => ("click", (i % 200).toLong)))
+    val trueCounts = arrivals.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = arrivals.size.toLong
+
+    val input = MemoryStream[(String, Long)]
+    val q = Streaming
+      .heavyHitters(input.toDF().toDF("event_type", "user_id"), k)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("hh_stream")
+      .start()
+    try {
+      arrivals.grouped(250).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // final tracked set = the emission with the max n_seen
+      val all = spark.table("hh_stream").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val nFinal = all.map(_._3).max
+      nFinal shouldBe n
+      val tracked = all.collect { case (u, est, ns) if ns == nFinal => u -> est }.toMap
+      tracked.size should be <= k
+      // presence: every id over the n/(k+1) threshold is tracked
+      trueCounts.foreach { case (u, c) =>
+        if (c > n / (k + 1)) tracked.keySet should contain(u)
+      }
+      // bounds: est never exceeds truth; undercount at most n/(k+1)
+      tracked.foreach { case (u, est) =>
+        est should be <= trueCounts(u)
+        trueCounts(u) - est should be <= n / (k + 1)
+      }
+      tracked(999L) should be >= 300L - n / (k + 1)
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark finalize in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
