@@ -106,11 +106,12 @@ object Bench {
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     // Two output lines. The FINAL line is the driver's contract line and is
-    // kept compact (3-decimal per-query values, no build map): the driver
-    // stores only the last ~2 KB of stdout, and the full-precision line of
-    // earlier rounds overflowed that window, so it could never be parsed
-    // from the tail. Full precision (incl. the per-query build map) goes on
-    // the preceding "detail" line and to docs/BENCH_DETAIL.json.
+    // kept compact (2-decimal per-query values with trailing zeros trimmed,
+    // no build map, basename sf): the driver stores only the last ~2 KB of
+    // stdout, and the full-precision line of earlier rounds overflowed that
+    // window, so it could never be parsed from the tail. Full precision
+    // (incl. the per-query build map) goes on the preceding "detail" line
+    // and to docs/BENCH_DETAIL.json.
     def jmap(m: Iterable[(String, Double)], fmt: Double => String): String = m
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

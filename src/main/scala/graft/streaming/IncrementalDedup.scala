@@ -196,37 +196,55 @@ object IncrementalDedup {
     * |state| + |batch| edges, not the full history's edge count.
     *
     * Incremental cost note: the re-closure rescans the whole forest per
-    * micro-batch; a production deployment amortizes that by merging every
-    * N batches or partitioning the forest by component range. The
-    * correctness contract (snapshot ≡ batch closure after every merge) is
-    * what this class pins down.
+    * compaction. `closeEvery` amortizes it — edge batches accumulate
+    * (localCheckpointed, since a foreachBatch frame is only valid inside
+    * its call) and the closure runs once per N merges and lazily on any
+    * `mapping`/`snapshot` read, so reads always see every merged edge.
     */
-  final class DistributedClusterStore(spark: org.apache.spark.sql.SparkSession) {
+  final class DistributedClusterStore(
+      spark: org.apache.spark.sql.SparkSession, closeEvery: Int = 1) {
+    require(closeEvery >= 1, s"closeEvery must be >= 1, got $closeEvery")
     private var state: Option[DataFrame] = None
+    private var pending: Option[DataFrame] = None
+    private var pendingBatches = 0
 
     def merge(edges: DataFrame): Unit = synchronized {
       val newEdges = edges
         .select(col("src"), col("dst"))
         .where(col("src") =!= col("dst"))
-      if (!newEdges.isEmpty) {
-        val all = state match {
-          case Some(m) =>
-            newEdges.union(
-              m.where(col("id") =!= col("component"))
-                .select(col("component").as("src"), col("id").as("dst")))
-          case None => newEdges
-        }
-        val next = graft.operators.ConnectedComponents.components(all).persist()
-        next.count() // materialize before releasing the predecessor's blocks
-        state.foreach(_.unpersist(blocking = false))
-        state = Some(next)
-      }
+        .localCheckpoint()
+      pending = Some(pending.map(_.union(newEdges)).getOrElse(newEdges))
+      pendingBatches += 1
+      if (pendingBatches >= closeEvery) close()
     }
 
-    /** Live (id, component) mapping — the distributed product; empty frame
-      * before any edge arrives.
+    /** Re-close state ∪ pending; callers hold the lock. */
+    private def close(): Unit = {
+      pending.foreach { p =>
+        val all = state match {
+          case Some(m) =>
+            p.union(
+              m.where(col("id") =!= col("component"))
+                .select(col("component").as("src"), col("id").as("dst")))
+          case None => p
+        }
+        if (!all.isEmpty) {
+          val next = graft.operators.ConnectedComponents.components(all).persist()
+          next.count() // materialize before releasing the predecessor's blocks
+          state.foreach(_.unpersist(blocking = false))
+          state = Some(next)
+        }
+      }
+      pending = None
+      pendingBatches = 0
+    }
+
+    /** Live (id, component) mapping — the distributed product; flushes any
+      * pending batches first, so reads always reflect every merged edge.
+      * Empty frame before any edge arrives.
       */
     def mapping: DataFrame = synchronized {
+      close()
       state.getOrElse {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("id", "component")

@@ -99,6 +99,28 @@ class IncrementalDedupSpec extends SparkSpec with Matchers {
     } finally { qd.stop(); qu.stop() }
   }
 
+  test("compacted distributed closure (closeEvery=3) equals the eager one " +
+    "for any merge split") {
+    import spark.implicits._
+    // drive the store directly with random splits of a known edge set —
+    // compaction must be invisible to reads (mapping flushes pending)
+    val edges = batchComponents.toSeq
+      .filter { case (id, comp) => id != comp }
+      .map { case (id, comp) => (comp, id) }
+    val want = batchComponents
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val store = new IncrementalDedup.DistributedClusterStore(spark, closeEvery = 3)
+      var rest = rnd.shuffle(edges)
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(math.max(1, rest.size / 2))
+        store.merge(rest.take(take).toDF("src", "dst"))
+        rest = rest.drop(take)
+      }
+      withClue(s"seed=$seed: ") { store.snapshot shouldBe want }
+    }
+  }
+
   test("retention-bounded variant: in-window duplicates found, buckets " +
     "expire after the watermark passes retention, and re-open cleanly") {
     import spark.implicits._
