@@ -64,6 +64,43 @@ object Profile {
     time("minhash: candidates (bucket pairs)")(cand)
     time("minhash: FULL query")(Dedup.qDedupMinhash(spark, dir))
 
+    // ---- q1_agg arithmetic variants (is the 1 s decimal math or scan?) ----
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+    time("q1: scan+filter only")(li.select(
+      col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax")))
+    time("q1: double sums (inexact strawman)")(
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order")))
+    time("q1: decimal formulation (current)")(
+      graft.operators.Relational.q1Agg(spark, dir))
+    locally {
+      // long-cents per row (exact: inputs are 2-decimal), decimal(38,0)
+      // only at the sum
+      val epC = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val d100 = lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      val t100 = lit(100L) + floor(col("l_tax") * 100 + lit(0.5)).cast("long")
+      time("q1: long-cents rows, decimal sums")(
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            (sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+              .cast("decimal(38,0)")).cast("double") / 100).as("sum_qty"),
+            (sum(epC.cast("decimal(38,0)")).cast("double") / 100).as("sum_base_price"),
+            (sum((epC * d100).cast("decimal(38,0)")).cast("double") / (100 * 100))
+              .as("sum_disc_price"),
+            (sum((epC * d100 * t100).cast("decimal(38,0)")).cast("double")
+              / (100.0 * 100 * 100)).as("sum_charge"),
+            count(lit(1)).as("count_order")))
+    }
+
     // ---- q_events_sessionize stages ----
     val ev = Tables.events(spark, dir)
     time("sessionize: events scan")(ev)

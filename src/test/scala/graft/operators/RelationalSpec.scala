@@ -57,6 +57,28 @@ class RelationalSpec extends SparkSpec with Matchers {
     p.linesIterator.count(_.contains("HashAggregate")) should be >= 2
   }
 
+  test("cents-based money sums are bit-equal to the DECIMAL(18,2) cast path") {
+    import org.apache.spark.sql.functions._
+    // the dsum rewrite (integer cents per row, DECIMAL(38,0) at the sum)
+    // must produce the same double as summing DECIMAL(18,2) casts — on
+    // every 2-decimal money column of the corpus, per group
+    val checks = Seq(
+      (graft.tables.Tables.lineitem(spark, sf()), "l_extendedprice", "l_returnflag"),
+      (graft.tables.Tables.lineitem(spark, sf()), "l_quantity", "l_linestatus"),
+      (graft.tables.Tables.orders(spark, sf()), "o_totalprice", "o_orderpriority"),
+      (graft.tables.Tables.part(spark, sf()), "p_retailprice", "p_brand"))
+    checks.foreach { case (df, money, grp) =>
+      val diff = df.groupBy(col(grp))
+        .agg(
+          sum(col(money).cast("decimal(18,2)")).cast("double").as("dec"),
+          (sum(floor(col(money) * 100 + lit(0.5)).cast("long")
+            .cast("decimal(38,0)")) / 100).cast("double").as("cents"))
+        .filter(col("dec") =!= col("cents"))
+        .count()
+      withClue(s"$money by $grp: ") { diff shouldBe 0L }
+    }
+  }
+
   test("approx_count_distinct is within 5% of exact (scale path for distinct)") {
     import org.apache.spark.sql.functions._
     val l = graft.tables.Tables.lineitem(spark, sf())
