@@ -373,7 +373,12 @@ object TextAnalysis {
         .as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-    val w1Counts = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    // prefix counts derive from the bigram table (vocabulary-sized input)
+    // instead of a second tokenize+explode pass over the corpus:
+    // Σ c_bg grouped by w1 ≡ counting bg rows by w1
+    val w1Counts = bgCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"))
     val vocab = docs.select(explode(col("tk")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     bg
