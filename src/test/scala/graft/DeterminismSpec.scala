@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Results must not depend on the physical plan: a registry query has to
+  * produce IDENTICAL rows when AQE is disabled and the shuffle partition
+  * count changes (2 vs the shared session's 4) — the property that makes
+  * the DuckDB hash gate meaningful on a 1000-executor cluster, where the
+  * optimizer is free to re-plan per run. Exercises the conventions the
+  * registry claims (decimal/cents-routed exact sums, total ORDER BY,
+  * order-independent aggregates) against actual re-planning.
+  *
+  * A representative query per convention class keeps the suite fast; the
+  * oracle gate covers the full registry per SF.
+  */
+class DeterminismSpec extends AnyFunSuite with Matchers {
+
+  private val names = Seq(
+    "q1_agg", // cents-routed exact money aggregation
+    "q_join_shuffle", // fact-fact join + agg
+    "q_window_rank", // window over explicit total order
+    "q_dedup_minhash", // sketch pipeline with persisted intermediate
+    "q_kmv", // bounded custom aggregate (merge-order free by proof)
+    "q_pack", // stream window + reused partitioning
+    "q_tfidf", // rounded-double scoring path
+    "q_sample_stratified") // hash-bucket membership
+
+  test("representative queries are bit-identical with AQE off and a " +
+    "different shuffle partitioning") {
+    // baseline rows from the shared session (AQE on, 4 shuffle partitions)
+    val want = names.map { n =>
+      n -> SparkEntry.queries(n)(SparkSpec.session, "/root/testdata/sf0.001")
+        .collect().toSeq.map(_.toString)
+    }.toMap
+
+    // a second session in the same JVM with a different physical regime
+    // (create(), not getOrCreate(), so the configs actually apply)
+    val alt = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-determinism")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .create()
+    alt.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val got = SparkEntry.queries(n)(alt, "/root/testdata/sf0.001")
+        .collect().toSeq.map(_.toString)
+      withClue(s"$n under AQE=off, shuffle.partitions=2: ") {
+        got shouldBe want(n)
+      }
+    }
+  }
+}
