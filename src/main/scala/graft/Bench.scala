@@ -134,10 +134,13 @@ object Bench {
     val total = queriesTotal + buildTotal
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("docs", "BENCH_DETAIL.json"),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // detail dump is best-effort
+    // only a full-registry run may overwrite the committed artifact —
+    // focused runs (explicit query args) would clobber it with a subset
+    if (args.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs", "BENCH_DETAIL.json"),
+        (detail + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // detail dump is best-effort
     println(detail)
     // build_total and the full sfDir live on the detail line; the contract
     // line carries the basename so every byte of the tail window buys a
