@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -465,6 +466,21 @@ object Dedup {
   val ContamNgram = 5
   val ContamMinShared = 5L
 
+  /** Span-level (exact substring) dedup parameters. [[SpliceOffset]] ids the
+    * planted splice documents; [[SpanNgram]]-token shingles are the match
+    * unit; a maximal shared run must cover ≥ [[MinRunTokens]] tokens to be
+    * reported; [[SpliceLen]] tokens are copied from each neighbor into a
+    * planted splice; shingles occurring more than [[MaxSpanOcc]] times
+    * corpus-wide are dropped before pair generation (the [[MaxLshBucket]]
+    * analogue — boilerplate shingles would otherwise generate quadratic
+    * match pairs inside one bucket).
+    */
+  val SpliceOffset = 30000000L
+  val SpanNgram = 8
+  val MinRunTokens = 15
+  val SpliceLen = 25
+  val MaxSpanOcc = 8
+
   /** Benchmark DECONTAMINATION — flag training documents that share n-gram
     * content with a held-out eval set, the standard pre-training hygiene
     * pass (the GPT-3/PaLM 13-gram-collision method, [[ContamNgram]]-gram
@@ -502,8 +518,95 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus with planted cross-document verbatim spans: for each adjacent
+    * doc pair (d, d+1), a splice document (+[[SpliceOffset]]) whose text is
+    * the first [[SpliceLen]] tokens of d followed by the first [[SpliceLen]]
+    * tokens of d+1 — a mid-document copied span, the partial-overlap case
+    * doc-level MinHash structurally misses.
+    */
+  private[graft] def splicedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val tkt = base.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val spliced = tkt.as("a")
+      .join(tkt.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        (col("a.doc_id") + SpliceOffset).as("doc_id"),
+        array_join(concat(
+          slice(col("a.tk"), 1, SpliceLen),
+          slice(col("b.tk"), 1, SpliceLen)), " ").as("text"))
+    base.union(spliced)
+  }
+
+  /** Exact SUBSTRING (span-level) dedup — cross-document verbatim token
+    * runs ≥ [[MinRunTokens]] tokens, the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499)
+    * operator class that doc-granularity dedup misses: a document that
+    * copies a paragraph into otherwise-novel text is invisible to
+    * exact-hash and usually below MinHash's Jaccard threshold.
+    *
+    * Distributed shape (the suffix-array substitute that scales on Spark):
+    *   1. positional [[SpanNgram]]-token shingles, 60-bit-hashed — one
+    *      narrow map stage; the ONLY corpus-sized shuffle ships
+    *      (h: 8 bytes, doc_id, pos);
+    *   2. group by shingle hash; buckets of size 1 (unique — the vast
+    *      majority) or > [[MaxSpanOcc]] (degenerate boilerplate) are
+    *      dropped, surviving buckets emit cross-doc (doc_a, pos_a, doc_b,
+    *      pos_b) matches in-bucket (no self-join: the grouped subtree is
+    *      evaluated and shuffled once, cf. [[minhashCandidates]]);
+    *   3. matches at (pos_a+1, pos_b+1) extend the same span, so runs are
+    *      gaps-and-islands on the match DIAGONAL (pos_a − pos_b): island
+    *      id = pos_a − row_number within (doc_a, doc_b, diag), one window
+    *      shuffle keyed by doc pair — cost ∝ true match density, never
+    *      corpus².
+    * Output: per overlapping pair, the run count, longest run, and total
+    * matched tokens (runs on distinct diagonals are counted as laid out —
+    * a token shared by two diagonals contributes to both, identically in
+    * both engines).
+    */
+  def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringSpans(splicedDocs(s, dir))
+
+  /** The span detector over any (doc_id, text) corpus — see
+    * [[qDedupSubstring]] for the distributed-shape rationale.
+    */
+  private[graft] def substringSpans(corpus: DataFrame): DataFrame = {
+    val posh = corpus
+      .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
+        graft.functions.SketchExpressions.wordNGrams(
+          tokens(col("text")), SpanNgram, distinct = false)))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val matches = posh
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
+      .filter(size(col("occ")) > 1 && size(col("occ")) <= MaxSpanOcc)
+      .select(explode(flatten(transform(col("occ"), (a, i) =>
+        filter(
+          transform(slice(col("occ"), i + 2, size(col("occ"))), b =>
+            struct(
+              a.getField("doc_id").as("doc_a"), a.getField("pos").as("pos_a"),
+              b.getField("doc_id").as("doc_b"), b.getField("pos").as("pos_b"))),
+          p => p.getField("doc_a") < p.getField("doc_b"))))).as("m"))
+      .select(col("m.*"))
+    val w = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg((count(lit(1)) + lit(SpanNgram - 1)).as("run_tokens"))
+      .filter(col("run_tokens") >= MinRunTokens)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        max(col("run_tokens")).as("max_run_tokens"),
+        sum(col("run_tokens")).as("matched_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> qDecontaminate,
+    "q_dedup_substring" -> qDedupSubstring,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_keep" -> qDedupKeep,
@@ -518,6 +621,18 @@ object Dedup {
 
   private val toks =
     "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0)"
+
+  /** DuckDB mirror of the POSITIONAL (non-distinct, in-order) n-gram list —
+    * the [[qDedupSubstring]] shingle unit, where list index = token
+    * position. No list_distinct: position alignment is the payload.
+    */
+  private def posShinglesSql(t: String, n: Int): String = {
+    val gram = (1 to n).map(j => s"$t[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($t) >= $n
+       | THEN list_transform(range(0, len($t) - ${n - 1}),
+       |        i -> $gram)
+       | ELSE [] END""".stripMargin
+  }
 
   /** DuckDB mirror of [[withShingles]] given a tokens list expression. */
   private def shinglesSql(t: String, n: Int = 3): String = {
@@ -626,6 +741,40 @@ object Dedup {
          |GROUP BY tr.doc_id, n_shingles
          |HAVING count(*) >= $ContamMinShared
          |ORDER BY doc_id""".stripMargin,
+    "q_dedup_substring" ->
+      s"""WITH tkt AS (SELECT doc_id, $toks AS tk FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT a.doc_id + $SpliceOffset AS doc_id,
+         |    array_to_string(list_concat(a.tk[1:$SpliceLen], b.tk[1:$SpliceLen]), ' ') AS text
+         |  FROM tkt a JOIN tkt b ON b.doc_id = a.doc_id + 1),
+         |hsd AS (SELECT doc_id,
+         |  list_transform(${posShinglesSql(toks, SpanNgram)},
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |  FROM corpus),
+         |ph0 AS (SELECT doc_id, unnest(range(0, len(hs))) AS pos, hs FROM hsd),
+         |ph AS (SELECT doc_id, pos, hs[pos+1] AS h FROM ph0),
+         |ok AS (SELECT h FROM ph GROUP BY h
+         |       HAVING count(*) > 1 AND count(*) <= $MaxSpanOcc),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+         |         b.doc_id AS doc_b, b.pos AS pos_b
+         |  FROM ph a JOIN ph b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  JOIN ok ON ok.h = a.h),
+         |runs AS (
+         |  SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
+         |    pos_a - row_number() OVER (
+         |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+         |  FROM m),
+         |ragg AS (
+         |  SELECT doc_a, doc_b, count(*) + ${SpanNgram - 1} AS run_tokens
+         |  FROM runs GROUP BY doc_a, doc_b, diag, island
+         |  HAVING count(*) + ${SpanNgram - 1} >= $MinRunTokens)
+         |SELECT doc_a, doc_b, count(*) AS n_runs,
+         |  CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+         |  CAST(sum(run_tokens) AS BIGINT) AS matched_tokens
+         |FROM ragg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $closureCtes
          |SELECT component AS canonical_id, count(*) AS n_members,

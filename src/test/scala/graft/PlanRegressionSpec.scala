@@ -128,6 +128,22 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan.substring(streamAggIdx, windowIdx) should not include "Exchange"
   }
 
+  test("q_dedup_substring: match generation is bucket-grouped on the 8-byte " +
+    "shingle hash — no cross join, no positional self-join") {
+    val plan = operators.Dedup.qDedupSubstring(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the ONLY corpus-sized shuffle ships (md5_prefix60 long, doc, pos);
+    // pairs are emitted per capped bucket, never via an all-pairs join of
+    // the positional shingle table against itself
+    plan should include("md5_prefix60")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the bucket stage materializes per-hash occurrence lists (collect_list
+    // → ObjectHashAggregate) feeding the in-bucket pair explode; the
+    // splice-construction join on doc_id stays a plain equi-join
+    plan should include("ObjectHashAggregate")
+  }
+
   test("q_kmv sketch aggregates partially: bounded buffers before the Exchange") {
     val plan = operators.Events.qKmv(spark, sf())
       .queryExecution.executedPlan.toString

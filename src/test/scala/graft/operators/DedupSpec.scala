@@ -87,6 +87,70 @@ class DedupSpec extends SparkSpec with Matchers {
       .count() shouldBe 3L
   }
 
+  test("substring dedup: a mid-document copied span is found with exact extent") {
+    import spark.implicits._
+    // letter-only tokens (the tokenizer splits on [^a-z]+): qa qb qc ...
+    def tok(i: Int): String = s"q${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    def uniq(prefix: Char, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix${tok(i)}")
+    val a = uniq('a', 60)
+    // doc 2 copies a[20..39] (20 tokens) into the MIDDLE of otherwise-novel
+    // text — invisible to doc-level exact dedup, below MinHash's threshold
+    val b = uniq('b', 15) ++ a.slice(20, 40) ++ uniq('c', 15)
+    // doc 3 copies only 14 tokens — one below MinRunTokens
+    val d = uniq('d', 15) ++ a.slice(20, 34) ++ uniq('e', 15)
+    val corpus = Seq(
+      (1L, a.mkString(" ")), (2L, b.mkString(" ")), (3L, d.mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(corpus).collect()
+
+    // exactly the (1,2) pair: one run of exactly 20 tokens
+    val p12 = spans.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    p12.length shouldBe 1
+    p12.head.getLong(2) shouldBe 1L  // n_runs
+    p12.head.getLong(3) shouldBe 20L // max_run_tokens
+    // the 14-token copy in doc 3 is below threshold — no (1,3) pair; but
+    // docs 2 and 3 share a[20..33] (14 tokens) — also below threshold
+    spans.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 2L))
+  }
+
+  test("substring dedup: planted splices pair with both source docs") {
+    val spans = Dedup.qDedupSubstring(spark, sf()).cache()
+    // every base doc with >= MinRunTokens tokens must pair with the splice
+    // that copied its prefix (doc_id + SpliceOffset)
+    val docs = graft.tables.Tables.documents(spark, sf())
+    val longEnough = docs
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.filter(
+          split(lower(col("text")), "[^a-z]+"),
+          t => org.apache.spark.sql.functions.length(t) > 0)) >=
+          Dedup.MinRunTokens)
+      .count()
+    longEnough should be > 0L
+    val firstSource = spans
+      .filter(col("doc_b") === col("doc_a") + Dedup.SpliceOffset).count()
+    // first-source recall: the splice's leading tokens ARE doc_a's prefix
+    firstSource should be >= (longEnough * 9) / 10
+    // runs never exceed the splice construction except via genuine base-
+    // corpus template overlap, which the detector must also report
+    spans.agg(max("max_run_tokens")).head().getLong(0) should be >=
+      Dedup.SpliceLen.toLong
+    spans.unpersist()
+    ()
+  }
+
+  test("substring dedup: degenerate boilerplate shingles are capped out") {
+    import spark.implicits._
+    // 40 docs of one identical 30-token text: every shingle occurs 40 times
+    // corpus-wide > MaxSpanOcc — uncapped, bucket pair-gen would be
+    // quadratic; capped, the stage emits nothing (doc-level dedup is the
+    // right operator for full copies, cf. MaxLshBucket's rationale)
+    val boiler = (0 until 30).map(i => s"w${('a' + i % 26).toChar}$i")
+      .map(_.replaceAll("[0-9]", "x")).mkString(" ")
+    val corpus = (0 until 40).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    Dedup.substringSpans(corpus).count() shouldBe 0L
+  }
+
   test("decontamination flags every planted eval leak, and flags cleanly") {
     val flagged = Dedup.qDecontaminate(spark, sf()).cache()
 
