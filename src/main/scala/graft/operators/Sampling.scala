@@ -171,9 +171,33 @@ object Sampling {
   val PackCtxLen = 512L
   /** Per-source stream shards for [[qPack]]: each (source, shard) stream
     * packs independently, so parallelism scales with shard count, not
-    * source count.
+    * source count. This is the ORACLE DEFAULT (baked into the oracle SQL —
+    * changing it moves every pack hash); production callers size shards to
+    * the corpus via [[autoShards]] and pass the result to
+    * [[packInventory]]/[[packAssignment]]/[[packFit]] — per-stream window
+    * length, not a constant, is what must stay bounded at 100 TB.
     */
   val PackShards = 8
+
+  /** Documents per (source, shard) stream a single window-partition task
+    * should own. ~1M rows of (id, count) per task is minutes of work; at
+    * 100 TB / ~10¹⁰ docs and one source this yields ~10⁴ shards — 10⁴-way
+    * packing parallelism instead of [[PackShards]]=8 single-task streams.
+    */
+  val PackTargetDocsPerStream = 1L << 20
+
+  /** Shard count for a corpus of `docCount` documents over its largest
+    * source: enough shards that no stream exceeds `targetPerStream`
+    * documents, never fewer than the oracle default (so tiny corpora keep
+    * multi-stream behavior exercised).
+    */
+  def autoShards(
+      docCount: Long,
+      targetPerStream: Long = PackTargetDocsPerStream): Int = {
+    require(targetPerStream > 0, "targetPerStream must be positive")
+    val needed = (docCount + targetPerStream - 1) / targetPerStream
+    math.max(PackShards.toLong, needed).min(Int.MaxValue).toInt
+  }
 
   /** Sequence packing: concatenate each (source, shard) document stream in
     * doc_id order and cut it into [[PackCtxLen]]-token training sequences
@@ -186,10 +210,15 @@ object Sampling {
     * how many documents straddle a pack boundary (expected fraction ≈
     * mean_doc_tokens / ctx — the attention-mask fragmentation cost).
     */
-  def qPack(s: SparkSession, dir: String): DataFrame = {
+  def qPack(s: SparkSession, dir: String): DataFrame =
+    packInventory(s, dir, PackShards)
+
+  /** [[qPack]] parameterized on stream shard count — see [[autoShards]]. */
+  private[graft] def packInventory(
+      s: SparkSession, dir: String, shards: Int): DataFrame = {
     val docs = Tables.documents(s, dir).select(
       col("doc_id"), col("source"),
-      hashBucket(col("doc_id"), PackShards).as("shard"),
+      hashBucket(col("doc_id"), shards).as("shard"),
       graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long").as("tk"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("shard"))
@@ -223,10 +252,22 @@ object Sampling {
     * is bounded to the first documents per stream so the result stays a
     * report (the full assignment is the same plan minus the filter).
     */
-  def qPackIds(s: SparkSession, dir: String): DataFrame = {
+  def qPackIds(s: SparkSession, dir: String): DataFrame =
+    packAssignment(s, dir, PackShards)
+      // bounded REPORT rows only — the full assignment is the product; this
+      // filter (mirrored in the oracle SQL) just keeps the gate row set
+      // small, and sits above the full-corpus window on purpose
+      .filter(col("doc_id") < 100)
+      .orderBy(col("doc_id"))
+
+  /** [[qPackIds]] parameterized on stream shard count, unfiltered: the
+    * full per-document assignment a sequence writer would materialize.
+    */
+  private[graft] def packAssignment(
+      s: SparkSession, dir: String, shards: Int): DataFrame = {
     val docs = Tables.documents(s, dir).select(
       col("doc_id"), col("source"),
-      hashBucket(col("doc_id"), PackShards).as("shard"),
+      hashBucket(col("doc_id"), shards).as("shard"),
       graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long").as("tk"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("shard"))
@@ -237,8 +278,6 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("shard"), col("tk"),
         (col("seq_end") - col("tk")).as("seq_start"),
         expr(s"(seq_end - tk) div $PackCtxLen").as("pack_id"))
-      .filter(col("doc_id") < 100)
-      .orderBy(col("doc_id"))
   }
 
   /** Per-(source, shard) stream totals of next-fit packing, emitted by the
@@ -267,13 +306,18 @@ object Sampling {
     * sequentiality is inherent to the operator, not a plan artifact. Emits
     * one summary row per stream (bounded), then a #sources-sized aggregate.
     */
-  def qPackFit(s: SparkSession, dir: String): DataFrame = {
+  def qPackFit(s: SparkSession, dir: String): DataFrame =
+    packFit(s, dir, PackShards)
+
+  /** [[qPackFit]] parameterized on stream shard count — see [[autoShards]]. */
+  private[graft] def packFit(
+      s: SparkSession, dir: String, shards: Int): DataFrame = {
     import s.implicits._
     val ctx = PackCtxLen
     Tables.documents(s, dir)
       .select(
         col("source"),
-        hashBucket(col("doc_id"), PackShards).as("shard"),
+        hashBucket(col("doc_id"), shards).as("shard"),
         col("doc_id"),
         graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long").as("tk"))
       .repartition(col("source"), col("shard"))
@@ -363,6 +407,9 @@ object Sampling {
          |SELECT doc_id, source, shard, tk,
          |  CAST(seq_end - tk AS BIGINT) AS seq_start,
          |  CAST((seq_end - tk) // $PackCtxLen AS BIGINT) AS pack_id
+         |-- doc_id < 100 bounds the REPORT rows only (mirrors the Spark-side
+         |-- filter above the full-corpus window); the full assignment is the
+         |-- same query without it
          |FROM c WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q_pack_fit" -> {
       val c = PackCtxLen

@@ -88,6 +88,43 @@ class SamplingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("shard count scales with corpus size and per-stream packing is " +
+    "shard-stable") {
+    // autoShards: oracle default until streams would exceed the target,
+    // then grows linearly — per-stream length stays bounded at any corpus
+    Sampling.autoShards(1000L) shouldBe Sampling.PackShards
+    Sampling.autoShards(10L * (1L << 20)) shouldBe 10
+    Sampling.autoShards(1L << 34, targetPerStream = 1L << 20) shouldBe (1 << 14)
+
+    // invariants across shard counts: sharding re-routes documents between
+    // streams but never changes WHAT is packed — per-source doc/token
+    // totals are identical, and the pack count stays within the per-stream
+    // ceil slack (each stream wastes < 1 pack vs the token lower bound)
+    val at8 = Sampling.packInventory(spark, sf(), 8).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val at32 = Sampling.packInventory(spark, sf(), 32).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    at32.keySet shouldBe at8.keySet
+    at8.foreach { case (srcKey, (docs8, tokens8, packs8)) =>
+      val (docs32, tokens32, packs32) = at32(srcKey)
+      docs32 shouldBe docs8
+      tokens32 shouldBe tokens8
+      val floor = (tokens8 + Sampling.PackCtxLen - 1) / Sampling.PackCtxLen
+      packs8 should be >= floor
+      packs32 should be >= floor
+      packs8 should be <= floor + 8
+      packs32 should be <= floor + 32
+    }
+
+    // and with more shards, the longest stream SHRINKS (the parallelism
+    // the parameter exists to buy: window-task length is per-stream)
+    def maxStream(shards: Int): Long =
+      Sampling.packAssignment(spark, sf(), shards)
+        .groupBy(col("source"), col("shard")).count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    maxStream(32) should be < maxStream(1)
+  }
+
   test("no-split packing agrees with a next-fit simulation and the padding " +
     "identity holds") {
     val ctx = Sampling.PackCtxLen
