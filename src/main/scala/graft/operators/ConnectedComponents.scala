@@ -49,7 +49,7 @@ object ConnectedComponents {
     * counting runs inside whatever job materializes the returned frame, so
     * convergence detection costs no extra action.
     */
-  private def countChanges(flagged: DataFrame, acc: LongAccumulator): DataFrame = {
+  private[operators] def countChanges(flagged: DataFrame, acc: LongAccumulator): DataFrame = {
     val spark = flagged.sparkSession
     import spark.implicits._
     flagged.as[(Long, Long, Boolean)]
@@ -116,14 +116,20 @@ object ConnectedComponents {
     var converged = false
     while (!converged && rounds < maxIter) {
       val changes = spark.sparkContext.longAccumulator(s"cc-changes-round-$rounds")
-      // duplicate (src,dst) emissions from different small-star groups may
-      // disagree on chg, so count BEFORE distinct — the accumulator only
-      // feeds a zero/nonzero decision
+      // NO per-round distinct: the next round's large-star symmetrizes and
+      // collect_set-dedups its input anyway, so an inter-round distinct is
+      // a third full shuffle per round that redoes work the next
+      // aggregation performs for free. Duplicate (src,dst) emissions from
+      // different small-star groups ride along (multiplicity is bounded by
+      // the emitting group count and collapses at the next aggregation —
+      // it cannot compound across rounds) and may disagree on chg; the
+      // accumulator only feeds a zero/nonzero decision, so over-count is
+      // harmless. Each round is exactly TWO shuffles: the large-star and
+      // small-star keyed aggregations.
       val next = countChanges(smallStar(countChanges(largeStar(e), changes)), changes)
-        .distinct()
         .localCheckpoint() // the ONE action of the round; counting rides along
       rounds += 1
-      converged = changes.value == 0L // next == e, a fixpoint = star forest
+      converged = changes.value == 0L // next ≡ e as a set ⇔ star forest
       e = next
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
@@ -131,8 +137,10 @@ object ConnectedComponents {
     // round preserves components, and every component has ≥2 nodes by
     // construction — self-loops were dropped): children map to their
     // center, centers to themselves. No join against a node table needed.
-    val mapping = e.select(col("src").as("id"), col("dst").as("component"))
-      .union(e.select(col("dst").as("id"), col("dst").as("component")).distinct())
+    // The one distinct deferred from the loop runs here, once.
+    val star = e.distinct()
+    val mapping = star.select(col("src").as("id"), col("dst").as("component"))
+      .union(star.select(col("dst").as("id"), col("dst").as("component")).distinct())
     (mapping, rounds)
   }
 

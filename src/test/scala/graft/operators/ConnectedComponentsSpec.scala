@@ -78,6 +78,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     check((1L to 10L).map(i => (0L, i)))
   }
 
+  test("a round is exactly two shuffles: large-star + small-star, no " +
+    "inter-round distinct Exchange") {
+    val e = edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L))).localCheckpoint()
+    val acc = spark.sparkContext.longAccumulator("cc-exchange-probe")
+    // the loop body verbatim (countChanges adds object ser/de, no shuffle)
+    val round = ConnectedComponents.countChanges(
+      ConnectedComponents.smallStar(
+        ConnectedComponents.countChanges(ConnectedComponents.largeStar(e), acc)),
+      acc)
+    val plan = round.queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges === 2,
+      s"expected the 2 star aggregations as the only shuffles, got $exchanges:\n$plan")
+  }
+
   test("one Spark job per round: convergence detection rides the round's " +
     "own materialization, no separate check action") {
     val group = s"cc-jobcount-${System.nanoTime()}"
