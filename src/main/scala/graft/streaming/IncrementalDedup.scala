@@ -200,6 +200,15 @@ object IncrementalDedup {
     * (localCheckpointed, since a foreachBatch frame is only valid inside
     * its call) and the closure runs once per N merges and lazily on any
     * `mapping`/`snapshot` read, so reads always see every merged edge.
+    *
+    * Fault-tolerance trade (deliberate, test-scale): state lineage is
+    * truncated via `localCheckpoint`, whose blocks live on executors
+    * WITHOUT replication — an executor loss mid-stream loses cluster state
+    * permanently (the stream fails rather than silently recomputing
+    * wrong). A production deployment swaps the persisted frame for a
+    * reliably-stored MERGE target (Delta table / `checkpoint` on a
+    * replicated FS) with identical semantics; nothing in the algorithm
+    * depends on the storage being local.
     */
   final class DistributedClusterStore(
       spark: org.apache.spark.sql.SparkSession, closeEvery: Int = 1) {
@@ -241,13 +250,18 @@ object IncrementalDedup {
 
     /** Live (id, component) mapping — the distributed product; flushes any
       * pending batches first, so reads always reflect every merged edge.
-      * Empty frame before any edge arrives.
+      * Empty frame before any edge arrives. Returned as an eager
+      * localCheckpoint SNAPSHOT with self-contained storage: a later
+      * merge()+close() unpersists the internal state it was derived from,
+      * which must not invalidate a frame a caller is still consuming.
       */
     def mapping: DataFrame = synchronized {
       close()
-      state.getOrElse {
-        import spark.implicits._
-        Seq.empty[(Long, Long)].toDF("id", "component")
+      state match {
+        case Some(m) => m.localCheckpoint(eager = true)
+        case None =>
+          import spark.implicits._
+          Seq.empty[(Long, Long)].toDF("id", "component")
       }
     }
 

@@ -213,9 +213,11 @@ object Streaming {
     * foreachBatch: collapse the batch, then MERGE into a keyed store with
     * max-signup semantics — correct even when one purchase's pairs arrive
     * across micro-batches (a late in-watermark signup emits its pair in a
-    * later batch). This store is the in-memory stand-in for that MERGE
-    * target (Delta/JDBC upsert at scale); batches arrive sequentially, so
-    * a plain synchronized map suffices.
+    * later batch). This store is the driver-memory TEST DOUBLE for that
+    * MERGE target (state grows with distinct purchases — fine in specs,
+    * wrong on an unbounded stream); [[DistributedAttributionStore]] is the
+    * scale path with identical upsert semantics and no driver-side state.
+    * Batches arrive sequentially, so a plain synchronized map suffices.
     */
   final class AttributionStore {
     import scala.collection.mutable
@@ -242,9 +244,87 @@ object Streaming {
       rows.synchronized(rows.toMap)
   }
 
+  /** Fully DISTRIBUTED attribution MERGE target — the scale path past
+    * [[AttributionStore]], whose map lives in driver memory (fine while
+    * the purchase population fits on the driver; an unbounded stream's
+    * does not). State is a persisted one-row-per-purchase DataFrame; each
+    * micro-batch's collapsed pairs union with it and re-reduce under
+    * max-signup_ts-wins per event_id — a keyed aggregation, shuffled on
+    * the purchase key, no driver-side collection anywhere. The upsert is
+    * commutative/associative/idempotent (a max), so duplicate pair
+    * emissions, batch boundaries, and arrival order are all absorbed:
+    * the state after any prefix of batches equals the batch-layer
+    * collapse over every pair seen so far (StreamingSpec pins it).
+    *
+    * Same fault-tolerance trade as
+    * [[IncrementalDedup.DistributedClusterStore]]: lineage is truncated
+    * via `localCheckpoint` (unreplicated executor blocks — an executor
+    * loss fails the stream rather than recomputing wrong); production
+    * swaps in a Delta/JDBC MERGE with identical semantics.
+    */
+  final class DistributedAttributionStore(spark: org.apache.spark.sql.SparkSession) {
+    private var state: Option[DataFrame] = None
+
+    def merge(collapsed: DataFrame): Unit = synchronized {
+      // a foreachBatch frame is only valid inside its call — pin it
+      val batch = collapsed.localCheckpoint()
+      val all = state.map(_.union(batch)).getOrElse(batch)
+      // latest signup wins; the remaining columns are functionally
+      // dependent on event_id, so the struct tail only rides along
+      val next = all
+        .groupBy(col("event_id"))
+        .agg(max(struct(col("signup_ts"), col("user_id"), col("purchase_ts"),
+          col("value"))).as("r"))
+        .select(col("event_id"), col("r.user_id"), col("r.purchase_ts"),
+          col("r.signup_ts"), col("r.value"))
+        .persist()
+      next.count() // materialize before releasing the predecessor's blocks
+      state.foreach(_.unpersist(blocking = false))
+      state = Some(next)
+    }
+
+    /** Live (event_id, user_id, purchase_ts, signup_ts, value) state — the
+      * distributed product; an eager localCheckpoint snapshot so a later
+      * merge() cannot invalidate a frame the caller still holds. Empty
+      * before any batch arrives.
+      */
+    def mapping: DataFrame = synchronized {
+      state match {
+        case Some(m) => m.localCheckpoint(eager = true)
+        case None =>
+          import spark.implicits._
+          Seq.empty[(Long, Long, Timestamp, Timestamp, Double)]
+            .toDF("event_id", "user_id", "purchase_ts", "signup_ts", "value")
+      }
+    }
+
+    /** Driver-side view, same shape as [[AttributionStore.snapshot]]. */
+    def snapshot: Map[Long, (Long, Timestamp, Timestamp, Double)] =
+      mapping.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getDouble(4))).toMap
+  }
+
+  /** Wire [[purchaseAttribution]] → per-batch collapse → DISTRIBUTED keyed
+    * upsert; `store.mapping` is the live one-row-per-purchase state.
+    */
+  def attributionLatestDistributed(
+      events: DataFrame,
+      store: DistributedAttributionStore,
+      watermark: String = "1 hour",
+      attributionWindow: String = "24 hours")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    purchaseAttribution(events, watermark, attributionWindow)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.merge(collapseLatestSignup(batch))
+      }
+      .start()
+
   /** Wire [[purchaseAttribution]] → per-batch collapse → keyed upsert:
     * returns the started query; final one-row-per-purchase state lives in
-    * `store`.
+    * `store` (driver-memory TEST DOUBLE — see [[AttributionStore]];
+    * [[attributionLatestDistributed]] is the scale path).
     */
   def attributionLatest(
       events: DataFrame,

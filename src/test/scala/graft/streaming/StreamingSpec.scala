@@ -221,6 +221,53 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("distributed attribution store: batch ≡ stream with no driver-side " +
+    "state, across micro-batch splits of a late signup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val store = new Streaming.DistributedAttributionStore(spark)
+    val q = Streaming.attributionLatestDistributed(input.toDF(), store,
+      watermark = "10 minutes", attributionWindow = "1 hour")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        Event(0, t("2024-01-01 10:00:00"), 1, "signup", 0.0),
+        Event(1, t("2024-01-01 10:30:00"), 1, "purchase", 9.0),
+        Event(2, t("2024-01-01 10:05:00"), 2, "signup", 0.0),
+        Event(3, t("2024-01-01 10:06:00"), 2, "purchase", 4.0))
+      q.processAllAvailable()
+      // a frame handed out BEFORE later merges must stay valid after them
+      val early = store.mapping
+      // the later signup's pair for purchase 1 emits in a second
+      // micro-batch; the distributed upsert must converge on it
+      input.addData(Event(4, t("2024-01-01 10:25:00"), 1, "signup", 0.0))
+      q.processAllAvailable()
+
+      val got = store.snapshot
+      got.keySet shouldBe Set(1L, 3L)
+      got(1L)._3.toString shouldBe "2024-01-01 10:25:00.0"
+      // distributed state ≡ the batch-layer collapse over all pairs
+      val batchPairs = Seq(
+        (1L, 1L, t("2024-01-01 10:30:00"), t("2024-01-01 10:00:00"), 9.0),
+        (1L, 1L, t("2024-01-01 10:30:00"), t("2024-01-01 10:25:00"), 9.0),
+        (3L, 2L, t("2024-01-01 10:06:00"), t("2024-01-01 10:05:00"), 4.0))
+        .toDF("event_id", "user_id", "purchase_ts", "signup_ts", "value")
+      val expected = Streaming.collapseLatestSignup(batchPairs).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getDouble(4)))
+        .toMap
+      got shouldBe expected
+      // ...and equals what the driver-memory test double would hold
+      val double_ = new Streaming.AttributionStore
+      double_.merge(Streaming.collapseLatestSignup(batchPairs))
+      got shouldBe double_.snapshot
+      // the pre-merge snapshot is self-contained: still readable, still
+      // showing the state as of its own merge point
+      early.count() shouldBe 2L
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with broadcast segments") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
