@@ -101,6 +101,38 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(col("r_name"))
 
+  /** TPC-H Q5-shaped COMPOSED star query — the multi-table pattern real
+    * users run (the per-operator join queries above exercise each join
+    * kind pairwise; this composes them): fact (lineitem, shipdate-range
+    * filtered) ⋈ two dimensions (supplier, then nation restricted to one
+    * region) → group by (nation, ship year) → revenue top-10.
+    *
+    * 100 TB plan shape (pinned in PlanRegressionSpec): BOTH dimension
+    * joins broadcast — the fact table never shuffles for a join — so the
+    * single Exchange in the plan is the final ~25-group aggregation, and
+    * the top-k is a TakeOrderedAndProject (per-partition heap + driver
+    * merge of k rows), never a global sort. Revenue uses the exact
+    * integer-cents arithmetic of [[q1Agg]].
+    */
+  def qStarTopk(s: SparkSession, dir: String): DataFrame = {
+    val epC = cents(col("l_extendedprice"))
+    val d100 = lit(100L) - cents(col("l_discount"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_regionkey") === 2)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        (sum((epC * d100).cast("decimal(38,0)")) / 10000)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"), col("ship_year"))
+      .limit(10)
+  }
+
   /** Fact-fact shuffle join (lineitem ⋈ orders on the natural key), then
     * aggregate — the repartition-join the MR model expresses via tagged
     * KeyValues (SURVEY §2.2 "Joins"), done natively. AQE may convert to
@@ -496,6 +528,7 @@ object Relational {
     "q1_agg" -> q1Agg,
     "q_filter_project" -> qFilterProject,
     "q_join_broadcast" -> qJoinBroadcast,
+    "q_star_topk" -> qStarTopk,
     "q_join_shuffle" -> qJoinShuffle,
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
@@ -590,6 +623,19 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_star_topk" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+        |  AND n_regionkey = 2
+        |GROUP BY n_name, year(l_shipdate)
+        |ORDER BY revenue DESC, n_name, ship_year
+        |LIMIT 10""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem

@@ -128,6 +128,24 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan.substring(streamAggIdx, windowIdx) should not include "Exchange"
   }
 
+  test("q_star_topk: both dimensions broadcast, one fact shuffle, top-k " +
+    "never globally sorts") {
+    val plan = Relational.qStarTopk(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the fact table reaches the aggregation without a join shuffle…
+    val bhj = plan.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin")
+    bhj shouldBe 2
+    plan should not include "SortMergeJoin"
+    // …the only shuffle is the ~25-group aggregation…
+    val shuffles = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    shuffles shouldBe 1
+    // …and the limit is a per-partition heap, not a global sort
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Exchange rangepartitioning"
+  }
+
   test("q_dedup_substring: match generation is bucket-grouped on the 8-byte " +
     "shingle hash — no cross join, no positional self-join") {
     val plan = operators.Dedup.qDedupSubstring(spark, sf())
