@@ -118,13 +118,14 @@ object Bench {
     val full: Double => String = _.toString
     val short: Double => String =
       v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // per-query values at 10 ms resolution with trailing zeros trimmed
-    // ("0.20"→"0.2", "1.00"→"1") keep the contract line inside the
-    // driver's 2 KB tail as the registry grows (84 queries at plain %.2f
-    // measured 1898 chars — 28 of headroom); full precision is on the
-    // detail line
+    // per-query values at 100 ms resolution with trailing zeros trimmed
+    // ("0.2"→"0.2", "1.0"→"1") keep the contract line inside the driver's
+    // 2 KB tail as the registry grows (88 queries + the canary field blew
+    // past the ~1925-char budget at 10 ms resolution — measured below in
+    // docs/BENCH_DETAIL; the skill recipe re-measures per added query);
+    // full precision is on the detail line
     val short2: Double => String = { v =>
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
@@ -132,8 +133,18 @@ object Bench {
     val queriesTotal = results.collect { case (_, v) if v >= 0 => v }.sum
     val buildTotal = buildSec.values.sum
     val total = queriesTotal + buildTotal
+    // canary: an untouched trivial query whose steady-state cost tracks
+    // the HOST, not the code — this box swings ~1.5× between measurement
+    // windows (BASELINE.md), so cross-round comparisons should divide per-
+    // query values by (canary_now / canary_reference); the ratio rule and
+    // the reference value live in BASELINE.md §"Canary normalization".
+    val canaryName = "q_median"
+    val canary = results
+      .collectFirst { case (n, v) if n == canaryName && v >= 0 => v }
+    def canaryJson(fmt: Double => String): String =
+      canary.map(v => s""","canary":{"$canaryName":${fmt(v)}}""").getOrElse("")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)},"sf":"$sfDir"}"""
     // only a full-registry run may overwrite the committed artifact —
     // focused runs (explicit query args) would clobber it with a subset
     if (args.isEmpty)
@@ -144,9 +155,10 @@ object Bench {
     println(detail)
     // build_total and the full sfDir live on the detail line; the contract
     // line carries the basename so every byte of the tail window buys a
-    // per-query value
+    // per-query value. The canary keeps 10 ms resolution (it is the
+    // divisor of the normalization — 100 ms on a ~1 s value is too coarse).
     println(
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${jmap(results, short2)},"sf":"${new java.io.File(sfDir).getName}"}""")
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${jmap(results, short2)}${canaryJson(short)},"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }
