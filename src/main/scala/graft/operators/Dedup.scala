@@ -357,36 +357,16 @@ object Dedup {
     * components). Lifecycle: entries for a session are unpersisted and
     * evicted when that session's SparkContext ends, so a long-lived process
     * hosting many sessions neither leaks executor storage nor retains
-    * stopped sessions. Map access is synchronized — the first
-    * materialization runs inside the lock, so concurrent first calls cannot
-    * double-persist (the TrieMap.getOrElseUpdate it replaces could evaluate
-    * the thunk twice and strand one persisted copy).
+    * stopped sessions. Concurrency: [[SessionMemo]] — the multi-second
+    * closure runs OUTSIDE the map lock (a first materialization for one
+    * (session, dir) does not block unrelated keys), while concurrent
+    * first calls for the same key still persist exactly once.
     */
   private val componentCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    new SessionMemo[DataFrame](_.unpersist(blocking = false))
   private def canonicalComponents(s: SparkSession, dir: String): DataFrame =
-    componentCache.synchronized {
-      componentCache.getOrElseUpdate((s, dir), {
-        if (!componentCache.keys.exists(_._1 eq s))
-          s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              componentCache.synchronized {
-                componentCache.filterInPlace { case ((sess, _), df) =>
-                  (sess ne s) || {
-                    // storage dies with the context anyway; unpersist is for
-                    // the shared-context multi-session case and may race the
-                    // shutdown, so a failure here is ignorable
-                    try df.unpersist(blocking = false)
-                    catch { case _: Throwable => () }
-                    false
-                  }
-                }
-              }
-          })
-        ConnectedComponents.components(canonicalEdges(s, dir)).persist()
-      })
-    }
+    componentCache.getOrElseUpdate(s, dir)(
+      ConnectedComponents.components(canonicalEdges(s, dir)).persist())
 
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     canonicalComponents(s, dir)

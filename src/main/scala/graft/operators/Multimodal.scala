@@ -238,6 +238,15 @@ object Multimodal {
         |  count(*) AS n_items,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
+    // Cross-engine contract caveats (DuckDB 1.0 has no BLOB substr/md5,
+    // so a byte-faithful oracle is not expressible): (1) substr(text,...)
+    // slices CHARACTERS while Spark md5s the first FrameBytes BYTES of
+    // the UTF-8 payload — identical only while the corpus text is ASCII
+    // in the first frame (true for the synthetic corpus; a multi-byte
+    // char inside the first FrameBytes would diverge). (2) WHERE n > 0
+    // mirrors Spark's empty-group behavior: a zero-byte payload yields
+    // no frames, hence no groupBy row — without the guard the oracle
+    // would emit an n_sampled=0 row Spark never produces.
     "q_multimodal_frames" ->
       s"""WITH v AS (
          |  SELECT doc_id AS media_id, text,
@@ -247,6 +256,6 @@ object Multimodal {
          |  CAST(((n + ${FrameBytes - 1}) // $FrameBytes - 1) // $FrameStride + 1
          |    AS BIGINT) AS n_sampled,
          |  md5(substr(text, 1, $FrameBytes)) AS first_frame_md5
-         |FROM v ORDER BY media_id""".stripMargin
+         |FROM v WHERE n > 0 ORDER BY media_id""".stripMargin
   )
 }

@@ -24,11 +24,16 @@ import graft.tables.Tables
   */
 object Relational {
 
-  /** Integer cents of a 2-decimal double (floor(x·100+0.5) — exact for
-    * on-grid values, where x·100 sits within ~1e-10 of an integer).
+  /** Integer cents of a 2-decimal double: round-half-AWAY-from-zero
+    * (sign·floor(|x|·100+0.5)), the same mode as a DECIMAL HALF_UP cast,
+    * so the fast path is value-identical to the decimal path for negative
+    * off-grid values too — not just the corpus' non-negative money
+    * columns. Exact for on-grid values, where |x|·100 sits within ~1e-10
+    * of an integer; still branch-free codegen (one abs + multiply +
+    * floor + sign-multiply per row).
     */
   private def cents(c: Column): Column =
-    floor(c * 100 + lit(0.5)).cast("long")
+    (signum(c) * floor(abs(c) * 100 + lit(0.5))).cast("long")
 
   /** Exact, order-independent sum of a 2-decimal double column: convert to
     * integer cents row-locally, sum as DECIMAL(38,0) (unbounded-scale

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-(session, corpus-dir) memoizer for expensive one-time
+  * constructions (the CC closure, k-means centroid training). The global
+  * lock guards ONLY map access; the computation runs outside it in a
+  * per-entry lazy holder, so a multi-second first materialization for
+  * one (session, dir) no longer blocks unrelated sessions/dirs — while
+  * concurrent first calls for the SAME key still compute exactly once
+  * (the holder's own monitor), so a persisted copy cannot be stranded by
+  * a double evaluation. A thunk that THROWS is not cached: the lazy
+  * holder re-evaluates on the next call (Scala lazy-val semantics), so a
+  * transient failure does not poison the cache.
+  *
+  * Lifecycle: entries for a session are evicted when that session's
+  * SparkContext ends, running `cleanup` (e.g. unpersist) for entries
+  * that actually materialized — never for ones still pending, whose
+  * eventual value dies with the context anyway.
+  */
+private[operators] final class SessionMemo[V](cleanup: V => Unit = (_: V) => ()) {
+
+  private final class Holder(thunk: () => V) {
+    @volatile var done = false
+    lazy val value: V = { val v = thunk(); done = true; v }
+  }
+
+  private val cache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Holder]
+
+  def getOrElseUpdate(s: SparkSession, key: String)(thunk: => V): V = {
+    val holder = cache.synchronized {
+      cache.getOrElseUpdate((s, key), {
+        if (!cache.keys.exists(_._1 eq s))
+          s.sparkContext.addSparkListener(new SparkListener {
+            override def onApplicationEnd(
+                e: SparkListenerApplicationEnd): Unit =
+              cache.synchronized {
+                cache.filterInPlace { case ((sess, _), h) =>
+                  (sess ne s) || {
+                    // executor storage dies with the context anyway;
+                    // cleanup is for the shared-context multi-session
+                    // case and may race the shutdown, so a failure here
+                    // is ignorable
+                    if (h.done)
+                      try cleanup(h.value)
+                      catch { case _: Throwable => () }
+                    false
+                  }
+                }
+              }
+          })
+        new Holder(() => thunk)
+      })
+    }
+    holder.value
+  }
+}

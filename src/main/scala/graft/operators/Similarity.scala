@@ -448,21 +448,13 @@ object Similarity {
     * Dedup.componentCache). Training is deterministic in the corpus, so
     * memoization is invisible to results (SimilaritySpec pins run-to-run
     * equality). Assumes the dir's parquet is immutable in-session.
+    * Concurrency: [[SessionMemo]] — training runs outside the map lock,
+    * so it no longer blocks unrelated sessions/dirs.
     */
-  private val centroidCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Seq[(Long, Array[Double])]]
+  private val centroidCache = new SessionMemo[Seq[(Long, Array[Double])]]()
   private[operators] def trainedCentroids(
       s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
-    centroidCache.synchronized {
-      centroidCache.getOrElseUpdate((s, dir), {
-        if (!centroidCache.keys.exists(_._1 eq s))
-          s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              centroidCache.synchronized {
-                centroidCache.filterInPlace { case ((sess, _), _) => sess ne s }
-              }
-          })
+    centroidCache.getOrElseUpdate(s, dir) {
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
         val init: Seq[(Long, Array[Double])] = emb
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -474,7 +466,6 @@ object Similarity {
               v.map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray)
           }.sortBy(_._1).toSeq
         (1 to KmeansIters).foldLeft(init)((c, _) => lloydStep(emb, c))
-      })
     }
 
   /** IVF with TRAINED centroids: seeded k-means (init = a deterministic
