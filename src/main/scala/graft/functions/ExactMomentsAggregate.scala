@@ -12,32 +12,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Exact second-order moment sums — output array order:
   * [n, Σx, Σy, Σx², Σy², Σxy] — over integer inputs, as a
-  * [[TypedImperativeAggregate]] with signed 128-bit accumulation
+  * [[TypedImperativeAggregate]] with signed 192-bit accumulation
   * (any long inputs, positive or negative, are exact).
   *
   * Motivation: the portable formulation routes each moment through
   * `sum(decimal × decimal)`, which drops Spark's Decimal onto the
   * BigDecimal slow path once products exceed 18 digits — measured 3.5 s of
   * the sf0.1 bench for one query. This aggregate does the same arithmetic
-  * in primitive longs (unsigned-128 for the squares, which overflow a
-  * single long at ~10⁹ rows of 10⁸-scale inputs), and converts to double
-  * exactly once at finish through BigInteger — correctly rounded, hence
-  * bit-identical to the oracle's `CAST(sum(DECIMAL…) AS DOUBLE)`.
+  * in primitive longs (full 128-bit products via Math.multiplyHigh, since
+  * a square overflows a single long at inputs ~3·10⁹), and converts to
+  * double exactly once at finish through BigInteger — correctly rounded,
+  * hence bit-identical to the oracle's `CAST(sum(DECIMAL…) AS DOUBLE)`.
   *
   * Inputs are longs (callers pre-scale, e.g. money → cents); partial
-  * aggregation works as usual (buffers merge with 128-bit adds).
+  * aggregation works as usual (buffers merge with 192-bit adds).
   *
-  * EXACTNESS DOMAIN (the bound a 100 TB deployment must check): every
-  * accumulator — the linear sums included, they are 128-bit too precisely
-  * so the count is never the weakest link — is exact while its magnitude
-  * stays below 2¹²⁷ ≈ 1.7·10³⁸. The binding constraint is the largest
-  * square: N·max(x²) < 2¹²⁷, e.g. cent-scaled prices up to 10⁸ (a million
-  * currency units) stay exact to N ≈ 10²² rows — far beyond any corpus.
-  * Beyond that the sums wrap SILENTLY (no runtime guard: a per-row check
-  * would cost more than the aggregation); if inputs can exceed ~10¹⁰ at
-  * ~10¹⁸ rows, promote the buffer to 192-bit before trusting the output.
-  * ExactMomentsSpec pins the edge: per-value |x| up to Long.MaxValue and
-  * linear sums crossing 2⁶³ both stay exact.
+  * EXACTNESS DOMAIN: UNCONDITIONAL. Each per-row term is a signed 128-bit
+  * product (|x·y| ≤ 2¹²⁶) and the row count is itself a 64-bit long, so
+  * an accumulator's magnitude is bounded by 2⁶⁴·2¹²⁶ = 2¹⁹⁰ < 2¹⁹¹ — a
+  * signed 192-bit sum cannot wrap for ANY long inputs at any row count
+  * the engine can represent. (Through round 4 the accumulators were
+  * 128-bit, exact only below 2¹²⁷ ≈ 1.7·10³⁸ with a documented
+  * silent-wrap beyond — e.g. ~10¹⁸ rows of 10¹⁰-scale inputs; the third
+  * limb closes that last class, see `docs/NEXT.md`. ExactMomentsSpec
+  * pins a Σx² > 2¹²⁷ case.) The widening costs one extra long-add with
+  * carry per term — invisible next to the two multiplies (A/B in
+  * BASELINE.md round-5 notes).
   *
   * @param xScale decimal digits the x input was scaled by (e.g. 2 for
   *               money→cents) — outputs are de-scaled with a SINGLE
@@ -54,13 +54,12 @@ case class ExactMoments(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
-  // buffer layout: n, sx.hi, sx.lo, sy.hi, sy.lo, sx2.hi, sx2.lo,
-  // sy2.hi, sy2.lo, sxy.hi, sxy.lo — every hi/lo pair is a SIGNED
-  // two's-complement 128-bit accumulator (the linear sums too: a plain
+  // buffer layout: n, then 5 accumulators × (hi, mid, lo) — each a SIGNED
+  // two's-complement 192-bit accumulator (the linear sums too: a plain
   // 64-bit Σx wraps at ~9·10¹⁸, reachable at ~10¹² rows of large scaled
   // inputs — exactly the silent-wrong-answer class this aggregate exists
   // to rule out)
-  private val BufLen = 11
+  private val BufLen = 16
 
   override def children: Seq[Expression] = Seq(x, y)
   override def nullable: Boolean = false
@@ -76,14 +75,40 @@ case class ExactMoments(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](BufLen)
 
-  /** b[hi:lo] += (vh:vl), signed 128-bit (unsigned lo carry + hi words). */
-  private def add128(b: Array[Long], hi: Int, lo: Int, vh: Long, vl: Long): Unit = {
-    val old = b(lo)
-    val nl = old + vl
-    // unsigned carry-out of old + vl
-    if (((old & vl) | ((old | vl) & ~nl)) < 0) b(hi) += 1
-    b(lo) = nl
-    b(hi) += vh
+  /** Unsigned carry-out (0 or 1) of the 64-bit add a + b = r. */
+  @inline private def carry(a: Long, b: Long, r: Long): Long =
+    ((a & b) | ((a | b) & ~r)) >>> 63
+
+  /** b[i:i+2] += sign-extended (vh:vl), signed 192-bit. The two mid-word
+    * carries cannot both be 1 (if the first add carried, its result is at
+    * most 2⁶⁴-2, so adding the 0/1 low carry cannot carry again), but the
+    * sum form needs no such reasoning to be correct.
+    */
+  private def add192(b: Array[Long], i: Int, vh: Long, vl: Long): Unit = {
+    val lo = b(i + 2)
+    val nl = lo + vl
+    val c1 = carry(lo, vl, nl)
+    b(i + 2) = nl
+    val m0 = b(i + 1)
+    val m1 = m0 + vh
+    val c2 = carry(m0, vh, m1)
+    val m2 = m1 + c1
+    val c3 = carry(m1, c1, m2)
+    b(i + 1) = m2
+    b(i) += (vh >> 63) + c2 + c3
+  }
+
+  /** b[i:i+2] += o[i:i+2], full signed 192-bit (merge path). */
+  private def add192w(b: Array[Long], o: Array[Long], i: Int): Unit = {
+    val nl = b(i + 2) + o(i + 2)
+    val c1 = carry(b(i + 2), o(i + 2), nl)
+    b(i + 2) = nl
+    val m1 = b(i + 1) + o(i + 1)
+    val c2 = carry(b(i + 1), o(i + 1), m1)
+    val m2 = m1 + c1
+    val c3 = carry(m1, c1, m2)
+    b(i + 1) = m2
+    b(i) += o(i) + c2 + c3
   }
 
   override def update(b: Array[Long], input: InternalRow): Array[Long] = {
@@ -94,32 +119,34 @@ case class ExactMoments(
       val yl = yv.asInstanceOf[Long]
       b(0) += 1
       // sign-extended high word keeps the linear sums exact past 2⁶³
-      add128(b, 1, 2, xl >> 63, xl)
-      add128(b, 3, 4, yl >> 63, yl)
+      add192(b, 1, xl >> 63, xl)
+      add192(b, 4, yl >> 63, yl)
       // full 128-bit products: per-term 64-bit multiply would wrap for
       // inputs beyond ~3e9 (Math.multiplyHigh gives the signed high word)
-      add128(b, 5, 6, Math.multiplyHigh(xl, xl), xl * xl)
-      add128(b, 7, 8, Math.multiplyHigh(yl, yl), yl * yl)
-      add128(b, 9, 10, Math.multiplyHigh(xl, yl), xl * yl)
+      add192(b, 7, Math.multiplyHigh(xl, xl), xl * xl)
+      add192(b, 10, Math.multiplyHigh(yl, yl), yl * yl)
+      add192(b, 13, Math.multiplyHigh(xl, yl), xl * yl)
     }
     b
   }
 
   override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
     b(0) += o(0)
-    add128(b, 1, 2, o(1), o(2))
-    add128(b, 3, 4, o(3), o(4))
-    add128(b, 5, 6, o(5), o(6))
-    add128(b, 7, 8, o(7), o(8))
-    add128(b, 9, 10, o(9), o(10))
+    add192w(b, o, 1)
+    add192w(b, o, 4)
+    add192w(b, o, 7)
+    add192w(b, o, 10)
+    add192w(b, o, 13)
     b
   }
 
-  /** Exact signed-128 / 10^scale → double, single correct rounding. */
-  private def d128(hi: Long, lo: Long, scale: Int): Double = {
-    if (scale == 0 && ((hi == 0 && lo >= 0) || (hi == -1 && lo < 0)))
+  /** Exact signed-192 / 10^scale → double, single correct rounding. */
+  private def d192(hi: Long, mid: Long, lo: Long, scale: Int): Double = {
+    if (scale == 0 &&
+        ((hi == 0 && mid == 0 && lo >= 0) || (hi == -1 && mid == -1 && lo < 0)))
       return lo.toDouble
-    val bytes = java.nio.ByteBuffer.allocate(16).putLong(hi).putLong(lo).array()
+    val bytes = java.nio.ByteBuffer.allocate(24)
+      .putLong(hi).putLong(mid).putLong(lo).array()
     // two's-complement signed magnitude (BigInteger(byte[]) is signed)
     new java.math.BigDecimal(new BigInteger(bytes), scale).doubleValue()
   }
@@ -127,11 +154,11 @@ case class ExactMoments(
   override def eval(b: Array[Long]): Any =
     new GenericArrayData(Array(
       b(0).toDouble,
-      d128(b(1), b(2), xScale),
-      d128(b(3), b(4), yScale),
-      d128(b(5), b(6), 2 * xScale),
-      d128(b(7), b(8), 2 * yScale),
-      d128(b(9), b(10), xScale + yScale)))
+      d192(b(1), b(2), b(3), xScale),
+      d192(b(4), b(5), b(6), yScale),
+      d192(b(7), b(8), b(9), 2 * xScale),
+      d192(b(10), b(11), b(12), 2 * yScale),
+      d192(b(13), b(14), b(15), xScale + yScale)))
 
   override def serialize(b: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(BufLen * 8)

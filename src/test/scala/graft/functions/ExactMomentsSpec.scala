@@ -85,6 +85,27 @@ class ExactMomentsSpec extends SparkSpec with Matchers {
         .multiply(java.math.BigInteger.valueOf(-2))).doubleValue()
   }
 
+  test("sums beyond ±2^127 stay exact (192-bit accumulators)") {
+    // 4 rows of x = Long.MaxValue, y = -x: Σx² = 4·(2⁶³-1)² ≈ 3.4·10³⁸ >
+    // 2¹²⁷ ≈ 1.7·10³⁸ and Σxy ≈ -3.4·10³⁸ < -2¹²⁷ — both sides of the
+    // bound the round-4 128-bit accumulator wrapped at silently.
+    // Repartitioned so the 192-bit merge path crosses the bound too.
+    val big = Long.MaxValue
+    val df = spark.createDataset((1 to 4).map(_ => (big, -big)))
+      .toDF("x", "y").repartition(2)
+    val m = df.agg(exactMoments(col("x"), col("y")).as("m"))
+      .head().getSeq[Double](0)
+    val sq4 = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(big).pow(2)
+        .multiply(java.math.BigInteger.valueOf(4)))
+    m(3) shouldBe sq4.doubleValue()
+    m(4) shouldBe sq4.doubleValue()
+    m(5) shouldBe sq4.negate().doubleValue()
+    m(1) shouldBe new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(big)
+        .multiply(java.math.BigInteger.valueOf(4))).doubleValue()
+  }
+
   test("scale de-scaling is single-rounded (matches decimal cast)") {
     // x = 123.45 stored as 12345 cents, scale 2: Σx² must equal the double
     // of the exact decimal 12345²·n/10⁴, not (double of cents²)/1e4
