@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench contract line out of a 2 KB stdout TAIL:
+// forked run output passes straight through (no "[info] " line prefix)
+// and the "[success] Total time ..." footer is suppressed — together
+// ~85 chars of tail budget the per-query map can use instead.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
