@@ -584,8 +584,58 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Tokens per derived "line" for [[qDedupLines]]. */
+  val LineTokens = 10
+
+  /** Line-level exact dedup (the RefinedWeb / CCNet granularity between
+    * document-level and span-level): count, per document, how many of its
+    * lines also occur verbatim elsewhere in the corpus, and how many would
+    * be REMOVED under keep-first-occurrence (their hash first appears in an
+    * earlier document). The corpus text has no newlines, so "lines" are
+    * derived as fixed-[[LineTokens]]-token chunks — the operator logic is
+    * delimiter-agnostic (a real corpus feeds `split(text, '\n')` chunks);
+    * the planted tail-copies ([[nearDupDocs]]) share every full chunk with
+    * their originals, so cross-doc duplicate lines genuinely exist.
+    *
+    * Scale shape: chunk + hash row-locally (one pass, 60-bit line hashes),
+    * ONE shuffle keyed by the 8-byte hash for the per-hash stats
+    * (count-distinct docs, min doc), an equi-join back on that same key
+    * (co-partitioned with the agg output — no second Exchange on the big
+    * side), then a per-doc count. Line text never shuffles; nothing is
+    * quadratic in duplicate count.
+    */
+  def qDedupLines(s: SparkSession, dir: String): DataFrame = {
+    val lines = nearDupDocs(s, dir)
+      .withColumn("tk", tokens(col("text")))
+      // when-guard: sequence(0, -1) DESCENDS in Spark while the oracle's
+      // range(0, 0) is empty — a zero-token doc must yield zero lines
+      .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
+        when(size(col("tk")) > 0,
+          transform(
+            sequence(lit(0), ceil(size(col("tk")) / lit(LineTokens.toDouble))
+              .cast("int") - 1),
+            i => array_join(
+              slice(col("tk"), i * LineTokens + 1, lit(LineTokens)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("line_no", "h")))
+    val stats = lines
+      .groupBy(col("h"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"))
+    lines.join(stats, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_lines"),
+        sum(when(col("min_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_foreign_lines"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> qDecontaminate,
+    "q_dedup_lines" -> qDedupLines,
     "q_dedup_substring" -> qDedupSubstring,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_clusters" -> qDedupClusters,
@@ -769,6 +819,26 @@ object Dedup {
          |  n_total - n_in_clusters + n_clusters AS n_kept,
          |  n_in_clusters - n_clusters AS n_dropped
          |FROM tot, agg""".stripMargin,
+    "q_dedup_lines" ->
+      s"""WITH corpus AS ($nearDupSql),
+         |tkt AS (SELECT doc_id, $toks AS tk FROM corpus),
+         |ln AS (SELECT doc_id,
+         |  list_transform(range(0, (len(tk) + ${LineTokens - 1}) // $LineTokens),
+         |    i -> ('0x' || substr(md5(
+         |      array_to_string(tk[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' ')
+         |    ), 1, 15))::BIGINT) AS hs
+         |  FROM tkt),
+         |ph0 AS (SELECT doc_id, unnest(range(0, len(hs))) AS pos, hs FROM ln),
+         |ph AS (SELECT doc_id, hs[pos+1] AS h FROM ph0),
+         |st AS (SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc
+         |       FROM ph GROUP BY h)
+         |SELECT doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_lines,
+         |  CAST(sum(CASE WHEN min_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_foreign_lines
+         |FROM ph JOIN st USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH corpus AS ($plantedSql),
          |fp AS (SELECT doc_id, md5(text) AS fp_md5, $normFpSql AS fp_norm FROM corpus)

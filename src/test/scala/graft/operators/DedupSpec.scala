@@ -87,6 +87,23 @@ class DedupSpec extends SparkSpec with Matchers {
       .count() shouldBe 3L
   }
 
+  test("line dedup: every full line of a tail-copy is foreign to it") {
+    // A planted tail-copy shares chunks 0..floor(n/K)-1 with its original
+    // (the tail only perturbs the final partial chunk and appends at most
+    // one more), so per copy: n_foreign >= n_lines - 2. Originals can have
+    // foreign lines too (generator boilerplate), so no upper bound there.
+    val df = Dedup.qDedupLines(spark, sf()).cache()
+    val copies = df.filter(col("doc_id") >= Dedup.PlantOffset)
+    copies.count() should be > 0L
+    copies
+      .filter(col("n_foreign_lines") < col("n_lines") - 2)
+      .count() shouldBe 0L
+    // line counts are chunked token counts, never zero for non-empty docs
+    df.agg(min("n_lines")).head().getLong(0) should be >= 1L
+    df.unpersist()
+    ()
+  }
+
   test("substring dedup: a mid-document copied span is found with exact extent") {
     import spark.implicits._
     // letter-only tokens (the tokenizer splits on [^a-z]+): qa qb qc ...
