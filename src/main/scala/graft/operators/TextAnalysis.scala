@@ -444,7 +444,133 @@ object TextAnalysis {
         sum(col("m")).as("n_matches"))
       .orderBy(col("source"))
 
+  /** Gopher rule thresholds (Rae et al. 2021, Table A1, adapted to this
+    * corpus: the word-count floor and duplicate-word ceiling are tuned so
+    * the synthetic corpus splits non-trivially; the mean-word-length
+    * window is the paper's [3, 10]).
+    */
+  val GopherMinWords = 25L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMinDistinctStop = 2L
+  val GopherMaxDupFrac = 0.6
+
+  /** Gopher-style rule battery (Rae et al. 2021): per-document hard
+    * quality gates — word-count window, mean-word-length window, minimum
+    * distinct stopwords, duplicate-word-fraction ceiling — each emitted as
+    * a 0/1 flag next to its underlying measurement, plus the conjunctive
+    * keep decision. Complements [[qTextQuality]] (a soft score) and the
+    * repetition filters (n-gram granularity). One scan, all row-local
+    * expressions — a pure map stage at 100 TB.
+    */
+  def qGopher(s: SparkSession, dir: String): DataFrame = {
+    val nW = size(col("tk")).cast("long")
+    val meanWl = aggregate(col("tk"), lit(0L), (a, w) => a + length(w))
+      .cast("double") / size(col("tk"))
+    val nStop = size(array_intersect(array_distinct(col("tk")),
+      lit(Stopwords.toArray))).cast("long")
+    val dupFrac =
+      lit(1.0) - size(array_distinct(col("tk"))).cast("double") / size(col("tk"))
+    val flag = (c: org.apache.spark.sql.Column) => when(c, 1L).otherwise(0L)
+    Tables.documents(s, dir)
+      .withColumn("tk",
+        filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
+      .select(
+        col("doc_id"),
+        nW.as("n_words"),
+        meanWl.as("mean_word_len"),
+        nStop.as("n_stop_distinct"),
+        dupFrac.as("dup_word_frac"),
+        flag(nW >= GopherMinWords && nW <= GopherMaxWords).as("r_words"),
+        flag(meanWl >= GopherMinMeanWordLen && meanWl <= GopherMaxMeanWordLen)
+          .as("r_word_len"),
+        flag(nStop >= GopherMinDistinctStop).as("r_stop"),
+        flag(dupFrac <= GopherMaxDupFrac).as("r_dup"))
+      .withColumn("keep",
+        flag(col("r_words") + col("r_word_len") + col("r_stop") + col("r_dup") === 4L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram (word) Shannon entropy + type-token ratio per document — the
+    * Gopher-adjacent diversity signals (low entropy = TEMPLATE/boilerplate
+    * text, low TTR = heavy word reuse). H = ln(n) − (Σ c·ln c)/n over
+    * per-doc word counts c. Two aggregations, both keyed by doc_id (the
+    * (doc, word) partial collapses map-side), so the shuffle carries one
+    * row per distinct (doc, word) — scales as the vocabulary, not the
+    * corpus. ln rounds at 9 decimals (the [[qTfidf]] convention).
+    */
+  def qTextEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
+        .as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 9).as("ttr"),
+        round(
+          log(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log(col("c").cast("double"))) /
+              sum(col("c")).cast("double"), 9).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** BM25 parameters (Robertson/Sparck Jones; Lucene's defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 scoring (the [[qTfidf]] shape with document-length
+    * normalization and the Lucene idf): top-3 terms for the first 20 docs,
+    * integer components (tf/df/dl) alongside the rounded score. Corpus
+    * statistics (df, avgdl, N) come from the FULL corpus; only the scored
+    * doc subset is bounded. Scale shape: tf/dl/df are one exploded-token
+    * aggregation each; the scored side is filtered early and broadcast
+    * into the vocabulary-sized df join; N/avgdl is a 1-row broadcast.
+    * Full-corpus BM25 drops the filter: tf⋈df shuffles on term, ⋈dl on
+    * doc_id — standard co-partitioned joins.
+    */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
+        .as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tokens.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tokens.agg(
+      count(lit(1)).as("total"), countDistinct(col("doc_id")).as("nd"))
+    val avgdl = col("total").cast("double") / col("nd")
+    val idf = log(lit(1.0) +
+      ((col("nd") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+    // constants combine at RUNTIME (lit(k1) + lit(1.0), not Scala k1+1.0)
+    // so the oracle can mirror the identical IEEE operation tree with e0
+    // double literals — a Scala-folded constant could differ by 1 ulp
+    val tfNorm = (col("tf") * (lit(Bm25K1) + lit(1.0))) /
+      (col("tf") + lit(Bm25K1) *
+        ((lit(1.0) - lit(Bm25B)) + lit(Bm25B) * col("dl") / avgdl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("bm25").desc, col("term"))
+    broadcast(tf.filter(col("doc_id") < 20))
+      .join(df, "term")
+      .join(broadcast(dl.filter(col("doc_id") < 20)), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", round(idf * tfNorm, 9))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("dl"), col("bm25"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher" -> qGopher,
+    "q_text_entropy" -> qTextEntropy,
+    "q_bm25" -> qBm25,
     "q_text_tokens" -> qTextTokens,
     "q_len_hist" -> qLenHist,
     "q_text_pmi" -> qTextPmi,
@@ -480,6 +606,73 @@ object TextAnalysis {
     s"len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x IN (${markerList(lang)})))"
 
   def oracleSql: Map[String, String] = Map(
+    "q_gopher" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |              x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk)
+         |    AS mean_word_len,
+         |  CAST(len(list_intersect(list_distinct(tk), [$stopList])) AS BIGINT)
+         |    AS n_stop_distinct,
+         |  1.0e0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+         |    AS dup_word_frac
+         |  FROM t),
+         |f AS (SELECT *,
+         |  CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+         |    THEN 1 ELSE 0 END AS r_words,
+         |  CASE WHEN mean_word_len >= ${GopherMinMeanWordLen}e0
+         |        AND mean_word_len <= ${GopherMaxMeanWordLen}e0
+         |    THEN 1 ELSE 0 END AS r_word_len,
+         |  CASE WHEN n_stop_distinct >= $GopherMinDistinctStop
+         |    THEN 1 ELSE 0 END AS r_stop,
+         |  CASE WHEN dup_word_frac <= ${GopherMaxDupFrac}e0
+         |    THEN 1 ELSE 0 END AS r_dup
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, n_stop_distinct, dup_word_frac,
+         |  CAST(r_words AS BIGINT) AS r_words,
+         |  CAST(r_word_len AS BIGINT) AS r_word_len,
+         |  CAST(r_stop AS BIGINT) AS r_stop,
+         |  CAST(r_dup AS BIGINT) AS r_dup,
+         |  CAST(CASE WHEN r_words + r_word_len + r_stop + r_dup = 4
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_text_entropy" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                     x -> length(x) > 0)) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_words,
+        |  count(*) AS n_distinct,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 9) AS ttr,
+        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |        - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 9)
+        |    AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                     x -> length(x) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY term),
+         |st AS (SELECT count(*) AS total, count(DISTINCT doc_id) AS nd FROM tk),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+         |  round(ln(1.0e0 + ((nd - df) + 0.5e0) / (df + 0.5e0)) *
+         |    ((tf * (${Bm25K1}e0 + 1.0e0)) /
+         |     (tf + ${Bm25K1}e0 * ((1.0e0 - ${Bm25B}e0) +
+         |        ${Bm25B}e0 * dl / (CAST(total AS DOUBLE) / nd)))), 9) AS bm25
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  WHERE tf.doc_id < 20),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rk FROM sc)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, dl, bm25
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,

@@ -148,4 +148,53 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
       .distinct().count()
     rows.map(_.getLong(2)).sum shouldBe distinctShingles
   }
+
+  test("gopher rules: keep is the conjunction, flags are 0/1, split is non-trivial") {
+    val rows = TextAnalysis.qGopher(spark, sf()).collect()
+    rows.foreach { r =>
+      val flags = Seq("r_words", "r_word_len", "r_stop", "r_dup")
+        .map(c => r.getLong(r.fieldIndex(c)))
+      flags.foreach(f => f should (be(0L) or be(1L)))
+      r.getLong(r.fieldIndex("keep")) shouldBe flags.product
+      r.getLong(r.fieldIndex("n_words")) should be > 0L
+    }
+    val kept = rows.count(_.getLong(rows.head.fieldIndex("keep")) == 1L)
+    kept should be > 0
+    kept should be < rows.length // at least one doc fails a gate
+  }
+
+  test("entropy: bounded by ln(n_distinct), zero iff one distinct word; ttr exact") {
+    val rows = TextAnalysis.qTextEntropy(spark, sf()).collect()
+    rows.foreach { r =>
+      val (n, d) = (r.getLong(1), r.getLong(2))
+      val (ttr, h) = (r.getDouble(3), r.getDouble(4))
+      h should be >= -1e-9
+      h should be <= math.log(d.toDouble) + 1e-9 // max entropy = uniform
+      ttr shouldBe BigDecimal(d.toDouble / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-12
+      if (d == 1) h shouldBe 0.0
+    }
+  }
+
+  test("bm25: ranks descend within doc; rarer term out-idfs a common one at equal tf") {
+    val rows = TextAnalysis.qBm25(spark, sf()).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRk = rs.sortBy(_.getLong(1))
+      byRk.map(_.getLong(1)) shouldBe (1L to byRk.length).toArray
+      // scores non-increasing in rank
+      byRk.map(_.getDouble(6)).sliding(2).foreach {
+        case Array(a, b) => a should be >= b
+        case _ => ()
+      }
+    }
+    // idf monotonicity: among rows with identical (tf, dl), smaller df
+    // must never score lower
+    rows.groupBy(r => (r.getLong(0), r.getLong(3), r.getLong(5)))
+      .values.filter(_.length > 1).foreach { g =>
+        g.sortBy(_.getLong(4)).map(_.getDouble(6)).sliding(2).foreach {
+          case Array(hi, lo) => hi should be >= lo
+          case _ => ()
+        }
+      }
+  }
 }
