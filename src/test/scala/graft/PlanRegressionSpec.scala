@@ -178,4 +178,30 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     import org.apache.spark.sql.types.LongType
     df.schema("n_shingles").dataType shouldBe LongType
   }
+
+  test("q_dedup_lines shuffles 8-byte line hashes; line text never shuffles") {
+    val plan = operators.Dedup.qDedupLines(spark, sf())
+      .queryExecution.executedPlan.toString
+    // chunk + hash happen row-locally before the first Exchange
+    plan should include("md5_prefix60")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_gopher is a pure map stage: no aggregate, only the sort") {
+    val plan = TextAnalysis.qGopher(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "Aggregate"
+    plan should not include "Join"
+  }
+
+  test("q_bm25: the bounded scored side broadcasts into the corpus-stat joins") {
+    val plan = TextAnalysis.qBm25(spark, sf())
+      .queryExecution.executedPlan.toString
+    // tf (filtered to the scored docs) and dl broadcast; the 1-row corpus
+    // stats frame broadcasts; no shuffle join against vocabulary-sized df
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
 }
