@@ -633,9 +633,64 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Line-level dedup as a TRANSFORM (the action [[qDedupLines]] only
+    * measures): drop every duplicate line occurrence except the global
+    * first (CCNet keep-first at line granularity — later docs lose lines
+    * an earlier doc already contributed, and within-doc repeats keep only
+    * their first instance), then rebuild each document from its surviving
+    * lines. Output: per doc, line counts and the md5 of the cleaned text —
+    * the rewritten corpus, verifiable cross-engine without shipping text.
+    *
+    * Scale shape: the global-first resolution shuffles ONLY (doc_id,
+    * line_no, h) keyed by the 8-byte hash — first occurrence is
+    * min(doc_id·2³² + line_no), a single exact BIGINT agg. Kept positions
+    * come back as one bounded array per doc (≤ lines-per-doc), and the
+    * rebuild joins that against the corpus on doc_id and re-chunks
+    * ROW-LOCALLY — line text never rides a shuffle keyed by anything but
+    * its own doc_id.
+    */
+  def qDedupLinesKeep(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupDocs(s, dir)
+    val chunks = when(size(col("tk")) > 0,
+      transform(
+        sequence(lit(0), ceil(size(col("tk")) / lit(LineTokens.toDouble))
+          .cast("int") - 1),
+        i => array_join(
+          slice(col("tk"), i * LineTokens + 1, lit(LineTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val linesH = corpus
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(chunks))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("line_no", "h")))
+      // line_no < 2³² always (it is bounded by doc token count), so the
+      // packed key is exact and min() picks (min doc, then min line)
+      .withColumn("inst", col("doc_id") * lit(1L << 32) + col("line_no"))
+    val first = linesH.groupBy(col("h")).agg(min(col("inst")).as("first_inst"))
+    val keptPos = linesH.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sort_array(collect_list(
+          when(col("inst") === col("first_inst"), col("line_no"))))
+          .as("kept"))
+    corpus
+      .join(keptPos, "doc_id")
+      .withColumn("tk", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(
+          transform(col("kept"), i => array_join(
+            slice(col("tk"), i * LineTokens + 1, lit(LineTokens)), " ")),
+          " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_dedup_lines" -> qDedupLines,
+    "q_dedup_lines_keep" -> qDedupLinesKeep,
     "q_dedup_substring" -> qDedupSubstring,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_clusters" -> qDedupClusters,
@@ -839,6 +894,30 @@ object Dedup {
          |    AS n_foreign_lines
          |FROM ph JOIN st USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_lines_keep" ->
+      s"""WITH corpus AS ($nearDupSql),
+         |tkt AS (SELECT doc_id, $toks AS tk FROM corpus),
+         |ln AS (SELECT doc_id, tk,
+         |  list_transform(range(0, (len(tk) + ${LineTokens - 1}) // $LineTokens),
+         |    i -> ('0x' || substr(md5(
+         |      array_to_string(tk[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' ')
+         |    ), 1, 15))::BIGINT) AS hs
+         |  FROM tkt),
+         |ph0 AS (SELECT doc_id, unnest(range(0, len(hs))) AS pos, hs FROM ln),
+         |ph AS (SELECT doc_id, CAST(pos AS BIGINT) AS line_no, hs[pos+1] AS h,
+         |       doc_id * ${1L << 32} + pos AS inst FROM ph0),
+         |fi AS (SELECT h, min(inst) AS first_inst FROM ph GROUP BY h),
+         |kp AS (SELECT doc_id, count(*) AS n_lines,
+         |  coalesce(list_sort(list(line_no) FILTER (WHERE inst = first_inst)), [])
+         |    AS kept
+         |  FROM ph JOIN fi USING (h) GROUP BY doc_id)
+         |SELECT k.doc_id, k.n_lines,
+         |  CAST(len(k.kept) AS BIGINT) AS n_kept,
+         |  md5(coalesce(array_to_string(list_transform(k.kept,
+         |    i -> array_to_string(
+         |      t.tk[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' ')), ' '), ''))
+         |    AS clean_md5
+         |FROM kp k JOIN tkt t USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH corpus AS ($plantedSql),
          |fp AS (SELECT doc_id, md5(text) AS fp_md5, $normFpSql AS fp_norm FROM corpus)

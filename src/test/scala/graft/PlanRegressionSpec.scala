@@ -188,6 +188,16 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q_dedup_lines_keep: text rides only doc_id-keyed exchanges") {
+    val plan = operators.Dedup.qDedupLinesKeep(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the first-occurrence resolution shuffles (doc, line_no, h) longs;
+    // the rebuild joins kept positions back on doc_id — never a cross join
+    plan should include("md5_prefix60")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q_gopher is a pure map stage: no aggregate, only the sort") {
     val plan = TextAnalysis.qGopher(spark, sf())
       .queryExecution.executedPlan.toString

@@ -104,6 +104,36 @@ class DedupSpec extends SparkSpec with Matchers {
     ()
   }
 
+  test("line-dedup transform: kept instances partition the distinct line set") {
+    val df = Dedup.qDedupLinesKeep(spark, sf()).cache()
+    val fns = org.apache.spark.sql.functions
+    // keep-first keeps EXACTLY one instance per distinct line: Σ n_kept
+    // equals the corpus' distinct chunk-string count (recomputed here
+    // from the same construction, hash-free)
+    val totalKept = df.agg(sum("n_kept")).head().getLong(0)
+    val tk = fns.filter(fns.split(fns.lower(col("text")), "[^a-z]+"),
+      t => fns.length(t) > 0)
+    val k = Dedup.LineTokens
+    val distinctLines = Dedup.nearDupDocs(spark, sf())
+      .withColumn("tk", tk)
+      .filter(fns.size(col("tk")) > 0)
+      .select(explode(transform(
+        sequence(lit(0), fns.ceil(fns.size(col("tk")) / lit(k.toDouble))
+          .cast("int") - 1),
+        i => array_join(slice(col("tk"), i * k + 1, lit(k)), " "))).as("line"))
+      .distinct().count()
+    assert(totalKept == distinctLines)
+    // a tail-copy's full chunks are all first-claimed by its original:
+    // at most the <=2 tail-touching chunks survive
+    df.filter(col("doc_id") >= Dedup.PlantOffset)
+      .filter(col("n_kept") > 2).count() shouldBe 0L
+    // md5("") marks fully-deduped docs; they must report n_kept = 0
+    df.filter(col("clean_md5") === fns.md5(fns.lit("")).cast("string"))
+      .filter(col("n_kept") =!= 0).count() shouldBe 0L
+    df.unpersist()
+    ()
+  }
+
   test("substring dedup: a mid-document copied span is found with exact extent") {
     import spark.implicits._
     // letter-only tokens (the tokenizer splits on [^a-z]+): qa qb qc ...
