@@ -464,7 +464,11 @@ object TextAnalysis {
     * repetition filters (n-gram granularity). One scan, all row-local
     * expressions — a pure map stage at 100 TB.
     */
-  def qGopher(s: SparkSession, dir: String): DataFrame = {
+  /** Adds the Gopher measurements, 0/1 rule flags and conjunctive `keep`
+    * to any frame with a `text` column (all row-local) — shared by
+    * [[qGopher]] (per-doc report) and [[qDataCard]] (corpus composition).
+    */
+  private def withGopherCols(df: DataFrame): DataFrame = {
     val nW = size(col("tk")).cast("long")
     val meanWl = aggregate(col("tk"), lit(0L), (a, w) => a + length(w))
       .cast("double") / size(col("tk"))
@@ -473,24 +477,46 @@ object TextAnalysis {
     val dupFrac =
       lit(1.0) - size(array_distinct(col("tk"))).cast("double") / size(col("tk"))
     val flag = (c: org.apache.spark.sql.Column) => when(c, 1L).otherwise(0L)
-    Tables.documents(s, dir)
+    df
       .withColumn("tk",
         filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
-      .select(
-        col("doc_id"),
-        nW.as("n_words"),
-        meanWl.as("mean_word_len"),
-        nStop.as("n_stop_distinct"),
-        dupFrac.as("dup_word_frac"),
-        flag(nW >= GopherMinWords && nW <= GopherMaxWords).as("r_words"),
-        flag(meanWl >= GopherMinMeanWordLen && meanWl <= GopherMaxMeanWordLen)
-          .as("r_word_len"),
-        flag(nStop >= GopherMinDistinctStop).as("r_stop"),
-        flag(dupFrac <= GopherMaxDupFrac).as("r_dup"))
+      .withColumn("n_words", nW)
+      .withColumn("mean_word_len", meanWl)
+      .withColumn("n_stop_distinct", nStop)
+      .withColumn("dup_word_frac", dupFrac)
+      .withColumn("r_words",
+        flag(nW >= GopherMinWords && nW <= GopherMaxWords))
+      .withColumn("r_word_len",
+        flag(meanWl >= GopherMinMeanWordLen && meanWl <= GopherMaxMeanWordLen))
+      .withColumn("r_stop", flag(nStop >= GopherMinDistinctStop))
+      .withColumn("r_dup", flag(dupFrac <= GopherMaxDupFrac))
       .withColumn("keep",
         flag(col("r_words") + col("r_word_len") + col("r_stop") + col("r_dup") === 4L))
-      .orderBy(col("doc_id"))
   }
+
+  def qGopher(s: SparkSession, dir: String): DataFrame =
+    withGopherCols(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("n_stop_distinct"), col("dup_word_frac"), col("r_words"),
+        col("r_word_len"), col("r_stop"), col("r_dup"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus data card (the composition table a curation team publishes
+    * with a dataset): per (source, language) — document count, token
+    * mass, Gopher-gate survival, mean quality score. One scan of
+    * row-local columns + one ~|sources|·|langs|-group aggregation; at
+    * 100 TB this is a single map + tiny-keyspace shuffle.
+    */
+  def qDataCard(s: SparkSession, dir: String): DataFrame =
+    withGopherCols(Tables.documents(s, dir))
+      .withColumn("quality", qualityScore(col("text")))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("keep")).as("n_gopher_kept"),
+        round(avg(col("quality")), 9).as("avg_quality"))
+      .orderBy(col("source"), col("lang"))
 
   /** Unigram (word) Shannon entropy + type-token ratio per document — the
     * Gopher-adjacent diversity signals (low entropy = TEMPLATE/boilerplate
@@ -569,6 +595,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher" -> qGopher,
+    "q_data_card" -> qDataCard,
     "q_text_entropy" -> qTextEntropy,
     "q_bm25" -> qBm25,
     "q_text_tokens" -> qTextTokens,
@@ -605,32 +632,39 @@ object TextAnalysis {
   private def score(lang: String): String =
     s"len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x IN (${markerList(lang)})))"
 
+  /** Shared Gopher CTE chain (tokenize → measure → flag) with `passCols`
+    * carried through — the SQL twin of [[withGopherCols]], used by both
+    * the q_gopher and q_data_card oracles.
+    */
+  private def gopherSqlCtes(passCols: String): String =
+    s"""t AS (SELECT $passCols, text,
+       |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |              x -> length(x) > 0) AS tk
+       |  FROM documents),
+       |m AS (SELECT $passCols, text,
+       |  CAST(len(tk) AS BIGINT) AS n_words,
+       |  CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk)
+       |    AS mean_word_len,
+       |  CAST(len(list_intersect(list_distinct(tk), [$stopList])) AS BIGINT)
+       |    AS n_stop_distinct,
+       |  1.0e0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+       |    AS dup_word_frac
+       |  FROM t),
+       |f AS (SELECT *,
+       |  CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+       |    THEN 1 ELSE 0 END AS r_words,
+       |  CASE WHEN mean_word_len >= ${GopherMinMeanWordLen}e0
+       |        AND mean_word_len <= ${GopherMaxMeanWordLen}e0
+       |    THEN 1 ELSE 0 END AS r_word_len,
+       |  CASE WHEN n_stop_distinct >= $GopherMinDistinctStop
+       |    THEN 1 ELSE 0 END AS r_stop,
+       |  CASE WHEN dup_word_frac <= ${GopherMaxDupFrac}e0
+       |    THEN 1 ELSE 0 END AS r_dup
+       |  FROM m)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_gopher" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |              x -> length(x) > 0) AS tk
-         |  FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(tk) AS BIGINT) AS n_words,
-         |  CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk)
-         |    AS mean_word_len,
-         |  CAST(len(list_intersect(list_distinct(tk), [$stopList])) AS BIGINT)
-         |    AS n_stop_distinct,
-         |  1.0e0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
-         |    AS dup_word_frac
-         |  FROM t),
-         |f AS (SELECT *,
-         |  CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
-         |    THEN 1 ELSE 0 END AS r_words,
-         |  CASE WHEN mean_word_len >= ${GopherMinMeanWordLen}e0
-         |        AND mean_word_len <= ${GopherMaxMeanWordLen}e0
-         |    THEN 1 ELSE 0 END AS r_word_len,
-         |  CASE WHEN n_stop_distinct >= $GopherMinDistinctStop
-         |    THEN 1 ELSE 0 END AS r_stop,
-         |  CASE WHEN dup_word_frac <= ${GopherMaxDupFrac}e0
-         |    THEN 1 ELSE 0 END AS r_dup
-         |  FROM m)
+      s"""WITH ${gopherSqlCtes("doc_id")}
          |SELECT doc_id, n_words, mean_word_len, n_stop_distinct, dup_word_frac,
          |  CAST(r_words AS BIGINT) AS r_words,
          |  CAST(r_word_len AS BIGINT) AS r_word_len,
@@ -639,6 +673,14 @@ object TextAnalysis {
          |  CAST(CASE WHEN r_words + r_word_len + r_stop + r_dup = 4
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q_data_card" ->
+      s"""WITH ${gopherSqlCtes("source, lang")}
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN r_words + r_word_len + r_stop + r_dup = 4
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_kept,
+         |  round(avg($qualitySqlExpr), 9) AS avg_quality
+         |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "q_text_entropy" ->
       """WITH tk AS (SELECT doc_id,
         |  unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
