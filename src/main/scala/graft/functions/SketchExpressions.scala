@@ -230,6 +230,97 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = newChild)
 }
 
+/** Fixed-k token chunks — "derived lines" [0..k), [k..2k), …, INCLUDING
+  * the final partial chunk, each joined with ' ' — in one eval pass.
+  * Exists for the same reason as [[WordNGrams]]: the
+  * `transform(sequence(...), i -> array_join(slice(tk, ...)))`
+  * formulation runs an interpreted lambda per chunk, and optimizer
+  * inlining (CollapseProject) can push the tokenizer INTO the lambda —
+  * re-splitting the document once per chunk. Portable as
+  * `list_transform(range(0, (len(tk)+k-1)//k),
+  *    i -> array_to_string(tk[i*k+1 : i*k+k], ' '))` in DuckDB.
+  */
+case class TokenChunks(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1, s"chunk size must be >= 1, got $k")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "token_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val nOut = (len + k - 1) / k
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Any](nOut)
+    var i = 0
+    while (i < nOut) {
+      val from = i * k
+      val until = math.min(from + k, len)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](until - from)
+      var j = from
+      while (j < until) { parts(j - from) = arr.getUTF8String(j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** arr[i] for each 0-based i in `idxs`, one eval pass → ARRAY<STRING>.
+  * The lambda-free way to gather array elements at positions
+  * (`transform(idxs, i -> element_at(arr, i+1))` re-evaluates `arr`'s
+  * child expression per element once CollapseProject inlines it).
+  * Out-of-range indexes are skipped. Portable as
+  * `list_transform(idxs, i -> arr[i+1])` in DuckDB.
+  */
+case class ElementsAt(arr: Expression, idxs: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def left: Expression = arr
+  override def right: Expression = idxs
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "elements_at"
+
+  override def checkInputDataTypes(): TypeCheckResult = (arr.dataType, idxs.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.StringType, _),
+          ArrayType(org.apache.spark.sql.types.IntegerType | LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<STRING>, ARRAY<INT|BIGINT>), got " +
+        s"${a.catalogString} and ${b.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, ix: Any): Any = {
+    val src = a.asInstanceOf[ArrayData]
+    val pos = ix.asInstanceOf[ArrayData]
+    val longIdx = idxs.dataType.asInstanceOf[ArrayType].elementType == LongType
+    val out = new java.util.ArrayList[Any](pos.numElements())
+    var i = 0
+    while (i < pos.numElements()) {
+      val p = if (longIdx) pos.getLong(i) else pos.getInt(i).toLong
+      if (p >= 0 && p < src.numElements()) out.add(src.getUTF8String(p.toInt))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(arr = newLeft, idxs = newRight)
+}
+
 /** First 60 bits (15 hex chars) of md5 per element, one eval pass →
   * ARRAY<BIGINT>. Portable as
   * `list_transform(sh, x -> ('0x'||substr(md5(x),1,15))::BIGINT)` in DuckDB.
@@ -324,6 +415,11 @@ object SketchExpressions {
       WordNGrams(GraftColumnBridge.expression(tokens), n, distinct))
   def md5Prefix60(arr: Column): Column =
     GraftColumnBridge.column(Md5Prefix60Array(GraftColumnBridge.expression(arr)))
+  def tokenChunks(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(TokenChunks(GraftColumnBridge.expression(tokens), k))
+  def elementsAt(arr: Column, idxs: Column): Column =
+    GraftColumnBridge.column(ElementsAt(
+      GraftColumnBridge.expression(arr), GraftColumnBridge.expression(idxs)))
   def maxFreqCount(arr: Column): Column =
     GraftColumnBridge.column(MaxFreqCount(GraftColumnBridge.expression(arr)))
 }

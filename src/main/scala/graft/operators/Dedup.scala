@@ -606,17 +606,14 @@ object Dedup {
     */
   def qDedupLines(s: SparkSession, dir: String): DataFrame = {
     val lines = nearDupDocs(s, dir)
-      .withColumn("tk", tokens(col("text")))
-      // when-guard: sequence(0, -1) DESCENDS in Spark while the oracle's
-      // range(0, 0) is empty — a zero-token doc must yield zero lines
+      // one-pass codegen chunker (TokenChunks): the transform(sequence(..),
+      // slice) formulation ran an interpreted lambda per chunk and let
+      // CollapseProject inline the tokenizer into it — re-splitting the
+      // doc once per chunk (the Dedup.withShingles lesson, measured ~6x
+      // on this query at sf0.1)
       .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
-        when(size(col("tk")) > 0,
-          transform(
-            sequence(lit(0), ceil(size(col("tk")) / lit(LineTokens.toDouble))
-              .cast("int") - 1),
-            i => array_join(
-              slice(col("tk"), i * LineTokens + 1, lit(LineTokens)), " ")))
-          .otherwise(array().cast("array<string>"))))
+        graft.functions.SketchExpressions.tokenChunks(
+          tokens(col("text")), LineTokens)))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("line_no", "h")))
     val stats = lines
       .groupBy(col("h"))
@@ -651,15 +648,10 @@ object Dedup {
     */
   def qDedupLinesKeep(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupDocs(s, dir)
-    val chunks = when(size(col("tk")) > 0,
-      transform(
-        sequence(lit(0), ceil(size(col("tk")) / lit(LineTokens.toDouble))
-          .cast("int") - 1),
-        i => array_join(
-          slice(col("tk"), i * LineTokens + 1, lit(LineTokens)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // one-pass codegen chunker — see qDedupLines for the rationale
+    val chunks = graft.functions.SketchExpressions.tokenChunks(
+      tokens(col("text")), LineTokens)
     val linesH = corpus
-      .withColumn("tk", tokens(col("text")))
       .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(chunks))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("line_no", "h")))
       // line_no < 2³² always (it is bounded by doc token count), so the
@@ -675,15 +667,13 @@ object Dedup {
           .as("kept"))
     corpus
       .join(keptPos, "doc_id")
-      .withColumn("tk", tokens(col("text")))
       .select(
         col("doc_id"),
         col("n_lines"),
         size(col("kept")).cast("long").as("n_kept"),
-        md5(array_join(
-          transform(col("kept"), i => array_join(
-            slice(col("tk"), i * LineTokens + 1, lit(LineTokens)), " ")),
-          " ")).as("clean_md5"))
+        // lambda-free gather: chunks and kept each evaluate exactly once
+        md5(array_join(graft.functions.SketchExpressions.elementsAt(
+          chunks, col("kept")), " ")).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
 

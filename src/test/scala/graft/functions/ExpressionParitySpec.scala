@@ -171,4 +171,37 @@ class ExpressionParitySpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  private val toksGen: Gen[Seq[String]] =
+    Gen.choose(0, 47).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'z').flatMap(c =>
+        Gen.choose(1, 6).map(l => c.toString * l))))
+
+  test("TokenChunks: equals grouped(k) with the partial tail kept") {
+    for (k <- Seq(1, 3, 10); ts <- samples(toksGen, 25)) {
+      val expr = TokenChunks(
+        BoundReference(0, ArrayType(StringType), nullable = false), k)
+      val row = InternalRow(new GenericArrayData(
+        ts.map(UTF8String.fromString).toArray))
+      val got = expr.eval(row).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+      got shouldBe ts.grouped(k).map(_.mkString(" ")).toSeq
+    }
+  }
+
+  test("ElementsAt: gathers in index order, skips out-of-range") {
+    val expr = ElementsAt(
+      BoundReference(0, ArrayType(StringType), nullable = false),
+      BoundReference(1, ArrayType(LongType), nullable = false))
+    for (ts <- samples(toksGen, 25)) {
+      val idxs = Seq(0L, 2L, ts.length - 1L, ts.length.toLong, -1L, 1L)
+      val row = InternalRow(
+        new GenericArrayData(ts.map(UTF8String.fromString).toArray),
+        new GenericArrayData(idxs.toArray))
+      val got = expr.eval(row).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+      val want = idxs.filter(i => i >= 0 && i < ts.length).map(i => ts(i.toInt))
+      got shouldBe want
+    }
+  }
 }
