@@ -604,17 +604,26 @@ object Dedup {
     * side), then a per-doc count. Line text never shuffles; nothing is
     * quadratic in duplicate count.
     */
-  def qDedupLines(s: SparkSession, dir: String): DataFrame = {
-    val lines = nearDupDocs(s, dir)
-      // one-pass codegen chunker (TokenChunks): the transform(sequence(..),
-      // slice) formulation ran an interpreted lambda per chunk and let
-      // CollapseProject inline the tokenizer into it — re-splitting the
-      // doc once per chunk (the Dedup.withShingles lesson, measured ~6x
-      // on this query at sf0.1)
+  /** (doc_id, line_no, h): derived-line instances of a (doc_id, text)
+    * corpus via the one-pass codegen chunker (TokenChunks — the
+    * transform(sequence(...), slice) formulation ran an interpreted
+    * lambda per chunk and let CollapseProject inline the tokenizer into
+    * it, re-splitting the doc once per chunk; measured ~2x on this query
+    * at sf0.1). Narrow projections only, so it plans on bounded and
+    * unbounded inputs alike — shared by the batch line-dedup queries and
+    * the streaming first-claim twin
+    * ([[graft.streaming.IncrementalDedup.incrementalLineClaims]]), which
+    * therefore hash lines bit-identically.
+    */
+  private[graft] def lineRows(corpus: DataFrame): DataFrame =
+    corpus
       .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
         graft.functions.SketchExpressions.tokenChunks(
           tokens(col("text")), LineTokens)))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("line_no", "h")))
+
+  def qDedupLines(s: SparkSession, dir: String): DataFrame = {
+    val lines = lineRows(nearDupDocs(s, dir))
     val stats = lines
       .groupBy(col("h"))
       .agg(
@@ -648,12 +657,9 @@ object Dedup {
     */
   def qDedupLinesKeep(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupDocs(s, dir)
-    // one-pass codegen chunker — see qDedupLines for the rationale
     val chunks = graft.functions.SketchExpressions.tokenChunks(
       tokens(col("text")), LineTokens)
-    val linesH = corpus
-      .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(chunks))
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("line_no", "h")))
+    val linesH = lineRows(corpus)
       // line_no < 2³² always (it is bounded by doc token count), so the
       // packed key is exact and min() picks (min doc, then min line)
       .withColumn("inst", col("doc_id") * lit(1L << 32) + col("line_no"))

@@ -140,6 +140,53 @@ object IncrementalDedup {
       }
   }
 
+  /** One derived-line instance of an arriving document. */
+  final case class LineRow(doc_id: Long, line_no: Int, h: Long)
+
+  /** A first-claim decision for one line instance. */
+  final case class LineClaim(doc_id: Long, line_no: Int, h: Long, kept: Boolean)
+
+  /** INCREMENTAL line-level dedup — the streaming twin of
+    * [[graft.operators.Dedup.qDedupLinesKeep]]'s keep-first policy: as
+    * documents arrive, the FIRST instance of each distinct line claims
+    * it; every later instance (any document, any micro-batch, years
+    * apart) is marked dropped. Feed it
+    * `Dedup.lineRows(docStream)` — the identical chunk+hash expressions
+    * as batch, so stream and batch agree on what "the same line" is.
+    *
+    * Equivalence (IncrementalDedupSpec): for ANY arrival order, exactly
+    * one instance per distinct line is kept — Σ kept = the batch distinct
+    * count; and when micro-batches respect document order, the kept set
+    * is bit-identical to the batch transform's (which resolves first
+    * occurrence as min(doc_id, line_no)). Within a micro-batch, a
+    * group's arrivals are processed in (doc_id, line_no) order so the
+    * claim is deterministic.
+    *
+    * Scale: state is ONE BOOLEAN per distinct line hash, keyed and
+    * hash-partitioned like any streaming state — the same cardinality a
+    * batch `distinct` shuffles, amortized over the stream's lifetime.
+    * Claims emit in Append mode, so downstream per-doc aggregation runs
+    * in the sink (foreachBatch MERGE), as with the edge stream.
+    */
+  def incrementalLineClaims(lines: DataFrame): Dataset[LineClaim] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.as[LineRow]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[Boolean, LineClaim](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h: Long, rows: Iterator[LineRow], state: GroupState[Boolean]) =>
+          var claimed = state.getOption.getOrElse(false)
+          val out = List.newBuilder[LineClaim]
+          rows.toSeq.sortBy(r => (r.doc_id, r.line_no)).foreach { r =>
+            out += LineClaim(r.doc_id, r.line_no, h, kept = !claimed)
+            claimed = true
+          }
+          if (claimed && !state.exists) state.update(true)
+          out.result().iterator
+      }
+  }
+
   /** Incrementally-maintained duplicate clusters: a driver-side union-find
     * MERGE target for the edge stream (the in-memory stand-in for a keyed
     * store, same pattern as [[Streaming.AttributionStore]]). Union is

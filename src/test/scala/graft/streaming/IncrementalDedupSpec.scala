@@ -197,4 +197,61 @@ class IncrementalDedupSpec extends SparkSpec with Matchers {
       }
     } finally q.stop()
   }
+
+  test("line claims: ordered arrival equals the batch keep set; any order " +
+    "keeps exactly one instance per distinct line") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Dedup.nearDupDocs(spark, sf())
+    // batch truth: the q_dedup_lines_keep first-occurrence resolution
+    val batchKept = Dedup.lineRows(corpus)
+      .withColumn("inst", col("doc_id") * fns.lit(1L << 32) + col("line_no"))
+      .groupBy(col("h")).agg(fns.min("inst").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    batchKept should not be empty
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    // doc-ordered micro-batches: the kept set is bit-identical to batch
+    {
+      val input = MemoryStream[(Long, String)]
+      val q = IncrementalDedup.incrementalLineClaims(
+        Dedup.lineRows(input.toDF().toDF("doc_id", "text")))
+        .toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("line_claims_ordered").start()
+      try {
+        docs.sortBy(_._1).grouped(docs.size / 5 + 1).foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        }
+        val got = spark.table("line_claims_ordered")
+          .filter(col("kept"))
+          .select(col("doc_id") * fns.lit(1L << 32) + col("line_no"))
+          .collect().map(_.getLong(0)).toSet
+        got shouldBe batchKept
+      } finally q.stop()
+    }
+
+    // shuffled arrival: the keeper may differ, but every distinct line has
+    // EXACTLY one — the partition property dedup correctness rests on
+    {
+      val input = MemoryStream[(Long, String)]
+      val q = IncrementalDedup.incrementalLineClaims(
+        Dedup.lineRows(input.toDF().toDF("doc_id", "text")))
+        .toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("line_claims_shuffled").start()
+      try {
+        new scala.util.Random(99).shuffle(docs)
+          .grouped(docs.size / 5 + 1).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+        val perLine = spark.table("line_claims_shuffled")
+          .groupBy(col("h"))
+          .agg(fns.sum(fns.when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        perLine.filter(col("n_kept") =!= 1L).count() shouldBe 0L
+        perLine.count() shouldBe batchKept.size.toLong
+      } finally q.stop()
+    }
+  }
 }
