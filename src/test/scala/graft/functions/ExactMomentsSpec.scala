@@ -106,6 +106,36 @@ class ExactMomentsSpec extends SparkSpec with Matchers {
         .multiply(java.math.BigInteger.valueOf(4))).doubleValue()
   }
 
+  test("randomized: 192-bit accumulation equals BigInteger ground truth") {
+    // adversarial carry coverage: magnitudes from 1 to Long.MaxValue with
+    // random signs, split across partitions so merge paths carry too
+    val rnd = new scala.util.Random(421L)
+    val rows = (1 to 400).map { _ =>
+      def v(): Long = {
+        val mag = math.pow(2, rnd.nextDouble() * 62).toLong + 1
+        val s = if (rnd.nextBoolean()) 1L else -1L
+        // keep Long.MinValue out: |Long.MinValue| overflows negation, and
+        // the corpus contract is pre-scaled magnitudes, not bit patterns
+        s * mag
+      }
+      (v(), v())
+    }
+    val m = spark.createDataset(rows).toDF("x", "y").repartition(7)
+      .agg(exactMoments(col("x"), col("y")).as("m"))
+      .head().getSeq[Double](0)
+    import java.math.BigInteger
+    def big(f: ((Long, Long)) => BigInteger): Double =
+      new java.math.BigDecimal(
+        rows.map(f).foldLeft(BigInteger.ZERO)(_.add(_))).doubleValue()
+    m(0) shouldBe rows.size.toDouble
+    m(1) shouldBe big { case (x, _) => BigInteger.valueOf(x) }
+    m(2) shouldBe big { case (_, y) => BigInteger.valueOf(y) }
+    m(3) shouldBe big { case (x, _) => BigInteger.valueOf(x).pow(2) }
+    m(4) shouldBe big { case (_, y) => BigInteger.valueOf(y).pow(2) }
+    m(5) shouldBe big { case (x, y) =>
+      BigInteger.valueOf(x).multiply(BigInteger.valueOf(y)) }
+  }
+
   test("scale de-scaling is single-rounded (matches decimal cast)") {
     // x = 123.45 stored as 12345 cents, scale 2: Σx² must equal the double
     // of the exact decimal 12345²·n/10⁴, not (double of cents²)/1e4
