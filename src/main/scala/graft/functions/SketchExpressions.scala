@@ -277,6 +277,49 @@ case class TokenChunks(child: Expression, k: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Per-row unigram statistics over a token array, one eval pass →
+  * ARRAY<DOUBLE>[n_tokens, n_distinct, Σ c·ln c] (c = per-distinct-token
+  * count). The building blocks of word entropy (ln n − Σc·ln c / n) and
+  * type-token ratio as ROW-LOCAL values: the groupBy(doc, word) →
+  * groupBy(doc) formulation shuffles the corpus twice for something each
+  * row can answer alone — this is a pure map stage at any corpus size.
+  * Portable as the grouped SQL (see the q_text_entropy oracle); the
+  * Σ c·ln c float-summation order differs between engines either way, so
+  * consumers round (the established 9-decimal convention).
+  */
+case class UnigramStats(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "unigram_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Long](len * 2)
+    var i = 0
+    while (i < len) {
+      counts.merge(arr.getUTF8String(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var s = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); s += c * math.log(c.toDouble) }
+    new GenericArrayData(Array(len.toDouble, counts.size.toDouble, s))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** arr[i] for each 0-based i in `idxs`, one eval pass → ARRAY<STRING>.
   * The lambda-free way to gather array elements at positions
   * (`transform(idxs, i -> element_at(arr, i+1))` re-evaluates `arr`'s
@@ -420,6 +463,8 @@ object SketchExpressions {
   def elementsAt(arr: Column, idxs: Column): Column =
     GraftColumnBridge.column(ElementsAt(
       GraftColumnBridge.expression(arr), GraftColumnBridge.expression(idxs)))
+  def unigramStats(tokens: Column): Column =
+    GraftColumnBridge.column(UnigramStats(GraftColumnBridge.expression(tokens)))
   def maxFreqCount(arr: Column): Column =
     GraftColumnBridge.column(MaxFreqCount(GraftColumnBridge.expression(arr)))
 }

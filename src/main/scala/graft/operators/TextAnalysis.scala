@@ -521,27 +521,29 @@ object TextAnalysis {
   /** Unigram (word) Shannon entropy + type-token ratio per document — the
     * Gopher-adjacent diversity signals (low entropy = TEMPLATE/boilerplate
     * text, low TTR = heavy word reuse). H = ln(n) − (Σ c·ln c)/n over
-    * per-doc word counts c. Two aggregations, both keyed by doc_id (the
-    * (doc, word) partial collapses map-side), so the shuffle carries one
-    * row per distinct (doc, word) — scales as the vocabulary, not the
-    * corpus. ln rounds at 9 decimals (the [[qTfidf]] convention).
+    * per-doc word counts c — computed ROW-LOCALLY by the one-pass
+    * [[graft.functions.UnigramStats]] expression: the first formulation
+    * (groupBy(doc, word) → groupBy(doc)) shuffled the corpus twice for a
+    * per-row answer; this is a pure map stage at any corpus size. The
+    * oracle keeps the grouped-SQL formulation — identical up to float
+    * summation order, bridged by the 9-decimal rounding convention
+    * ([[qTfidf]]); a zero-token doc yields no (doc, word) group in the
+    * oracle, so it is filtered here to match.
     */
   def qTextEntropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), graft.functions.SketchExpressions.unigramStats(
         filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
-        .as("w"))
-      .groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("n_words"),
-        count(lit(1)).as("n_distinct"),
-        round(count(lit(1)).cast("double") / sum(col("c")), 9).as("ttr"),
+        .as("u"))
+      .filter(element_at(col("u"), 1) > 0.0)
+      .select(
+        col("doc_id"),
+        element_at(col("u"), 1).cast("long").as("n_words"),
+        element_at(col("u"), 2).cast("long").as("n_distinct"),
+        round(element_at(col("u"), 2) / element_at(col("u"), 1), 9).as("ttr"),
         round(
-          log(sum(col("c")).cast("double")) -
-            sum(col("c").cast("double") * log(col("c").cast("double"))) /
-              sum(col("c")).cast("double"), 9).as("entropy"))
+          log(element_at(col("u"), 1)) -
+            element_at(col("u"), 3) / element_at(col("u"), 1), 9).as("entropy"))
       .orderBy(col("doc_id"))
 
   /** BM25 parameters (Robertson/Sparck Jones; Lucene's defaults). */

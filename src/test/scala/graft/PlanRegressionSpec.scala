@@ -205,6 +205,14 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should not include "Join"
   }
 
+  test("q_text_entropy is a pure map stage: unigram_stats row-local, no aggregate") {
+    val plan = TextAnalysis.qTextEntropy(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("unigram_stats")
+    plan should not include "Aggregate"
+    plan should not include "Join"
+  }
+
   test("q_bm25: the bounded scored side broadcasts into the corpus-stat joins") {
     val plan = TextAnalysis.qBm25(spark, sf())
       .queryExecution.executedPlan.toString

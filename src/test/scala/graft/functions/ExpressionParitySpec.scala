@@ -189,6 +189,23 @@ class ExpressionParitySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("UnigramStats: counts and entropy sum match a brute-force recompute") {
+    val expr = UnigramStats(
+      BoundReference(0, ArrayType(StringType), nullable = false))
+    for (ts <- samples(toksGen, 25)) {
+      val row = InternalRow(new GenericArrayData(
+        ts.map(UTF8String.fromString).toArray))
+      val got = expr.eval(row).asInstanceOf[ArrayData].toDoubleArray()
+      val counts = ts.groupBy(identity).view.mapValues(_.size.toLong)
+      got(0) shouldBe ts.size.toDouble
+      got(1) shouldBe counts.size.toDouble
+      // float-sum order may differ from the map's iteration order — bound
+      // far below the 9-decimal consumer rounding
+      got(2) shouldBe counts.values
+        .map(c => c * math.log(c.toDouble)).sum +- 1e-9
+    }
+  }
+
   test("ElementsAt: gathers in index order, skips out-of-range") {
     val expr = ElementsAt(
       BoundReference(0, ArrayType(StringType), nullable = false),
