@@ -357,7 +357,74 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** DSIR hashed-feature space: word bigrams folded into this many
+    * buckets. 1024 keeps the bucket table broadcast-trivial while leaving
+    * ~2 docs/bucket of resolution at sf0.01; real deployments use 10⁴–10⁵
+    * (Xie et al. 2023 use 10⁴) — the plan shape is bucket-count-invariant.
+    */
+  val DsirBuckets = 1024
+
+  /** DSIR target distribution: English documents (language-targeted
+    * selection — the most common curation use of importance resampling).
+    */
+  val DsirTargetLang = "en"
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score each
+    * raw document by how much more likely its hashed-bigram bag is under a
+    * TARGET distribution (here `lang = 'en'`) than under the RAW corpus
+    * distribution. Features are word bigrams hashed into [[DsirBuckets]]
+    * buckets (60-bit md5, the engine-portable trick); both distributions
+    * are add-1-smoothed bucket unigram models, so
+    * `log λ(doc) = Σ_feats [ln p̂_T(b) − ln p̂_R(b)]`.
+    *
+    * Exactness contract: bucket counts and totals are exact integers; the
+    * per-BUCKET log-ratio is rounded once to 9 decimals and carried as a
+    * ppb-scaled BIGINT, so the per-DOC sum is an exact integer sum —
+    * order-independent under any shuffle/merge order (a raw double sum
+    * over thousands of features would be summation-order-sensitive).
+    *
+    * Scale shape: one explode → one [[DsirBuckets]]-sized aggregation
+    * (map-side partial) builds both distributions in a single pass
+    * (conditional sum for the target side); the scoring pass joins the
+    * exploded features against the BROADCAST bucket table and reduces by
+    * doc_id — corpus-linear, one 8-byte-key shuffle per pass, no
+    * vocabulary-sized shuffle anywhere. At 100 TB, persist the exploded
+    * feature table (or re-derive it — the two passes here mirror
+    * [[graft.operators.TextAnalysis.qLmScore]]'s accepted recompute).
+    */
+  def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val feats = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(
+        graft.functions.SketchExpressions.md5Prefix60(
+          graft.functions.SketchExpressions.wordNGrams(tk, 2, distinct = false)))
+        .as("h"))
+      .select(col("doc_id"), col("lang"),
+        (col("h") % DsirBuckets).as("b"))
+    val counts = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("c_t"))
+    val totals = counts.agg(
+      sum(col("c_raw")).as("tot_r"), sum(col("c_t")).as("tot_t"))
+    // constants combine at runtime (lit + lit), oracle mirrors the IEEE tree
+    val bD = lit(DsirBuckets.toDouble)
+    val llr = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log(col("c_t") + lit(1.0)) - log(col("tot_t") + bD)
+          - (log(col("c_raw") + lit(1.0)) - log(col("tot_r") + bD))) * lit(1.0e9))
+          .cast("long").as("llr_ppb"))
+    feats
+      .join(broadcast(llr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("llr_ppb")).as("w_ppb"))
+      .select(col("doc_id"), col("n_feats"), col("w_ppb"),
+        (col("w_ppb").cast("double") / lit(1.0e9)).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir" -> qDsir,
     "q_pack" -> qPack,
     "q_pack_ids" -> qPackIds,
     "q_pack_fit" -> qPackFit,
@@ -369,6 +436,38 @@ object Sampling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                x -> length(x) > 0) AS t
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang, unnest(list_transform(
+         |    CASE WHEN len(t) >= 2
+         |      THEN list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+         |      ELSE [] END,
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $DsirBuckets)) AS b
+         |  FROM toks),
+         |c AS (
+         |  SELECT b, count(*) AS c_raw,
+         |    CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c_t
+         |  FROM f GROUP BY b),
+         |tot AS (
+         |  SELECT CAST(sum(c_raw) AS BIGINT) AS tot_r,
+         |         CAST(sum(c_t) AS BIGINT) AS tot_t FROM c),
+         |l AS (
+         |  SELECT b, CAST(round(
+         |    (ln(c_t + 1.0e0) - ln(tot_t + ${DsirBuckets}.0e0)
+         |     - (ln(c_raw + 1.0e0) - ln(tot_r + ${DsirBuckets}.0e0))) * 1.0e9)
+         |    AS BIGINT) AS llr_ppb
+         |  FROM c CROSS JOIN tot)
+         |SELECT f.doc_id, count(*) AS n_feats,
+         |  CAST(sum(llr_ppb) AS BIGINT) AS w_ppb,
+         |  CAST(sum(llr_ppb) AS BIGINT) / 1.0e9 AS weight
+         |FROM f JOIN l USING (b)
+         |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
     "q_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

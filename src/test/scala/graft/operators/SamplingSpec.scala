@@ -214,6 +214,36 @@ class SamplingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("DSIR weights separate the target language from the rest") {
+    // English is the target distribution: mean importance weight of en
+    // docs must exceed that of every other language (the whole point of
+    // the LLR — features common in the target and rare in the raw corpus
+    // score positive). Also: weights are exact ppb-integer sums, so two
+    // evaluations are bit-identical.
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("lang"))
+    val w = Sampling.qDsir(spark, sf()).join(docs, "doc_id")
+    val byLang = w.groupBy(col("lang"))
+      .agg(avg(col("weight")).as("mean_w"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val en = byLang(Sampling.DsirTargetLang)
+    byLang.foreach { case (lang, m) =>
+      if (lang != Sampling.DsirTargetLang)
+        withClue(s"lang=$lang mean=$m en=$en") { en should be > m }
+    }
+    Sampling.qDsir(spark, sf()).collect().toSeq shouldBe
+      Sampling.qDsir(spark, sf()).collect().toSeq
+  }
+
+  test("DSIR bucket table joins as a broadcast") {
+    // the LLR table is DsirBuckets rows — if it ever shuffles the corpus
+    // side on bucket instead of broadcasting, the plan regressed
+    val plan = Sampling.qDsir(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
   test("every document lands in exactly one split under re-evaluation") {
     // the split is a pure function of doc_id: recomputing the bucket in a
     // separate plan yields identical membership (no rand(), no
