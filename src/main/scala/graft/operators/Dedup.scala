@@ -683,7 +683,51 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source shingle-overlap matrix — the corpus-composition mirror
+    * of [[qDecontaminate]]: for every source pair, how many DISTINCT
+    * 3-gram shingles they share, plus each side's distinct-shingle count
+    * and the resulting Jaccard. Source pairs with high overlap are
+    * mirror/syndication candidates: corpus builders use exactly this to
+    * decide which source to drop wholesale before paying for pairwise
+    * document dedup.
+    *
+    * Scale shape: one explode → one distinct on (source, 8-byte hash) —
+    * corpus-linear; then a groupBy(h) whose per-group membership list is
+    * bounded by |sources| (not corpus size), pair expansion via the
+    * [[minhashCandidates]] in-bucket combination trick (no self-join: the
+    * shingle table is computed and shuffled ONCE), and a |sources|²-sized
+    * aggregate joined against the broadcast per-source totals. Zero
+    * quadratic term in documents anywhere.
+    */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("source"), explode(
+        graft.functions.SketchExpressions.md5Prefix60(
+          graft.functions.SketchExpressions.wordNGrams(tokens(col("text")), 3)))
+        .as("h"))
+      .distinct()
+    val perSource = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
+          struct(a.as("s1"), b.as("s2")))))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perSource.select(
+        col("source").as("s1"), col("n").as("n_s1"))), "s1")
+      .join(broadcast(perSource.select(
+        col("source").as("s2"), col("n").as("n_s2"))), "s2")
+      .select(col("s1"), col("s2"), col("n_shared"), col("n_s1"), col("n_s2"),
+        round(col("n_shared").cast("double") /
+          (col("n_s1") + col("n_s2") - col("n_shared")), 9).as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> qSourceOverlap,
     "q_decontaminate" -> qDecontaminate,
     "q_dedup_lines" -> qDedupLines,
     "q_dedup_lines_keep" -> qDedupLinesKeep,
@@ -800,6 +844,23 @@ object Dedup {
        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_source_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, h FROM (
+         |    SELECT source, unnest(list_transform(${shinglesSql(toks)},
+         |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+         |    FROM documents)),
+         |ps AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         |pr AS (
+         |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2, n_shared, p1.n AS n_s1, p2.n AS n_s2,
+         |  round(CAST(n_shared AS DOUBLE) / (p1.n + p2.n - n_shared), 9)
+         |    AS jaccard
+         |FROM pr JOIN ps p1 ON pr.s1 = p1.source
+         |        JOIN ps p2 ON pr.s2 = p2.source
+         |ORDER BY s1, s2""".stripMargin,
     "q_decontaminate" ->
       s"""WITH eval AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % $EvalMod = 0),

@@ -230,6 +230,24 @@ class DedupSpec extends SparkSpec with Matchers {
     ()
   }
 
+  test("source-overlap matrix: ordered pairs, bounded sharing, one shingle shuffle") {
+    val rows = Dedup.qSourceOverlap(spark, sf()).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      val (shared, n1, n2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      s1 should be < s2 // canonical orientation, no double-count
+      shared should be <= math.min(n1, n2) // shared ⊆ each side
+      val j = r.getDouble(5)
+      j should (be > 0.0 and be <= 1.0)
+    }
+    // the shingle table must not be self-joined: a single grouped pair-emit
+    // means no SortMergeJoin/ShuffledHashJoin on h anywhere in the plan
+    val plan = Dedup.qSourceOverlap(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "SortMergeJoin"
+  }
+
   test("embedding LSH dedup recalls all planted identical vectors at cos=1") {
     val vecs = graft.tables.Tables.embeddings(spark, sf()).count()
     val df = Dedup.qDedupEmbedding(spark, sf()).cache()
