@@ -595,7 +595,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Number of top adjacent-symbol pairs [[qBpeMerges]] reports. */
+  val BpeTopPairs = 20
+
+  /** Adjacent character-pair counts — the statistic behind a BPE
+    * tokenizer's FIRST merge step (Sennrich et al. 2016): count every
+    * adjacent symbol pair across all token occurrences, rank by frequency.
+    * Corpus builders run exactly this sweep (iterated) to train the
+    * tokenizer on the corpus the engine just curated, so the counting pass
+    * belongs in the engine: explode tokens → explode per-token pairs
+    * (both corpus-linear) → a ≤|alphabet|²-key aggregation with map-side
+    * partials — ONE tiny shuffle at any corpus size. The per-element
+    * lambda only references the exploded token attribute (a bound ref, so
+    * the CollapseProject/inlining trap that bit `withShingles` cannot
+    * re-evaluate anything expensive per element).
+    *
+    * Full BPE training iterates merge→recount; the recount is this same
+    * plan over re-chunked tokens, and iteration count is the vocab size —
+    * driver-loop territory like the k-means Lloyd steps
+    * ([[graft.operators.Similarity]]), deliberately not unrolled here.
+    */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair"))
+    Tables.documents(s, dir)
+      .select(explode(tk).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= BpeTopPairs)
+      .select(col("rk"), col("pair"), col("n"))
+      .orderBy(col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> qBpeMerges,
     "q_gopher" -> qGopher,
     "q_data_card" -> qDataCard,
     "q_text_entropy" -> qTextEntropy,
@@ -665,6 +703,21 @@ object TextAnalysis {
        |  FROM m)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                     x -> length(x) > 0) AS t
+         |  FROM documents),
+         |w AS (SELECT unnest(t) AS w FROM toks),
+         |p AS (
+         |  SELECT unnest(list_transform(range(1, length(w)),
+         |                               i -> substr(w, i, 2))) AS pair
+         |  FROM w WHERE length(w) >= 2),
+         |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair),
+         |r AS (SELECT pair, n,
+         |        row_number() OVER (ORDER BY n DESC, pair) AS rk FROM c)
+         |SELECT CAST(rk AS BIGINT) AS rk, pair, n
+         |FROM r WHERE rk <= $BpeTopPairs ORDER BY rk""".stripMargin,
     "q_gopher" ->
       s"""WITH ${gopherSqlCtes("doc_id")}
          |SELECT doc_id, n_words, mean_word_len, n_stop_distinct, dup_word_frac,

@@ -197,4 +197,26 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
         }
       }
   }
+
+  test("BPE pair counts agree with a driver-side recount") {
+    val texts = graft.tables.Tables.documents(spark, sf())
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).foreach { w =>
+        var i = 0
+        while (i < w.length - 1) {
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+          i += 1
+        }
+      }
+    }
+    val expected = counts.toSeq
+      .sortBy { case (p, n) => (-n, p) }
+      .take(TextAnalysis.BpeTopPairs)
+    val got = TextAnalysis.qBpeMerges(spark, sf()).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    got shouldBe expected
+  }
 }
