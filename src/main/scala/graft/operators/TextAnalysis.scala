@@ -125,6 +125,38 @@ object TextAnalysis {
     * expression, and an aggregate with #buckets groups; exact integers end
     * to end.
     */
+  /** Exact per-source length quantiles (p50/p90/p99 of `n_chars`) by the
+    * percentile_disc rank rule — value at 1-based rank ⌈p·n⌉ — computed
+    * with explicit window arithmetic so both engines run the IDENTICAL
+    * integer selection (Spark's `percentile` and DuckDB's `quantile_cont`
+    * interpolate with engine-specific formulas; rank selection is
+    * engine-portable and returns an actual corpus value). Never reads
+    * `text`: a metadata-only scan (ReadSchema pruned to two columns).
+    *
+    * Scale: exact quantiles need a per-source sort — one shuffle on
+    * source, sort within partition. At 100 TB with few sources the
+    * per-source stream is the bottleneck; the production path at that
+    * scale is a mergeable sketch (KLL/t-digest) traded against exactness —
+    * this operator is the exact contract the sketch would be validated
+    * against (same role as [[graft.operators.Events]]' exact KMV twin).
+    */
+  def qLenQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val ranked = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(bySrc.orderBy(col("n_chars"))))
+      .withColumn("cnt", count(lit(1)).over(bySrc))
+    def pick(p: Double, name: String) =
+      max(when(col("rn") === ceil(col("cnt") * lit(p)), col("n_chars"))).as(name)
+    ranked.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+  }
+
   def qLenHist(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(bpeTokenCount(col("text")).cast("long").as("tk"))
@@ -634,6 +666,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> qBpeMerges,
+    "q_len_quantiles" -> qLenQuantiles,
     "q_gopher" -> qGopher,
     "q_data_card" -> qDataCard,
     "q_text_entropy" -> qTextEntropy,
@@ -718,6 +751,19 @@ object TextAnalysis {
          |        row_number() OVER (ORDER BY n DESC, pair) AS rk FROM c)
          |SELECT CAST(rk AS BIGINT) AS rk, pair, n
          |FROM r WHERE rk <= $BpeTopPairs ORDER BY rk""".stripMargin,
+    "q_len_quantiles" ->
+      """WITH b AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(CASE WHEN rn = ceil(cnt * 0.5e0) THEN n_chars END) AS BIGINT) AS p50,
+        |  CAST(max(CASE WHEN rn = ceil(cnt * 0.9e0) THEN n_chars END) AS BIGINT) AS p90,
+        |  CAST(max(CASE WHEN rn = ceil(cnt * 0.99e0) THEN n_chars END) AS BIGINT) AS p99,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
     "q_gopher" ->
       s"""WITH ${gopherSqlCtes("doc_id")}
          |SELECT doc_id, n_words, mean_word_len, n_stop_distinct, dup_word_frac,

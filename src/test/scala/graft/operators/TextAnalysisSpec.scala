@@ -198,6 +198,30 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
       }
   }
 
+  test("length quantiles match a driver-side percentile_disc and prune text") {
+    val bylen = graft.tables.Tables.documents(spark, sf())
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def disc(v: Array[Long], p: Double): Long = v(math.ceil(p * v.length).toInt - 1)
+    val got = TextAnalysis.qLenQuantiles(spark, sf()).collect()
+    got.length shouldBe bylen.size
+    got.foreach { r =>
+      val v = bylen(r.getString(0))
+      r.getLong(1) shouldBe v.length.toLong
+      r.getLong(2) shouldBe v.min
+      r.getLong(3) shouldBe disc(v, 0.5)
+      r.getLong(4) shouldBe disc(v, 0.9)
+      r.getLong(5) shouldBe disc(v, 0.99)
+      r.getLong(6) shouldBe v.max
+    }
+    // metadata-only: the scan must not read the text column
+    val plan = TextAnalysis.qLenQuantiles(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("ReadSchema")
+    plan should not include "text"
+  }
+
   test("BPE pair counts agree with a driver-side recount") {
     val texts = graft.tables.Tables.documents(spark, sf())
       .select(col("text")).collect().map(_.getString(0))
