@@ -622,6 +622,20 @@ object Dedup {
           tokens(col("text")), LineTokens)))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("line_no", "h")))
 
+  /** [[lineRows]] with an event-time column carried through, for the
+    * retention-bounded streaming twin
+    * ([[graft.streaming.IncrementalDedup.incrementalLineClaimsWithRetention]]) —
+    * same chunker, same hashes, so stream and batch agree on line identity.
+    */
+  private[graft] def lineRowsTs(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
+        graft.functions.SketchExpressions.tokenChunks(
+          tokens(col("text")), LineTokens)))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("line_no", "h")),
+        col("ts"))
+      .select(col("doc_id"), col("line_no"), col("h"), col("ts"))
+
   def qDedupLines(s: SparkSession, dir: String): DataFrame = {
     val lines = lineRows(nearDupDocs(s, dir))
     val stats = lines

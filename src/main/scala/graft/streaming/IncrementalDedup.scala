@@ -187,6 +187,69 @@ object IncrementalDedup {
       }
   }
 
+  /** One derived-line instance with its event time. */
+  final case class TimedLineRow(doc_id: Long, line_no: Int, h: Long,
+      ts: java.sql.Timestamp)
+
+  /** Live-claim state for [[incrementalLineClaimsWithRetention]]: the
+    * claim's last activity, refreshed by every arrival of the line (a
+    * line that keeps re-appearing stays claimed — same liveness rule as
+    * [[TimedBucket]]).
+    */
+  final case class TimedClaim(lastMs: Long)
+
+  /** RETENTION-BOUNDED first-claim line dedup — the production trade for
+    * an infinite line stream: [[incrementalLineClaims]] state is one entry
+    * per distinct line EVER SEEN (claims are forever, the backfill
+    * semantics), while this variant expires a claim once the watermark
+    * passes `retention` beyond the line's last arrival. Within the window
+    * duplicates are still dropped; a line idle longer than `retention` is
+    * RE-ADMITTED by construction (its next instance is kept again) — the
+    * same bounded-state trade as [[incrementalEdgesWithRetention]], with
+    * the same consequence spelled out: total state is arrival rate ×
+    * retention, not stream history. Callers watermark `ts` upstream of
+    * [[lineRowsWithTs]].
+    */
+  def incrementalLineClaimsWithRetention(
+      lines: DataFrame,
+      retention: java.time.Duration): Dataset[LineClaim] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val retMs = retention.toMillis
+    lines.as[TimedLineRow]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[TimedClaim, LineClaim](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (h: Long, rows: Iterator[TimedLineRow], state: GroupState[TimedClaim]) =>
+          if (state.hasTimedOut) {
+            state.remove() // claim lapsed: the next instance is kept again
+            Iterator.empty
+          } else {
+            var claim = state.getOption
+            val out = List.newBuilder[LineClaim]
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id, r.line_no)).foreach { r =>
+              out += LineClaim(r.doc_id, r.line_no, h, kept = claim.isEmpty)
+              claim = Some(TimedClaim(math.max(
+                claim.map(_.lastMs).getOrElse(0L), r.ts.getTime)))
+            }
+            claim.foreach { c =>
+              state.update(c)
+              // strictly beyond the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(c.lastMs + retMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** [[graft.operators.Dedup.lineRows]] with the event-time column carried
+    * through — identical chunk+hash expressions, so the retention variant
+    * hashes lines bit-identically to batch.
+    */
+  def lineRowsWithTs(docs: DataFrame): DataFrame =
+    Dedup.lineRowsTs(docs)
+
   /** Incrementally-maintained duplicate clusters: a driver-side union-find
     * MERGE target for the edge stream (the in-memory stand-in for a keyed
     * store, same pattern as [[Streaming.AttributionStore]]). Union is

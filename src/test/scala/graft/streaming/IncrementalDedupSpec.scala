@@ -198,6 +198,48 @@ class IncrementalDedupSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("retention-bounded line claims: in-window duplicates dropped, " +
+    "lapsed claims re-admit the line") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val line = "alpha beta gamma delta"
+    val other = "omega sigma tau upsilon"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = IncrementalDedup.incrementalLineClaimsWithRetention(
+      IncrementalDedup.lineRowsWithTs(
+        input.toDF().toDF("doc_id", "text", "ts")
+          .withWatermark("ts", "0 seconds")),
+      java.time.Duration.ofHours(1))
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("line_claims_ret").start()
+    try {
+      // 10:00 claims the line; the 10:30 copy is inside retention → dropped
+      input.addData((1L, line, t("2024-01-01 10:00:00")),
+        (2L, line, t("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // filler pushes the watermark to 13:00: last activity 10:30 + 1h is
+      // long past, the claim lapses
+      input.addData((100L, other, t("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      // 14:00: claim gone → the line is RE-ADMITTED (kept again)
+      input.addData((3L, line, t("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      // 14:20: within retention of the refreshed claim → dropped
+      input.addData((4L, line, t("2024-01-01 14:20:00")))
+      q.processAllAvailable()
+
+      val kept = spark.table("line_claims_ret").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      kept(1L) shouldBe true
+      kept(2L) shouldBe false
+      kept(3L) shouldBe true
+      kept(4L) shouldBe false
+    } finally q.stop()
+  }
+
   test("line claims: ordered arrival equals the batch keep set; any order " +
     "keeps exactly one instance per distinct line") {
     import spark.implicits._
