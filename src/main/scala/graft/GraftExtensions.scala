@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, MaxFreqCount, MinKDistinctLongs, MinKLongs}
+import graft.functions.{FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, MaxFreqCount, MinKDistinctLongs, MinKLongs, WinnowedPositions}
 
 /** Spark extensions entry point: install the engine's native functions at
   * session build time, with zero user code —
@@ -63,6 +63,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             s"max_freq_count requires exactly 1 argument, got ${args.length}")
         MaxFreqCount(args(0))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("winnowed_positions"),
+      info("winnowed_positions",
+        "winnowed_positions(hashes, w) - winnowing (SIGMOD'03): distinct rightmost-min positions per w-window of ARRAY<BIGINT>"),
+      args => {
+        val w = args match {
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case _ => throw new IllegalArgumentException(
+            "winnowed_positions requires (ARRAY<BIGINT> column, INT literal w)")
+        }
+        WinnowedPositions(args(0), w)
       }))
     e.injectFunction((
       FunctionIdentifier("min_k"),

@@ -320,6 +320,61 @@ case class UnigramStats(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken:
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03)
+  * over a positional hash array: for every window of `w` consecutive
+  * k-gram hashes, select the RIGHTMOST minimum; return the distinct
+  * selected 0-based positions in ascending order. The guarantee that makes
+  * it the standard fingerprint selector: any shared substring of at least
+  * w + k − 1 tokens yields at least one shared selected fingerprint, at an
+  * expected density of 2/(w+1) — the sub-linear index the span detector
+  * ([[graft.operators.Dedup.qDedupSubstring]]) would probe at 100 TB.
+  *
+  * One eval pass per row, O(n·w) with w a small constant (the rightmost
+  * pick makes consecutive windows' selections non-decreasing, so dedup is
+  * an append guard). Arrays shorter than w have no full window → empty
+  * selection (documented boundary; mirror the oracle's CASE). Portable as
+  * DuckDB list lambdas — see the q_winnow oracle.
+  */
+case class WinnowedPositions(child: Expression, w: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "winnowed_positions"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](2 * n / (w + 1) + 1)
+    var last = -1
+    var i = 0
+    while (i <= n - w) {
+      var mn = Long.MaxValue
+      var j = -1
+      var p = i
+      while (p < i + w) {
+        val v = arr.getLong(p)
+        if (v <= mn) { mn = v; j = p } // <= : rightmost minimum
+        p += 1
+      }
+      if (j > last) { out.add(j); last = j }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** arr[i] for each 0-based i in `idxs`, one eval pass → ARRAY<STRING>.
   * The lambda-free way to gather array elements at positions
   * (`transform(idxs, i -> element_at(arr, i+1))` re-evaluates `arr`'s
@@ -463,6 +518,9 @@ object SketchExpressions {
   def elementsAt(arr: Column, idxs: Column): Column =
     GraftColumnBridge.column(ElementsAt(
       GraftColumnBridge.expression(arr), GraftColumnBridge.expression(idxs)))
+  def winnowedPositions(hashes: Column, w: Int): Column =
+    GraftColumnBridge.column(WinnowedPositions(
+      GraftColumnBridge.expression(hashes), w))
   def unigramStats(tokens: Column): Column =
     GraftColumnBridge.column(UnigramStats(GraftColumnBridge.expression(tokens)))
   def maxFreqCount(arr: Column): Column =

@@ -740,7 +740,38 @@ object Dedup {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** Winnowing window: fingerprints per expected (w+1)/2 grams. */
+  val WinnowWindow = 4
+
+  /** Winnowing fingerprint selection stats per document
+    * ([[graft.functions.WinnowedPositions]] — Schleimer et al. SIGMOD'03):
+    * how many of each doc's positional [[SpanNgram]]-gram hashes the
+    * rightmost-min rule selects, and the selection density (expected
+    * 2/(w+1)). The selected set is the sub-linear substring-dedup index:
+    * any shared span of ≥ w + k − 1 tokens shares a selected fingerprint,
+    * so at 100 TB the span detector ([[qDedupSubstring]]) probes selected
+    * fingerprints only — a ~2/(w+1) shuffle-volume cut with a proven
+    * guarantee instead of sampling. Pure map stage: the hash array and its
+    * selection are row-local; no shuffle at any corpus size.
+    */
+  def qWinnow(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
+        graft.functions.SketchExpressions.wordNGrams(
+          tokens(col("text")), SpanNgram, distinct = false)))
+      .select(col("doc_id"), size(col("hs")).as("n_grams"),
+        size(graft.functions.SketchExpressions.winnowedPositions(
+          col("hs"), WinnowWindow)).as("n_selected"))
+      .filter(col("n_grams") >= WinnowWindow)
+      .select(col("doc_id"),
+        col("n_grams").cast("long").as("n_grams"),
+        col("n_selected").cast("long").as("n_selected"),
+        round(col("n_selected").cast("double") / col("n_grams"), 9)
+          .as("density"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow" -> qWinnow,
     "q_source_overlap" -> qSourceOverlap,
     "q_decontaminate" -> qDecontaminate,
     "q_dedup_lines" -> qDedupLines,
@@ -858,6 +889,23 @@ object Dedup {
        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_winnow" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_transform(${posShinglesSql(toks, SpanNgram)},
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(hs) AS n_grams,
+         |    len(list_distinct(list_transform(range(0, len(hs) - $WinnowWindow + 1),
+         |      i -> i + $WinnowWindow - list_position(
+         |             list_reverse(hs[i+1 : i+$WinnowWindow]),
+         |             list_aggregate(hs[i+1 : i+$WinnowWindow], 'min')))))
+         |      AS n_selected
+         |  FROM g WHERE len(hs) >= $WinnowWindow)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_selected AS BIGINT) AS n_selected,
+         |  round(CAST(n_selected AS DOUBLE) / n_grams, 9) AS density
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_source_overlap" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT source, h FROM (
