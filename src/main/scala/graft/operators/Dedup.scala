@@ -584,6 +584,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Distinct winnow-selected (doc_id, h) fingerprints of a corpus — the
+    * sub-linear probe set: ~2/([[WinnowWindow]]+1) of the positional
+    * shingle instances, with the SIGMOD'03 guarantee that any cross-doc
+    * verbatim span of ≥ [[WinnowWindow]] + [[SpanNgram]] − 1 tokens still
+    * shares at least one selected fingerprint. Row-local (hash + select +
+    * gather in one narrow stage); only the distinct on (doc_id, 8-byte h)
+    * shuffles.
+    */
+  private[graft] def winnowedFingerprints(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
+        graft.functions.SketchExpressions.wordNGrams(
+          tokens(col("text")), SpanNgram, distinct = false)))
+      .withColumn("sel", graft.functions.SketchExpressions.winnowedPositions(
+        col("hs"), WinnowWindow))
+      .select(col("doc_id"), col("hs"), explode(col("sel")).as("p"))
+      .select(col("doc_id"), element_at(col("hs"), col("p") + 1).as("h"))
+      .distinct()
+
+  /** Winnowed substring-dedup PROBE — [[qDedupSubstring]]'s scale path:
+    * instead of shuffling every positional shingle, ship only the
+    * winnow-selected fingerprints and count, per cross-document pair, the
+    * distinct shared selections. Pairs sharing a span ≥ w + k − 1 tokens
+    * are guaranteed present (coverage property, spec-pinned against the
+    * planted splices); the full detector then runs on the candidate pairs
+    * only. Same bucket shape as the full detector (groupBy(h), in-bucket
+    * combinations, [[MaxSpanOcc]] boilerplate cap) at ~2/(w+1) of the
+    * shuffle volume.
+    */
+  def qDedupSubstringWin(s: SparkSession, dir: String): DataFrame =
+    winnowedFingerprints(splicedDocs(s, dir))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxSpanOcc)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Tokens per derived "line" for [[qDedupLines]]. */
   val LineTokens = 10
 
@@ -772,6 +813,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow" -> qWinnow,
+    "q_dedup_substring_win" -> qDedupSubstringWin,
     "q_source_overlap" -> qSourceOverlap,
     "q_decontaminate" -> qDecontaminate,
     "q_dedup_lines" -> qDedupLines,
@@ -906,6 +948,34 @@ object Dedup {
          |  CAST(n_selected AS BIGINT) AS n_selected,
          |  round(CAST(n_selected AS DOUBLE) / n_grams, 9) AS density
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_dedup_substring_win" ->
+      s"""WITH tkt AS (SELECT doc_id, $toks AS tk FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT a.doc_id + $SpliceOffset AS doc_id,
+         |    array_to_string(list_concat(a.tk[1:$SpliceLen], b.tk[1:$SpliceLen]), ' ') AS text
+         |  FROM tkt a JOIN tkt b ON b.doc_id = a.doc_id + 1),
+         |hsd AS (SELECT doc_id,
+         |  list_transform(${posShinglesSql(toks, SpanNgram)},
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |  FROM corpus),
+         |sel AS (
+         |  SELECT doc_id, hs,
+         |    list_distinct(list_transform(range(0, len(hs) - $WinnowWindow + 1),
+         |      i -> i + $WinnowWindow - list_position(
+         |             list_reverse(hs[i+1 : i+$WinnowWindow]),
+         |             list_aggregate(hs[i+1 : i+$WinnowWindow], 'min')))) AS sp
+         |  FROM hsd WHERE len(hs) >= $WinnowWindow),
+         |fp AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest(list_transform(sp, p -> hs[p+1])) AS h
+         |  FROM sel)),
+         |ok AS (SELECT h FROM fp GROUP BY h
+         |       HAVING count(*) > 1 AND count(*) <= $MaxSpanOcc)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fp
+         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |JOIN ok ON ok.h = a.h
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     "q_source_overlap" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT source, h FROM (

@@ -230,6 +230,32 @@ class DedupSpec extends SparkSpec with Matchers {
     ()
   }
 
+  test("winnowed probe covers every pair the full span detector finds " +
+    "at a fraction of the fingerprint volume") {
+    // guarantee precondition: every reported run has >= MinRunTokens
+    // tokens >= WinnowWindow + SpanNgram - 1, so the SIGMOD'03 coverage
+    // property promises a shared selected fingerprint for each such pair
+    Dedup.MinRunTokens should be >= (Dedup.WinnowWindow + Dedup.SpanNgram - 1)
+    val full = Dedup.qDedupSubstring(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = Dedup.qDedupSubstringWin(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    full should not be empty
+    withClue("full-detector pairs missing from the winnowed candidates:") {
+      (full -- win) shouldBe empty
+    }
+    // the probe ships a fraction of the positional instances
+    val corpus = Dedup.splicedDocs(spark, sf())
+    val F = org.apache.spark.sql.functions
+    val grams = corpus
+      .select(explode(graft.functions.SketchExpressions.wordNGrams(
+        F.filter(split(lower(col("text")), "[^a-z]+"), t => F.length(t) > 0),
+        Dedup.SpanNgram, distinct = false)).as("g"))
+      .count()
+    val fps = Dedup.winnowedFingerprints(corpus).count()
+    fps.toDouble / grams should be < 0.55 // ~2/(w+1)=0.4 + distinct slack
+  }
+
   test("source-overlap matrix: ordered pairs, bounded sharing, one shingle shuffle") {
     val rows = Dedup.qSourceOverlap(spark, sf()).collect()
     rows.length should be > 0
