@@ -614,7 +614,13 @@ object Dedup {
     * shuffle volume.
     */
   def qDedupSubstringWin(s: SparkSession, dir: String): DataFrame =
-    winnowedFingerprints(splicedDocs(s, dir))
+    winnowedCandidates(splicedDocs(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  /** (doc_a, doc_b, n_shared_fp) candidate pairs from the winnowed
+    * fingerprints — see [[qDedupSubstringWin]].
+    */
+  private[graft] def winnowedCandidates(corpus: DataFrame): DataFrame =
+    winnowedFingerprints(corpus)
       .groupBy(col("h"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxSpanOcc)
@@ -623,7 +629,32 @@ object Dedup {
           struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_fp"))
-      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** PROBE-THEN-VERIFY substring dedup — the two-phase composition the
+    * winnowed probe exists for: phase 1 reduces the corpus to documents
+    * that appear in at least one winnowed candidate pair; phase 2 runs the
+    * FULL span detector ([[substringSpans]]) on that reduced corpus.
+    * Any shared span of ≥ [[WinnowWindow]] + [[SpanNgram]] − 1 tokens
+    * shares a selected fingerprint (coverage property), and every
+    * reported run has ≥ [[MinRunTokens]] ≥ that many tokens — so every
+    * reported pair is a candidate and the output is IDENTICAL to
+    * [[qDedupSubstring]] — same
+    * rows, same run statistics (spec-pinned, and the oracle IS the full
+    * detector's SQL) — while phase 2's positional-shingle shuffle carries
+    * only the candidate documents. On a lightly-duplicated 100 TB corpus
+    * that is the difference between shuffling every document's shingles
+    * and shuffling the duplicate population's; the probe itself ships
+    * ~2/(w+1) of the shingle instances. The left-semi join is keyed on
+    * doc_id (broadcast when the candidate set is small, AQE decides).
+    */
+  def qDedupSubstring2P(s: SparkSession, dir: String): DataFrame = {
+    val corpus = splicedDocs(s, dir)
+    val cands = winnowedCandidates(corpus)
+    val docs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    substringSpans(corpus.join(docs, Seq("doc_id"), "left_semi"))
+  }
 
   /** Tokens per derived "line" for [[qDedupLines]]. */
   val LineTokens = 10
@@ -814,6 +845,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow" -> qWinnow,
     "q_dedup_substring_win" -> qDedupSubstringWin,
+    "q_dedup_substring_2p" -> qDedupSubstring2P,
     "q_source_overlap" -> qSourceOverlap,
     "q_decontaminate" -> qDecontaminate,
     "q_dedup_lines" -> qDedupLines,
@@ -930,6 +962,44 @@ object Dedup {
        |  FROM reach r JOIN sym e ON e.src = r.id),
        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)""".stripMargin
 
+  /** The span-detector oracle — shared verbatim by q_dedup_substring and
+    * q_dedup_substring_2p (the two-phase contract is bit-equality).
+    */
+  private lazy val substringOracle: String =
+    s"""WITH tkt AS (SELECT doc_id, $toks AS tk FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT a.doc_id + $SpliceOffset AS doc_id,
+       |    array_to_string(list_concat(a.tk[1:$SpliceLen], b.tk[1:$SpliceLen]), ' ') AS text
+       |  FROM tkt a JOIN tkt b ON b.doc_id = a.doc_id + 1),
+       |hsd AS (SELECT doc_id,
+       |  list_transform(${posShinglesSql(toks, SpanNgram)},
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+       |  FROM corpus),
+       |ph0 AS (SELECT doc_id, unnest(range(0, len(hs))) AS pos, hs FROM hsd),
+       |ph AS (SELECT doc_id, pos, hs[pos+1] AS h FROM ph0),
+       |ok AS (SELECT h FROM ph GROUP BY h
+       |       HAVING count(*) > 1 AND count(*) <= $MaxSpanOcc),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+       |         b.doc_id AS doc_b, b.pos AS pos_b
+       |  FROM ph a JOIN ph b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.h = a.h),
+       |runs AS (
+       |  SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
+       |    pos_a - row_number() OVER (
+       |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+       |  FROM m),
+       |ragg AS (
+       |  SELECT doc_a, doc_b, count(*) + ${SpanNgram - 1} AS run_tokens
+       |  FROM runs GROUP BY doc_a, doc_b, diag, island
+       |  HAVING count(*) + ${SpanNgram - 1} >= $MinRunTokens)
+       |SELECT doc_a, doc_b, count(*) AS n_runs,
+       |  CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+       |  CAST(sum(run_tokens) AS BIGINT) AS matched_tokens
+       |FROM ragg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_winnow" ->
       s"""WITH g AS (
@@ -1015,40 +1085,10 @@ object Dedup {
          |GROUP BY tr.doc_id, n_shingles
          |HAVING count(*) >= $ContamMinShared
          |ORDER BY doc_id""".stripMargin,
-    "q_dedup_substring" ->
-      s"""WITH tkt AS (SELECT doc_id, $toks AS tk FROM documents),
-         |corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT a.doc_id + $SpliceOffset AS doc_id,
-         |    array_to_string(list_concat(a.tk[1:$SpliceLen], b.tk[1:$SpliceLen]), ' ') AS text
-         |  FROM tkt a JOIN tkt b ON b.doc_id = a.doc_id + 1),
-         |hsd AS (SELECT doc_id,
-         |  list_transform(${posShinglesSql(toks, SpanNgram)},
-         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
-         |  FROM corpus),
-         |ph0 AS (SELECT doc_id, unnest(range(0, len(hs))) AS pos, hs FROM hsd),
-         |ph AS (SELECT doc_id, pos, hs[pos+1] AS h FROM ph0),
-         |ok AS (SELECT h FROM ph GROUP BY h
-         |       HAVING count(*) > 1 AND count(*) <= $MaxSpanOcc),
-         |m AS (
-         |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
-         |         b.doc_id AS doc_b, b.pos AS pos_b
-         |  FROM ph a JOIN ph b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  JOIN ok ON ok.h = a.h),
-         |runs AS (
-         |  SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
-         |    pos_a - row_number() OVER (
-         |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
-         |  FROM m),
-         |ragg AS (
-         |  SELECT doc_a, doc_b, count(*) + ${SpanNgram - 1} AS run_tokens
-         |  FROM runs GROUP BY doc_a, doc_b, diag, island
-         |  HAVING count(*) + ${SpanNgram - 1} >= $MinRunTokens)
-         |SELECT doc_a, doc_b, count(*) AS n_runs,
-         |  CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
-         |  CAST(sum(run_tokens) AS BIGINT) AS matched_tokens
-         |FROM ragg GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_substring" -> substringOracle,
+    // the two-phase detector's CONTRACT is bit-equality with the full
+    // one (coverage guarantee; also spec-pinned) — same oracle
+    "q_dedup_substring_2p" -> substringOracle,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $closureCtes
          |SELECT component AS canonical_id, count(*) AS n_members,

@@ -256,6 +256,13 @@ class DedupSpec extends SparkSpec with Matchers {
     fps.toDouble / grams should be < 0.55 // ~2/(w+1)=0.4 + distinct slack
   }
 
+  test("two-phase probe-then-verify equals the full span detector exactly") {
+    val full = Dedup.qDedupSubstring(spark, sf()).collect().toSeq
+    val twoPhase = Dedup.qDedupSubstring2P(spark, sf()).collect().toSeq
+    full should not be empty
+    twoPhase shouldBe full
+  }
+
   test("source-overlap matrix: ordered pairs, bounded sharing, one shingle shuffle") {
     val rows = Dedup.qSourceOverlap(spark, sf()).collect()
     rows.length should be > 0
