@@ -167,10 +167,23 @@ object Bench {
     // "q_" prefix is dropped from the contract-line keys ONLY (the detail
     // line and docs/BENCH_DETAIL.json always keep full names) — worth
     // ~2 chars x #queries, i.e. room for ~10 more queries per squeeze
+    val dropQ = (k: String) => if (k.startsWith("q_")) k.substring(2) else k
+    // stage-3 squeeze: single-letter family prefixes (mapping documented
+    // in BASELINE.md "Canary normalization" — detail line keeps full names)
+    val fam = Seq("dedup_" -> "d_", "events_" -> "e_", "text_" -> "t_",
+      "ann_" -> "a_", "multimodal_" -> "mm_", "embedding_" -> "em_",
+      "sample_" -> "s_", "join_" -> "j_", "window_" -> "w_")
+    val famKey = (k: String) => {
+      val base = dropQ(k)
+      fam.collectFirst { case (p, r) if base.startsWith(p) =>
+        r + base.substring(p.length) }.getOrElse(base)
+    }
     val plain = contract(identity)
+    val noQ = contract(dropQ)
     println(
       if (plain.length <= 2000) plain
-      else contract(k => if (k.startsWith("q_")) k.substring(2) else k))
+      else if (noQ.length <= 2000) noQ
+      else contract(famKey))
     spark.stop()
   }
 }
