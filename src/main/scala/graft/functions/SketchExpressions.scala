@@ -503,6 +503,109 @@ case class MaxFreqCount(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** The n-gram axes of the Gopher repetition battery (Rae et al. 2021,
+  * "Scaling Language Models", Table A1) in ONE row-local pass over a token
+  * array → ARRAY<BIGINT> of
+  *
+  *  [0] n_grams          in-order word n-grams (len − n + 1, min 0)
+  *  [1] top_count        occurrences of the most frequent n-gram
+  *                       (ties → lexicographically smallest gram)
+  *  [2] top_chars        token chars of ONE instance of that gram
+  *  [3] n_dup_grams      distinct grams occurring ≥ 2 times
+  *  [4] covered_words    distinct token positions lying inside ANY
+  *                       occurrence of a duplicated gram
+  *  [5] covered_chars    chars of those tokens
+  *  [6] total_chars      chars of all tokens (separators excluded
+  *                       everywhere — char masses are token-content only)
+  *
+  * top_count·top_chars/total_chars is the paper's top-n-gram character
+  * fraction; covered_chars/total_chars is the duplicate-n-gram character
+  * fraction with the paper's no-double-count semantics — overlapping
+  * duplicate occurrences are a POSITION-SET UNION, which is why this is an
+  * expression and not algebra: the union is inherently per-document
+  * sequential state. Two scans of the gram list (count, then mark), zero
+  * shuffle — a pure map stage at any corpus size, vs the oracle's
+  * explode + 3-aggregation formulation (see the q_gopher_ngram SQL).
+  */
+case class NGramCoverage(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_coverage"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    var totalChars = 0L
+    var i = 0
+    while (i < len) { totalChars += arr.getUTF8String(i).numChars(); i += 1 }
+    val nGrams = math.max(0, len - n + 1)
+    if (nGrams == 0)
+      return new GenericArrayData(Array(0L, 0L, 0L, 0L, 0L, 0L, totalChars))
+    val sep = UTF8String.fromString(" ")
+    val grams = new Array[UTF8String](nGrams)
+    val counts = new java.util.HashMap[UTF8String, Integer](nGrams * 2)
+    i = 0
+    while (i < nGrams) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      val g = UTF8String.concatWs(sep, parts: _*)
+      grams(i) = g
+      counts.merge(g, 1, (a, b) => a + b)
+      i += 1
+    }
+    var topCount = 0L
+    var topGram: UTF8String = null
+    var nDup = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.longValue()
+      if (c >= 2) nDup += 1
+      if (c > topCount || (c == topCount && e.getKey.compareTo(topGram) < 0)) {
+        topCount = c
+        topGram = e.getKey
+      }
+    }
+    // top gram's token chars = chars of the joined gram minus its n-1 spaces
+    val topChars = topGram.numChars().toLong - (n - 1)
+    val covered = new Array[Boolean](len)
+    i = 0
+    while (i < nGrams) {
+      if (counts.get(grams(i)) >= 2) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var coveredWords = 0L
+    var coveredChars = 0L
+    i = 0
+    while (i < len) {
+      if (covered(i)) {
+        coveredWords += 1
+        coveredChars += arr.getUTF8String(i).numChars()
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(
+      nGrams.toLong, topCount, topChars, nDup, coveredWords, coveredChars,
+      totalChars))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   def affineMinhashes(hashes: Column, k: Int): Column =
     GraftColumnBridge.column(AffineMinHashes(GraftColumnBridge.expression(hashes), k))
@@ -525,4 +628,6 @@ object SketchExpressions {
     GraftColumnBridge.column(UnigramStats(GraftColumnBridge.expression(tokens)))
   def maxFreqCount(arr: Column): Column =
     GraftColumnBridge.column(MaxFreqCount(GraftColumnBridge.expression(arr)))
+  def ngramCoverage(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(NGramCoverage(GraftColumnBridge.expression(tokens), n))
 }

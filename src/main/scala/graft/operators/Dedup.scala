@@ -413,11 +413,13 @@ object Dedup {
     * closure is diameter-independent — so the composition inherits every
     * per-stage 100 TB property.
     */
-  def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    val withHs = withHashedShingles(nearDupDocs(s, dir))
-      .select(col("doc_id"), col("hs"))
-      .persist()
-    val verified = minhashCandidates(minhashBanded(withHs), MaxLshBucket)
+  /** MinHash-verified near-dup pair set (src < dst, exact Jaccard ≥
+    * [[JaccardThreshold]] on the hashed shingles) over a persisted
+    * (doc_id, hs) signature table — the shared front half of
+    * [[qDedupPipeline]] and [[qSplitLeakage]].
+    */
+  private def verifiedPairs(withHs: DataFrame): DataFrame =
+    minhashCandidates(minhashBanded(withHs), MaxLshBucket)
       .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a").as("src"), col("doc_b").as("dst"),
@@ -425,12 +427,50 @@ object Dedup {
           size(array_distinct(concat(col("hs_a"), col("hs_b"))))).as("j"))
       .filter(col("j") >= JaccardThreshold)
       .select(col("src"), col("dst"))
-    ConnectedComponents.components(verified)
+
+  def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val withHs = withHashedShingles(nearDupDocs(s, dir))
+      .select(col("doc_id"), col("hs"))
+      .persist()
+    ConnectedComponents.components(verifiedPairs(withHs))
       .groupBy(col("component"))
       .agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
+  }
+
+  /** Split-leakage audit: near-duplicate pairs (the [[verifiedPairs]] set
+    * of [[qDedupPipeline]]) that STRADDLE the train/val/test assignment —
+    * the eval-integrity check a curation team runs before publishing a
+    * split: a near-copy of a val/test document inside train is
+    * contamination even when doc-level dedup would keep both (they are
+    * distinct documents). Split assignment is [[Sampling.splitLabel]] —
+    * the ONE hash rule shared with [[Sampling.qSplitAssign]]; planted
+    * near-copies carry different doc_ids, so they land in independent
+    * splits and ~2·(0.8·0.1 + 0.8·0.1 + 0.1·0.1)+… of them straddle.
+    * Scale shape: everything through the verified pair set is the
+    * pipeline's (candidate cost ∝ duplicate density, capped buckets); the
+    * audit itself adds two row-local labels and a ≤6-key aggregation.
+    * Same-split pairs are reported too (is_leak = 0): they are the benign
+    * within-split duplication the dedup pass handles.
+    */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val withHs = withHashedShingles(nearDupDocs(s, dir))
+      .select(col("doc_id"), col("hs"))
+      .persist()
+    verifiedPairs(withHs)
+      .select(
+        Sampling.splitLabel(col("src")).as("sa"),
+        Sampling.splitLabel(col("dst")).as("sb"))
+      .select(
+        least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak",
+        when(col("split_lo") =!= col("split_hi"), 1L).otherwise(0L))
+      .orderBy(col("split_lo"), col("split_hi"))
   }
 
   /** Decontamination: eval-set membership modulus (docs with
@@ -855,6 +895,7 @@ object Dedup {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_keep" -> qDedupKeep,
     "q_dedup_pipeline" -> qDedupPipeline,
+    "q_split_leakage" -> qSplitLeakage,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -939,6 +980,20 @@ object Dedup {
        |    ON ok.band_idx = a.band_idx AND ok.band_key = a.band_key
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
   }
+
+  /** DuckDB twin of [[verifiedPairs]] given the [[minhashCteChain]] CTEs —
+    * shared by the q_dedup_pipeline and q_split_leakage oracles.
+    */
+  private def verifiedCte: String =
+    s"""verified AS (
+       |  SELECT src, dst FROM (
+       |    SELECT doc_a AS src, doc_b AS dst,
+       |      CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(sa.hs, sb.hs))) AS j
+       |    FROM cand
+       |    JOIN hsd sa ON sa.doc_id = doc_a
+       |    JOIN hsd sb ON sb.doc_id = doc_b)
+       |  WHERE j >= $JaccardThreshold)""".stripMargin
 
   /** Canonical-fingerprint adjacent-pair edges + min-label closure CTEs
     * (ending in `comp(id, component)`), shared by the q_dedup_clusters and
@@ -1178,15 +1233,7 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_pipeline" ->
       s"""WITH RECURSIVE $minhashCteChain,
-         |verified AS (
-         |  SELECT src, dst FROM (
-         |    SELECT doc_a AS src, doc_b AS dst,
-         |      CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-         |        / len(list_distinct(list_concat(sa.hs, sb.hs))) AS j
-         |    FROM cand
-         |    JOIN hsd sa ON sa.doc_id = doc_a
-         |    JOIN hsd sb ON sb.doc_id = doc_b)
-         |  WHERE j >= $JaccardThreshold),
+         |$verifiedCte,
          |sym AS (SELECT src, dst FROM verified
          |        UNION SELECT dst AS src, src AS dst FROM verified),
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
@@ -1199,6 +1246,20 @@ object Dedup {
          |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
          |SELECT sz AS cluster_size, count(*) AS n_clusters
          |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH $minhashCteChain,
+         |$verifiedCte,
+         |lab AS (SELECT
+         |  ${Sampling.splitLabelSql("src")} AS sa,
+         |  ${Sampling.splitLabelSql("dst")} AS sb
+         |  FROM verified),
+         |pairs AS (SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi
+         |          FROM lab)
+         |SELECT split_lo, split_hi, count(*) AS n_pairs,
+         |  CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_leak
+         |FROM pairs GROUP BY split_lo, split_hi
+         |ORDER BY split_lo, split_hi""".stripMargin,
     "q_dedup_simhash" -> {
       val bits = (0 until SimhashBits)
         .map(j => s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) " +

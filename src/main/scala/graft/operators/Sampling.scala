@@ -29,12 +29,28 @@ object Sampling {
   /** md5-prefix bucket in [0, mod): engine-portable (md5 is md5
     * everywhere; 15 hex chars = 60 bits fits a long exactly).
     */
-  private def hashBucket(key: Column, mod: Int): Column =
+  private[graft] def hashBucket(key: Column, mod: Int): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
       .cast("long") % mod
 
-  private def bucketSql(key: String, mod: Int): String =
+  private[graft] def bucketSql(key: String, mod: Int): String =
     s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT % $mod"
+
+  /** The train/val/test assignment rule of [[qSplitAssign]] as a reusable
+    * row-local label — shared with the split-leakage audit
+    * ([[Dedup.qSplitLeakage]]) so both sides of "does a near-dup pair
+    * straddle the split?" use the one rule.
+    */
+  private[graft] def splitLabel(id: Column): Column = {
+    val b = hashBucket(id, 100)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitLabel]]. */
+  private[graft] def splitLabelSql(key: String): String =
+    s"""CASE WHEN ${bucketSql(key, 100)} < 80 THEN 'train'
+       |     WHEN ${bucketSql(key, 100)} < 90 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
 
   /** Reproducible 1-in-20 sample: membership is a pure function of
     * doc_id. The filter never touches `text`, so the scan reads only the
@@ -51,10 +67,9 @@ object Sampling {
     * identically with no coordination.
     */
   def qSplitAssign(s: SparkSession, dir: String): DataFrame = {
-    val b = hashBucket(col("doc_id"), 100)
     Tables.documents(s, dir)
       .select(
-        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
+        splitLabel(col("doc_id")).as("split"),
         col("lang"), col("n_chars"))
       .groupBy(col("split"))
       .agg(

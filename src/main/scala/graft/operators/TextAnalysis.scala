@@ -533,6 +533,100 @@ object TextAnalysis {
         col("r_word_len"), col("r_stop"), col("r_dup"), col("keep"))
       .orderBy(col("doc_id"))
 
+  /** Gopher n-gram repetition thresholds (Rae et al. 2021, Table A1 — the
+    * headline axis of each family: top-2-gram character fraction ≤ 0.20,
+    * duplicate-5-gram character fraction ≤ 0.15).
+    */
+  val GopherTopNgram = 2
+  val GopherDupNgram = 5
+  val GopherMaxTop2Frac = 0.20
+  val GopherMaxDup5Frac = 0.15
+
+  /** The n-gram half of the Gopher repetition battery ([[qGopher]] covers
+    * the word-level gates; [[qTextRepetition]]/[[qTextSelfrepeat]] measure
+    * single-gram dominance and gram-set reuse): per document, the
+    * top-2-gram character fraction and the duplicate-5-gram character
+    * fraction with the paper's NO-DOUBLE-COUNT semantics — characters
+    * under overlapping duplicate occurrences count once, a position-set
+    * union computed in one row-local pass by
+    * [[graft.functions.NGramCoverage]]. The corpus has no natural
+    * self-repetition at 5-gram width, so every [[SelfrepeatPlantMod]]-th
+    * document is planted doubled (the [[qTextSelfrepeat]] construction; a
+    * doubled document's every position is covered → dup5_frac = 1.0,
+    * spec-pinned). Pure MAP stage — nothing shuffles at any corpus size;
+    * the oracle pays three per-doc aggregations for the same numbers.
+    * Fractions are single IEEE divisions of exact integers — identical
+    * across engines, no rounding needed.
+    */
+  def qGopherNgram(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % SelfrepeatPlantMod === 0,
+      concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
+    val tk = filter(split(lower(planted), "[^a-z]+"), t => length(t) > 0)
+    val flag = (c: org.apache.spark.sql.Column) => when(c, 1L).otherwise(0L)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions.ngramCoverage(tk, GopherTopNgram).as("g2"),
+        graft.functions.SketchExpressions.ngramCoverage(tk, GopherDupNgram).as("g5"))
+      .select(col("doc_id"),
+        element_at(col("g2"), 7).as("total_chars"),
+        element_at(col("g2"), 2).as("top2_count"),
+        when(element_at(col("g2"), 1) > 0L,
+          (element_at(col("g2"), 2) * element_at(col("g2"), 3)).cast("double") /
+            element_at(col("g2"), 7))
+          .otherwise(0.0).as("top2_frac"),
+        element_at(col("g5"), 4).as("dup5_grams"),
+        element_at(col("g5"), 5).as("dup5_words"),
+        when(element_at(col("g2"), 7) > 0L,
+          element_at(col("g5"), 6).cast("double") / element_at(col("g2"), 7))
+          .otherwise(0.0).as("dup5_frac"))
+      .select(col("*"),
+        flag(col("top2_frac") <= GopherMaxTop2Frac).as("r_top2"),
+        flag(col("dup5_frac") <= GopherMaxDup5Frac).as("r_dup5"))
+      .withColumn("keep", flag(col("r_top2") + col("r_dup5") === 2L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hashed-feature linear quality classifier — the fastText-style filter
+    * stage of CCNet/LLaMA/GPT-3 data prep (Joulin et al. 2017 model shape):
+    * features are word unigrams + bigrams hashed into [[QcBuckets]] weight
+    * slots; a document's score is the mean slot weight; keep = score > 0.
+    * Slot weights here are DERIVED deterministically from the slot id
+    * (60-bit md5 of "w<slot>", folded to ±1.0) — a stand-in exercising the
+    * exact production plumbing: feature hashing, slot lookup, exact
+    * accumulation. A trained model swaps the derivation for a broadcast
+    * weight-table join (the [[Sampling.qDsir]] shape) with no other plan
+    * change. Exactness contract: weights are ppb-scaled BIGINTs, the
+    * per-doc sum is an exact integer sum (order-independent); the only
+    * double is one final division. Everything is ROW-LOCAL — a pure map
+    * stage at any corpus size, zero shuffle before the presentation sort.
+    */
+  val QcBuckets = 4096
+  /** Weight modulus: fold a 60-bit hash to [-1e9, 1e9] ppb. */
+  val QcWeightMod = 2000000001L
+
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val feats = concat(tk,
+      graft.functions.SketchExpressions.wordNGrams(tk, 2, distinct = false))
+    val slots = transform(
+      graft.functions.SketchExpressions.md5Prefix60(feats),
+      h => pmod(h, lit(QcBuckets.toLong)))
+    val wppb = transform(slots, b =>
+      conv(substring(md5(concat(lit("w"), b.cast("string"))), 1, 15), 16, 10)
+        .cast("long") % QcWeightMod - lit(1000000000L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), wppb.as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_feats"),
+        aggregate(col("w"), lit(0L), (a, x) => a + x).as("w_ppb"))
+      .select(col("doc_id"), col("n_feats"), col("w_ppb"),
+        when(col("n_feats") > 0L,
+          col("w_ppb").cast("double") / (col("n_feats") * lit(1000000000L)))
+          .otherwise(0.0).as("score"))
+      .withColumn("keep", when(col("score") > 0.0, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus data card (the composition table a curation team publishes
     * with a dataset): per (source, language) — document count, token
     * mass, Gopher-gate survival, mean quality score. One scan of
@@ -668,6 +762,8 @@ object TextAnalysis {
     "q_bpe_merges" -> qBpeMerges,
     "q_len_quantiles" -> qLenQuantiles,
     "q_gopher" -> qGopher,
+    "q_gopher_ngram" -> qGopherNgram,
+    "q_quality_classifier" -> qQualityClassifier,
     "q_data_card" -> qDataCard,
     "q_text_entropy" -> qTextEntropy,
     "q_bm25" -> qBm25,
@@ -774,6 +870,97 @@ object TextAnalysis {
          |  CAST(CASE WHEN r_words + r_word_len + r_stop + r_dup = 4
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q_gopher_ngram" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % $SelfrepeatPlantMod = 0
+         |      THEN text || ' ' || text ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |              x -> length(x) > 0) AS t
+         |  FROM corpus),
+         |base AS (SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0)
+         |    AS BIGINT) AS total_chars
+         |  FROM toks),
+         |g2 AS (SELECT doc_id, t[i+1] || ' ' || t[i+2] AS g FROM (
+         |  SELECT doc_id, unnest(range(0, greatest(len(t) - 1, 0))) AS i, t
+         |  FROM toks)),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+         |t2 AS (SELECT doc_id, c AS top2_count,
+         |    CAST(length(replace(g, ' ', '')) AS BIGINT) AS top2_chars
+         |  FROM (SELECT doc_id, g, c, row_number() OVER (
+         |          PARTITION BY doc_id ORDER BY c DESC, g) AS rk FROM c2)
+         |  WHERE rk = 1),
+         |g5 AS (SELECT doc_id, i,
+         |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+         |      || ' ' || t[i+5] AS g
+         |  FROM (SELECT doc_id, unnest(range(0, greatest(len(t) - 4, 0))) AS i, t
+         |        FROM toks)),
+         |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+         |d5 AS (SELECT doc_id, count(*) AS dup5_grams FROM c5
+         |       WHERE c >= 2 GROUP BY doc_id),
+         |cov AS (SELECT DISTINCT doc_id, p FROM (
+         |  SELECT g5.doc_id, unnest(range(g5.i, g5.i + 5)) AS p
+         |  FROM g5 JOIN c5 ON c5.doc_id = g5.doc_id AND c5.g = g5.g
+         |  WHERE c5.c >= 2)),
+         |cs AS (SELECT cov.doc_id, count(*) AS dup5_words,
+         |    CAST(sum(length(t[p+1])) AS BIGINT) AS dup5_chars
+         |  FROM cov JOIN toks ON toks.doc_id = cov.doc_id
+         |  GROUP BY cov.doc_id),
+         |rep AS (SELECT b.doc_id, b.total_chars,
+         |  CAST(coalesce(t2.top2_count, 0) AS BIGINT) AS top2_count,
+         |  CASE WHEN coalesce(t2.top2_count, 0) > 0
+         |    THEN CAST(t2.top2_count * t2.top2_chars AS DOUBLE) / b.total_chars
+         |    ELSE 0.0e0 END AS top2_frac,
+         |  CAST(coalesce(d5.dup5_grams, 0) AS BIGINT) AS dup5_grams,
+         |  CAST(coalesce(cs.dup5_words, 0) AS BIGINT) AS dup5_words,
+         |  CASE WHEN b.total_chars > 0
+         |    THEN CAST(coalesce(cs.dup5_chars, 0) AS DOUBLE) / b.total_chars
+         |    ELSE 0.0e0 END AS dup5_frac
+         |  FROM base b
+         |  LEFT JOIN t2 ON t2.doc_id = b.doc_id
+         |  LEFT JOIN d5 ON d5.doc_id = b.doc_id
+         |  LEFT JOIN cs ON cs.doc_id = b.doc_id)
+         |SELECT *,
+         |  CAST(CASE WHEN r_top2 + r_dup5 = 2 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS keep
+         |FROM (SELECT *,
+         |  CAST(CASE WHEN top2_frac <= ${GopherMaxTop2Frac}e0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS r_top2,
+         |  CAST(CASE WHEN dup5_frac <= ${GopherMaxDup5Frac}e0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS r_dup5
+         |  FROM rep)
+         |ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |              x -> length(x) > 0) AS t
+         |  FROM documents),
+         |f AS (SELECT doc_id, unnest(list_concat(t,
+         |    CASE WHEN len(t) >= 2
+         |      THEN list_transform(range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+         |      ELSE [] END)) AS x
+         |  FROM toks),
+         |w AS (SELECT doc_id,
+         |  ('0x' || substr(md5('w' || CAST(
+         |     ('0x' || substr(md5(x), 1, 15))::BIGINT % $QcBuckets AS VARCHAR)),
+         |   1, 15))::BIGINT % $QcWeightMod - 1000000000 AS w_ppb
+         |  FROM f),
+         |agg AS (SELECT doc_id, count(*) AS n_feats,
+         |  CAST(sum(w_ppb) AS BIGINT) AS w_ppb FROM w GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(a.w_ppb, 0) AS BIGINT) AS w_ppb,
+         |  CASE WHEN coalesce(a.n_feats, 0) > 0
+         |    THEN CAST(a.w_ppb AS DOUBLE) / (a.n_feats * 1000000000)
+         |    ELSE 0.0e0 END AS score,
+         |  CAST(CASE WHEN coalesce(a.n_feats, 0) > 0 AND
+         |    CAST(a.w_ppb AS DOUBLE) / (a.n_feats * 1000000000) > 0.0e0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_data_card" ->
       s"""WITH ${gopherSqlCtes("source, lang")}
          |SELECT source, lang, count(*) AS n_docs,

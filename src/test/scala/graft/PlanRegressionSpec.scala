@@ -205,6 +205,36 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should not include "Join"
   }
 
+  test("q_gopher_ngram is a pure map stage: ngram_coverage row-local, no aggregate") {
+    val plan = TextAnalysis.qGopherNgram(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("ngram_coverage")
+    plan should not include "Aggregate"
+    plan should not include "Join"
+  }
+
+  test("q_quality_classifier is a pure map stage: no aggregate, no join, " +
+    "only the presentation sort shuffles") {
+    val plan = TextAnalysis.qQualityClassifier(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "Aggregate"
+    plan should not include "Join"
+    plan.sliding("Exchange".length).count(_ == "Exchange") should be <= 1
+  }
+
+  test("q_split_leakage: label + audit adds no join beyond the pipeline's " +
+    "verify joins, and no cross join anywhere") {
+    val plan = operators.Dedup.qSplitLeakage(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the two verify joins of the pipeline front half and nothing more
+    plan.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") +
+      plan.sliding("ShuffledHashJoin".length).count(_ == "ShuffledHashJoin") +
+      plan.sliding("BroadcastHashJoin".length)
+        .count(_ == "BroadcastHashJoin") should be <= 2
+  }
+
   test("q_text_entropy is a pure map stage: unigram_stats row-local, no aggregate") {
     val plan = TextAnalysis.qTextEntropy(spark, sf())
       .queryExecution.executedPlan.toString

@@ -206,6 +206,48 @@ class ExpressionParitySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("NGramCoverage: all seven slots match a brute-force recompute") {
+    for (n <- Seq(2, 5); ts <- samples(toksGen, 40)) {
+      val expr = NGramCoverage(
+        BoundReference(0, ArrayType(StringType), nullable = false), n)
+      val row = InternalRow(new GenericArrayData(
+        ts.map(UTF8String.fromString).toArray))
+      val got = expr.eval(row).asInstanceOf[ArrayData].toLongArray.toSeq
+      val totalChars = ts.map(_.length.toLong).sum
+      if (ts.size < n) got shouldBe Seq(0L, 0L, 0L, 0L, 0L, 0L, totalChars)
+      else {
+        val grams = (0 to ts.size - n).map(i => ts.slice(i, i + n).mkString(" "))
+        val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val topCount = counts.values.max
+        val topGram = counts.collect { case (g, c) if c == topCount => g }.min
+        val covered = grams.indices
+          .filter(i => counts(grams(i)) >= 2)
+          .flatMap(i => i until i + n).toSet
+        got shouldBe Seq(
+          grams.size.toLong,
+          topCount,
+          topGram.count(_ != ' ').toLong,
+          counts.count(_._2 >= 2).toLong,
+          covered.size.toLong,
+          covered.toSeq.map(p => ts(p).length.toLong).sum,
+          totalChars)
+      }
+    }
+  }
+
+  test("NGramCoverage: a doubled token array is fully dup-covered") {
+    val expr = NGramCoverage(
+      BoundReference(0, ArrayType(StringType), nullable = false), 5)
+    for (ts <- samples(toksGen, 25) if ts.size >= 5) {
+      val dd = ts ++ ts
+      val row = InternalRow(new GenericArrayData(
+        dd.map(UTF8String.fromString).toArray))
+      val got = expr.eval(row).asInstanceOf[ArrayData].toLongArray
+      got(4) shouldBe dd.size.toLong // covered_words = every position
+      got(5) shouldBe got(6) // covered_chars = total_chars
+    }
+  }
+
   test("ElementsAt: gathers in index order, skips out-of-range") {
     val expr = ElementsAt(
       BoundReference(0, ArrayType(StringType), nullable = false),

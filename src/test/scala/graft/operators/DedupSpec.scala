@@ -49,6 +49,27 @@ class DedupSpec extends SparkSpec with Matchers {
     found shouldBe expected
   }
 
+  test("split leakage: buckets partition the verified pair set; " +
+      "straddling pairs are flagged and present") {
+    val rows = Dedup.qSplitLeakage(spark, sf()).collect()
+    rows.foreach { r =>
+      val (lo, hi) = (r.getString(0), r.getString(1))
+      Seq("train", "val", "test") should contain(lo)
+      Seq("train", "val", "test") should contain(hi)
+      lo should be <= hi
+      r.getLong(r.fieldIndex("is_leak")) shouldBe (if (lo != hi) 1L else 0L)
+    }
+    // the report partitions exactly the pipeline's verified pair set
+    val totalPairs = rows.map(_.getLong(rows.head.fieldIndex("n_pairs"))).sum
+    val expected = Dedup.qDedupMinhash(spark, sf())
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+      .count()
+    totalPairs shouldBe expected
+    // planted near-copies get independent split hashes → leaks exist
+    rows.filter(r => r.getString(0) != r.getString(1))
+      .map(_.getLong(rows.head.fieldIndex("n_pairs"))).sum should be > 0L
+  }
+
   test("simhash: planted near-dup hamming below unrelated-neighbor hamming") {
     val df = Dedup.qDedupSimhash(spark, sf()).cache()
     val row = df

@@ -163,6 +163,67 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     kept should be < rows.length // at least one doc fails a gate
   }
 
+  test("gopher ngram: planted doubled docs are fully dup5-covered, " +
+      "fractions bounded, keep conjoins") {
+    val rows = TextAnalysis.qGopherNgram(spark, sf()).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val top2 = r.getDouble(r.fieldIndex("top2_frac"))
+      val dup5 = r.getDouble(r.fieldIndex("dup5_frac"))
+      top2 should be >= 0.0
+      dup5 should (be >= 0.0 and be <= 1.0)
+      val rTop2 = r.getLong(r.fieldIndex("r_top2"))
+      val rDup5 = r.getLong(r.fieldIndex("r_dup5"))
+      rTop2 shouldBe (if (top2 <= TextAnalysis.GopherMaxTop2Frac) 1L else 0L)
+      rDup5 shouldBe (if (dup5 <= TextAnalysis.GopherMaxDup5Frac) 1L else 0L)
+      r.getLong(r.fieldIndex("keep")) shouldBe rTop2 * rDup5
+      // a doubled document repeats every 5-gram → the position-set union
+      // covers everything: dup5_frac is exactly 1.0
+      if (id % TextAnalysis.SelfrepeatPlantMod == 0) dup5 shouldBe 1.0
+    }
+    // the planted docs must be the ones failing the dup5 gate
+    val failed = rows.filter(_.getLong(rows.head.fieldIndex("r_dup5")) == 0L)
+    failed.length should be > 0
+    failed.foreach(r =>
+      r.getLong(r.fieldIndex("doc_id")) % TextAnalysis.SelfrepeatPlantMod shouldBe 0L)
+  }
+
+  test("quality classifier: score is the exact mean slot weight; " +
+      "keep splits the corpus non-trivially") {
+    val rows = TextAnalysis.qQualityClassifier(spark, sf()).collect()
+    rows.length should be > 0
+    // driver-side recompute of the full hash→slot→weight chain for a
+    // sample of documents read straight from parquet
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").limit(20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, text) =>
+      val tk = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+      val feats = tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val wSum = feats.map { f =>
+        val slot = h60(f) % TextAnalysis.QcBuckets
+        h60("w" + slot) % TextAnalysis.QcWeightMod - 1000000000L
+      }.sum
+      val r = byId(id)
+      r.getLong(r.fieldIndex("n_feats")) shouldBe feats.size.toLong
+      r.getLong(r.fieldIndex("w_ppb")) shouldBe wSum
+      r.getDouble(r.fieldIndex("score")) shouldBe
+        wSum.toDouble / (feats.size * 1000000000L)
+    }
+    // slot weights are shared corpus-wide (tiny vocabulary), so the keep
+    // rate is NOT ~50% — the common words' net weight dominates every
+    // score; assert only that the boundary is non-trivial (both classes)
+    val kept = rows.count(r => r.getLong(r.fieldIndex("keep")) == 1L)
+    kept should be > 0
+    kept should be < rows.length
+  }
+
   test("entropy: bounded by ln(n_distinct), zero iff one distinct word; ttr exact") {
     val rows = TextAnalysis.qTextEntropy(spark, sf()).collect()
     rows.foreach { r =>
