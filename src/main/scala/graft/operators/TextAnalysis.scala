@@ -604,6 +604,28 @@ object TextAnalysis {
   /** Weight modulus: fold a 60-bit hash to [-1e9, 1e9] ppb. */
   val QcWeightMod = 2000000001L
 
+  /** The materialized slot-weight vector: w(b) = 60-bit md5 prefix of
+    * "w<b>" folded to ±1e9 ppb — the same derivation the oracle writes in
+    * SQL, computed ONCE driver-side and shipped as a plan literal (the
+    * fastText deployment shape: a dense weight vector broadcast with the
+    * task, one array lookup per feature). The first formulation derived
+    * each weight per FEATURE with an interpreted md5+conv lambda —
+    * ~600 evals per document, 1.72 s at sf0.1 vs 0.6 s for this (A/B in
+    * BASELINE.md round-5 notes).
+    */
+  private[graft] lazy val QcWeights: Seq[Long] = {
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(QcBuckets) { b =>
+      mdInst.reset()
+      val d = mdInst.digest(("w" + b).getBytes("UTF-8"))
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >> 4)
+      v % QcWeightMod - 1000000000L
+    }
+  }
+
   def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
     val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
     val feats = concat(tk,
@@ -611,14 +633,13 @@ object TextAnalysis {
     val slots = transform(
       graft.functions.SketchExpressions.md5Prefix60(feats),
       h => pmod(h, lit(QcBuckets.toLong)))
-    val wppb = transform(slots, b =>
-      conv(substring(md5(concat(lit("w"), b.cast("string"))), 1, 15), 16, 10)
-        .cast("long") % QcWeightMod - lit(1000000000L))
+    val wlit = typedLit(QcWeights)
     Tables.documents(s, dir)
-      .select(col("doc_id"), wppb.as("w"))
+      .select(col("doc_id"), slots.as("s"))
       .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_feats"),
-        aggregate(col("w"), lit(0L), (a, x) => a + x).as("w_ppb"))
+        size(col("s")).cast("long").as("n_feats"),
+        aggregate(col("s"), lit(0L),
+          (a, b) => a + element_at(wlit, (b + 1).cast("int"))).as("w_ppb"))
       .select(col("doc_id"), col("n_feats"), col("w_ppb"),
         when(col("n_feats") > 0L,
           col("w_ppb").cast("double") / (col("n_feats") * lit(1000000000L)))
