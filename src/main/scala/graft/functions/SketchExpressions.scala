@@ -606,6 +606,113 @@ case class NGramCoverage(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Within-document maximal repeated token spans — the INTRA-doc twin of the
+  * cross-document span detector ([[graft.operators.Dedup.qDedupSubstring]]):
+  * position pairs (i < j) of equal in-order n-grams form matches; matches
+  * on one offset diagonal (j − i) with consecutive i merge into maximal
+  * runs; a run of c matches is a repeated span of c + n − 1 tokens.
+  * Returns [n_runs, max_run_tokens, matched_tokens] counting runs of at
+  * least `minRun` tokens; grams occurring more than `maxOcc` times in the
+  * document are dropped before pair generation (the
+  * [[graft.operators.Dedup.MaxSpanOcc]] analogue — an all-same-token
+  * document would otherwise go quadratic in one gram).
+  *
+  * Row-local BY CONSTRUCTION (both span endpooints live in one document),
+  * which is what makes this an expression: the whole signal is a pure map
+  * stage at any corpus size, where the oracle pays a positional explode,
+  * a capped self-join, and two aggregations per document. Gram equality is
+  * STRING equality (no hashing); pair cost is bounded by maxOcc² per
+  * distinct gram.
+  */
+case class SelfSpans(child: Expression, n: Int, minRun: Int, maxOcc: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1 && minRun >= n && maxOcc >= 2,
+    s"need n >= 1, minRun >= n, maxOcc >= 2; got n=$n minRun=$minRun maxOcc=$maxOcc")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "self_spans"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val nGrams = len - n + 1
+    if (nGrams <= 0) return new GenericArrayData(Array(0L, 0L, 0L))
+    val sep = UTF8String.fromString(" ")
+    val positions =
+      new java.util.HashMap[UTF8String, java.util.ArrayList[Integer]](nGrams * 2)
+    var i = 0
+    while (i < nGrams) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      positions
+        .computeIfAbsent(UTF8String.concatWs(sep, parts: _*),
+          _ => new java.util.ArrayList[Integer](4))
+        .add(i)
+      i += 1
+    }
+    // encode each match pair as (offset diagonal)·L + pos_a so one sort
+    // groups diagonals and orders positions within them
+    val pairs = new java.util.ArrayList[java.lang.Long](64)
+    val it = positions.values().iterator()
+    while (it.hasNext) {
+      val ps = it.next()
+      val c = ps.size()
+      if (c >= 2 && c <= maxOcc) {
+        var a = 0
+        while (a < c - 1) {
+          var b = a + 1
+          while (b < c) {
+            val pa = ps.get(a).intValue()
+            val pb = ps.get(b).intValue()
+            pairs.add((pb - pa).toLong * len + pa)
+            b += 1
+          }
+          a += 1
+        }
+      }
+    }
+    if (pairs.isEmpty) return new GenericArrayData(Array(0L, 0L, 0L))
+    java.util.Collections.sort(pairs)
+    var nRuns = 0L
+    var maxRun = 0L
+    var matched = 0L
+    var runLen = 0L
+    var prev = Long.MinValue
+    def closeRun(): Unit = if (runLen > 0) {
+      val spanTokens = runLen + n - 1
+      if (spanTokens >= minRun) {
+        nRuns += 1
+        if (spanTokens > maxRun) maxRun = spanTokens
+        matched += spanTokens
+      }
+    }
+    var k = 0
+    while (k < pairs.size()) {
+      val v = pairs.get(k).longValue()
+      // same diagonal and consecutive pos_a ⇔ encoded value is prev + 1
+      // (pos_a < L − diag gaps can't wrap into the next diagonal)
+      if (v == prev + 1 && prev != Long.MinValue) runLen += 1
+      else { closeRun(); runLen = 1 }
+      prev = v
+      k += 1
+    }
+    closeRun()
+    new GenericArrayData(Array(nRuns, maxRun, matched))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   def affineMinhashes(hashes: Column, k: Int): Column =
     GraftColumnBridge.column(AffineMinHashes(GraftColumnBridge.expression(hashes), k))
@@ -630,4 +737,7 @@ object SketchExpressions {
     GraftColumnBridge.column(MaxFreqCount(GraftColumnBridge.expression(arr)))
   def ngramCoverage(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(NGramCoverage(GraftColumnBridge.expression(tokens), n))
+  def selfSpans(tokens: Column, n: Int, minRun: Int, maxOcc: Int): Column =
+    GraftColumnBridge.column(
+      SelfSpans(GraftColumnBridge.expression(tokens), n, minRun, maxOcc))
 }

@@ -586,15 +586,44 @@ object Dedup {
   def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
     substringSpans(splicedDocs(s, dir))
 
-  /** The span detector over any (doc_id, text) corpus — see
-    * [[qDedupSubstring]] for the distributed-shape rationale.
+  /** (doc_id, pos, h): the positional [[SpanNgram]]-gram hash table of a
+    * corpus — the match unit of the span detectors.
     */
-  private[graft] def substringSpans(corpus: DataFrame): DataFrame = {
-    val posh = corpus
+  private def positionalHashes(corpus: DataFrame): DataFrame =
+    corpus
       .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
         graft.functions.SketchExpressions.wordNGrams(
           tokens(col("text")), SpanNgram, distinct = false)))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+
+  /** The span detector over any (doc_id, text) corpus — see
+    * [[qDedupSubstring]] for the distributed-shape rationale.
+    *
+    * `capFrom`: the corpus on which the [[MaxSpanOcc]] occurrence cap is
+    * measured. The cap is part of the OPERATOR SEMANTICS (which shingles
+    * are boilerplate), not an artifact of whatever subset is being
+    * matched — so a caller matching a REDUCED corpus (the two-phase
+    * detector) must still cap by full-corpus counts or it admits shingles
+    * the full detector drops (caught by the sf0.1 oracle sweep: +53 pairs
+    * from boilerplate shingles with > [[MaxSpanOcc]] corpus occurrences
+    * but ≤ [[MaxSpanOcc]] among candidate docs). The cap pass is a
+    * per-hash count with map-side partials — the shuffle carries (h,
+    * partial count) rows, NOT shingle instances, so the two-phase scaling
+    * argument survives intact.
+    */
+  private[graft] def substringSpans(
+      corpus: DataFrame, capFrom: Option[DataFrame] = None): DataFrame = {
+    val posh0 = positionalHashes(corpus)
+    val posh = capFrom match {
+      case None => posh0
+      case Some(full) =>
+        val ok = positionalHashes(full)
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1 && col("c") <= MaxSpanOcc)
+          .select(col("h"))
+        posh0.join(ok, Seq("h"), "left_semi")
+    }
     val matches = posh
       .groupBy(col("h"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
@@ -686,15 +715,22 @@ object Dedup {
     * and shuffling the duplicate population's; the probe itself ships
     * ~2/(w+1) of the shingle instances. The left-semi join is keyed on
     * doc_id (broadcast when the candidate set is small, AQE decides).
+    *
+    * The [[MaxSpanOcc]] boilerplate cap is measured on the FULL corpus
+    * (`capFrom`), never the reduced one — see [[substringSpans]]; the
+    * cap pass shuffles per-hash partial counts only.
     */
-  def qDedupSubstring2P(s: SparkSession, dir: String): DataFrame = {
-    val corpus = splicedDocs(s, dir)
+  private[graft] def twoPhaseSpans(corpus: DataFrame): DataFrame = {
     val cands = winnowedCandidates(corpus)
     val docs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
       .distinct()
-    substringSpans(corpus.join(docs, Seq("doc_id"), "left_semi"))
+    substringSpans(
+      corpus.join(docs, Seq("doc_id"), "left_semi"), capFrom = Some(corpus))
   }
+
+  def qDedupSubstring2P(s: SparkSession, dir: String): DataFrame =
+    twoPhaseSpans(splicedDocs(s, dir))
 
   /** Tokens per derived "line" for [[qDedupLines]]. */
   val LineTokens = 10

@@ -384,6 +384,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document maximal repeated token spans — the intra-doc twin of
+    * the cross-document span detector ([[Dedup.qDedupSubstring]]), sharing
+    * its constants: [[Dedup.SpanNgram]]-token gram unit, runs of ≥
+    * [[Dedup.MinRunTokens]] tokens reported, grams occurring more than
+    * [[Dedup.MaxSpanOcc]] times per doc dropped. The signal a curation
+    * pass uses to find boilerplate/chorus padding INSIDE a document
+    * (where [[qTextSelfrepeat]] measures gram-set reuse, this finds the
+    * exact maximal spans). Documents with no qualifying run are omitted
+    * (the oracle's aggregation naturally omits them). Every
+    * [[SelfrepeatPlantMod]]-th document is planted doubled — its longest
+    * span is the whole original document (spec-pinned).
+    *
+    * Scale shape: both endpoints of an intra-doc span live in one row, so
+    * the WHOLE signal is row-local — one [[graft.functions.SelfSpans]]
+    * pass, a pure map stage at any corpus size. The oracle pays a
+    * positional explode, a capped per-doc self-join, and two aggregations
+    * for the same three numbers.
+    */
+  def qTextSelfspan(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % SelfrepeatPlantMod === 0,
+      concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
+    val tk = filter(split(lower(planted), "[^a-z]+"), t => length(t) > 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions.selfSpans(
+          tk, Dedup.SpanNgram, Dedup.MinRunTokens, Dedup.MaxSpanOcc).as("sp"))
+      .filter(element_at(col("sp"), 1) > 0L)
+      .select(col("doc_id"),
+        element_at(col("sp"), 1).as("n_runs"),
+        element_at(col("sp"), 2).as("max_run_tokens"),
+        element_at(col("sp"), 3).as("matched_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram language-model scoring — the perplexity-proxy quality signal
     * (a cheap stand-in for the model-based filters of CCNet/LLaMA data
     * prep): train add-one-smoothed bigram probabilities ON the corpus
@@ -800,6 +834,7 @@ object TextAnalysis {
     "q_inverted_index" -> qInvertedIndex,
     "q_text_repetition" -> qTextRepetition,
     "q_text_selfrepeat" -> qTextSelfrepeat,
+    "q_text_selfspan" -> qTextSelfspan,
     "q_lm_score" -> qLmScore,
     "q_ngram_novelty" -> qNgramNovelty,
     "q_text_redact" -> qTextRedact,
@@ -891,6 +926,42 @@ object TextAnalysis {
          |  CAST(CASE WHEN r_words + r_word_len + r_stop + r_dup = 4
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q_text_selfspan" -> {
+      val n = Dedup.SpanNgram
+      val gram = (1 to n).map(j => s"t[pos+$j]").mkString(" || ' ' || ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % $SelfrepeatPlantMod = 0
+         |      THEN text || ' ' || text ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |              x -> length(x) > 0) AS t
+         |  FROM corpus),
+         |ph0 AS (SELECT doc_id,
+         |  unnest(range(0, greatest(len(t) - ${n - 1}, 0))) AS pos, t
+         |  FROM toks),
+         |ph AS (SELECT doc_id, pos,
+         |  ('0x' || substr(md5($gram), 1, 15))::BIGINT AS h
+         |  FROM ph0),
+         |ok AS (SELECT doc_id, h FROM ph GROUP BY doc_id, h
+         |       HAVING count(*) >= 2 AND count(*) <= ${Dedup.MaxSpanOcc}),
+         |m AS (SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b
+         |      FROM ph a JOIN ph b
+         |        ON b.doc_id = a.doc_id AND b.h = a.h AND b.pos > a.pos
+         |      JOIN ok ON ok.doc_id = a.doc_id AND ok.h = a.h),
+         |runs AS (SELECT doc_id, pos_b - pos_a AS diag, pos_a,
+         |    pos_a - row_number() OVER (
+         |      PARTITION BY doc_id, pos_b - pos_a ORDER BY pos_a) AS island
+         |  FROM m),
+         |ragg AS (SELECT doc_id, count(*) + ${n - 1} AS run_tokens
+         |  FROM runs GROUP BY doc_id, diag, island
+         |  HAVING count(*) + ${n - 1} >= ${Dedup.MinRunTokens})
+         |SELECT doc_id, count(*) AS n_runs,
+         |  CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+         |  CAST(sum(run_tokens) AS BIGINT) AS matched_tokens
+         |FROM ragg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_gopher_ngram" ->
       s"""WITH corpus AS (
          |  SELECT doc_id,

@@ -213,6 +213,16 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should not include "Join"
   }
 
+  test("q_text_selfspan is a pure map stage: self_spans row-local, no " +
+    "aggregate, no join") {
+    val plan = TextAnalysis.qTextSelfspan(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("self_spans")
+    plan should not include "Aggregate"
+    plan should not include "Join"
+    plan.sliding("Exchange".length).count(_ == "Exchange") should be <= 1
+  }
+
   test("q_quality_classifier is a pure map stage: no aggregate, no join, " +
     "only the presentation sort shuffles") {
     val plan = TextAnalysis.qQualityClassifier(spark, sf())

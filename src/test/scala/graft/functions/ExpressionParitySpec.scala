@@ -248,6 +248,51 @@ class ExpressionParitySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("SelfSpans: runs match a brute-force pair/diagonal/island recompute") {
+    val n = 3
+    val minRun = 4
+    val maxOcc = 4
+    val expr = SelfSpans(
+      BoundReference(0, ArrayType(StringType), nullable = false), n, minRun, maxOcc)
+    // small alphabet → plenty of natural repeats
+    val gen = Gen.choose(0, 30).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c")))
+    for (ts <- samples(gen, 60)) {
+      val row = InternalRow(new GenericArrayData(
+        ts.map(UTF8String.fromString).toArray))
+      val got = expr.eval(row).asInstanceOf[ArrayData].toLongArray.toSeq
+      val grams = if (ts.size < n) Seq.empty
+        else (0 to ts.size - n).map(i => ts.slice(i, i + n).mkString(" "))
+      val byGram = grams.indices.groupBy(grams(_))
+        .filter { case (_, ps) => ps.size >= 2 && ps.size <= maxOcc }
+      val pairs = byGram.values.flatMap(ps =>
+        for (a <- ps.indices; b <- a + 1 until ps.size) yield (ps(b) - ps(a), ps(a)))
+      val runs = pairs.groupBy(_._1).values.flatMap { ds =>
+        // islands: consecutive pos_a on one diagonal
+        val sorted = ds.map(_._2).toSeq.sorted
+        sorted.zipWithIndex.groupBy { case (p, r) => p - r }.values
+          .map(_.size.toLong + n - 1)
+      }.filter(_ >= minRun).toSeq
+      val want =
+        if (runs.isEmpty) Seq(0L, 0L, 0L)
+        else Seq(runs.size.toLong, runs.max, runs.sum)
+      got shouldBe want
+    }
+  }
+
+  test("SelfSpans: a doubled array's longest span is the full original") {
+    val expr = SelfSpans(
+      BoundReference(0, ArrayType(StringType), nullable = false), 3, 5, 8)
+    // distinct tokens → the only repetition is the planted doubling
+    val ts = (0 until 12).map(i => ('a' + i).toChar.toString * 2)
+    val row = InternalRow(new GenericArrayData(
+      (ts ++ ts).map(UTF8String.fromString).toArray))
+    val got = expr.eval(row).asInstanceOf[ArrayData].toLongArray
+    got(0) shouldBe 1L // one run, on the offset-12 diagonal
+    got(1) shouldBe 12L // spanning the whole original
+    got(2) shouldBe 12L
+  }
+
   test("ElementsAt: gathers in index order, skips out-of-range") {
     val expr = ElementsAt(
       BoundReference(0, ArrayType(StringType), nullable = false),

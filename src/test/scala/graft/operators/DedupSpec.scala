@@ -284,6 +284,39 @@ class DedupSpec extends SparkSpec with Matchers {
     twoPhase shouldBe full
   }
 
+  test("two-phase detector caps boilerplate by FULL-corpus occurrence, " +
+      "not candidate-subset occurrence") {
+    import spark.implicits._
+    // the sf0.1 regression shape: a boilerplate run present in MANY docs
+    // (> MaxSpanOcc corpus-wide) but in few CANDIDATE docs. Docs 0 and 1
+    // share a long unique span (the only winnowed candidate pair); the
+    // boilerplate tail is shared by those two AND by many non-candidate
+    // docs. A subset-measured cap would admit the boilerplate shingles in
+    // phase 2 and report extra matched tokens for (0, 1).
+    // tokens must be pure letters — the tokenizer splits on [^a-z]+
+    def alpha(i: Int): String = "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    val span = (0 until 30).map(i => s"u${alpha(i)}").mkString(" ")
+    val boiler = (0 until Dedup.SpanNgram + Dedup.MinRunTokens)
+      .map(i => s"b${alpha(i)}").mkString(" ")
+    val docs =
+      Seq((0L, s"$span $boiler"), (1L, s"$span $boiler")) ++
+        // each filler doc is otherwise unique → never a candidate
+        (2L until 2L + Dedup.MaxSpanOcc + 3L).map(i =>
+          (i, (0 until 25).map(j => s"f${alpha(i.toInt)}${alpha(j)}").mkString(" ")
+            + " " + boiler))
+    val corpus = docs.toDF("doc_id", "text")
+    val full = Dedup.substringSpans(corpus).collect().toSeq
+    val twoPhase = Dedup.twoPhaseSpans(corpus).collect().toSeq
+    // the boilerplate shingles exceed MaxSpanOcc corpus-wide, so the full
+    // detector reports ONLY the (0, 1) run: the 30 unique tokens plus the
+    // SpanNgram-1 boilerplate tokens reached by windows anchored on u29
+    // (a subset-measured cap would instead match the whole 53-token doc)
+    full.map(r => (r.getLong(0), r.getLong(1))) shouldBe Seq((0L, 1L))
+    full.head.getLong(full.head.fieldIndex("matched_tokens")) shouldBe
+      30L + Dedup.SpanNgram - 1
+    twoPhase shouldBe full
+  }
+
   test("source-overlap matrix: ordered pairs, bounded sharing, one shingle shuffle") {
     val rows = Dedup.qSourceOverlap(spark, sf()).collect()
     rows.length should be > 0

@@ -163,6 +163,36 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     kept should be < rows.length // at least one doc fails a gate
   }
 
+  test("selfspan: every planted doubled doc of >= MinRunTokens tokens is " +
+      "found with a span at least the original length") {
+    import spark.implicits._
+    val rows = TextAnalysis.qTextSelfspan(spark, sf()).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getLong(r.fieldIndex("n_runs")) should be >= 1L
+      r.getLong(r.fieldIndex("max_run_tokens")) should be >= Dedup.MinRunTokens.toLong
+      r.getLong(r.fieldIndex("matched_tokens")) should be >=
+        r.getLong(r.fieldIndex("max_run_tokens"))
+    }
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val lens = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.filter(
+          split(lower(col("text")), "[^a-z]+"),
+          (t: org.apache.spark.sql.Column) =>
+            org.apache.spark.sql.functions.length(t) > 0))
+          .cast("long").as("l"))
+      .as[(Long, Long)].collect()
+    lens.foreach { case (id, l) =>
+      if (id % TextAnalysis.SelfrepeatPlantMod == 0 && l >= Dedup.MinRunTokens) {
+        withClue(s"planted doc $id (len $l): ") {
+          byId.contains(id) shouldBe true
+          byId(id).getLong(byId(id).fieldIndex("max_run_tokens")) should be >= l
+        }
+      }
+    }
+  }
+
   test("gopher ngram: planted doubled docs are fully dup5-covered, " +
       "fractions bounded, keep conjoins") {
     val rows = TextAnalysis.qGopherNgram(spark, sf()).collect()
