@@ -178,6 +178,16 @@ object Bench {
       fam.collectFirst { case (p, r) if base.startsWith(p) =>
         r + base.substring(p.length) }.getOrElse(base)
     }
+    // the squeezes must stay injective over the registry: a future
+    // q_t_foo would alias with q_text_foo's squeezed key and silently
+    // merge two queries on the contract line (round-5 advisor note)
+    for (keys <- Seq(dropQ, famKey)) {
+      val squeezed = names.map(keys)
+      require(squeezed.distinct.size == names.size,
+        s"contract-line key squeeze aliases query names: ${
+          squeezed.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k
+          }.mkString(", ")}")
+    }
     val plain = contract(identity)
     val noQ = contract(dropQ)
     println(

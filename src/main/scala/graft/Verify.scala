@@ -10,6 +10,12 @@ object Verify {
     // tools/check_oracle.py compares exactly the queries that ran)
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    // a typo'd query name would otherwise be silently dropped by the
+    // filter below and the empty run would look successful
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

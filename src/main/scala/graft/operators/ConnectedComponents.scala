@@ -124,8 +124,14 @@ object ConnectedComponents {
       // the emitting group count and collapses at the next aggregation —
       // it cannot compound across rounds) and may disagree on chg; the
       // accumulator only feeds a zero/nonzero decision, so over-count is
-      // harmless. Each round is exactly TWO shuffles: the large-star and
-      // small-star keyed aggregations.
+      // harmless. Worst-case duplication of the checkpointed frame: a pair
+      // (v, m) is emitted once per emitting group, i.e. at most once per
+      // common neighbor of v and m — on an adversarially dense graph the
+      // materialized frame can be several times the distinct edge count
+      // for that one round (it collapses at the next aggregation), which
+      // trades bounded transient storage for a full shuffle per round.
+      // Each round is exactly TWO shuffles: the large-star and small-star
+      // keyed aggregations.
       val next = countChanges(smallStar(countChanges(largeStar(e), changes)), changes)
         .localCheckpoint() // the ONE action of the round; counting rides along
       rounds += 1

@@ -214,22 +214,41 @@ object Dedup {
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
   }
 
+  /** Shared persisted (doc_id, hs) signature table for the MinHash family
+    * ([[qDedupMinhash]], [[qDedupPipeline]], [[qSplitLeakage]]): the
+    * signature/banding stage and BOTH sides of each candidate-verify join
+    * read the same materialization. Spark shares no uncached subtrees, so
+    * without the persist the tokenize→shingle→md5 pipeline was evaluated
+    * 3× per query (round-1 bench: 3.8 s, the suite's second-worst line).
+    * At 100 TB the same shape is a signature table materialized to parquet
+    * once and joined from.
+    *
+    * Memoized per (session, dir) like [[canonicalComponents]] — previously
+    * each of the three queries persisted its OWN corpus-sized copy for the
+    * session's lifetime (round-5 advisor note). Re-persist guard: Bench
+    * clears the cache between self-caching passes, which unpersists the
+    * memoized frame without evicting the memo entry; marking it again
+    * keeps each measured pass computing signatures exactly once, same as
+    * the pre-memo semantics.
+    */
+  private val signatureCache =
+    new SessionMemo[DataFrame](_.unpersist(blocking = false))
+  private def sharedSignatures(s: SparkSession, dir: String): DataFrame = {
+    val df = signatureCache.getOrElseUpdate(s, dir)(
+      withHashedShingles(nearDupDocs(s, dir))
+        .select(col("doc_id"), col("hs"))
+        .persist())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
+
   /** MinHash + LSH banding: one-pass codegen'd affine signatures over the
     * hashed shingle array, band keys, candidate pairs via band equi-join,
     * Jaccard verification on candidates only.
     */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = nearDupDocs(s, dir)
-
-    // (doc_id, hs) is computed ONCE and persisted: the signature/banding
-    // stage and BOTH sides of the candidate-verify join below read the same
-    // materialization. Spark shares no uncached subtrees, so without this
-    // the tokenize→shingle→md5 pipeline was evaluated 3× per query (round-1
-    // bench: 3.8 s, the suite's second-worst line). At 100 TB the same shape
-    // is a signature table materialized to parquet once and joined from.
-    val withHs = withHashedShingles(docs)
-      .select(col("doc_id"), col("hs"))
-      .persist()
+    val withHs = sharedSignatures(s, dir)
 
     // docs with no shingles can't be minhashed (and a null signature would
     // make every such doc collide on every band) — minhashBanded excludes
@@ -429,9 +448,7 @@ object Dedup {
       .select(col("src"), col("dst"))
 
   def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    val withHs = withHashedShingles(nearDupDocs(s, dir))
-      .select(col("doc_id"), col("hs"))
-      .persist()
+    val withHs = sharedSignatures(s, dir)
     ConnectedComponents.components(verifiedPairs(withHs))
       .groupBy(col("component"))
       .agg(count(lit(1)).as("sz"))
@@ -456,9 +473,7 @@ object Dedup {
     * within-split duplication the dedup pass handles.
     */
   def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val withHs = withHashedShingles(nearDupDocs(s, dir))
-      .select(col("doc_id"), col("hs"))
-      .persist()
+    val withHs = sharedSignatures(s, dir)
     verifiedPairs(withHs)
       .select(
         Sampling.splitLabel(col("src")).as("sa"),

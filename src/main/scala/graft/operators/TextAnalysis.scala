@@ -926,6 +926,14 @@ object TextAnalysis {
          |  CAST(CASE WHEN r_words + r_word_len + r_stop + r_dup = 4
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    // Asymmetric by construction (round-5 advisor note, accepted): the
+    // oracle matches grams via 60-bit md5 prefixes while the Spark-side
+    // SelfSpans expression compares exact token windows, so a WITHIN-
+    // document 60-bit collision would surface as a spurious cross-engine
+    // mismatch rather than an agreed-upon wrong answer. Accepted because
+    // the collision budget is tiny (≤ ~200 grams/doc → < 2·10⁻¹⁴ per doc)
+    // and the failure mode is loud (hash mismatch), not silent; hashing on
+    // the Spark side too would only hide genuine within-doc collisions.
     "q_text_selfspan" -> {
       val n = Dedup.SpanNgram
       val gram = (1 to n).map(j => s"t[pos+$j]").mkString(" || ' ' || ")
