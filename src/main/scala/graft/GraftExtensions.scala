@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, MaxFreqCount, MinKDistinctLongs, MinKLongs, WinnowedPositions}
+import graft.functions.{FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, MaxFreqCount, MinKDistinctLongs, MinKLongs, QuantileSketchLongs, WinnowedPositions}
 
 /** Spark extensions entry point: install the engine's native functions at
   * session build time, with zero user code —
@@ -99,6 +99,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "min_k_distinct requires (BIGINT column, INT literal k)")
         }
         MinKDistinctLongs(args(0), k)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("quantile_sketch"),
+      info("quantile_sketch",
+        "quantile_sketch(x, k, p1[, p2...]) - aggregate: mergeable-sketch " +
+          "quantile estimates of BIGINT x at ranks ceil(p_i*n), buffer O(k*log n)"),
+      args => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val bad = new IllegalArgumentException(
+          "quantile_sketch requires (BIGINT column, INT literal k, " +
+            "DOUBLE literal probs...)")
+        if (args.length < 3) throw bad
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case _ => throw bad
+        }
+        val probs = args.drop(2).map {
+          case Literal(v: Double, _) => v
+          case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case _ => throw bad
+        }
+        QuantileSketchLongs(args(0), k, probs.toSeq)
       }))
   }
 }

@@ -44,6 +44,13 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       .head()
     kd.getSeq[Long](0) shouldBe Seq(1L, 2L, 5L)
 
+    // n < 2k: sketch is exact — value at 1-based rank ceil(p*n)
+    val sk = spark
+      .sql("SELECT quantile_sketch(v, 16, 0.5D, 0.9D) q FROM " +
+        "VALUES (10L), (20L), (30L), (40L), (50L) AS t(v)")
+      .head()
+    sk.getSeq[Long](0) shouldBe Seq(30L, 50L)
+
     val qs = spark
       .sql("SELECT vec_quant_stats(array(1.0f, -1.0f, 0.5f), 127) q")
       .head().getSeq[Double](0)

@@ -29,6 +29,21 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     readSchema should not include "l_partkey"
   }
 
+  test("q_len_quantiles_sketch: no per-source Window/sort — partial-aggregating sketch only") {
+    // the exact twin funnels each source through one task
+    // (Window.partitionBy(source) + row_number); the sketch path must stay
+    // a regular two-level aggregation: a Window or a per-source Sort here
+    // IS the round-5 `weak` plan coming back
+    val plan = TextAnalysis.qLenQuantilesSketch(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("quantile_sketch")
+    // partial aggregation present: the sketch aggregate appears in a
+    // partial_ (map-side) form before the final, so shuffle payload per
+    // (source × partition) is one bounded sketch, not the rows
+    plan should include("partial_quantile_sketch")
+  }
+
   test("IVF assignment stage is row-local: no Exchange, no Window") {
     // round 1 computed this argmax with crossJoin + row_number() over a
     // Window partitioned by vec_id — N·k rows through an Exchange; the
