@@ -45,7 +45,8 @@ object SparkEntry {
       operators.Events.queries ++
       operators.Multimodal.queries ++
       operators.Sampling.queries ++
-      operators.Embeddings.queries
+      operators.Embeddings.queries ++
+      operators.Bpe.queries
 
   /** DuckDB-equivalent SQL per query key (same column names, same order). */
   def oracleSql: Map[String, String] =
@@ -57,7 +58,8 @@ object SparkEntry {
       operators.Events.oracleSql ++
       operators.Multimodal.oracleSql ++
       operators.Sampling.oracleSql ++
-      operators.Embeddings.oracleSql
+      operators.Embeddings.oracleSql ++
+      operators.Bpe.oracleSql
 
   // -------------------------------------------------------------------
   // Reference-parity query: word count (wc.go:14-38) over documents.text.

@@ -228,13 +228,18 @@ object Sampling {
   def qPack(s: SparkSession, dir: String): DataFrame =
     packInventory(s, dir, PackShards)
 
-  /** [[qPack]] parameterized on stream shard count — see [[autoShards]]. */
+  /** [[qPack]] parameterized on stream shard count — see [[autoShards]] —
+    * and on the token-count column (`tk`): the regex PROXY by default,
+    * real trained-BPE counts from [[Bpe.qPackBpe]].
+    */
   private[graft] def packInventory(
-      s: SparkSession, dir: String, shards: Int): DataFrame = {
+      s: SparkSession, dir: String, shards: Int,
+      tk: Column = graft.functions.TextFunctions.bpeTokenCount(col("text")))
+      : DataFrame = {
     val docs = Tables.documents(s, dir).select(
       col("doc_id"), col("source"),
       hashBucket(col("doc_id"), shards).as("shard"),
-      graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long").as("tk"))
+      tk.cast("long").as("tk"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))

@@ -18,6 +18,7 @@ class SparkEntrySpec extends SparkSpec with Matchers {
       operators.Multimodal.queries.size,
       operators.Sampling.queries.size,
       operators.Embeddings.queries.size,
+      operators.Bpe.queries.size,
       1) // wc_wordcount
     SparkEntry.queries.size shouldBe moduleSizes.sum
   }
