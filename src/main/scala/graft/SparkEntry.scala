@@ -46,7 +46,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Sampling.queries ++
       operators.Embeddings.queries ++
-      operators.Bpe.queries
+      operators.Bpe.queries ++
+      sources.Export.queries
 
   /** DuckDB-equivalent SQL per query key (same column names, same order). */
   def oracleSql: Map[String, String] =
@@ -59,7 +60,8 @@ object SparkEntry {
       operators.Multimodal.oracleSql ++
       operators.Sampling.oracleSql ++
       operators.Embeddings.oracleSql ++
-      operators.Bpe.oracleSql
+      operators.Bpe.oracleSql ++
+      sources.Export.oracleSql
 
   // -------------------------------------------------------------------
   // Reference-parity query: word count (wc.go:14-38) over documents.text.

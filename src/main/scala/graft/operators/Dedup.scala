@@ -832,7 +832,7 @@ object Dedup {
     * ROW-LOCALLY — line text never rides a shuffle keyed by anything but
     * its own doc_id.
     */
-  def qDedupLinesKeep(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def linesKeepCorpus(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupDocs(s, dir)
     val chunks = graft.functions.SketchExpressions.tokenChunks(
       tokens(col("text")), LineTokens)
@@ -855,10 +855,22 @@ object Dedup {
         col("n_lines"),
         size(col("kept")).cast("long").as("n_kept"),
         // lambda-free gather: chunks and kept each evaluate exactly once
-        md5(array_join(graft.functions.SketchExpressions.elementsAt(
-          chunks, col("kept")), " ")).as("clean_md5"))
-      .orderBy(col("doc_id"))
+        array_join(graft.functions.SketchExpressions.elementsAt(
+          chunks, col("kept")), " ").as("clean_text"))
   }
+
+  /** [[linesKeepCorpus]] reported as md5 — the rewritten corpus verified
+    * cross-engine without shipping text; the curated-corpus export sink
+    * ([[graft.sources.Export]]) writes the text itself.
+    */
+  def qDedupLinesKeep(s: SparkSession, dir: String): DataFrame =
+    linesKeepCorpus(s, dir)
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
 
   /** Cross-source shingle-overlap matrix — the corpus-composition mirror
     * of [[qDecontaminate]]: for every source pair, how many DISTINCT
@@ -985,6 +997,37 @@ object Dedup {
        |UNION ALL SELECT doc_id + $PermuteOffset,
        |  array_to_string(list_reverse(string_split_regex(text, '\\s+')), ' ')
        |FROM documents""".stripMargin
+
+  /** Shared CTE chain of the line-dedup TRANSFORM oracle, ending in
+    * `doc(doc_id, n_lines, n_kept, clean_text)` — the single source of
+    * truth for the [[qDedupLinesKeep]] oracle and the export-sink manifest
+    * oracle ([[graft.sources.Export]]): both verify against the SAME
+    * rewritten corpus definition.
+    */
+  private[graft] def linesKeepSqlCtes: String =
+    s"""corpus AS ($nearDupSql),
+       |tkt AS (SELECT doc_id, $toks AS tk FROM corpus),
+       |ln AS (SELECT doc_id, tk,
+       |  list_transform(range(0, (len(tk) + ${LineTokens - 1}) // $LineTokens),
+       |    i -> ('0x' || substr(md5(
+       |      array_to_string(tk[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' ')
+       |    ), 1, 15))::BIGINT) AS hs
+       |  FROM tkt),
+       |ph0 AS (SELECT doc_id, unnest(range(0, len(hs))) AS pos, hs FROM ln),
+       |ph AS (SELECT doc_id, CAST(pos AS BIGINT) AS line_no, hs[pos+1] AS h,
+       |       doc_id * ${1L << 32} + pos AS inst FROM ph0),
+       |fi AS (SELECT h, min(inst) AS first_inst FROM ph GROUP BY h),
+       |kp AS (SELECT doc_id, count(*) AS n_lines,
+       |  coalesce(list_sort(list(line_no) FILTER (WHERE inst = first_inst)), [])
+       |    AS kept
+       |  FROM ph JOIN fi USING (h) GROUP BY doc_id),
+       |doc AS (SELECT k.doc_id, k.n_lines,
+       |  CAST(len(k.kept) AS BIGINT) AS n_kept,
+       |  coalesce(array_to_string(list_transform(k.kept,
+       |    i -> array_to_string(
+       |      t.tk[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' ')), ' '), '')
+       |    AS clean_text
+       |  FROM kp k JOIN tkt t USING (doc_id))""".stripMargin
 
   private val nearDupSql =
     s"""SELECT doc_id, text FROM documents
@@ -1230,29 +1273,9 @@ object Dedup {
          |FROM ph JOIN st USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_lines_keep" ->
-      s"""WITH corpus AS ($nearDupSql),
-         |tkt AS (SELECT doc_id, $toks AS tk FROM corpus),
-         |ln AS (SELECT doc_id, tk,
-         |  list_transform(range(0, (len(tk) + ${LineTokens - 1}) // $LineTokens),
-         |    i -> ('0x' || substr(md5(
-         |      array_to_string(tk[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' ')
-         |    ), 1, 15))::BIGINT) AS hs
-         |  FROM tkt),
-         |ph0 AS (SELECT doc_id, unnest(range(0, len(hs))) AS pos, hs FROM ln),
-         |ph AS (SELECT doc_id, CAST(pos AS BIGINT) AS line_no, hs[pos+1] AS h,
-         |       doc_id * ${1L << 32} + pos AS inst FROM ph0),
-         |fi AS (SELECT h, min(inst) AS first_inst FROM ph GROUP BY h),
-         |kp AS (SELECT doc_id, count(*) AS n_lines,
-         |  coalesce(list_sort(list(line_no) FILTER (WHERE inst = first_inst)), [])
-         |    AS kept
-         |  FROM ph JOIN fi USING (h) GROUP BY doc_id)
-         |SELECT k.doc_id, k.n_lines,
-         |  CAST(len(k.kept) AS BIGINT) AS n_kept,
-         |  md5(coalesce(array_to_string(list_transform(k.kept,
-         |    i -> array_to_string(
-         |      t.tk[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' ')), ' '), ''))
-         |    AS clean_md5
-         |FROM kp k JOIN tkt t USING (doc_id) ORDER BY doc_id""".stripMargin,
+      s"""WITH $linesKeepSqlCtes
+         |SELECT doc_id, n_lines, n_kept, md5(clean_text) AS clean_md5
+         |FROM doc ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH corpus AS ($plantedSql),
          |fp AS (SELECT doc_id, md5(text) AS fp_md5, $normFpSql AS fp_norm FROM corpus)
