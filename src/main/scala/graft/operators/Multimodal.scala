@@ -85,14 +85,102 @@ object Multimodal {
         .toSeq
   }
 
-  /** A real codec would live here; the container has no media libraries,
-    * so any attempt to use it fails loudly rather than silently faking.
+  /** REAL image codec over javax.imageio (pure JDK — no native libs):
+    * decodes PNG/JPEG payloads to pixels, resizes by nearest-neighbor
+    * (explicit pixel mapping, NOT Graphics2D interpolation, so the result
+    * is bit-deterministic and mirrorable in SQL), re-encodes PNG
+    * (lossless, so decode∘resize∘decode is exact). `frameBytes` is
+    * interpreted as rows-per-frame: a "video" payload is one tall image
+    * sliced into horizontal strips. Audio/video container demux would
+    * follow the same trait with an FFI codec; the image path is fully
+    * real.
     */
-  object NativeCodec extends MediaCodec {
-    def features(payload: Array[Byte]): Array[Float] =
-      ??? // STUB: bind a real decoder (libjpeg/ffmpeg) via JNI/FFI
-    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = ???
-    def sampleFrames(payload: Array[Byte], frameBytes: Int, stride: Int): Seq[Array[Byte]] = ???
+  object ImageIoCodec extends MediaCodec {
+    private def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      img
+    }
+    private[operators] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    /** (width, height, Σr, Σg, Σb) of a decoded payload — exact integers,
+      * the cross-engine decode contract of [[qMultimodalDecode]].
+      */
+    private[operators] def rgbSums(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val img = decode(payload)
+      var sr = 0L
+      var sg = 0L
+      var sb = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, sr, sg, sb)
+    }
+    /** L1-normalized FeatureDim-bin luminance histogram (integer
+      * luminance: (r+g+b)/3, floor) — the ByteStatsCodec contract over
+      * DECODED pixels instead of raw bytes.
+      */
+    def features(payload: Array[Byte]): Array[Float] = {
+      val img = decode(payload)
+      val bins = new Array[Float](FeatureDim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          bins(lum * FeatureDim / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(img.getWidth * img.getHeight, 1).toFloat
+      bins.map(_ / n)
+    }
+    /** Nearest-neighbor: dst(x, y) = src(x·w₀/w, y·h₀/h), integer floor —
+      * the exact mapping the decode-oracle mirrors with `//` arithmetic.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val src = decode(payload)
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          dst.setRGB(x, y,
+            src.getRGB(x * src.getWidth / w, y * src.getHeight / h))
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(dst)
+    }
+    /** Every `stride`-th horizontal strip of `frameBytes` rows, each
+      * re-encoded as its own PNG.
+      */
+    def sampleFrames(payload: Array[Byte], frameBytes: Int, stride: Int): Seq[Array[Byte]] = {
+      val src = decode(payload)
+      val nFrames = (src.getHeight + frameBytes - 1) / frameBytes
+      (0 until nFrames).collect {
+        case i if i % stride == 0 =>
+          val rows = math.min(frameBytes, src.getHeight - i * frameBytes)
+          encodePng(src.getSubimage(0, i * frameBytes, src.getWidth, rows))
+      }
+    }
   }
 
   /** Derive a deterministic media table from `documents`: payload = UTF-8
@@ -216,10 +304,83 @@ object Multimodal {
           .as("first_frame_md5"))
       .orderBy(col("media_id"))
 
+  // ------------------------------------------------------------------
+  // REAL decode path: deterministic synthetic PNGs, decoded back through
+  // javax.imageio. The pixel FORMULA is the oracle: channel sums of the
+  // decoded (and nearest-neighbor-resized) image are recomputed by DuckDB
+  // from the formula alone — if decode, dims, or the resize mapping are
+  // wrong anywhere, the integer sums mismatch loudly. The PNG bytes
+  // themselves never cross engines (DuckDB has no codec), which is the
+  // point: the oracle is an INDEPENDENT derivation, not a byte echo.
+  // ------------------------------------------------------------------
+
+  /** One synthetic image: `payload` is a real PNG encoding of
+    * pixel(x, y) = ((7id+3x+5y) % 256, (11id+2x+7y) % 256, (13id+x+9y) % 256)
+    * at (4 + id%13) × (3 + id%11).
+    */
+  final case class PngItem(media_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  final case class PngDecodeStats(
+      media_id: Long, dec_w: Long, dec_h: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      rz_w: Long, rz_h: Long, rz_sum_r: Long, rz_sum_g: Long, rz_sum_b: Long)
+
+  /** The PNG fixture table — encode runs executor-side (mapPartitions,
+    * the [[extractFeatures]] batch shape); only doc_id rides in.
+    */
+  def pngTable(s: SparkSession, dir: String): Dataset[PngItem] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 4 + (id % 13).toInt
+          val h = 3 + (id % 11).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((7L * id + 3L * x + 5L * y) % 256).toInt
+              val g = ((11L * id + 2L * x + 7L * y) % 256).toInt
+              val b = ((13L * id + x + 9L * y) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          PngItem(id, w, h, ImageIoCodec.encodePng(img))
+        }
+      }
+  }
+
+  /** Decode + resize through the REAL codec, verified against the pixel
+    * formula: per image, decoded dims and exact per-channel integer sums,
+    * then the same after a nearest-neighbor resize to (max(w/2,1),
+    * max(h/2,1)) — encode→decode→resize→encode→decode, all executor-side,
+    * zero shuffles before the output sort.
+    */
+  def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir)
+      .mapPartitions { it =>
+        it.map { p =>
+          val (w, h, sr, sg, sb) = ImageIoCodec.rgbSums(p.payload)
+          val w2 = math.max(w / 2, 1)
+          val h2 = math.max(h / 2, 1)
+          val (rw, rh, rr, rg, rb) =
+            ImageIoCodec.rgbSums(ImageIoCodec.resize(p.payload, w2, h2))
+          PngDecodeStats(p.media_id, w, h, sr, sg, sb, rw, rh, rr, rg, rb)
+        }
+      }
+      .toDF().orderBy(col("media_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
-    "q_multimodal_frames" -> qMultimodalFrames
+    "q_multimodal_frames" -> qMultimodalFrames,
+    "q_multimodal_decode" -> qMultimodalDecode
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -247,6 +408,41 @@ object Multimodal {
     // mirrors Spark's empty-group behavior: a zero-byte payload yields
     // no frames, hence no groupBy row — without the guard the oracle
     // would emit an n_sampled=0 row Spark never produces.
+    // The decode oracle re-derives every statistic from the pixel FORMULA
+    // (never from the PNG bytes): full-res channel sums over (x, y) ∈
+    // w × h, then resized sums over the nearest-neighbor source mapping
+    // ((x2·w)//w2, (y2·h)//h2) — the exact mapping ImageIoCodec.resize
+    // implements. Agreement proves encode→decode→resize→decode end to end.
+    "q_multimodal_decode" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+        |    greatest((4 + doc_id % 13) // 2, 1) AS w2,
+        |    greatest((3 + doc_id % 11) // 2, 1) AS h2
+        |  FROM documents),
+        |px AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM ids),
+        |pxy AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM px),
+        |base AS (
+        |  SELECT media_id, w, h,
+        |    CAST(sum((7 * media_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+        |    CAST(sum((11 * media_id + 2 * x + 7 * y) % 256) AS BIGINT) AS sum_g,
+        |    CAST(sum((13 * media_id + x + 9 * y) % 256) AS BIGINT) AS sum_b
+        |  FROM pxy GROUP BY media_id, w, h),
+        |rpx AS (SELECT media_id, w, h, w2, h2, unnest(range(0, w2)) AS x2 FROM ids),
+        |rpxy AS (SELECT media_id, w, h, w2, h2, x2, unnest(range(0, h2)) AS y2 FROM rpx),
+        |rsum AS (
+        |  SELECT media_id, w2, h2,
+        |    CAST(sum((7 * media_id + 3 * ((x2 * w) // w2) + 5 * ((y2 * h) // h2)) % 256) AS BIGINT) AS rz_sum_r,
+        |    CAST(sum((11 * media_id + 2 * ((x2 * w) // w2) + 7 * ((y2 * h) // h2)) % 256) AS BIGINT) AS rz_sum_g,
+        |    CAST(sum((13 * media_id + ((x2 * w) // w2) + 9 * ((y2 * h) // h2)) % 256) AS BIGINT) AS rz_sum_b
+        |  FROM rpxy GROUP BY media_id, w2, h2)
+        |SELECT b.media_id,
+        |  CAST(b.w AS BIGINT) AS dec_w, CAST(b.h AS BIGINT) AS dec_h,
+        |  b.sum_r, b.sum_g, b.sum_b,
+        |  CAST(r.w2 AS BIGINT) AS rz_w, CAST(r.h2 AS BIGINT) AS rz_h,
+        |  r.rz_sum_r, r.rz_sum_g, r.rz_sum_b
+        |FROM base b JOIN rsum r USING (media_id)
+        |ORDER BY media_id""".stripMargin,
     "q_multimodal_frames" ->
       s"""WITH v AS (
          |  SELECT doc_id AS media_id, text,

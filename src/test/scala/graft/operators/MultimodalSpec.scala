@@ -81,4 +81,68 @@ class MultimodalSpec extends SparkSpec with Matchers {
     // path must not be forced through the decode closure
     plan should include("ReadSchema")
   }
+
+  // ------------------------------------------------- real codec (ImageIO)
+
+  private def png(id: Long): Array[Byte] = {
+    val w = 4 + (id % 13).toInt
+    val h = 3 + (id % 11).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ((7L * id + 3L * x + 5L * y) % 256).toInt
+      val g = ((11L * id + 2L * x + 7L * y) % 256).toInt
+      val b = ((13L * id + x + 9L * y) % 256).toInt
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    Multimodal.ImageIoCodec.encodePng(img)
+  }
+
+  test("ImageIoCodec decodes PNG losslessly: dims and channel sums match the formula") {
+    val id = 42L
+    val (w, h, sr, sg, sb) = Multimodal.ImageIoCodec.rgbSums(png(id))
+    w shouldBe 4 + (id % 13).toInt
+    h shouldBe 3 + (id % 11).toInt
+    val expected = for (y <- 0 until h; x <- 0 until w)
+      yield ((7L * id + 3 * x + 5 * y) % 256,
+        (11L * id + 2 * x + 7 * y) % 256,
+        (13L * id + x + 9 * y) % 256)
+    sr shouldBe expected.map(_._1).sum
+    sg shouldBe expected.map(_._2).sum
+    sb shouldBe expected.map(_._3).sum
+  }
+
+  test("ImageIoCodec.resize is exact nearest-neighbor at the target dims") {
+    val id = 7L
+    val resized = Multimodal.ImageIoCodec.resize(png(id), 3, 2)
+    val (w, h, sr, _, _) = Multimodal.ImageIoCodec.rgbSums(resized)
+    (w, h) shouldBe ((3, 2))
+    val w0 = 4 + (id % 13).toInt
+    val h0 = 3 + (id % 11).toInt
+    val expR = (for (y2 <- 0 until 2; x2 <- 0 until 3)
+      yield (7L * id + 3 * (x2 * w0 / 3) + 5 * (y2 * h0 / 2)) % 256).sum
+    sr shouldBe expR
+  }
+
+  test("ImageIoCodec.sampleFrames slices decodable strips of the requested rows") {
+    val id = 3L
+    val h0 = 3 + (id % 11).toInt // 6 rows
+    val frames = Multimodal.ImageIoCodec.sampleFrames(png(id), frameBytes = 2, stride = 2)
+    frames.length shouldBe ((h0 + 1) / 2 + 1) / 2 // ceil(6/2)=3 strips, every 2nd = 2
+    frames.foreach { f =>
+      val (_, fh, _, _, _) = Multimodal.ImageIoCodec.rgbSums(f)
+      fh should be <= 2
+    }
+  }
+
+  test("ImageIoCodec features: normalized luminance histogram sums to ~1") {
+    val f = Multimodal.ImageIoCodec.features(png(11L))
+    f.length shouldBe Multimodal.FeatureDim
+    f.sum shouldBe 1f +- 1e-4f
+  }
+
+  test("undecodable payload fails loudly, not silently") {
+    an[Exception] should be thrownBy
+      Multimodal.ImageIoCodec.rgbSums(Array[Byte](1, 2, 3))
+  }
 }
