@@ -96,6 +96,14 @@ object Multimodal {
     * real.
     */
   object ImageIoCodec extends MediaCodec {
+    // Memory-backed image streams: ImageIO's default stream cache spills
+    // every read/write through a TEMP FILE (create + delete per call) —
+    // at millions of small payloads per executor that is one fsync-able
+    // filesystem round-trip per image for data that fits in a few KiB of
+    // heap. Executor-side object init runs this once per JVM. Measured on
+    // the sf0.1 decode query (60k images × 5 codec calls): 7.5 s → see
+    // docs/BENCH_DETAIL.json after the change.
+    javax.imageio.ImageIO.setUseCache(false)
     private def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
