@@ -47,6 +47,7 @@ object SparkEntry {
       operators.Sampling.queries ++
       operators.Embeddings.queries ++
       operators.Bpe.queries ++
+      scale.Scale.queries ++
       sources.Export.queries
 
   /** DuckDB-equivalent SQL per query key (same column names, same order). */
@@ -61,6 +62,7 @@ object SparkEntry {
       operators.Sampling.oracleSql ++
       operators.Embeddings.oracleSql ++
       operators.Bpe.oracleSql ++
+      scale.Scale.oracleSql ++
       sources.Export.oracleSql
 
   // -------------------------------------------------------------------

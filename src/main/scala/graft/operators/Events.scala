@@ -247,7 +247,83 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** HyperLogLog registers: 2^HllP = 4096 buckets, standard error
+    * 1.04/√m ≈ 1.6%. The register word is the LOW 48 bits of the 60-bit
+    * md5 hash; the bucket is the HIGH 12.
+    */
+  val HllP = 12
+  val HllM: Int = 1 << HllP
+
+  /** HyperLogLog approximate distinct users per event type (Flajolet et
+    * al. 2007) — the CONSTANT-size companion to [[qKmv]]'s k-element
+    * sketch: 4096 one-byte registers per group regardless of cardinality,
+    * and register merge is plain MAX, so the whole sketch is expressible
+    * DECLARATIVELY — groupBy(type, bucket).agg(max(rho)) then one
+    * vocabulary-sized fold — and Spark's partial aggregation makes it
+    * map-side combinable at any executor count with no custom aggregate
+    * at all. That is the 100 TB shape: the shuffle carries ≤ |types|·m
+    * tiny rows, never a distinct key set.
+    *
+    * Cross-engine exactness despite being an APPROXIMATE sketch: rho is
+    * integer arithmetic over the shared md5-60-bit hash (`49 −
+    * length(bin(low48))` — minimal-width `bin` on both engines); the
+    * harmonic sum is carried as Σ 2^(49−rho_max), an exact BIGINT (≤
+    * 2^60); the estimate is one shared literal-for-literal IEEE
+    * expression over those integers, rounded to 6 decimals to absorb the
+    * last-ulp `ln` divergence of the linear-counting branch (the
+    * [[TextAnalysis.qLmScore]] precedent). The exact distinct count rides
+    * along as the honesty check, as in [[qKmv]].
+    */
+  def qHll(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val low48 = lit((1L << 48) - 1)
+    val regs = Tables.events(s, dir)
+      .select(col("event_type"), h.as("hv"))
+      .select(col("event_type"),
+        shiftright(col("hv"), 48).as("bucket"),
+        col("hv").bitwiseAND(low48).as("rem"))
+      .select(col("event_type"), col("bucket"),
+        when(col("rem") === 0L, lit(49))
+          .otherwise(lit(49) - length(bin(col("rem")))).as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("nb"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - r)")).cast("long").as("hsum"))
+    val exact = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(broadcast(regs), "event_type")
+      .select(col("event_type"), col("n_exact"),
+        col("nb").cast("long").as("n_buckets"),
+        expr(hllEstSql("nb", "hsum")).as("est"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The estimate expression, shared verbatim with the oracle so both
+    * engines run the identical IEEE tree: raw harmonic-mean estimate
+    * α·m²·2^49 / S with the small-range linear-counting correction
+    * (V = m − nb empty registers; E ≤ 2.5m → m·ln(m/V)). S includes the
+    * m − nb EMPTY registers (rho 0 ⇒ 2^49 each in the integer scaling) —
+    * only occupied buckets reach the aggregation, so their term is added
+    * back here. Literals carry the e0 suffix: a bare `0.7213` is DOUBLE
+    * in Spark but DECIMAL in DuckDB, and the decimal intermediate rounds
+    * differently at the 1e-10 level — the q1-family lesson applied to a
+    * shared expression string.
+    */
+  private def hllEstSql(nb: String, hsum: String): String = {
+    val m = s"${HllM}e0"
+    val sTot = s"CAST($hsum + ($HllM - $nb) * 562949953421312 AS DOUBLE)"
+    val raw = s"(0.7213e0 / (1.0e0 + 1.079e0 / $m)) * $m * $m" +
+      s" * 562949953421312e0 / $sTot"
+    s"round(CASE WHEN $nb < $HllM AND $raw <= 2.5e0 * $m" +
+      s" THEN $m * ln($m / ($HllM - $nb)) ELSE $raw END, 6)"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll" -> qHll,
     "q_kmv" -> qKmv,
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_retention" -> qEventsRetention,
@@ -261,6 +337,31 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_hll" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, hv >> 48 AS bucket,
+         |    CASE WHEN (hv & ${(1L << 48) - 1}) = 0 THEN 49
+         |         ELSE 49 - length(bin(hv & ${(1L << 48) - 1})) END AS rho
+         |  FROM h),
+         |regs AS (
+         |  SELECT event_type, bucket, max(rho) AS r
+         |  FROM r GROUP BY event_type, bucket),
+         |agg AS (
+         |  SELECT event_type, count(*) AS nb,
+         |    CAST(sum(1::BIGINT << (49 - r)) AS BIGINT) AS hsum
+         |  FROM regs GROUP BY event_type),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY event_type)
+         |SELECT ex.event_type AS event_type, ex.n_exact,
+         |  CAST(agg.nb AS BIGINT) AS n_buckets,
+         |  ${hllEstSql("agg.nb", "agg.hsum")} AS est
+         |FROM ex JOIN agg ON ex.event_type = agg.event_type
+         |ORDER BY event_type""".stripMargin,
     "q_kmv" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,

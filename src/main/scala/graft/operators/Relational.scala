@@ -32,7 +32,7 @@ object Relational {
     * of an integer; still branch-free codegen (one abs + multiply +
     * floor + sign-multiply per row).
     */
-  private def cents(c: Column): Column =
+  private[graft] def cents(c: Column): Column =
     (signum(c) * floor(abs(c) * 100 + lit(0.5))).cast("long")
 
   /** Exact, order-independent sum of a 2-decimal double column: convert to
@@ -47,7 +47,7 @@ object Relational {
     * mode of floor(+0.5) and a decimal HALF_UP cast can diverge
     * ([[Events]] keeps the decimal-cast path for its off-grid `value`).
     */
-  private def dsum(c: Column): Column =
+  private[graft] def dsum(c: Column): Column =
     (sum(cents(c).cast("decimal(38,0)")) / 100).cast("double")
 
   // -------------------------------------------------------------------

@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   * that actually materialized — never for ones still pending, whose
   * eventual value dies with the context anyway.
   */
-private[operators] final class SessionMemo[V](cleanup: V => Unit = (_: V) => ()) {
+private[graft] final class SessionMemo[V](cleanup: V => Unit = (_: V) => ()) {
 
   private final class Holder(thunk: () => V) {
     @volatile var done = false

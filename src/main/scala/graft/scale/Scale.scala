@@ -3,6 +3,9 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.{Relational, SessionMemo}
+import graft.tables.Tables
+
 /** Scale-out utilities: bucketed co-located joins and skew-resistant
   * aggregation. These are the knobs a 100 TB deployment turns when the
   * defaults (shuffle joins + AQE) aren't enough:
@@ -17,15 +20,33 @@ import org.apache.spark.sql.functions._
   *     1/salts of the hot key. (For skewed *joins*, prefer AQE's
   *     `spark.sql.adaptive.skewJoin.enabled=true`, on by default, which
   *     splits oversized partitions at runtime without changing the query.)
+  *
+  * Both are exercised as ORACLE-CHECKED queries ([[qJoinBucketed]],
+  * [[qAggSalted]]): each must produce results bit-identical to its
+  * unoptimized twin — the scale knob is a plan change, never a semantics
+  * change — and PlanRegressionSpec pins the plan shapes (no Exchange under
+  * the bucketed join; two aggregation levels for the salted path).
   */
 object Scale {
 
+  /** Bucket count for the demo tables — matched to the session's shuffle
+    * partitions so bucketed scans align 1:1 with downstream reducers.
+    */
+  val JoinBuckets = 32
+
   /** Write `df` bucketed by `key` into `table` (session catalog). The
     * bucket count is the write-once knob: pick ≈ shuffle partitions of the
-    * consuming queries so scans align 1:1 with reducers.
+    * consuming queries so scans align 1:1 with reducers. The repartition
+    * ON THE BUCKET KEY before the write matters twice over: bucketBy
+    * writes one file per (task × bucket), so without it T input tasks
+    * yield T·B small files; with it, task i holds exactly bucket i's rows
+    * (repartition and bucketing share the Murmur3 hash) — one file per
+    * bucket, and the per-file sortBy order then lets the bucketed
+    * sort-merge join skip its Sort as well.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, col(key))
+      .write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
@@ -34,14 +55,19 @@ object Scale {
 
   /** Join two same-bucketed tables on their bucket key — plans as a
     * sort-merge join with ZERO Exchange when bucket counts match.
+    * `forceMerge` pins the SMJ strategy via the MERGE hint: at demo SFs
+    * AQE would happily broadcast the smaller side, which hides exactly
+    * the property the bucketing bought (at 100 TB neither side
+    * broadcasts).
     */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame = {
+      leftKey: String, rightKey: String, forceMerge: Boolean = false): DataFrame = {
     // side-qualified keys: bare col(...) === col(...) is ambiguous when both
     // tables bucket on the same column name — the common case
-    val l = spark.table(left)
+    val l0 = spark.table(left)
+    val l = if (forceMerge) l0.hint("merge") else l0
     val r = spark.table(right)
-    l.join(r, l(leftKey) === r(rightKey))
+    l.join(r, l0(leftKey) === r(rightKey))
   }
 
   /** Two-phase salted aggregation: partial aggregate on (keys, salt), final
@@ -61,4 +87,108 @@ object Scale {
       .agg(partials.head, partials.tail: _*)
       .groupBy(keys: _*)
       .agg(finals.head, finals.tail: _*)
+
+  // -------------------------------------------------------------------
+  // Oracle-checked queries
+  // -------------------------------------------------------------------
+
+  /** One bucketed write per (session, corpus): both fact tables land in
+    * the session catalog bucketed by their orderkey. Memoized like the
+    * k-means centroids — the write-once cost the bucketing trade is ABOUT
+    * is paid once and reported in the bench "build" column.
+    */
+  private val bucketMemo = new SessionMemo[(String, String)]()
+
+  /** Drop a managed table AND its on-disk location: a previous JVM's
+    * warehouse directory survives the in-memory catalog, and saveAsTable
+    * refuses to create a managed table over an existing path.
+    */
+  private def dropWithLocation(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
+  private[graft] def bucketedPair(s: SparkSession, dir: String): (String, String) =
+    bucketMemo.getOrElseUpdate(s, dir) {
+      // catalog names must be unique per corpus dir within the session
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val lt = s"graft_bkt_lineitem$tag"
+      val ot = s"graft_bkt_orders$tag"
+      dropWithLocation(s, lt)
+      dropWithLocation(s, ot)
+      writeBucketed(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice")),
+        lt, "l_orderkey", JoinBuckets)
+      writeBucketed(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        ot, "o_orderkey", JoinBuckets)
+      (lt, ot)
+    }
+
+  /** [[Relational.qJoinShuffle]] re-planned over bucketed tables — same
+    * oracle SQL, bit-identical result, but the fact-fact join runs with
+    * NO Exchange on either input (plan-pinned): the one-time bucketed
+    * write pre-paid the shuffle both sides would otherwise perform per
+    * query. This is the bucketing contract a 100 TB deployment relies on
+    * for its most-repeated join key.
+    */
+  def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = bucketedPair(s, dir)
+    bucketedJoin(s, lt, ot, "l_orderkey", "o_orderkey", forceMerge = true)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        Relational.dsum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Skew-resistant twin of a plain groupBy aggregation: quantity totals
+    * per return flag via [[saltedAgg]]. The salt splits every key 16 ways
+    * for the partial pass, so a pathologically hot key (at 100 TB:
+    * one flag holding half the corpus) never lands on a single task; the
+    * final pass re-aggregates 16 bounded partials per key. Integer-cents
+    * partial sums make the two-phase total bit-identical to the direct
+    * aggregation under any row-to-salt assignment — which is what lets
+    * ONE oracle SQL (the plain GROUP BY) pin the salted plan.
+    */
+  def qAggSalted(s: SparkSession, dir: String): DataFrame =
+    saltedAgg(
+      Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity")),
+      Seq(col("l_returnflag")),
+      salts = 16)(
+      partials = Seq(
+        sum(Relational.cents(col("l_quantity")).cast("decimal(38,0)")).as("pq"),
+        count(lit(1)).as("pc")),
+      finals = Seq(
+        (sum(col("pq")) / 100).cast("double").as("sum_qty"),
+        sum(col("pc")).cast("long").as("n_lines")))
+      .select(col("l_returnflag"), col("sum_qty"), col("n_lines"))
+      .orderBy(col("l_returnflag"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucketed" -> qJoinBucketed,
+    "q_agg_salted" -> qAggSalted
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // identical to the q_join_shuffle oracle: bucketing is a plan-only change
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
 }

@@ -268,6 +268,28 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should not include "Join"
   }
 
+  test("q_join_bucketed: no Exchange under the sort-merge join — bucketing pre-paid it") {
+    val plan = graft.scale.Scale.qJoinBucketed(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("SortMergeJoin")
+    // neither join input re-shuffles on its key: the bucketed scans carry
+    // the hashpartitioning the join needs. (The aggregation above the
+    // join keeps its own Exchange on o_orderpriority — that one is fine.)
+    plan should not include regex("Exchange hashpartitioning\\(l_orderkey")
+    plan should not include regex("Exchange hashpartitioning\\(o_orderkey")
+  }
+
+  test("q_agg_salted: two aggregation levels — per-salt partial, then per-key final") {
+    val plan = graft.scale.Scale.qAggSalted(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("pmod") // the salt derivation survives into the plan
+    // exactly two hash-exchanges: (key, salt) for the partial pass and
+    // key for the final; a third would mean the salting doubled a shuffle
+    // instead of splitting one
+    plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+  }
+
   test("q_bm25: the bounded scored side broadcasts into the corpus-stat joins") {
     val plan = TextAnalysis.qBm25(spark, sf())
       .queryExecution.executedPlan.toString
