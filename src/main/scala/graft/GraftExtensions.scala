@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, MaxFreqCount, MinKDistinctLongs, MinKLongs, QuantileSketchLongs, WinnowedPositions}
+import graft.functions.{FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, FreqSketchStrings, MaxFreqCount, MinKDistinctLongs, MinKLongs, QuantileSketchLongs, WinnowedPositions}
 
 /** Spark extensions entry point: install the engine's native functions at
   * session build time, with zero user code —
@@ -122,6 +122,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw bad
         }
         QuantileSketchLongs(args(0), k, probs.toSeq)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      info("freq_sketch",
+        "freq_sketch(x, k) - aggregate: Misra-Gries candidate heavy hitters " +
+          "of STRING x (<= k items, contains every item with freq > n/(k+1))"),
+      args => {
+        val k = args match {
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case _ => throw new IllegalArgumentException(
+            "freq_sketch requires (STRING column, INT literal k)")
+        }
+        FreqSketchStrings(args(0), k)
       }))
   }
 }

@@ -420,6 +420,39 @@ object Dedup {
         (col("n_in_clusters") - col("n_clusters")).as("n_dropped"))
   }
 
+  /** Representative selection per duplicate cluster — the policy real
+    * curation pipelines use instead of [[qDedupKeep]]'s keep-lowest-id:
+    * keep the HIGHEST-QUALITY member (deterministic tie-break: lowest
+    * doc_id), because near-dup clusters routinely mix a clean original
+    * with truncated/boilerplated copies and "first by id" keeps whichever
+    * crawled first. Reuses the memoized component mapping and the shared
+    * quality formula ([[TextAnalysis.qualitySqlExpr]] is the SQL twin of
+    * the row-local score, so the formula lives in one place per engine).
+    *
+    * Scale shape: the component mapping is bounded by duplicate density
+    * (never corpus-sized in healthy corpora); scoring is a pure map over
+    * the corpus; the argmax is one struct-max aggregation — max(quality,
+    * −doc_id) — so the per-cluster reduction is a single comparator, no
+    * window, no per-cluster sort. Everything shuffles on id/component.
+    */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val scored = plantedDocs(s, dir).select(
+      col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    canonicalComponents(s, dir)
+      .join(scored, col("id") === col("doc_id"))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(
+        col("component").as("canonical_id"),
+        (-col("b.nid")).cast("long").as("best_id"),
+        col("b.q").as("best_quality"),
+        col("n_members"))
+      .orderBy(col("canonical_id"))
+  }
+
   /** Jaccard acceptance threshold for [[qDedupPipeline]]'s verify stage. */
   val JaccardThreshold = 0.8
 
@@ -957,6 +990,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_keep" -> qDedupKeep,
+    "q_dedup_keep_best" -> qDedupKeepBest,
     "q_dedup_pipeline" -> qDedupPipeline,
     "q_split_leakage" -> qSplitLeakage,
     "q_dedup_jaccard" -> qDedupJaccard,
@@ -1243,6 +1277,20 @@ object Dedup {
          |SELECT component AS canonical_id, count(*) AS n_members,
          |  array_to_string(list_sort(list(id)), ',') AS members
          |FROM comp GROUP BY component ORDER BY canonical_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $closureCtes,
+         |qd AS (SELECT doc_id, ${TextAnalysis.qualitySqlExpr} AS q
+         |       FROM corpus),
+         |j AS (SELECT c.component, c.id, qd.q
+         |      FROM comp c JOIN qd ON qd.doc_id = c.id),
+         |r AS (SELECT component, id, q,
+         |        row_number() OVER (PARTITION BY component
+         |                           ORDER BY q DESC, id ASC) AS rk,
+         |        count(*) OVER (PARTITION BY component) AS nm
+         |      FROM j)
+         |SELECT component AS canonical_id, id AS best_id, q AS best_quality,
+         |  CAST(nm AS BIGINT) AS n_members
+         |FROM r WHERE rk = 1 ORDER BY canonical_id""".stripMargin,
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $closureCtes,
          |agg AS (SELECT count(*) AS n_in_clusters,

@@ -311,6 +311,51 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** [[qHeavyHitters]] sketch capacity and threshold denominator: an item
+    * is a heavy hitter iff `HeavyPhiDen · count > n_total` (frequency >
+    * 1%). The Misra–Gries guarantee covers every item with frequency >
+    * 1/(k+1) = 1/513, comfortably below the 1/100 threshold, so the
+    * sketch's candidate set provably contains every true heavy hitter
+    * under ANY partitioning/merge order.
+    */
+  val HeavyK = 512
+  val HeavyPhiDen = 100
+
+  /** Exact heavy hitters via the two-pass sketch-then-verify scheme
+    * (pass 1: [[graft.functions.FreqSketchAggregate.freqSketch]] proposes
+    * ≤ [[HeavyK]] candidates in one mergeable bounded-state aggregation;
+    * pass 2: exact counts of ONLY the candidates via a broadcast join).
+    * The output is deterministic and oracle-exact — the sketch's
+    * order-dependent internals never reach it, only the guaranteed
+    * candidate-superset property does.
+    *
+    * 100 TB shape: `GROUP BY word` over a trillion-token corpus shuffles
+    * the full vocabulary (heavy-tailed, skewed); here the only keyed
+    * shuffle is over occurrences OF THE ≤ k candidates (head items —
+    * bounded key count, and partial aggregation collapses each partition
+    * to ≤ k rows before the wire). Both passes are corpus-linear scans.
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(
+        filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
+        .as("w"))
+    val sketch = words.agg(
+      graft.functions.FreqSketchAggregate.freqSketch(col("w"), HeavyK).as("cand"),
+      count(lit(1)).as("tot"))
+    val cand = sketch.select(explode(col("cand")).as("w"), col("tot"))
+    words
+      .join(broadcast(cand), Seq("w"))
+      .groupBy(col("w"), col("tot"))
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") * HeavyPhiDen > col("tot"))
+      .select(
+        col("w").as("word"),
+        col("n_occ"),
+        round(col("n_occ").cast("double") / col("tot"), 9).as("share"))
+      .orderBy(col("n_occ").desc, col("word"))
+  }
+
   /** Posting-list cap for [[qInvertedIndex]]. */
   val PostingsCap = 20
 
@@ -888,6 +933,7 @@ object TextAnalysis {
     "q_len_hist" -> qLenHist,
     "q_text_pmi" -> qTextPmi,
     "q_vocab" -> qVocabCoverage,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
     "q_text_fingerprint" -> qTextFingerprint,
@@ -1222,6 +1268,17 @@ object TextAnalysis {
          |JOIN uni b ON b.w = string_split(bigram, ' ')[2]
          |CROSS JOIN n_uni CROSS JOIN n_big
          |ORDER BY pmi DESC, bigram LIMIT $PmiTopK""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH w AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                            x -> length(x) > 0)) AS w
+         |  FROM documents),
+         |t AS (SELECT count(*) AS tot FROM w),
+         |c AS (SELECT w, count(*) AS n_occ FROM w GROUP BY w)
+         |SELECT w AS word, CAST(n_occ AS BIGINT) AS n_occ,
+         |  round(CAST(n_occ AS DOUBLE) / tot, 9) AS share
+         |FROM c, t WHERE n_occ * $HeavyPhiDen > tot
+         |ORDER BY n_occ DESC, word""".stripMargin,
     "q_vocab" ->
       s"""WITH toks AS (
          |  SELECT source, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),

@@ -51,6 +51,13 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       .head()
     sk.getSeq[Long](0) shouldBe Seq(30L, 50L)
 
+    // below capacity: Misra-Gries tracks every distinct item
+    val fs = spark
+      .sql("SELECT freq_sketch(v, 4) f FROM VALUES " +
+        "('a'), ('b'), ('a'), ('c'), ('a') AS t(v)")
+      .head()
+    fs.getSeq[String](0) shouldBe Seq("a", "b", "c")
+
     val qs = spark
       .sql("SELECT vec_quant_stats(array(1.0f, -1.0f, 0.5f), 127) q")
       .head().getSeq[Double](0)

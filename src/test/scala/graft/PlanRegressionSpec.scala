@@ -268,6 +268,17 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should not include "Join"
   }
 
+  test("q_heavy_hitters: map-side partial sketch, candidates broadcast into the exact pass") {
+    val plan = TextAnalysis.qHeavyHitters(spark, sf())
+      .queryExecution.executedPlan.toString
+    // pass 1 partial-aggregates per partition (<= k pairs on the wire)…
+    plan should include("partial_freq_sketch")
+    // …and pass 2 probes via a broadcast of the <= k candidates, never a
+    // shuffle join of the full vocabulary
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("q_join_bucketed: no Exchange under the sort-merge join — bucketing pre-paid it") {
     val plan = graft.scale.Scale.qJoinBucketed(spark, sf())
       .queryExecution.executedPlan.toString
