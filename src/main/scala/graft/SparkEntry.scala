@@ -47,6 +47,7 @@ object SparkEntry {
       operators.Sampling.queries ++
       operators.Embeddings.queries ++
       operators.Bpe.queries ++
+      operators.GlobalOrder.queries ++
       scale.Scale.queries ++
       sources.Export.queries
 
@@ -62,6 +63,7 @@ object SparkEntry {
       operators.Sampling.oracleSql ++
       operators.Embeddings.oracleSql ++
       operators.Bpe.oracleSql ++
+      operators.GlobalOrder.oracleSql ++
       scale.Scale.oracleSql ++
       sources.Export.oracleSql
 

@@ -19,6 +19,7 @@ class SparkEntrySpec extends SparkSpec with Matchers {
       operators.Sampling.queries.size,
       operators.Embeddings.queries.size,
       operators.Bpe.queries.size,
+      operators.GlobalOrder.queries.size,
       scale.Scale.queries.size,
       sources.Export.queries.size,
       1) // wc_wordcount
