@@ -178,10 +178,19 @@ object Bench {
       fam.collectFirst { case (p, r) if base.startsWith(p) =>
         r + base.substring(p.length) }.getOrElse(base)
     }
+    // stage-4 squeeze (first needed at 118 queries, round 7): on top of
+    // the family prefixes, drop vowels from every character after the
+    // first — "tkn_bdgt" class keys. Deterministic from the full name
+    // (documented in BASELINE.md "Canary normalization"); detail line and
+    // docs/BENCH_DETAIL.json always keep full names.
+    val vowelKey = (k: String) => {
+      val base = famKey(k)
+      base.substring(0, 1) + base.substring(1).filterNot("aeiou".contains(_))
+    }
     // the squeezes must stay injective over the registry: a future
     // q_t_foo would alias with q_text_foo's squeezed key and silently
     // merge two queries on the contract line (round-5 advisor note)
-    for (keys <- Seq(dropQ, famKey)) {
+    for (keys <- Seq(dropQ, famKey, vowelKey)) {
       val squeezed = names.map(keys)
       require(squeezed.distinct.size == names.size,
         s"contract-line key squeeze aliases query names: ${
@@ -190,10 +199,12 @@ object Bench {
     }
     val plain = contract(identity)
     val noQ = contract(dropQ)
+    val famLine = contract(famKey)
     println(
       if (plain.length <= 2000) plain
       else if (noQ.length <= 2000) noQ
-      else contract(famKey))
+      else if (famLine.length <= 2000) famLine
+      else contract(vowelKey))
     spark.stop()
   }
 }
