@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver corpus (`TESTDATA.md`): one parquet per table under
   * `/root/testdata/sf{0.001,0.01,0.1}/`. Column pruning + predicate pushdown
@@ -23,11 +23,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) at sf≥0.01, which Spark rejects by
-    * default. Read nanos as long and floor to microseconds — exactly the
-    * truncation DuckDB applies when it reads the same file as its
-    * micro-precision TIMESTAMP, so both engines see identical instants.
-    * (At sf0.001 the file is micros and passes through untouched.)
+  /** `events.ts` normalization — the driver has shipped this file with three
+    * different physical annotations across rounds, and every downstream
+    * operator (sessionize gaps via `unix_micros`, watermarked streams, the
+    * as-of join) assumes session-zoned TIMESTAMP with UTC session time:
+    *   - TIMESTAMP(NANOS): Spark rejects at schema inference; read nanos as
+    *     long and floor to micros — exactly the truncation DuckDB applies
+    *     reading the same file, so both engines see identical instants;
+    *   - naive micros (`timestamp[us]`, no tz): Spark 4 infers
+    *     TIMESTAMP_NTZ, which `unix_micros` rejects; cast to TimestampType —
+    *     under the UTC session zone the wall-clock IS the instant, so the
+    *     micros value is unchanged and matches DuckDB's naive read;
+    *   - tz-annotated micros: passes through untouched.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // session-level flag, set once and left on deliberately: the parquet
@@ -40,6 +47,8 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
