@@ -832,8 +832,31 @@ object Dedup {
         col("ts"))
       .select(col("doc_id"), col("line_no"), col("h"), col("ts"))
 
+  /** Shared persisted (doc_id, line_no, h) line-instance table for the
+    * batch line-dedup family ([[qDedupLines]], [[linesKeepCorpus]]):
+    * both queries feed the SAME [[lineRows]] frame into a per-hash
+    * aggregation AND the join-back side, and Spark shares no uncached
+    * subtrees — so without the persist the chunk+md5+posexplode pipeline
+    * evaluated twice per pass (the round-6 bench flagged exactly this on
+    * `q_dedup_lines`: 1.05 → 2.85 canary units, the same
+    * double-evaluation class [[sharedSignatures]] fixed for the MinHash
+    * family). At 100 TB the same shape is a line-hash table materialized
+    * once and joined from. Memoized per (session, dir) with the same
+    * re-persist guard as [[sharedSignatures]] (Bench's cache clears
+    * unpersist the frame without evicting the memo entry).
+    */
+  private val lineRowsCache =
+    new SessionMemo[DataFrame](_.unpersist(blocking = false))
+  private[graft] def sharedLineRows(s: SparkSession, dir: String): DataFrame = {
+    val df = lineRowsCache.getOrElseUpdate(s, dir)(
+      lineRows(nearDupDocs(s, dir)).persist())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
+
   def qDedupLines(s: SparkSession, dir: String): DataFrame = {
-    val lines = lineRows(nearDupDocs(s, dir))
+    val lines = sharedLineRows(s, dir)
     val stats = lines
       .groupBy(col("h"))
       .agg(
@@ -869,7 +892,7 @@ object Dedup {
     val corpus = nearDupDocs(s, dir)
     val chunks = graft.functions.SketchExpressions.tokenChunks(
       tokens(col("text")), LineTokens)
-    val linesH = lineRows(corpus)
+    val linesH = sharedLineRows(s, dir)
       // line_no < 2³² always (it is bounded by doc token count), so the
       // packed key is exact and min() picks (min doc, then min line)
       .withColumn("inst", col("doc_id") * lit(1L << 32) + col("line_no"))

@@ -43,6 +43,15 @@ object Tables {
     // returned (lazy) DataFrame
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the TIMESTAMP_NTZ branch's instant-preserving cast (and every
+    // downstream wall-clock derivation: sessionize gaps, hourly buckets,
+    // the as-of join) assumes the UTC session zone; the cast executes
+    // LAZILY, so like nanosAsLong above this must be session-level — a
+    // restore-after-read would shift instants on later executions of the
+    // returned DataFrame for any non-UTC caller (tools/Profile,
+    // tools/Explain, external GraftSession.init hosts)
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>

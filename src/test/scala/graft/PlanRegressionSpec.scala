@@ -201,6 +201,12 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should include("md5_prefix60")
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
+    // the chunk+hash+posexplode pipeline evaluates ONCE: the per-hash
+    // stats aggregation AND the join-back side both scan the shared
+    // persisted line table (round-6 `weak`: as an uncached subtree the
+    // chunker ran twice per pass). Two cache scans, one InMemoryRelation;
+    // removing the persist makes this count 0.
+    "InMemoryTableScan".r.findAllIn(plan).size shouldBe 2
   }
 
   test("q_dedup_lines_keep: text rides only doc_id-keyed exchanges") {
@@ -211,6 +217,9 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should include("md5_prefix60")
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
+    // first-agg + join-back sides read the shared persisted line table
+    // (same single-evaluation pin as q_dedup_lines)
+    "InMemoryTableScan".r.findAllIn(plan).size shouldBe 2
   }
 
   test("q_gopher is a pure map stage: no aggregate, only the sort") {
