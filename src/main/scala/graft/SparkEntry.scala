@@ -49,7 +49,8 @@ object SparkEntry {
       operators.Bpe.queries ++
       operators.GlobalOrder.queries ++
       scale.Scale.queries ++
-      sources.Export.queries
+      sources.Export.queries ++
+      sources.Ingest.queries
 
   /** DuckDB-equivalent SQL per query key (same column names, same order). */
   def oracleSql: Map[String, String] =
@@ -65,7 +66,8 @@ object SparkEntry {
       operators.Bpe.oracleSql ++
       operators.GlobalOrder.oracleSql ++
       scale.Scale.oracleSql ++
-      sources.Export.oracleSql
+      sources.Export.oracleSql ++
+      sources.Ingest.oracleSql
 
   // -------------------------------------------------------------------
   // Reference-parity query: word count (wc.go:14-38) over documents.text.

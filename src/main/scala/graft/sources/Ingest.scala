@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SessionMemo
+import graft.tables.Tables
+
+/** Raw-text INGESTION SOURCE — the missing first step of every curation
+  * pipeline (reference: the line-oriented text input and its split
+  * assignment, `mapreduce.go:74-112`): gzip-compressed JSONL files →
+  * the `documents` relation, with content-addressed doc-id assignment
+  * and malformed-record accounting.
+  *
+  * The corpus under test is DERIVED deterministically from the driver's
+  * `documents.parquet` (the fixture discipline of the multimodal PNG
+  * oracle): each doc serializes to one JSON line
+  * `{"source":…,"lang":…,"text":…}` — WITHOUT its doc_id, because raw
+  * crawl shards carry no ids — and every doc with `doc_id % 97 == 0`
+  * is planted malformed by truncating the line's last 5 characters (a
+  * strict prefix of a one-object JSON text is never valid JSON, so the
+  * plant is unambiguous and both engines can mirror the rule from the
+  * parquet side). Files are md5-bucket sharded and written gzip —
+  * non-splittable on purpose: at 100 TB ingestion parallelism IS the
+  * shard count (one task per .gz file), which is how crawl dumps
+  * actually arrive; the operator downstream of the scan never assumes
+  * splittability.
+  *
+  * Doc-id assignment is CONTENT-ADDRESSED: 60-bit md5 prefix of
+  * `source \u0001 text` — fully distributed (no zipWithIndex barrier,
+  * no global prefix-sum, no driver roundtrip), stable under re-ingest
+  * and shard reordering, and it makes exact re-crawl duplicates
+  * COLLIDE, which is a feature: `n_ids < n_records` is the first dedup
+  * signal a pipeline sees. Malformed lines are quarantined under the
+  * reserved source `__malformed__` (counted, never silently dropped —
+  * PERMISSIVE parse with an explicit corrupt-record column), so the
+  * ingest ledger always satisfies `Σ n_records = input lines`.
+  */
+object Ingest {
+
+  /** Shard-file count of the fixture (gzip ⇒ also the scan parallelism). */
+  val IngestShards = 4
+
+  /** Plant rule: docs whose id ≡ 0 (mod 97) arrive truncated. */
+  val MalformedMod = 97
+
+  /** 60-bit content address of a parsed record (same md5-prefix idiom as
+    * [[Export]]'s row fingerprint; `\u0001` keeps (source, text)
+    * concatenation injective for any text free of control chars).
+    */
+  private def contentId =
+    conv(substring(md5(concat(col("source"), lit("\u0001"), col("text"))),
+      1, 15), 16, 10).cast("long")
+
+  /** One JSON line per doc (doc_id deliberately NOT serialized), with
+    * the deterministic malformed plant applied.
+    */
+  private[graft] def fixtureLines(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("line",
+        to_json(struct(col("source"), col("lang"), col("text"))))
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % MalformedMod === 0,
+          expr(s"substring(line, 1, length(line) - 5)"))
+          .otherwise(col("line")).as("value"))
+
+  /** Write the gzip JSONL fixture (one file per md5-bucket shard, lines
+    * in doc_id order within a shard — byte-deterministic for a fixed
+    * corpus) and return its path. Memoized per (session, dir): the
+    * fixture is input data, not query state, so Bench cache clears never
+    * need to rebuild it.
+    */
+  private val fixtureMemo = new SessionMemo[String]()
+  private[graft] def fixturePath(s: SparkSession, dir: String): String =
+    fixtureMemo.getOrElseUpdate(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_jsonl/" +
+        new java.io.File(dir).getName
+      fixtureLines(s, dir)
+        .withColumn("shard",
+          graft.operators.Sampling.hashBucket(col("doc_id"), IngestShards))
+        .repartition(IngestShards, col("shard"))
+        .sortWithinPartitions(col("doc_id"))
+        .select(col("value"), col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "gzip")
+        .text(out)
+      out
+    }
+
+  /** Parsed ingest frame: (source, lang, text, cid, is_malformed) — one
+    * row per input line, malformed lines carried with null fields and
+    * the raw line in `_corrupt_record`.
+    */
+  private[graft] def parsed(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .schema("source STRING, lang STRING, text STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(fixturePath(s, dir))
+      .select(
+        col("source"), col("lang"), col("text"),
+        col("_corrupt_record").isNotNull.as("is_malformed"))
+
+  /** Ingest ledger: per source — line count, distinct content-addressed
+    * ids (re-crawl duplicates collide by design), char volume, and an
+    * order-independent id fingerprint; malformed lines quarantined under
+    * `__malformed__`. One groupBy over the parsed scan — ingestion at
+    * 100 TB is one pass, shard-parallel, no coordination.
+    */
+  def qIngestJsonl(s: SparkSession, dir: String): DataFrame =
+    parsed(s, dir)
+      .select(
+        when(col("is_malformed"), lit("__malformed__"))
+          .otherwise(col("source")).as("source"),
+        when(col("is_malformed"), lit(null)).otherwise(contentId).as("cid"),
+        when(col("is_malformed"), lit(null)).otherwise(col("lang")).as("lang"),
+        when(col("is_malformed"), lit(null))
+          .otherwise(length(col("text"))).as("n_chars"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(col("cid")).as("n_ids"),
+        countDistinct(col("lang")).as("n_langs"),
+        coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("n_chars"),
+        coalesce(expr("bit_xor(cid)"), lit(0L)).as("id_xor"))
+      .orderBy(col("source"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ingest_jsonl" -> qIngestJsonl
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ingest_jsonl" ->
+      s"""WITH good AS (SELECT source, lang, text,
+         |  ('0x' || substr(md5(source || chr(1) || text), 1, 15))::BIGINT
+         |    AS cid
+         |  FROM documents WHERE doc_id % $MalformedMod <> 0),
+         |agg AS (SELECT source,
+         |  count(*) AS n_records,
+         |  count(DISTINCT cid) AS n_ids,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  bit_xor(cid) AS id_xor
+         |  FROM good GROUP BY source),
+         |mal AS (SELECT '__malformed__' AS source,
+         |  count(*) AS n_records,
+         |  CAST(0 AS BIGINT) AS n_ids, CAST(0 AS BIGINT) AS n_langs,
+         |  CAST(0 AS BIGINT) AS n_chars, CAST(0 AS BIGINT) AS id_xor
+         |  FROM documents WHERE doc_id % $MalformedMod = 0)
+         |SELECT * FROM agg UNION ALL SELECT * FROM mal ORDER BY source"""
+        .stripMargin
+  )
+}

@@ -22,6 +22,7 @@ class SparkEntrySpec extends SparkSpec with Matchers {
       operators.GlobalOrder.queries.size,
       scale.Scale.queries.size,
       sources.Export.queries.size,
+      sources.Ingest.queries.size,
       1) // wc_wordcount
     SparkEntry.queries.size shouldBe moduleSizes.sum
   }

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+class IngestSpec extends SparkSpec with Matchers {
+
+  test("ingest ledger accounts for every input line: sum(n_records) = corpus size") {
+    val ledger = Ingest.qIngestJsonl(spark, sf()).collect()
+    val total = ledger.map(_.getAs[Long]("n_records")).sum
+    total shouldBe Tables.documents(spark, sf()).count()
+  }
+
+  test("malformed plant is detected exactly: quarantine row = the mod-97 docs") {
+    val ledger = Ingest.qIngestJsonl(spark, sf())
+    val mal = ledger.filter(col("source") === "__malformed__").collect()
+    mal should have length 1
+    val expected = Tables.documents(spark, sf())
+      .filter(col("doc_id") % Ingest.MalformedMod === 0).count()
+    expected should be > 0L // the plant exists at every SF (doc_id 0)
+    mal.head.getAs[Long]("n_records") shouldBe expected
+    // quarantined, not parsed: no ids, langs, or chars attributed
+    mal.head.getAs[Long]("n_ids") shouldBe 0L
+    mal.head.getAs[Long]("n_chars") shouldBe 0L
+  }
+
+  test("parse round-trips text exactly: good records equal the parquet source set") {
+    // JSON escaping must be lossless — compare the full multiset of
+    // (source, lang, text) both directions via exceptAll
+    val good = Ingest.parsed(spark, sf())
+      .filter(!col("is_malformed"))
+      .select(col("source"), col("lang"), col("text"))
+    val orig = Tables.documents(spark, sf())
+      .filter(col("doc_id") % Ingest.MalformedMod =!= 0)
+      .select(col("source"), col("lang"), col("text"))
+    good.exceptAll(orig).count() shouldBe 0L
+    orig.exceptAll(good).count() shouldBe 0L
+  }
+
+  test("content-addressed ids are stable and collide only on identical content") {
+    val ledger = Ingest.qIngestJsonl(spark, sf())
+      .filter(col("source") =!= "__malformed__").collect()
+    // distinct (source, text) pairs from the parquet side = expected ids
+    val expected = Tables.documents(spark, sf())
+      .filter(col("doc_id") % Ingest.MalformedMod =!= 0)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("source"), col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    ledger.foreach { r =>
+      withClue(r.getAs[String]("source")) {
+        r.getAs[Long]("n_ids") shouldBe expected(r.getAs[String]("source"))
+        r.getAs[Long]("n_ids") should be <= r.getAs[Long]("n_records")
+      }
+    }
+  }
+
+  test("fixture layout: one gzip file per shard, scan parallelism = shard count") {
+    val path = Ingest.fixturePath(spark, sf())
+    val shardDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard=")).toSeq
+    shardDirs should have size Ingest.IngestShards.toLong
+    shardDirs.foreach { d =>
+      d.listFiles().count(_.getName.endsWith(".gz")) shouldBe 1
+    }
+  }
+}
