@@ -384,11 +384,124 @@ object Multimodal {
       .toDF().orderBy(col("media_id"))
   }
 
+  // ------------------------------------------------------------------
+  // REAL audio decode path: deterministic synthetic 16-bit PCM WAVs,
+  // written and read back through javax.sound.sampled (pure JDK — the
+  // same no-native-libs discipline as the PNG path). The sample FORMULA
+  // is the oracle: exact integer stats of the decoded (and decimated →
+  // re-encoded → re-decoded) stream are recomputed by DuckDB from the
+  // formula alone. A wrong RIFF header, sample width, byte order
+  // (PCM is little-endian signed here), or decimation mapping mismatches
+  // loudly. WAV bytes never cross engines.
+  // ------------------------------------------------------------------
+
+  /** PCM sample formula: s(id, i) = ((17·id + 31·i) mod 2¹⁶) − 2¹⁵ —
+    * spans the full int16 range, exact in 64-bit arithmetic on both
+    * engines.
+    */
+  private def wavSample(id: Long, i: Int): Int =
+    ((17L * id + 31L * i) % 65536L).toInt - 32768
+
+  /** Real WAV container codec over javax.sound.sampled. */
+  object WavIoCodec {
+    private def fmt(sr: Int) = new javax.sound.sampled.AudioFormat(
+      sr.toFloat, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    def encodeWav(samples: Array[Int], sr: Int): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt(sr), samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    /** (sample_rate, samples) decoded from a WAV payload. */
+    def decodeWav(payload: Array[Byte]): (Int, Array[Int]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+        !f.isBigEndian, s"unexpected decoded format: $f")
+      val pcm = ais.readAllBytes()
+      val out = new Array[Int](pcm.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff))
+        i += 1
+      }
+      (f.getSampleRate.toInt, out)
+    }
+  }
+
+  /** One synthetic audio item: a real WAV encoding of [[wavSample]] at
+    * (64 + id%97) samples, (8000 + 4000·(id%3)) Hz.
+    */
+  final case class WavItem(
+      media_id: Long, sample_rate: Int, n_samples: Int, payload: Array[Byte])
+
+  final case class WavDecodeStats(
+      media_id: Long, sr: Long, n_samples: Long,
+      sum_s: Long, sum_sq: Long, min_s: Long, max_s: Long,
+      d_n: Long, d_sum: Long, d_sum_sq: Long)
+
+  /** The WAV fixture table — encode runs executor-side (the
+    * [[pngTable]] shape); only doc_id rides in.
+    */
+  def wavTable(s: SparkSession, dir: String): Dataset[WavItem] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 64 + (id % 97).toInt
+          val sr = 8000 + 4000 * (id % 3).toInt
+          WavItem(id, sr, n,
+            WavIoCodec.encodeWav(Array.tabulate(n)(wavSample(id, _)), sr))
+        }
+      }
+  }
+
+  /** Decode + decimate through the REAL audio codec, verified against
+    * the sample formula: per item, header sample rate + exact integer
+    * sample stats, then the same after stride-2 decimation (take every
+    * 2nd sample) re-encoded as its own WAV and re-decoded —
+    * encode→decode→decimate→encode→decode, all executor-side, zero
+    * shuffles before the output sort.
+    */
+  def qMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir)
+      .mapPartitions { it =>
+        it.map { wv =>
+          val (sr, samples) = WavIoCodec.decodeWav(wv.payload)
+          val dec = Array.range(0, samples.length, 2).map(samples(_))
+          val (dsr, dsamples) =
+            WavIoCodec.decodeWav(WavIoCodec.encodeWav(dec, sr))
+          require(dsr == sr, s"decimated WAV changed rate: $sr -> $dsr")
+          WavDecodeStats(
+            wv.media_id, sr.toLong, samples.length.toLong,
+            samples.foldLeft(0L)(_ + _),
+            samples.foldLeft(0L)((a, v) => a + v.toLong * v),
+            samples.min.toLong, samples.max.toLong,
+            dsamples.length.toLong,
+            dsamples.foldLeft(0L)(_ + _),
+            dsamples.foldLeft(0L)((a, v) => a + v.toLong * v))
+        }
+      }
+      .toDF().orderBy(col("media_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_frames" -> qMultimodalFrames,
-    "q_multimodal_decode" -> qMultimodalDecode
+    "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_audio" -> qMultimodalAudio
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -450,6 +563,37 @@ object Multimodal {
         |  CAST(r.w2 AS BIGINT) AS rz_w, CAST(r.h2 AS BIGINT) AS rz_h,
         |  r.rz_sum_r, r.rz_sum_g, r.rz_sum_b
         |FROM base b JOIN rsum r USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+    // The audio oracle re-derives every statistic from the sample
+    // FORMULA (never from the WAV bytes): full-stream integer stats over
+    // i ∈ [0, n), then decimated stats over the even indices — the exact
+    // stride-2 mapping the codec round-trips through its own encoder.
+    // Agreement proves WAV encode→decode→decimate→encode→decode.
+    "q_multimodal_audio" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    64 + doc_id % 97 AS n,
+        |    8000 + 4000 * (doc_id % 3) AS sr
+        |  FROM documents),
+        |sx AS (SELECT media_id, n, sr, unnest(range(0, n)) AS i FROM ids),
+        |s AS (SELECT media_id, i,
+        |    (17 * media_id + 31 * i) % 65536 - 32768 AS v
+        |  FROM sx),
+        |base AS (SELECT media_id,
+        |    CAST(sum(v) AS BIGINT) AS sum_s,
+        |    CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |    CAST(min(v) AS BIGINT) AS min_s,
+        |    CAST(max(v) AS BIGINT) AS max_s
+        |  FROM s GROUP BY media_id),
+        |d AS (SELECT media_id,
+        |    CAST(count(*) AS BIGINT) AS d_n,
+        |    CAST(sum(v) AS BIGINT) AS d_sum,
+        |    CAST(sum(v * v) AS BIGINT) AS d_sum_sq
+        |  FROM s WHERE i % 2 = 0 GROUP BY media_id)
+        |SELECT ids.media_id, CAST(sr AS BIGINT) AS sr,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  sum_s, sum_sq, min_s, max_s, d_n, d_sum, d_sum_sq
+        |FROM ids JOIN base USING (media_id) JOIN d USING (media_id)
         |ORDER BY media_id""".stripMargin,
     "q_multimodal_frames" ->
       s"""WITH v AS (

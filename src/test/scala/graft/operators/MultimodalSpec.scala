@@ -145,4 +145,34 @@ class MultimodalSpec extends SparkSpec with Matchers {
     an[Exception] should be thrownBy
       Multimodal.ImageIoCodec.rgbSums(Array[Byte](1, 2, 3))
   }
+
+  test("WavIoCodec writes a real RIFF/WAVE container and round-trips samples exactly") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345)
+    val wav = Multimodal.WavIoCodec.encodeWav(samples, 8000)
+    // container magic: RIFF....WAVE
+    new String(wav.slice(0, 4), "US-ASCII") shouldBe "RIFF"
+    new String(wav.slice(8, 12), "US-ASCII") shouldBe "WAVE"
+    val (sr, back) = Multimodal.WavIoCodec.decodeWav(wav)
+    sr shouldBe 8000
+    back.toSeq shouldBe samples.toSeq
+  }
+
+  test("audio decode stats match a direct formula evaluation (incl. decimation)") {
+    val row = Multimodal.qMultimodalAudio(spark, sf())
+      .filter(col("media_id") === 5L).head()
+    val id = 5L
+    val n = 64 + (id % 97).toInt
+    def s(i: Int): Long = (17L * id + 31L * i) % 65536L - 32768L
+    row.getAs[Long]("sr") shouldBe 8000L + 4000L * (id % 3)
+    row.getAs[Long]("n_samples") shouldBe n.toLong
+    row.getAs[Long]("sum_s") shouldBe (0 until n).map(s).sum
+    row.getAs[Long]("min_s") shouldBe (0 until n).map(s).min
+    row.getAs[Long]("d_n") shouldBe ((n + 1) / 2).toLong
+    row.getAs[Long]("d_sum") shouldBe (0 until n by 2).map(s).sum
+  }
+
+  test("non-WAV payload fails audio decode loudly") {
+    an[Exception] should be thrownBy
+      Multimodal.WavIoCodec.decodeWav(Array[Byte](1, 2, 3, 4))
+  }
 }
