@@ -171,9 +171,97 @@ object Scale {
       .select(col("l_returnflag"), col("sum_qty"), col("n_lines"))
       .orderBy(col("l_returnflag"))
 
+  /** Hot keys of `df` under `key`: exact census, keys holding more than
+    * `threshold` rows. Bounded driver roundtrip by construction — at most
+    * |df| / threshold keys can exceed the threshold, and a deployment
+    * picks threshold ≈ the per-task row budget, so the set is tiny (it
+    * is the set AQE's skew-split would discover from shuffle stats). One
+    * map-side-combined aggregation; a Misra-Gries propose pass
+    * ([[graft.functions.FreqSketchAggregate]]) could replace the census
+    * at even larger key cardinalities, but the census is already one
+    * bounded-output shuffle.
+    */
+  private[graft] def hotKeys(
+      df: DataFrame, key: String, threshold: Long): Seq[Long] =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > threshold)
+      .select(col(key).cast("long"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** Explicit two-path skew join — the hot-key counterpart of
+    * [[saltedAgg]], for when a deployment cannot rely on AQE's runtime
+    * skew split (disabled, non-shuffle plans, or skew known up front):
+    *
+    *   - COLD path: rows whose key is not hot take the ordinary equi-join.
+    *   - HOT path: the skewed side's hot rows are salted `salts` ways
+    *     (so no reducer sees more than ~1/salts of a hot key); the other
+    *     side's hot rows — few, because hot KEYS are few even when their
+    *     rows are many — are replicated once per salt and the join runs
+    *     on (key, salt).
+    *
+    * The union is row-identical to the plain join under any row-to-salt
+    * assignment (each left row meets each matching right row in exactly
+    * one salt bucket) — a plan-only change, which is what lets the plain
+    * JOIN SQL be the oracle. Replication cost is |hot right rows|·salts,
+    * bounded by the hot-key census.
+    */
+  def skewJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      threshold: Long, salts: Int): DataFrame = {
+    val hot = hotKeys(left, leftKey, threshold)
+    if (hot.isEmpty) left.join(right, left(leftKey) === right(rightKey))
+    else {
+      val cold = left.filter(!col(leftKey).isin(hot: _*))
+        .join(right.filter(!col(rightKey).isin(hot: _*)),
+          left(leftKey) === right(rightKey))
+      val saltedL = left.filter(col(leftKey).isin(hot: _*))
+        .withColumn("__salt_l",
+          pmod(spark_partition_id() + monotonically_increasing_id(),
+            lit(salts.toLong)))
+      val replR = right.filter(col(rightKey).isin(hot: _*))
+        .withColumn("__salt_r",
+          explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+      val hotJ = saltedL
+        .join(replR, saltedL(leftKey) === replR(rightKey) &&
+          saltedL("__salt_l") === replR("__salt_r"))
+        .drop("__salt_l", "__salt_r")
+      cold.unionByName(hotJ)
+    }
+  }
+
+  /** Planted-skew twin of [[qJoinBucketed]]'s shape: every 97th orderkey
+    * in lineitem is remapped to orderkey 0, concentrating ~1% of the fact
+    * table on ONE key (67/586/6218 rows at sf0.001/0.01/0.1 — the
+    * pathological reducer AQE's skew split exists for), then the join
+    * runs through [[skewJoin]]. The oracle is the PLAIN join over the
+    * same remap — the skew machinery must be invisible in the result.
+    */
+  val SkewThreshold = 32L
+  val SkewSalts = 16
+
+  private[graft] def skewedLineitem(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      when(col("l_orderkey") % 97 === 0, 0L).otherwise(col("l_orderkey"))
+        .as("l_orderkey"),
+      col("l_extendedprice"))
+
+  def qJoinSkew(s: SparkSession, dir: String): DataFrame =
+    skewJoin(
+      skewedLineitem(s, dir),
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "l_orderkey", "o_orderkey",
+      threshold = SkewThreshold, salts = SkewSalts)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        Relational.dsum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> qJoinBucketed,
-    "q_agg_salted" -> qAggSalted
+    "q_agg_salted" -> qAggSalted,
+    "q_join_skew" -> qJoinSkew
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -183,6 +271,17 @@ object Scale {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the plain join over the same hot-key remap: the two-path skew
+    // machinery is a plan-only change
+    "q_join_skew" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM (SELECT CASE WHEN l_orderkey % 97 = 0 THEN 0 ELSE l_orderkey END
+        |        AS k, l_extendedprice
+        |      FROM lineitem) l
+        |JOIN orders ON l.k = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag,

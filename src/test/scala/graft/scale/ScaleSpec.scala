@@ -90,4 +90,38 @@ class ScaleSpec extends SparkSpec with Matchers {
     // these sessions rely on are available and enabled by default
     spark.conf.get("spark.sql.adaptive.skewJoin.enabled") shouldBe "true"
   }
+
+  test("hot-key census finds exactly the planted key") {
+    Scale.hotKeys(Scale.skewedLineitem(spark, sf()), "l_orderkey",
+      Scale.SkewThreshold) shouldBe Seq(0L)
+  }
+
+  test("skewJoin is row-identical to the plain join (plan-only change)") {
+    val li = Scale.skewedLineitem(spark, sf())
+    val ord = Tables.orders(spark, sf())
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val skew = Scale.skewJoin(li, ord, "l_orderkey", "o_orderkey",
+      Scale.SkewThreshold, Scale.SkewSalts)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("o_orderpriority"))
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("o_orderpriority"))
+    // exceptAll both ways: multiset equality (duplicate rows matter)
+    skew.exceptAll(plain).count() shouldBe 0L
+    plain.exceptAll(skew).count() shouldBe 0L
+    // the hot path actually carried rows: key 0 survives into the output
+    skew.filter(col("l_orderkey") === 0L).count() should be > Scale.SkewThreshold
+  }
+
+  test("skewJoin plan: two-path union, salted hot branch, replicated build side") {
+    val plan = Scale.qJoinSkew(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("Union") // cold branch + hot branch
+    plan should include("__salt") // hot branch joins on (key, salt)
+    // right-side salt replication (sequence folds to a literal array)
+    plan should include("Generate explode(")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
