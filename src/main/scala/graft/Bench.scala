@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - the DataFrame is memoized per query, so DSL construction + analysis
   *     — and any bounded one-time build a query performs eagerly at
   *     construction (k-means training, the persisted IVF index write) —
-  *     happen once; their cost is reported per query in "build".
+  *     happen once; their cost is reported per query in "build",
+  *     attributed as memoized-thunk time (measured inside SessionMemo)
+  *     plus the smaller of two readings of the per-construction remainder
+  *     (first construction vs a post-pass reconstruction), so wall-clock
+  *     stalls during a cheap construction cannot masquerade as build cost.
   *   - each measured pass creates a FRESH QueryExecution (noop save on the
   *     memoized DataFrame), so optimization, physical planning, and full
   *     execution including every shuffle re-run per pass — no stage or
@@ -70,15 +74,21 @@ object Bench {
 
     val memo = scala.collection.mutable.Map[String, DataFrame]()
     val buildSec = scala.collection.mutable.Map[String, Double]()
+    // build attribution inputs (see below): total construction wall and
+    // the portion spent inside SessionMemo thunks (actual one-time work)
+    val constrWall = scala.collection.mutable.Map[String, Double]()
+    val memoSec = scala.collection.mutable.Map[String, Double]()
     def dfFor(name: String): DataFrame =
       if (selfCaching(name)) {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sfDir)
       } else
         memo.getOrElseUpdate(name, {
+          val b0 = graft.operators.SessionMemo.buildNanos
           val t0 = System.nanoTime()
           val df = SparkEntry.queries(name)(spark, sfDir)
-          buildSec(name) = (System.nanoTime() - t0) / 1e9
+          constrWall(name) = (System.nanoTime() - t0) / 1e9
+          memoSec(name) = (graft.operators.SessionMemo.buildNanos - b0) / 1e9
           df
         })
 
@@ -104,6 +114,26 @@ object Bench {
       val a = pass1(n)
       val b = once(n)
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    }
+    // Build attribution (r06 lesson: a GC/JIT stall during a pure-DSL
+    // construction put a 2.89 s "build" on a plain outer join). A query's
+    // construction cost = memoized one-time work (SessionMemo thunks:
+    // k-means training, bucketed writes, BPE vocab…) + per-construction
+    // work (bounded collects building plan literals) + wall noise. The
+    // memo part is measured directly; the per-construction part is
+    // re-measured by RECONSTRUCTING the query after the passes (memos
+    // hit, so only per-construction work repeats) and taking the smaller
+    // of the two readings — a one-sided stall in either cannot survive
+    // the min. build = memo + min(first - memo, reconstruction).
+    names.filterNot(selfCaching).foreach { n =>
+      constrWall.get(n).foreach { first =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(n)(spark, sfDir)
+        catch { case _: Throwable => () }
+        val re = (System.nanoTime() - t0) / 1e9
+        val m = memoSec(n)
+        buildSec(n) = m + math.max(0.0, math.min(first - m, re))
+      }
     }
     // Two output lines. The FINAL line is the driver's contract line and is
     // kept compact (2-decimal per-query values with trailing zeros trimmed,

@@ -19,11 +19,36 @@ import org.apache.spark.sql.SparkSession
   * that actually materialized — never for ones still pending, whose
   * eventual value dies with the context anyway.
   */
+private[graft] object SessionMemo {
+  // Wall nanos spent INSIDE memo thunks, outermost only (a thunk that
+  // triggers another memo's build counts once). graft.Bench reads deltas
+  // around query construction to attribute the "build" column to actual
+  // memoized one-time work: without this, any wall-clock noise during a
+  // pure-DSL construction (GC/JIT stall) lands in the build column — the
+  // r06 BENCH_DETAIL recorded a 2.89 s "build" for the plain outer join
+  // this way.
+  private val evalNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val depth = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = Array(0)
+  }
+  def buildNanos: Long = evalNanos.get()
+  private[operators] def timed[A](thunk: () => A): A = {
+    val d = depth.get()
+    d(0) += 1
+    val t0 = System.nanoTime()
+    try thunk()
+    finally {
+      d(0) -= 1
+      if (d(0) == 0) { evalNanos.addAndGet(System.nanoTime() - t0); () }
+    }
+  }
+}
+
 private[graft] final class SessionMemo[V](cleanup: V => Unit = (_: V) => ()) {
 
   private final class Holder(thunk: () => V) {
     @volatile var done = false
-    lazy val value: V = { val v = thunk(); done = true; v }
+    lazy val value: V = { val v = SessionMemo.timed(thunk); done = true; v }
   }
 
   private val cache =
