@@ -89,19 +89,24 @@ object Ingest {
       out
     }
 
-  /** Parsed ingest frame: (source, lang, text, cid, is_malformed) — one
-    * row per input line, malformed lines carried with null fields and
-    * the raw line in `_corrupt_record`.
+  private val IngestSchema =
+    "source STRING, lang STRING, text STRING, _corrupt_record STRING"
+
+  private def parsedCols(raw: DataFrame): DataFrame =
+    raw.select(
+      col("source"), col("lang"), col("text"),
+      col("_corrupt_record").isNotNull.as("is_malformed"))
+
+  /** Parsed ingest frame: (source, lang, text, is_malformed) — one row
+    * per input line, malformed lines carried with null fields (their raw
+    * bytes live in `_corrupt_record` before projection).
     */
   private[graft] def parsed(s: SparkSession, dir: String): DataFrame =
-    s.read
-      .schema("source STRING, lang STRING, text STRING, _corrupt_record STRING")
+    parsedCols(s.read
+      .schema(IngestSchema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(fixturePath(s, dir))
-      .select(
-        col("source"), col("lang"), col("text"),
-        col("_corrupt_record").isNotNull.as("is_malformed"))
+      .json(fixturePath(s, dir)))
 
   /** Ingest ledger: per source — line count, distinct content-addressed
     * ids (re-crawl duplicates collide by design), char volume, and an
@@ -126,6 +131,43 @@ object Ingest {
         coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("n_chars"),
         coalesce(expr("bit_xor(cid)"), lit(0L)).as("id_xor"))
       .orderBy(col("source"))
+
+  /** The ALGEBRAIC subset of the ledger (no countDistinct — not
+    * expressible as a streaming running aggregate): per source, line
+    * count, char volume, and the order-independent id fingerprint.
+    * Shared verbatim by the batch query and the streaming twin, so the
+    * batch≡stream spec compares the exact same aggregation logic.
+    */
+  private[graft] def ledgerLite(parsedDf: DataFrame): DataFrame =
+    parsedDf
+      .select(
+        when(col("is_malformed"), lit("__malformed__"))
+          .otherwise(col("source")).as("source"),
+        when(col("is_malformed"), lit(null)).otherwise(contentId).as("cid"),
+        when(col("is_malformed"), lit(null))
+          .otherwise(length(col("text"))).as("n_chars"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("n_chars"),
+        coalesce(expr("bit_xor(cid)"), lit(0L)).as("id_xor"))
+
+  /** STREAMING ingest twin — the arrival mode of real crawl dumps: a
+    * directory that fills with gzip JSONL shards, each micro-batch
+    * ingesting the shards that appeared since the last trigger
+    * (`maxFilesPerTrigger=1` makes one shard per batch). Same PERMISSIVE
+    * parse, same quarantine, same [[ledgerLite]] aggregation as batch —
+    * complete-mode running totals per source. IngestSpec proves the
+    * final snapshot equals the batch ledger over the same shards.
+    */
+  def ingestStream(
+      s: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    ledgerLite(parsedCols(s.readStream
+      .schema(IngestSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(fixturePath(s, dir))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_jsonl" -> qIngestJsonl

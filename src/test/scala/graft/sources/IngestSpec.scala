@@ -57,6 +57,30 @@ class IngestSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("streaming ingest twin: shard-at-a-time arrival converges to the batch ledger") {
+    val q = Ingest.ingestStream(spark, sf())
+      .writeStream
+      .format("memory")
+      .queryName("ingest_ledger")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      // shard-per-trigger arrival really happened: at least one trigger
+      // per fixture shard ingested rows
+      q.recentProgress.count(_.numInputRows > 0) should be >= Ingest.IngestShards
+      val streamed = spark.table("ingest_ledger")
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      val batch = Ingest.ledgerLite(Ingest.parsed(spark, sf()))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      streamed shouldBe batch
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS ingest_ledger")
+      ()
+    }
+  }
+
   test("fixture layout: one gzip file per shard, scan parallelism = shard count") {
     val path = Ingest.fixturePath(spark, sf())
     val shardDirs = new java.io.File(path).listFiles()
