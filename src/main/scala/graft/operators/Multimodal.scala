@@ -496,12 +496,53 @@ object Multimodal {
       .toDF().orderBy(col("media_id"))
   }
 
+  /** Audio feature window: 16 samples per energy bin. */
+  val AudioWindow = 16
+
+  final case class WavFeatStats(
+      media_id: Long, n_windows: Long,
+      e_total: Long, e_max: Long, e_argmax: Long, e_xor: Long)
+
+  /** Windowed-energy features over DECODED audio — the fingerprint an
+    * audio dedup/similarity stack keys on (Shazam-class systems hash
+    * exactly this profile): energy(k) = Σ s(i)² over window k of
+    * [[AudioWindow]] samples (tail window partial). Exact integers, so
+    * the per-item profile summary (total/max/argmax/xor) is
+    * formula-derivable in DuckDB through the REAL codec: any header,
+    * byte-order, or windowing error shifts the integers loudly.
+    * Row-local decode + fold, zero shuffles before the output sort.
+    */
+  def qMultimodalAudioFeat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir)
+      .mapPartitions { it =>
+        it.map { wv =>
+          val (_, samples) = WavIoCodec.decodeWav(wv.payload)
+          val nw = (samples.length + AudioWindow - 1) / AudioWindow
+          val e = Array.tabulate(nw) { k =>
+            var acc = 0L
+            var i = k * AudioWindow
+            val end = math.min(i + AudioWindow, samples.length)
+            while (i < end) { acc += samples(i).toLong * samples(i); i += 1 }
+            acc
+          }
+          val maxE = e.max
+          WavFeatStats(
+            wv.media_id, nw.toLong, e.sum, maxE,
+            e.indexWhere(_ == maxE).toLong,
+            e.foldLeft(0L)(_ ^ _))
+        }
+      }
+      .toDF().orderBy(col("media_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_decode" -> qMultimodalDecode,
-    "q_multimodal_audio" -> qMultimodalAudio
+    "q_multimodal_audio" -> qMultimodalAudio,
+    "q_multimodal_audio_feat" -> qMultimodalAudioFeat
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -595,6 +636,26 @@ object Multimodal {
         |  sum_s, sum_sq, min_s, max_s, d_n, d_sum, d_sum_sq
         |FROM ids JOIN base USING (media_id) JOIN d USING (media_id)
         |ORDER BY media_id""".stripMargin,
+    "q_multimodal_audio_feat" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id AS media_id, 64 + doc_id % 97 AS n FROM documents),
+         |sx AS (SELECT media_id, unnest(range(0, n)) AS i FROM ids),
+         |s AS (SELECT media_id, i // $AudioWindow AS k,
+         |    (17 * media_id + 31 * i) % 65536 - 32768 AS v
+         |  FROM sx),
+         |e AS (SELECT media_id, k, CAST(sum(v * v) AS BIGINT) AS e
+         |  FROM s GROUP BY media_id, k),
+         |mx AS (SELECT media_id, max(e) AS e_max FROM e GROUP BY media_id),
+         |agg AS (SELECT e.media_id,
+         |    count(*) AS n_windows,
+         |    CAST(sum(e.e) AS BIGINT) AS e_total,
+         |    CAST(min(CASE WHEN e.e = mx.e_max THEN e.k END) AS BIGINT)
+         |      AS e_argmax,
+         |    bit_xor(e.e) AS e_xor
+         |  FROM e JOIN mx USING (media_id) GROUP BY e.media_id)
+         |SELECT agg.media_id, n_windows, e_total, mx.e_max, e_argmax, e_xor
+         |FROM agg JOIN mx USING (media_id)
+         |ORDER BY media_id""".stripMargin,
     "q_multimodal_frames" ->
       s"""WITH v AS (
          |  SELECT doc_id AS media_id, text,

@@ -171,6 +171,21 @@ class MultimodalSpec extends SparkSpec with Matchers {
     row.getAs[Long]("d_sum") shouldBe (0 until n by 2).map(s).sum
   }
 
+  test("windowed audio energies match a direct formula evaluation") {
+    val id = 7L
+    val row = Multimodal.qMultimodalAudioFeat(spark, sf())
+      .filter(col("media_id") === id).head()
+    val n = 64 + (id % 97).toInt
+    def s(i: Int): Long = (17L * id + 31L * i) % 65536L - 32768L
+    val e = (0 until n).grouped(Multimodal.AudioWindow)
+      .map(_.map(i => s(i) * s(i)).sum).toSeq
+    row.getAs[Long]("n_windows") shouldBe e.length.toLong
+    row.getAs[Long]("e_total") shouldBe e.sum
+    row.getAs[Long]("e_max") shouldBe e.max
+    row.getAs[Long]("e_argmax") shouldBe e.indexOf(e.max).toLong
+    row.getAs[Long]("e_xor") shouldBe e.foldLeft(0L)(_ ^ _)
+  }
+
   test("non-WAV payload fails audio decode loudly") {
     an[Exception] should be thrownBy
       Multimodal.WavIoCodec.decodeWav(Array[Byte](1, 2, 3, 4))
