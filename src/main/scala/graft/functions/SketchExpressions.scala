@@ -240,9 +240,11 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
   * `list_transform(range(0, (len(tk)+k-1)//k),
   *    i -> array_to_string(tk[i*k+1 : i*k+k], ' '))` in DuckDB.
   */
-case class TokenChunks(child: Expression, k: Int) extends UnaryExpression
+case class TokenChunks(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(k >= 1, s"chunk size must be >= 1, got $k")
+  require(stride >= 1, s"stride must be >= 1, got $stride")
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def prettyName: String = "token_chunks"
@@ -257,12 +259,15 @@ case class TokenChunks(child: Expression, k: Int) extends UnaryExpression
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val len = arr.numElements()
-    val nOut = (len + k - 1) / k
+    // chunk i covers [i·stride, i·stride + k); stride == k is the
+    // non-overlapping line case, stride < k the overlapping RAG/window
+    // case — one start per stride while it lands inside the array
+    val nOut = (len + stride - 1) / stride
     val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     val out = new Array[Any](nOut)
     var i = 0
     while (i < nOut) {
-      val from = i * k
+      val from = i * stride
       val until = math.min(from + k, len)
       val parts = new Array[org.apache.spark.unsafe.types.UTF8String](until - from)
       var j = from
@@ -724,7 +729,13 @@ object SketchExpressions {
   def md5Prefix60(arr: Column): Column =
     GraftColumnBridge.column(Md5Prefix60Array(GraftColumnBridge.expression(arr)))
   def tokenChunks(tokens: Column, k: Int): Column =
-    GraftColumnBridge.column(TokenChunks(GraftColumnBridge.expression(tokens), k))
+    GraftColumnBridge.column(
+      TokenChunks(GraftColumnBridge.expression(tokens), k, k))
+
+  /** Overlapping chunk windows: width `k`, one chunk per `stride`. */
+  def tokenChunksStrided(tokens: Column, k: Int, stride: Int): Column =
+    GraftColumnBridge.column(
+      TokenChunks(GraftColumnBridge.expression(tokens), k, stride))
   def elementsAt(arr: Column, idxs: Column): Column =
     GraftColumnBridge.column(ElementsAt(
       GraftColumnBridge.expression(arr), GraftColumnBridge.expression(idxs)))

@@ -910,6 +910,36 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Overlapping-window document chunking — the RAG/context-window prep
+    * step (width [[ChunkWidth]] tokens, stride [[ChunkStride]], so
+    * consecutive chunks share width−stride tokens): per doc, the chunk
+    * inventory plus content fingerprints. One pass of the strided
+    * [[graft.functions.SketchExpressions.tokenChunksStrided]] codegen
+    * chunker — the same expression class the line-dedup family uses at
+    * stride = width — so the whole query is a pure map stage at any
+    * corpus size; chunk text never leaves the row (fingerprints only).
+    */
+  val ChunkWidth = 12
+  val ChunkStride = 8
+
+  def qChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions
+          .tokenChunksStrided(tk, ChunkWidth, ChunkStride).as("chunks"),
+        size(tk).cast("long").as("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        when(size(col("chunks")) > 0, md5(element_at(col("chunks"), 1)))
+          .otherwise(lit(null)).as("first_chunk_md5"),
+        aggregate(
+          graft.functions.SketchExpressions.md5Prefix60(col("chunks")),
+          lit(0L), (a, b) => a.bitwiseXOR(b)).as("chunk_xor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus data card (the composition table a curation team publishes
     * with a dataset): per (source, language) — document count, token
     * mass, Gopher-gate survival, mean quality score. One scan of
@@ -1049,6 +1079,7 @@ object TextAnalysis {
     "q_gopher_ngram" -> qGopherNgram,
     "q_quality_classifier" -> qQualityClassifier,
     "q_quality_train" -> qQualityTrain,
+    "q_chunk_overlap" -> qChunkOverlap,
     "q_data_card" -> qDataCard,
     "q_text_entropy" -> qTextEntropy,
     "q_bm25" -> qBm25,
@@ -1276,6 +1307,26 @@ object TextAnalysis {
          |    THEN 1 ELSE 0 END AS BIGINT) AS r_dup5
          |  FROM rep)
          |ORDER BY doc_id""".stripMargin,
+    "q_chunk_overlap" ->
+      s"""WITH tt AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |              x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |c AS (SELECT doc_id, len(tk) AS n_tokens,
+         |  list_transform(range(0, (len(tk) + ${ChunkStride - 1}) // $ChunkStride),
+         |    i -> array_to_string(
+         |      tk[i*$ChunkStride+1 : i*$ChunkStride+$ChunkWidth], ' '))
+         |    AS chunks
+         |  FROM tt)
+         |SELECT doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(len(chunks) AS BIGINT) AS n_chunks,
+         |  CASE WHEN len(chunks) > 0 THEN md5(chunks[1]) END
+         |    AS first_chunk_md5,
+         |  CAST(coalesce(list_aggregate(list_transform(chunks,
+         |    c -> ('0x' || substr(md5(c), 1, 15))::BIGINT), 'bit_xor'), 0)
+         |    AS BIGINT) AS chunk_xor
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q_quality_train" -> {
       // statically unrolled pocket-perceptron rounds (the BPE-merge CTE
       // discipline). Round 1's update is the closed form (w_0 = 0 ⇒ every

@@ -180,12 +180,26 @@ class ExpressionParitySpec extends AnyFunSuite with Matchers {
   test("TokenChunks: equals grouped(k) with the partial tail kept") {
     for (k <- Seq(1, 3, 10); ts <- samples(toksGen, 25)) {
       val expr = TokenChunks(
-        BoundReference(0, ArrayType(StringType), nullable = false), k)
+        BoundReference(0, ArrayType(StringType), nullable = false), k, k)
       val row = InternalRow(new GenericArrayData(
         ts.map(UTF8String.fromString).toArray))
       val got = expr.eval(row).asInstanceOf[ArrayData]
         .toObjectArray(StringType).map(_.toString).toSeq
       got shouldBe ts.grouped(k).map(_.mkString(" ")).toSeq
+    }
+  }
+
+  test("TokenChunks strided: sliding(k, stride) with partial tails kept") {
+    for (k <- Seq(3, 10); stride <- Seq(1, 2, k); ts <- samples(toksGen, 25)) {
+      val expr = TokenChunks(
+        BoundReference(0, ArrayType(StringType), nullable = false), k, stride)
+      val row = InternalRow(new GenericArrayData(
+        ts.map(UTF8String.fromString).toArray))
+      val got = expr.eval(row).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+      val expected = (0 until ts.length by stride)
+        .map(from => ts.slice(from, from + k).mkString(" "))
+      got shouldBe expected
     }
   }
 
