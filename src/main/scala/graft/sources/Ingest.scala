@@ -169,11 +169,94 @@ object Ingest {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(fixturePath(s, dir))))
 
+  /** Offset for ids that "appear" in the next crawl snapshot. */
+  val CrawlAddOffset = 20000000L
+
+  /** Deterministic next-crawl snapshot derived from `documents`
+    * (snapshot A): every 13th doc gone, every 11th surviving doc edited,
+    * every 17th doc re-crawled under a new id with an addendum — the
+    * three mutation classes a real crawl delta contains.
+    */
+  private[graft] def snapshotB(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    docs
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + CrawlAddOffset).as("doc_id"), col("source"),
+          concat(col("text"), lit(" addendum")).as("text")))
+  }
+
+  /** Crawl delta report — the between-snapshots ledger a curation team
+    * reads before re-running the pipeline: per source, how many docs are
+    * unchanged / edited / added / removed between snapshot A and B.
+    *
+    * Scale shape: fingerprints (md5) are computed BEFORE the join, so
+    * the full-outer join on doc_id shuffles (id, 16-byte hash, source) —
+    * text never rides an Exchange. At 100 TB this is the two-snapshot
+    * fingerprint-table join, corpus-linear, no other pass needed.
+    */
+  def qCrawlDelta(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source").as("src_a"),
+        md5(col("text")).as("h_a"))
+    val b = snapshotB(s, dir)
+      .select(col("doc_id"), col("source").as("src_b"),
+        md5(col("text")).as("h_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") === col("h_b"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("n_removed"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ingest_jsonl" -> qIngestJsonl
+    "q_ingest_jsonl" -> qIngestJsonl,
+    "q_crawl_delta" -> qCrawlDelta
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_crawl_delta" ->
+      s"""WITH a AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         |b AS (SELECT doc_id, source,
+         |    md5(text || CASE WHEN doc_id % 11 = 0 THEN ' updated'
+         |                     ELSE '' END) AS h
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $CrawlAddOffset AS doc_id, source,
+         |    md5(text || ' addendum') AS h
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |d AS (SELECT coalesce(a.source, b.source) AS source,
+         |    CASE WHEN a.doc_id IS NULL THEN 'added'
+         |         WHEN b.doc_id IS NULL THEN 'removed'
+         |         WHEN a.h = b.h THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         |SELECT source,
+         |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_unchanged,
+         |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_changed,
+         |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_added,
+         |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q_ingest_jsonl" ->
       s"""WITH good AS (SELECT source, lang, text,
          |  ('0x' || substr(md5(source || chr(1) || text), 1, 15))::BIGINT

@@ -81,6 +81,23 @@ class IngestSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("crawl delta: class totals match the plant rules") {
+    val rows = Ingest.qCrawlDelta(spark, sf()).collect()
+    def total(c: String) = rows.map(_.getAs[Long](c)).sum
+    val docs = Tables.documents(spark, sf())
+    val n = docs.count()
+    val removed = docs.filter(col("doc_id") % 13 === 0).count()
+    val added = docs.filter(col("doc_id") % 17 === 0).count()
+    val changed = docs
+      .filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 11 === 0).count()
+    total("n_removed") shouldBe removed
+    total("n_added") shouldBe added
+    total("n_changed") shouldBe changed
+    total("n_unchanged") shouldBe n - removed - changed
+    // every mutation class is represented at every SF
+    Seq(removed, added, changed).foreach(_ should be > 0L)
+  }
+
   test("fixture layout: one gzip file per shard, scan parallelism = shard count") {
     val path = Ingest.fixturePath(spark, sf())
     val shardDirs = new java.io.File(path).listFiles()
