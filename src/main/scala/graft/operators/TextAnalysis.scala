@@ -940,6 +940,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Offset for the funnel's planted re-crawl duplicates. */
+  val FunnelDupOffset = 30000000L
+
+  /** End-to-end curation FUNNEL — the stage-by-stage survivor ledger
+    * every curation run logs (ingest → quality gate → dedup), per
+    * source: docs and token mass in, Gopher-gate survivors, exact-dedup
+    * keep-first survivors, final token mass. The corpus plants re-crawl
+    * duplicates (every 7th doc again under a new id) so the dedup stage
+    * demonstrably removes mass.
+    *
+    * Scale shape: Gopher flags are row-local; the dedup stage shuffles
+    * only (md5, doc_id) for the keep-first resolution and joins the
+    * 1-row-per-hash result back — text never rides an Exchange; one
+    * corpus-linear pass end to end.
+    */
+  def qCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val docs = base.union(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + FunnelDupOffset).as("doc_id"),
+          col("source"), col("text")))
+    val g = withGopherCols(docs)
+      .select(col("doc_id"), col("source"), col("n_words"), col("keep"),
+        md5(col("text")).as("h"))
+    val first = g.filter(col("keep") === 1L)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    g.join(first, Seq("h"), "left_outer")
+      .withColumn("survived",
+        when(col("keep") === 1L && col("doc_id") === col("first_id"), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("keep")).as("n_gopher"),
+        sum(col("survived")).as("n_unique"),
+        sum(when(col("survived") === 1L, col("n_words")).otherwise(0L))
+          .as("n_tokens_final"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus data card (the composition table a curation team publishes
     * with a dataset): per (source, language) — document count, token
     * mass, Gopher-gate survival, mean quality score. One scan of
@@ -1080,6 +1122,7 @@ object TextAnalysis {
     "q_quality_classifier" -> qQualityClassifier,
     "q_quality_train" -> qQualityTrain,
     "q_chunk_overlap" -> qChunkOverlap,
+    "q_curation_funnel" -> qCurationFunnel,
     "q_data_card" -> qDataCard,
     "q_text_entropy" -> qTextEntropy,
     "q_bm25" -> qBm25,
@@ -1123,11 +1166,11 @@ object TextAnalysis {
     * carried through — the SQL twin of [[withGopherCols]], used by both
     * the q_gopher and q_data_card oracles.
     */
-  private def gopherSqlCtes(passCols: String): String =
+  private def gopherSqlCtes(passCols: String, from: String = "documents"): String =
     s"""t AS (SELECT $passCols, text,
        |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
        |              x -> length(x) > 0) AS tk
-       |  FROM documents),
+       |  FROM $from),
        |m AS (SELECT $passCols, text,
        |  CAST(len(tk) AS BIGINT) AS n_words,
        |  CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk)
@@ -1307,6 +1350,28 @@ object TextAnalysis {
          |    THEN 1 ELSE 0 END AS BIGINT) AS r_dup5
          |  FROM rep)
          |ORDER BY doc_id""".stripMargin,
+    "q_curation_funnel" ->
+      s"""WITH fd AS (SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $FunnelDupOffset AS doc_id, source, text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |${gopherSqlCtes("doc_id, source", "fd")},
+         |gg AS (SELECT doc_id, source, n_words,
+         |    CASE WHEN r_words + r_word_len + r_stop + r_dup = 4
+         |      THEN 1 ELSE 0 END AS keep,
+         |    md5(text) AS h
+         |  FROM f),
+         |fst AS (SELECT h, min(doc_id) AS first_id
+         |  FROM gg WHERE keep = 1 GROUP BY h)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         |  CAST(sum(keep) AS BIGINT) AS n_gopher,
+         |  CAST(sum(CASE WHEN keep = 1 AND doc_id = first_id
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN keep = 1 AND doc_id = first_id
+         |    THEN n_words ELSE 0 END) AS BIGINT) AS n_tokens_final
+         |FROM gg LEFT JOIN fst USING (h)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q_chunk_overlap" ->
       s"""WITH tt AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(text), '[^a-z]+'),

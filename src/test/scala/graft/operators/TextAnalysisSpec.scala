@@ -355,6 +355,25 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     accuracy should be >= 0.85
   }
 
+  test("curation funnel: monotone stages, dedup removes the planted re-crawls") {
+    val rows = TextAnalysis.qCurationFunnel(spark, sf()).collect()
+    rows.foreach { r =>
+      val (d, g, u) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_gopher"),
+        r.getAs[Long]("n_unique"))
+      withClue(r.getAs[String]("source")) {
+        g should be <= d
+        u should be <= g
+        r.getAs[Long]("n_tokens_final") should be <= r.getAs[Long]("n_tokens")
+      }
+    }
+    // the planted duplicates inflate n_docs beyond the base corpus…
+    val base = graft.tables.Tables.documents(spark, sf()).count()
+    rows.map(_.getAs[Long]("n_docs")).sum should be > base
+    // …and the dedup stage demonstrably removes mass
+    rows.map(_.getAs[Long]("n_unique")).sum should be <
+      rows.map(_.getAs[Long]("n_gopher")).sum
+  }
+
   test("deployed trained classifier scores row-locally: no join, no window") {
     val plan = TextAnalysis.qQualityTrain(spark, sf())
       .queryExecution.executedPlan.toString
