@@ -258,10 +258,73 @@ object Scale {
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderpriority"))
 
+  /** Bloom-prefiltered join — the shuffle-volume reducer for a
+    * selective-dimension ⋈ huge-fact join (what Spark's own
+    * InjectRuntimeFilter does adaptively, made explicit and pinnable):
+    * build a Bloom filter over the dimension keys (ONE bounded-size
+    * binary, collected driver-side and shipped as a plan literal — the
+    * ANN-centroid pattern), drop fact rows that cannot match BEFORE the
+    * join Exchange, then run the exact join. False positives pass the
+    * prefilter and are eliminated by the join, so the result is
+    * row-identical to the plain join at any fpp — a plan-only change;
+    * the plain-join SQL is the oracle. At 100 TB: a 1M-key dimension is
+    * a ~1 MB task-shipped filter that spares the shuffle the >90% of
+    * fact rows a selective dimension never matches.
+    */
+  /** The fact side filtered by a dimension-key Bloom literal — exposed
+    * so the selectivity contract is testable on its own: passes every
+    * matching row (no misses, ever), drops most non-matching rows
+    * (false positives bounded by the fpp).
+    */
+  private[graft] def bloomPrefilter(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    def keyHash(c: org.apache.spark.sql.Column) =
+      new XxHash64(Seq(GraftColumnBridge.expression(c)))
+    val nKeys = math.max(right.select(col(rightKey)).distinct().count(), 64L)
+    val bits = right
+      .agg(GraftColumnBridge.column(
+        new BloomFilterAggregate(keyHash(right(rightKey)), nKeys)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    left.filter(GraftColumnBridge.column(
+      new BloomFilterMightContain(
+        Literal.create(bits, org.apache.spark.sql.types.BinaryType),
+        keyHash(left(leftKey)))))
+  }
+
+  def bloomJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val prefiltered = bloomPrefilter(left, right, leftKey, rightKey)
+    prefiltered.join(right, prefiltered(leftKey) === right(rightKey))
+  }
+
+  /** [[Relational.qJoinShuffle]]'s shape with a SELECTIVE dimension
+    * (high-value orders only) routed through [[bloomJoin]]: the fact
+    * scan drops non-matching rows at the filter, the exact join cleans
+    * up false positives, the result is bit-identical to the plain join.
+    */
+  def qJoinBloom(s: SparkSession, dir: String): DataFrame =
+    bloomJoin(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice")),
+      Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        Relational.dsum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> qJoinBucketed,
     "q_agg_salted" -> qAggSalted,
-    "q_join_skew" -> qJoinSkew
+    "q_join_skew" -> qJoinSkew,
+    "q_join_bloom" -> qJoinBloom
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -271,6 +334,14 @@ object Scale {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the plain selective join: the bloom prefilter is a plan-only change
+    "q_join_bloom" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 300000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the plain join over the same hot-key remap: the two-path skew
     // machinery is a plan-only change

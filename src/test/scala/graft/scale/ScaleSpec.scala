@@ -114,6 +114,28 @@ class ScaleSpec extends SparkSpec with Matchers {
     skew.filter(col("l_orderkey") === 0L).count() should be > Scale.SkewThreshold
   }
 
+  test("bloomJoin equals the plain join and its prefilter is selective") {
+    val li = Tables.lineitem(spark, sf())
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val dim = Tables.orders(spark, sf())
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bloom = Scale.bloomJoin(li, dim, "l_orderkey", "o_orderkey")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("o_orderpriority"))
+    val plain = li.join(dim, li("l_orderkey") === dim("o_orderkey"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("o_orderpriority"))
+    bloom.exceptAll(plain).count() shouldBe 0L
+    plain.exceptAll(bloom).count() shouldBe 0L
+    // the prefilter is in the plan and actually drops fact rows before
+    // the join (false positives allowed, misses never)
+    val plan = bloom.queryExecution.executedPlan.toString
+    plan should include("might_contain")
+    val pre = Scale.bloomPrefilter(li, dim, "l_orderkey", "o_orderkey").count()
+    val matched = plain.count()
+    pre should be >= matched // no misses: every joining row passes
+    pre should be < li.count() // the filter genuinely drops fact rows
+  }
+
   test("skewJoin plan: two-path union, salted hot branch, replicated build side") {
     val plan = Scale.qJoinSkew(spark, sf())
       .queryExecution.executedPlan.toString
