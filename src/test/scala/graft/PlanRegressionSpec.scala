@@ -310,6 +310,40 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
       .count(_ == "Exchange hashpartitioning") shouldBe 2
   }
 
+  test("q_chunk_overlap is a pure map stage: strided chunker row-local, no aggregate") {
+    val plan = TextAnalysis.qChunkOverlap(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("token_chunks")
+    plan should not include "HashAggregate"
+    plan should not include "Join"
+  }
+
+  test("q_crawl_delta: fingerprints computed before the join — text never rides the Exchange") {
+    val df = graft.sources.Ingest.qCrawlDelta(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    // every exchange payload is (doc_id, source, md5) — the text column
+    // must not appear in any hashpartitioning exchange's output
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    exchanges should not be empty
+    exchanges.foreach(_ should not include "text#")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q_ingest_jsonl: gzip shard scan parallelism equals the shard count") {
+    graft.sources.Ingest.parsed(spark, sf())
+      .rdd.getNumPartitions shouldBe graft.sources.Ingest.IngestShards
+  }
+
+  test("q_curation_funnel: dedup resolution shuffles hashes, not text") {
+    val plan = TextAnalysis.qCurationFunnel(spark, sf())
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    exchanges.foreach(_ should not include "text#")
+    plan should not include "CartesianProduct"
+  }
+
   test("q_bm25: the bounded scored side broadcasts into the corpus-stat joins") {
     val plan = TextAnalysis.qBm25(spark, sf())
       .queryExecution.executedPlan.toString
