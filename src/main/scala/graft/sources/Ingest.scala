@@ -225,9 +225,33 @@ object Ingest {
       .orderBy(col("source"))
   }
 
+  /** Vocabulary drift between crawl snapshots — the monitoring signal
+    * that catches a crawler or extraction regression before training
+    * does: distinct-token census of A and B, tokens entering and leaving
+    * the vocabulary. Two corpus-linear explode→distinct passes and one
+    * vocabulary-sized full-outer join (vocabulary ≪ corpus at any
+    * scale); one global row out.
+    */
+  def qVocabDrift(s: SparkSession, dir: String): DataFrame = {
+    def vocab(df: DataFrame, name: String): DataFrame =
+      df.select(explode(
+        filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
+        .as("tok"))
+        .distinct()
+        .withColumn(name, lit(1L))
+    vocab(Tables.documents(s, dir), "in_a")
+      .join(vocab(snapshotB(s, dir), "in_b"), Seq("tok"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_a"), lit(0L))).as("n_vocab_a"),
+        sum(coalesce(col("in_b"), lit(0L))).as("n_vocab_b"),
+        sum(when(col("in_a").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("in_b").isNull, 1L).otherwise(0L)).as("n_lost"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_jsonl" -> qIngestJsonl,
-    "q_crawl_delta" -> qCrawlDelta
+    "q_crawl_delta" -> qCrawlDelta,
+    "q_vocab_drift" -> qVocabDrift
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -257,6 +281,26 @@ object Ingest {
          |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_removed
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_vocab_drift" ->
+      s"""WITH bdocs AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' updated' ELSE '' END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $CrawlAddOffset, text || ' addendum'
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |va AS (SELECT DISTINCT unnest(list_filter(
+         |    string_split_regex(lower(text), '[^a-z]+'),
+         |    x -> length(x) > 0)) AS tok FROM documents),
+         |vb AS (SELECT DISTINCT unnest(list_filter(
+         |    string_split_regex(lower(text), '[^a-z]+'),
+         |    x -> length(x) > 0)) AS tok FROM bdocs)
+         |SELECT
+         |  CAST((SELECT count(*) FROM va) AS BIGINT) AS n_vocab_a,
+         |  CAST((SELECT count(*) FROM vb) AS BIGINT) AS n_vocab_b,
+         |  CAST((SELECT count(*) FROM vb WHERE tok NOT IN (SELECT tok FROM va))
+         |    AS BIGINT) AS n_new,
+         |  CAST((SELECT count(*) FROM va WHERE tok NOT IN (SELECT tok FROM vb))
+         |    AS BIGINT) AS n_lost""".stripMargin,
     "q_ingest_jsonl" ->
       s"""WITH good AS (SELECT source, lang, text,
          |  ('0x' || substr(md5(source || chr(1) || text), 1, 15))::BIGINT

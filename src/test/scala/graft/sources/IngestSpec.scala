@@ -98,6 +98,14 @@ class IngestSpec extends SparkSpec with Matchers {
     Seq(removed, added, changed).foreach(_ should be > 0L)
   }
 
+  test("vocab drift: the snapshot edits introduce exactly their new tokens") {
+    val r = Ingest.qVocabDrift(spark, sf()).head()
+    // ' updated' and ' addendum' are the only token-level additions
+    r.getAs[Long]("n_new") shouldBe 2L
+    r.getAs[Long]("n_vocab_b") shouldBe r.getAs[Long]("n_vocab_a") +
+      r.getAs[Long]("n_new") - r.getAs[Long]("n_lost")
+  }
+
   test("fixture layout: one gzip file per shard, scan parallelism = shard count") {
     val path = Ingest.fixturePath(spark, sf())
     val shardDirs = new java.io.File(path).listFiles()
