@@ -834,11 +834,18 @@ object TextAnalysis {
     * deployed scan; the TokenChunks-class fix is not warranted at this
     * cost).
     */
+  /** Train/test assignment modulus and boundary (md5 bucket of doc_id:
+    * buckets 0-7 train, 8-9 held out).
+    */
+  val QtSplitMod = 10
+  val QtTrainBuckets = 8
+
   private def qtDocs(s: SparkSession, dir: String): DataFrame = {
     val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
     Tables.documents(s, dir)
       .select(
         col("doc_id"), col("source"),
+        Sampling.hashBucket(col("doc_id"), QtSplitMod).as("bucket"),
         when(size(filter(tk, t => t === "join")) >
           size(filter(tk, t => t === "scan")), 1L).otherwise(-1L).as("y"),
         concat(
@@ -859,31 +866,41 @@ object TextAnalysis {
     * oracle's ORDER BY err, t); then w += Σ_{docs: y·m ≤ 0} y·x
     * (w_0 = 0 ⇒ round 1's update sums every document).
     */
+  private def trainPocket(trainDocs: DataFrame): Seq[Long] = {
+    val docs = trainDocs.persist()
+    try {
+      val w = Array.fill(QtBuckets + 1)(0L)
+      var pocket = w.clone()
+      var pocketErr = Long.MaxValue
+      for (_ <- 1 to QtRounds) {
+        val wlit = typedLit(w.toSeq)
+        val margins = docs.withColumn("m", qtMargin(wlit))
+        val err = margins
+          .filter((col("m") > 0L) =!= (col("y") === 1L)).count()
+        if (err < pocketErr) { pocket = w.clone(); pocketErr = err }
+        margins
+          .filter(col("y") * col("m") <= 0)
+          .select(col("y"), explode(col("ss")).as("slot"))
+          .groupBy(col("slot")).agg(sum(col("y")).as("dw"))
+          .collect()
+          .foreach(r => w(r.getAs[Long]("slot").toInt) +=
+            r.getAs[Long]("dw"))
+      }
+      pocket.toSeq
+    } finally { docs.unpersist(blocking = false); () }
+  }
+
   private val qtWeightsMemo = new SessionMemo[Seq[Long]]()
   private[graft] def qtWeights(s: SparkSession, dir: String): Seq[Long] =
-    qtWeightsMemo.getOrElseUpdate(s, dir) {
-      val docs = qtDocs(s, dir).persist()
-      try {
-        val w = Array.fill(QtBuckets + 1)(0L)
-        var pocket = w.clone()
-        var pocketErr = Long.MaxValue
-        for (_ <- 1 to QtRounds) {
-          val wlit = typedLit(w.toSeq)
-          val margins = docs.withColumn("m", qtMargin(wlit))
-          val err = margins
-            .filter((col("m") > 0L) =!= (col("y") === 1L)).count()
-          if (err < pocketErr) { pocket = w.clone(); pocketErr = err }
-          margins
-            .filter(col("y") * col("m") <= 0)
-            .select(col("y"), explode(col("ss")).as("slot"))
-            .groupBy(col("slot")).agg(sum(col("y")).as("dw"))
-            .collect()
-            .foreach(r => w(r.getAs[Long]("slot").toInt) +=
-              r.getAs[Long]("dw"))
-        }
-        pocket.toSeq
-      } finally { docs.unpersist(blocking = false); () }
-    }
+    qtWeightsMemo.getOrElseUpdate(s, dir)(trainPocket(qtDocs(s, dir)))
+
+  /** Weights trained on the TRAIN buckets only — the honest-evaluation
+    * twin [[qQualityTrainEval]] deploys.
+    */
+  private val qtEvalWeightsMemo = new SessionMemo[Seq[Long]]()
+  private[graft] def qtEvalWeights(s: SparkSession, dir: String): Seq[Long] =
+    qtEvalWeightsMemo.getOrElseUpdate(s, dir)(
+      trainPocket(qtDocs(s, dir).filter(col("bucket") < QtTrainBuckets)))
 
   /** Deploy the pocketed weights (plan literal, the fastText shape) and
     * report the per-source confusion ledger + exact integer margin mass —
@@ -908,6 +925,33 @@ object TextAnalysis {
           .as("tn"),
         sum(col("m")).as("margin_sum"))
       .orderBy(col("source"))
+  }
+
+  /** Held-out evaluation of the trained classifier — the honest
+    * deployment readout: weights trained on the md5-split TRAIN buckets
+    * only, confusion reported per split. Generalization (test ≈ train
+    * accuracy) is what licenses turning the filter on; same row-local
+    * scoring plan, one 2-group aggregation.
+    */
+  def qQualityTrainEval(s: SparkSession, dir: String): DataFrame = {
+    val wlit = typedLit(qtEvalWeights(s, dir))
+    qtDocs(s, dir)
+      .withColumn("m", qtMargin(wlit))
+      .withColumn("pred", when(col("m") > 0L, 1L).otherwise(-1L))
+      .groupBy(when(col("bucket") < QtTrainBuckets, "train")
+        .otherwise("test").as("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === 1L && col("y") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("pred") === 1L && col("y") === -1L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("pred") === -1L && col("y") === 1L, 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(col("pred") === -1L && col("y") === -1L, 1L).otherwise(0L))
+          .as("tn"),
+        sum(col("m")).as("margin_sum"))
+      .orderBy(col("split"))
   }
 
   /** Overlapping-window document chunking — the RAG/context-window prep
@@ -1121,6 +1165,7 @@ object TextAnalysis {
     "q_gopher_ngram" -> qGopherNgram,
     "q_quality_classifier" -> qQualityClassifier,
     "q_quality_train" -> qQualityTrain,
+    "q_quality_train_eval" -> qQualityTrainEval,
     "q_chunk_overlap" -> qChunkOverlap,
     "q_curation_funnel" -> qCurationFunnel,
     "q_data_card" -> qDataCard,
@@ -1191,6 +1236,86 @@ object TextAnalysis {
        |  CASE WHEN dup_word_frac <= ${GopherMaxDupFrac}e0
        |    THEN 1 ELSE 0 END AS r_dup
        |  FROM m)""".stripMargin
+
+  /** Shared oracle builder for the pocket-perceptron queries
+    * (statically unrolled rounds, the BPE-merge CTE discipline; all
+    * reused CTEs MATERIALIZED — DuckDB inlines CTEs by default, and the
+    * unroll would otherwise re-open the parquet once per reference).
+    * Round 1's update is the closed form (w_0 = 0 ⇒ every train doc has
+    * y·m ≤ 0); rounds 2..QtRounds-1 add update→weights→margin CTEs over
+    * `ltr` (lab restricted by `trainWhere` — empty trains on the full
+    * corpus); the pocket argmin evaluates w_0..w_{QtRounds-1} by exact
+    * TRAINING error (earliest minimal round wins ties); the confusion
+    * ledger scores ALL docs under the pocketed weights, grouped by
+    * `groupExpr AS groupName`.
+    */
+  private def pocketOracleSql(
+      trainWhere: String, groupExpr: String, groupName: String): String = {
+    val lastW = QtRounds - 1
+    val steps = (2 to lastW).map { t =>
+      s"""u$t AS MATERIALIZED (SELECT slot, CAST(sum(ltr.y) AS BIGINT) AS dw
+         |  FROM f JOIN ltr USING (doc_id) JOIN m${t - 1} USING (doc_id)
+         |  WHERE ltr.y * m${t - 1}.m <= 0 GROUP BY slot),
+         |w$t AS MATERIALIZED (SELECT w${t - 1}.slot, w${t - 1}.w + coalesce(u$t.dw, 0) AS w
+         |  FROM w${t - 1} LEFT JOIN u$t USING (slot)),
+         |m$t AS MATERIALIZED (SELECT f.doc_id, CAST(sum(w$t.w) AS BIGINT) AS m
+         |  FROM f JOIN ltr USING (doc_id) JOIN w$t USING (slot)
+         |  GROUP BY f.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val errs = (1 to lastW).map { t =>
+      s"""err$t AS MATERIALIZED (SELECT $t AS t, count(*) AS e
+         |  FROM ltr JOIN m$t USING (doc_id)
+         |  WHERE (m$t.m > 0) <> (ltr.y = 1))""".stripMargin
+    }.mkString(",\n")
+    val errUnion = (0 to lastW)
+      .map(t => s"SELECT t, e FROM err$t").mkString(" UNION ALL ")
+    val wallUnion = (1 to lastW)
+      .map(t => s"SELECT $t AS t, slot, w FROM w$t").mkString(" UNION ALL ")
+    s"""WITH tt AS MATERIALIZED (SELECT doc_id, source,
+       |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |              x -> length(x) > 0) AS t
+       |  FROM documents),
+       |lab AS MATERIALIZED (SELECT doc_id, source,
+       |  ${Sampling.bucketSql("doc_id", QtSplitMod)} AS bucket,
+       |  CASE WHEN len(list_filter(t, x -> x = 'join')) >
+       |            len(list_filter(t, x -> x = 'scan'))
+       |    THEN 1 ELSE -1 END AS y
+       |  FROM tt),
+       |ltr AS MATERIALIZED (SELECT * FROM lab $trainWhere),
+       |tk AS (SELECT doc_id, unnest(t) AS tok FROM tt),
+       |f AS MATERIALIZED (SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $QtBuckets AS slot
+       |  FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, CAST($QtBias AS BIGINT) AS slot FROM documents),
+       |w1 AS MATERIALIZED (SELECT slot, CAST(sum(y) AS BIGINT) AS w
+       |  FROM f JOIN ltr USING (doc_id) GROUP BY slot),
+       |m1 AS MATERIALIZED (SELECT f.doc_id, CAST(sum(w1.w) AS BIGINT) AS m
+       |  FROM f JOIN ltr USING (doc_id) JOIN w1 USING (slot)
+       |  GROUP BY f.doc_id),
+       |$steps,
+       |err0 AS (SELECT 0 AS t, count(*) AS e FROM ltr WHERE y = 1),
+       |$errs,
+       |best AS (SELECT t FROM ($errUnion) ORDER BY e, t LIMIT 1),
+       |wbest AS (SELECT slot, w FROM ($wallUnion)
+       |  WHERE t = (SELECT t FROM best)),
+       |sc AS (SELECT lab.source, lab.bucket, lab.y, coalesce(mm.m, 0) AS m
+       |  FROM lab LEFT JOIN (SELECT f.doc_id,
+       |      CAST(sum(wbest.w) AS BIGINT) AS m
+       |    FROM f JOIN wbest USING (slot) GROUP BY f.doc_id) mm
+       |  USING (doc_id))
+       |SELECT $groupExpr AS $groupName, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN m > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS tp,
+       |  CAST(sum(CASE WHEN m > 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fp,
+       |  CAST(sum(CASE WHEN m <= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fn,
+       |  CAST(sum(CASE WHEN m <= 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS tn,
+       |  CAST(sum(m) AS BIGINT) AS margin_sum
+       |FROM sc GROUP BY $groupName ORDER BY $groupName""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_bpe_merges" ->
@@ -1392,74 +1517,11 @@ object TextAnalysis {
          |    c -> ('0x' || substr(md5(c), 1, 15))::BIGINT), 'bit_xor'), 0)
          |    AS BIGINT) AS chunk_xor
          |FROM c ORDER BY doc_id""".stripMargin,
-    "q_quality_train" -> {
-      // statically unrolled pocket-perceptron rounds (the BPE-merge CTE
-      // discipline). Round 1's update is the closed form (w_0 = 0 ⇒ every
-      // doc has y·m ≤ 0); rounds 2..QtRounds-1 each add update→weights→
-      // margin CTEs; the pocket argmin evaluates w_0..w_{QtRounds-1} by
-      // exact error count (earliest minimal round wins ties) and the
-      // confusion ledger scores under the pocketed weights.
-      val lastW = QtRounds - 1
-      val steps = (2 to lastW).map { t =>
-        s"""u$t AS MATERIALIZED (SELECT slot, CAST(sum(lab.y) AS BIGINT) AS dw
-           |  FROM f JOIN lab USING (doc_id) JOIN m${t - 1} USING (doc_id)
-           |  WHERE lab.y * m${t - 1}.m <= 0 GROUP BY slot),
-           |w$t AS MATERIALIZED (SELECT w${t - 1}.slot, w${t - 1}.w + coalesce(u$t.dw, 0) AS w
-           |  FROM w${t - 1} LEFT JOIN u$t USING (slot)),
-           |m$t AS MATERIALIZED (SELECT f.doc_id, CAST(sum(w$t.w) AS BIGINT) AS m
-           |  FROM f JOIN w$t USING (slot) GROUP BY f.doc_id)""".stripMargin
-      }.mkString(",\n")
-      val errs = (1 to lastW).map { t =>
-        s"""err$t AS MATERIALIZED (SELECT $t AS t, count(*) AS e
-           |  FROM lab JOIN m$t USING (doc_id)
-           |  WHERE (m$t.m > 0) <> (lab.y = 1))""".stripMargin
-      }.mkString(",\n")
-      val errUnion = (0 to lastW)
-        .map(t => s"SELECT t, e FROM err$t").mkString(" UNION ALL ")
-      val wallUnion = (1 to lastW)
-        .map(t => s"SELECT $t AS t, slot, w FROM w$t").mkString(" UNION ALL ")
-      s"""WITH tt AS MATERIALIZED (SELECT doc_id, source,
-         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |              x -> length(x) > 0) AS t
-         |  FROM documents),
-         |lab AS MATERIALIZED (SELECT doc_id, source,
-         |  CASE WHEN len(list_filter(t, x -> x = 'join')) >
-         |            len(list_filter(t, x -> x = 'scan'))
-         |    THEN 1 ELSE -1 END AS y
-         |  FROM tt),
-         |tk AS (SELECT doc_id, unnest(t) AS tok FROM tt),
-         |f AS MATERIALIZED (SELECT doc_id,
-         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $QtBuckets AS slot
-         |  FROM tk
-         |  UNION ALL
-         |  SELECT doc_id, CAST($QtBias AS BIGINT) AS slot FROM documents),
-         |w1 AS MATERIALIZED (SELECT slot, CAST(sum(y) AS BIGINT) AS w
-         |  FROM f JOIN lab USING (doc_id) GROUP BY slot),
-         |m1 AS MATERIALIZED (SELECT f.doc_id, CAST(sum(w1.w) AS BIGINT) AS m
-         |  FROM f JOIN w1 USING (slot) GROUP BY f.doc_id),
-         |$steps,
-         |err0 AS (SELECT 0 AS t, count(*) AS e FROM lab WHERE y = 1),
-         |$errs,
-         |best AS (SELECT t FROM ($errUnion) ORDER BY e, t LIMIT 1),
-         |wbest AS (SELECT slot, w FROM ($wallUnion)
-         |  WHERE t = (SELECT t FROM best)),
-         |sc AS (SELECT lab.source, lab.y, coalesce(mm.m, 0) AS m
-         |  FROM lab LEFT JOIN (SELECT f.doc_id,
-         |      CAST(sum(wbest.w) AS BIGINT) AS m
-         |    FROM f JOIN wbest USING (slot) GROUP BY f.doc_id) mm
-         |  USING (doc_id))
-         |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN m > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS tp,
-         |  CAST(sum(CASE WHEN m > 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS fp,
-         |  CAST(sum(CASE WHEN m <= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS fn,
-         |  CAST(sum(CASE WHEN m <= 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS tn,
-         |  CAST(sum(m) AS BIGINT) AS margin_sum
-         |FROM sc GROUP BY source ORDER BY source""".stripMargin
-    },
+    "q_quality_train" -> pocketOracleSql("", "source", "source"),
+    "q_quality_train_eval" -> pocketOracleSql(
+      s"WHERE bucket < $QtTrainBuckets",
+      s"CASE WHEN bucket < $QtTrainBuckets THEN 'train' ELSE 'test' END",
+      "split"),
     "q_quality_classifier" ->
       s"""WITH toks AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(text), '[^a-z]+'),

@@ -355,6 +355,25 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     accuracy should be >= 0.85
   }
 
+  test("held-out eval: the split-trained model generalizes past the majority floor") {
+    val rows = TextAnalysis.qQualityTrainEval(spark, sf()).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    rows.keySet shouldBe Set("train", "test")
+    def acc(r: org.apache.spark.sql.Row): Double =
+      (r.getAs[Long]("tp") + r.getAs[Long]("tn")).toDouble /
+        r.getAs[Long]("n_docs")
+    def majority(r: org.apache.spark.sql.Row): Double = {
+      val pos = r.getAs[Long]("tp") + r.getAs[Long]("fn")
+      val neg = r.getAs[Long]("fp") + r.getAs[Long]("tn")
+      math.max(pos, neg).toDouble / r.getAs[Long]("n_docs")
+    }
+    // the TEST split never influenced training: beating its majority
+    // floor is generalization, not memorization (measured 0.92/0.90 at
+    // sf0.001/0.01 vs floors ~0.69/0.62)
+    acc(rows("test")) should be > majority(rows("test"))
+    acc(rows("test")) should be >= 0.8
+  }
+
   test("curation funnel: monotone stages, dedup removes the planted re-crawls") {
     val rows = TextAnalysis.qCurationFunnel(spark, sf()).collect()
     rows.foreach { r =>
