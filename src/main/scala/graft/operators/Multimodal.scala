@@ -536,13 +536,148 @@ object Multimodal {
       .toDF().orderBy(col("media_id"))
   }
 
+  // ------------------------------------------------------------------
+  // REAL video decode path: deterministic synthetic animated GIFs,
+  // written and read back through javax.imageio (pure JDK — the PNG/WAV
+  // discipline extended to a MULTI-FRAME container). The per-frame gray
+  // FORMULA is the oracle: exact integer frame statistics of the decoded
+  // stream — including a stride-2 frame-sampling pass, the operation a
+  // video curation pipeline actually runs — are recomputed by DuckDB
+  // from the formula alone. A wrong frame count, palette, interlace
+  // flag (the GIF writer interlaces by default and the reader honors
+  // it — MODE_DISABLED is load-bearing), or sampling stride mismatches
+  // loudly. GIF bytes never cross engines.
+  // ------------------------------------------------------------------
+
+  /** Frame-pixel formula: gray(id, f, x, y) = (5·id + 7·f + 3·x + 11·y)
+    * mod 256 — every frame differs from its neighbors (f-term) so a
+    * frame-order or frame-count error shifts the sums.
+    */
+  private def gifPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((5L * id + 7L * f + 3L * x + 11L * y) % 256L).toInt
+
+  /** Real animated-GIF container codec over javax.imageio. Frames are
+    * 8-bit indexed against an identity 256-gray palette, so the
+    * quantizer never runs and the round-trip is bit-exact.
+    */
+  object GifIoCodec {
+    private def grayPalette(): java.awt.image.IndexColorModel = {
+      val g = Array.tabulate[Byte](256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** Encode `frames` (row-major gray values) as one animated GIF. */
+    def encodeGif(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      // GIF's 4-pass interlace reorders rows on disk; the JDK writer
+      // enables it for some geometries unless explicitly disabled, and a
+      // sequential read of an interlaced frame returns scrambled rows.
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      val cm = grayPalette()
+      frames.foreach { frame =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, frame(y * w + x)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
+    }
+
+    /** (w, h, frames) decoded from an animated-GIF payload. */
+    def decodeGif(payload: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      val n = reader.getNumImages(/* allowSearch = */ true)
+      require(n > 0, "no frames decoded — not an animated GIF payload")
+      val frames = (0 until n).map { f =>
+        val img = reader.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        Array.tabulate(h * w)(i => img.getRGB(i % w, i / w) & 0xff)
+      }
+      val first = reader.read(0)
+      val out = (first.getWidth, first.getHeight, frames)
+      reader.dispose()
+      out
+    }
+  }
+
+  /** One synthetic video: a real animated GIF of [[gifPixel]] at
+    * (4 + id%9) × (3 + id%7), 2 + id%5 frames. Video docs only
+    * (doc_id % 3 == 2, the [[mediaTable]] routing).
+    */
+  final case class GifItem(
+      media_id: Long, width: Int, height: Int, n_frames: Int, payload: Array[Byte])
+
+  final case class GifDecodeStats(
+      media_id: Long, n_frames: Long, dec_w: Long, dec_h: Long,
+      sum_all: Long, frame_xor: Long, n_sampled: Long, sum_sampled: Long)
+
+  /** The GIF fixture table — encode runs executor-side (the [[pngTable]]
+    * shape); only doc_id rides in.
+    */
+  def gifTable(s: SparkSession, dir: String): Dataset[GifItem] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 2).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 4 + (id % 9).toInt
+          val h = 3 + (id % 7).toInt
+          val n = 2 + (id % 5).toInt
+          val frames = Seq.tabulate(n) { f =>
+            Array.tabulate(h * w)(i => gifPixel(id, f, i % w, i / w))
+          }
+          GifItem(id, w, h, n, GifIoCodec.encodeGif(frames, w, h))
+        }
+      }
+  }
+
+  /** Decode + frame-sample through the REAL video codec, verified against
+    * the frame formula: per video, decoded frame count, dims, exact gray
+    * sum over all frames, xor of per-frame sums (the frame fingerprint a
+    * video dedup keys on), and the count/sum over a stride-2 frame
+    * sample — all executor-side, zero shuffles before the output sort.
+    */
+  def qMultimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gifTable(s, dir)
+      .mapPartitions { it =>
+        it.map { gv =>
+          val (w, h, frames) = GifIoCodec.decodeGif(gv.payload)
+          val frameSums = frames.map(_.foldLeft(0L)(_ + _))
+          val sampled = frameSums.indices.filter(_ % 2 == 0)
+          GifDecodeStats(
+            gv.media_id, frames.length.toLong, w.toLong, h.toLong,
+            frameSums.sum, frameSums.foldLeft(0L)(_ ^ _),
+            sampled.length.toLong, sampled.map(frameSums).sum)
+        }
+      }
+      .toDF().orderBy(col("media_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_audio" -> qMultimodalAudio,
-    "q_multimodal_audio_feat" -> qMultimodalAudioFeat
+    "q_multimodal_audio_feat" -> qMultimodalAudioFeat,
+    "q_multimodal_video" -> qMultimodalVideo
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -656,6 +791,34 @@ object Multimodal {
          |SELECT agg.media_id, n_windows, e_total, mx.e_max, e_argmax, e_xor
          |FROM agg JOIN mx USING (media_id)
          |ORDER BY media_id""".stripMargin,
+    // The video oracle re-derives every statistic from the frame FORMULA
+    // (never from the GIF bytes): per-frame gray sums over (f, x, y) ∈
+    // n × w × h, then the whole-stream aggregates and the stride-2
+    // frame-sample aggregates. Agreement proves the multi-frame
+    // encode→decode→sample path — frame count, order, palette,
+    // interlace — end to end.
+    "q_multimodal_video" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h, 2 + doc_id % 5 AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fx AS (SELECT media_id, w, h, n, unnest(range(0, n)) AS f FROM ids),
+        |px AS (SELECT media_id, w, h, f, unnest(range(0, w)) AS x FROM fx),
+        |pxy AS (SELECT media_id, f, x, unnest(range(0, h)) AS y FROM px),
+        |fsum AS (
+        |  SELECT media_id, f,
+        |    CAST(sum((5 * media_id + 7 * f + 3 * x + 11 * y) % 256) AS BIGINT) AS fs
+        |  FROM pxy GROUP BY media_id, f)
+        |SELECT ids.media_id,
+        |  CAST(ids.n AS BIGINT) AS n_frames,
+        |  CAST(ids.w AS BIGINT) AS dec_w, CAST(ids.h AS BIGINT) AS dec_h,
+        |  CAST(sum(fs) AS BIGINT) AS sum_all,
+        |  bit_xor(fs) AS frame_xor,
+        |  count(*) FILTER (f % 2 = 0) AS n_sampled,
+        |  CAST(sum(fs) FILTER (f % 2 = 0) AS BIGINT) AS sum_sampled
+        |FROM ids JOIN fsum USING (media_id)
+        |GROUP BY ids.media_id, ids.n, ids.w, ids.h
+        |ORDER BY media_id""".stripMargin,
     "q_multimodal_frames" ->
       s"""WITH v AS (
          |  SELECT doc_id AS media_id, text,

@@ -190,4 +190,48 @@ class MultimodalSpec extends SparkSpec with Matchers {
     an[Exception] should be thrownBy
       Multimodal.WavIoCodec.decodeWav(Array[Byte](1, 2, 3, 4))
   }
+
+  test("GifIoCodec writes a real GIF89a container and round-trips " +
+    "multi-frame indexed pixels exactly") {
+    val (w, h) = (5, 4) // a geometry the JDK writer interlaces by default
+    val frames = Seq.tabulate(3)(f => Array.tabulate(h * w)(i => (f * 40 + i * 7) % 256))
+    val gif = Multimodal.GifIoCodec.encodeGif(frames, w, h)
+    new String(gif.slice(0, 6), "US-ASCII") shouldBe "GIF89a"
+    val (dw, dh, back) = Multimodal.GifIoCodec.decodeGif(gif)
+    (dw, dh) shouldBe ((w, h))
+    back.length shouldBe 3
+    back.map(_.toSeq) shouldBe frames.map(_.toSeq)
+  }
+
+  test("video decode stats match a direct formula evaluation (incl. frame sampling)") {
+    val id = 5L // doc_id % 3 == 2 → routed to video
+    val row = Multimodal.qMultimodalVideo(spark, sf())
+      .filter(col("media_id") === id).head()
+    val (w, h, n) = (4 + (id % 9).toInt, 3 + (id % 7).toInt, 2 + (id % 5).toInt)
+    def fs(f: Int): Long = (for { y <- 0 until h; x <- 0 until w }
+      yield (5L * id + 7L * f + 3L * x + 11L * y) % 256L).sum
+    val sums = (0 until n).map(fs)
+    row.getAs[Long]("n_frames") shouldBe n.toLong
+    row.getAs[Long]("dec_w") shouldBe w.toLong
+    row.getAs[Long]("dec_h") shouldBe h.toLong
+    row.getAs[Long]("sum_all") shouldBe sums.sum
+    row.getAs[Long]("frame_xor") shouldBe sums.foldLeft(0L)(_ ^ _)
+    row.getAs[Long]("n_sampled") shouldBe ((n + 1) / 2).toLong
+    row.getAs[Long]("sum_sampled") shouldBe (0 until n by 2).map(fs).sum
+  }
+
+  test("video fixture covers only video-routed docs and decodes zero-shuffle") {
+    val vids = Multimodal.qMultimodalVideo(spark, sf())
+    val n = graft.tables.Tables.documents(spark, sf())
+      .filter(col("doc_id") % 3 === 2).count()
+    vids.count() shouldBe n
+    // one shuffle total: the output sort's range partitioning
+    val plan = vids.queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(plan).length shouldBe 1
+  }
+
+  test("non-GIF payload fails video decode loudly") {
+    an[Exception] should be thrownBy
+      Multimodal.GifIoCodec.decodeGif(Array[Byte](1, 2, 3, 4))
+  }
 }
