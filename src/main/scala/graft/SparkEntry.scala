@@ -47,6 +47,7 @@ object SparkEntry {
       operators.Sampling.queries ++
       operators.Embeddings.queries ++
       operators.Bpe.queries ++
+      operators.Graph.queries ++
       operators.GlobalOrder.queries ++
       scale.Scale.queries ++
       sources.Export.queries ++
@@ -64,6 +65,7 @@ object SparkEntry {
       operators.Sampling.oracleSql ++
       operators.Embeddings.oracleSql ++
       operators.Bpe.oracleSql ++
+      operators.Graph.oracleSql ++
       operators.GlobalOrder.oracleSql ++
       scale.Scale.oracleSql ++
       sources.Export.oracleSql ++

@@ -131,13 +131,43 @@ object GlobalOrder {
       .orderBy(col("pos"))
   }
 
+  /** Systematic-PPS sample size: T probe points over the cumulative token
+    * axis. Prime, so probe spacing never resonates with the synthetic
+    * corpus' periodic structure.
+    */
+  val PpsProbes = 97L
+
+  /** Probability-proportional-to-size systematic sampling (Madow 1949):
+    * T probe points evenly spaced over the cumulative token axis [1, W];
+    * a document is drawn once per probe landing in its token interval
+    * (cum−tk, cum]. Multiplicity is row-local integer arithmetic over the
+    * SAME memoized prefix-sum frame the shuffle-order pair uses —
+    *   m(doc) = ⌊cum·T/W⌋ − ⌊(cum−tk)·T/W⌋, Σm = T exactly —
+    * so the scale cost is zero beyond the shared one-shuffle ranking: no
+    * extra pass, no per-row randomness (engine-portable by construction),
+    * no rejection loop. This is "sample T spans proportional to token
+    * count" — the curriculum/mixture primitive — with exact integers on
+    * both engines (⌊⌋ = truncating div: every term is non-negative).
+    */
+  def qSamplePps(s: SparkSession, dir: String): DataFrame = {
+    val st = orderState(s, dir)
+    val w = st.totalTokens
+    st.ranked
+      .select(col("pos"), col("doc_id"), col("tk"),
+        (expr(s"cum_tk * $PpsProbes div $w") -
+          expr(s"(cum_tk - tk) * $PpsProbes div $w")).as("m"))
+      .filter(col("m") >= 1)
+      .orderBy(col("pos"))
+  }
+
   private val TkSql =
     "CAST(len(regexp_extract_all(text, " +
       "'\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS BIGINT)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shuffle_order" -> qShuffleOrder,
-    "q_token_budget" -> qTokenBudget
+    "q_token_budget" -> qTokenBudget,
+    "q_sample_pps" -> qSamplePps
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -158,6 +188,23 @@ object GlobalOrder {
          |  FROM t)
          |SELECT pos, doc_id, tk, cum_tk FROM r
          |WHERE cum_tk <= (SELECT CAST(sum(tk) AS BIGINT) // 2 FROM t)
+         |ORDER BY pos""".stripMargin,
+    "q_sample_pps" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${orderHashSql("doc_id")} AS h, $TkSql AS tk
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, tk,
+         |    row_number() OVER (ORDER BY h, doc_id) AS pos,
+         |    CAST(sum(tk) OVER (ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tk
+         |  FROM t),
+         |w AS (SELECT CAST(sum(tk) AS BIGINT) AS w FROM t)
+         |SELECT pos, doc_id, tk,
+         |  CAST(cum_tk * $PpsProbes // w - (cum_tk - tk) * $PpsProbes // w
+         |    AS BIGINT) AS m
+         |FROM r, w
+         |WHERE cum_tk * $PpsProbes // w - (cum_tk - tk) * $PpsProbes // w >= 1
          |ORDER BY pos""".stripMargin
   )
 }

@@ -19,6 +19,7 @@ class SparkEntrySpec extends SparkSpec with Matchers {
       operators.Sampling.queries.size,
       operators.Embeddings.queries.size,
       operators.Bpe.queries.size,
+      operators.Graph.queries.size,
       operators.GlobalOrder.queries.size,
       scale.Scale.queries.size,
       sources.Export.queries.size,

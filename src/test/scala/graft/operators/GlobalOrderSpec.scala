@@ -62,6 +62,27 @@ class GlobalOrderSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("PPS sample: multiplicities sum to exactly T, are proportional, " +
+    "and the plan stays window-free") {
+    val out = GlobalOrder.qSamplePps(spark, sf()).collect()
+    out.length should be > 0
+    // Σm = T exactly (the telescoping-floor identity)
+    out.map(_.getLong(3)).sum shouldBe GlobalOrder.PpsProbes
+    // every drawn doc's multiplicity is bounded by its share:
+    // m ≤ ⌈tk·T/W⌉ (a doc can't catch more probes than spans it covers)
+    val total = Tables.documents(spark, sf())
+      .select(sum(graft.functions.TextFunctions.bpeTokenCount(col("text"))
+        .cast("long")))
+      .collect()(0).getLong(0)
+    out.foreach { r =>
+      val (tk, m) = (r.getLong(2), r.getLong(3))
+      m should be <= (tk * GlobalOrder.PpsProbes + total - 1) / total + 1
+    }
+    val plan = GlobalOrder.qSamplePps(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
+
   test("rank plan has no global window: one range exchange, row-local rank") {
     val plan = GlobalOrder.qShuffleOrder(spark, sf())
       .queryExecution.executedPlan.toString

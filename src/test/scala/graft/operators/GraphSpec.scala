@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** Iterative PageRank: fixed-point integer arithmetic must be
+  * deterministic, mass-conserving up to floor drift, and match a direct
+  * driver-side evaluation of the same recurrence (value parity with the
+  * unrolled-CTE oracle runs through the DuckDB gate).
+  */
+class GraphSpec extends SparkSpec with Matchers {
+
+  private def driverRanks(): Map[Long, Long] = {
+    val n = Tables.documents(spark, sf()).count()
+    val init = Graph.PrScale / n
+    val tele = (15L * init) / 100L
+    var r = (0L until n).map(_ -> init).toMap
+    for (_ <- 1 to Graph.PrIters) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      r.foreach { case (id, rv) =>
+        Graph.LinkCoeffs.foreach { case (a, b) =>
+          inflow((id * a + b) % n) += rv / 3
+        }
+      }
+      r = r.keys.map(id => id -> (tele + (85L * inflow(id)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("distributed ranks equal the driver-evaluated recurrence exactly") {
+    val got = Graph.pagerankRanks(spark, sf())
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    got shouldBe driverRanks()
+  }
+
+  test("rank mass is conserved up to floor drift and every node keeps " +
+    "at least the teleport floor") {
+    val ranks = Graph.pagerankRanks(spark, sf()).collect().map(_.getLong(1))
+    val n = ranks.length.toLong
+    val tele = (15L * (Graph.PrScale / n)) / 100L
+    ranks.foreach(_ should be >= tele)
+    // each round loses <15.3% to damping-floor rounding at most; after 8
+    // rounds total mass stays within a loose but non-vacuous band
+    val total = ranks.sum
+    total should be <= Graph.PrScale
+    total should be >= (Graph.PrScale * 6) / 10
+  }
+
+  test("top-100 output is rank-sorted with a deterministic tiebreak") {
+    val out = Graph.qPagerank(spark, sf()).collect()
+    out.length shouldBe math.min(100, Tables.documents(spark, sf()).count()).toInt
+    out.sliding(2).foreach {
+      case Array(x, y) =>
+        val ok = x.getLong(1) > y.getLong(1) ||
+          (x.getLong(1) == y.getLong(1) && x.getLong(0) < y.getLong(0))
+        ok shouldBe true
+      case _ => ()
+    }
+  }
+}
