@@ -320,11 +320,75 @@ object Scale {
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderpriority"))
 
+  // -------------------------------------------------------------------
+  // Z-order layout: multi-dimensional write-time clustering
+  // -------------------------------------------------------------------
+
+  /** Bits per dimension for the Z-curve (8 → 256 buckets per dim). */
+  val ZBits = 8
+
+  /** Z-shards: the top [[ZBits]] interleaved bits — 256 would-be files. */
+  val ZShards = 256L
+
+  /** Morton/Z-value of two [[ZBits]]-bit dimensions: bit i of `a` lands at
+    * position 2i+1, bit i of `b` at 2i. Disjoint bit positions, so `+`
+    * IS the bitwise-or — and the identical arithmetic exists in DuckDB.
+    */
+  private def zValueSpark(a: String, b: String): Column = {
+    val terms = (0 until ZBits).flatMap { i =>
+      Seq(
+        s"shiftleft(shiftrightunsigned($a, $i) & 1, ${2 * i + 1})",
+        s"shiftleft(shiftrightunsigned($b, $i) & 1, ${2 * i})")
+    }
+    expr(terms.mkString(" + "))
+  }
+
+  private def zValueDuck(a: String, b: String): String =
+    (0 until ZBits).flatMap { i =>
+      Seq(
+        s"((($a >> $i) & 1) << ${2 * i + 1})",
+        s"((($b >> $i) & 1) << ${2 * i})")
+    }.mkString(" + ")
+
+  /** Z-order layout audit — the write-time clustering knob the lakehouse
+    * engines expose as OPTIMIZE ZORDER BY (Delta/Iceberg; the curve is
+    * Morton 1966). Sorting a 100 TB fact table by ONE key gives tight
+    * per-file min/max stats — and file skipping — on that key only;
+    * sorting by the Z-interleave of TWO keys gives per-file ranges of
+    * width ~2^(ZBits − filled/2) in BOTH, so scans filtering on EITHER
+    * dimension prune most files. Here: lineitem keyed by the 8-bit
+    * buckets of (partkey, orderkey) — two genuinely independent access
+    * paths (suppkey would be a decoy: TPC-H derives it from partkey, so a
+    * partkey sort already clusters it), sharded by the top 8 interleaved
+    * bits (= 256 would-be files, 16×16 squares of the key plane); the
+    * output is each shard's row count and per-dimension min/max — exactly
+    * the parquet footer stats a pruning scan consults. A real deployment
+    * replaces the groupBy with repartitionByRange(z).sortWithinPartitions
+    * (z).write; the audit aggregation here is the oracle-able core: ONE
+    * map-side-combined shuffle of 256×5 longs.
+    */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.lineitem(s, dir).select(
+      (col("l_partkey") % ZShards).as("pb"),
+      (col("l_orderkey") % ZShards).as("ob"))
+    keyed
+      .withColumn("zv", zValueSpark("pb", "ob"))
+      .select(col("pb"), col("ob"),
+        expr(s"zv div $ZShards").cast("long").as("zshard"))
+      .groupBy(col("zshard"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("pb")).as("min_pb"), max(col("pb")).as("max_pb"),
+        min(col("ob")).as("min_ob"), max(col("ob")).as("max_ob"))
+      .orderBy(col("zshard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> qJoinBucketed,
     "q_agg_salted" -> qAggSalted,
     "q_join_skew" -> qJoinSkew,
-    "q_join_bloom" -> qJoinBloom
+    "q_join_bloom" -> qJoinBloom,
+    "q_zorder" -> qZorder
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -354,6 +418,19 @@ object Scale {
         |      FROM lineitem) l
         |JOIN orders ON l.k = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the identical interleave arithmetic, re-derived from the base table
+    "q_zorder" ->
+      s"""WITH keyed AS (
+         |  SELECT l_partkey % $ZShards AS pb, l_orderkey % $ZShards AS ob
+         |  FROM lineitem),
+         |z AS (
+         |  SELECT pb, ob,
+         |    (${zValueDuck("pb", "ob")}) // $ZShards AS zshard
+         |  FROM keyed)
+         |SELECT zshard, count(*) AS n,
+         |  CAST(min(pb) AS BIGINT) AS min_pb, CAST(max(pb) AS BIGINT) AS max_pb,
+         |  CAST(min(ob) AS BIGINT) AS min_ob, CAST(max(ob) AS BIGINT) AS max_ob
+         |FROM z GROUP BY zshard ORDER BY zshard""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

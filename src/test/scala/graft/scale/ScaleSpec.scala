@@ -146,4 +146,30 @@ class ScaleSpec extends SparkSpec with Matchers {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("z-order shards bound BOTH dimensions; a single-key sort bounds one") {
+    val z = Scale.qZorder(spark, sf()).collect()
+    z.length should be <= Scale.ZShards.toInt
+    // every z-shard is a 16×16 square of the (pb, ob) plane: the top 8
+    // interleaved bits fix the high 4 bits of EACH dimension
+    z.foreach { r =>
+      (r.getLong(3) - r.getLong(2)) should be <= 15L // max_pb - min_pb
+      (r.getLong(5) - r.getLong(4)) should be <= 15L // max_ob - min_ob
+      r.getLong(2) / 16 shouldBe r.getLong(3) / 16 // same 16-aligned cell
+      r.getLong(4) / 16 shouldBe r.getLong(5) / 16
+    }
+    // the counterfactual single-key layout: shard by pb's high bits alone
+    // (sort by partkey) — tight in pb, but ob spans ~the full axis, so an
+    // orderkey predicate prunes (almost) nothing. This is the asymmetry
+    // z-ordering removes.
+    val linear = Tables.lineitem(spark, sf())
+      .select((col("l_partkey") % Scale.ZShards).as("pb"),
+        (col("l_orderkey") % Scale.ZShards).as("ob"))
+      .groupBy(expr("pb div 16").as("shard"))
+      .agg(min("ob").as("min_ob"), max("ob").as("max_ob"))
+      .collect()
+    val linearAvgObSpan = linear.map(r => r.getLong(2) - r.getLong(1)).sum /
+      linear.length.max(1)
+    linearAvgObSpan should be > 64L // near-full-axis spans
+  }
 }
