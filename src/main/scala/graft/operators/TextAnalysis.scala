@@ -866,10 +866,11 @@ object TextAnalysis {
     * oracle's ORDER BY err, t); then w += Σ_{docs: y·m ≤ 0} y·x
     * (w_0 = 0 ⇒ round 1's update sums every document).
     */
-  private def trainPocket(trainDocs: DataFrame): Seq[Long] = {
+  private def trainPocket(
+      trainDocs: DataFrame, buckets: Int = QtBuckets): Seq[Long] = {
     val docs = trainDocs.persist()
     try {
-      val w = Array.fill(QtBuckets + 1)(0L)
+      val w = Array.fill(buckets + 1)(0L)
       var pocket = w.clone()
       var pocketErr = Long.MaxValue
       for (_ <- 1 to QtRounds) {
@@ -952,6 +953,80 @@ object TextAnalysis {
           .as("tn"),
         sum(col("m")).as("margin_sum"))
       .orderBy(col("split"))
+  }
+
+  // ------------------------------------------------------------------
+  // Bigram-feature pocket perceptron: a task LINEAR-IN-UNIGRAMS models
+  // cannot learn
+  // ------------------------------------------------------------------
+
+  /** Bigram slot count — 4× the unigram table: the corpus has ~40× more
+    * distinct bigrams than unigrams, and at 256 slots the self-pair
+    * features collide with common ordinary bigrams badly enough that the
+    * pocket never clears the majority floor (measured: 0.786 at 256/4096
+    * mixed-feature slots vs 0.99 at 1024 bigram-only).
+    */
+  val QtBiBuckets = 1024
+  val QtBiBias: Long = QtBiBuckets.toLong
+
+  /** (doc_id, source, y, ss) with BIGRAM-hashed slots and an ADJACENCY
+    * label: y = +1 iff any adjacent token pair repeats (the
+    * [[withGopherCols]] repetition family — "batch batch batch" is a
+    * quality defect). The rule is a function of token ADJACENCY, which
+    * no linear model over unigram counts can express (permuting a
+    * document's tokens changes the label but not its unigram bag);
+    * hashed bigram features make it linearly separable. Unigram slots
+    * are deliberately EXCLUDED: measured, their bag-noise swamps the
+    * adjacency signal (0.79 mixed vs 0.99 bigram-only at 12 rounds).
+    */
+  private def qtBiDocs(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val bigrams = graft.functions.SketchExpressions
+      .wordNGrams(tk, 2, distinct = false)
+    val selfRepeat = size(filter(
+      zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => a === b),
+      x => x)) > 0
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("source"),
+        when(selfRepeat, 1L).otherwise(-1L).as("y"),
+        concat(
+          transform(graft.functions.SketchExpressions.md5Prefix60(bigrams),
+            h => pmod(h, lit(QtBiBuckets.toLong))),
+          array(lit(QtBiBias))).as("ss"))
+  }
+
+  private val qtBiWeightsMemo = new SessionMemo[Seq[Long]]()
+  private[graft] def qtBiWeights(s: SparkSession, dir: String): Seq[Long] =
+    qtBiWeightsMemo.getOrElseUpdate(s, dir)(
+      trainPocket(qtBiDocs(s, dir), QtBiBuckets))
+
+  /** Deploy the bigram-trained pocket weights — same ledger shape as
+    * [[qQualityTrain]]; the value is in what the 12 rounds LEARN here
+    * (an adjacency rule outside the unigram hypothesis class, ~0.99 vs
+    * the 0.786 majority floor at sf0.001). Same scale shape: row-local
+    * margins against a broadcast literal, one |sources|-group
+    * aggregation; training state is the 1025-long weight vector.
+    */
+  def qQualityTrainBi(s: SparkSession, dir: String): DataFrame = {
+    val wlit = typedLit(qtBiWeights(s, dir))
+    qtBiDocs(s, dir)
+      .withColumn("m", qtMargin(wlit))
+      .withColumn("pred", when(col("m") > 0L, 1L).otherwise(-1L))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === 1L && col("y") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("pred") === 1L && col("y") === -1L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("pred") === -1L && col("y") === 1L, 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(col("pred") === -1L && col("y") === -1L, 1L).otherwise(0L))
+          .as("tn"),
+        sum(col("m")).as("margin_sum"))
+      .orderBy(col("source"))
   }
 
   /** Overlapping-window document chunking — the RAG/context-window prep
@@ -1166,6 +1241,7 @@ object TextAnalysis {
     "q_quality_classifier" -> qQualityClassifier,
     "q_quality_train" -> qQualityTrain,
     "q_quality_train_eval" -> qQualityTrainEval,
+    "q_quality_train_bi" -> qQualityTrainBi,
     "q_chunk_overlap" -> qChunkOverlap,
     "q_curation_funnel" -> qCurationFunnel,
     "q_data_card" -> qDataCard,
@@ -1250,7 +1326,18 @@ object TextAnalysis {
     * `groupExpr AS groupName`.
     */
   private def pocketOracleSql(
-      trainWhere: String, groupExpr: String, groupName: String): String = {
+      trainWhere: String, groupExpr: String, groupName: String,
+      labelPred: String =
+        "len(list_filter(t, x -> x = 'join')) > " +
+          "len(list_filter(t, x -> x = 'scan'))",
+      featF: String =
+        s"""tk AS (SELECT doc_id, unnest(t) AS tok FROM tt),
+           |f AS MATERIALIZED (SELECT doc_id,
+           |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $QtBuckets AS slot
+           |  FROM tk
+           |  UNION ALL
+           |  SELECT doc_id, CAST($QtBias AS BIGINT) AS slot FROM documents)"""
+          .stripMargin): String = {
     val lastW = QtRounds - 1
     val steps = (2 to lastW).map { t =>
       s"""u$t AS MATERIALIZED (SELECT slot, CAST(sum(ltr.y) AS BIGINT) AS dw
@@ -1277,17 +1364,11 @@ object TextAnalysis {
        |  FROM documents),
        |lab AS MATERIALIZED (SELECT doc_id, source,
        |  ${Sampling.bucketSql("doc_id", QtSplitMod)} AS bucket,
-       |  CASE WHEN len(list_filter(t, x -> x = 'join')) >
-       |            len(list_filter(t, x -> x = 'scan'))
+       |  CASE WHEN $labelPred
        |    THEN 1 ELSE -1 END AS y
        |  FROM tt),
        |ltr AS MATERIALIZED (SELECT * FROM lab $trainWhere),
-       |tk AS (SELECT doc_id, unnest(t) AS tok FROM tt),
-       |f AS MATERIALIZED (SELECT doc_id,
-       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $QtBuckets AS slot
-       |  FROM tk
-       |  UNION ALL
-       |  SELECT doc_id, CAST($QtBias AS BIGINT) AS slot FROM documents),
+       |$featF,
        |w1 AS MATERIALIZED (SELECT slot, CAST(sum(y) AS BIGINT) AS w
        |  FROM f JOIN ltr USING (doc_id) GROUP BY slot),
        |m1 AS MATERIALIZED (SELECT f.doc_id, CAST(sum(w1.w) AS BIGINT) AS m
@@ -1518,6 +1599,21 @@ object TextAnalysis {
          |    AS BIGINT) AS chunk_xor
          |FROM c ORDER BY doc_id""".stripMargin,
     "q_quality_train" -> pocketOracleSql("", "source", "source"),
+    "q_quality_train_bi" -> pocketOracleSql(
+      "", "source", "source",
+      labelPred =
+        "len(list_filter(range(1, len(t)), i -> t[i] = t[i + 1])) > 0",
+      featF =
+        s"""bg AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(t)),
+           |                          i -> t[i] || ' ' || t[i + 1])) AS bg
+           |  FROM tt),
+           |f AS MATERIALIZED (SELECT doc_id,
+           |    ('0x' || substr(md5(bg), 1, 15))::BIGINT % $QtBiBuckets AS slot
+           |  FROM bg
+           |  UNION ALL
+           |  SELECT doc_id, CAST($QtBiBias AS BIGINT) AS slot FROM documents)"""
+          .stripMargin),
     "q_quality_train_eval" -> pocketOracleSql(
       s"WHERE bucket < $QtTrainBuckets",
       s"CASE WHEN bucket < $QtTrainBuckets THEN 'train' ELSE 'test' END",

@@ -355,6 +355,27 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     accuracy should be >= 0.85
   }
 
+  test("bigram pocket perceptron: learns an adjacency rule outside the " +
+    "unigram hypothesis class") {
+    val w = TextAnalysis.qtBiWeights(spark, sf())
+    w should have size (TextAnalysis.QtBiBuckets + 1).toLong
+    w.exists(_ != 0L) shouldBe true
+    val rows = TextAnalysis.qQualityTrainBi(spark, sf()).collect()
+    val (tp, fp, fn, tn) = rows.foldLeft((0L, 0L, 0L, 0L)) { (a, r) =>
+      (a._1 + r.getAs[Long]("tp"), a._2 + r.getAs[Long]("fp"),
+        a._3 + r.getAs[Long]("fn"), a._4 + r.getAs[Long]("tn"))
+    }
+    val n = (tp + fp + fn + tn).toDouble
+    val majority = math.max(tp + fn, fp + tn) / n
+    val accuracy = (tp + tn) / n
+    // the self-repeat label is invariant to nothing a unigram bag sees:
+    // permuting tokens flips labels but not unigram counts, so beating
+    // the floor at all REQUIRES the bigram features (measured 0.99 at
+    // sf0.001 vs floor 0.786)
+    accuracy should be > majority
+    accuracy should be >= 0.9
+  }
+
   test("held-out eval: the split-trained model generalizes past the majority floor") {
     val rows = TextAnalysis.qQualityTrainEval(spark, sf()).collect()
       .map(r => r.getAs[String]("split") -> r).toMap
