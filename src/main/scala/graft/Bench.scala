@@ -217,10 +217,35 @@ object Bench {
       val base = famKey(k)
       base.substring(0, 1) + base.substring(1).filterNot("aeiou".contains(_))
     }
+    // stage-5 squeeze (built at 134 queries, round 7 continuation; first
+    // needed when stage-4 crosses the ~2040 budget at ≈145): on top of the
+    // vowel squeeze, truncate every underscore segment to its first 2
+    // chars; colliding keys (and only those) widen one char at a time
+    // until the map is injective again. Deterministic from the full
+    // registry name SET (widening is per colliding group, names compared
+    // after the stage-4 transform, which the require below keeps
+    // injective — at full width the segment map IS stage-4's, so the
+    // widening loop always terminates). Documented in BASELINE.md
+    // "Canary normalization"; detail line keeps full names.
+    val segKey: Map[String, String] = {
+      def seg(n: String, w: Int) =
+        vowelKey(n).split('_').map(_.take(w)).mkString("_")
+      var width = names.map(_ -> 2).toMap
+      var out = names.map(n => n -> seg(n, width(n))).toMap
+      var colliding = out.groupBy(_._2).filter(_._2.size > 1)
+      while (colliding.nonEmpty) {
+        colliding.values.flatten.foreach { case (n, _) =>
+          width = width.updated(n, width(n) + 1)
+        }
+        out = names.map(n => n -> seg(n, width(n))).toMap
+        colliding = out.groupBy(_._2).filter(_._2.size > 1)
+      }
+      out
+    }
     // the squeezes must stay injective over the registry: a future
     // q_t_foo would alias with q_text_foo's squeezed key and silently
     // merge two queries on the contract line (round-5 advisor note)
-    for (keys <- Seq(dropQ, famKey, vowelKey)) {
+    for (keys <- Seq(dropQ, famKey, vowelKey, segKey)) {
       val squeezed = names.map(keys)
       require(squeezed.distinct.size == names.size,
         s"contract-line key squeeze aliases query names: ${
@@ -230,11 +255,13 @@ object Bench {
     val plain = contract(identity)
     val noQ = contract(dropQ)
     val famLine = contract(famKey)
+    val vowelLine = contract(vowelKey)
     println(
       if (plain.length <= 2000) plain
       else if (noQ.length <= 2000) noQ
       else if (famLine.length <= 2000) famLine
-      else contract(vowelKey))
+      else if (vowelLine.length <= 2000) vowelLine
+      else contract(segKey))
     spark.stop()
   }
 }
