@@ -353,4 +353,41 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should not include "SortMergeJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("q_zorder: one map-side-combined aggregation, interleave row-local") {
+    val plan = graft.scale.Scale.qZorder(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the interleave arithmetic stays in the project (codegen'd), the
+    // aggregation partial-combines before its single hash exchange, and
+    // the only other exchange is the output sort's range partitioning
+    plan should include("partial_")
+    plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
+  test("q_pagerank: iteration rounds stay checkpoint-truncated — the " +
+    "final plan reads one cached round, not the 8-round lineage") {
+    val plan = graft.operators.Graph.qPagerank(spark, sf())
+      .queryExecution.executedPlan.toString
+    // localCheckpoint per round: the deployed plan scans the final
+    // round's RDD, so no per-round Exchange chain survives into it
+    plan should include("Scan ExistingRDD")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // top-100 is a TakeOrdered, never a global sort of the corpus
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("q_sample_pps: rides the memoized order state — no extra corpus " +
+    "shuffle beyond the shared range partitioning, no window") {
+    val plan = graft.operators.GlobalOrder.qSamplePps(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    // the multiplicity arithmetic is row-local over the shared ranked
+    // frame: no hash exchange anywhere (range partitioning for the
+    // output sort only)
+    plan should not include "Exchange hashpartitioning"
+  }
 }
