@@ -537,6 +537,85 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // Audio CONTENT dedup: same decoded samples, different container bytes
+  // ------------------------------------------------------------------
+
+  /** Seed modulus for the planted-duplicate audio fixture: docs sharing
+    * doc_id mod 199 carry byte-for-byte IDENTICAL sample streams.
+    */
+  val AudioDupSeeds = 199L
+
+  final case class WavDupItem(media_id: Long, payload: Array[Byte])
+  final case class AudioFp(
+      media_id: Long, sr: Long, n_samples: Long,
+      sum_s: Long, sum_sq: Long, e_xor: Long)
+
+  /** Planted-duplicate WAV fixture: the sample stream derives from
+    * seed = doc_id % [[AudioDupSeeds]] — so ~25 docs per seed at sf0.1
+    * share identical CONTENT — while the sample RATE still derives from
+    * doc_id (8/12/16 kHz by doc_id % 3). Same samples + different rate =
+    * different RIFF header = different payload bytes: exact byte-level
+    * dedup (md5 of the blob, the [[Dedup]] entry stage) misses these
+    * duplicates BY CONSTRUCTION; only decoding does not.
+    */
+  def wavDupTable(s: SparkSession, dir: String): Dataset[WavDupItem] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val seed = id % AudioDupSeeds
+          val n = 64 + (seed % 97).toInt
+          val sr = 8000 + 4000 * (id % 3).toInt
+          WavDupItem(id,
+            WavIoCodec.encodeWav(Array.tabulate(n)(wavSample(seed, _)), sr))
+        }
+      }
+  }
+
+  /** Audio dedup on DECODED-content fingerprints — the modality analog
+    * of canonical text dedup: cluster key = (n, Σs, Σs², xor of windowed
+    * energies) of the decoded stream, all exact integers (verified
+    * collision-free across the 199 seeds — cluster ≡ seed). Per cluster:
+    * the keeper (min id), member count, and the count of DISTINCT
+    * decoded sample rates — n_rates > 1 is the receipt that a byte/md5
+    * dedup would have missed the cluster (different RIFF headers). The
+    * decode + fingerprint fold is row-local; one shuffle of fixed-width
+    * fingerprint rows (never payloads); the oracle re-derives clusters
+    * from the seed arithmetic alone.
+    */
+  def qAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavDupTable(s, dir)
+      .mapPartitions { it =>
+        it.map { wv =>
+          val (sr, samples) = WavIoCodec.decodeWav(wv.payload)
+          val nw = (samples.length + AudioWindow - 1) / AudioWindow
+          var ex = 0L
+          var k = 0
+          while (k < nw) {
+            var acc = 0L
+            var i = k * AudioWindow
+            val end = math.min(i + AudioWindow, samples.length)
+            while (i < end) { acc += samples(i).toLong * samples(i); i += 1 }
+            ex ^= acc
+            k += 1
+          }
+          AudioFp(wv.media_id, sr.toLong, samples.length.toLong,
+            samples.foldLeft(0L)(_ + _),
+            samples.foldLeft(0L)((a, v) => a + v.toLong * v), ex)
+        }
+      }
+      .groupBy(col("n_samples"), col("sum_s"), col("sum_sq"), col("e_xor"))
+      .agg(
+        min(col("media_id")).as("keeper"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("sr")).as("n_rates"))
+      .select(col("keeper"), col("n_members"), col("n_rates"),
+        col("n_samples"))
+      .orderBy(col("keeper"))
+  }
+
+  // ------------------------------------------------------------------
   // REAL video decode path: deterministic synthetic animated GIFs,
   // written and read back through javax.imageio (pure JDK — the PNG/WAV
   // discipline extended to a MULTI-FRAME container). The per-frame gray
@@ -677,7 +756,8 @@ object Multimodal {
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_audio" -> qMultimodalAudio,
     "q_multimodal_audio_feat" -> qMultimodalAudioFeat,
-    "q_multimodal_video" -> qMultimodalVideo
+    "q_multimodal_video" -> qMultimodalVideo,
+    "q_audio_dedup" -> qAudioDedup
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -791,6 +871,23 @@ object Multimodal {
          |SELECT agg.media_id, n_windows, e_total, mx.e_max, e_argmax, e_xor
          |FROM agg JOIN mx USING (media_id)
          |ORDER BY media_id""".stripMargin,
+    // The audio-dedup oracle never decodes anything: clusters are the
+    // seed classes by construction (fingerprints verified collision-free
+    // across all 199 seeds), rates derive from doc_id % 3. Agreement
+    // proves the decoded-content fingerprints recovered exactly the
+    // planted content classes through the real codec.
+    "q_audio_dedup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    doc_id % $AudioDupSeeds AS seed,
+         |    8000 + 4000 * (doc_id % 3) AS sr,
+         |    64 + (doc_id % $AudioDupSeeds) % 97 AS n
+         |  FROM documents)
+         |SELECT min(media_id) AS keeper,
+         |  count(*) AS n_members,
+         |  CAST(count(DISTINCT sr) AS BIGINT) AS n_rates,
+         |  CAST(min(n) AS BIGINT) AS n_samples
+         |FROM m GROUP BY seed ORDER BY keeper""".stripMargin,
     // The video oracle re-derives every statistic from the frame FORMULA
     // (never from the GIF bytes): per-frame gray sums over (f, x, y) ∈
     // n × w × h, then the whole-stream aggregates and the stride-2

@@ -230,6 +230,21 @@ class MultimodalSpec extends SparkSpec with Matchers {
     "Exchange".r.findAllIn(plan).length shouldBe 1
   }
 
+  test("audio content dedup finds clusters a byte-level dedup must miss") {
+    val clusters = Multimodal.qAudioDedup(spark, sf()).collect()
+    // total membership covers the corpus exactly once
+    clusters.map(_.getLong(1)).sum shouldBe
+      graft.tables.Tables.documents(spark, sf()).count()
+    // the punchline: at least one cluster spans multiple sample rates —
+    // identical decoded content, different RIFF headers, so md5-of-payload
+    // grouping would split it (verified directly below)
+    val mixed = clusters.filter(_.getLong(2) > 1)
+    mixed should not be empty
+    val byteClusters = Multimodal.wavDupTable(spark, sf()).toDF()
+      .groupBy(md5(col("payload"))).count().count()
+    byteClusters should be > clusters.length.toLong
+  }
+
   test("non-GIF payload fails video decode loudly") {
     an[Exception] should be thrownBy
       Multimodal.GifIoCodec.decodeGif(Array[Byte](1, 2, 3, 4))
