@@ -1118,6 +1118,41 @@ object TextAnalysis {
         round(avg(col("quality")), 9).as("avg_quality"))
       .orderBy(col("source"), col("lang"))
 
+  /** k-anonymity floor for [[qKanonRelease]]: no published group may
+    * describe fewer than KAnonK documents (Sweeney 2002 — the release
+    * rule that keeps a composition table from identifying individual
+    * sources' rare strata). 8 exercises both branches at spec scale:
+    * every (lang, source) group at sf0.001 is 1–16 docs.
+    */
+  val KAnonK = 8L
+
+  /** k-anonymized data-card release: the (lang, source) composition table
+    * with every group smaller than [[KAnonK]] SUPPRESSED — folded into a
+    * single ('*', '*') residual row so column totals stay auditable while
+    * no published stratum is narrower than k. The privacy counterpart of
+    * [[qDataCard]] (Sweeney, IJUFKS 2002; the same generalize-or-suppress
+    * rule every census release applies). One tiny-keyspace aggregation +
+    * a ≤|groups|-row residual fold — the suppression adds no corpus-scale
+    * work at 100 TB.
+    */
+  def qKanonRelease(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"))
+    val kept = g.filter(col("n_docs") >= KAnonK)
+    val residual = g.filter(col("n_docs") < KAnonK)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_chars_total")).as("n_chars_total"))
+      .select(lit("*").as("lang"), lit("*").as("source"),
+        col("n_docs"), col("n_chars_total"))
+      .filter(col("n_docs").isNotNull) // no residual row when nothing suppressed
+    kept.select(col("lang"), col("source"), col("n_docs"),
+      col("n_chars_total"))
+      .unionByName(residual)
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Unigram (word) Shannon entropy + type-token ratio per document — the
     * Gopher-adjacent diversity signals (low entropy = TEMPLATE/boilerplate
     * text, low TTR = heavy word reuse). H = ln(n) − (Σ c·ln c)/n over
@@ -1245,6 +1280,7 @@ object TextAnalysis {
     "q_chunk_overlap" -> qChunkOverlap,
     "q_curation_funnel" -> qCurationFunnel,
     "q_data_card" -> qDataCard,
+    "q_kanon" -> qKanonRelease,
     "q_text_entropy" -> qTextEntropy,
     "q_bm25" -> qBm25,
     "q_text_tokens" -> qTextTokens,
@@ -1646,6 +1682,19 @@ object TextAnalysis {
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q_kanon" ->
+      s"""WITH g AS (
+         |  SELECT lang, source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         |  FROM documents GROUP BY lang, source)
+         |SELECT lang, source, n_docs, n_chars_total FROM g
+         |WHERE n_docs >= $KAnonK
+         |UNION ALL
+         |SELECT '*' AS lang, '*' AS source,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars_total) AS BIGINT) AS n_chars_total
+         |FROM g WHERE n_docs < $KAnonK HAVING count(*) > 0
+         |ORDER BY lang, source""".stripMargin,
     "q_data_card" ->
       s"""WITH ${gopherSqlCtes("source, lang")}
          |SELECT source, lang, count(*) AS n_docs,

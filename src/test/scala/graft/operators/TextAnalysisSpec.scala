@@ -395,6 +395,23 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     acc(rows("test")) should be >= 0.8
   }
 
+  test("k-anonymized release: no published stratum below k, totals auditable") {
+    val rows = TextAnalysis.qKanonRelease(spark, sf()).collect()
+    val (residual, published) = rows.partition(_.getString(0) == "*")
+    // every published group satisfies the k floor
+    published.foreach(_.getLong(2) should be >= TextAnalysis.KAnonK)
+    // spec scale has 1..16-doc strata: both branches must be live
+    published should not be empty
+    residual should have length 1
+    residual.head.getLong(2) should be < // rare strata stay rare in sum?
+      rows.map(_.getLong(2)).sum // (sanity: residual is a proper subset)
+    // the suppression hides strata, never mass: totals reconcile exactly
+    val docs = graft.tables.Tables.documents(spark, sf())
+    rows.map(_.getLong(2)).sum shouldBe docs.count()
+    rows.map(_.getLong(3)).sum shouldBe
+      docs.agg(sum(col("n_chars"))).head().getLong(0)
+  }
+
   test("curation funnel: monotone stages, dedup removes the planted re-crawls") {
     val rows = TextAnalysis.qCurationFunnel(spark, sf()).collect()
     rows.foreach { r =>
