@@ -1001,7 +1001,63 @@ object Dedup {
           .as("density"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------------------
+  // Right-to-be-forgotten cascade audit
+  // ------------------------------------------------------------------
+
+  /** Synthetic deletion request: every doc/vec with id ≡ 7 (mod 131)
+    * (~0.76% of the corpus — the per-batch scale of real takedown and
+    * GDPR/CCPA erasure queues).
+    */
+  val DeleteMod = 131L
+  val DeleteResidue = 7L
+
+  /** Deletion-propagation ledger — the audit artifact an erasure run
+    * must produce: for the base table AND every derived artifact that
+    * embeds document identity (the line-hash index, the chunk inventory,
+    * the embedding index), the row mass before, removed by the cascade,
+    * and after. A deletion that only touches `documents` silently leaves
+    * the derived indexes re-identifying the erased docs — exactly what
+    * this ledger makes visible (n_deleted > 0 on every artifact).
+    *
+    * Scale shape: each artifact contributes ONE aggregation over a frame
+    * the engine already maintains — the memoized [[sharedLineRows]]
+    * table, a row-local chunk count, the embeddings scan — so the audit
+    * is corpus-linear with no new joins; the erasure predicate is a
+    * row-local id test on every artifact (no delete-list broadcast
+    * needed for a rule-shaped request; a list-shaped request would make
+    * each `pred` a broadcast semi-join, nothing else changes).
+    */
+  def qDeleteCascade(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def delPred(id: Column): Column = id % DeleteMod === DeleteResidue
+    def ledger(name: String, df: DataFrame, pred: Column, weight: Column) =
+      df.agg(
+        sum(weight).as("n_before"),
+        sum(when(pred, weight).otherwise(0L)).as("n_deleted"))
+        .select(lit(name).as("artifact"),
+          col("n_before"), col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"))
+    val docs = Tables.documents(s, dir)
+    val tk = tokens(col("text"))
+    val chunkCounts = docs.select(col("doc_id"),
+      size(graft.functions.SketchExpressions.tokenChunksStrided(
+        tk, TextAnalysis.ChunkWidth, TextAnalysis.ChunkStride))
+        .cast("long").as("w"))
+    ledger("documents", docs.select(col("doc_id")),
+      delPred(col("doc_id")), lit(1L))
+      .unionByName(ledger("line_index", sharedLineRows(s, dir),
+        delPred(col("doc_id")), lit(1L)))
+      .unionByName(ledger("chunk_index", chunkCounts,
+        delPred(col("doc_id")), col("w")))
+      .unionByName(ledger("embedding_index",
+        Tables.embeddings(s, dir).select(col("vec_id")),
+        delPred(col("vec_id")), lit(1L)))
+      .orderBy(col("artifact"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delete_cascade" -> qDeleteCascade,
     "q_winnow" -> qWinnow,
     "q_dedup_substring_win" -> qDedupSubstringWin,
     "q_dedup_substring_2p" -> qDedupSubstring2P,
@@ -1323,6 +1379,38 @@ object Dedup {
          |  n_total - n_in_clusters + n_clusters AS n_kept,
          |  n_in_clusters - n_clusters AS n_dropped
          |FROM tot, agg""".stripMargin,
+    "q_delete_cascade" ->
+      s"""WITH del AS (SELECT $DeleteResidue AS r),
+         |doc AS (SELECT CAST(count(*) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN doc_id % $DeleteMod = $DeleteResidue
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS x
+         |  FROM documents),
+         |lnw AS (SELECT doc_id,
+         |    (len($toks) + ${LineTokens - 1}) // $LineTokens AS w
+         |  FROM ($nearDupSql)),
+         |ln AS (SELECT CAST(sum(w) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN doc_id % $DeleteMod = $DeleteResidue
+         |      THEN w ELSE 0 END) AS BIGINT) AS x
+         |  FROM lnw),
+         |chw AS (SELECT doc_id,
+         |    (len($toks) + ${TextAnalysis.ChunkStride - 1})
+         |      // ${TextAnalysis.ChunkStride} AS w
+         |  FROM documents),
+         |ch AS (SELECT CAST(sum(w) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN doc_id % $DeleteMod = $DeleteResidue
+         |      THEN w ELSE 0 END) AS BIGINT) AS x
+         |  FROM chw),
+         |em AS (SELECT CAST(count(*) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN vec_id % $DeleteMod = $DeleteResidue
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS x
+         |  FROM embeddings)
+         |SELECT artifact, b AS n_before, x AS n_deleted, b - x AS n_after
+         |FROM (
+         |  SELECT 'documents' AS artifact, b, x FROM doc
+         |  UNION ALL SELECT 'line_index', b, x FROM ln
+         |  UNION ALL SELECT 'chunk_index', b, x FROM ch
+         |  UNION ALL SELECT 'embedding_index', b, x FROM em)
+         |ORDER BY artifact""".stripMargin,
     "q_dedup_lines" ->
       s"""WITH corpus AS ($nearDupSql),
          |tkt AS (SELECT doc_id, $toks AS tk FROM corpus),

@@ -335,6 +335,25 @@ class DedupSpec extends SparkSpec with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("delete cascade: every derived artifact sheds the erased ids, " +
+    "ledger ties to the real anti-join") {
+    val rows = Dedup.qDeleteCascade(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.keySet shouldBe
+      Set("documents", "line_index", "chunk_index", "embedding_index")
+    rows.values.foreach { case (before, deleted, after) =>
+      deleted should be > 0L // the cascade reached this artifact
+      after shouldBe before - deleted
+    }
+    // the line-index ledger equals the REAL anti-join over the shared
+    // line table — the ledger reports what an executed erasure retains
+    val retained = Dedup.sharedLineRows(spark, sf())
+      .filter(!(col("doc_id") % Dedup.DeleteMod === Dedup.DeleteResidue))
+      .count()
+    rows("line_index")._3 shouldBe retained
+  }
+
   test("embedding LSH dedup recalls all planted identical vectors at cos=1") {
     val vecs = graft.tables.Tables.embeddings(spark, sf()).count()
     val df = Dedup.qDedupEmbedding(spark, sf()).cache()
