@@ -110,8 +110,63 @@ object Export {
     manifestOf(curated(s, dir).select(
       col("shard"), col("doc_id"), col("n_kept"), col("clean_text")))
 
+  /** Compaction bin target: bins aim at ⌈total/3⌉ chars each. */
+  val CompactBins = 3L
+
+  private[sources] final case class ShardStat(
+      shard: Long, n_docs: Long, n_chars: Long)
+  private[sources] final case class ShardBin(
+      bin: Long, shard: Long, n_docs: Long, n_chars: Long)
+
+  /** Small-file COMPACTION PLAN — the maintenance operation every
+    * long-lived lakehouse table needs (Delta OPTIMIZE / Iceberg
+    * rewrite_data_files): group the export's shards into target-sized
+    * compaction bins by next-fit over shards ordered largest-first.
+    * Planning is METADATA-scale — the input is the #shards-row manifest,
+    * never the data — so the sequential next-fit recurrence (inherent:
+    * current fill decides the next shard's fate, the [[graft.operators
+    * .Sampling.qPackFit]] justification) runs over one bounded
+    * partition; executing the plan is then an embarrassingly-parallel
+    * per-bin copy. A shard larger than the target keeps its own bin —
+    * compaction never splits a file. Output per bin: shard count, doc
+    * and char mass; the oracle replays the identical recurrence as a
+    * recursive CTE (the q_pack_fit discipline).
+    */
+  def qExportCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = qExportManifest(s, dir)
+      .select(col("shard"), col("n_docs"), col("n_chars")).as[ShardStat]
+      .coalesce(1)
+      .sortWithinPartitions(col("n_chars").desc, col("shard"))
+      .mapPartitions { it =>
+        val shards = it.toArray // bounded: one row per exported shard
+        if (shards.isEmpty) Iterator.empty
+        else {
+          val total = shards.map(_.n_chars).sum
+          val target = (total + CompactBins - 1) / CompactBins
+          var bin = 0L
+          var fill = 0L
+          var first = true
+          shards.iterator.map { sh =>
+            if (!first && fill + sh.n_chars > target) { bin += 1; fill = 0L }
+            first = false
+            fill += sh.n_chars
+            ShardBin(bin, sh.shard, sh.n_docs, sh.n_chars)
+          }
+        }
+      }
+    assigned.toDF()
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_export_manifest" -> qExportManifest
+    "q_export_manifest" -> qExportManifest,
+    "q_export_compact" -> qExportCompact
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -129,6 +184,37 @@ object Export {
          |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
          |  bit_xor(fp) AS fp_xor,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         |FROM m GROUP BY shard ORDER BY shard""".stripMargin
+         |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
+    // identical manifest CTEs, then the next-fit recurrence replayed as a
+    // recursive CTE (the q_pack_fit oracle discipline)
+    "q_export_compact" ->
+      s"""WITH RECURSIVE ${Dedup.linesKeepSqlCtes},
+         |m AS (SELECT
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |    % $ExportShards AS shard,
+         |  doc_id, length(clean_text) AS n_chars
+         |  FROM doc),
+         |sh AS (SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM m GROUP BY shard),
+         |ord AS (SELECT shard, n_docs, n_chars,
+         |  row_number() OVER (ORDER BY n_chars DESC, shard) AS rn FROM sh),
+         |tgt AS (SELECT (sum(n_chars) + $CompactBins - 1) // $CompactBins
+         |  AS target FROM sh),
+         |nf AS (
+         |  SELECT rn, shard, n_docs, n_chars, CAST(0 AS BIGINT) AS bin,
+         |    n_chars AS fill
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.rn, o.shard, o.n_docs, o.n_chars,
+         |    CASE WHEN nf.fill + o.n_chars > (SELECT target FROM tgt)
+         |      THEN nf.bin + 1 ELSE nf.bin END,
+         |    CASE WHEN nf.fill + o.n_chars > (SELECT target FROM tgt)
+         |      THEN o.n_chars ELSE nf.fill + o.n_chars END
+         |  FROM nf JOIN ord o ON o.rn = nf.rn + 1)
+         |SELECT bin, count(*) AS n_shards,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM nf GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

@@ -66,6 +66,27 @@ class ExportSpec extends SparkSpec with Matchers {
     reference.except(exported).count() shouldBe 0
   }
 
+  test("compaction plan: covers every shard once, bins near target, " +
+    "never splits a shard") {
+    val manifest = Export.qExportManifest(spark, sf()).collect()
+    val bins = Export.qExportCompact(spark, sf()).collect()
+    // total conservation: every shard lands in exactly one bin
+    bins.map(_.getLong(1)).sum shouldBe manifest.length.toLong
+    bins.map(_.getLong(2)).sum shouldBe manifest.map(_.getLong(1)).sum
+    bins.map(_.getLong(3)).sum shouldBe manifest.map(_.getLong(3)).sum
+    // bin ids are dense from 0 (the sequential recurrence emits in order)
+    bins.map(_.getLong(0)).sorted.toSeq shouldBe
+      (0L until bins.length.toLong)
+    // next-fit bound: a bin only exceeds the target when a single shard
+    // does — with multiple shards the last one must have fit
+    val total = manifest.map(_.getLong(3)).sum
+    val target = (total + Export.CompactBins - 1) / Export.CompactBins
+    val maxShard = manifest.map(_.getLong(3)).max
+    bins.foreach { b =>
+      if (b.getLong(1) > 1) b.getLong(3) should be <= target + maxShard
+    }
+  }
+
   test("unsupported format fails fast") {
     an[IllegalArgumentException] should be thrownBy
       Export.writeCurated(spark, sf(), tmpDir("bad"), format = "csv")
