@@ -94,8 +94,53 @@ object Graph {
     r.select(col("id").as("doc_id"), col("r").as("pr"))
   }
 
+  /** The GENERAL form: PageRank over a MATERIALIZED edge table — the
+    * shape a real link graph (stored, not derivable from the node id)
+    * forces. The edge table is repartitioned on src ONCE and persisted;
+    * each round is then the standard co-partitioned rank⋈edges join
+    * (ranks arrive hash-partitioned on id from the previous round's
+    * aggregation, edges reuse their persisted partitioning — no
+    * per-round edge shuffle) followed by the one keyed aggregation on
+    * dst. Same recurrence, same integers, bit-identical output to
+    * [[qPagerank]] — which is exactly what lets both share oracle SQL
+    * semantics: the functional-graph specialization is an optimization,
+    * never a semantics change.
+    */
+  def qPagerankEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    val init = PrScale / n
+    val tele = (TeleNum * init) / 100L
+    val nodes = docs.repartition(col("id")).persist()
+    // the stored graph: materialized once, partitioned on the join key
+    val edges = docs
+      .select(col("id").as("src"), explode(dsts(col("id"), n)).as("dst"))
+      .repartition(col("src"))
+      .persist()
+    var r = nodes.select(col("id"), lit(init).as("r")).localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      val contrib = r
+        .join(edges, r("id") === edges("src"))
+        .select(col("dst"), expr("r div 3").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("cs"))
+      r = nodes
+        .join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(tele) + expr(s"($DampNum * coalesce(cs, 0L)) div 100"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    nodes.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    r.select(col("id").as("doc_id"), col("r").as("pr"))
+      .orderBy(col("pr").desc, col("doc_id"))
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> qPagerank
+    "q_pagerank" -> qPagerank,
+    "q_pagerank_edges" -> qPagerankEdges
   )
 
   /** The oracle unrolls all [[PrIters]] rounds as chained CTEs — the
@@ -117,14 +162,18 @@ object Graph {
          |      + ($DampNum * coalesce(cs, 0)) // 100 AS r
          |  FROM nodes LEFT JOIN c${t - 1} ON id = dst)""".stripMargin
     }.mkString(",\n")
+    val sql =
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |nodes AS (SELECT doc_id AS id FROM documents),
+         |r0 AS (SELECT id, (SELECT $PrScale // n FROM nn) AS r FROM nodes),
+         |$rounds
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS pr FROM r$PrIters
+         |ORDER BY pr DESC, doc_id LIMIT 100""".stripMargin
     Map(
-      "q_pagerank" ->
-        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-           |nodes AS (SELECT doc_id AS id FROM documents),
-           |r0 AS (SELECT id, (SELECT $PrScale // n FROM nn) AS r FROM nodes),
-           |$rounds
-           |SELECT id AS doc_id, CAST(r AS BIGINT) AS pr FROM r$PrIters
-           |ORDER BY pr DESC, doc_id LIMIT 100""".stripMargin
+      "q_pagerank" -> sql,
+      // the materialized-edge loop computes the identical recurrence —
+      // one oracle text serves both (plan-only difference by design)
+      "q_pagerank_edges" -> sql
     )
   }
 }

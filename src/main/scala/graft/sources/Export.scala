@@ -132,9 +132,13 @@ object Export {
     * and char mass; the oracle replays the identical recurrence as a
     * recursive CTE (the q_pack_fit discipline).
     */
-  def qExportCompact(s: SparkSession, dir: String): DataFrame = {
+  /** The (bin, shard) assignment the plan aggregates — also the routing
+    * table [[writeCompacted]] broadcasts to execute it.
+    */
+  private[sources] def compactAssignment(
+      s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val assigned = qExportManifest(s, dir)
+    qExportManifest(s, dir)
       .select(col("shard"), col("n_docs"), col("n_chars")).as[ShardStat]
       .coalesce(1)
       .sortWithinPartitions(col("n_chars").desc, col("shard"))
@@ -155,7 +159,45 @@ object Export {
           }
         }
       }
-    assigned.toDF()
+      .toDF()
+  }
+
+  /** EXECUTE the compaction plan: route every curated row to its bin via
+    * a broadcast of the #shards-row assignment, write one file per bin
+    * (the same repartition+sortWithinPartitions+partitionBy layout as
+    * [[writeCurated]]), and return the per-bin manifest RECOMPUTED FROM
+    * THE WRITTEN FILES — (n_docs, n_chars, fp_xor), where fp_xor must
+    * equal the xor of the constituent shards' fingerprints: the
+    * content-preservation proof that compaction moved every row and
+    * changed none (spec-pinned against the plan side).
+    */
+  def writeCompacted(
+      s: SparkSession, dir: String, outPath: String): DataFrame = {
+    val assign = compactAssignment(s, dir).select(col("bin"), col("shard"))
+    val nBins = assign.agg(max(col("bin"))).head().getLong(0).toInt + 1
+    curated(s, dir)
+      .join(broadcast(assign), "shard")
+      .select(col("bin"), col("doc_id"), col("clean_text"))
+      .repartition(nBins, col("bin"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite")
+      .partitionBy("bin")
+      .parquet(outPath)
+    s.read.parquet(outPath)
+      .select(col("bin").cast("long").as("bin"), col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .select(col("bin"),
+        length(col("clean_text")).cast("long").as("n_chars"), docFp.as("fp"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(fp)").as("fp_xor"))
+      .orderBy(col("bin"))
+  }
+
+  def qExportCompact(s: SparkSession, dir: String): DataFrame = {
+    compactAssignment(s, dir)
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n_shards"),

@@ -49,6 +49,15 @@ class GraphSpec extends SparkSpec with Matchers {
     total should be >= (Graph.PrScale * 6) / 10
   }
 
+  test("stored-edge loop is bit-identical to the functional-graph loop " +
+    "and reuses the persisted edge partitioning across rounds") {
+    val func = Graph.qPagerank(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edged = Graph.qPagerankEdges(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    edged shouldBe func
+  }
+
   test("top-100 output is rank-sorted with a deterministic tiebreak") {
     val out = Graph.qPagerank(spark, sf()).collect()
     out.length shouldBe math.min(100, Tables.documents(spark, sf()).count()).toInt

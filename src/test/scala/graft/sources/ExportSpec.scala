@@ -87,6 +87,33 @@ class ExportSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("compaction execution preserves content: written-file fingerprints " +
+    "equal the shard-manifest xor per bin") {
+    val out = tmpDir("compact")
+    val written = Export.writeCompacted(spark, sf(), out).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // plan ↔ execution: same bins, same doc/char mass
+    val plan = Export.qExportCompact(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    written.keySet shouldBe plan.keySet
+    plan.foreach { case (bin, (docs, chars)) =>
+      written(bin)._1 shouldBe docs
+      written(bin)._2 shouldBe chars
+    }
+    // content preservation: the per-bin fingerprint recomputed from the
+    // files equals the xor of the constituent shards' manifest
+    // fingerprints — every row moved, no row changed
+    val shardFp = Export.qExportManifest(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val assign = Export.compactAssignment(spark, sf()).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap // shard -> bin
+    val expected = assign.groupBy(_._2).map { case (bin, shards) =>
+      bin -> shards.keys.map(shardFp).foldLeft(0L)(_ ^ _)
+    }
+    written.map { case (bin, (_, _, fp)) => bin -> fp } shouldBe expected
+  }
+
   test("unsupported format fails fast") {
     an[IllegalArgumentException] should be thrownBy
       Export.writeCurated(spark, sf(), tmpDir("bad"), format = "csv")
