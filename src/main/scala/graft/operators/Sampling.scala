@@ -443,7 +443,47 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum deciles WITHOUT a global sort — the scalable `ntile`
+    * replacement for bounded-integer columns: `ntile(10) OVER (ORDER BY
+    * n_chars)` funnels the corpus through one task (the round-5 weak
+    * class); instead, EXACT decile boundaries come from the value
+    * HISTOGRAM — n_chars is integer-valued with a bounded domain, so
+    * `groupBy(value).count()` has ≤|domain| output rows, the cumulative
+    * walk over them is a bounded driver roundtrip (the k-means/BPE
+    * class), and assignment is a 9-term row-local comparison against the
+    * broadcast boundary literals. boundary b_k = min{v : cum(v) ≥
+    * ⌈k·N/10⌉}; decile(v) = #{k : v > b_k} — ties share a decile on both
+    * engines by construction (no ntile row-splitting arbitrariness,
+    * which is also what makes the result engine-portable at all). Output
+    * mirrors what a curriculum loader consumes: per decile, the doc
+    * count and char-mass envelope.
+    */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val cum = hist.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) => (v, acc + c) }.drop(1)
+    val bounds = (1 to 9).map { k =>
+      val need = (k * n + 9) / 10
+      cum.find(_._2 >= need).get._1
+    }
+    val decile = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col("n_chars") > b, 1L).otherwise(0L)
+    }
+    docs
+      .select(col("n_chars"), decile.as("decile"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("decile"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum" -> qCurriculum,
     "q_dsir" -> qDsir,
     "q_pack" -> qPack,
     "q_pack_ids" -> qPackIds,
@@ -456,6 +496,25 @@ object Sampling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_curriculum" ->
+      """WITH h AS (SELECT n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY n_chars),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cc
+        |  FROM h),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT k, min(v) AS bv
+        |  FROM cum CROSS JOIN (SELECT unnest(range(1, 10)) AS k) ks
+        |  CROSS JOIN nn
+        |  WHERE cc >= (k * n + 9) // 10 GROUP BY k),
+        |d AS (SELECT n_chars,
+        |  CAST((SELECT count(*) FROM b WHERE documents.n_chars > b.bv)
+        |    AS BIGINT) AS decile
+        |  FROM documents)
+        |SELECT decile, count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     "q_dsir" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang,

@@ -256,4 +256,30 @@ class SamplingSpec extends SparkSpec with Matchers {
     val diff = a.join(c, "doc_id").filter(col("b1") =!= col("b2")).count()
     diff shouldBe 0L
   }
+
+  test("curriculum deciles: exact histogram boundaries, no global window") {
+    val docs = graft.tables.Tables.documents(spark, sf())
+    val n = docs.count()
+    val rows = Sampling.qCurriculum(spark, sf()).collect()
+    // a partition of the corpus into value-contiguous, ordered bands
+    rows.map(_.getLong(1)).sum shouldBe n
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        a.getLong(0) should be < b.getLong(0) // decile ascending
+        a.getLong(3) should be < b.getLong(2) // max_chars < next min_chars
+      case _ => ()
+    }
+    // decile k's cumulative count reaches ceil((k+1)·N/10) — the exact
+    // boundary rule, off only by value ties (which stay in one band)
+    var cum = 0L
+    rows.init.foreach { r =>
+      cum += r.getLong(1)
+      cum should be >= ((r.getLong(0) + 1) * n + 9) / 10
+    }
+    // the scalable plan: no Window anywhere (ntile's shape is the point
+    // of comparison)
+    val plan = Sampling.qCurriculum(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
 }
