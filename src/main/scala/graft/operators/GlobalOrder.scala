@@ -109,6 +109,13 @@ object GlobalOrder {
       OrderState(ranked, cOff, sorted.toDF())
     }
 
+  /** The unsorted ranked frame (doc_id, tk, pos, cum_tk) — for consumers
+    * that join on doc_id and must not inherit the presentation sort
+    * (e.g. [[TextAnalysis.qVocabGrowth]]).
+    */
+  private[graft] def rankedDocs(s: SparkSession, dir: String): DataFrame =
+    orderState(s, dir).ranked
+
   /** Deterministic global shuffle: doc_id → 1-based position in the
     * md5-permuted epoch order. See the object scaladoc for the two-pass
     * prefix-sum plan (no global window anywhere).

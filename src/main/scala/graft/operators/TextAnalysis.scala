@@ -1118,6 +1118,44 @@ object TextAnalysis {
         round(avg(col("quality")), 9).as("avg_quality"))
       .orderBy(col("source"), col("lang"))
 
+  /** Vocabulary GROWTH curve (Heaps 1978): new distinct words per decile
+    * of the deterministic epoch order — the corpus forecast a tokenizer/
+    * vocab budget decision reads (how fast does vocab still grow at the
+    * corpus tail → how much new data adds new types vs repeats). Order
+    * is [[GlobalOrder]]'s md5 permutation, so the curve is reproducible
+    * and layout-independent. Shape: each word's FIRST position is one
+    * vocabulary-sized aggregation (min pos over occurrences — no
+    * sequential scan: first-occurrence is an algebraic min under any
+    * order), then a 10-group fold; the corpus-scale work is the one
+    * word-explode shuffle, same as [[qVocabCoverage]].
+    */
+  def qVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val ranked = GlobalOrder.rankedDocs(s, dir)
+      .select(col("doc_id"), col("pos"))
+    val n = Tables.documents(s, dir).count()
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tk).as("word"))
+    val decile = (colName: String) =>
+      expr(s"(($colName - 1) * 10) div $n")
+    val firstSeen = words
+      .join(ranked, "doc_id")
+      .groupBy(col("word"))
+      .agg(min(col("pos")).as("first_pos"))
+      .groupBy(decile("first_pos").as("decile"))
+      .agg(count(lit(1)).as("n_new_words"))
+    val docMass = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tk).cast("long").as("tks")) // incl. 0-token docs
+      .join(ranked, "doc_id")
+      .groupBy(decile("pos").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tks")).as("n_tokens"))
+    docMass
+      .join(firstSeen, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_words"), lit(0L)).as("n_new_words"))
+      .orderBy(col("decile"))
+  }
+
   /** k-anonymity floor for [[qKanonRelease]]: no published group may
     * describe fewer than KAnonK documents (Sweeney 2002 — the release
     * rule that keeps a composition table from identifying individual
@@ -1281,6 +1319,7 @@ object TextAnalysis {
     "q_curation_funnel" -> qCurationFunnel,
     "q_data_card" -> qDataCard,
     "q_kanon" -> qKanonRelease,
+    "q_vocab_growth" -> qVocabGrowth,
     "q_text_entropy" -> qTextEntropy,
     "q_bm25" -> qBm25,
     "q_text_tokens" -> qTextTokens,
@@ -1695,6 +1734,32 @@ object TextAnalysis {
          |  CAST(sum(n_chars_total) AS BIGINT) AS n_chars_total
          |FROM g WHERE n_docs < $KAnonK HAVING count(*) > 0
          |ORDER BY lang, source""".stripMargin,
+    // epoch order = the shuffle-order md5 permutation (same expression
+    // as the q_shuffle_order oracle); first occurrence is an algebraic
+    // min, so the curve needs no sequential scan on either engine
+    "q_vocab_growth" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ordd AS (SELECT doc_id, row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |    doc_id) AS pos
+        |  FROM documents),
+        |tt AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |              x -> length(x) > 0) AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(t) AS word FROM tt),
+        |fs AS (SELECT word, min(pos) AS first_pos
+        |  FROM w JOIN ordd USING (doc_id) GROUP BY word),
+        |nw AS (SELECT ((first_pos - 1) * 10) // (SELECT n FROM nn)
+        |    AS decile, count(*) AS n_new_words
+        |  FROM fs GROUP BY 1),
+        |dm AS (SELECT ((pos - 1) * 10) // (SELECT n FROM nn) AS decile,
+        |    count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+        |  FROM tt JOIN ordd USING (doc_id) GROUP BY 1)
+        |SELECT dm.decile, n_docs, n_tokens,
+        |  CAST(coalesce(n_new_words, 0) AS BIGINT) AS n_new_words
+        |FROM dm LEFT JOIN nw ON dm.decile = nw.decile
+        |ORDER BY dm.decile""".stripMargin,
     "q_data_card" ->
       s"""WITH ${gopherSqlCtes("source, lang")}
          |SELECT source, lang, count(*) AS n_docs,

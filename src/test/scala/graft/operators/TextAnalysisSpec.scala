@@ -395,6 +395,21 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     acc(rows("test")) should be >= 0.8
   }
 
+  test("vocab growth: deciles partition the corpus, new-word mass sums " +
+    "to the distinct vocabulary") {
+    val rows = TextAnalysis.qVocabGrowth(spark, sf()).collect()
+    rows.map(_.getLong(0)).toSeq shouldBe (0L to 9L)
+    val docs = graft.tables.Tables.documents(spark, sf())
+    rows.map(_.getLong(1)).sum shouldBe docs.count()
+    val vocab = docs
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+        t => org.apache.spark.sql.functions.length(t) > 0)).as("w"))
+      .distinct().count()
+    rows.map(_.getLong(3)).sum shouldBe vocab
+    // first decile must introduce vocabulary (any corpus does)
+    rows.head.getLong(3) should be > 0L
+  }
+
   test("k-anonymized release: no published stratum below k, totals auditable") {
     val rows = TextAnalysis.qKanonRelease(spark, sf()).collect()
     val (residual, published) = rows.partition(_.getString(0) == "*")
