@@ -380,6 +380,25 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should include("TakeOrderedAndProject")
   }
 
+  test("q_audio_dedup: WAV payloads never ride an Exchange — only " +
+    "fixed-width fingerprint rows shuffle") {
+    val plan = graft.operators.Multimodal.qAudioDedup(spark, sf())
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    exchanges should not be empty
+    exchanges.foreach(_ should not include "payload")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q_vocab_growth: no global window — rank comes from the shared " +
+    "prefix-sum state, first-occurrence is an algebraic min") {
+    val plan = graft.operators.TextAnalysis.qVocabGrowth(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
   test("q_sample_pps: rides the memoized order state — no extra corpus " +
     "shuffle beyond the shared range partitioning, no window") {
     val plan = graft.operators.GlobalOrder.qSamplePps(spark, sf())
