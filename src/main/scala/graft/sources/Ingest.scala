@@ -169,6 +169,95 @@ object Ingest {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(fixturePath(s, dir))))
 
+  // ------------------------------------------------------------------
+  // Streaming ingest → dedup composition
+  // ------------------------------------------------------------------
+
+  /** Re-crawl plant for the streaming composition: every 7th doc's line
+    * appears AGAIN in an extra shard (valid JSON, identical content ⇒
+    * identical content id — the collision the addressing exists for).
+    */
+  val RecrawlMod = 7
+
+  /** Combined fixture for the streaming pipeline: the ingest shards PLUS
+    * one re-crawl shard (shard index [[IngestShards]]), one dir so the
+    * file-source stream sees one arriving-crawl directory. Memoized like
+    * [[fixturePath]] (input data, not query state).
+    */
+  private val pipelineFixtureMemo = new SessionMemo[String]()
+  private[graft] def pipelineFixturePath(s: SparkSession, dir: String): String =
+    pipelineFixtureMemo.getOrElseUpdate(s, dir) {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ingest_pipeline/" +
+          new java.io.File(dir).getName
+      val base = fixtureLines(s, dir)
+        .withColumn("shard",
+          graft.operators.Sampling.hashBucket(col("doc_id"), IngestShards))
+      val recrawl = fixtureLines(s, dir)
+        .filter(col("doc_id") % RecrawlMod === 0 &&
+          col("doc_id") % MalformedMod =!= 0)
+        .withColumn("shard", lit(IngestShards))
+      base.unionByName(recrawl)
+        .repartition(IngestShards + 1, col("shard"))
+        .sortWithinPartitions(col("doc_id"))
+        .select(col("value"), col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "gzip")
+        .text(out)
+      out
+    }
+
+  /** A first-claim decision for one ingested document. */
+  final case class DocClaim(
+      cid: Long, source: String, n_chars: Long, kept: Boolean)
+
+  /** The END-TO-END streaming curation entry: raw gzip JSONL shards
+    * arrive (one per trigger — the crawl-dump arrival mode), each batch
+    * is PERMISSIVE-parsed with the malformed quarantine, good records
+    * are content-addressed, and an incremental keep-first dedup claims
+    * each content id as it first appears — the
+    * [[graft.streaming.IncrementalDedup.incrementalLineClaims]] state
+    * shape lifted to document granularity, composed directly onto the
+    * ingest stream. State is one boolean per distinct content id (the
+    * cardinality a batch `distinct` shuffles, amortized over the
+    * stream); claims emit Append, so any downstream ledger aggregates in
+    * the sink. IngestSpec proves the drained claim set reproduces the
+    * batch parse→address→keep-first pipeline exactly, duplicates
+    * included.
+    */
+  def ingestDedupStream(
+      s: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.Dataset[DocClaim] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val good = parsedCols(s.readStream
+      .schema(IngestSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(pipelineFixturePath(s, dir)))
+      .filter(!col("is_malformed"))
+      .select(contentId.as("cid"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .as[(Long, String, Long)]
+    good
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, DocClaim](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cid: Long, rows: Iterator[(Long, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          var claimed = state.getOption.getOrElse(false)
+          val out = List.newBuilder[DocClaim]
+          rows.foreach { case (_, src, nc) =>
+            out += DocClaim(cid, src, nc, kept = !claimed)
+            claimed = true
+          }
+          if (claimed && !state.exists) state.update(true)
+          out.result().iterator
+      }
+  }
+
   /** Offset for ids that "appear" in the next crawl snapshot. */
   val CrawlAddOffset = 20000000L
 

@@ -81,6 +81,57 @@ class IngestSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("streaming ingest→dedup composition: drained claims reproduce the " +
+    "batch parse→address→keep-first pipeline, duplicates included") {
+    val q = Ingest.ingestDedupStream(spark, sf())
+      .writeStream.format("memory").queryName("pipeline_claims")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val claims = spark.table("pipeline_claims")
+      // per source: arrivals, kept (first claim per content id), chars kept
+      val streamed = claims.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_seen"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // batch twin over the same combined fixture: group by content id,
+      // keep one per id (identical content ⇒ per-source ledger is
+      // arrival-order independent)
+      val batch = spark.read
+        .schema("source STRING, lang STRING, text STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(Ingest.pipelineFixturePath(spark, sf()))
+        .filter(col("_corrupt_record").isNull)
+        .select(
+          conv(substring(md5(concat(col("source"), lit("\u0001"), col("text"))),
+            1, 15), 16, 10).cast("long").as("cid"),
+          col("source"),
+          org.apache.spark.sql.functions.length(col("text"))
+            .cast("long").as("n_chars"))
+        .groupBy(col("cid"))
+        .agg(first(col("source")).as("source"), count(lit(1)).as("copies"),
+          first(col("n_chars")).as("nc"))
+        .groupBy(col("source"))
+        .agg(sum(col("copies")).as("n_seen"), count(lit(1)).as("n_kept"),
+          sum(col("nc")).as("chars"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      streamed shouldBe batch
+      // the dedup stage demonstrably dropped the planted re-crawls
+      streamed.values.map(v => v._1 - v._2).sum should be > 0L
+      // shard-at-a-time arrival really happened (original + re-crawl shards)
+      q.recentProgress.count(_.numInputRows > 0) should be >=
+        (Ingest.IngestShards + 1)
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS pipeline_claims")
+      ()
+    }
+  }
+
   test("crawl delta: class totals match the plant rules") {
     val rows = Ingest.qCrawlDelta(spark, sf()).collect()
     def total(c: String) = rows.map(_.getAs[Long](c)).sum
