@@ -57,6 +57,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))
 
+  /** MIXED-LANGUAGE audit — the curation defect document-level lang-id
+    * hides: a doc whose CHUNKS classify differently (half English, half
+    * German, or language-less boilerplate spans inside a labeled doc) is
+    * exactly what per-doc routing mislabels and what degrades
+    * monolingual training mixes. Chunking reuses the strided
+    * [[qChunkOverlap]] windows; each chunk runs the same one-pass
+    * [[graft.functions.LangIdExpression]] scorer as the doc level, so
+    * doc and chunk predictions are comparable by construction. Pure map
+    * stage (the langId-inside-transform composition stays row-local,
+    * zero shuffles before the output sort).
+    */
+  def qLangMix(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val chunks = graft.functions.SketchExpressions
+      .tokenChunksStrided(tk, ChunkWidth, ChunkStride)
+    val preds = transform(chunks,
+      c => graft.functions.LangIdExpression.langId(c, LangMarkers))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.LangIdExpression.langId(col("text"), LangMarkers)
+          .as("pred_doc"),
+        size(chunks).cast("long").as("n_chunks"),
+        size(array_distinct(preds)).cast("long").as("n_langs"),
+        when(size(array_distinct(preds)) > 1, 1L).otherwise(0L)
+          .as("flag_mixed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints: exact (md5), normalized (sorted distinct token
     * set), and sha256 — the keys exact/canonical dedup joins on.
     */
@@ -1329,6 +1358,7 @@ object TextAnalysis {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
+    "q_lang_mix" -> qLangMix,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_bigrams" -> qBigrams,
     "q_tfidf" -> qTfidf,
@@ -1355,8 +1385,21 @@ object TextAnalysis {
        |+ 0.3 * least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)""".stripMargin
   private def markerList(lang: String): String =
     LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
-  private def score(lang: String): String =
-    s"len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x IN (${markerList(lang)})))"
+  private def scoreCol(c: String, lang: String): String =
+    s"len(list_filter(string_split_regex(lower($c), '[^a-z]+'), x -> x IN (${markerList(lang)})))"
+  private def score(lang: String): String = scoreCol("text", lang)
+
+  /** The lang-id decision CASE over pre-computed scores — shared by the
+    * doc-level and chunk-level oracles so the tie-break order lives in
+    * exactly one SQL string.
+    */
+  private def langCaseSql: String =
+    """CASE WHEN n_cjk > 0 THEN 'zh'
+      |     WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+      |     WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |     WHEN s_fr >= s_es THEN 'fr'
+      |     ELSE 'es' END""".stripMargin
 
   /** Shared Gopher CTE chain (tokenize → measure → flag) with `passCols`
     * carried through — the SQL twin of [[withGopherCols]], used by both
@@ -1893,14 +1936,44 @@ object TextAnalysis {
          |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk
          |  FROM documents)
          |SELECT lang,
-         |  CASE WHEN n_cjk > 0 THEN 'zh'
-         |       WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
-         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-         |       WHEN s_fr >= s_es THEN 'fr'
-         |       ELSE 'es' END AS pred,
+         |  $langCaseSql AS pred,
          |  count(*) AS n
          |FROM scored GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+    "q_lang_mix" ->
+      s"""WITH tt AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |              x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |  list_transform(range(0, (len(tk) + ${ChunkStride - 1}) // $ChunkStride),
+         |    i -> array_to_string(
+         |      tk[i*$ChunkStride+1 : i*$ChunkStride+$ChunkWidth], ' '))
+         |    AS chunks
+         |  FROM tt),
+         |x AS (SELECT doc_id, unnest(chunks) AS ch FROM c),
+         |cs AS (SELECT doc_id,
+         |    ${scoreCol("ch", "en")} AS s_en, ${scoreCol("ch", "de")} AS s_de,
+         |    ${scoreCol("ch", "fr")} AS s_fr, ${scoreCol("ch", "es")} AS s_es,
+         |    length(regexp_replace(ch, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+         |      AS n_cjk
+         |  FROM x),
+         |cp AS (SELECT doc_id, $langCaseSql AS pred FROM cs),
+         |agg AS (SELECT doc_id, count(*) AS n_chunks,
+         |    count(DISTINCT pred) AS n_langs
+         |  FROM cp GROUP BY doc_id),
+         |ds AS (SELECT doc_id,
+         |    ${score("en")} AS s_en, ${score("de")} AS s_de,
+         |    ${score("fr")} AS s_fr, ${score("es")} AS s_es,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+         |      AS n_cjk
+         |  FROM documents)
+         |SELECT ds.doc_id, $langCaseSql AS pred_doc,
+         |  CAST(coalesce(agg.n_chunks, 0) AS BIGINT) AS n_chunks,
+         |  CAST(coalesce(agg.n_langs, 0) AS BIGINT) AS n_langs,
+         |  CAST(CASE WHEN coalesce(agg.n_langs, 0) > 1 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS flag_mixed
+         |FROM ds LEFT JOIN agg USING (doc_id)
+         |ORDER BY ds.doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  md5(text) AS fp_md5,

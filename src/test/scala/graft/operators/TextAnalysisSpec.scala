@@ -395,6 +395,20 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     acc(rows("test")) should be >= 0.8
   }
 
+  test("lang-mix audit: chunk inventory ties to q_chunk_overlap, flag is " +
+    "consistent, both branches live") {
+    val mix = TextAnalysis.qLangMix(spark, sf()).collect()
+    val chunkInv = TextAnalysis.qChunkOverlap(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    mix.foreach { r =>
+      r.getLong(2) shouldBe chunkInv(r.getLong(0)) // same chunker
+      (r.getLong(4) == 1L) shouldBe (r.getLong(3) > 1L)
+      r.getLong(3) should be <= r.getLong(2).max(1L)
+    }
+    mix.count(_.getLong(4) == 1L) should be > 0
+    mix.count(_.getLong(4) == 0L) should be > 0
+  }
+
   test("vocab growth: deciles partition the corpus, new-word mass sums " +
     "to the distinct vocabulary") {
     val rows = TextAnalysis.qVocabGrowth(spark, sf()).collect()
