@@ -915,6 +915,54 @@ object Dedup {
           chunks, col("kept")), " ").as("clean_text"))
   }
 
+  /** Boilerplate document-frequency threshold: a line in MORE than this
+    * many distinct documents is template/boilerplate (the corpus'
+    * organic df mass sits at 1–8; the planted template lines run 44–61).
+    */
+  val BoilerplateDf = 10L
+
+  /** BOILERPLATE line removal (the CCNet/RefinedWeb line-level filter,
+    * Wenzek 2020 §4.1) — distinct from [[qDedupLinesKeep]]'s keep-FIRST:
+    * a line whose document frequency exceeds [[BoilerplateDf]] is
+    * navigation/template mass and is dropped from EVERY document,
+    * including its first occurrence. Shape: the df aggregation runs over
+    * the same memoized [[sharedLineRows]] table; the boilerplate hash
+    * set is bounded by |corpus lines| / df-threshold (tiny — at most
+    * n_lines/10 here, in practice a few template lines), so the removal
+    * is a broadcast anti-join at line level and the text rebuild is the
+    * [[linesKeepCorpus]] lambda-free gather. One df shuffle over
+    * already-persisted hashes; text never rides an Exchange.
+    */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupDocs(s, dir)
+    val chunks = graft.functions.SketchExpressions.tokenChunks(
+      tokens(col("text")), LineTokens)
+    val linesH = sharedLineRows(s, dir)
+    val bp = linesH.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > BoilerplateDf)
+      .select(col("h"))
+    val keptPos = linesH
+      .join(broadcast(bp), Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("line_no"))).as("kept"))
+    val counts = linesH.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"))
+    corpus
+      .join(counts, "doc_id")
+      .join(keptPos, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        (col("n_lines") -
+          size(coalesce(col("kept"), array().cast("array<int>"))).cast("long"))
+          .as("n_removed"),
+        md5(array_join(graft.functions.SketchExpressions.elementsAt(
+          chunks, coalesce(col("kept"), array().cast("array<int>"))), " "))
+          .as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[linesKeepCorpus]] reported as md5 — the rewritten corpus verified
     * cross-engine without shipping text; the curated-corpus export sink
     * ([[graft.sources.Export]]) writes the text itself.
@@ -1065,6 +1113,7 @@ object Dedup {
     "q_decontaminate" -> qDecontaminate,
     "q_dedup_lines" -> qDedupLines,
     "q_dedup_lines_keep" -> qDedupLinesKeep,
+    "q_boilerplate" -> qBoilerplate,
     "q_dedup_substring" -> qDedupSubstring,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_clusters" -> qDedupClusters,
@@ -1435,6 +1484,33 @@ object Dedup {
       s"""WITH $linesKeepSqlCtes
          |SELECT doc_id, n_lines, n_kept, md5(clean_text) AS clean_md5
          |FROM doc ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH corpus AS ($nearDupSql),
+         |tkt AS (SELECT doc_id, $toks AS tk FROM corpus),
+         |ln AS (SELECT doc_id, tk,
+         |  list_transform(range(0, (len(tk) + ${LineTokens - 1}) // $LineTokens),
+         |    i -> ('0x' || substr(md5(
+         |      array_to_string(tk[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' ')
+         |    ), 1, 15))::BIGINT) AS hs
+         |  FROM tkt),
+         |ph0 AS (SELECT doc_id, unnest(range(0, len(hs))) AS pos, hs FROM ln),
+         |ph AS (SELECT doc_id, CAST(pos AS BIGINT) AS line_no, hs[pos+1] AS h
+         |  FROM ph0),
+         |bp AS (SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS df FROM ph GROUP BY h)
+         |  WHERE df > $BoilerplateDf),
+         |kp AS (SELECT doc_id, count(*) AS n_lines,
+         |  coalesce(list_sort(list(line_no)
+         |    FILTER (WHERE h NOT IN (SELECT h FROM bp))), []) AS kept
+         |  FROM ph GROUP BY doc_id)
+         |SELECT k.doc_id, k.n_lines,
+         |  CAST(k.n_lines - len(k.kept) AS BIGINT) AS n_removed,
+         |  md5(coalesce(array_to_string(list_transform(k.kept,
+         |    i -> array_to_string(
+         |      t.tk[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' ')), ' '), ''))
+         |    AS clean_md5
+         |FROM kp k JOIN tkt t USING (doc_id)
+         |ORDER BY k.doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH corpus AS ($plantedSql),
          |fp AS (SELECT doc_id, md5(text) AS fp_md5, $normFpSql AS fp_norm FROM corpus)

@@ -335,6 +335,25 @@ class DedupSpec extends SparkSpec with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("boilerplate removal drops EVERY instance of high-df lines — " +
+    "including the first, unlike keep-first dedup") {
+    val rows = Dedup.qBoilerplate(spark, sf()).collect()
+    rows.foreach { r =>
+      r.getLong(2) should be >= 0L
+      r.getLong(2) should be <= r.getLong(1)
+    }
+    // total removed = exactly the instance mass of hashes over the df
+    // threshold, recomputed independently over the shared line table
+    val lines = Dedup.sharedLineRows(spark, sf())
+    val bpInstances = lines
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("inst"))
+      .filter(col("df") > Dedup.BoilerplateDf)
+      .agg(sum(col("inst"))).head().getLong(0)
+    bpInstances should be > 0L // the planted template lines exist
+    rows.map(_.getLong(2)).sum shouldBe bpInstances
+  }
+
   test("delete cascade: every derived artifact sheds the erased ids, " +
     "ledger ties to the real anti-join") {
     val rows = Dedup.qDeleteCascade(spark, sf()).collect()
