@@ -31,6 +31,38 @@ object Events {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** DENSE hourly series — the gap-filling resample every dashboard and
+    * anomaly detector needs before it can difference or window a series
+    * (the raw hourly rollup has ~75% missing hours here: an absent hour
+    * IS a zero observation, and trailing-window logic that only sees
+    * present rows silently skips the gaps). The dense axis is
+    * |hours| × |event types| — bounded by the TIME RANGE, not the corpus,
+    * so the sequence-explode side stays tiny at any data scale and the
+    * counts join is a left join on (hour, type). Absent cells fill with
+    * exact zeros.
+    */
+  def qEventsDensify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        col("value"))
+    val hourly = e.groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("tv"))
+    val bounds = e.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val axis = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
+          .as("hour"))
+    axis
+      .join(hourly,
+        axis("hour") === hourly("h") &&
+          axis("event_type") === hourly("event_type"), "left")
+      .select(axis("hour"), axis("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("tv"), lit(0.0)).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** SLIDING (hopping) window rollup — 2-hour windows every hour, so each
     * event lands in exactly size/slide = 2 windows. Spark's `window()`
     * aligns hops to the epoch; the oracle reproduces the same assignment
@@ -328,6 +360,7 @@ object Events {
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_retention" -> qEventsRetention,
     "q_events_hourly" -> qEventsHourly,
+    "q_events_densify" -> qEventsDensify,
     "q_events_sliding" -> qEventsSliding,
     "q_events_sessionize" -> qEventsSessionize,
     "q_events_funnel" -> qEventsFunnel,
@@ -424,6 +457,23 @@ object Events {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_events_densify" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type, value
+        |  FROM events),
+        |hourly AS (SELECT h, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tv
+        |  FROM e GROUP BY h, event_type),
+        |b AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |axis AS (SELECT event_type,
+        |  unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        |  FROM t CROSS JOIN b)
+        |SELECT axis.hour, axis.event_type,
+        |  CAST(coalesce(hourly.n, 0) AS BIGINT) AS n,
+        |  coalesce(hourly.tv, 0.0e0) AS total_value
+        |FROM axis LEFT JOIN hourly
+        |  ON hourly.h = axis.hour AND hourly.event_type = axis.event_type
+        |ORDER BY axis.hour, axis.event_type""".stripMargin,
     "q_events_sliding" ->
       """WITH hops AS (
         |  SELECT date_trunc('hour', ts) - to_hours(k) AS window_start,

@@ -67,4 +67,21 @@ class EventsSpec extends SparkSpec with Matchers {
     Events.qEventsSliding(spark, sf())
       .agg(sum("n")).head().getLong(0) shouldBe 2 * total
   }
+
+  test("densified series: full dense grid, gaps fill with exact zeros, " +
+    "event mass conserved") {
+    val dense = Events.qEventsDensify(spark, sf()).collect()
+    val hours = dense.map(_.getTimestamp(0)).distinct.length
+    val types = dense.map(_.getString(1)).distinct.length
+    dense.length shouldBe hours * types // a complete grid
+    // the raw rollup is sparse here (~25% hour coverage): most cells are
+    // filled gaps — the condition the densify exists for
+    val zeros = dense.count(_.getLong(2) == 0L)
+    zeros should be > dense.length / 2
+    dense.filter(_.getLong(2) == 0L)
+      .foreach(_.getDouble(3) shouldBe 0.0)
+    // conservation: dense totals equal the sparse rollup's
+    dense.map(_.getLong(2)).sum shouldBe
+      graft.tables.Tables.events(spark, sf()).count()
+  }
 }
