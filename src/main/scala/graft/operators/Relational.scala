@@ -521,9 +521,44 @@ object Relational {
         col("c_acctbal"))
   }
 
+  /** ANALYZE-style column profile — the statistics collection a
+    * cost-based optimizer (and every data-quality monitor) runs before
+    * anything else: per column, null count, exact distinct cardinality,
+    * and the min/max envelope. ONE scan: Spark plans the multi-column
+    * distinct aggregate via Expand (row ×|columns|, map-side combined),
+    * which is the profile shape that scales — never one pass per column.
+    * min/max surface as strings so one schema covers heterogeneous
+    * column types (the ANALYZE convention).
+    */
+  def qTableProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_returnflag")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_s"),
+        col(s"${c}_max").as("max_s"))
+    }
+    one
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_s"), col("p.max_s"))
+      .orderBy(col("col_name"))
+  }
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_profile" -> qTableProfile,
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
     "q_scalar_subquery" -> qScalarSubquery,
@@ -554,7 +589,21 @@ object Relational {
     "q_distinct_count" -> qDistinctCount
   )
 
+  private def profileColSql(c: String): String =
+    s"""SELECT '$c' AS col_name,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_nulls,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min_s,
+       |  CAST(max($c) AS VARCHAR) AS max_s
+       |FROM lineitem""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_table_profile" ->
+      (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_returnflag")
+        .map(profileColSql)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")),
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
