@@ -60,9 +60,41 @@ object Embeddings {
           .as("mean_abs_err"))
       .orderBy(col("vec_id"))
 
+  /** Fixed quantization grid for the drift fingerprint: 10⁻³ steps. */
+  val DriftScale = 1000
+
+  /** Per-label embedding DRIFT fingerprint — what an embedding-space
+    * monitor compares across corpus snapshots or encoder versions (a
+    * retrained encoder that shifts one label's distribution moves these
+    * integers immediately): every dimension quantized to the fixed
+    * [[DriftScale]] grid (half-up via `floor(x·s + 0.5)`, the tie rule
+    * both engines agree on), then exact integer mass/L1/L2 sums per
+    * label. Quantizing BEFORE summing is what makes a cross-row float
+    * aggregation engine-portable at all — IEEE addition is
+    * order-sensitive, integer addition is not. Row-local fold + one
+    * |labels|-group aggregation; vectors never shuffle.
+    */
+  def qEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val q = transform(col("embedding"),
+      v => floor(v.cast("double") * DriftScale + 0.5).cast("long"))
+    Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("m"),
+        aggregate(q, lit(0L), (a, x) => a + abs(x)).as("l1"),
+        aggregate(q, lit(0L), (a, x) => a + x * x).as("l2"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("m")).as("sum_q"),
+        sum(col("l1")).as("sum_q_abs"),
+        sum(col("l2")).as("sum_q_sq"))
+      .orderBy(col("label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_norms" -> qEmbeddingNorms,
-    "q_embedding_quantize" -> qEmbeddingQuantize
+    "q_embedding_quantize" -> qEmbeddingQuantize,
+    "q_embedding_drift" -> qEmbeddingDrift
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -97,6 +129,24 @@ object Embeddings {
          |SELECT vec_id, max_abs,
          |  list_max(errs) AS max_abs_err,
          |  round(list_sum(errs) / n, 9) AS mean_abs_err
-         |FROM err ORDER BY vec_id""".stripMargin
+         |FROM err ORDER BY vec_id""".stripMargin,
+    "q_embedding_drift" ->
+      s"""WITH v AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * $DriftScale + 0.5)
+         |        AS BIGINT)) AS q
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT label,
+         |    CAST(list_sum(q) AS BIGINT) AS m,
+         |    CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1,
+         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS l2
+         |  FROM v)
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(sum(m) AS BIGINT) AS sum_q,
+         |  CAST(sum(l1) AS BIGINT) AS sum_q_abs,
+         |  CAST(sum(l2) AS BIGINT) AS sum_q_sq
+         |FROM p GROUP BY label ORDER BY label""".stripMargin
   )
 }
