@@ -25,7 +25,11 @@ class DeterminismSpec extends AnyFunSuite with Matchers {
     "q_kmv", // bounded custom aggregate (merge-order free by proof)
     "q_pack", // stream window + reused partitioning
     "q_tfidf", // rounded-double scoring path
-    "q_sample_stratified") // hash-bucket membership
+    "q_sample_stratified", // hash-bucket membership
+    "q_pagerank", // iterative integer fixed point across checkpoints
+    "q_sample_pps", // two-pass prefix-sum multiplicities
+    "q_curriculum", // driver-derived histogram boundary literals
+    "q_triangles") // multi-self-join census counts
 
   test("representative queries are bit-identical with AQE off and a " +
     "different shuffle partitioning") {
