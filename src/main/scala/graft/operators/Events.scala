@@ -279,6 +279,62 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Set-membership rule for the KMV set-operation demo: cohorts A and B
+    * are user-id residue classes overlapping in exactly one of three —
+    * planted (like every dedup fixture) because this corpus' behavioral
+    * sets are degenerate (every user performs every event type, so any
+    * natural pair has Jaccard 1).
+    */
+  private def inA = col("user_id") % 3 <= 1 // residues {0, 1}
+  private def inB = col("user_id") % 3 >= 1 // residues {1, 2}
+
+  /** KMV SET OPERATIONS — the sketch algebra (Beyer et al. SIGMOD'07;
+    * the DataSketches Theta-intersection role) that answers
+    * "how many users are in BOTH cohorts" without ever shuffling either
+    * distinct set: each cohort keeps its k smallest distinct hashes
+    * (one bounded mergeable aggregate per side, over the SAME scan);
+    * the union sketch is the k smallest of the merged lists, the
+    * Jaccard estimate is the fraction of union-sketch members present
+    * in both sides, and the intersection estimate is Ĵ·D̂(A∪B). Every
+    * step after the aggregation is row-local array arithmetic on
+    * 2k longs. Exact counts ride along as the honesty check (the qKmv
+    * convention); under k distinct values the sketch path IS exact, so
+    * the estimates are deterministic in both regimes (sf0.001 sits
+    * below saturation, sf0.1 above).
+    */
+  def qKmvSet(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val est = (sk: String) =>
+      when(size(col(sk)) < KmvK, size(col(sk)).cast("double"))
+        .otherwise(expr(
+          s"round((${KmvK - 1}.0 * 1152921504606846976) / CAST(element_at($sk, $KmvK) AS DOUBLE), 6)"))
+    Tables.events(s, dir)
+      .select(col("user_id"), h.as("hv"), inA.as("a"), inB.as("b"))
+      .agg(
+        countDistinct(when(col("a"), col("user_id"))).as("n_a_exact"),
+        countDistinct(when(col("b"), col("user_id"))).as("n_b_exact"),
+        countDistinct(when(col("a") && col("b"), col("user_id")))
+          .as("n_inter_exact"),
+        graft.functions.TopKAggregate
+          .minKDistinct(when(col("a"), col("hv")), KmvK).as("ka"),
+        graft.functions.TopKAggregate
+          .minKDistinct(when(col("b"), col("hv")), KmvK).as("kb"))
+      .withColumn("u", slice(array_sort(array_union(col("ka"), col("kb"))),
+        1, KmvK))
+      .withColumn("n_both", size(filter(col("u"),
+        x => array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+        .cast("long"))
+      .withColumn("est_union", est("u"))
+      .withColumn("j_est",
+        round(col("n_both").cast("double") / size(col("u")), 6))
+      .select(
+        col("n_a_exact"), col("n_b_exact"), col("n_inter_exact"),
+        size(col("u")).cast("long").as("union_sketch"),
+        col("n_both"), col("est_union"), col("j_est"),
+        round(col("j_est") * col("est_union"), 3).as("est_inter"))
+  }
+
   /** HyperLogLog registers: 2^HllP = 4096 buckets, standard error
     * 1.04/√m ≈ 1.6%. The register word is the LOW 48 bits of the 60-bit
     * md5 hash; the bucket is the HIGH 12.
@@ -357,6 +413,7 @@ object Events {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll" -> qHll,
     "q_kmv" -> qKmv,
+    "q_kmv_set" -> qKmvSet,
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_retention" -> qEventsRetention,
     "q_events_hourly" -> qEventsHourly,
@@ -419,6 +476,39 @@ object Events {
          |JOIN sizes ON ex.event_type = sizes.event_type
          |LEFT JOIN kth ON ex.event_type = kth.event_type
          |ORDER BY event_type""".stripMargin,
+    "q_kmv_set" ->
+      s"""WITH u0 AS (SELECT DISTINCT user_id FROM events),
+         |lab AS (SELECT user_id,
+         |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |    AS hv,
+         |  user_id % 3 <= 1 AS a, user_id % 3 >= 1 AS b
+         |  FROM u0),
+         |sk AS (SELECT
+         |  (SELECT list(DISTINCT hv ORDER BY hv) FROM lab WHERE a)[:$KmvK]
+         |    AS ka,
+         |  (SELECT list(DISTINCT hv ORDER BY hv) FROM lab WHERE b)[:$KmvK]
+         |    AS kb),
+         |un AS (SELECT ka, kb,
+         |  list_sort(list_distinct(list_concat(ka, kb)))[:$KmvK] AS u
+         |  FROM sk),
+         |m AS (SELECT ka, kb, u,
+         |  len(list_filter(u, x -> list_contains(ka, x)
+         |    AND list_contains(kb, x))) AS n_both,
+         |  CASE WHEN len(u) < $KmvK THEN CAST(len(u) AS DOUBLE)
+         |    ELSE round((${KmvK - 1}.0 * 1152921504606846976)
+         |      / CAST(u[$KmvK] AS DOUBLE), 6) END AS est_union
+         |  FROM un),
+         |j AS (SELECT u, n_both, est_union,
+         |  round(CAST(n_both AS DOUBLE) / len(u), 6) AS j_est FROM m)
+         |SELECT
+         |  (SELECT count(*) FROM lab WHERE a) AS n_a_exact,
+         |  (SELECT count(*) FROM lab WHERE b) AS n_b_exact,
+         |  (SELECT count(*) FROM lab WHERE a AND b) AS n_inter_exact,
+         |  CAST(len(u) AS BIGINT) AS union_sketch,
+         |  CAST(n_both AS BIGINT) AS n_both,
+         |  est_union, j_est,
+         |  round(j_est * est_union, 3) AS est_inter
+         |FROM j""".stripMargin,
     "q_events_anomaly" ->
       s"""WITH hourly AS (
          |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n

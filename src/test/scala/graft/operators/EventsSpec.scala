@@ -68,6 +68,23 @@ class EventsSpec extends SparkSpec with Matchers {
       .agg(sum("n")).head().getLong(0) shouldBe 2 * total
   }
 
+  test("KMV set ops: exact below saturation, planted overlap recovered, " +
+    "estimates bounded sanely") {
+    val r = Events.qKmvSet(spark, sf()).head()
+    val (na, nb, ni) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // residue-class plant: |A| = |B| = 2N/3ish, |A∩B| = class {1}
+    ni should be > 0L
+    ni should be < na.min(nb)
+    // spec scale sits below sketch saturation: the sketch path IS exact
+    r.getLong(3) should be <= Events.KmvK.toLong
+    if (na + nb - ni <= Events.KmvK) {
+      r.getDouble(5) shouldBe (na + nb - ni).toDouble // est_union exact
+      r.getDouble(7) shouldBe ni.toDouble // est_inter exact
+    }
+    val j = r.getDouble(6)
+    j should (be >= 0.0 and be <= 1.0)
+  }
+
   test("densified series: full dense grid, gaps fill with exact zeros, " +
     "event mass conserved") {
     val dense = Events.qEventsDensify(spark, sf()).collect()
