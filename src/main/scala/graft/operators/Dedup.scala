@@ -400,6 +400,23 @@ object Dedup {
       .orderBy(col("canonical_id"))
   }
 
+  /** Cluster-SIZE histogram — the duplication forensics a curation report
+    * leads with (how much of the duplicate mass sits in pairs vs deep
+    * re-crawl chains decides whether exact dedup suffices or a
+    * boilerplate/template hunt is warranted). Two bounded aggregations
+    * over the memoized component mapping: sizes, then the size
+    * histogram — output is |distinct sizes| rows, corpus-independent.
+    */
+  def qDedupClusterHist(s: SparkSession, dir: String): DataFrame =
+    canonicalComponents(s, dir)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** The keep/drop ledger — what the dedup stage actually DELIVERS to the
     * next pipeline stage: corpus size, documents inside duplicate clusters,
     * cluster count, and the resulting kept/dropped totals (keep = one
@@ -1117,6 +1134,7 @@ object Dedup {
     "q_dedup_substring" -> qDedupSubstring,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_cluster_hist" -> qDedupClusterHist,
     "q_dedup_keep" -> qDedupKeep,
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_dedup_pipeline" -> qDedupPipeline,
@@ -1405,6 +1423,13 @@ object Dedup {
          |SELECT component AS canonical_id, count(*) AS n_members,
          |  array_to_string(list_sort(list(id)), ',') AS members
          |FROM comp GROUP BY component ORDER BY canonical_id""".stripMargin,
+    "q_dedup_cluster_hist" ->
+      s"""WITH RECURSIVE $closureCtes,
+         |sz AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "q_dedup_keep_best" ->
       s"""WITH RECURSIVE $closureCtes,
          |qd AS (SELECT doc_id, ${TextAnalysis.qualitySqlExpr} AS q

@@ -279,6 +279,37 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** User-id cap for the range-frame report rows (mirrored in the
+    * oracle) — the full-corpus window runs regardless; only the emitted
+    * row set is bounded.
+    */
+  val RangeWindowUsers = 50
+
+  /** VALUE-RANGE window frame — the window class the rows-frame suite
+    * doesn't cover: per user, the trailing ONE HOUR of activity at each
+    * event (count + exact value sum), i.e. `RANGE BETWEEN interval
+    * PRECEDING` — the per-entity rate/velocity feature every
+    * abuse/fraud limiter computes. The frame keys on epoch MICROSECONDS
+    * (the events table carries sub-second timestamps; a seconds-grain
+    * key would disagree between engines on events straddling a second
+    * boundary an hour apart). Value sums go through the DECIMAL cents
+    * route so window totals are exact. One hash shuffle on user_id; the
+    * frame is per-partition state, never a second pass.
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0)
+    Tables.events(s, dir)
+      .filter(col("user_id") < RangeWindowUsers)
+      .withColumn("n_in_hour", count(lit(1)).over(w))
+      .withColumn("sum_in_hour",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("n_in_hour"), col("sum_in_hour"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Set-membership rule for the KMV set-operation demo: cohorts A and B
     * are user-id residue classes overlapping in exactly one of three —
     * planted (like every dedup fixture) because this corpus' behavioral
@@ -414,6 +445,7 @@ object Events {
     "q_hll" -> qHll,
     "q_kmv" -> qKmv,
     "q_kmv_set" -> qKmvSet,
+    "q_window_range" -> qWindowRange,
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_retention" -> qEventsRetention,
     "q_events_hourly" -> qEventsHourly,
@@ -509,6 +541,15 @@ object Events {
          |  est_union, j_est,
          |  round(j_est * est_union, 3) AS est_inter
          |FROM j""".stripMargin,
+    "q_window_range" ->
+      s"""SELECT user_id, event_id, ts,
+         |  count(*) OVER w AS n_in_hour,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         |    AS sum_in_hour
+         |FROM events WHERE user_id < $RangeWindowUsers
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN ${3600L * 1000000L} PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts, event_id""".stripMargin,
     "q_events_anomaly" ->
       s"""WITH hourly AS (
          |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n

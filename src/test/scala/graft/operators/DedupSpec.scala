@@ -335,6 +335,18 @@ class DedupSpec extends SparkSpec with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("cluster-size histogram partitions the in-cluster mass and ties " +
+    "to the keep ledger") {
+    val hist = Dedup.qDedupClusterHist(spark, sf()).collect()
+    hist.foreach { r =>
+      r.getLong(0) * r.getLong(1) shouldBe r.getLong(2) // size·count = docs
+      r.getLong(0) should be >= 2L // singletons never enter the mapping
+    }
+    val ledger = Dedup.qDedupKeep(spark, sf()).head()
+    hist.map(_.getLong(2)).sum shouldBe ledger.getAs[Long]("n_in_clusters")
+    hist.map(_.getLong(1)).sum shouldBe ledger.getAs[Long]("n_clusters")
+  }
+
   test("boilerplate removal drops EVERY instance of high-df lines — " +
     "including the first, unlike keep-first dedup") {
     val rows = Dedup.qBoilerplate(spark, sf()).collect()
