@@ -177,6 +177,19 @@ object Multimodal {
       }
       encodePng(dst)
     }
+    /** (decoded width, 8×8 nearest-neighbor gray sample grid, row-major)
+      * — the aHash sampling pass of [[Multimodal.qImageDedup]]: cell
+      * (i, j) reads pixel (i·W//8, j·H//8) of the decoded image (blue
+      * channel; the fixture is gray so all channels agree).
+      */
+    private[operators] def graySample8(payload: Array[Byte]): (Int, Array[Int]) = {
+      val img = decode(payload)
+      val g = Array.tabulate(64) { idx =>
+        img.getRGB((idx % 8) * img.getWidth / 8,
+          (idx / 8) * img.getHeight / 8) & 0xff
+      }
+      (img.getWidth, g)
+    }
     /** Every `stride`-th horizontal strip of `frameBytes` rows, each
       * re-encoded as its own PNG.
       */
@@ -749,6 +762,116 @@ object Multimodal {
       .toDF().orderBy(col("media_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Image CONTENT dedup: perceptual hash (aHash) across SCALE variants.
+  // The modality triad's third leg — text dedup keys on canonical
+  // hashes, audio dedup (above) on decoded-sample fingerprints; image
+  // near-dup keys on a fixed-grid perceptual hash that is invariant to
+  // the resizes a crawl pipeline encounters (thumbnails, retina 2×/3×
+  // assets of one source image).
+  // ------------------------------------------------------------------
+
+  /** Seed modulus for the planted-duplicate image fixture: docs sharing
+    * doc_id mod 151 carry the SAME source image, re-encoded at scale
+    * factor 1 + doc_id%3 — different bytes AND different dimensions, so
+    * both md5 dedup and metadata (width, height) joins miss the
+    * duplicates by construction; only a scale-normalizing perceptual
+    * hash recovers them.
+    */
+  val ImageDupSeeds = 151L
+
+  /** Base-image pixel formula: gray(seed, x, y) = (7·seed + 3·x + 11·y)
+    * mod 256 at (4 + seed%9) × (3 + seed%7). A scale-k variant is the
+    * nearest-neighbor upscale: pixel(x, y) = gray(seed, x//k, y//k).
+    */
+  private def imgPixel(seed: Long, x: Int, y: Int): Int =
+    ((7L * seed + 3L * x + 11L * y) % 256L).toInt
+
+  final case class PngDupItem(media_id: Long, payload: Array[Byte])
+  final case class ImageFp(
+      media_id: Long, dec_w: Long, hash_hi: Long, hash_lo: Long, grid_sum: Long)
+
+  /** Planted-duplicate PNG fixture — encode runs executor-side (the
+    * [[pngTable]] shape); only doc_id rides in.
+    */
+  def pngDupTable(s: SparkSession, dir: String): Dataset[PngDupItem] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val seed = id % ImageDupSeeds
+          val k = 1 + (id % 3).toInt
+          val w = k * (4 + (seed % 9).toInt)
+          val h = k * (3 + (seed % 7).toInt)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = imgPixel(seed, x / k, y / k)
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          PngDupItem(id, ImageIoCodec.encodePng(img))
+        }
+      }
+  }
+
+  /** The per-payload aHash through the REAL codec: decode, sample the
+    * fixed 8×8 grid (nearest-neighbor, floor arithmetic), threshold
+    * each cell against the integer grid mean (64·v > Σv — exact, no
+    * division), pack 64 bits. Scale invariance is arithmetic, not
+    * approximate: the grid cell of a k-scaled payload reads source
+    * pixel ((i·k·w0)//8)//k = (i·w0)//8 (nested floor-division
+    * identity), so every scale variant of one source image lands on
+    * the SAME 64 source pixels.
+    */
+  private[operators] def aHash(payload: Array[Byte]): (Int, Long, Long) = {
+    val (w, g) = ImageIoCodec.graySample8(payload)
+    val gsum = g.foldLeft(0L)(_ + _)
+    var hash = 0L
+    var idx = 0
+    while (idx < 64) {
+      if (64L * g(idx) > gsum) hash |= 1L << idx
+      idx += 1
+    }
+    (w, hash, gsum)
+  }
+
+  /** Image dedup on perceptual-hash clusters — cluster key = (aHash
+    * bits, grid sum), both exact integers from the decoded pixels
+    * (collision-free across the 151 seeds, spec-verified — cluster ≡
+    * seed). Per cluster: the keeper (min id), member count, and the
+    * count of DISTINCT decoded widths — n_dims > 1 is the receipt that
+    * byte-level or metadata dedup would have missed the cluster. The
+    * decode + hash is row-local; one shuffle of fixed-width fingerprint
+    * rows (never payloads); the hash's two 32-bit halves cross engines
+    * as non-negative BIGINTs (a packed 64-bit mask with bit 63 set
+    * would need unsigned SQL arithmetic). The oracle re-derives the
+    * grid, threshold, and halves from the pixel formula alone.
+    */
+  def qImageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngDupTable(s, dir)
+      .mapPartitions { it =>
+        it.map { p =>
+          val (w, hash, gsum) = aHash(p.payload)
+          ImageFp(p.media_id, w.toLong, hash >>> 32, hash & 0xffffffffL, gsum)
+        }
+      }
+      .groupBy(col("hash_hi"), col("hash_lo"), col("grid_sum"))
+      .agg(
+        min(col("media_id")).as("keeper"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("dec_w")).as("n_dims"))
+      .select(col("keeper"), col("n_members"), col("n_dims"),
+        col("hash_hi"), col("hash_lo"), col("grid_sum"))
+      .orderBy(col("keeper"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -757,7 +880,8 @@ object Multimodal {
     "q_multimodal_audio" -> qMultimodalAudio,
     "q_multimodal_audio_feat" -> qMultimodalAudioFeat,
     "q_multimodal_video" -> qMultimodalVideo,
-    "q_audio_dedup" -> qAudioDedup
+    "q_audio_dedup" -> qAudioDedup,
+    "q_image_dedup" -> qImageDedup
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -888,6 +1012,42 @@ object Multimodal {
          |  CAST(count(DISTINCT sr) AS BIGINT) AS n_rates,
          |  CAST(min(n) AS BIGINT) AS n_samples
          |FROM m GROUP BY seed ORDER BY keeper""".stripMargin,
+    // The image-dedup oracle never decodes anything: per seed it
+    // recomputes the 8×8 grid from the pixel formula over the BASE
+    // image ((i·w0)//8 — the scale-invariance identity says every
+    // variant samples exactly these pixels), thresholds against the
+    // integer grid mean, packs the two 32-bit halves, and groups docs
+    // by seed arithmetic. Agreement proves decode → grid sample →
+    // threshold → pack through the real codec recovered the planted
+    // content classes across all three scale variants.
+    "q_image_dedup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, doc_id % $ImageDupSeeds AS seed,
+         |    1 + doc_id % 3 AS k
+         |  FROM documents),
+         |cell AS (
+         |  SELECT seed, unnest(range(0, 64)) AS idx
+         |  FROM (SELECT DISTINCT seed FROM m)),
+         |v AS (
+         |  SELECT seed, idx,
+         |    (7 * seed + 3 * (((idx % 8) * (4 + seed % 9)) // 8)
+         |       + 11 * (((idx // 8) * (3 + seed % 7)) // 8)) % 256 AS v
+         |  FROM cell),
+         |gs AS (SELECT seed, CAST(sum(v) AS BIGINT) AS grid_sum
+         |  FROM v GROUP BY seed),
+         |hsh AS (
+         |  SELECT v.seed,
+         |    CAST(sum(CASE WHEN 64 * v.v > gs.grid_sum AND idx >= 32
+         |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS hash_hi,
+         |    CAST(sum(CASE WHEN 64 * v.v > gs.grid_sum AND idx < 32
+         |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS hash_lo
+         |  FROM v JOIN gs USING (seed) GROUP BY v.seed)
+         |SELECT min(m.media_id) AS keeper, count(*) AS n_members,
+         |  CAST(count(DISTINCT m.k) AS BIGINT) AS n_dims,
+         |  hsh.hash_hi, hsh.hash_lo, gs.grid_sum
+         |FROM m JOIN hsh USING (seed) JOIN gs USING (seed)
+         |GROUP BY m.seed, hsh.hash_hi, hsh.hash_lo, gs.grid_sum
+         |ORDER BY keeper""".stripMargin,
     // The video oracle re-derives every statistic from the frame FORMULA
     // (never from the GIF bytes): per-frame gray sums over (f, x, y) ∈
     // n × w × h, then the whole-stream aggregates and the stride-2

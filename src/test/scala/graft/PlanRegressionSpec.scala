@@ -391,6 +391,17 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("q_image_dedup: PNG payloads never ride an Exchange — only " +
+    "fixed-width fingerprint rows shuffle") {
+    val plan = graft.operators.Multimodal.qImageDedup(spark, sf())
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    exchanges should not be empty
+    exchanges.foreach(_ should not include "payload")
+    plan should not include "CartesianProduct"
+  }
+
   test("q_vocab_growth: no global window — rank comes from the shared " +
     "prefix-sum state, first-occurrence is an algebraic min") {
     val plan = graft.operators.TextAnalysis.qVocabGrowth(spark, sf())

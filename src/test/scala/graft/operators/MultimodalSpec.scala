@@ -245,6 +245,49 @@ class MultimodalSpec extends SparkSpec with Matchers {
     byteClusters should be > clusters.length.toLong
   }
 
+  test("aHash is scale-invariant by arithmetic: every scale variant of " +
+    "one source image fingerprints identically") {
+    // direct codec-level check of the nested-floor identity — one seed,
+    // all three scale factors, encoded independently from the fixture
+    // formula (k is the only thing that varies)
+    val seed = 42L
+    val hashes = Seq(1, 2, 3).map { k =>
+      val w0 = 4 + (seed % 9).toInt
+      val h0 = 3 + (seed % 7).toInt
+      val img = new java.awt.image.BufferedImage(
+        k * w0, k * h0, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until k * h0; x <- 0 until k * w0) {
+        val g = ((7L * seed + 3L * (x / k) + 11L * (y / k)) % 256L).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val (w, hash, gsum) = Multimodal.aHash(Multimodal.ImageIoCodec.encodePng(img))
+      w shouldBe k * w0
+      (hash, gsum)
+    }
+    hashes.distinct should have size 1
+  }
+
+  test("image perceptual dedup recovers the planted content classes " +
+    "collision-free, across dimensions md5/metadata dedup cannot bridge") {
+    val clusters = Multimodal.qImageDedup(spark, sf()).collect()
+    val nDocs = graft.tables.Tables.documents(spark, sf()).count()
+    // membership covers the corpus exactly once, clusters ≡ seed classes
+    clusters.map(_.getLong(1)).sum shouldBe nDocs
+    clusters.length shouldBe
+      math.min(nDocs, Multimodal.ImageDupSeeds).toInt
+    // fingerprints are collision-free across seeds (cluster key is the
+    // (hash_hi, hash_lo, grid_sum) triple)
+    clusters.map(r => (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .distinct.length shouldBe clusters.length
+    // the punchline: clusters span multiple decoded dimensions —
+    // byte-level AND (width, height)-metadata grouping would split them
+    val spanning = clusters.filter(_.getLong(2) > 1)
+    spanning should not be empty
+    val byteClusters = Multimodal.pngDupTable(spark, sf()).toDF()
+      .groupBy(md5(col("payload"))).count().count()
+    byteClusters should be > clusters.length.toLong
+  }
+
   test("non-GIF payload fails video decode loudly") {
     an[Exception] should be thrownBy
       Multimodal.GifIoCodec.decodeGif(Array[Byte](1, 2, 3, 4))
