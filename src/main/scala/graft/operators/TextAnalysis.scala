@@ -1334,7 +1334,49 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
+  /** Token-count calibration: closed-form least squares of the BPE-ish
+    * token count against the character count, per language — the
+    * regression a token-budget pass deploys so it can estimate token
+    * mass from cheap char counts WITHOUT tokenizing 100 TB. One
+    * partial-aggregating pass collects the six exact integer sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²); slope, intercept, and R²
+    * are then IEEE arithmetic over those exact integers with the same
+    * expression shape on both engines (the shared-verbatim double
+    * discipline), so the output doubles are bit-identical:
+    * slope = num/d1, intercept = (Σy − slope·Σx)/n,
+    * r2 = (num/d1)·(num/d2), with num = n·Σxy − Σx·Σy,
+    * d1 = n·Σx² − (Σx)², d2 = n·Σy² − (Σy)². The products stay inside
+    * int64 here (n·Σx² ≈ 9×10¹⁶ at sf0.1); a 100 TB deployment promotes
+    * the six sums to DECIMAL(38,0) — the fit is still one map-side
+    * combinable aggregation with a |langs|-row result.
+    */
+  def qLenFit(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars").as("x"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).as("y"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n_docs") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val d1 = (col("n_docs") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val d2 = (col("n_docs") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / d1
+    stats.select(
+      col("lang"), col("n_docs"),
+      slope.as("slope"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n_docs").cast("double")).as("intercept"),
+      ((num / d1) * (num / d2)).as("r2"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_len_fit" -> qLenFit,
     "q_bpe_merges" -> qBpeMerges,
     "q_len_quantiles" -> qLenQuantiles,
     "q_len_quantiles_sketch" -> qLenQuantilesSketch,
@@ -1845,6 +1887,34 @@ object TextAnalysis {
          |    PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rk FROM sc)
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, dl, bm25
          |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // Shared-verbatim IEEE discipline: slope/intercept/r2 are written as
+    // the SAME arithmetic over the SAME exact-integer sums as the Spark
+    // plan (num/d1; (sy − slope·sx)/n; (num/d1)·(num/d2)) — each sum is
+    // pinned to BIGINT first (DuckDB sums are HUGEINT) so the int→double
+    // rounding is the identical IEEE operation on both engines.
+    "q_len_fit" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(n_chars * y) AS BIGINT) AS sxy,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM (SELECT lang, n_chars,
+        |    CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS y
+        |    FROM documents) GROUP BY lang)
+        |SELECT lang, n_docs,
+        |  CAST(n_docs * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_docs * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |     - (CAST(n_docs * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n_docs * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n_docs AS DOUBLE) AS intercept,
+        |  (CAST(n_docs * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n_docs * sxx - sx * sx AS DOUBLE))
+        |  * (CAST(n_docs * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n_docs * syy - sy * sy AS DOUBLE)) AS r2
+        |FROM s ORDER BY lang""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,

@@ -466,4 +466,38 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     plan should not include "Join"
     plan should not include "Window"
   }
+
+  test("q_len_fit: closed-form OLS matches a driver-local exact fit and " +
+    "stays one partial-aggregating pass") {
+    val fit = TextAnalysis.qLenFit(spark, sf())
+    val rows = fit.collect().map(r => r.getAs[String]("lang") -> r).toMap
+    // recompute the sufficient statistics locally from the raw docs
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .select(col("lang"), col("n_chars"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).as("y"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_chars"), r.getAs[Long]("y")))
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val n = ds.length.toLong
+      val sx = ds.map(_._2).sum
+      val sy = ds.map(_._3).sum
+      val sxy = ds.map(d => d._2 * d._3).sum
+      val sxx = ds.map(d => d._2 * d._2).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val d1 = (n * sxx - sx * sx).toDouble
+      val r = rows(lang)
+      withClue(lang) {
+        r.getAs[Long]("n_docs") shouldBe n
+        r.getAs[Double]("slope") shouldBe (num / d1)
+        // a char-count calibration must actually predict token counts
+        r.getAs[Double]("r2") should be > 0.9
+        r.getAs[Double]("r2") should be <= 1.0
+      }
+    }
+    // scalable shape: map-side partial aggregation, no window, no join
+    val plan = fit.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "Join"
+    plan should include("partial_count")
+  }
 }
