@@ -1375,7 +1375,47 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Chi-square feature selection against the quality label — the
+    * vocabulary-ranking pass that decides which tokens a fastText-class
+    * quality classifier gets as features. Per token, the 2×2
+    * document-frequency contingency vs the label (a = positive docs
+    * containing it, b = negative docs containing it, margins from the
+    * 1-row broadcast totals):
+    * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)). The cross-product
+    * difference stays exact int64 (≤ N²/4); the ×N numerator would not,
+    * so χ² is IEEE arithmetic over the exact integers with the same
+    * expression shape on both engines. Margin filters (5 ≤ df < N) keep
+    * every factor positive — no 0/0 NaN ordering hazard. One explode +
+    * vocabulary-sized aggregation, a 1-row broadcast, TakeOrdered top-50
+    * — no corpus-scale sort, no window.
+    */
+  def qFeatureChi2(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    val docs = Tables.documents(s, dir).select(
+      when(size(filter(tk, t => t === "join")) >
+        size(filter(tk, t => t === "scan")), 1L).otherwise(0L).as("y"),
+      array_distinct(tk).as("ts"))
+    val totals = docs.agg(
+      count(lit(1)).as("n_all"), sum(col("y")).as("n_pos"))
+    val counts = docs.select(col("y"), explode(col("ts")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("y")).as("pos_df"))
+    val a = col("pos_df")
+    val b = col("df") - col("pos_df")
+    val c = col("n_pos") - col("pos_df")
+    val d = (col("n_all") - col("n_pos")) - b
+    val diff = (a * d - b * c).cast("double")
+    val chi2 = col("n_all").cast("double") * diff * diff /
+      (col("df").cast("double") * (col("n_all") - col("df")).cast("double") *
+        col("n_pos").cast("double") * (col("n_all") - col("n_pos")).cast("double"))
+    counts.crossJoin(broadcast(totals))
+      .filter(col("df") >= 5 && col("df") < col("n_all"))
+      .select(col("token"), col("df"), col("pos_df"), chi2.as("chi2"))
+      .orderBy(col("chi2").desc, col("token")).limit(50)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_chi2" -> qFeatureChi2,
     "q_len_fit" -> qLenFit,
     "q_bpe_merges" -> qBpeMerges,
     "q_len_quantiles" -> qLenQuantiles,
@@ -1887,6 +1927,35 @@ object TextAnalysis {
          |    PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rk FROM sc)
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, dl, bm25
          |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // χ² is the shared-verbatim IEEE expression N·diff² / (df·(N−df)·
+    // pos·(N−pos)) over BIGINT-pinned exact counts; diff = ad − bc is
+    // written out twice verbatim (once per χ² factor) because SQL has no
+    // let-binding that survives the dtype pin.
+    "q_feature_chi2" ->
+      """WITH docs AS (
+        |  SELECT CASE WHEN
+        |      len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x = 'join'))
+        |      > len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x = 'scan'))
+        |    THEN 1 ELSE 0 END AS y,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> length(x) > 0)) AS ts
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(y) AS BIGINT) AS n_pos FROM docs),
+        |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(y) AS BIGINT) AS pos_df
+        |  FROM (SELECT y, unnest(ts) AS token FROM docs) GROUP BY token)
+        |SELECT token, df, pos_df,
+        |  CAST(n_all AS DOUBLE)
+        |    * CAST(pos_df * ((n_all - n_pos) - (df - pos_df))
+        |           - (df - pos_df) * (n_pos - pos_df) AS DOUBLE)
+        |    * CAST(pos_df * ((n_all - n_pos) - (df - pos_df))
+        |           - (df - pos_df) * (n_pos - pos_df) AS DOUBLE)
+        |    / (CAST(df AS DOUBLE) * CAST(n_all - df AS DOUBLE)
+        |       * CAST(n_pos AS DOUBLE) * CAST(n_all - n_pos AS DOUBLE)) AS chi2
+        |FROM cnt CROSS JOIN tot
+        |WHERE df >= 5 AND df < n_all
+        |ORDER BY chi2 DESC, token LIMIT 50""".stripMargin,
     // Shared-verbatim IEEE discipline: slope/intercept/r2 are written as
     // the SAME arithmetic over the SAME exact-integer sums as the Spark
     // plan (num/d1; (sy − slope·sx)/n; (num/d1)·(num/d2)) — each sum is

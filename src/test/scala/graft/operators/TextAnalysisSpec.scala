@@ -467,6 +467,31 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     plan should not include "Window"
   }
 
+  test("q_feature_chi2: recovers the label-defining tokens as the top " +
+    "features, margins all positive, vocabulary-sized broadcast shape") {
+    val rows = TextAnalysis.qFeatureChi2(spark, sf()).collect()
+    rows.length shouldBe 31 // tokens clearing the df floor at sf0.001
+    // the label rule IS join-vs-scan counts: χ² must rank exactly those
+    // two tokens first, with a clear gap to the best ordinary token
+    rows(0).getAs[String]("token") shouldBe "join"
+    rows(1).getAs[String]("token") shouldBe "scan"
+    rows(1).getAs[Double]("chi2") should be > 3 * rows(2).getAs[Double]("chi2")
+    // margin filters kept every χ² finite
+    rows.foreach { r =>
+      val v = r.getAs[Double]("chi2")
+      v.isNaN shouldBe false
+      v.isInfinite shouldBe false
+    }
+    // totals ride a 1-row broadcast, the top-50 is a TakeOrdered — no
+    // corpus sort, no cartesian corpus×corpus product
+    val plan = TextAnalysis.qFeatureChi2(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
   test("q_len_fit: closed-form OLS matches a driver-local exact fit and " +
     "stays one partial-aggregating pass") {
     val fit = TextAnalysis.qLenFit(spark, sf())
