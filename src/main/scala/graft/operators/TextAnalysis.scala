@@ -1414,7 +1414,52 @@ object TextAnalysis {
       .orderBy(col("chi2").desc, col("token")).limit(50)
   }
 
+  /** Robust per-source length statistics WITHOUT a per-source sort: exact
+    * lower-median, MAD (median absolute deviation), and lower-quartile
+    * IQR from the bounded-domain value histogram (the [[Sampling.qCurriculum]]
+    * class — `groupBy(source, value).count()` has ≤|sources|·|domain|
+    * output rows, so the cumulative walks, INCLUDING the second-order
+    * |x − med| walk for MAD, are one bounded driver roundtrip off ONE
+    * distributed aggregation). A second row-local pass counts robust
+    * outliers (|x − med| > 3·MAD) against the broadcast stats — the
+    * filter rule a curation pipeline deploys, which mean/stddev z-scores
+    * get wrong exactly when outliers are present (the breakdown-point
+    * argument for MAD). Lower quantiles (⌈p·N⌉-th value) keep every
+    * output an exact integer on both engines — no midpoint averaging.
+    */
+  def qRobustStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val hist = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def lowerQ(sorted: Seq[(Long, Long)], pos: Long): Long =
+      sorted.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) => (v, acc + c) }
+        .drop(1).find(_._2 >= pos).get._1
+    val stats = hist.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val h = rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq
+      val n = h.map(_._2).sum
+      val med = lowerQ(h, (n + 1) / 2)
+      val dev = h.groupBy { case (v, _) => math.abs(v - med) }
+        .map { case (d, cs) => (d, cs.map(_._2).sum) }.toSeq.sortBy(_._1)
+      (src, n, med, lowerQ(dev, (n + 1) / 2),
+        lowerQ(h, (n + 3) / 4), lowerQ(h, (3 * n + 3) / 4))
+    }
+    val statsDf = s.createDataFrame(stats)
+      .toDF("source", "n_docs", "median", "mad", "q1", "q3")
+    docs.select(col("source"), col("n_chars"))
+      .join(broadcast(statsDf), "source")
+      .groupBy(col("source"), col("n_docs"), col("median"), col("mad"),
+        col("q1"), col("q3"))
+      .agg(sum(when(abs(col("n_chars") - col("median")) > lit(3) * col("mad"),
+        1L).otherwise(0L)).as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("median"), col("mad"),
+        col("q1"), col("q3"), col("n_outliers"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robust_stats" -> qRobustStats,
     "q_feature_chi2" -> qFeatureChi2,
     "q_len_fit" -> qLenFit,
     "q_bpe_merges" -> qBpeMerges,
@@ -1927,6 +1972,47 @@ object TextAnalysis {
          |    PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rk FROM sc)
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, dl, bm25
          |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // The robust-stats oracle mirrors the histogram walks with window
+    // cumulative sums (fine in DuckDB — the window-free discipline is a
+    // SPARK-side scale constraint): lower quantile = min{v : cum(v) ≥
+    // ⌈p·N⌉}, MAD from the second-order |v − med| histogram, outliers
+    // re-counted from the raw rows.
+    "q_robust_stats" ->
+      """WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |cum AS (SELECT source, v,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cc
+        |  FROM h),
+        |med AS (SELECT source, CAST(min(v) AS BIGINT) AS median
+        |  FROM cum JOIN n USING (source)
+        |  WHERE cc >= (n_docs + 1) // 2 GROUP BY source),
+        |q1 AS (SELECT source, CAST(min(v) AS BIGINT) AS q1
+        |  FROM cum JOIN n USING (source)
+        |  WHERE cc >= (n_docs + 3) // 4 GROUP BY source),
+        |q3 AS (SELECT source, CAST(min(v) AS BIGINT) AS q3
+        |  FROM cum JOIN n USING (source)
+        |  WHERE cc >= (3 * n_docs + 3) // 4 GROUP BY source),
+        |h2 AS (SELECT h.source, abs(h.v - med.median) AS d,
+        |    CAST(sum(h.c) AS BIGINT) AS c2
+        |  FROM h JOIN med USING (source) GROUP BY 1, 2),
+        |cum2 AS (SELECT source, d,
+        |    CAST(sum(c2) OVER (PARTITION BY source ORDER BY d) AS BIGINT) AS cc2
+        |  FROM h2),
+        |mad AS (SELECT source, CAST(min(d) AS BIGINT) AS mad
+        |  FROM cum2 JOIN n USING (source)
+        |  WHERE cc2 >= (n_docs + 1) // 2 GROUP BY source),
+        |outl AS (SELECT d.source,
+        |    CAST(count(*) FILTER (abs(d.n_chars - med.median) > 3 * mad.mad)
+        |      AS BIGINT) AS n_outliers
+        |  FROM documents d JOIN med USING (source) JOIN mad USING (source)
+        |  GROUP BY d.source)
+        |SELECT source, n_docs, median, mad, q1, q3, n_outliers
+        |FROM n JOIN med USING (source) JOIN mad USING (source)
+        |  JOIN q1 USING (source) JOIN q3 USING (source)
+        |  JOIN outl USING (source)
+        |ORDER BY source""".stripMargin,
     // χ² is the shared-verbatim IEEE expression N·diff² / (df·(N−df)·
     // pos·(N−pos)) over BIGINT-pinned exact counts; diff = ad − bc is
     // written out twice verbatim (once per χ² factor) because SQL has no

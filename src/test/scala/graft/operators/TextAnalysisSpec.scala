@@ -467,6 +467,39 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     plan should not include "Window"
   }
 
+  test("q_robust_stats: histogram-walk median/MAD/IQR equal the " +
+    "brute-force sorted definition, deployed without a Window") {
+    val rows = TextAnalysis.qRobustStats(spark, sf()).collect()
+    val bySrc = graft.tables.Tables.documents(spark, sf())
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    def lower(v: Vector[Long], pos: Long): Long = v((pos - 1).toInt)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val xs = bySrc(src)
+      val n = xs.length.toLong
+      val med = lower(xs, (n + 1) / 2)
+      val mad = lower(xs.map(x => math.abs(x - med)).sorted, (n + 1) / 2)
+      withClue(src) {
+        r.getAs[Long]("n_docs") shouldBe n
+        r.getAs[Long]("median") shouldBe med
+        r.getAs[Long]("mad") shouldBe mad
+        r.getAs[Long]("q1") shouldBe lower(xs, (n + 3) / 4)
+        r.getAs[Long]("q3") shouldBe lower(xs, (3 * n + 3) / 4)
+        r.getAs[Long]("n_outliers") shouldBe
+          xs.count(x => math.abs(x - med) > 3 * mad).toLong
+      }
+    }
+    // scalable shape: stats ride a broadcast join back; no per-source
+    // sort/window anywhere in the deployed plan
+    val plan = TextAnalysis.qRobustStats(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
   test("q_feature_chi2: recovers the label-defining tokens as the top " +
     "features, margins all positive, vocabulary-sized broadcast shape") {
     val rows = TextAnalysis.qFeatureChi2(spark, sf()).collect()
