@@ -1121,7 +1121,88 @@ object Dedup {
       .orderBy(col("artifact"))
   }
 
+  // ------------------------------------------------------------------
+  // LIST-shaped erasure: content-addressed takedown manifest
+  // ------------------------------------------------------------------
+
+  /** Takedown-manifest modulus: the manifest carries the CONTENT hashes
+    * (md5 of text) of base docs with id ≡ 11 (mod 173) — a list-shaped
+    * request, unlike [[qDeleteCascade]]'s rule-shaped id predicate.
+    */
+  val DeleteListMod = 173L
+  val DeleteListResidue = 11L
+
+  /** (doc_id, fpn, del) over the planted corpus: del marks membership in
+    * the content-addressed takedown manifest (broadcast hash join on
+    * md5(text) — the manifest is request-scale, thousands of rows at any
+    * corpus size). Memoized per (session, dir): three ledger legs below
+    * consume it, and md5 + norm-fingerprint over the 3N-row planted
+    * corpus must evaluate once, not three times (Spark shares no
+    * uncached subtrees — the q_dedup_lines round-6 lesson).
+    */
+  private val markedErasureCache =
+    new SessionMemo[DataFrame](_.unpersist(blocking = false))
+  private def markedErasure(s: SparkSession, dir: String): DataFrame = {
+    val df = markedErasureCache.getOrElseUpdate(s, dir) {
+      val manifest = Tables.documents(s, dir)
+        .filter(col("doc_id") % DeleteListMod === DeleteListResidue)
+        .select(md5(col("text")).as("del_md5")).distinct()
+      plantedDocs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("m"),
+          TextFunctions.normFingerprint(col("text")).as("fpn"))
+        .join(broadcast(manifest), col("m") === col("del_md5"), "left_outer")
+        .select(col("doc_id"), col("fpn"),
+          col("del_md5").isNotNull.as("del"))
+        .persist()
+    }
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
+
+  /** Erasure by takedown LIST, content-addressed: delete every corpus doc
+    * whose md5(text) appears in the manifest — which catches the
+    * byte-identical planted copies the id rule misses (their ids are
+    * base + [[PlantOffset]]; no arithmetic predicate finds them) — then
+    * cascade the RESOLVED id set into the embedding index, and audit the
+    * residual: surviving docs (the token-permuted copies) whose
+    * normalization-invariant fingerprint still matches erased content.
+    * Ledger rows: `documents` (content join), `embedding_index`
+    * (resolved-id broadcast semi-join), `norm_residual` (n_before =
+    * survivors, n_deleted = at-risk survivors, n_after = clean) — the
+    * receipt that exact-content erasure is NOT closure under paraphrase,
+    * quantified. Every join side that isn't the corpus is request-scale
+    * and broadcast; the corpus is scanned once per leg off the memoized
+    * marked frame.
+    */
+  def qDeleteList(s: SparkSession, dir: String): DataFrame = {
+    val marked = markedErasure(s, dir)
+    val docsLedger = marked.agg(
+      count(lit(1)).as("n_before"),
+      sum(when(col("del"), 1L).otherwise(0L)).as("n_deleted"))
+      .select(lit("documents").as("artifact"), col("n_before"),
+        col("n_deleted"), (col("n_before") - col("n_deleted")).as("n_after"))
+    val delIds = marked.filter(col("del")).select(col("doc_id"))
+    val embLedger = Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(broadcast(delIds), col("vec_id") === col("doc_id"), "left_outer")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)).as("n_deleted"))
+      .select(lit("embedding_index").as("artifact"), col("n_before"),
+        col("n_deleted"), (col("n_before") - col("n_deleted")).as("n_after"))
+    val delFpn = marked.filter(col("del")).select(col("fpn")).distinct()
+    val resLedger = marked.filter(!col("del"))
+      .join(broadcast(delFpn.withColumnRenamed("fpn", "del_fpn")),
+        col("fpn") === col("del_fpn"), "left_outer")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("del_fpn").isNotNull, 1L).otherwise(0L)).as("n_deleted"))
+      .select(lit("norm_residual").as("artifact"), col("n_before"),
+        col("n_deleted"), (col("n_before") - col("n_deleted")).as("n_after"))
+    docsLedger.unionByName(embLedger).unionByName(resLedger)
+      .orderBy(col("artifact"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delete_list" -> qDeleteList,
     "q_delete_cascade" -> qDeleteCascade,
     "q_winnow" -> qWinnow,
     "q_dedup_substring_win" -> qDedupSubstringWin,
@@ -1453,6 +1534,32 @@ object Dedup {
          |  n_total - n_in_clusters + n_clusters AS n_kept,
          |  n_in_clusters - n_clusters AS n_dropped
          |FROM tot, agg""".stripMargin,
+    "q_delete_list" ->
+      s"""WITH corpus AS ($plantedSql),
+         |man AS (SELECT DISTINCT md5(text) AS del_md5 FROM documents
+         |  WHERE doc_id % $DeleteListMod = $DeleteListResidue),
+         |marked AS (SELECT c.doc_id, $normFpSql AS fpn,
+         |    (m.del_md5 IS NOT NULL) AS del
+         |  FROM corpus c LEFT JOIN man m ON md5(c.text) = m.del_md5),
+         |doc AS (SELECT CAST(count(*) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS x
+         |  FROM marked),
+         |em AS (SELECT CAST(count(*) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN vec_id IN
+         |      (SELECT doc_id FROM marked WHERE del) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x
+         |  FROM embeddings),
+         |sv AS (SELECT CAST(count(*) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN fpn IN
+         |      (SELECT fpn FROM marked WHERE del) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x
+         |  FROM marked WHERE NOT del)
+         |SELECT artifact, b AS n_before, x AS n_deleted, b - x AS n_after
+         |FROM (
+         |  SELECT 'documents' AS artifact, b, x FROM doc
+         |  UNION ALL SELECT 'embedding_index', b, x FROM em
+         |  UNION ALL SELECT 'norm_residual', b, x FROM sv)
+         |ORDER BY artifact""".stripMargin,
     "q_delete_cascade" ->
       s"""WITH del AS (SELECT $DeleteResidue AS r),
          |doc AS (SELECT CAST(count(*) AS BIGINT) AS b,

@@ -385,6 +385,32 @@ class DedupSpec extends SparkSpec with Matchers {
     rows("line_index")._3 shouldBe retained
   }
 
+  test("list-shaped erasure: the content manifest catches the identical " +
+    "copies the id rule misses, and the residual audit flags permuted kin") {
+    val rows = Dedup.qDeleteList(spark, sf()).collect()
+      .map(r => r.getAs[String]("artifact") ->
+        (r.getAs[Long]("n_before"), r.getAs[Long]("n_deleted"),
+          r.getAs[Long]("n_after"))).toMap
+    val m = graft.tables.Tables.documents(spark, sf())
+      .filter(col("doc_id") % Dedup.DeleteListMod === Dedup.DeleteListResidue)
+      .count()
+    m should be > 0L
+    // content join erases the base doc AND its byte-identical planted
+    // copy — strictly more than the manifest's own id count
+    rows("documents")._2 shouldBe 2 * m
+    // resolved-id cascade reaches the embedding index (base ids only)
+    rows("embedding_index")._2 shouldBe m
+    // every manifest doc's token-permuted copy survives exact-content
+    // erasure but is flagged by the normalization-invariant residual
+    rows("norm_residual")._2 should be >= m
+    rows.values.foreach { case (b, x, a) => a shouldBe b - x }
+    // request-scale sides broadcast; the corpus is never sort-merge-joined
+    val plan = Dedup.qDeleteList(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("embedding LSH dedup recalls all planted identical vectors at cos=1") {
     val vecs = graft.tables.Tables.embeddings(spark, sf()).count()
     val df = Dedup.qDedupEmbedding(spark, sf()).cache()
