@@ -337,9 +337,51 @@ object Ingest {
         sum(when(col("in_b").isNull, 1L).otherwise(0L)).as("n_lost"))
   }
 
+  /** Epoch count for the SCD2 snapshot history. */
+  val Scd2Epochs = 4
+  /** A doc is revised at epoch e iff (doc_id + e) % 5 == 0 — ~20% of
+    * the corpus changes per epoch, staggered across docs.
+    */
+  val Scd2RevMod = 5L
+
+  /** Slowly-changing-dimension TYPE-2 history from k content snapshots:
+    * one validity interval [valid_from, valid_to] per distinct content
+    * version of each doc, with the current version flagged — the
+    * dimension table a warehouse keeps so facts join the version that
+    * was live at their event time. Built WITHOUT any window: versions
+    * here never revert (each revision appends — the crawl/wiki shape),
+    * so epochs sharing a (doc_id, content-fingerprint) are contiguous
+    * and `groupBy(doc_id, fp).agg(min/max(epoch))` IS the interval
+    * construction — one shuffle of (id, 16-byte fp, epoch), text never
+    * rides an Exchange. (Content that can revert needs lag() over a
+    * per-doc_id window — bounded at k rows per key, still shuffle-safe
+    * — to split the reverted interval; the synthetic history makes the
+    * cheaper algebraic form exact, and the spec asserts the
+    * no-revert precondition by checking interval disjointness.)
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val rev = size(filter(
+      sequence(lit(0L), col("epoch")),
+      x => (col("doc_id") + x) % Scd2RevMod === 0L)).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(Scd2Epochs - 1L))))
+      .select(col("doc_id"), col("epoch"),
+        md5(concat(col("text"), lit(" v"), rev)).as("ver_md5"))
+      .groupBy(col("doc_id"), col("ver_md5"))
+      .agg(min(col("epoch")).as("valid_from"),
+        max(col("epoch")).as("valid_to"))
+      .select(col("doc_id"), col("valid_from"), col("valid_to"),
+        when(col("valid_to") === Scd2Epochs - 1L, 1L).otherwise(0L)
+          .as("is_current"),
+        col("ver_md5"))
+      .orderBy(col("doc_id"), col("valid_from"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_crawl_delta" -> qCrawlDelta,
+    "q_scd2" -> qScd2,
     "q_vocab_drift" -> qVocabDrift
   )
 
@@ -370,6 +412,26 @@ object Ingest {
          |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_removed
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // The SCD2 oracle rebuilds the snapshot stream (epoch × documents,
+    // revision counter = revisions at epochs ≤ e) and mirrors the
+    // interval grouping; Spark's concat renders the BIGINT revision the
+    // same way VARCHAR cast does ("0".."k").
+    "q_scd2" ->
+      s"""WITH ep AS (SELECT doc_id, text,
+         |    unnest(range(0, $Scd2Epochs)) AS epoch
+         |  FROM documents),
+         |snap AS (SELECT doc_id, epoch,
+         |    md5(text || ' v' || CAST(len(list_filter(range(0, epoch + 1),
+         |      x -> (doc_id + x) % $Scd2RevMod = 0)) AS VARCHAR)) AS ver_md5
+         |  FROM ep)
+         |SELECT doc_id,
+         |  CAST(min(epoch) AS BIGINT) AS valid_from,
+         |  CAST(max(epoch) AS BIGINT) AS valid_to,
+         |  CAST(CASE WHEN max(epoch) = ${Scd2Epochs - 1} THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_current,
+         |  ver_md5
+         |FROM snap GROUP BY doc_id, ver_md5
+         |ORDER BY doc_id, valid_from""".stripMargin,
     "q_vocab_drift" ->
       s"""WITH bdocs AS (SELECT doc_id, text ||
          |    CASE WHEN doc_id % 11 = 0 THEN ' updated' ELSE '' END AS text

@@ -157,6 +157,37 @@ class IngestSpec extends SparkSpec with Matchers {
       r.getAs[Long]("n_new") - r.getAs[Long]("n_lost")
   }
 
+  test("q_scd2: per doc the version intervals are disjoint, cover every " +
+    "epoch, and carry exactly one current version — all without a Window") {
+    val rows = Ingest.qScd2(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("valid_from"),
+        r.getAs[Long]("valid_to"), r.getAs[Long]("is_current")))
+    val nDocs = graft.tables.Tables.documents(spark, sf()).count()
+    val byDoc = rows.groupBy(_._1)
+    byDoc should have size nDocs.toInt
+    byDoc.foreach { case (id, vs) =>
+      withClue(s"doc $id") {
+        val sorted = vs.sortBy(_._2)
+        // contiguous disjoint cover of [0, Scd2Epochs): the no-revert
+        // precondition of the algebraic interval construction
+        sorted.head._2 shouldBe 0L
+        sorted.last._3 shouldBe (Ingest.Scd2Epochs - 1).toLong
+        sorted.sliding(2).foreach {
+          case Array(a, b) => b._2 shouldBe a._3 + 1
+          case _ =>
+        }
+        vs.count(_._4 == 1L) shouldBe 1
+        // version count = 1 + revisions at epochs ≥ 1 (the epoch-0
+        // revision only names the initial state)
+        vs.length shouldBe 1 + (1 until Ingest.Scd2Epochs)
+          .count(e => (id + e) % Ingest.Scd2RevMod == 0)
+      }
+    }
+    val plan = Ingest.qScd2(spark, sf()).queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "Join"
+  }
+
   test("fixture layout: one gzip file per shard, scan parallelism = shard count") {
     val path = Ingest.fixturePath(spark, sf())
     val shardDirs = new java.io.File(path).listFiles()
