@@ -497,6 +497,52 @@ object Dedup {
       .filter(col("j") >= JaccardThreshold)
       .select(col("src"), col("dst"))
 
+  /** Dedup-method evaluation against the PLANTED ground truth — the
+    * measure-don't-guess receipt for the 8×2 MinHash banding: the truth
+    * set is the planted (base, base + [[PlantOffset]]) tail-copy pairs
+    * restricted to minhash-eligible docs (≥ 1 shingle on BOTH sides);
+    * one pass over the candidate+Jaccard frame the pipeline already
+    * builds counts candidates, truth hits among them (LSH recall),
+    * verified pairs, and verified truth hits — so the banding's S-curve
+    * promise (miss ≈ 3·10⁻⁴ at J ≥ 0.8) is measured per corpus, not
+    * cited. truth_precision is a LOWER bound on real precision: verified
+    * non-planted pairs are organic near-duplicates, not false positives.
+    * Ratios are IEEE divisions of the exact counts; the truth census is
+    * one co-partitioned id semi-join; everything else is two 1-row
+    * frames.
+    */
+  def qDedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val withHs = sharedSignatures(s, dir)
+    val isTruth = col("doc_b") === col("doc_a") + PlantOffset &&
+      col("doc_a") < PlantOffset
+    val verified = col("j") >= JaccardThreshold
+    val stats = minhashCandidates(minhashBanded(withHs), MaxLshBucket)
+      .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_distinct(concat(col("hs_a"), col("hs_b"))))).as("j"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(isTruth, 1L).otherwise(0L)).as("n_cand_hit"),
+        sum(when(verified, 1L).otherwise(0L)).as("n_verified"),
+        sum(when(isTruth && verified, 1L).otherwise(0L)).as("n_ver_hit"))
+    val elig = withHs.filter(size(col("hs")) > 0).select(col("doc_id"))
+    val nTrue = elig.filter(col("doc_id") < PlantOffset)
+      .join(elig.select((col("doc_id") - PlantOffset).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_true"))
+    stats.crossJoin(nTrue)
+      .select(col("n_true"), col("n_cand"), col("n_cand_hit"),
+        col("n_verified"), col("n_ver_hit"),
+        (col("n_cand_hit").cast("double") / col("n_true").cast("double"))
+          .as("lsh_recall"),
+        (col("n_ver_hit").cast("double") / col("n_true").cast("double"))
+          .as("e2e_recall"),
+        (col("n_ver_hit").cast("double") / col("n_verified").cast("double"))
+          .as("truth_precision"))
+  }
+
   def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
     val withHs = sharedSignatures(s, dir)
     ConnectedComponents.components(verifiedPairs(withHs))
@@ -1202,6 +1248,7 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_recall" -> qDedupRecall,
     "q_delete_list" -> qDeleteList,
     "q_delete_cascade" -> qDeleteCascade,
     "q_winnow" -> qWinnow,
@@ -1534,6 +1581,34 @@ object Dedup {
          |  n_total - n_in_clusters + n_clusters AS n_kept,
          |  n_in_clusters - n_clusters AS n_dropped
          |FROM tot, agg""".stripMargin,
+    "q_dedup_recall" ->
+      s"""WITH $minhashCteChain,
+         |jc AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.hs, sb.hs))) AS j
+         |  FROM cand
+         |  JOIN hsd sa ON sa.doc_id = doc_a
+         |  JOIN hsd sb ON sb.doc_id = doc_b),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         |    CAST(sum(CASE WHEN doc_b = doc_a + $PlantOffset
+         |      AND doc_a < $PlantOffset THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cand_hit,
+         |    CAST(sum(CASE WHEN j >= $JaccardThreshold THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_verified,
+         |    CAST(sum(CASE WHEN j >= $JaccardThreshold
+         |      AND doc_b = doc_a + $PlantOffset AND doc_a < $PlantOffset
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ver_hit
+         |  FROM jc),
+         |el AS (SELECT doc_id FROM hsd WHERE len(sh) > 0),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM el a
+         |  WHERE a.doc_id < $PlantOffset AND EXISTS
+         |    (SELECT 1 FROM el b WHERE b.doc_id = a.doc_id + $PlantOffset))
+         |SELECT n_true, n_cand, n_cand_hit, n_verified, n_ver_hit,
+         |  CAST(n_cand_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS lsh_recall,
+         |  CAST(n_ver_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS e2e_recall,
+         |  CAST(n_ver_hit AS DOUBLE) / CAST(n_verified AS DOUBLE)
+         |    AS truth_precision
+         |FROM st CROSS JOIN tr""".stripMargin,
     "q_delete_list" ->
       s"""WITH corpus AS ($plantedSql),
          |man AS (SELECT DISTINCT md5(text) AS del_md5 FROM documents

@@ -385,6 +385,27 @@ class DedupSpec extends SparkSpec with Matchers {
     rows("line_index")._3 shouldBe retained
   }
 
+  test("q_dedup_recall: LSH finds every planted candidate; the exact-" +
+    "Jaccard threshold, not the banding, bounds end-to-end recall") {
+    val r = Dedup.qDedupRecall(spark, sf()).head()
+    val (nTrue, nCand, nCandHit) = (r.getAs[Long]("n_true"),
+      r.getAs[Long]("n_cand"), r.getAs[Long]("n_cand_hit"))
+    val (nVer, nVerHit) = (r.getAs[Long]("n_verified"), r.getAs[Long]("n_ver_hit"))
+    nTrue should be > 0L
+    // count lattice
+    nCandHit should be <= nTrue
+    nVerHit should be <= nCandHit
+    nVer should be <= nCand
+    // the 8×2 banding's S-curve: every planted tail-copy pair (J near 1
+    // for all but the shortest docs) surfaces as a candidate
+    r.getAs[Double]("lsh_recall") shouldBe 1.0
+    // verification then drops only the short docs whose 5-token tail
+    // shifts J below the 0.8 threshold — a threshold property, not a
+    // recall failure of the sketch
+    r.getAs[Double]("e2e_recall") should be >= 0.8
+    r.getAs[Double]("truth_precision") should be > 0.5
+  }
+
   test("list-shaped erasure: the content manifest catches the identical " +
     "copies the id rule misses, and the residual audit flags permuted kin") {
     val rows = Dedup.qDeleteList(spark, sf()).collect()
