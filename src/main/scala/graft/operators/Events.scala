@@ -31,6 +31,53 @@ object Events {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Synthetic late-arrival batch for [[qIvmRefresh]]: ~4% of events
+    * re-derived two hours later with fresh ids — the shape of a
+    * backfill/late-partition drop.
+    */
+  val IvmDeltaMod = 23L
+  val IvmDeltaResidue = 5L
+  val IvmDeltaIdOffset = 50000000L
+
+  private def ivmDeltaEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") % IvmDeltaMod === IvmDeltaResidue)
+      .select((col("event_id") + IvmDeltaIdOffset).as("event_id"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("ts"),
+        col("event_type"), col("value"))
+
+  /** Incremental view maintenance of the hourly cube: the refresh merges
+    * the STORED base cube with the delta batch's own cube — count cells
+    * add, DECIMAL(18,2) value sums add exactly (the additive-merge law
+    * partial aggregation already relies on inside one query, applied
+    * ACROSS materializations) — so refresh work is delta-sized plus a
+    * cube-sized join, never a re-aggregation of the full corpus. The
+    * oracle is the INDEPENDENT derivation: a from-scratch recompute over
+    * base ∪ delta in DuckDB — agreement proves merged ≡ recomputed, the
+    * correctness contract of any IVM pipeline. (Here the base cube is
+    * re-evaluated in-plan because the harness stores no state between
+    * queries; in deployment it is a stored-table scan — the merge logic,
+    * the exactness routing, and the delta-sized refresh shape are what
+    * this query pins. is_touched marks cells the delta changed — the
+    * cells a downstream cache must invalidate.)
+    */
+  def qIvmRefresh(s: SparkSession, dir: String): DataFrame = {
+    def cube(df: DataFrame, nc: String, tvc: String) = df
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as(nc),
+        sum(col("value").cast("decimal(18,2)")).as(tvc))
+    cube(Tables.events(s, dir), "n_b", "tv_b")
+      .join(cube(ivmDeltaEvents(s, dir), "n_d", "tv_d"),
+        Seq("hour", "event_type"), "full_outer")
+      .select(col("hour"), col("event_type"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+        (coalesce(col("tv_b"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("tv_d"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("total_value"),
+        when(col("n_d").isNotNull, 1L).otherwise(0L).as("is_touched"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** DENSE hourly series — the gap-filling resample every dashboard and
     * anomaly detector needs before it can difference or window a series
     * (the raw hourly rollup has ~75% missing hours here: an absent hour
@@ -448,6 +495,7 @@ object Events {
     "q_window_range" -> qWindowRange,
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_retention" -> qEventsRetention,
+    "q_ivm_refresh" -> qIvmRefresh,
     "q_events_hourly" -> qEventsHourly,
     "q_events_densify" -> qEventsDensify,
     "q_events_sliding" -> qEventsSliding,
@@ -583,6 +631,22 @@ object Events {
         |  round(CAST(m.n_active AS DOUBLE) / c.cohort_n, 6) AS retention
         |FROM matrix m JOIN cohort_size c ON m.cohort_day = c.cohort_day
         |ORDER BY m.cohort_day, day""".stripMargin,
+    // The IVM oracle deliberately does NOT mirror the merge: it
+    // recomputes the refreshed cube from scratch over base ∪ delta —
+    // an independent derivation, so a broken merge (lost cell, double
+    // count, decimal drift) mismatches loudly.
+    "q_ivm_refresh" ->
+      s"""WITH allv AS (
+         |  SELECT ts, event_type, value, 0 AS d FROM events
+         |  UNION ALL
+         |  SELECT ts + INTERVAL 2 HOUR, event_type, value, 1 AS d
+         |  FROM events WHERE event_id % $IvmDeltaMod = $IvmDeltaResidue)
+         |SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  CAST(CASE WHEN sum(d) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_touched
+         |FROM allv GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n,

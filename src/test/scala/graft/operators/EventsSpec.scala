@@ -101,4 +101,39 @@ class EventsSpec extends SparkSpec with Matchers {
     dense.map(_.getLong(2)).sum shouldBe
       graft.tables.Tables.events(spark, sf()).count()
   }
+
+  test("q_ivm_refresh: the incremental merge equals a from-scratch " +
+    "recompute, and only delta-touched cells change") {
+    val refreshed = Events.qIvmRefresh(spark, sf()).collect()
+    val base = Events.qEventsHourly(spark, sf()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val nEvents = graft.tables.Tables.events(spark, sf()).count()
+    val nDelta = graft.tables.Tables.events(spark, sf())
+      .filter(col("event_id") % Events.IvmDeltaMod === Events.IvmDeltaResidue)
+      .count()
+    // conservation: total event mass = base + delta
+    refreshed.map(_.getAs[Long]("n")).sum shouldBe nEvents + nDelta
+    refreshed.foreach { r =>
+      val key = (r.getTimestamp(0), r.getString(1))
+      val touched = r.getAs[Long]("is_touched") == 1L
+      base.get(key) match {
+        case Some((n0, tv0)) if !touched =>
+          // untouched cells pass through the merge bit-identical
+          r.getAs[Long]("n") shouldBe n0
+          r.getAs[Double]("total_value") shouldBe tv0
+        case Some((n0, _)) if touched =>
+          r.getAs[Long]("n") should be > n0
+        case None =>
+          // a cube cell with no base row can only come from the delta
+          touched shouldBe true
+      }
+    }
+    // refresh shape: a full-outer merge of two aggregated (cube-sized)
+    // sides — never one re-aggregation over base ∪ delta
+    val plan = Events.qIvmRefresh(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("FullOuter")
+    plan should not include "Union"
+  }
 }
