@@ -188,7 +188,71 @@ object Graph {
           .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 9)))
   }
 
+  /** BFS round cap — a safety bound only: the [[TriCoeffs]] graph is an
+    * expander (measured eccentricity of node 0: 4 at N=500, 6 at
+    * N=5000), so the frontier empties long before the cap; nodes still
+    * unreached at the cap would simply be absent from the output on
+    * both engines.
+    */
+  val BfsMaxRounds = 12
+
+  /** Single-source BFS level census — the fourth classic of the graph
+    * suite (components, PageRank, triangles, shortest paths): exact
+    * hop distance from node 0 over the symmetrized [[TriCoeffs]] graph,
+    * reported per level. Frontier expansion: each round joins the
+    * CURRENT frontier (not the visited set) to the src-partitioned
+    * edge table, dedups, and anti-joins the visited set — work per
+    * round ∝ frontier edge volume, total = O(E) across the whole
+    * traversal, O(diameter) rounds (≈ log N on an expander, the web /
+    * citation / link-graph case this models). localCheckpoint per round
+    * truncates lineage exactly like the PageRank loop; the empty-
+    * frontier test doubles as the round's one materializing action. The
+    * oracle replays the traversal as a recursive CTE with min-level
+    * dedup — a different algorithm (path enumeration + min) agreeing on
+    * the same levels.
+    */
+  def qBfs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    val raw = docs.select(col("id").as("src"),
+      explode(array(TriCoeffs.map { case (a, b) =>
+        (col("id") * a + b) % n }: _*)).as("dst"))
+    val und = raw
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).persist()
+    var levels = s.range(1)
+      .select(lit(0L).as("id"), lit(0L).as("lvl")).localCheckpoint()
+    var frontier = levels.select(col("id"))
+    var lvl = 0L
+    var done = false
+    while (!done && lvl < BfsMaxRounds) {
+      lvl += 1
+      val next = frontier.join(edges, frontier("id") === edges("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(levels, Seq("id"), "left_anti")
+        .select(col("id"), lit(lvl).as("lvl"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        levels = levels.union(next).localCheckpoint()
+        frontier = next.select(col("id"))
+      }
+    }
+    edges.unpersist(blocking = false)
+    levels
+      .groupBy(col("lvl"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("lvl"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bfs" -> qBfs,
     "q_pagerank" -> qPagerank,
     "q_pagerank_edges" -> qPagerankEdges,
     "q_triangles" -> qTriangles
@@ -220,7 +284,34 @@ object Graph {
          |$rounds
          |SELECT id AS doc_id, CAST(r AS BIGINT) AS pr FROM r$PrIters
          |ORDER BY pr DESC, doc_id LIMIT 100""".stripMargin
+    val bfsLinks = TriCoeffs
+      .map { case (a, b) => s"(doc_id * $a + $b) % (SELECT n FROM nn)" }
+      .mkString("[", ", ", "]")
     Map(
+      // BFS oracle: recursive path enumeration capped at the round
+      // bound, deduped per (id, lvl) by the recursive UNION, min-level
+      // per node — a different traversal algorithm than the frontier
+      // loop, agreeing on the exact level census.
+      "q_bfs" ->
+        s"""WITH RECURSIVE nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+           |  FROM documents),
+           |raw AS (SELECT doc_id AS src, unnest($bfsLinks) AS dst
+           |  FROM documents),
+           |und AS (SELECT DISTINCT least(src, dst) AS a,
+           |    greatest(src, dst) AS b
+           |  FROM raw WHERE src <> dst),
+           |ed AS (SELECT a AS src, b AS dst FROM und
+           |  UNION ALL SELECT b AS src, a AS dst FROM und),
+           |bfs(id, lvl) AS (
+           |  SELECT CAST(0 AS BIGINT) AS id, 0 AS lvl
+           |  UNION
+           |  SELECT ed.dst, bfs.lvl + 1 FROM bfs
+           |  JOIN ed ON ed.src = bfs.id WHERE bfs.lvl < $BfsMaxRounds),
+           |lv AS (SELECT id, min(lvl) AS lvl FROM bfs GROUP BY id)
+           |SELECT CAST(lvl AS BIGINT) AS lvl, count(*) AS n_nodes,
+           |  CAST(min(id) AS BIGINT) AS min_id,
+           |  CAST(max(id) AS BIGINT) AS max_id
+           |FROM lv GROUP BY lvl ORDER BY lvl""".stripMargin,
       "q_pagerank" -> sql,
       // the materialized-edge loop computes the identical recurrence —
       // one oracle text serves both (plan-only difference by design)

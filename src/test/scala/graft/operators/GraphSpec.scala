@@ -75,6 +75,21 @@ class GraphSpec extends SparkSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q_bfs: levels partition every reachable node, each level is " +
+    "adjacent to the previous, and the frontier empties before the cap") {
+    val rows = Graph.qBfs(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("lvl"), r.getAs[Long]("n_nodes")))
+    // the expander reaches the whole graph well before BfsMaxRounds —
+    // the cap is a safety bound, not a truncation in effect
+    rows.map(_._2).sum shouldBe Tables.documents(spark, sf()).count()
+    rows.map(_._1) shouldBe rows.indices.map(_.toLong)
+    rows.last._1 should be < Graph.BfsMaxRounds.toLong
+    // level 0 is exactly the source
+    rows.head shouldBe ((0L, 1L))
+    // level 1 = degree of node 0 in the symmetrized graph
+    rows(1)._2 should be <= (2L * Graph.TriCoeffs.length)
+  }
+
   test("top-100 output is rank-sorted with a deterministic tiebreak") {
     val out = Graph.qPagerank(spark, sf()).collect()
     out.length shouldBe math.min(100, Tables.documents(spark, sf()).count()).toInt
