@@ -321,6 +321,73 @@ object Scale {
       .orderBy(col("o_orderpriority"))
 
   // -------------------------------------------------------------------
+  // Cross-engine Bloom filter with MEASURED false-positive rate
+  // -------------------------------------------------------------------
+
+  /** Bloom geometry: m = 2¹⁶ bits packed 32 per word (bit 63 would
+    * overflow DuckDB's checked left shift), k = 4 md5-derived hash
+    * positions per key.
+    */
+  val BloomFprBits = 65536L
+  val BloomFprHashes = 4
+
+  /** Spark-SQL fragment: hash position j of `key` — the [[graft.operators.Sampling.hashBucket]]
+    * md5-prefix convention with a per-hash salt suffix.
+    */
+  private def bloomPosSpark(key: String, j: Int): String =
+    s"CAST(conv(substring(md5(concat(CAST($key AS STRING), '#$j')), 1, 15), 16, 10) AS BIGINT) % $BloomFprBits"
+
+  /** [[qJoinBloom]] routes through Spark's built-in BloomFilterAggregate,
+    * whose bit layout is engine-internal — the oracle there can only
+    * check the exact-join RESULT. This query builds the Bloom filter
+    * from engine-neutral arithmetic (md5-position inserts, bit-or word
+    * packing), so the filter ITSELF is cross-engine reproducible and the
+    * false-positive rate becomes an oracle-checked MEASUREMENT, not a
+    * formula citation: per fact row, membership = all k probed bits set
+    * against the broadcast 2048-word literal (row-local — the filter
+    * never shuffles); truth = broadcast semi-join against the exact key
+    * set. No false negatives is an invariant (spec); the measured FPR at
+    * this (m, k, n) sits near the (1 − e^{−kn/m})^k prediction — the
+    * number a capacity planner needs before sizing m for 100 TB.
+    */
+  def qBloomFpr(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey").as("k")).distinct()
+    // build: k positions per key → word/bit-or aggregation → one bounded
+    // driver roundtrip (2048 words), deployed as a plan literal
+    val posArr = (0 until BloomFprHashes)
+      .map(j => expr(bloomPosSpark("k", j)))
+    val wordRows = keys
+      .select(explode(array(posArr: _*)).as("p"))
+      .select(expr("p div 32").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val words = new Array[Long]((BloomFprBits / 32).toInt)
+    wordRows.foreach(r => words(r.getAs[Long]("w").toInt) = r.getAs[Long]("bits"))
+    val passSql = (0 until BloomFprHashes).map { j =>
+      val p = bloomPosSpark("l_orderkey", j)
+      s"(element_at(bf, CAST(($p) div 32 AS INT) + 1) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST(($p) % 32 AS INT))) != 0"
+    }.mkString(" AND ")
+    Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .withColumn("bf", typedLit(words.toSeq))
+      .withColumn("pass", expr(passSql))
+      .join(broadcast(keys), col("l_orderkey") === col("k"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_fact"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("pass") && col("k").isNull, 1L).otherwise(0L)).as("n_fp"))
+      .select(col("n_fact"), col("n_pass"), col("n_true"), col("n_fp"),
+        (col("n_fp").cast("double") /
+          (col("n_fact") - col("n_true")).cast("double")).as("fpr"),
+        (col("n_pass").cast("double") / col("n_fact").cast("double"))
+          .as("selectivity"))
+  }
+
+  // -------------------------------------------------------------------
   // Z-order layout: multi-dimensional write-time clustering
   // -------------------------------------------------------------------
 
@@ -388,8 +455,15 @@ object Scale {
     "q_agg_salted" -> qAggSalted,
     "q_join_skew" -> qJoinSkew,
     "q_join_bloom" -> qJoinBloom,
+    "q_bloom_fpr" -> qBloomFpr,
     "q_zorder" -> qZorder
   )
+
+  /** DuckDB fragment: hash position j of `key` (same md5-prefix
+    * arithmetic as [[bloomPosSpark]]).
+    */
+  private def bloomPosDuck(key: String, j: Int): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR) || '#$j'), 1, 15))::BIGINT % $BloomFprBits"
 
   def oracleSql: Map[String, String] = Map(
     // identical to the q_join_shuffle oracle: bucketing is a plan-only change
@@ -399,6 +473,47 @@ object Scale {
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The FPR oracle rebuilds the SAME engine-neutral Bloom filter
+    // (md5-position inserts, 32-bit word packing) and probes it with
+    // four word-joins — bit-for-bit the filter the Spark plan carries
+    // as a literal, so n_pass / n_fp / fpr are exact cross-engine
+    // measurements, not tolerances.
+    "q_bloom_fpr" -> {
+      val insertPos = (0 until BloomFprHashes)
+        .map(j => bloomPosDuck("k", j)).mkString("[", ", ", "]")
+      val probeCols = (0 until BloomFprHashes)
+        .map(j => s"${bloomPosDuck("l_orderkey", j)} AS p$j").mkString(",\n    ")
+      val probeJoins = (0 until BloomFprHashes)
+        .map(j => s"LEFT JOIN bf b$j ON f.p$j // 32 = b$j.w").mkString("\n  ")
+      val passExpr = (0 until BloomFprHashes)
+        .map(j => s"((coalesce(b$j.bits, 0) & " +
+          s"(1::BIGINT << CAST(f.p$j % 32 AS INT))) <> 0)")
+        .mkString("\n    AND ")
+      s"""WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+         |  WHERE o_totalprice > 300000),
+         |pos AS (SELECT unnest($insertPos) AS p FROM keys),
+         |bf AS (SELECT p // 32 AS w,
+         |    bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+         |  FROM pos GROUP BY 1),
+         |f AS (SELECT l_orderkey,
+         |    (l_orderkey IN (SELECT k FROM keys)) AS istrue,
+         |    $probeCols
+         |  FROM lineitem),
+         |pr AS (SELECT f.istrue,
+         |    ($passExpr) AS pass
+         |  FROM f
+         |  $probeJoins),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_fact,
+         |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |    CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |    CAST(sum(CASE WHEN pass AND NOT istrue THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_fp
+         |  FROM pr)
+         |SELECT n_fact, n_pass, n_true, n_fp,
+         |  CAST(n_fp AS DOUBLE) / CAST(n_fact - n_true AS DOUBLE) AS fpr,
+         |  CAST(n_pass AS DOUBLE) / CAST(n_fact AS DOUBLE) AS selectivity
+         |FROM agg""".stripMargin
+    },
     // the plain selective join: the bloom prefilter is a plan-only change
     "q_join_bloom" ->
       """SELECT o_orderpriority,

@@ -172,4 +172,29 @@ class ScaleSpec extends SparkSpec with Matchers {
       linear.length.max(1)
     linearAvgObSpan should be > 64L // near-full-axis spans
   }
+
+  test("q_bloom_fpr: no false negatives ever, measured FPR within the " +
+    "theoretical envelope, probe stays row-local") {
+    val r = Scale.qBloomFpr(spark, sf()).head()
+    val (nFact, nPass) = (r.getAs[Long]("n_fact"), r.getAs[Long]("n_pass"))
+    val (nTrue, nFp) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_fp"))
+    // the Bloom contract: every true member passes
+    nPass shouldBe nTrue + nFp
+    nPass should be >= nTrue
+    // measured FPR ≤ 2× the (1 − e^{−kn/m})^k prediction (and ≥ 0)
+    val nKeys = Tables.orders(spark, sf())
+      .filter(col("o_totalprice") > 300000)
+      .select("o_orderkey").distinct().count()
+    val predicted = math.pow(
+      1 - math.exp(-Scale.BloomFprHashes.toDouble * nKeys / Scale.BloomFprBits),
+      Scale.BloomFprHashes.toDouble)
+    r.getAs[Double]("fpr") should be <= math.max(2 * predicted, 0.01)
+    nFact shouldBe Tables.lineitem(spark, sf()).count()
+    // the filter rides the plan as a literal; the probe is row-local —
+    // no shuffle join anywhere
+    val plan = Scale.qBloomFpr(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "SortMergeJoin"
+    plan should include("BroadcastHashJoin")
+  }
 }
