@@ -324,11 +324,14 @@ object Scale {
   // Cross-engine Bloom filter with MEASURED false-positive rate
   // -------------------------------------------------------------------
 
-  /** Bloom geometry: m = 2¹⁶ bits packed 32 per word (bit 63 would
+  /** Bloom geometry: m = 2²⁰ bits packed 32 per word (bit 63 would
     * overflow DuckDB's checked left shift), k = 4 md5-derived hash
-    * positions per key.
+    * positions per key. m is sized for the sf0.1 key census (~60k keys →
+    * kn/m ≈ 0.23 → predicted FPR ≈ 2·10⁻³): an early 2¹⁶ sizing measured
+    * FPR 0.90 at sf0.1 — a saturated filter passes the oracle too, but
+    * the operational lesson IS the sizing, so the constant records it.
     */
-  val BloomFprBits = 65536L
+  val BloomFprBits = 1048576L
   val BloomFprHashes = 4
 
   /** Spark-SQL fragment: hash position j of `key` — the [[graft.operators.Sampling.hashBucket]]
