@@ -91,10 +91,55 @@ object Embeddings {
       .orderBy(col("label"))
   }
 
+  /** Leading dimensions covered by the covariance census. */
+  val CovDims = 8
+
+  /** EXACT covariance sufficient statistics over the leading [[CovDims]]
+    * embedding dimensions — the input a PCA/whitening/decorrelation stage
+    * consumes, made engine-portable by the [[DriftScale]] quantize-first
+    * rule (integer Σxᵢxⱼ sums are order-independent; IEEE float sums are
+    * not). One corpus scan computes all 36 pair sums + 8 marginals as a
+    * single 1-row aggregation (the quantized array is projected ONCE —
+    * CollapseProject declines to inline a non-cheap lambda referenced 44
+    * times, so the transform runs once per row); the 36-cell reshape is
+    * a bounded driver roundtrip (the k-means/BPE class). cov_num =
+    * n·Σxᵢxⱼ − Σxᵢ·Σxⱼ is the exact integer covariance numerator on the
+    * 10⁻³ grid: divide by n² (and the grid²) off-engine for the float
+    * matrix; eigen-decomposition of an 8×8 (or 64×64) matrix is
+    * driver-side by construction at any corpus size.
+    */
+  def qEmbeddingCov(s: SparkSession, dir: String): DataFrame = {
+    val q = transform(col("embedding"),
+      v => floor(v.cast("double") * DriftScale + 0.5).cast("long"))
+    val pairs = for { i <- 0 until CovDims; j <- i until CovDims } yield (i, j)
+    val aggs =
+      pairs.map { case (i, j) =>
+        sum(element_at(col("q"), i + 1) * element_at(col("q"), j + 1))
+          .as(s"sxy_${i}_$j")
+      } ++
+        (0 until CovDims).map(i =>
+          sum(element_at(col("q"), i + 1)).as(s"s_$i"))
+    val row = Tables.embeddings(s, dir)
+      .select(q.as("q"))
+      .agg(count(lit(1)).as("n_vecs"), aggs: _*)
+      .head()
+    val n = row.getAs[Long]("n_vecs")
+    val out = pairs.map { case (i, j) =>
+      val sxy = row.getAs[Long](s"sxy_${i}_$j")
+      val si = row.getAs[Long](s"s_$i")
+      val sj = row.getAs[Long](s"s_$j")
+      (i.toLong, j.toLong, n, sxy, si, sj, n * sxy - si * sj)
+    }
+    s.createDataFrame(out)
+      .toDF("i", "j", "n_vecs", "s_xy", "s_i", "s_j", "cov_num")
+      .orderBy(col("i"), col("j"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_norms" -> qEmbeddingNorms,
     "q_embedding_quantize" -> qEmbeddingQuantize,
-    "q_embedding_drift" -> qEmbeddingDrift
+    "q_embedding_drift" -> qEmbeddingDrift,
+    "q_embedding_cov" -> qEmbeddingCov
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,6 +175,23 @@ object Embeddings {
          |  list_max(errs) AS max_abs_err,
          |  round(list_sum(errs) / n, 9) AS mean_abs_err
          |FROM err ORDER BY vec_id""".stripMargin,
+    "q_embedding_cov" ->
+      s"""WITH v AS (
+         |  SELECT list_transform(embedding[1:$CovDims],
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $DriftScale + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |ci AS (SELECT q, unnest(range(0, $CovDims)) AS i FROM v),
+         |cij AS (SELECT q, i, unnest(range(0, $CovDims)) AS j FROM ci),
+         |p AS (SELECT i, j, q[i + 1] AS xi, q[j + 1] AS xj
+         |  FROM cij WHERE i <= j),
+         |g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(xi * xj) AS BIGINT) AS s_xy,
+         |    CAST(sum(xi) AS BIGINT) AS s_i,
+         |    CAST(sum(xj) AS BIGINT) AS s_j
+         |  FROM p GROUP BY i, j)
+         |SELECT i, j, n_vecs, s_xy, s_i, s_j,
+         |  n_vecs * s_xy - s_i * s_j AS cov_num
+         |FROM g ORDER BY i, j""".stripMargin,
     "q_embedding_drift" ->
       s"""WITH v AS (
          |  SELECT CAST(label AS BIGINT) AS label,

@@ -57,4 +57,29 @@ class EmbeddingsSpec extends SparkSpec with Matchers {
       meanErr should be >= 0.0
     }
   }
+
+  test("q_embedding_cov: exact integer covariance matches a driver-local " +
+    "recompute; diagonal numerators are nonnegative variances") {
+    val rows = Embeddings.qEmbeddingCov(spark, sf()).collect()
+    rows.length shouldBe Embeddings.CovDims * (Embeddings.CovDims + 1) / 2
+    // brute-force recompute from the raw vectors
+    val vecs = graft.tables.Tables.embeddings(spark, sf())
+      .select(org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(_.getSeq[Float](0).take(Embeddings.CovDims)
+        .map(x => math.floor(x.toDouble * Embeddings.DriftScale + 0.5).toLong)
+        .toArray)
+    val n = vecs.length.toLong
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      val si = vecs.map(_(i)).sum
+      val sj = vecs.map(_(j)).sum
+      withClue(s"cell ($i,$j)") {
+        r.getAs[Long]("n_vecs") shouldBe n
+        r.getAs[Long]("s_xy") shouldBe sxy
+        r.getAs[Long]("cov_num") shouldBe n * sxy - si * sj
+        if (i == j) r.getAs[Long]("cov_num") should be >= 0L
+      }
+    }
+  }
 }
