@@ -251,7 +251,35 @@ object Graph {
       .orderBy(col("lvl"))
   }
 
+  /** Degree distribution of the symmetrized [[TriCoeffs]] graph — the
+    * first diagnostic run on any ingested link graph (a heavy-tailed
+    * histogram dictates the skew strategy for every downstream join;
+    * this synthetic expander's histogram is tightly banded around 2·|C|,
+    * which is exactly what the census shows). Two keyed aggregations:
+    * degree per node over the deduped undirected edges, then the
+    * ≤max-degree-sized histogram.
+    */
+  def qDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    val und = docs.select(col("id").as("src"),
+      explode(array(TriCoeffs.map { case (a, b) =>
+        (col("id") * a + b) % n }: _*)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(
+        count(lit(1)).as("n_nodes"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("deg"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_degree_hist" -> qDegreeHist,
     "q_bfs" -> qBfs,
     "q_pagerank" -> qPagerank,
     "q_pagerank_edges" -> qPagerankEdges,
@@ -287,7 +315,30 @@ object Graph {
     val bfsLinks = TriCoeffs
       .map { case (a, b) => s"(doc_id * $a + $b) % (SELECT n FROM nn)" }
       .mkString("[", ", ", "]")
+    val bfsLinkSelects = TriCoeffs
+      .map { case (a, b) =>
+        s"SELECT doc_id AS src, (doc_id * $a + $b) % (SELECT n FROM nn) AS dst FROM documents"
+      }
+      .mkString("\nUNION ALL\n")
     Map(
+      // links ride per-coefficient UNION ALL selects (the q_triangles
+      // oracle form), not an unnest list: DuckDB 1.x's binder fails
+      // internally on an unnest-list edge source that is unnested again
+      // downstream (both the scalar-subquery and CROSS JOIN modulus
+      // spellings reproduce it; the UNION ALL form binds fine).
+      "q_degree_hist" ->
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |raw AS ($bfsLinkSelects),
+           |und AS (SELECT DISTINCT least(src, dst) AS a,
+           |    greatest(src, dst) AS b
+           |  FROM raw WHERE src <> dst),
+           |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+           |    SELECT unnest([a, b]) AS id FROM und)
+           |  GROUP BY id)
+           |SELECT deg, count(*) AS n_nodes,
+           |  CAST(min(id) AS BIGINT) AS min_id,
+           |  CAST(max(id) AS BIGINT) AS max_id
+           |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
       // BFS oracle: recursive path enumeration capped at the round
       // bound, deduped per (id, lvl) by the recursive UNION, min-level
       // per node — a different traversal algorithm than the frontier

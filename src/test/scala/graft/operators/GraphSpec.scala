@@ -75,6 +75,25 @@ class GraphSpec extends SparkSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q_degree_hist: the handshake identity holds and the expander's " +
+    "degrees stay tightly banded") {
+    val rows = Graph.qDegreeHist(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("deg"), r.getAs[Long]("n_nodes")))
+    val n = Tables.documents(spark, sf()).count()
+    val nEdges = {
+      val docs = Tables.documents(spark, sf()).select(col("doc_id").as("id"))
+      docs.select(col("id").as("src"),
+        explode(array(Graph.TriCoeffs.map { case (a, b) =>
+          (col("id") * a + b) % n }: _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+        .distinct().count()
+    }
+    rows.map { case (d, c) => d * c }.sum shouldBe 2 * nEdges
+    // constant-out-degree construction: max degree ≤ 2·|coeffs|
+    rows.map(_._1).max should be <= (2L * Graph.TriCoeffs.length)
+  }
+
   test("q_bfs: levels partition every reachable node, each level is " +
     "adjacent to the previous, and the frontier empties before the cap") {
     val rows = Graph.qBfs(spark, sf()).collect()
