@@ -227,10 +227,10 @@ object Bench {
     // injective — at full width the segment map IS stage-4's, so the
     // widening loop always terminates). Documented in BASELINE.md
     // "Canary normalization"; detail line keeps full names.
-    val segKey: Map[String, String] = {
+    def segSqueeze(startWidth: Int): Map[String, String] = {
       def seg(n: String, w: Int) =
         vowelKey(n).split('_').map(_.take(w)).mkString("_")
-      var width = names.map(_ -> 2).toMap
+      var width = names.map(_ -> startWidth).toMap
       var out = names.map(n => n -> seg(n, width(n))).toMap
       var colliding = out.groupBy(_._2).filter(_._2.size > 1)
       while (colliding.nonEmpty) {
@@ -242,10 +242,15 @@ object Bench {
       }
       out
     }
+    val segKey: Map[String, String] = segSqueeze(2)
+    // stage-6 squeeze (built at 162 queries, round 7 fourth continuation;
+    // engages when stage-5 crosses the budget at ≈168): the same
+    // per-collision widening loop seeded at 1-char segments.
+    val segKey1: Map[String, String] = segSqueeze(1)
     // the squeezes must stay injective over the registry: a future
     // q_t_foo would alias with q_text_foo's squeezed key and silently
     // merge two queries on the contract line (round-5 advisor note)
-    for (keys <- Seq(dropQ, famKey, vowelKey, segKey)) {
+    for (keys <- Seq(dropQ, famKey, vowelKey, segKey, segKey1)) {
       val squeezed = names.map(keys)
       require(squeezed.distinct.size == names.size,
         s"contract-line key squeeze aliases query names: ${
@@ -261,7 +266,8 @@ object Bench {
       else if (noQ.length <= 2000) noQ
       else if (famLine.length <= 2000) famLine
       else if (vowelLine.length <= 2000) vowelLine
-      else contract(segKey))
+      else { val segLine = contract(segKey)
+        if (segLine.length <= 2000) segLine else contract(segKey1) })
     spark.stop()
   }
 }
