@@ -378,12 +378,62 @@ object Ingest {
       .orderBy(col("doc_id"), col("valid_from"))
   }
 
+  /** Facts joined to the [[qScd2]] dimension AT EVENT TIME — the lookup
+    * every warehouse fact pipeline runs against a versioned dimension:
+    * each event resolves the content version that was live at its epoch
+    * (equality on doc_id + BETWEEN on the validity interval). The plan
+    * is an equi-join on doc_id with the range predicate evaluated on the
+    * co-partitioned pairs — per-key amplification is bounded by the
+    * version count (≤ [[Scd2Epochs]]), so the join stays corpus-linear
+    * at any scale; no broadcast needed on either side. Every fact
+    * matches EXACTLY one version (the intervals partition the epoch
+    * axis — the q_scd2 spec's disjoint-cover property, consumed here),
+    * which the per-epoch fact conservation in the output makes visible.
+    */
+  def qScd2Join(s: SparkSession, dir: String): DataFrame = {
+    val dim = qScd2(s, dir)
+    val nDocs = Tables.documents(s, dir).count()
+    val facts = Tables.events(s, dir).select(
+      (col("user_id") % nDocs).as("f_doc_id"),
+      (col("event_id") % Scd2Epochs).as("epoch"))
+    facts.join(dim,
+      col("f_doc_id") === col("doc_id") &&
+        col("epoch") >= col("valid_from") && col("epoch") <= col("valid_to"))
+      .groupBy(col("epoch"))
+      .agg(
+        count(lit(1)).as("n_facts"),
+        sum(col("is_current")).as("n_on_current"),
+        countDistinct(col("ver_md5")).as("n_versions"))
+      .orderBy(col("epoch"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_crawl_delta" -> qCrawlDelta,
     "q_scd2" -> qScd2,
+    "q_scd2_join" -> qScd2Join,
     "q_vocab_drift" -> qVocabDrift
   )
+
+  /** Shared CTE chain ending in `dim(doc_id, valid_from, valid_to,
+    * is_current, ver_md5)` — the SQL twin of [[qScd2]], consumed by the
+    * q_scd2 and q_scd2_join oracles.
+    */
+  private val scd2DimCtes =
+    s"""ep AS (SELECT doc_id, text,
+       |    unnest(range(0, $Scd2Epochs)) AS epoch
+       |  FROM documents),
+       |snap AS (SELECT doc_id, epoch,
+       |    md5(text || ' v' || CAST(len(list_filter(range(0, epoch + 1),
+       |      x -> (doc_id + x) % $Scd2RevMod = 0)) AS VARCHAR)) AS ver_md5
+       |  FROM ep),
+       |dim AS (SELECT doc_id,
+       |    CAST(min(epoch) AS BIGINT) AS valid_from,
+       |    CAST(max(epoch) AS BIGINT) AS valid_to,
+       |    CAST(CASE WHEN max(epoch) = ${Scd2Epochs - 1} THEN 1 ELSE 0 END
+       |      AS BIGINT) AS is_current,
+       |    ver_md5
+       |  FROM snap GROUP BY doc_id, ver_md5)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_crawl_delta" ->
@@ -417,21 +467,21 @@ object Ingest {
     // interval grouping; Spark's concat renders the BIGINT revision the
     // same way VARCHAR cast does ("0".."k").
     "q_scd2" ->
-      s"""WITH ep AS (SELECT doc_id, text,
-         |    unnest(range(0, $Scd2Epochs)) AS epoch
-         |  FROM documents),
-         |snap AS (SELECT doc_id, epoch,
-         |    md5(text || ' v' || CAST(len(list_filter(range(0, epoch + 1),
-         |      x -> (doc_id + x) % $Scd2RevMod = 0)) AS VARCHAR)) AS ver_md5
-         |  FROM ep)
-         |SELECT doc_id,
-         |  CAST(min(epoch) AS BIGINT) AS valid_from,
-         |  CAST(max(epoch) AS BIGINT) AS valid_to,
-         |  CAST(CASE WHEN max(epoch) = ${Scd2Epochs - 1} THEN 1 ELSE 0 END
-         |    AS BIGINT) AS is_current,
-         |  ver_md5
-         |FROM snap GROUP BY doc_id, ver_md5
-         |ORDER BY doc_id, valid_from""".stripMargin,
+      s"""WITH $scd2DimCtes
+         |SELECT doc_id, valid_from, valid_to, is_current, ver_md5
+         |FROM dim ORDER BY doc_id, valid_from""".stripMargin,
+    "q_scd2_join" ->
+      s"""WITH $scd2DimCtes,
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |facts AS (SELECT user_id % (SELECT n FROM nn) AS f_doc_id,
+         |    event_id % $Scd2Epochs AS epoch
+         |  FROM events)
+         |SELECT epoch, count(*) AS n_facts,
+         |  CAST(sum(is_current) AS BIGINT) AS n_on_current,
+         |  CAST(count(DISTINCT ver_md5) AS BIGINT) AS n_versions
+         |FROM facts JOIN dim ON facts.f_doc_id = dim.doc_id
+         |  AND facts.epoch BETWEEN dim.valid_from AND dim.valid_to
+         |GROUP BY epoch ORDER BY epoch""".stripMargin,
     "q_vocab_drift" ->
       s"""WITH bdocs AS (SELECT doc_id, text ||
          |    CASE WHEN doc_id % 11 = 0 THEN ' updated' ELSE '' END AS text

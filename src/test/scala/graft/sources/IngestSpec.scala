@@ -188,6 +188,30 @@ class IngestSpec extends SparkSpec with Matchers {
     plan should not include "Join"
   }
 
+  test("q_scd2_join: every fact resolves exactly one version (epoch " +
+    "conservation), and last-epoch facts all land on the current row") {
+    val rows = Ingest.qScd2Join(spark, sf()).collect()
+    val nEvents = graft.tables.Tables.events(spark, sf()).count()
+    rows.map(_.getAs[Long]("n_facts")).sum shouldBe nEvents
+    rows.foreach { r =>
+      // exactly-one-match: the joined count per epoch equals the raw
+      // fact count per epoch (intervals partition the epoch axis)
+      val raw = graft.tables.Tables.events(spark, sf())
+        .filter(col("event_id") % Ingest.Scd2Epochs === r.getAs[Long]("epoch"))
+        .count()
+      r.getAs[Long]("n_facts") shouldBe raw
+      r.getAs[Long]("n_on_current") should be <= r.getAs[Long]("n_facts")
+    }
+    val last = rows.find(_.getAs[Long]("epoch") == Ingest.Scd2Epochs - 1L).get
+    last.getAs[Long]("n_on_current") shouldBe last.getAs[Long]("n_facts")
+    // the temporal lookup is a keyed join with a range residual — never
+    // a broadcast nested loop over the corpus
+    val plan = Ingest.qScd2Join(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("fixture layout: one gzip file per shard, scan parallelism = shard count") {
     val path = Ingest.fixturePath(spark, sf())
     val shardDirs = new java.io.File(path).listFiles()
