@@ -488,7 +488,75 @@ object Events {
       s" THEN $m * ln($m / ($HllM - $nb)) ELSE $raw END, 6)"
   }
 
+  /** First-order Markov transition census over each user's event
+    * sequence — the sequence-mining primitive behind next-action
+    * prediction features and behavioral anomaly baselines. One window
+    * pass per user (lag of event_type over the (ts, event_id) order — the
+    * same single per-user sort [[qEventsSessionize]] rides) feeds one
+    * aggregation whose output is ≤ |types|² rows; the row-normalized
+    * probability is a window over THAT bounded frame, so nothing after
+    * the per-user shuffle scales with corpus size. The lag is computed
+    * once and consumed once — no shared uncached subtree (the
+    * q_dedup_lines lesson). p is an exact BIGINT ratio evaluated in
+    * double then rounded: identical bits on both engines.
+    */
+  def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Hourly active-session concurrency census — the capacity-planning
+    * view of [[qEventsSessionize]]'s output: how many gap-delimited
+    * sessions (and distinct users) overlap each wall-clock hour, with the
+    * peak hour(s) flagged. Interval→bucket assignment is an explode of
+    * the session's hour RANGE (`sequence(start_hour, end_hour)`), so the
+    * blow-up is bounded by session duration in hours — a property of the
+    * gap parameter, not of corpus size — and the subsequent count is an
+    * ordinary hash aggregation on the hour key. The peak flag is a
+    * window over the hourly frame, which is bounded by the TIME RANGE
+    * (|hours| rows), the [[qEventsDensify]] axis argument. A user with
+    * two sessions inside one hour counts two sessions but one user —
+    * n_users is countDistinct over the exploded rows.
+    */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(
+          col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) >
+              SessionGapMinutes * 60L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      .select(col("user_id"),
+        explode(sequence(
+          date_trunc("hour", col("st")), date_trunc("hour", col("en")),
+          expr("interval 1 hour"))).as("hour"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("is_peak",
+        col("n_sessions") === max(col("n_sessions")).over(Window.partitionBy()))
+      .orderBy(col("hour"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> qEventTransitions,
+    "q_concurrency" -> qConcurrency,
     "q_hll" -> qHll,
     "q_kmv" -> qKmv,
     "q_kmv_set" -> qKmvSet,
@@ -507,6 +575,48 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |t AS (
+        |  SELECT from_type, event_type AS to_type, count(*) AS n
+        |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6)
+        |    AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+    "q_concurrency" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+         |              > $SessionGapMinutes * 60 * 1000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM flagged),
+         |bounds AS (
+         |  SELECT user_id, session_idx, min(ts) AS st, max(ts) AS en
+         |  FROM sessions GROUP BY user_id, session_idx),
+         |hours AS (
+         |  SELECT user_id,
+         |    unnest(generate_series(date_trunc('hour', st),
+         |      date_trunc('hour', en), INTERVAL 1 HOUR)) AS hour
+         |  FROM bounds),
+         |hourly AS (
+         |  SELECT hour, count(*) AS n_sessions,
+         |    count(DISTINCT user_id) AS n_users
+         |  FROM hours GROUP BY hour)
+         |SELECT hour, n_sessions, n_users,
+         |  (n_sessions = max(n_sessions) OVER ()) AS is_peak
+         |FROM hourly ORDER BY hour""".stripMargin,
     "q_hll" ->
       s"""WITH h AS (
          |  SELECT event_type,

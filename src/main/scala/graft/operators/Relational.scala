@@ -609,7 +609,95 @@ object Relational {
       .orderBy(col("check"))
   }
 
+  /** Star-schema DENORMALIZATION — the wide-table build every
+    * feature-engineering pipeline runs before training: lineitem resolved
+    * against all six dimensions (orders→customer→nation→region on the
+    * customer axis, part and supplier→nation on the supply axis) in one
+    * join tree. Output is a census over the denormalized rows — count,
+    * exact money sum, and an order-independent bit_xor fingerprint of the
+    * resolved key tuple per (cust_region, cust_nation, supp_nation) cell —
+    * so the oracle check covers EVERY wide row (a dropped/duplicated/
+    * mis-joined row flips the xor) while the result stays bounded by the
+    * dimension cross product, not the fact table.
+    *
+    * 100 TB shape: lineitem⋈orders and the part/supplier lookups are key
+    * shuffles between sf-proportional tables (AQE is free to broadcast at
+    * small SF; at scale they become shuffled hash / sort-merge on the
+    * key). nation and region are fixed-cardinality and explicitly
+    * broadcast, so the customer-axis resolution adds no Exchange. Nothing
+    * here collects, and the final aggregation is map-side combinable.
+    */
+  def qDenormalize(s: SparkSession, dir: String): DataFrame = {
+    val nc = Tables.nation(s, dir).select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"),
+      col("n_regionkey").as("cn_rkey"))
+    val rc = Tables.region(s, dir).select(
+      col("r_regionkey").as("cr_key"), col("r_name").as("cust_region"))
+    val ns = Tables.nation(s, dir).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nc), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(rc), col("cn_rkey") === col("cr_key"))
+      .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("sn_key"))
+      .join(Tables.part(s, dir).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("fp",
+        conv(substring(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("c_custkey"),
+          col("s_suppkey"), col("p_partkey"))), 1, 15), 16, 10)
+          .cast("long"))
+      .groupBy(col("cust_region"), col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        expr("bit_xor(fp)").as("fp_xor"))
+      .orderBy(col("cust_region"), col("cust_nation"), col("supp_nation"))
+  }
+
+  /** Pareto-frontier (skyline) of per-user activity: the users no other
+    * user dominates on (n_events, total_value) — the multi-objective
+    * "best corpus members" primitive (quality × length doc selection is
+    * the same shape). The naive skyline is an all-pairs dominance test;
+    * this plan is EXACT with no pairwise work: dominance against the
+    * whole set only ever needs the per-n max curve — u is dominated iff
+    * some point has strictly more tv at n' ≥ n, or equal-max tv at
+    * n' > n — so one groupBy(n).max(tv) (bounded by the distinct
+    * per-user event counts, a property of user behavior, not corpus
+    * size), one descending running max over that bounded curve
+    * (threshold = best tv among strictly larger n), and one broadcast
+    * join back decide every user: keep iff tv = max_tv(n) ∧ tv >
+    * threshold(n). The oracle is the INDEPENDENT all-pairs derivation
+    * (NOT EXISTS dominator), so agreement proves the curve reduction,
+    * not just re-runs it. Money stays DECIMAL end-to-end; the compare is
+    * exact on both engines.
+    */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("tv"))
+    val curve = u.groupBy(col("n_events")).agg(max(col("tv")).as("max_tv"))
+      .withColumn("thr", max(col("max_tv")).over(
+        Window.orderBy(col("n_events").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    u.join(broadcast(curve), "n_events")
+      .filter(col("tv") === col("max_tv") &&
+        (col("thr").isNull || col("tv") > col("thr")))
+      .select(col("user_id"), col("n_events"),
+        col("tv").cast("double").as("total_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_denormalize" -> qDenormalize,
+    "q_skyline" -> qSkyline,
     "q_expectations" -> qExpectations,
     "q_table_profile" -> qTableProfile,
     "q_pivot" -> qPivot,
@@ -652,6 +740,40 @@ object Relational {
        |FROM lineitem""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_denormalize" ->
+      """SELECT r.r_name AS cust_region, cn.n_name AS cust_nation,
+        |  sn.n_name AS supp_nation,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  bit_xor(('0x' || substr(md5(
+        |      l.l_orderkey || '|' || l.l_linenumber || '|' || c.c_custkey
+        |        || '|' || s.s_suppkey || '|' || p.p_partkey),
+        |    1, 15))::BIGINT) AS fp_xor
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1, 2, 3 ORDER BY cust_region, cust_nation, supp_nation""".stripMargin,
+    // independent all-pairs dominance derivation — NOT the curve
+    // reduction the plan uses
+    "q_skyline" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS tv
+        |  FROM events GROUP BY user_id)
+        |SELECT a.user_id AS user_id, a.n_events AS n_events,
+        |  CAST(a.tv AS DOUBLE) AS total_value
+        |FROM u a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM u b
+        |  WHERE b.n_events >= a.n_events AND b.tv >= a.tv
+        |    AND (b.n_events > a.n_events OR b.tv > a.tv))
+        |ORDER BY n_events DESC, user_id""".stripMargin,
     // "check" is reserved in DuckDB — the alias is double-quoted; the
     // parquet column name is plain `check` either way.
     "q_expectations" ->

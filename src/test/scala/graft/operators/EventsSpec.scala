@@ -136,4 +136,48 @@ class EventsSpec extends SparkSpec with Matchers {
     plan should include("FullOuter")
     plan should not include "Union"
   }
+  test("q_event_transitions: transition mass conserves (events - first " +
+    "events), rows bounded by |types|^2, p normalizes per from_type, and " +
+    "the lag subtree is evaluated once") {
+    val rows = Events.qEventTransitions(spark, sf()).collect()
+    val ev = graft.tables.Tables.events(spark, sf())
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    // each user's first event has no predecessor; everything else is a
+    // transition exactly once
+    rows.map(_.getAs[Long]("n")).sum shouldBe nEvents - nUsers
+    val nTypes = ev.select(col("event_type")).distinct().count()
+    rows.length.toLong should be <= nTypes * nTypes
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      g.map(_.getAs[Double]("p")).sum shouldBe 1.0 +- 1e-4
+    }
+    // one events scan: the lag frame feeds the aggregation directly —
+    // no shared uncached subtree evaluating the scan twice
+    val plan = Events.qEventTransitions(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan.sliding("Scan parquet".length).count(_ == "Scan parquet") shouldBe 1
+  }
+
+  test("q_concurrency: hourly census is bounded by the time range, peak " +
+    "flags exactly the max, users never exceed sessions, and session mass " +
+    "conserves") {
+    val rows = Events.qConcurrency(spark, sf()).collect()
+    rows.length should be > 0
+    val maxN = rows.map(_.getAs[Long]("n_sessions")).max
+    rows.foreach { r =>
+      r.getAs[Long]("n_users") should be <= r.getAs[Long]("n_sessions")
+      r.getAs[Boolean]("is_peak") shouldBe
+        (r.getAs[Long]("n_sessions") == maxN)
+    }
+    // every session overlaps at least its own start hour, so the hourly
+    // session mass is at least the session count
+    val nSessions = Events.qEventsSessionize(spark, sf()).count()
+    rows.map(_.getAs[Long]("n_sessions")).sum should be >= nSessions
+    // the hour axis is bounded by the corpus time RANGE, not its size
+    val b = graft.tables.Tables.events(spark, sf())
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+    val rangeHours =
+      (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 3600000L + 2
+    rows.length.toLong should be <= rangeHours
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{col, count, lit, sum, when}
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
@@ -135,5 +135,47 @@ class RelationalSpec extends SparkSpec with Matchers {
       .queryExecution.executedPlan.toString
     plan should include("LeftAnti")
     plan should not include "CartesianProduct"
+  }
+  test("q_denormalize: every lineitem row resolves all six dimensions " +
+    "exactly once, fixed dims broadcast, and no cartesian appears") {
+    val rows = Relational.qDenormalize(spark, sf()).collect()
+    // conservation — FK integrity means the join tree neither drops nor
+    // duplicates fact rows
+    rows.map(_.getAs[Long]("n")).sum shouldBe
+      graft.tables.Tables.lineitem(spark, sf()).count()
+    // cells are the dimension cross product, bounded regardless of SF
+    val nNation = graft.tables.Tables.nation(spark, sf()).count()
+    rows.length.toLong should be <= nNation * nNation
+    val plan = Relational.qDenormalize(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q_skyline equals the brute-force all-pairs skyline, and the curve " +
+    "join-back broadcasts") {
+    val frontier = Relational.qSkyline(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))).toSet
+    // independent in-JVM derivation: quadratic dominance over the
+    // collected per-user aggregates (test scale only)
+    val users = graft.tables.Tables.events(spark, sf())
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("tv"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+        r.getAs[java.math.BigDecimal]("tv")))
+    val brute = users.filter { case (_, n, tv) =>
+      !users.exists { case (_, n2, tv2) =>
+        n2 >= n && tv2.compareTo(tv) >= 0 &&
+          (n2 > n || tv2.compareTo(tv) > 0)
+      }
+    }.map { case (u, n, tv) => (u, n, tv.doubleValue) }.toSet
+    frontier shouldBe brute
+    frontier.size should be > 0
+    val plan = Relational.qSkyline(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
   }
 }
