@@ -554,7 +554,64 @@ object Events {
       .orderBy(col("hour"))
   }
 
+  /** PSI split boundary and bin width (fixed grid — data-independent, so
+    * bins never migrate as the corpus grows).
+    */
+  val PsiSplitTs = "2024-01-16 00:00:00"
+  val PsiBinWidth = 10
+  val PsiBins = 10
+
+  /** Shared-verbatim IEEE PSI term over exact integer counts — evaluated
+    * literal-for-literal on both engines ([[hllEstSql]] discipline):
+    * (ne/NE − nl/NL) · ln(ne·NL / (nl·NE)), rounded to 6 decimals.
+    */
+  private def psiTermSql(ne: String, nl: String, tne: String, tnl: String) =
+    s"round((CAST($ne AS DOUBLE) / $tne - CAST($nl AS DOUBLE) / $tnl)" +
+      s" * ln(CAST($ne AS DOUBLE) * $tnl / (CAST($nl AS DOUBLE) * $tne)), 6)"
+
+  /** Population-stability-index drift between the corpus' early and late
+    * halves — the distribution-shift monitor every production pipeline
+    * runs on its feature columns (PSI > 0.2 = retrain alarm). The value
+    * column is binned on a FIXED grid (width [[PsiBinWidth]], clipped to
+    * [[PsiBins]] buckets — data-independent, unlike quantile bins which
+    * migrate as data arrives), so the whole query is ONE map-combinable
+    * aggregation producing ≤ PsiBins rows; totals and the PSI sum are
+    * windows over that bounded frame. Exactness: counts stay BIGINT into
+    * the shared-verbatim IEEE term ([[psiTermSql]]); the TOTAL is the sum
+    * of the ROUNDED terms carried as DECIMAL(18,6) — order-independent,
+    * identical bits on both engines. A bin empty on either side yields a
+    * NULL term (the standard eps-fudge would make the result
+    * eps-dependent; NULL keeps the census honest) and is excluded from
+    * the total by SQL sum semantics.
+    */
+  def qPsiDrift(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        least(lit(PsiBins - 1), greatest(lit(0),
+          floor(col("value") / PsiBinWidth).cast("int")))
+          .cast("long").as("bin"),
+        when(col("ts") < to_timestamp(lit(PsiSplitTs)), 1L).otherwise(0L)
+          .as("early"))
+      .groupBy(col("bin"))
+      .agg(sum(col("early")).as("n_early"),
+        (count(lit(1)) - sum(col("early"))).as("n_late"))
+      .withColumn("tot_early",
+        sum(col("n_early")).over(Window.partitionBy()))
+      .withColumn("tot_late",
+        sum(col("n_late")).over(Window.partitionBy()))
+      .withColumn("psi_term",
+        when(col("n_early") === 0L || col("n_late") === 0L, lit(null))
+          .otherwise(expr(
+            psiTermSql("n_early", "n_late", "tot_early", "tot_late"))))
+      .withColumn("psi_total",
+        sum(col("psi_term").cast("decimal(18,6)"))
+          .over(Window.partitionBy()).cast("double"))
+      .select(col("bin"), col("n_early"), col("n_late"), col("psi_term"),
+        col("psi_total"))
+      .orderBy(col("bin"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift" -> qPsiDrift,
     "q_event_transitions" -> qEventTransitions,
     "q_concurrency" -> qConcurrency,
     "q_hll" -> qHll,
@@ -575,6 +632,33 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_psi_drift" ->
+      s"""WITH b AS (
+         |  SELECT least(${PsiBins - 1}, greatest(0,
+         |      CAST(floor(value / $PsiBinWidth) AS INT))) AS bin,
+         |    CASE WHEN ts < TIMESTAMP '$PsiSplitTs' THEN 1 ELSE 0 END
+         |      AS early
+         |  FROM events),
+         |c AS (
+         |  SELECT CAST(bin AS BIGINT) AS bin,
+         |    CAST(sum(early) AS BIGINT) AS n_early,
+         |    CAST(count(*) - sum(early) AS BIGINT) AS n_late
+         |  FROM b GROUP BY bin),
+         |t AS (
+         |  SELECT bin, n_early, n_late,
+         |    CAST(sum(n_early) OVER () AS BIGINT) AS tot_early,
+         |    CAST(sum(n_late) OVER () AS BIGINT) AS tot_late
+         |  FROM c),
+         |p AS (
+         |  SELECT bin, n_early, n_late,
+         |    CASE WHEN n_early = 0 OR n_late = 0 THEN NULL
+         |      ELSE ${psiTermSql("n_early", "n_late", "tot_early", "tot_late")}
+         |      END AS psi_term
+         |  FROM t)
+         |SELECT bin, n_early, n_late, psi_term,
+         |  CAST(sum(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE)
+         |    AS psi_total
+         |FROM p ORDER BY bin""".stripMargin,
     "q_event_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

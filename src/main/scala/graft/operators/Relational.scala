@@ -695,7 +695,99 @@ object Relational {
       .orderBy(col("n_events").desc, col("user_id"))
   }
 
+  /** Top co-purchased part pairs. */
+  val CopurchaseTopK = 20
+
+  /** Market-basket mining: the most frequent part PAIRS across orders,
+    * with their lift — the single-level frequent-itemset primitive
+    * (Agrawal & Srikant, VLDB'94) behind co-occurrence features and
+    * recommendation candidates. Pair generation is basket-local: one
+    * shuffle groups each order's distinct parts into a set (bounded by
+    * order size, ≤~13 here, single-digit in TPC-H generally), and the
+    * in-row nested-lambda expansion emits each unordered pair once —
+    * cost Σ |basket|² with a BOUNDED basket, i.e. linear in orders, never
+    * the |parts|² cross space. Lift denominators are resolved in a second
+    * phase against ONLY the ≤2k parts the top-k names (broadcast
+    * semi-join, the q_heavy_hitters propose-then-confirm shape), so no
+    * corpus-wide per-part census rides the hot path. Top-k is
+    * TakeOrdered with full tie-breaks.
+    */
+  def qCopurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y > x)," +
+          " y -> named_struct('p1', x, 'p2', y))))")).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n"))
+    val top = pairs.orderBy(col("n").desc, col("p1"), col("p2"))
+      .limit(CopurchaseTopK)
+    val topParts = top.select(col("p1").as("pk"))
+      .union(top.select(col("p2"))).distinct()
+    // per-part order counts for ONLY the named parts (bounded two-phase)
+    val np = li.join(broadcast(topParts), col("l_partkey") === col("pk"))
+      .select(col("l_partkey"), col("l_orderkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("np"))
+    val nOrders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    top
+      .join(broadcast(np.select(col("l_partkey").as("p1"), col("np").as("np1"))), "p1")
+      .join(broadcast(np.select(col("l_partkey").as("p2"), col("np").as("np2"))), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("n"),
+        round(col("n").cast("double") * col("n_orders") /
+          (col("np1") * col("np2")), 6).as("lift"))
+      .orderBy(col("n").desc, col("p1"), col("p2"))
+  }
+
+  /** Fuzzy-match blocking cap: the census is restricted to this id range
+    * so the oracle's quadratic verification stays bounded at every SF;
+    * the blocked plan itself is linear and needs no cap at scale.
+    */
+  val FuzzyCap = 5000L
+
+  /** Record linkage by EDIT DISTANCE — the entity-resolution primitive
+    * (names, titles, near-identical short strings) the hash/shingle dedup
+    * stack cannot express: find all customer-name pairs at Levenshtein
+    * distance exactly 1 and report the neighbor-degree histogram. The
+    * plan never compares all pairs: a deletion/substitution index (FastSS
+    * family — Bocek et al. 2007) explodes each fixed-width name into 9
+    * position-masked block keys, so two names share a block iff they
+    * agree everywhere outside the masked position — every distance-1 pair
+    * lands in EXACTLY one block (the differing position's), no dedup
+    * needed — and the per-block self-join is bounded by the alphabet
+    * (≤10 digits per block). The levenshtein(na, nb) = 1 filter is the
+    * exact verification of the block proposal (two-phase discipline); the
+    * oracle is the INDEPENDENT quadratic derivation over the capped id
+    * range, so agreement proves the index construction.
+    */
+  def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_custkey") < FuzzyCap)
+      .select(col("c_custkey"), col("c_name"))
+    // c_name = "Customer#" + 9 digits; mask digit position i (0-based)
+    val keyed = c.select(col("c_custkey"), col("c_name"),
+      explode(expr("transform(sequence(0, 8), i -> concat(" +
+        "substring(c_name, 1, 9 + i), '*', substring(c_name, 11 + i, 18)))"))
+        .as("blk"))
+    val pairs = keyed.select(col("blk"), col("c_custkey").as("ca"), col("c_name").as("na"))
+      .join(keyed.select(col("blk"), col("c_custkey").as("cb"), col("c_name").as("nb")),
+        Seq("blk"))
+      .filter(col("ca") < col("cb") &&
+        levenshtein(col("na"), col("nb")) === 1)
+    pairs.select(col("ca").as("cust")).union(pairs.select(col("cb")))
+      .groupBy(col("cust"))
+      .agg(count(lit(1)).as("n_neighbors"))
+      .groupBy(col("n_neighbors"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_neighbors"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_copurchase" -> qCopurchase,
+    "q_fuzzy_match" -> qFuzzyMatch,
     "q_denormalize" -> qDenormalize,
     "q_skyline" -> qSkyline,
     "q_expectations" -> qExpectations,
@@ -740,6 +832,41 @@ object Relational {
        |FROM lineitem""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_copurchase" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |pc AS (SELECT p1, p2, count(*) AS n FROM pairs GROUP BY 1, 2),
+         |top AS (SELECT * FROM pc
+         |  ORDER BY n DESC, p1, p2 LIMIT $CopurchaseTopK),
+         |np AS (SELECT l_partkey, count(*) AS np FROM items GROUP BY 1),
+         |t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem)
+         |SELECT top.p1 AS p1, top.p2 AS p2, top.n AS n,
+         |  round(CAST(top.n AS DOUBLE) * t.n_orders / (a.np * b.np), 6)
+         |    AS lift
+         |FROM top
+         |JOIN np a ON top.p1 = a.l_partkey
+         |JOIN np b ON top.p2 = b.l_partkey
+         |CROSS JOIN t
+         |ORDER BY n DESC, p1, p2""".stripMargin,
+    // independent quadratic derivation over the capped range — NOT the
+    // deletion-index blocking the plan uses
+    "q_fuzzy_match" ->
+      s"""WITH p AS (
+         |  SELECT a.c_custkey AS ca, b.c_custkey AS cb
+         |  FROM customer a JOIN customer b
+         |    ON a.c_custkey < b.c_custkey
+         |    AND levenshtein(a.c_name, b.c_name) = 1
+         |  WHERE a.c_custkey < $FuzzyCap AND b.c_custkey < $FuzzyCap),
+         |n AS (
+         |  SELECT cust, count(*) AS n_neighbors FROM (
+         |    SELECT ca AS cust FROM p UNION ALL SELECT cb AS cust FROM p)
+         |  GROUP BY cust)
+         |SELECT n_neighbors, count(*) AS n_customers
+         |FROM n GROUP BY n_neighbors ORDER BY n_neighbors""".stripMargin,
     "q_denormalize" ->
       """SELECT r.r_name AS cust_region, cn.n_name AS cust_nation,
         |  sn.n_name AS supp_nation,

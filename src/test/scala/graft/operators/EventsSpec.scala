@@ -180,4 +180,18 @@ class EventsSpec extends SparkSpec with Matchers {
       (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 3600000L + 2
     rows.length.toLong should be <= rangeHours
   }
+
+  test("q_psi_drift: fixed-grid bins conserve event mass, every PSI term " +
+    "is non-negative, and the total is the exact decimal sum of the " +
+    "rounded terms") {
+    val rows = Events.qPsiDrift(spark, sf()).collect()
+    rows.length should be <= Events.PsiBins
+    rows.map(r => r.getAs[Long]("n_early") + r.getAs[Long]("n_late")).sum shouldBe
+      graft.tables.Tables.events(spark, sf()).count()
+    val terms = rows.flatMap(r => Option(r.getAs[Any]("psi_term"))
+      .map(_.asInstanceOf[Double]))
+    terms.foreach(_ should be >= 0.0)
+    val expectedTotal = terms.map(t => BigDecimal(t).setScale(6)).sum.toDouble
+    rows.foreach(_.getAs[Double]("psi_total") shouldBe expectedTotal)
+  }
 }

@@ -178,4 +178,53 @@ class RelationalSpec extends SparkSpec with Matchers {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
   }
+
+  test("q_copurchase: top pair count re-derives independently, lift is " +
+    "positive, and the plan has no cartesian") {
+    val rows = Relational.qCopurchase(spark, sf()).collect()
+    rows.length should be <= Relational.CopurchaseTopK
+    rows.length should be > 0
+    rows.foreach(r => r.getAs[Double]("lift") should be > 0.0)
+    // counts are non-increasing in output order (top-k really sorted)
+    val ns = rows.map(_.getAs[Long]("n"))
+    ns.zip(ns.tail).foreach { case (a, b) => a should be >= b }
+    // independent recount of the first pair via a direct filter
+    val (p1, p2) = (rows.head.getAs[Long]("p1"), rows.head.getAs[Long]("p2"))
+    val items = graft.tables.Tables.lineitem(spark, sf())
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val recount = items.filter(col("l_partkey") === p1)
+      .select(col("l_orderkey"))
+      .join(items.filter(col("l_partkey") === p2).select(col("l_orderkey")),
+        "l_orderkey")
+      .count()
+    recount shouldBe ns.head
+    val plan = Relational.qCopurchase(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("q_fuzzy_match: deletion-index blocking equals the quadratic " +
+    "levenshtein census, with no cartesian in the plan") {
+    val hist = Relational.qFuzzyMatch(spark, sf()).collect()
+      .map(r => r.getAs[Long]("n_neighbors") -> r.getAs[Long]("n_customers"))
+      .toMap
+    // independent in-JVM quadratic derivation (test scale only)
+    def lev1(a: String, b: String): Boolean =
+      a.length == b.length && a.zip(b).count { case (x, y) => x != y } == 1
+    val names = graft.tables.Tables.customer(spark, sf())
+      .filter(col("c_custkey") < Relational.FuzzyCap)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val deg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for { (ca, na) <- names; (cb, nb) <- names if ca < cb && lev1(na, nb) } {
+      deg(ca) += 1; deg(cb) += 1
+    }
+    val brute = deg.values.groupBy(identity)
+      .map { case (k, vs) => k -> vs.size.toLong }
+    hist shouldBe brute
+    val plan = Relational.qFuzzyMatch(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+  }
 }
