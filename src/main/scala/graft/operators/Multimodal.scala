@@ -763,6 +763,135 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // COLOR video path: the gray GIF pipeline above sidesteps palette
+  // quantization with a 256-gray identity palette; this one proves the
+  // CHANNEL-preserving variant with the fixed web-safe 216-color cube
+  // (6 levels/channel at stride 51). Pixels are generated ON the cube,
+  // so the quantizer still never runs and the round trip stays
+  // bit-exact — per-channel sums decoded from real GIF bytes equal the
+  // channel FORMULA recomputed by DuckDB. A palette-order bug, channel
+  // swap, or frame drop shifts a per-channel sum loudly.
+  // ------------------------------------------------------------------
+
+  /** Channel-level formulas (0..5 on the web-safe cube; scaled ×51 at
+    * encode): decorrelated coefficients per channel so a swap or drop of
+    * any one channel moves its sum and not the others'.
+    */
+  private def rLvl(id: Long, f: Int, x: Int, y: Int): Int =
+    ((5L * id + 7L * f + 3L * x + 11L * y) % 6L).toInt
+  private def gLvl(id: Long, f: Int, x: Int, y: Int): Int =
+    ((3L * id + 11L * f + 7L * x + 5L * y + 1L) % 6L).toInt
+  private def bLvl(id: Long, f: Int, x: Int, y: Int): Int =
+    ((11L * id + 5L * f + 13L * x + 7L * y + 2L) % 6L).toInt
+
+  /** Animated-GIF codec against the fixed web-safe 216-color palette
+    * (index = r6·36 + g6·6 + b6). Same writer discipline as
+    * [[GifIoCodec]] (interlace disabled).
+    */
+  object ColorGifCodec {
+    private def webSafePalette(): java.awt.image.IndexColorModel = {
+      val r = Array.tabulate[Byte](216)(i => (51 * (i / 36)).toByte)
+      val g = Array.tabulate[Byte](216)(i => (51 * ((i / 6) % 6)).toByte)
+      val b = Array.tabulate[Byte](216)(i => (51 * (i % 6)).toByte)
+      new java.awt.image.IndexColorModel(8, 216, r, g, b)
+    }
+
+    /** Encode frames of palette INDICES as one animated GIF. */
+    def encodeGif(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      val cm = webSafePalette()
+      frames.foreach { frame =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, frame(y * w + x)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
+    }
+
+    /** Per-frame (r, g, b) pixel channels decoded from a payload. */
+    def decodeChannels(payload: Array[Byte]): Seq[Array[(Int, Int, Int)]] = {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      val n = reader.getNumImages(/* allowSearch = */ true)
+      require(n > 0, "no frames decoded — not an animated GIF payload")
+      val out = (0 until n).map { f =>
+        val img = reader.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        Array.tabulate(h * w) { i =>
+          val rgb = img.getRGB(i % w, i / w)
+          ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        }
+      }
+      reader.dispose()
+      out
+    }
+  }
+
+  final case class ColorGifItem(media_id: Long, payload: Array[Byte])
+  final case class ChannelStats(
+      media_id: Long, n_frames: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, frame_xor: Long)
+
+  /** Per-channel video statistics through the REAL color codec: encode
+    * the web-safe-cube formula frames, decode the GIF bytes, and report
+    * exact per-channel sums plus a bit_xor of per-frame totals (the
+    * frame fingerprint). Executor-side row-local work, zero shuffles
+    * before the output sort — the [[qMultimodalVideo]] scale shape with
+    * channels. The oracle recomputes every number from the channel
+    * FORMULA; the bytes never cross engines.
+    */
+  def qVideoChannels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 2).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 4 + (id % 8).toInt
+          val h = 3 + (id % 6).toInt
+          val n = 2 + (id % 4).toInt
+          val frames = Seq.tabulate(n) { f =>
+            Array.tabulate(h * w) { i =>
+              val (x, y) = (i % w, i / w)
+              rLvl(id, f, x, y) * 36 + gLvl(id, f, x, y) * 6 + bLvl(id, f, x, y)
+            }
+          }
+          ColorGifItem(id, ColorGifCodec.encodeGif(frames, w, h))
+        }
+      }
+      .mapPartitions { it =>
+        it.map { cv =>
+          val frames = ColorGifCodec.decodeChannels(cv.payload)
+          val frameSums = frames.map(_.foldLeft(0L) { case (a, (r, g, b)) =>
+            a + r + g + b })
+          ChannelStats(
+            cv.media_id, frames.length.toLong,
+            frames.map(_.foldLeft(0L)(_ + _._1)).sum,
+            frames.map(_.foldLeft(0L)(_ + _._2)).sum,
+            frames.map(_.foldLeft(0L)(_ + _._3)).sum,
+            frameSums.foldLeft(0L)(_ ^ _))
+        }
+      }
+      .toDF().orderBy(col("media_id"))
+  }
+
+  // ------------------------------------------------------------------
   // Image CONTENT dedup: perceptual hash (aHash) across SCALE variants.
   // The modality triad's third leg — text dedup keys on canonical
   // hashes, audio dedup (above) on decoded-sample fingerprints; image
@@ -880,6 +1009,7 @@ object Multimodal {
     "q_multimodal_audio" -> qMultimodalAudio,
     "q_multimodal_audio_feat" -> qMultimodalAudioFeat,
     "q_multimodal_video" -> qMultimodalVideo,
+    "q_video_channels" -> qVideoChannels,
     "q_audio_dedup" -> qAudioDedup,
     "q_image_dedup" -> qImageDedup
   )
@@ -1054,6 +1184,35 @@ object Multimodal {
     // frame-sample aggregates. Agreement proves the multi-frame
     // encode→decode→sample path — frame count, order, palette,
     // interlace — end to end.
+    // channel-formula recomputation (levels ×51 on the web-safe cube);
+    // the GIF bytes never cross engines
+    "q_video_channels" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    4 + doc_id % 8 AS w, 3 + doc_id % 6 AS h, 2 + doc_id % 4 AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fx AS (SELECT media_id, w, h, n, unnest(range(0, n)) AS f FROM ids),
+        |px AS (SELECT media_id, h, f, unnest(range(0, w)) AS x FROM fx),
+        |pxy AS (SELECT media_id, f, x, unnest(range(0, h)) AS y FROM px),
+        |ch AS (
+        |  SELECT media_id, f,
+        |    51 * ((5 * media_id + 7 * f + 3 * x + 11 * y) % 6) AS r,
+        |    51 * ((3 * media_id + 11 * f + 7 * x + 5 * y + 1) % 6) AS g,
+        |    51 * ((11 * media_id + 5 * f + 13 * x + 7 * y + 2) % 6) AS b
+        |  FROM pxy),
+        |fsum AS (
+        |  SELECT media_id, f,
+        |    CAST(sum(r) AS BIGINT) AS fr, CAST(sum(g) AS BIGINT) AS fg,
+        |    CAST(sum(b) AS BIGINT) AS fb
+        |  FROM ch GROUP BY media_id, f)
+        |SELECT ids.media_id AS media_id,
+        |  CAST(ids.n AS BIGINT) AS n_frames,
+        |  CAST(sum(fr) AS BIGINT) AS sum_r,
+        |  CAST(sum(fg) AS BIGINT) AS sum_g,
+        |  CAST(sum(fb) AS BIGINT) AS sum_b,
+        |  bit_xor(fr + fg + fb) AS frame_xor
+        |FROM ids JOIN fsum ON ids.media_id = fsum.media_id
+        |GROUP BY ids.media_id, ids.n ORDER BY ids.media_id""".stripMargin,
     "q_multimodal_video" ->
       """WITH ids AS (
         |  SELECT doc_id AS media_id,

@@ -292,4 +292,39 @@ class MultimodalSpec extends SparkSpec with Matchers {
     an[Exception] should be thrownBy
       Multimodal.GifIoCodec.decodeGif(Array[Byte](1, 2, 3, 4))
   }
+  test("ColorGifCodec round-trips web-safe-cube channels bit-exactly " +
+    "through real GIF bytes") {
+    // one hand-built 2-frame clip: indices on the 216 cube
+    val (w, h) = (5, 4)
+    def lvl(base: Int, f: Int, x: Int, y: Int, m: Int): Int =
+      ((base + 7 * f + 3 * x + 11 * y) % m + m) % m
+    val frames = Seq.tabulate(2) { f =>
+      Array.tabulate(h * w) { i =>
+        val (x, y) = (i % w, i / w)
+        lvl(2, f, x, y, 6) * 36 + lvl(4, f, x, y, 6) * 6 + lvl(1, f, x, y, 6)
+      }
+    }
+    val decoded = Multimodal.ColorGifCodec.decodeChannels(
+      Multimodal.ColorGifCodec.encodeGif(frames, w, h))
+    decoded.length shouldBe 2
+    for (f <- 0 until 2; i <- 0 until h * w) {
+      val idx = frames(f)(i)
+      decoded(f)(i) shouldBe ((51 * (idx / 36), 51 * ((idx / 6) % 6), 51 * (idx % 6)))
+    }
+  }
+
+  test("q_video_channels: channel sums are decorrelated and frame counts " +
+    "follow the fixture formula") {
+    val rows = Multimodal.qVideoChannels(spark, sf()).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      r.getAs[Long]("n_frames") shouldBe 2 + id % 4
+      // decorrelated channel formulas: for any clip with >1 pixel the
+      // three sums cannot all coincide (coefficients differ mod 6)
+      val sums = Seq(r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"),
+        r.getAs[Long]("sum_b"))
+      sums.distinct.size should be > 1
+    }
+  }
 }
