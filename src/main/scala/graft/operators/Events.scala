@@ -610,7 +610,51 @@ object Events {
         col("psi_total"))
       .orderBy(col("bin"))
 
+  /** Time-to-event census: the distribution of signup→purchase lag in
+    * whole days over converted users — the survival-analysis primitive
+    * behind activation dashboards ([[qEventsFunnel]] counts conversions;
+    * this measures HOW LONG they took). One per-user aggregation (first
+    * touch per type — the funnel shuffle), then a histogram over the lag
+    * key, bounded by the time range in days. Lag is exact integer
+    * microseconds floored to days — no timestamp arithmetic ambiguity
+    * across engines.
+    */
+  def qConversionLag(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .filter(col("t_signup") < col("t_purchase"))
+      .select(floor((unix_micros(col("t_purchase")) -
+        unix_micros(col("t_signup"))) / 86400000000L).as("lag_days"))
+      .groupBy(col("lag_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("lag_days"))
+
+  /** Cumulative user acquisition curve: new distinct users per day and
+    * the running total — the growth census every corpus/product report
+    * opens with. First-seen day per user is one aggregation (the
+    * [[qEventsRetention]] cohort shuffle); the cumulative sum is a
+    * window over the bounded day axis (|days| rows), never over users.
+    */
+  def qUserGrowth(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      // to_date (not date_trunc): DATE out, matching DuckDB's
+      // date_trunc('day') DATE type (the qEventsRetention note)
+      .agg(to_date(min(col("ts"))).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("n_total",
+        sum(col("n_new")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("day"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conversion_lag" -> qConversionLag,
+    "q_user_growth" -> qUserGrowth,
     "q_psi_drift" -> qPsiDrift,
     "q_event_transitions" -> qEventTransitions,
     "q_concurrency" -> qConcurrency,
@@ -632,6 +676,28 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_conversion_lag" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(floor((epoch_us(t_purchase) - epoch_us(t_signup))
+        |    / 86400000000) AS BIGINT) AS lag_days,
+        |  count(*) AS n_users
+        |FROM per_user WHERE t_signup < t_purchase
+        |GROUP BY 1 ORDER BY lag_days""".stripMargin,
+    "q_user_growth" ->
+      """WITH first_day AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS day
+        |  FROM events GROUP BY user_id),
+        |daily AS (
+        |  SELECT day, count(*) AS n_new FROM first_day GROUP BY day)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_total
+        |FROM daily ORDER BY day""".stripMargin,
     "q_psi_drift" ->
       s"""WITH b AS (
          |  SELECT least(${PsiBins - 1}, greatest(0,

@@ -194,4 +194,30 @@ class EventsSpec extends SparkSpec with Matchers {
     val expectedTotal = terms.map(t => BigDecimal(t).setScale(6)).sum.toDouble
     rows.foreach(_.getAs[Double]("psi_total") shouldBe expectedTotal)
   }
+  test("q_conversion_lag histogram mass equals the funnel's converted " +
+    "count, lags are non-negative and bounded by the time range") {
+    val rows = Events.qConversionLag(spark, sf()).collect()
+    val converted = Events.qEventsFunnel(spark, sf())
+      .head().getAs[Long]("n_converted")
+    rows.map(_.getAs[Long]("n_users")).sum shouldBe converted
+    val b = graft.tables.Tables.events(spark, sf())
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+    val rangeDays =
+      (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 86400000L + 1
+    rows.foreach { r =>
+      r.getAs[Long]("lag_days") should be >= 0L
+      r.getAs[Long]("lag_days") should be <= rangeDays
+    }
+  }
+
+  test("q_user_growth: new-user mass conserves to the distinct user " +
+    "count and the running total is monotone, ending at that count") {
+    val rows = Events.qUserGrowth(spark, sf()).collect()
+    val nUsers = graft.tables.Tables.events(spark, sf())
+      .select(col("user_id")).distinct().count()
+    rows.map(_.getAs[Long]("n_new")).sum shouldBe nUsers
+    rows.last.getAs[Long]("n_total") shouldBe nUsers
+    val totals = rows.map(_.getAs[Long]("n_total"))
+    totals.zip(totals.tail).foreach { case (a, c) => a should be < c }
+  }
 }
