@@ -652,7 +652,29 @@ object Events {
             .rowsBetween(Window.unboundedPreceding, 0)))
       .orderBy(col("day"))
 
+  /** Hour-of-day seasonality profile per event type — the diurnal
+    * baseline a seasonal anomaly detector subtracts before flagging
+    * ([[qEventsAnomaly]] uses a trailing window; this is the
+    * period-aligned counterpart). One map-combinable aggregation to a
+    * ≤ |types|·24 frame; the concentration ratio (n·24 / type total,
+    * 1.0 = flat) and peak-hour flags are windows over that bounded
+    * frame.
+    */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("type_total",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("hod"), col("n"),
+        round((col("n") * 24).cast("double") / col("type_total"), 6)
+          .as("ratio"),
+        (col("n") === max(col("n"))
+          .over(Window.partitionBy(col("event_type")))).as("is_peak"))
+      .orderBy(col("event_type"), col("hod"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality" -> qSeasonality,
     "q_conversion_lag" -> qConversionLag,
     "q_user_growth" -> qUserGrowth,
     "q_psi_drift" -> qPsiDrift,
@@ -676,6 +698,21 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_seasonality" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, hod, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS type_total,
+        |    max(n) OVER (PARTITION BY event_type) AS mx
+        |  FROM c)
+        |SELECT event_type, hod, n,
+        |  round(CAST(n * 24 AS DOUBLE) / type_total, 6) AS ratio,
+        |  (n = mx) AS is_peak
+        |FROM t ORDER BY event_type, hod""".stripMargin,
     "q_conversion_lag" ->
       """WITH per_user AS (
         |  SELECT user_id,

@@ -482,7 +482,65 @@ object Sampling {
       .orderBy(col("decile"))
   }
 
+  /** Budget fraction for [[qBudgetAlloc]] (percent of total corpus
+    * chars): high enough that the small languages SATURATE (keep all
+    * their data) while the dominant one is rationed — the interesting
+    * branch of the waterfill at every SF of the proportion-stable
+    * corpus.
+    */
+  val AllocPct = 80
+
+  /** Char-budget allocation across languages by EXACT integer
+    * waterfilling — the "data mixing recipe" computation behind every
+    * budgeted training run: give each language an equal share of the
+    * budget, cap a language at what it actually has (saturation), and
+    * re-distribute the slack to the rest. The equal-weight waterfill has
+    * a CLOSED FORM (no iteration): sorted by availability ascending, the
+    * saturated set is a prefix, and the first unsaturated index k is the
+    * first row where avail·(remaining rows) exceeds the remaining
+    * budget; everyone from k on shares the remainder by integer division
+    * with the leftover distributed one char each in the same sort order
+    * (largest-remainder apportionment, deterministic). One corpus
+    * aggregation produces the |langs|-row frame; every window after it
+    * runs on that bounded frame. All arithmetic is BIGINT — identical
+    * allocations on both engines at any scale.
+    */
+  def qBudgetAlloc(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("available"), col("lang"))
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("available"))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("prefix",
+        sum(col("available")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(W.partitionBy()))
+      .withColumn("budget",
+        expr(s"(sum(available) OVER () * $AllocPct) div 100"))
+      .withColumn("rem_before",
+        col("budget") - (col("prefix") - col("available")))
+      .withColumn("unsat",
+        col("available") * (col("n") - col("idx") + 1L) > col("rem_before"))
+      .withColumn("k",
+        min(when(col("unsat"), col("idx"))).over(W.partitionBy()))
+      .withColumn("rbase",
+        min(when(col("idx") === col("k"), col("rem_before")))
+          .over(W.partitionBy()))
+      .withColumn("m_unsat", col("n") - col("k") + 1L)
+      .withColumn("allocated",
+        when(col("k").isNull || col("idx") < col("k"), col("available"))
+          .otherwise(expr("rbase div m_unsat") +
+            when(col("idx") - col("k") < col("rbase") % col("m_unsat"), 1L)
+              .otherwise(0L)))
+      .withColumn("saturated",
+        when(col("k").isNull || col("idx") < col("k"), 1L).otherwise(0L))
+      .select(col("lang"), col("available"), col("allocated"),
+        col("saturated"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_budget_alloc" -> qBudgetAlloc,
     "q_curriculum" -> qCurriculum,
     "q_dsir" -> qDsir,
     "q_pack" -> qPack,
@@ -496,6 +554,42 @@ object Sampling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_budget_alloc" ->
+      s"""WITH m AS (
+         |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
+         |  FROM documents GROUP BY lang),
+         |t AS (
+         |  SELECT lang, available,
+         |    CAST(row_number() OVER w AS BIGINT) AS idx,
+         |    CAST(sum(available) OVER (ORDER BY available, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS prefix,
+         |    CAST(count(*) OVER () AS BIGINT) AS n,
+         |    CAST((sum(available) OVER () * $AllocPct) // 100 AS BIGINT)
+         |      AS budget
+         |  FROM m WINDOW w AS (ORDER BY available, lang)),
+         |u AS (
+         |  SELECT *, budget - (prefix - available) AS rem_before,
+         |    available * (n - idx + 1) > budget - (prefix - available)
+         |      AS unsat
+         |  FROM t),
+         |kk AS (
+         |  SELECT *,
+         |    min(CASE WHEN unsat THEN idx END) OVER () AS k
+         |  FROM u),
+         |rb AS (
+         |  SELECT *,
+         |    min(CASE WHEN idx = k THEN rem_before END) OVER () AS rbase,
+         |    n - k + 1 AS m_unsat
+         |  FROM kk)
+         |SELECT lang, available,
+         |  CAST(CASE WHEN k IS NULL OR idx < k THEN available
+         |    ELSE rbase // m_unsat +
+         |      CASE WHEN idx - k < rbase % m_unsat THEN 1 ELSE 0 END
+         |    END AS BIGINT) AS allocated,
+         |  CAST(CASE WHEN k IS NULL OR idx < k THEN 1 ELSE 0 END AS BIGINT)
+         |    AS saturated
+         |FROM rb ORDER BY lang""".stripMargin,
     "q_curriculum" ->
       """WITH h AS (SELECT n_chars AS v, count(*) AS c
         |  FROM documents GROUP BY n_chars),

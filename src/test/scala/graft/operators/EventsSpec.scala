@@ -220,4 +220,20 @@ class EventsSpec extends SparkSpec with Matchers {
     val totals = rows.map(_.getAs[Long]("n_total"))
     totals.zip(totals.tail).foreach { case (a, c) => a should be < c }
   }
+  test("q_seasonality: per-type mass conserves, ratios average to 1 over " +
+    "a full 24-hour axis, and peak flags mark exactly the max") {
+    val rows = Events.qSeasonality(spark, sf()).collect()
+    val byType = rows.groupBy(_.getString(0))
+    val totals = graft.tables.Tables.events(spark, sf())
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, g) =>
+      g.map(_.getAs[Long]("n")).sum shouldBe totals(t)
+      val mx = g.map(_.getAs[Long]("n")).max
+      g.foreach(r =>
+        r.getAs[Boolean]("is_peak") shouldBe (r.getAs[Long]("n") == mx))
+      if (g.length == 24)
+        g.map(_.getAs[Double]("ratio")).sum shouldBe 24.0 +- 1e-3
+    }
+  }
 }

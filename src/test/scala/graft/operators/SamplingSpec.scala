@@ -282,4 +282,25 @@ class SamplingSpec extends SparkSpec with Matchers {
       .queryExecution.executedPlan.toString
     plan should not include "Window"
   }
+  test("q_budget_alloc: exact waterfill — allocation conserves the " +
+    "budget, saturation is allocated==available, and unsaturated shares " +
+    "differ by at most one char") {
+    val rows = Sampling.qBudgetAlloc(spark, sf()).collect()
+    val total = rows.map(_.getAs[Long]("available")).sum
+    val budget = total * Sampling.AllocPct / 100
+    rows.map(_.getAs[Long]("allocated")).sum shouldBe math.min(budget, total)
+    rows.foreach { r =>
+      r.getAs[Long]("allocated") should be <= r.getAs[Long]("available")
+      (r.getAs[Long]("saturated") == 1L) shouldBe
+        (r.getAs[Long]("allocated") == r.getAs[Long]("available"))
+    }
+    val unsat = rows.filter(_.getAs[Long]("saturated") == 0L)
+      .map(_.getAs[Long]("allocated"))
+    if (unsat.length > 1) (unsat.max - unsat.min) should be <= 1L
+    // no unsaturated language may end below a saturated one's take
+    // (waterfill level property)
+    val sat = rows.filter(_.getAs[Long]("saturated") == 1L)
+      .map(_.getAs[Long]("allocated"))
+    if (unsat.nonEmpty && sat.nonEmpty) unsat.min should be >= sat.max
+  }
 }
