@@ -539,8 +539,78 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  /** Weighted-waterfill mix weights: English 2, every other language 1
+    * (an English-leaning recipe). At the corpus' proportions this lands
+    * in the MIXED branch — the smallest tail language saturates, the
+    * rest share by weight after one redistribution — the case the
+    * closed form must get right beyond [[qBudgetAlloc]]'s all-tails-
+    * saturate outcome.
+    */
+  val AllocWEn = 2L
+
+  /** WEIGHTED waterfill — the general data-mixing recipe: language i
+    * targets budget·w_i/Σw, capped at availability, slack
+    * re-distributed by weight. The closed form survives weighting: under
+    * the avail/weight sort (exact integer key available·Σw/w — weights
+    * divide the scale factor, so no rationals), the saturated set is
+    * still a prefix, and the first unsaturated index k is the first row
+    * where avail·(suffix weight sum) exceeds (remaining budget)·w —
+    * cross-multiplied BIGINT, no division until the final shares. The
+    * remainder of the integer-division shares is spread one char each in
+    * sort order (largest-remainder, deterministic), so Σ allocated =
+    * min(budget, total available) EXACTLY. Same bounded-frame shape as
+    * [[qBudgetAlloc]]: one corpus aggregation, windows over |langs|
+    * rows.
+    */
+  def qBudgetAllocW(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("skey"), col("lang"))
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("available"))
+      .withColumn("wt", when(col("lang") === "en", lit(AllocWEn))
+        .otherwise(lit(1L)))
+      // exact integer sort key ∝ available/wt (AllocWEn divides the scale)
+      .withColumn("skey", expr(s"(available * $AllocWEn) div wt"))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("prefix_avail",
+        sum(col("available")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("suffix_w",
+        sum(col("wt")).over(w.rowsBetween(0, W.unboundedFollowing)))
+      .withColumn("budget",
+        expr(s"(sum(available) OVER () * $AllocPct) div 100"))
+      .withColumn("rem_before",
+        col("budget") - (col("prefix_avail") - col("available")))
+      .withColumn("unsat",
+        col("available") * col("suffix_w") > col("rem_before") * col("wt"))
+      .withColumn("k",
+        min(when(col("unsat"), col("idx"))).over(W.partitionBy()))
+      .withColumn("rr",
+        min(when(col("idx") === col("k"), col("rem_before")))
+          .over(W.partitionBy()))
+      .withColumn("wsum",
+        min(when(col("idx") === col("k"), col("suffix_w")))
+          .over(W.partitionBy()))
+      .withColumn("base",
+        when(col("k").isNull || col("idx") < col("k"), col("available"))
+          .otherwise(expr("(rr * wt) div wsum")))
+      .withColumn("leftover",
+        col("rr") - sum(when(col("idx") >= col("k"), col("base")))
+          .over(W.partitionBy()))
+      .withColumn("allocated",
+        when(col("k").isNull || col("idx") < col("k"), col("available"))
+          .otherwise(col("base") +
+            when(col("idx") - col("k") < col("leftover"), 1L).otherwise(0L)))
+      .withColumn("saturated",
+        when(col("k").isNull || col("idx") < col("k"), 1L).otherwise(0L))
+      .select(col("lang"), col("available"), col("wt").as("weight"),
+        col("allocated"), col("saturated"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_budget_alloc" -> qBudgetAlloc,
+    "q_budget_alloc_w" -> qBudgetAllocW,
     "q_curriculum" -> qCurriculum,
     "q_dsir" -> qDsir,
     "q_pack" -> qPack,
@@ -590,6 +660,56 @@ object Sampling {
          |  CAST(CASE WHEN k IS NULL OR idx < k THEN 1 ELSE 0 END AS BIGINT)
          |    AS saturated
          |FROM rb ORDER BY lang""".stripMargin,
+    "q_budget_alloc_w" ->
+      s"""WITH m AS (
+         |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available,
+         |    CAST(CASE WHEN lang = 'en' THEN $AllocWEn ELSE 1 END AS BIGINT)
+         |      AS wt
+         |  FROM documents GROUP BY lang),
+         |t AS (
+         |  SELECT lang, available, wt,
+         |    (available * $AllocWEn) // wt AS skey
+         |  FROM m),
+         |o AS (
+         |  SELECT lang, available, wt,
+         |    CAST(row_number() OVER w AS BIGINT) AS idx,
+         |    CAST(sum(available) OVER (ORDER BY skey, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS prefix_avail,
+         |    CAST(sum(wt) OVER (ORDER BY skey, lang
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+         |      AS suffix_w,
+         |    CAST((sum(available) OVER () * $AllocPct) // 100 AS BIGINT)
+         |      AS budget
+         |  FROM t WINDOW w AS (ORDER BY skey, lang)),
+         |u AS (
+         |  SELECT *, budget - (prefix_avail - available) AS rem_before,
+         |    available * suffix_w > (budget - (prefix_avail - available)) * wt
+         |      AS unsat
+         |  FROM o),
+         |kk AS (SELECT *, min(CASE WHEN unsat THEN idx END) OVER () AS k
+         |  FROM u),
+         |rb AS (
+         |  SELECT *,
+         |    min(CASE WHEN idx = k THEN rem_before END) OVER () AS rr,
+         |    min(CASE WHEN idx = k THEN suffix_w END) OVER () AS wsum
+         |  FROM kk),
+         |bs AS (
+         |  SELECT *,
+         |    CASE WHEN k IS NULL OR idx < k THEN available
+         |      ELSE (rr * wt) // wsum END AS base
+         |  FROM rb),
+         |lo AS (
+         |  SELECT *,
+         |    rr - sum(CASE WHEN idx >= k THEN base END) OVER () AS leftover
+         |  FROM bs)
+         |SELECT lang, available, wt AS weight,
+         |  CAST(CASE WHEN k IS NULL OR idx < k THEN available
+         |    ELSE base + CASE WHEN idx - k < leftover THEN 1 ELSE 0 END
+         |    END AS BIGINT) AS allocated,
+         |  CAST(CASE WHEN k IS NULL OR idx < k THEN 1 ELSE 0 END AS BIGINT)
+         |    AS saturated
+         |FROM lo ORDER BY lang""".stripMargin,
     "q_curriculum" ->
       """WITH h AS (SELECT n_chars AS v, count(*) AS c
         |  FROM documents GROUP BY n_chars),

@@ -303,4 +303,29 @@ class SamplingSpec extends SparkSpec with Matchers {
       .map(_.getAs[Long]("allocated"))
     if (unsat.nonEmpty && sat.nonEmpty) unsat.min should be >= sat.max
   }
+  test("q_budget_alloc_w: weighted waterfill conserves the budget, " +
+    "unsaturated shares are weight-proportional within one char, and " +
+    "the water level separates saturated from unsaturated languages") {
+    val rows = Sampling.qBudgetAllocW(spark, sf()).collect()
+    val total = rows.map(_.getAs[Long]("available")).sum
+    val budget = total * Sampling.AllocPct / 100
+    rows.map(_.getAs[Long]("allocated")).sum shouldBe math.min(budget, total)
+    rows.foreach { r =>
+      r.getAs[Long]("allocated") should be <= r.getAs[Long]("available")
+      (r.getAs[Long]("saturated") == 1L) shouldBe
+        (r.getAs[Long]("allocated") == r.getAs[Long]("available"))
+    }
+    val unsat = rows.filter(_.getAs[Long]("saturated") == 0L)
+      .map(r => (r.getAs[Long]("allocated"), r.getAs[Long]("weight")))
+    for ((ai, wi) <- unsat; (aj, wj) <- unsat) {
+      // per-weight shares equal within the one-char remainder spread
+      (ai * wj - aj * wi).abs should be <= wi * wj
+    }
+    val sat = rows.filter(_.getAs[Long]("saturated") == 1L)
+      .map(r => (r.getAs[Long]("available"), r.getAs[Long]("weight")))
+    for ((av, wi) <- sat; (aj, wj) <- unsat) {
+      // a saturated language sits at or below the water level
+      av * wj should be <= (aj + 1L) * wi
+    }
+  }
 }
