@@ -673,7 +673,45 @@ object Events {
           .over(Window.partitionBy(col("event_type")))).as("is_peak"))
       .orderBy(col("event_type"), col("hod"))
 
+  /** Time-proximity join window (µs): error within 5 minutes after a
+    * purchase.
+    */
+  val TimeJoinWindowUs: Long = 5L * 60L * 1000000L
+
+  /** Fact-fact TIME-PROXIMITY join — "which purchases were followed by
+    * an error within 5 minutes, per user" (the failure-correlation /
+    * stream-join-as-batch primitive). The naive form is an inequality
+    * join, quadratic in each user's history; the scalable plan BUCKETS
+    * time by the window width and equi-joins on (user, bucket): a
+    * qualifying pair (te ∈ (tp, tp+W]) always lands in the purchase's
+    * own bucket or the next one, so the purchase side explodes ×2 and
+    * every candidate comes from an equi-join bounded by per-bucket
+    * density — the exact interval predicate then filters, and each
+    * qualifying pair matches on EXACTLY one bucket key (its error's),
+    * so no dedup is needed. The same shape handles any banded interval
+    * join at 100 TB; only the bucket constant changes.
+    */
+  def qTimeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+      .withColumn("bkt", explode(array(
+        expr(s"tp div $TimeJoinWindowUs"),
+        expr(s"tp div $TimeJoinWindowUs") + 1L)))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("te"))
+      .withColumn("bkt", expr(s"te div $TimeJoinWindowUs"))
+    p.join(e, Seq("user_id", "bkt"))
+      .filter(col("te") > col("tp") &&
+        col("te") - col("tp") <= TimeJoinWindowUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("te") - col("tp")).as("min_lag_us"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_join" -> qTimeJoin,
     "q_seasonality" -> qSeasonality,
     "q_conversion_lag" -> qConversionLag,
     "q_user_growth" -> qUserGrowth,
@@ -698,6 +736,19 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // independent inequality-join derivation — NOT the bucketed plan
+    "q_time_join" ->
+      s"""WITH p AS (
+         |  SELECT user_id, epoch_us(ts) AS tp FROM events
+         |  WHERE event_type = 'purchase'),
+         |e AS (
+         |  SELECT user_id, epoch_us(ts) AS te FROM events
+         |  WHERE event_type = 'error')
+         |SELECT p.user_id AS user_id, count(*) AS n_pairs,
+         |  min(e.te - p.tp) AS min_lag_us
+         |FROM p JOIN e ON p.user_id = e.user_id
+         |  AND e.te > p.tp AND e.te - p.tp <= $TimeJoinWindowUs
+         |GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q_seasonality" ->
       """WITH c AS (
         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,

@@ -236,4 +236,30 @@ class EventsSpec extends SparkSpec with Matchers {
         g.map(_.getAs[Double]("ratio")).sum shouldBe 24.0 +- 1e-3
     }
   }
+  test("q_time_join: bucketed proximity join equals the brute-force " +
+    "inequality join, and the plan is an equi-join (no nested loop)") {
+    val rows = Events.qTimeJoin(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("min_lag_us"))).toSet
+    // independent in-JVM derivation over collected events (test scale)
+    val ev = graft.tables.Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, tp) =>
+        ev.filter { case (u2, ty, te) =>
+          u2 == u && ty == "error" && te > tp &&
+            te - tp <= Events.TimeJoinWindowUs
+        }.map { case (_, _, te) => (u, te - tp) }
+      }
+      .groupBy(_._1)
+      .map { case (u, ls) => (u, ls.size.toLong, ls.map(_._2).min) }
+      .toSet
+    rows shouldBe brute
+    val plan = Events.qTimeJoin(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }
