@@ -710,7 +710,65 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Linear gap IMPUTATION over the dense hourly series — the
+    * time-series repair step between [[qEventsDensify]]'s zero-fill and
+    * any model that assumes a continuous signal: absent hours take the
+    * linear interpolation between the nearest present neighbors
+    * (nearest-value extrapolation at the edges). Neighbor discovery
+    * avoids IGNORE NULLS (not portable across engines): prev/next
+    * present HOURS come from plain max/min-CASE running windows (nulls
+    * skipped natively), and their values join back from the hourly
+    * rollup — every window and join after the one corpus aggregation
+    * runs on the time-range-bounded dense frame. The interpolation
+    * expression tree is mirrored verbatim in the oracle (same IEEE
+    * ops), rounded to 6.
+    */
+  def qInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        col("value"))
+    val hourly = e.groupBy(col("h"), col("event_type"))
+      .agg(dsum(col("value")).as("tv"))
+    val bounds = e.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val axis = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
+          .as("hour"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val dense = axis
+      .join(hourly,
+        axis("hour") === hourly("h") &&
+          axis("event_type") === hourly("event_type"), "left")
+      .select(axis("hour"), axis("event_type"), col("tv"))
+      .withColumn("prev_h",
+        max(when(col("tv").isNotNull, col("hour")))
+          .over(byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_h",
+        min(when(col("tv").isNotNull, col("hour")))
+          .over(byType.rowsBetween(0, Window.unboundedFollowing)))
+    dense
+      .join(hourly.select(col("event_type").as("pt"), col("h").as("ph"),
+        col("tv").as("prev_tv")),
+        col("event_type") === col("pt") && col("prev_h") === col("ph"), "left")
+      .join(hourly.select(col("event_type").as("nt"), col("h").as("nh"),
+        col("tv").as("next_tv")),
+        col("event_type") === col("nt") && col("next_h") === col("nh"), "left")
+      .select(col("hour"), col("event_type"),
+        round(
+          when(col("tv").isNotNull, col("tv"))
+            .when(col("prev_h").isNull, col("next_tv"))
+            .when(col("next_h").isNull, col("prev_tv"))
+            .otherwise(col("prev_tv") + (col("next_tv") - col("prev_tv")) *
+              ((unix_micros(col("hour")) - unix_micros(col("prev_h"))) /
+                (unix_micros(col("next_h")) - unix_micros(col("prev_h"))))),
+          6).as("tv_filled"),
+        when(col("tv").isNull, 1L).otherwise(0L).as("is_imputed"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interpolate" -> qInterpolate,
     "q_time_join" -> qTimeJoin,
     "q_seasonality" -> qSeasonality,
     "q_conversion_lag" -> qConversionLag,
@@ -736,6 +794,47 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_interpolate" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type, value
+        |  FROM events),
+        |hourly AS (SELECT h, event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tv
+        |  FROM e GROUP BY h, event_type),
+        |b AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |axis AS (SELECT event_type,
+        |  unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        |  FROM t CROSS JOIN b),
+        |dense AS (
+        |  SELECT axis.hour, axis.event_type, hourly.tv
+        |  FROM axis LEFT JOIN hourly
+        |    ON hourly.h = axis.hour AND hourly.event_type = axis.event_type),
+        |marked AS (
+        |  SELECT hour, event_type, tv,
+        |    max(CASE WHEN tv IS NOT NULL THEN hour END) OVER
+        |      (PARTITION BY event_type ORDER BY hour
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+        |    min(CASE WHEN tv IS NOT NULL THEN hour END) OVER
+        |      (PARTITION BY event_type ORDER BY hour
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+        |  FROM dense)
+        |SELECT m.hour, m.event_type,
+        |  round(CASE
+        |    WHEN m.tv IS NOT NULL THEN m.tv
+        |    WHEN m.prev_h IS NULL THEN nv.tv
+        |    WHEN m.next_h IS NULL THEN pv.tv
+        |    ELSE pv.tv + (nv.tv - pv.tv) *
+        |      (CAST(epoch_us(m.hour) - epoch_us(m.prev_h) AS DOUBLE) /
+        |       CAST(epoch_us(m.next_h) - epoch_us(m.prev_h) AS DOUBLE))
+        |    END, 6) AS tv_filled,
+        |  CAST(CASE WHEN m.tv IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_imputed
+        |FROM marked m
+        |LEFT JOIN hourly pv
+        |  ON pv.event_type = m.event_type AND pv.h = m.prev_h
+        |LEFT JOIN hourly nv
+        |  ON nv.event_type = m.event_type AND nv.h = m.next_h
+        |ORDER BY m.hour, m.event_type""".stripMargin,
     // independent inequality-join derivation — NOT the bucketed plan
     "q_time_join" ->
       s"""WITH p AS (

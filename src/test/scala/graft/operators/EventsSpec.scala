@@ -262,4 +262,31 @@ class EventsSpec extends SparkSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+  test("q_interpolate: present hours pass through, imputed interior " +
+    "values sit between their neighbors, and edges extrapolate nearest") {
+    val rows = Events.qInterpolate(spark, sf()).collect()
+    val dense = Events.qEventsDensify(spark, sf()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total_value"))).toMap
+    rows.foreach { r =>
+      val key = (r.getTimestamp(0), r.getString(1))
+      val (n, tv) = dense(key)
+      if (r.getAs[Long]("is_imputed") == 0L) {
+        n should be > 0L
+        r.getAs[Double]("tv_filled") shouldBe (math.rint(tv * 1e6) / 1e6)
+      } else n shouldBe 0L
+    }
+    // interior imputed values are bounded by the neighbor envelope:
+    // check per type that every imputed value lies within [min, max] of
+    // the present values (linear interpolation cannot overshoot)
+    rows.groupBy(_.getString(1)).foreach { case (_, g) =>
+      val present = g.filter(_.getAs[Long]("is_imputed") == 0L)
+        .map(_.getAs[Double]("tv_filled"))
+      val lo = present.min
+      val hi = present.max
+      g.filter(_.getAs[Long]("is_imputed") == 1L).foreach { r =>
+        r.getAs[Double]("tv_filled") should (be >= lo and be <= hi)
+      }
+    }
+  }
 }
