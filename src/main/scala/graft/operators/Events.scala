@@ -767,7 +767,47 @@ object Events {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** EWMA coefficients as shared e0-suffixed literals (the
+    * [[hllEstSql]] discipline): both engines run the identical IEEE
+    * recurrence s ← α·x + (1−α)·s.
+    */
+  val EwmaA = "0.3e0"
+  val EwmaB = "0.7e0"
+
+  /** Exponentially-weighted moving average of the hourly count series
+    * per event type — the smoothing baseline behind alerting and trend
+    * lines. The recurrence is inherently sequential; the declarative
+    * trick is that the SERIES is bounded by the TIME RANGE, so each
+    * type's observations collect into one in-row array (≤ |hours|
+    * elements) and a single `aggregate` fold computes the whole EWMA
+    * chain row-locally — no iterative jobs, no window-with-recursion
+    * gymnastics, one shuffle total (the groupBy). The oracle replays
+    * the identical recurrence as a recursive CTE (the q_pack_fit
+    * discipline), so agreement proves the fold order, the
+    * first-observation seed (s₁ = x₁), and the IEEE arithmetic.
+    * Observation-indexed (present hours only) — gap handling belongs to
+    * [[qInterpolate]].
+    */
+  def qEwma(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hour"), col("n"))))
+        .as("pts"))
+      .withColumn("ew", expr(
+        "aggregate(pts, cast(array() as array<double>), (acc, p) -> " +
+          "concat(acc, array(CASE WHEN size(acc) = 0 " +
+          "THEN cast(p.n as double) " +
+          s"ELSE $EwmaA * p.n + $EwmaB * element_at(acc, -1) END)))"))
+      .select(col("event_type"), col("ew"), posexplode(col("pts")))
+      .select(col("event_type"), col("col.hour").as("hour"),
+        col("col.n").as("n"),
+        round(element_at(col("ew"), col("pos") + 1), 6).as("ewma"))
+      .orderBy(col("event_type"), col("hour"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma" -> qEwma,
     "q_interpolate" -> qInterpolate,
     "q_time_join" -> qTimeJoin,
     "q_seasonality" -> qSeasonality,
@@ -794,6 +834,26 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical recurrence replayed as a recursive CTE
+    "q_ewma" ->
+      s"""WITH RECURSIVE hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |o AS (
+         |  SELECT event_type, hour, n,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hour)
+         |      AS rn
+         |  FROM hourly),
+         |r AS (
+         |  SELECT event_type, hour, n, rn, CAST(n AS DOUBLE) AS ew
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.event_type, o.hour, o.n, o.rn,
+         |    $EwmaA * o.n + $EwmaB * r.ew
+         |  FROM r JOIN o ON o.event_type = r.event_type
+         |    AND o.rn = r.rn + 1)
+         |SELECT event_type, hour, n, round(ew, 6) AS ewma
+         |FROM r ORDER BY event_type, hour""".stripMargin,
     "q_interpolate" ->
       """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type, value
         |  FROM events),

@@ -289,4 +289,27 @@ class EventsSpec extends SparkSpec with Matchers {
       }
     }
   }
+  test("q_ewma replays the recurrence: seeds at the first observation, " +
+    "matches an in-JVM fold, and stays inside the running envelope") {
+    val rows = Events.qEwma(spark, sf()).collect()
+    rows.length.toLong shouldBe
+      Events.qEventsHourly(spark, sf()).count()
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getTimestamp(1).getTime)
+      var sOpt = Option.empty[Double]
+      var lo = Double.MaxValue
+      var hi = Double.MinValue
+      sorted.foreach { r =>
+        val x = r.getAs[Long]("n").toDouble
+        val s = sOpt match {
+          case None => x
+          case Some(prev) => 0.3 * x + 0.7 * prev
+        }
+        sOpt = Some(s)
+        lo = math.min(lo, x); hi = math.max(hi, x)
+        r.getAs[Double]("ewma") shouldBe (math.rint(s * 1e6) / 1e6)
+        r.getAs[Double]("ewma") should (be >= lo - 1e-6 and be <= hi + 1e-6)
+      }
+    }
+  }
 }
