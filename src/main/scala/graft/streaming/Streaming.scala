@@ -143,6 +143,54 @@ object Streaming {
       }
   }
 
+  final case class EwmaIn(event_type: String, hour: Timestamp, n: Long)
+  final case class EwmaOut(
+      event_type: String, hour: Timestamp, n: Long, ewma: Double)
+  /** EWMA carry-state: last processed hour (ms) + the running average. */
+  final case class EwmaState(last_ms: Long, s: Double)
+
+  /** Streaming EWMA — the order-SENSITIVE recurrence of
+    * [[graft.operators.Events.qEwma]] as keyed streaming state: s ←
+    * α·x + (1−α)·s with s₁ = x₁, carried as two numbers per key (the
+    * bounded-state point: the batch fold needs the whole series in one
+    * array; the stream needs 16 bytes per key, forever). Unlike the
+    * KMV/Misra-Gries states this fold does NOT commute, so the
+    * equivalence contract is explicitly ORDERED arrival: observations
+    * per key must arrive hour-ascending across micro-batches (the
+    * monitoring-pipeline case — each hour's rollup emits once the hour
+    * closes); within a micro-batch rows are sorted before folding, and
+    * a regression (hour ≤ last processed) fails loudly rather than
+    * silently corrupting the average. StreamingSpec pins stream ≡ batch
+    * q_ewma across arbitrary micro-batch splits of the ordered feed.
+    */
+  def ewma(hourly: DataFrame): Dataset[EwmaOut] = {
+    val spark = hourly.sparkSession
+    import spark.implicits._
+    hourly
+      .select(col("event_type"), col("hour"), col("n"))
+      .as[EwmaIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (et: String, rows: Iterator[EwmaIn], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, 0.0))
+          val out = rows.toSeq.sortBy(_.hour.getTime).map { r =>
+            require(r.hour.getTime > st.last_ms,
+              s"out-of-order EWMA arrival for $et at ${r.hour}")
+            val x = r.n.toDouble
+            val s1 =
+              if (st.last_ms == Long.MinValue) x
+              else 0.3e0 * x + 0.7e0 * st.s
+            st = EwmaState(r.hour.getTime, s1)
+            EwmaOut(et, r.hour, r.n,
+              BigDecimal(s1).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the unbounded twin of
     * [[graft.operators.Dedup.qDedupExact]]'s fingerprint key: keeps the
     * first arrival per fingerprint, with state bounded by the watermark

@@ -483,4 +483,54 @@ class StreamingSpec extends SparkSpec with Matchers {
       got.getLong(1) shouldBe batch.getLong(1)
     } finally q.stop()
   }
+  test("streaming EWMA equals batch q_ewma across arbitrary ordered " +
+    "micro-batch splits, and rejects out-of-order arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ordered per-type hourly feed = the batch rollup sorted by hour
+    val hourly = graft.operators.Events.qEventsHourly(spark, sf())
+      .select(col("hour"), col("event_type"), col("n"))
+      .collect()
+      .map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2)))
+      .sortBy(t => (t._2.getTime, t._1))
+    val batch = graft.operators.Events.qEwma(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        r.getAs[Double]("ewma")).toMap
+
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val q = Streaming
+      .ewma(input.toDF().toDF("event_type", "hour", "n"))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("ewma_stream")
+      .start()
+    try {
+      // three uneven splits of the ordered feed
+      val (a, rest) = hourly.splitAt(hourly.length / 5)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      Seq(a, b, c).foreach { chunk =>
+        if (chunk.nonEmpty) { input.addData(chunk.toSeq); q.processAllAvailable() }
+      }
+      val got = spark.table("ewma_stream")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) ->
+          r.getAs[Double]("ewma")).toMap
+      got shouldBe batch
+    } finally q.stop()
+    // out-of-order regression fails loudly instead of corrupting state
+    val bad = MemoryStream[(String, Timestamp, Long)]
+    val qb = Streaming
+      .ewma(bad.toDF().toDF("event_type", "hour", "n"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ewma_bad").start()
+    try {
+      val t0 = new Timestamp(1700000000000L)
+      val t1 = new Timestamp(1700003600000L)
+      bad.addData(Seq(("x", t1, 5L)))
+      qb.processAllAvailable()
+      bad.addData(Seq(("x", t0, 3L)))
+      an[Exception] should be thrownBy qb.processAllAvailable()
+    } finally qb.stop()
+  }
 }
