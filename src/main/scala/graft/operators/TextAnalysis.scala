@@ -1220,6 +1220,31 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** l-diversity floor and length-band width for [[qLDiversity]]. */
+  val LDivL = 3L
+  val LDivBandChars = 500
+
+  /** l-diversity audit — the companion check [[qKanonRelease]]'s size
+    * floor cannot express (Machanavajjhala et al., ICDE 2006): a
+    * stratum can be large yet still leak if its SENSITIVE attribute is
+    * near-constant. Strata are the quasi-identifiers an attacker can
+    * observe (lang × length band); the sensitive attribute is the
+    * document's source: a stratum passes only if ≥ [[LDivL]] distinct
+    * sources appear in it, otherwise knowing a document's language and
+    * rough length pins (or near-pins) its origin. One tiny-keyspace
+    * aggregation with a distinct count per stratum — no corpus-scale
+    * work beyond the single groupBy at any SF.
+    */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"),
+        expr(s"n_chars div $LDivBandChars").as("len_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("pass",
+        when(col("n_sources") >= LDivL, 1L).otherwise(0L))
+      .orderBy(col("lang"), col("len_band"))
+
   /** Unigram (word) Shannon entropy + type-token ratio per document — the
     * Gopher-adjacent diversity signals (low entropy = TEMPLATE/boilerplate
     * text, low TTR = heavy word reuse). H = ln(n) − (Σ c·ln c)/n over
@@ -1475,6 +1500,7 @@ object TextAnalysis {
     "q_curation_funnel" -> qCurationFunnel,
     "q_data_card" -> qDataCard,
     "q_kanon" -> qKanonRelease,
+    "q_ldiversity" -> qLDiversity,
     "q_vocab_growth" -> qVocabGrowth,
     "q_text_entropy" -> qTextEntropy,
     "q_bm25" -> qBm25,
@@ -1891,6 +1917,13 @@ object TextAnalysis {
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q_ldiversity" ->
+      s"""SELECT lang, n_chars // $LDivBandChars AS len_band,
+         |  count(*) AS n_docs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(CASE WHEN count(DISTINCT source) >= $LDivL THEN 1 ELSE 0
+         |    END AS BIGINT) AS pass
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, len_band""".stripMargin,
     "q_kanon" ->
       s"""WITH g AS (
          |  SELECT lang, source, count(*) AS n_docs,

@@ -558,4 +558,19 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     plan should not include "Join"
     plan should include("partial_count")
   }
+  test("q_ldiversity: doc mass conserves, distinct-source counts are " +
+    "honest, and the pass flag matches the floor") {
+    val rows = TextAnalysis.qLDiversity(spark, sf()).collect()
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe
+      graft.tables.Tables.documents(spark, sf()).count()
+    val nSources = graft.tables.Tables.documents(spark, sf())
+      .select(org.apache.spark.sql.functions.col("source"))
+      .distinct().count()
+    rows.foreach { r =>
+      r.getAs[Long]("n_sources") should be <= math.min(
+        r.getAs[Long]("n_docs"), nSources)
+      (r.getAs[Long]("pass") == 1L) shouldBe
+        (r.getAs[Long]("n_sources") >= TextAnalysis.LDivL)
+    }
+  }
 }
