@@ -135,14 +135,146 @@ object Embeddings {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Power-iteration rounds, quantized-eigenvector scale, and projection
+    * histogram bin width for [[qPcaProject]].
+    */
+  val PcaIters = 12
+  val PcaVScale = 1000000L
+  val PcaBinW = 100000000L
+
+  /** The full symmetric integer covariance-numerator matrix (the
+    * [[qEmbeddingCov]] census reshaped driver-side — bounded
+    * CovDims²-cell roundtrip, the k-means/BPE class).
+    */
+  private def covMatrix(s: SparkSession, dir: String): Array[Array[Long]] = {
+    val q = transform(col("embedding"),
+      v => floor(v.cast("double") * DriftScale + 0.5).cast("long"))
+    val pairs = for { i <- 0 until CovDims; j <- i until CovDims } yield (i, j)
+    val aggs =
+      pairs.map { case (i, j) =>
+        sum(element_at(col("q"), i + 1) * element_at(col("q"), j + 1))
+          .as(s"sxy_${i}_$j")
+      } ++
+        (0 until CovDims).map(i =>
+          sum(element_at(col("q"), i + 1)).as(s"s_$i"))
+    val row = Tables.embeddings(s, dir)
+      .select(q.as("q"))
+      .agg(count(lit(1)).as("n_vecs"), aggs: _*)
+      .head()
+    val n = row.getAs[Long]("n_vecs")
+    val a = Array.ofDim[Long](CovDims, CovDims)
+    pairs.foreach { case (i, j) =>
+      val c = n * row.getAs[Long](s"sxy_${i}_$j") -
+        row.getAs[Long](s"s_$i") * row.getAs[Long](s"s_$j")
+      a(i)(j) = c
+      a(j)(i) = c
+    }
+    a
+  }
+
+  /** PCA top-component PROJECTION — the decorrelation/compression stage
+    * [[qEmbeddingCov]]'s census exists to feed, end to end: power
+    * iteration extracts the leading eigenvector of the covariance
+    * matrix, and every embedding projects onto it (the 1-D feature a
+    * curriculum or a whitening stage keys on). The iteration runs
+    * ENTIRELY IN INTEGERS — matrix rescaled once to a ~10⁹ grid, the
+    * eigenvector re-quantized to the [[PcaVScale]] grid after each
+    * round (divisors via truncating division, which Scala, Spark `div`
+    * and DuckDB `//` agree on) — so every matvec sum is an exact BIGINT
+    * and ORDER-INDEPENDENT: no IEEE summation-order hazard anywhere,
+    * the property float power iteration cannot give across engines.
+    * Shape: one corpus scan (the census), a CovDims²-bounded driver
+    * iteration (the k-means/BPE hybrid-loop class), then a pure
+    * row-local projection with the eigenvector as plan literals and a
+    * sparse histogram aggregation. The oracle replays the census AND
+    * all [[PcaIters]] iterations as unrolled CTEs (the BPE discipline)
+    * and must land on the identical eigenvector — pinned by the v0..v7
+    * columns riding every output row.
+    */
+  def qPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val a0 = covMatrix(s, dir)
+    val d0 = a0.flatten.map(math.abs).max / 1000000000L + 1L
+    val a = a0.map(_.map(_ / d0))
+    var v = Array.fill(CovDims)(PcaVScale)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(CovDims)(i =>
+        (0 until CovDims).map(j => a(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).max
+      val d = math.max(m / PcaVScale, 1L)
+      v = w.map(_ / d)
+    }
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * DriftScale + 0.5).cast("long"))
+    val score = (0 until CovDims)
+      .map(i => element_at(col("q"), i + 1) * lit(v(i)))
+      .reduce(_ + _)
+    val vCols = (0 until CovDims).map(i => lit(v(i)).as(s"v$i"))
+    Tables.embeddings(s, dir)
+      .select(q.as("q"))
+      .select(score.as("score"))
+      .select(expr(s"score div $PcaBinW").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("bin") +: col("n_vecs") +: vCols: _*)
+      .orderBy(col("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_norms" -> qEmbeddingNorms,
     "q_embedding_quantize" -> qEmbeddingQuantize,
     "q_embedding_drift" -> qEmbeddingDrift,
-    "q_embedding_cov" -> qEmbeddingCov
+    "q_embedding_cov" -> qEmbeddingCov,
+    "q_pca_project" -> qPcaProject
   )
 
+  /** The PCA oracle's iteration CTE chain — [[PcaIters]] matvec /
+    * rescale rounds unrolled (the BPE merge-CTE discipline). All
+    * arithmetic BIGINT; `//` and Scala `/` both truncate toward zero,
+    * so the chain lands on the driver loop's exact eigenvector.
+    */
+  private def pcaIterCtes: String = (1 to PcaIters).map { t =>
+    val pv = s"vec${t - 1}"
+    // single reference per CTE: the rescale divisor comes from a window
+    // max INSIDE vec$t, not a separate CTE — DuckDB inlines CTEs, and a
+    // divisor CTE referencing w$t twice makes the chain re-evaluate
+    // exponentially across the $PcaIters levels
+    s"""w$t AS (
+       |  SELECT am.i AS i, CAST(sum(am.av * $pv.val) AS BIGINT) AS w
+       |  FROM am JOIN $pv ON am.j = $pv.i GROUP BY am.i),
+       |vec$t AS (SELECT i,
+       |  w // greatest(max(abs(w)) OVER () // $PcaVScale, 1) AS val
+       |  FROM w$t)""".stripMargin
+  }.mkString(",\n")
+
   def oracleSql: Map[String, String] = Map(
+    "q_pca_project" ->
+      s"""WITH v AS (
+         |  SELECT list_transform(embedding[1:$CovDims],
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $DriftScale + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |ci AS (SELECT q, unnest(range(0, $CovDims)) AS i FROM v),
+         |cij AS (SELECT q, i, unnest(range(0, $CovDims)) AS j FROM ci),
+         |p AS (SELECT i, j, q[i + 1] AS xi, q[j + 1] AS xj FROM cij),
+         |g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(xi * xj) AS BIGINT) AS s_xy,
+         |    CAST(sum(xi) AS BIGINT) AS s_i,
+         |    CAST(sum(xj) AS BIGINT) AS s_j
+         |  FROM p GROUP BY i, j),
+         |cn AS (SELECT i, j, n_vecs * s_xy - s_i * s_j AS c FROM g),
+         |d0 AS (SELECT (max(abs(c)) // 1000000000) + 1 AS d FROM cn),
+         |am AS (SELECT i, j, c // (SELECT d FROM d0) AS av FROM cn),
+         |vec0 AS (SELECT unnest(range(0, $CovDims)) AS i,
+         |  CAST($PcaVScale AS BIGINT) AS val),
+         |$pcaIterCtes,
+         |vv AS (SELECT list(val ORDER BY i) AS arr FROM vec$PcaIters),
+         |sc AS (SELECT CAST(list_sum(list_transform(range(0, $CovDims),
+         |    k -> q[k + 1] * arr[k + 1])) AS BIGINT) AS score
+         |  FROM v CROSS JOIN vv),
+         |h AS (SELECT score // $PcaBinW AS bin, count(*) AS n_vecs
+         |  FROM sc GROUP BY 1)
+         |SELECT h.bin, h.n_vecs,
+         |  ${(0 until CovDims).map(i => s"arr[${i + 1}] AS v$i").mkString(", ")}
+         |FROM h CROSS JOIN vv ORDER BY bin""".stripMargin,
     "q_embedding_norms" ->
       """WITH n AS (
         |  SELECT CAST(label AS BIGINT) AS label,
