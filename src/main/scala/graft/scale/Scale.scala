@@ -453,13 +453,177 @@ object Scale {
       .orderBy(col("zshard"))
   }
 
+  // -------------------------------------------------------------------
+  // Optimizer statistics: sampled join-cardinality estimation
+  // -------------------------------------------------------------------
+
+  /** Key-space sampling rate denominator for [[qJoinEstimate]]: keys whose
+    * md5 bucket ([[graft.operators.Sampling.hashBucket]]) is 0 mod P are
+    * kept, i.e. a deterministic 1/P UNIVERSE sample (Broder 1997's
+    * min-wise idea applied to join keys): because the SAME hash selects
+    * keys on BOTH sides, a sampled key contributes its full cL·cO product
+    * — sampling rows instead of keys would bias the product quadratically.
+    */
+  val JoinEstP = 8
+
+  /** Sampled join-cardinality estimate — the optimizer statistic a
+    * cost-based planner needs BEFORE committing to a join strategy at
+    * 100 TB (broadcast vs shuffle vs skew-split), made an oracle-checked
+    * measurement. Each side is read ONCE with the hash predicate pushed
+    * to the scan, partially aggregated to per-key counts over the 1/P
+    * key sample (output ≤ |keys|/P rows), and the estimate is
+    * P · Σ cL·cO over the sampled-key join — never the join itself. The
+    * exact |L ⋈ O| rides along as the honesty check (the [[qBloomFpr]]
+    * discipline): it too is computed from per-key COUNT tables, not by
+    * materializing the join. All-integer until the final rel_err
+    * division; deterministic on both engines.
+    */
+  def qJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    def perKey(df: DataFrame, key: String, out: String, sampled: Boolean) = {
+      val base = if (sampled)
+        df.filter(Sampling.hashBucket(col(key), JoinEstP) === 0) else df
+      base.groupBy(col(key).as("k")).agg(count(lit(1)).as(out))
+    }
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"))
+    val est = perKey(li, "l_orderkey", "cl", sampled = true)
+      .join(perKey(o, "o_orderkey", "co", sampled = true), "k")
+      .agg(count(lit(1)).as("n_sample_keys"),
+        (sum(col("cl") * col("co")) * JoinEstP).as("est"))
+    val exact = perKey(li, "l_orderkey", "cl", sampled = false)
+      .join(perKey(o, "o_orderkey", "co", sampled = false), "k")
+      .agg(sum(col("cl") * col("co")).as("exact"))
+    est.crossJoin(broadcast(exact))
+      .select(col("n_sample_keys"), col("est"), col("exact"),
+        round(abs(col("est") - col("exact")).cast("double") /
+          col("exact").cast("double"), 6).as("rel_err"))
+  }
+
+  // -------------------------------------------------------------------
+  // Pre-flight reducer-skew census
+  // -------------------------------------------------------------------
+
+  /** Simulated reducer count for [[qSkewCensus]] — what a shuffle on the
+    * join key would hash rows into.
+    */
+  val SkewCensusBuckets = 32
+
+  /** Every [[SkewCensusMod]]-th orderkey remaps to key 0 for the census's
+    * planted hot key — heavier than [[qJoinSkew]]'s 1/97 plant (which is
+    * tuned to exercise the threshold machinery): ~14% of the fact table on
+    * ONE key makes the hot bucket stand out at ratio ≈ 5 while every other
+    * bucket sits near 0.86 — the picture an operator actually sees when a
+    * production join melts one reducer.
+    */
+  val SkewCensusMod = 7
+
+  /** Reducer-skew diagnostic over a planted-hot-key fact table (the
+    * [[skewedLineitem]] shape at [[SkewCensusMod]] weight): rows per
+    * simulated hash-shuffle bucket, each bucket's share, and its ratio to
+    * the uniform expectation. This is the PRE-FLIGHT census a deployment runs
+    * before picking [[skewJoin]]'s threshold (or trusting AQE): the
+    * hot-key bucket surfaces as ratio ≫ 1 while every other bucket sits
+    * near 1.0. One map-side-combined aggregation to ≤ [[SkewCensusBuckets]]
+    * rows; shares and flags are windows over that bounded frame. The
+    * md5 bucket stands in for the engine's Murmur3 partitioner — the
+    * skew SHAPE is hash-invariant (a hot key lands wholly in one bucket
+    * under any hash), and md5 is the cross-engine-reproducible choice.
+    */
+  def qSkewCensus(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    Tables.lineitem(s, dir)
+      .select(when(col("l_orderkey") % SkewCensusMod === 0, 0L)
+        .otherwise(col("l_orderkey")).as("k"))
+      .select(Sampling.hashBucket(col("k"), SkewCensusBuckets)
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("bucket"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        round((col("n") * SkewCensusBuckets).cast("double") / col("total"), 6)
+          .as("ratio"),
+        (col("n") * SkewCensusBuckets > col("total") * 2L).as("is_hot"))
+      .orderBy(col("bucket"))
+  }
+
+  // -------------------------------------------------------------------
+  // Zone-map skipping audit: natural vs clustered layout
+  // -------------------------------------------------------------------
+
+  /** Orderkeys per natural-layout block (file-position proxy: the fact
+    * table arrives in orderkey sequence, so consecutive keys share a
+    * row group).
+    */
+  val ZoneBlockKeys = 512L
+
+  /** Days per clustered-layout block (the width a
+    * `repartitionByRange(shipdate)` write would give each file, equal-width
+    * variant so the block id is a pure row-local function).
+    */
+  val ZoneBlockDays = 32L
+
+  /** Date the clustered block id counts days from (any fixed date before
+    * the corpus' min shipdate).
+    */
+  val ZoneEpoch = "1992-01-01"
+
+  /** Predicate cutoff the audit evaluates skipping for. */
+  val ZoneCutoff = "1999-06-01"
+
+  /** Zone-map (min/max footer stats) skipping audit — the measurement
+    * behind every lakehouse `OPTIMIZE ... ZORDER/CLUSTER BY` decision.
+    * For the predicate `l_shipdate >= [[ZoneCutoff]]`, each candidate
+    * layout's blocks are classified from their (min, max) shipdate stats:
+    * SKIP (max < cutoff — never read), FULL (min ≥ cutoff — read with the
+    * filter ELIMINATED, the secondary stats win), PARTIAL (read and
+    * filtered). Layouts: `natural` = orderkey-sequence blocks (what the
+    * table ships as — shipdate is uncorrelated with orderkey, so nothing
+    * skips: the quantified cost of NOT clustering) vs `clustered` =
+    * fixed-width shipdate blocks (what a range-partitioned rewrite gives —
+    * skipping ≈ the predicate's selectivity). Both block ids are pure
+    * row-local integer arithmetic, so the whole audit is ONE
+    * map-side-combined aggregation per layout over ≤ a few hundred blocks,
+    * then a bounded-frame rollup — the stats collection cost is one scan
+    * regardless of corpus size, exactly like parquet footer collection.
+    */
+  def qZonemap(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
+    val cutoff = to_date(lit(ZoneCutoff))
+    def audit(layout: String, blockId: Column): DataFrame =
+      li.select(blockId.as("blk"), col("d"))
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n"), min(col("d")).as("mn"),
+          max(col("d")).as("mx"))
+        .select(
+          when(col("mx") < cutoff, "skip")
+            .when(col("mn") >= cutoff, "full")
+            .otherwise("partial").as("cls"),
+          col("n"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("n")).as("n_rows"))
+        .select(lit(layout).as("layout"), col("cls"), col("n_blocks"),
+          col("n_rows"))
+    audit("natural", expr(s"l_orderkey div $ZoneBlockKeys"))
+      .unionByName(audit("clustered",
+        expr(s"datediff(d, DATE '$ZoneEpoch') div $ZoneBlockDays")
+          .cast("long")))
+      .orderBy(col("layout"), col("cls"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_bucketed" -> qJoinBucketed,
     "q_agg_salted" -> qAggSalted,
     "q_join_skew" -> qJoinSkew,
     "q_join_bloom" -> qJoinBloom,
     "q_bloom_fpr" -> qBloomFpr,
-    "q_zorder" -> qZorder
+    "q_zorder" -> qZorder,
+    "q_join_estimate" -> qJoinEstimate,
+    "q_skew_census" -> qSkewCensus,
+    "q_zonemap" -> qZonemap
   )
 
   /** DuckDB fragment: hash position j of `key` (same md5-prefix
@@ -554,6 +718,71 @@ object Scale {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_lines
         |FROM lineitem
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the identical universe-sampled estimator, re-derived from per-key
+    // count tables — the exact join is never materialized on either engine
+    "q_join_estimate" -> {
+      val bl = graft.operators.Sampling.bucketSql("l_orderkey", JoinEstP)
+      val bo = graft.operators.Sampling.bucketSql("o_orderkey", JoinEstP)
+      s"""WITH sl AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem
+         |  WHERE $bl = 0 GROUP BY 1),
+         |so AS (SELECT o_orderkey AS k, count(*) AS co FROM orders
+         |  WHERE $bo = 0 GROUP BY 1),
+         |e AS (SELECT count(*) AS n_sample_keys,
+         |    CAST(sum(cl * co) * $JoinEstP AS BIGINT) AS est
+         |  FROM sl JOIN so ON sl.k = so.k),
+         |fl AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem
+         |  GROUP BY 1),
+         |fo AS (SELECT o_orderkey AS k, count(*) AS co FROM orders
+         |  GROUP BY 1),
+         |x AS (SELECT CAST(sum(cl * co) AS BIGINT) AS exact
+         |  FROM fl JOIN fo ON fl.k = fo.k)
+         |SELECT n_sample_keys, est, exact,
+         |  round(CAST(abs(est - exact) AS DOUBLE) / CAST(exact AS DOUBLE), 6)
+         |    AS rel_err
+         |FROM e, x""".stripMargin
+    },
+    // same hot-key remap, same md5 bucket arithmetic
+    "q_skew_census" -> {
+      val bk = graft.operators.Sampling.bucketSql("k", SkewCensusBuckets)
+      s"""WITH r AS (SELECT CASE WHEN l_orderkey % $SkewCensusMod = 0 THEN 0
+         |    ELSE l_orderkey END AS k FROM lineitem),
+         |b AS (SELECT $bk AS bucket FROM r),
+         |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+         |t AS (SELECT bucket, n, CAST(sum(n) OVER () AS BIGINT) AS total
+         |  FROM c)
+         |SELECT bucket, n,
+         |  round(CAST(n AS DOUBLE) / total, 6) AS share,
+         |  round(CAST(n * $SkewCensusBuckets AS DOUBLE) / total, 6) AS ratio,
+         |  (n * $SkewCensusBuckets > total * 2) AS is_hot
+         |FROM t ORDER BY bucket""".stripMargin
+    },
+    // the identical two-layout block classification from (min, max) stats
+    "q_zonemap" ->
+      s"""WITH li AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS d
+         |  FROM lineitem),
+         |nat AS (SELECT l_orderkey // $ZoneBlockKeys AS blk,
+         |    count(*) AS n, min(d) AS mn, max(d) AS mx
+         |  FROM li GROUP BY 1),
+         |clu AS (SELECT date_diff('day', DATE '$ZoneEpoch', d)
+         |      // $ZoneBlockDays AS blk,
+         |    count(*) AS n, min(d) AS mn, max(d) AS mx
+         |  FROM li GROUP BY 1),
+         |cls AS (
+         |  SELECT 'natural' AS layout,
+         |    CASE WHEN mx < DATE '$ZoneCutoff' THEN 'skip'
+         |         WHEN mn >= DATE '$ZoneCutoff' THEN 'full'
+         |         ELSE 'partial' END AS cls, n
+         |  FROM nat
+         |  UNION ALL
+         |  SELECT 'clustered' AS layout,
+         |    CASE WHEN mx < DATE '$ZoneCutoff' THEN 'skip'
+         |         WHEN mn >= DATE '$ZoneCutoff' THEN 'full'
+         |         ELSE 'partial' END AS cls, n
+         |  FROM clu)
+         |SELECT layout, cls, count(*) AS n_blocks,
+         |  CAST(sum(n) AS BIGINT) AS n_rows
+         |FROM cls GROUP BY layout, cls
+         |ORDER BY layout, cls""".stripMargin
   )
 }

@@ -197,4 +197,50 @@ class ScaleSpec extends SparkSpec with Matchers {
     plan should not include "SortMergeJoin"
     plan should include("BroadcastHashJoin")
   }
+
+  test("q_join_estimate: exact side matches the materialized join, " +
+    "estimate lands within the universe-sampling envelope") {
+    val r = Scale.qJoinEstimate(spark, sf()).head()
+    val li = Tables.lineitem(spark, sf()).select("l_orderkey")
+    val o = Tables.orders(spark, sf()).select("o_orderkey")
+    val trueJoin = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    r.getAs[Long]("exact") shouldBe trueJoin
+    // 1/8 key sample over ~1.5k keys: well within ±50% (measured ~2-6%)
+    r.getAs[Double]("rel_err") should be < 0.5
+    r.getAs[Long]("n_sample_keys") should be > 0L
+  }
+
+  test("q_skew_census: buckets partition the table, exactly one hot bucket " +
+    "holding the planted key") {
+    val rows = Scale.qSkewCensus(spark, sf()).collect()
+    rows.map(_.getAs[Long]("n")).sum shouldBe
+      Tables.lineitem(spark, sf()).count()
+    val hot = rows.filter(_.getAs[Boolean]("is_hot"))
+    hot.length shouldBe 1
+    hot.head.getAs[Double]("ratio") should be > 4.0
+    // every other bucket sits near the uniform share
+    rows.filterNot(_.getAs[Boolean]("is_hot"))
+      .map(_.getAs[Double]("ratio")).max should be < 2.0
+  }
+
+  test("q_zonemap: the natural layout skips nothing, the clustered layout " +
+    "skips the sub-cutoff mass; both partition the table") {
+    val rows = Scale.qZonemap(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_rows"))).toMap
+    val total = Tables.lineitem(spark, sf()).count()
+    def layoutRows(l: String) =
+      rows.collect { case ((`l`, _), (_, n)) => n }.sum
+    layoutRows("natural") shouldBe total
+    layoutRows("clustered") shouldBe total
+    // natural: shipdate is uncorrelated with orderkey → no block skips
+    rows.get(("natural", "skip")) shouldBe None
+    rows.get(("natural", "full")) shouldBe None
+    // clustered: everything strictly before the cutoff's block skips
+    val belowCutoff = Tables.lineitem(spark, sf())
+      .filter(col("l_shipdate") < lit(Scale.ZoneCutoff)).count()
+    val skipped = rows.getOrElse(("clustered", "skip"), (0L, 0L))._2
+    skipped should be > (belowCutoff * 8) / 10
+    skipped should be <= belowCutoff
+  }
 }
