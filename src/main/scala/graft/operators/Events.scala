@@ -806,8 +806,182 @@ object Events {
         round(element_at(col("ew"), col("pos") + 1), 6).as("ewma"))
       .orderBy(col("event_type"), col("hour"))
 
+  // -------------------------------------------------------------------
+  // Two-sample Kolmogorov–Smirnov drift (grid-quantized, exact integers)
+  // -------------------------------------------------------------------
+
+  /** Bin width and cap for [[qKsDrift]]'s value grid: width 1 over
+    * [0, 500) — 10× finer than the PSI grid, still a bounded frame.
+    */
+  val KsBinWidth = 1
+  val KsBins = 500
+
+  /** Two-sample Kolmogorov–Smirnov drift between the corpus' early and
+    * late halves (the [[qPsiDrift]] split) — the NONPARAMETRIC companion:
+    * PSI needs coarse bins and log terms; KS is the sup-norm CDF gap, and
+    * on a fixed value grid it is EXACT INTEGER arithmetic end to end.
+    * The statistic is computed scaled: D_k = |cum_late_k · N_early −
+    * cum_early_k · N_late| ≤ N_early · N_late (fits a BIGINT at any
+    * realistic corpus), maximized over the ≤ [[KsBins]] grid points; D =
+    * max_k D_k / (N_early · N_late) is the one terminal division. Scale
+    * shape: ONE map-side-combined aggregation to the bounded grid, then
+    * windows/rollup over that frame — nothing after the first shuffle
+    * scales with corpus size. The quantization is honest: this IS the KS
+    * statistic of the width-[[KsBinWidth]] quantized distributions (a
+    * lower bound on the raw-value KS), the trade a 100 TB scan makes to
+    * avoid a global sort of every value.
+    */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    val cumW = Window.partitionBy().orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .select(
+        least(lit(KsBins - 1), greatest(lit(0),
+          floor(col("value") / KsBinWidth).cast("int"))).cast("long").as("bin"),
+        when(col("ts") < to_timestamp(lit(PsiSplitTs)), 1L).otherwise(0L)
+          .as("early"))
+      .groupBy(col("bin"))
+      .agg(sum(col("early")).as("ne"),
+        (count(lit(1)) - sum(col("early"))).as("nl"))
+      .withColumn("ce", sum(col("ne")).over(cumW))
+      .withColumn("cl", sum(col("nl")).over(cumW))
+      .withColumn("te", sum(col("ne")).over(w))
+      .withColumn("tl", sum(col("nl")).over(w))
+      .withColumn("dsc", abs(col("cl") * col("te") - col("ce") * col("tl")))
+      .withColumn("dmax", max(col("dsc")).over(w))
+      .agg(
+        max(col("te")).as("n_early"),
+        max(col("tl")).as("n_late"),
+        max(col("dsc")).as("d_scaled"),
+        min(when(col("dsc") === col("dmax"), col("bin"))).as("ks_bin"))
+      .select(col("n_early"), col("n_late"), col("ks_bin"), col("d_scaled"),
+        round(col("d_scaled").cast("double") /
+          (col("n_early") * col("n_late")).cast("double"), 6).as("d"))
+  }
+
+  // -------------------------------------------------------------------
+  // CUSUM change-point over the dense hourly series (exact integers)
+  // -------------------------------------------------------------------
+
+  /** CUSUM change-point detector over the dense hourly event-count
+    * series — the rate-shift localizer behind "when did traffic change?"
+    * (Page 1954's cumulative-sum chart, offline form). For hour k of H
+    * with cumulative count S_k and total N, the deviation from a
+    * constant-rate fit is S_k − (k+1)·N/H; scaled by H it is T_k =
+    * |H·S_k − (k+1)·N| — EXACT BIGINT arithmetic (H ≤ a few thousand
+    * hours, S ≤ N), maximized at the change-point estimate. The hourly
+    * axis is the [[qEventsDensify]] dense grid (zero-count hours move
+    * the cumulative index and MUST be present); everything after the one
+    * hourly aggregation is windows over that bounded frame. Output: the
+    * argmax hour (earliest on ties — deterministic), the scaled peak,
+    * and the normalized statistic T/(H·N) ∈ [0, 1).
+    */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("h"))
+    val hourly = e.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val bounds = e.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val axis = bounds.select(
+      explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
+        .as("hour"))
+    val w = Window.partitionBy()
+    val cumW = Window.partitionBy().orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    axis.join(hourly, axis("hour") === hourly("h"), "left")
+      .select(axis("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("k", row_number().over(Window.orderBy(col("hour"))))
+      .withColumn("s", sum(col("n")).over(cumW))
+      .withColumn("nh", count(lit(1)).over(w))
+      .withColumn("nt", sum(col("n")).over(w))
+      .withColumn("t", abs(col("nh") * col("s") - col("k") * col("nt")))
+      .withColumn("tmax", max(col("t")).over(w))
+      .agg(
+        max(col("nh")).as("n_hours"),
+        max(col("nt")).as("n_events"),
+        min(when(col("t") === col("tmax"), col("hour"))).as("cp_hour"),
+        max(col("t")).as("t_scaled"))
+      .select(col("n_hours"), col("n_events"), col("cp_hour"),
+        col("t_scaled"),
+        round(col("t_scaled").cast("double") /
+          (col("n_hours") * col("n_events")).cast("double"), 6).as("t_norm"))
+  }
+
+  // -------------------------------------------------------------------
+  // Rolling distinct users via mergeable daily HLL sketches
+  // -------------------------------------------------------------------
+
+  /** Rolling window width (days) for [[qHllRolling]]. */
+  val HllRollDays = 7
+
+  /** Rolling [[HllRollDays]]-day distinct users per day via MERGEABLE
+    * daily HLL sketches — the pattern that makes sliding-window distinct
+    * counts affordable at 100 TB: the corpus is scanned ONCE into
+    * per-(day, register) maxima (the daily sketches a warehouse
+    * materializes incrementally), and every window estimate is a
+    * register-max MERGE of ≤ [[HllRollDays]] daily sketches — re-scanning
+    * nothing. Here the merge is expressed declaratively: each daily
+    * register row fans out to the ≤ 7 window anchors it contributes to
+    * (a bounded explode of the SKETCH table, |days|·m rows, corpus-size
+    * independent), then groupBy(anchor, register).max — the same
+    * max-merge [[qHll]] proves for one window. Exact rolling distinct
+    * rides along as the honesty check, computed from the bounded
+    * distinct-(user, day) frame, never the raw corpus. Estimate
+    * arithmetic is [[hllEstSql]] verbatim — integer registers into one
+    * shared IEEE expression.
+    */
+  def qHllRolling(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val low48 = lit((1L << 48) - 1)
+    val days = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), h.as("hv"))
+    val maxDay = days.agg(max(col("day")).as("mxd"))
+    // daily sketches: one corpus scan → (day, bucket, max rho)
+    val daily = days
+      .select(col("day"),
+        shiftright(col("hv"), 48).as("bucket"),
+        col("hv").bitwiseAND(low48).as("rem"))
+      .select(col("day"), col("bucket"),
+        when(col("rem") === 0L, lit(49))
+          .otherwise(lit(49) - length(bin(col("rem")))).as("rho"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    // merge: day d's sketch serves anchors d .. d+6 (window [a-6, a])
+    val est = daily
+      .crossJoin(broadcast(maxDay))
+      .select(col("bucket"), col("r"),
+        explode(sequence(col("day"),
+          least(expr(s"day + interval ${HllRollDays - 1} days"), col("mxd"))))
+          .as("anchor"))
+      .groupBy(col("anchor"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .groupBy(col("anchor"))
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - r)")).cast("long")
+          .as("hsum"))
+    // exact honesty check from the bounded distinct-(user, day) frame
+    val exact = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          least(expr(s"day + interval ${HllRollDays - 1} days"), col("mxd"))))
+          .as("anchor"))
+      .groupBy(col("anchor"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(est, "anchor")
+      .select(col("anchor").as("day"), col("n_exact"),
+        col("nb").cast("long").as("n_buckets"),
+        expr(hllEstSql("nb", "hsum")).as("est"))
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma" -> qEwma,
+    "q_ks_drift" -> qKsDrift,
+    "q_changepoint" -> qChangepoint,
+    "q_hll_rolling" -> qHllRolling,
     "q_interpolate" -> qInterpolate,
     "q_time_join" -> qTimeJoin,
     "q_seasonality" -> qSeasonality,
@@ -834,6 +1008,105 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical integer grid, cumulative windows over the bounded frame
+    "q_ks_drift" ->
+      s"""WITH b AS (
+         |  SELECT least(${KsBins - 1}, greatest(0,
+         |      CAST(floor(value / $KsBinWidth) AS INT))) AS bin,
+         |    CASE WHEN ts < TIMESTAMP '$PsiSplitTs' THEN 1 ELSE 0 END
+         |      AS early
+         |  FROM events),
+         |c AS (
+         |  SELECT CAST(bin AS BIGINT) AS bin,
+         |    CAST(sum(early) AS BIGINT) AS ne,
+         |    CAST(count(*) - sum(early) AS BIGINT) AS nl
+         |  FROM b GROUP BY bin),
+         |t AS (
+         |  SELECT bin, ne, nl,
+         |    CAST(sum(ne) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ce,
+         |    CAST(sum(nl) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cl,
+         |    CAST(sum(ne) OVER () AS BIGINT) AS te,
+         |    CAST(sum(nl) OVER () AS BIGINT) AS tl
+         |  FROM c),
+         |d AS (
+         |  SELECT bin, te, tl, abs(cl * te - ce * tl) AS dsc,
+         |    max(abs(cl * te - ce * tl)) OVER () AS dmax
+         |  FROM t)
+         |SELECT max(te) AS n_early, max(tl) AS n_late,
+         |  CAST(min(CASE WHEN dsc = dmax THEN bin END) AS BIGINT) AS ks_bin,
+         |  CAST(max(dsc) AS BIGINT) AS d_scaled,
+         |  round(CAST(max(dsc) AS DOUBLE)
+         |    / CAST(max(te) * max(tl) AS DOUBLE), 6) AS d
+         |FROM d""".stripMargin,
+    // identical dense axis + integer CUSUM, windows over the hour frame
+    "q_changepoint" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h FROM events),
+        |hourly AS (SELECT h, count(*) AS n FROM e GROUP BY h),
+        |bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+        |axis AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+        |    AS hour FROM bounds),
+        |s0 AS (SELECT axis.hour, coalesce(hourly.n, 0) AS n
+        |  FROM axis LEFT JOIN hourly ON axis.hour = hourly.h),
+        |s1 AS (SELECT hour, n,
+        |    CAST(row_number() OVER (ORDER BY hour) AS BIGINT) AS k,
+        |    CAST(sum(n) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+        |    CAST(count(*) OVER () AS BIGINT) AS nh,
+        |    CAST(sum(n) OVER () AS BIGINT) AS nt
+        |  FROM s0),
+        |s2 AS (SELECT hour, nh, nt, abs(nh * s - k * nt) AS t,
+        |    max(abs(nh * s - k * nt)) OVER () AS tmax
+        |  FROM s1)
+        |SELECT max(nh) AS n_hours, max(nt) AS n_events,
+        |  min(CASE WHEN t = tmax THEN hour END) AS cp_hour,
+        |  CAST(max(t) AS BIGINT) AS t_scaled,
+        |  round(CAST(max(t) AS DOUBLE) / CAST(max(nh) * max(nt) AS DOUBLE), 6)
+        |    AS t_norm
+        |FROM s2""".stripMargin,
+    // identical daily sketches, 7-anchor fan-out, register-max merge
+    "q_hll_rolling" ->
+      s"""WITH d AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS hv
+         |  FROM events),
+         |mx AS (SELECT max(day) AS mxd FROM d),
+         |regs AS (
+         |  SELECT day, hv >> 48 AS bucket,
+         |    CASE WHEN (hv & ${(1L << 48) - 1}) = 0 THEN 49
+         |         ELSE 49 - length(bin(hv & ${(1L << 48) - 1})) END AS rho
+         |  FROM d),
+         |daily AS (
+         |  SELECT day, bucket, max(rho) AS r FROM regs GROUP BY day, bucket),
+         |fan AS (
+         |  SELECT bucket, r, day + i AS anchor
+         |  FROM daily, (SELECT CAST(unnest(generate_series(0,
+         |    ${HllRollDays - 1})) AS INT) AS i) g, mx
+         |  WHERE day + i <= mxd),
+         |merged AS (
+         |  SELECT anchor, bucket, max(r) AS r FROM fan
+         |  GROUP BY anchor, bucket),
+         |agg AS (
+         |  SELECT anchor, count(*) AS nb,
+         |    CAST(sum(1::BIGINT << (49 - r)) AS BIGINT) AS hsum
+         |  FROM merged GROUP BY anchor),
+         |du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+         |  FROM events),
+         |exfan AS (
+         |  SELECT user_id, day + i AS anchor
+         |  FROM du, (SELECT CAST(unnest(generate_series(0,
+         |    ${HllRollDays - 1})) AS INT) AS i) g, mx
+         |  WHERE day + i <= mxd),
+         |ex AS (
+         |  SELECT anchor, count(DISTINCT user_id) AS n_exact
+         |  FROM exfan GROUP BY anchor)
+         |SELECT ex.anchor AS day, ex.n_exact,
+         |  CAST(agg.nb AS BIGINT) AS n_buckets,
+         |  ${hllEstSql("agg.nb", "agg.hsum")} AS est
+         |FROM ex JOIN agg ON ex.anchor = agg.anchor
+         |ORDER BY day""".stripMargin,
     // identical recurrence replayed as a recursive CTE
     "q_ewma" ->
       s"""WITH RECURSIVE hourly AS (

@@ -1245,6 +1245,58 @@ object TextAnalysis {
         when(col("n_sources") >= LDivL, 1L).otherwise(0L))
       .orderBy(col("lang"), col("len_band"))
 
+  /** Truncation bound for [[qDpCounts]]' noise: noise ∈ [−DpB, +DpB]. */
+  val DpB = 8
+
+  /** Per-k weights of the truncated two-sided geometric distribution at
+    * α = 1/2 (weight ∝ α^|k|, scaled by 2^[[DpB]] to integers): the
+    * geometric mechanism of Ghosh, Roughgarden & Sundararajan (STOC 2009)
+    * — universally optimal for count queries at ε = ln(1/α) = ln 2 —
+    * truncated to a bounded support so the release arithmetic stays
+    * all-integer and the worst-case error is certifiable (±[[DpB]]).
+    */
+  private val dpWeights: Seq[(Int, Long)] =
+    (-DpB to DpB).map(k => k -> (1L << (DpB - math.abs(k))))
+
+  /** Σ weights — the modulus the uniform hash draw is reduced to. */
+  val DpScale: Long = dpWeights.map(_._2).sum
+
+  /** Inverse-CDF lookup as a CASE chain over exact integer cumulative
+    * thresholds — generated once and evaluated LITERAL-FOR-LITERAL on
+    * both engines (the hllEstSql discipline, integer edition: no
+    * transcendental sampling, so the mechanism is bit-reproducible).
+    */
+  private def dpNoiseCaseSql(u: String): String = {
+    val cum = dpWeights.scanLeft(0L)(_ + _._2).tail
+    dpWeights.map(_._1).zip(cum).dropRight(1)
+      .map { case (k, c) => s"WHEN $u < $c THEN $k" }
+      .mkString("CASE ", " ", s" ELSE $DpB END")
+  }
+
+  /** Differentially-private release of the per-(lang, source) document
+    * counts — the noisy histogram a curator publishes when even the
+    * [[qKanonRelease]] suppression leaks too much (counts themselves are
+    * the disclosure). Mechanism: truncated two-sided geometric noise
+    * ([[dpWeights]]) added to each true count, clamped at zero
+    * (post-processing preserves DP). The noise draw is SEEDED from the
+    * group key's salted md5 — deterministic so the release is
+    * reproducible and oracle-checkable; a production release would draw
+    * fresh randomness per publication, which changes ONE line (the seed).
+    * Scale shape: one map-side-combined aggregation to a tiny keyspace;
+    * the noise is row-local integer arithmetic over that bounded frame.
+    */
+  def qDpCounts(s: SparkSession, dir: String): DataFrame = {
+    val u = "CAST(conv(substring(md5(concat(lang, '|', source, '#dp')), " +
+      s"1, 15), 16, 10) AS BIGINT) % $DpScale"
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"),
+        greatest(lit(0L), col("n") + expr(dpNoiseCaseSql(s"($u)")))
+          .as("n_noisy"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Unigram (word) Shannon entropy + type-token ratio per document — the
     * Gopher-adjacent diversity signals (low entropy = TEMPLATE/boilerplate
     * text, low TTR = heavy word reuse). H = ln(n) − (Σ c·ln c)/n over
@@ -1501,6 +1553,7 @@ object TextAnalysis {
     "q_data_card" -> qDataCard,
     "q_kanon" -> qKanonRelease,
     "q_ldiversity" -> qLDiversity,
+    "q_dp_counts" -> qDpCounts,
     "q_vocab_growth" -> qVocabGrowth,
     "q_text_entropy" -> qTextEntropy,
     "q_bm25" -> qBm25,
@@ -1937,6 +1990,19 @@ object TextAnalysis {
          |  CAST(sum(n_chars_total) AS BIGINT) AS n_chars_total
          |FROM g WHERE n_docs < $KAnonK HAVING count(*) > 0
          |ORDER BY lang, source""".stripMargin,
+    // the identical seeded geometric mechanism: same salted-md5 uniform
+    // draw, same integer CDF thresholds (dpNoiseCaseSql is shared verbatim)
+    "q_dp_counts" -> {
+      val u = s"('0x' || substr(md5(lang || '|' || source || '#dp'), 1, 15))" +
+        s"::BIGINT % $DpScale"
+      s"""WITH g AS (
+         |  SELECT lang, source, count(*) AS n FROM documents
+         |  GROUP BY lang, source)
+         |SELECT lang, source,
+         |  CAST(greatest(0, n + ${dpNoiseCaseSql(s"($u)")}) AS BIGINT)
+         |    AS n_noisy
+         |FROM g ORDER BY lang, source""".stripMargin
+    },
     // epoch order = the shuffle-order md5 permutation (same expression
     // as the q_shuffle_order oracle); first occurrence is an algebraic
     // min, so the curve needs no sequential scan on either engine

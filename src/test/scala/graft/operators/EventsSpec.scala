@@ -312,4 +312,74 @@ class EventsSpec extends SparkSpec with Matchers {
       }
     }
   }
+
+  test("q_ks_drift matches a brute-force quantized KS over collected values") {
+    val rows = graft.tables.Tables.events(spark, sf())
+      .select(col("value"), col("ts")).collect()
+    val split = java.sql.Timestamp.valueOf(Events.PsiSplitTs)
+    val binned = rows.map { r =>
+      val b = math.min(Events.KsBins - 1,
+        math.max(0, math.floor(r.getDouble(0) / Events.KsBinWidth).toInt))
+      (b, r.getTimestamp(1).before(split))
+    }
+    val ne = binned.count(_._2).toLong
+    val nl = binned.size - ne
+    var ce = 0L; var cl = 0L; var best = -1L; var bestBin = -1
+    (0 until Events.KsBins).foreach { b =>
+      ce += binned.count(x => x._1 == b && x._2)
+      cl += binned.count(x => x._1 == b && !x._2)
+      val d = math.abs(cl * ne - ce * nl)
+      if (d > best) { best = d; bestBin = b }
+    }
+    val r = Events.qKsDrift(spark, sf()).head()
+    r.getAs[Long]("n_early") shouldBe ne
+    r.getAs[Long]("n_late") shouldBe nl
+    r.getAs[Long]("d_scaled") shouldBe best
+    r.getAs[Long]("ks_bin") shouldBe bestBin.toLong
+    r.getAs[Double]("d") shouldBe
+      (math.rint(best.toDouble / (ne * nl) * 1e6) / 1e6)
+  }
+
+  test("q_changepoint matches a brute-force CUSUM over the dense hour axis") {
+    val hours = graft.tables.Tables.events(spark, sf())
+      .select(date_trunc("hour", col("ts")).as("h")).collect()
+      .map(_.getTimestamp(0).getTime)
+    val mn = hours.min; val mx = hours.max
+    val hourMs = 3600L * 1000L
+    val axis = (mn to mx by hourMs).toArray
+    val counts = hours.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nh = axis.length.toLong
+    val nt = hours.length.toLong
+    var s = 0L; var best = -1L; var bestHour = 0L
+    axis.zipWithIndex.foreach { case (h, i) =>
+      s += counts.getOrElse(h, 0L)
+      val t = math.abs(nh * s - (i + 1L) * nt)
+      if (t > best) { best = t; bestHour = h }
+    }
+    val r = Events.qChangepoint(spark, sf()).head()
+    r.getAs[Long]("n_hours") shouldBe nh
+    r.getAs[Long]("n_events") shouldBe nt
+    r.getAs[Long]("t_scaled") shouldBe best
+    r.getAs[java.sql.Timestamp]("cp_hour").getTime shouldBe bestHour
+  }
+
+  test("q_hll_rolling: one anchor per day, first anchor sees only day one, " +
+    "estimates track the exact rolling distinct") {
+    val rows = Events.qHllRolling(spark, sf()).collect()
+    val ev = graft.tables.Tables.events(spark, sf())
+    val days = ev.select(to_date(col("ts")).as("d")).distinct().count()
+    rows.length.toLong shouldBe days
+    val firstDay = rows.head.getAs[java.sql.Date]("day")
+    val day1Users = ev.filter(to_date(col("ts")) === lit(firstDay))
+      .select("user_id").distinct().count()
+    rows.head.getAs[Long]("n_exact") shouldBe day1Users
+    // sketch accuracy: 4096 registers vs <=hundreds of users -> tight
+    rows.foreach { r =>
+      val ex = r.getAs[Long]("n_exact").toDouble
+      math.abs(r.getAs[Double]("est") - ex) / ex should be < 0.1
+    }
+    // window is a superset of any single covered day -> monotone vs day 1
+    rows.head.getAs[Long]("n_exact") should be <= rows(
+      math.min(rows.length - 1, Events.HllRollDays - 1)).getAs[Long]("n_exact")
+  }
 }

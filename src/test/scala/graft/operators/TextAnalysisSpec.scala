@@ -573,4 +573,27 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
         (r.getAs[Long]("n_sources") >= TextAnalysis.LDivL)
     }
   }
+
+  test("q_dp_counts: noise bounded by the truncation, zero-clamped, " +
+    "deterministic, scale constant is the weight total") {
+    TextAnalysis.DpScale shouldBe (0 to 8).map(k => 1L << (8 - k)).sum * 2 - 256
+    val noisy = TextAnalysis.qDpCounts(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_noisy"))
+      .toMap
+    val truth = graft.tables.Tables.documents(spark, sf())
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count"))
+      .toMap
+    noisy.keySet shouldBe truth.keySet
+    noisy.foreach { case (k, v) =>
+      v should be >= math.max(0L, truth(k) - TextAnalysis.DpB)
+      v should be <= truth(k) + TextAnalysis.DpB
+    }
+    // seeded mechanism: bit-identical across evaluations
+    TextAnalysis.qDpCounts(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_noisy"))
+      .toMap shouldBe noisy
+    // the noise is not vacuous: some group actually moved
+    noisy.count { case (k, v) => v != truth(k) } should be > 0
+  }
 }
