@@ -163,6 +163,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Asymmetric shingle CONTAINMENT census — the quote/subset detector
+    * Jaccard structurally misses: when a short document is wholly
+    * embedded in a much larger composite, |A∩B|/|A∪B| is diluted toward
+    * |A|/|B| while containment |A∩B|/|A| stays ≈ 1 (Broder 1997
+    * distinguishes exactly these two resemblance measures). The demo
+    * pair frame is doc d inside the composite d ⧺ d+1 (one
+    * successor-equi-join — at production scale candidates arrive from
+    * the LSH/winnowing probes, [[qDedupSubstring2P]], and this census
+    * is the verify stage's scoring rule); shingling and set ops are
+    * row-local over the pair frame. The census prints both measures so
+    * the divergence IS the result: containment ≈ 1 with jaccard ≈
+    * |A|/(|A|+|B|).
+    */
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val nxt = base.select((col("doc_id") - 1).as("k"),
+      col("text").as("text_b"))
+    val pairs = base.join(nxt, col("doc_id") === col("k"))
+      .select(col("doc_id"), col("text"),
+        concat_ws(" ", col("text"), col("text_b")).as("cat"))
+    pairs
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions
+          .wordNGrams(tokens(col("text")), 3).as("sa"),
+        graft.functions.SketchExpressions
+          .wordNGrams(tokens(col("cat")), 3).as("sc"))
+      .filter(size(col("sa")) > 0 && size(col("sc")) > 0)
+      .select(col("doc_id"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sc")).cast("long").as("n_cat"),
+        (size(array_intersect(col("sa"), col("sc"))).cast("double") /
+          size(col("sa"))).as("containment"),
+        (size(array_intersect(col("sa"), col("sc"))).cast("double") /
+          size(array_distinct(concat(col("sa"), col("sc")))))
+          .as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** (doc_id, sh, hs): shingles + their 60-bit md5 hashes, one flat pass
     * each; signatures then run through the codegen'd sketch expressions.
     */
@@ -1268,6 +1306,7 @@ object Dedup {
     "q_dedup_pipeline" -> qDedupPipeline,
     "q_split_leakage" -> qSplitLeakage,
     "q_dedup_jaccard" -> qDedupJaccard,
+    "q_containment" -> qContainment,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding
@@ -1725,6 +1764,24 @@ object Dedup {
          |  count(DISTINCT fp_md5) AS n_exact_variants
          |FROM fp GROUP BY fp_norm HAVING count(*) > 1
          |ORDER BY canonical_id""".stripMargin,
+    "q_containment" -> {
+      def tokOf(c: String) =
+        s"list_filter(string_split_regex(lower($c), '[^a-z]+'), " +
+          "x -> length(x) > 0)"
+      s"""WITH p AS (
+         |  SELECT a.doc_id, a.text AS ta, a.text || ' ' || b.text AS cat
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |sh AS (SELECT doc_id, ${shinglesSql(tokOf("ta"))} AS sa,
+         |    ${shinglesSql(tokOf("cat"))} AS sc FROM p)
+         |SELECT doc_id, CAST(len(sa) AS BIGINT) AS n_a,
+         |  CAST(len(sc) AS BIGINT) AS n_cat,
+         |  CAST(len(list_intersect(sa, sc)) AS DOUBLE) / len(sa)
+         |    AS containment,
+         |  CAST(len(list_intersect(sa, sc)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(sa, sc))) AS jaccard
+         |FROM sh WHERE len(sa) > 0 AND len(sc) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_dedup_jaccard" ->
       s"""WITH corpus AS ($nearDupSql),
          |sh AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus)

@@ -541,7 +541,59 @@ object Similarity {
       .orderBy(col("c_id"))
   }
 
+  // -------------------------------------------------------------------
+  // Exact ε-range search via spatial grid bucketing
+  // -------------------------------------------------------------------
+
+  /** L∞ radius for [[qRangeSearch]] (per-dimension window on the first
+    * two embedding coordinates).
+    */
+  val RangeEps = 0.01
+
+  /** EXACT ε-range search — all pairs within L∞ distance [[RangeEps]] on
+    * the leading two embedding dimensions — via the classic fixed-grid
+    * spatial join (Bentley's cell method): each point homes to cell
+    * (⌊x/ε⌋, ⌊y/ε⌋), probes its 3×3 neighborhood, and the exact predicate
+    * decides. Completeness is geometric: |Δx| ≤ ε forces |Δcell_x| ≤ 1,
+    * so every qualifying pair co-locates in the probe join; uniqueness is
+    * structural: of a pair's two orderings, only the smaller-id point's
+    * single replica in the larger-id point's home cell survives the
+    * `pid < vec_id` guard — no post-hoc distinct. Scale shape: a bounded
+    * 9× replication of the POINT set, one equi-join on cell id (shuffle
+    * co-partitioned, AQE-splittable if a cell runs hot), output
+    * proportional to the true pair count — versus the O(n²) all-pairs
+    * the small-SF DuckDB oracle runs as the independent derivation.
+    * PlanRegressionSpec pins the no-cartesian shape. Distances are exact
+    * IEEE doubles of float32 inputs on both engines.
+    */
+  def qRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val eps = lit(RangeEps)
+    val pts = Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+    val probes = pts.select(
+      col("vec_id").as("pid"), col("x").as("px"), col("y").as("py"),
+      explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))): _*))
+        .as("c"))
+      .select(col("pid"), col("px"), col("py"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    probes.join(pts,
+      probes("cx") === pts("cx") && probes("cy") === pts("cy") &&
+        probes("pid") < pts("vec_id"))
+      .filter(abs(col("px") - col("x")) <= eps &&
+        abs(col("py") - col("y")) <= eps)
+      .select(col("pid").as("vid_a"), col("vec_id").as("vid_b"),
+        round(abs(col("px") - col("x")), 6).as("dx"),
+        round(abs(col("py") - col("y")), 6).as("dy"))
+      .orderBy(col("vid_a"), col("vid_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_search" -> qRangeSearch,
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_multiprobe" -> qAnnMultiprobe,
@@ -754,6 +806,20 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // INDEPENDENT derivation: brute-force all-pairs — affordable at oracle
+    // SF, which is exactly the grid method's value proposition at scale
+    "q_range_search" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         |    CAST(embedding[2] AS DOUBLE) AS y
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+         |  round(abs(a.x - b.x), 6) AS dx,
+         |  round(abs(a.y - b.y), 6) AS dy
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE abs(a.x - b.x) <= ${RangeEps}e0
+         |  AND abs(a.y - b.y) <= ${RangeEps}e0
+         |ORDER BY vid_a, vid_b""".stripMargin,
     "q_ann_ivf" -> (ivfSql + "\nORDER BY query_id, rk"),
     // the persisted-index path is result-identical to the inline IVF —
     // same centroids, assignment, scoring — so it shares the oracle

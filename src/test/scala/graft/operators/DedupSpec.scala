@@ -441,4 +441,19 @@ class DedupSpec extends SparkSpec with Matchers {
     df.unpersist()
     ()
   }
+
+  test("q_containment: full containment of the embedded doc while jaccard " +
+    "is diluted toward |A|/|A u B|") {
+    val rows = Dedup.qContainment(spark, sf()).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Double]("containment") shouldBe 1.0
+      val j = r.getAs[Double]("jaccard")
+      val nA = r.getAs[Long]("n_a").toDouble
+      val nCat = r.getAs[Long]("n_cat").toDouble
+      // with containment = 1, union = cat's set, so jaccard = |A|/|cat|
+      j shouldBe (nA / nCat)
+      j should be < 1.0
+    }
+  }
 }

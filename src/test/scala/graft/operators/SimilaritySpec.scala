@@ -243,4 +243,26 @@ class SimilaritySpec extends SparkSpec with Matchers {
     directed should be <= multi
     directed should be > single + 0.15
   }
+
+  test("q_range_search: grid join equals brute force, no cartesian product " +
+    "in the plan") {
+    val df = Similarity.qRangeSearch(spark, sf())
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b"))).toSet
+    // independent brute force over collected points
+    val pts = graft.tables.Tables.embeddings(spark, sf())
+      .select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val eps = Similarity.RangeEps
+    val want = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib && math.abs(xa - xb) <= eps && math.abs(ya - yb) <= eps
+    } yield (ia, ib)).toSet
+    got shouldBe want
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
