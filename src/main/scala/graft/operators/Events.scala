@@ -806,6 +806,37 @@ object Events {
         round(element_at(col("ew"), col("pos") + 1), 6).as("ewma"))
       .orderBy(col("event_type"), col("hour"))
 
+  /** Prefix length for [[qFunnelPaths]]. */
+  val PathLen = 3
+
+  /** Top user PATHS — the k-step sequence census behind "how do users
+    * actually start?" ([[qEventTransitions]] is the 1-step marginal;
+    * this is the joint over the first [[PathLen]] steps). Each user's
+    * first events come from ONE per-user window pass (the same single
+    * per-user sort [[qEventsSessionize]] rides — rank then keep
+    * rn ≤ [[PathLen]]); the path string is assembled by position with
+    * null-skipping concat_ws (users with fewer events keep their short
+    * path), and the census output is bounded by |types|^PathLen — never
+    * user-cardinality. Shares are exact BIGINT ratios over that bounded
+    * frame.
+    */
+  def qFunnelPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val firstN = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= PathLen)
+    val paths = firstN.groupBy(col("user_id"))
+      .agg(concat_ws(">", (1 to PathLen).map(i =>
+        max(when(col("rn") === i, col("event_type")))): _*).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .withColumn("tot", sum(col("n_users")).over(Window.partitionBy()))
+      .select(col("path"), col("n_users"),
+        round(col("n_users").cast("double") / col("tot"), 6).as("share"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
   // -------------------------------------------------------------------
   // Two-sample Kolmogorov–Smirnov drift (grid-quantized, exact integers)
   // -------------------------------------------------------------------
@@ -979,6 +1010,7 @@ object Events {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma" -> qEwma,
+    "q_funnel_paths" -> qFunnelPaths,
     "q_ks_drift" -> qKsDrift,
     "q_changepoint" -> qChangepoint,
     "q_hll_rolling" -> qHllRolling,
@@ -1008,6 +1040,27 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical per-user rank + positional assembly (concat_ws skips the
+    // NULL positions of short paths on both engines)
+    "q_funnel_paths" -> {
+      val pos = (1 to PathLen).map(i =>
+        s"max(CASE WHEN rn = $i THEN event_type END)").mkString(", ")
+      s"""WITH r AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM events),
+         |p AS (
+         |  SELECT user_id, concat_ws('>', $pos) AS path
+         |  FROM r WHERE rn <= $PathLen GROUP BY user_id),
+         |c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path),
+         |t AS (SELECT path, n_users,
+         |    CAST(sum(n_users) OVER () AS BIGINT) AS tot
+         |  FROM c)
+         |SELECT path, n_users,
+         |  round(CAST(n_users AS DOUBLE) / tot, 6) AS share
+         |FROM t ORDER BY n_users DESC, path""".stripMargin
+    },
     // identical integer grid, cumulative windows over the bounded frame
     "q_ks_drift" ->
       s"""WITH b AS (

@@ -609,6 +609,34 @@ object Relational {
       .orderBy(col("check"))
   }
 
+  /** Key-sequence completeness census — the data-quality primitive behind
+    * "did the extract drop a range?": gap RUNS in the orders key sequence,
+    * found WITHOUT a global sort (the corpus-sized-window temptation this
+    * repo bans): key k+1 starts a gap iff k is present and k+1 absent —
+    * one shifted left-anti self-join on the key, corpus-linear and
+    * co-partitioned (both sides shuffle on the same 8-byte key). The
+    * sequence tail (kmax+1) is excluded by the bounds broadcast; total
+    * missing mass is pure arithmetic over (min, max, distinct-count).
+    * Output: one summary row — at 100 TB the gap-start LIST is still
+    * bounded by the run count, but the census is what a monitor alerts
+    * on.
+    */
+  def qIdGaps(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      .distinct()
+    val bounds = keys.agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"),
+      count(lit(1)).as("n_keys"))
+    val gapStarts = keys.select((col("k") + 1).as("g"))
+      .join(keys, col("g") === col("k"), "left_anti")
+    val nRuns = gapStarts.crossJoin(broadcast(bounds))
+      .filter(col("g") <= col("kmax"))
+      .agg(count(lit(1)).as("n_gap_runs"))
+    bounds.crossJoin(broadcast(nRuns))
+      .select(col("n_keys"), col("kmin"), col("kmax"),
+        (col("kmax") - col("kmin") + 1 - col("n_keys")).as("n_missing"),
+        col("n_gap_runs"))
+  }
+
   /** Star-schema DENORMALIZATION — the wide-table build every
     * feature-engineering pipeline runs before training: lineitem resolved
     * against all six dimensions (orders→customer→nation→region on the
@@ -791,6 +819,7 @@ object Relational {
     "q_denormalize" -> qDenormalize,
     "q_skyline" -> qSkyline,
     "q_expectations" -> qExpectations,
+    "q_id_gaps" -> qIdGaps,
     "q_table_profile" -> qTableProfile,
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
@@ -903,6 +932,20 @@ object Relational {
         |ORDER BY n_events DESC, user_id""".stripMargin,
     // "check" is reserved in DuckDB — the alias is double-quoted; the
     // parquet column name is plain `check` either way.
+    // identical shifted-membership formulation (NOT a window/sort)
+    "q_id_gaps" ->
+      """WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        |b AS (SELECT CAST(min(k) AS BIGINT) AS kmin,
+        |    CAST(max(k) AS BIGINT) AS kmax,
+        |    CAST(count(*) AS BIGINT) AS n_keys
+        |  FROM keys),
+        |gs AS (SELECT k + 1 AS g FROM keys
+        |  WHERE k + 1 NOT IN (SELECT k FROM keys)),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_gap_runs
+        |  FROM gs, b WHERE g <= kmax)
+        |SELECT n_keys, kmin, kmax,
+        |  kmax - kmin + 1 - n_keys AS n_missing, n_gap_runs
+        |FROM b, r""".stripMargin,
     "q_expectations" ->
       """SELECT "check", n_rows, n_violations,
         |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass

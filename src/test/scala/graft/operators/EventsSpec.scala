@@ -382,4 +382,25 @@ class EventsSpec extends SparkSpec with Matchers {
     rows.head.getAs[Long]("n_exact") should be <= rows(
       math.min(rows.length - 1, Events.HllRollDays - 1)).getAs[Long]("n_exact")
   }
+
+  test("q_funnel_paths: path census partitions the users, shares sum to 1, " +
+    "top path matches a brute-force replay") {
+    val rows = Events.qFunnelPaths(spark, sf()).collect()
+    val ev = graft.tables.Tables.events(spark, sf())
+    rows.map(_.getAs[Long]("n_users")).sum shouldBe
+      ev.select("user_id").distinct().count()
+    rows.map(_.getAs[Double]("share")).sum shouldBe 1.0 +- 1e-4
+    // brute-force: first PathLen event types per user from collected rows
+    val paths = ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, g) =>
+        g.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+          .take(Events.PathLen).map(_.getString(3)).mkString(">")
+      }
+    val wantTop = paths.groupBy(identity).view.mapValues(_.size).toMap
+    val gotTop = rows.head
+    wantTop(gotTop.getString(0)).toLong shouldBe gotTop.getAs[Long]("n_users")
+    wantTop.values.max.toLong shouldBe gotTop.getAs[Long]("n_users")
+  }
 }

@@ -227,4 +227,18 @@ class RelationalSpec extends SparkSpec with Matchers {
       .queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
   }
+
+  test("q_id_gaps matches a brute-force scan of the key sequence") {
+    val keys = graft.tables.Tables.orders(spark, sf())
+      .select(col("o_orderkey")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    val runs = keys.init.zip(keys.tail).count { case (a, b) => b > a + 1 }
+    val r = Relational.qIdGaps(spark, sf()).head()
+    r.getAs[Long]("n_keys") shouldBe keys.length.toLong
+    r.getAs[Long]("kmin") shouldBe keys.head
+    r.getAs[Long]("kmax") shouldBe keys.last
+    r.getAs[Long]("n_missing") shouldBe
+      (keys.last - keys.head + 1 - keys.length)
+    r.getAs[Long]("n_gap_runs") shouldBe runs.toLong
+  }
 }
