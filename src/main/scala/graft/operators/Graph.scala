@@ -278,7 +278,51 @@ object Graph {
       .orderBy(col("deg"))
   }
 
+  /** Relaxation rounds for [[qSssp]]: distances are exact over all paths
+    * of ≤ SsspIters edges (the hop-bounded Bellman–Ford contract — the
+    * form a bounded-iteration 100 TB deployment actually runs; an
+    * expander of this fan-out is hop-converged well inside the bound for
+    * UNWEIGHTED reachability, and the bound makes the oracle's static
+    * unroll exact rather than convergence-dependent).
+    */
+  val SsspIters = 12
+
+  /** Weighted single-source shortest paths by synchronous Bellman–Ford
+    * relaxation (Bellman 1958) over the directed functional graph — the
+    * third iterative-workload class after CC (label convergence) and
+    * PageRank (mass convergence): MONOTONE MIN-PLUS convergence. Edge
+    * weight w(u, v) = 1 + (3u + 5v) mod 9 is a pure function of the
+    * endpoints (both engines recompute it; nothing is stored), source is
+    * node 0. Each round is one union + keyed min aggregation — ONE
+    * Exchange, the [[ConnectedComponents]] discipline, with
+    * localCheckpoint truncating the 12-round lineage. State is the
+    * reached-node frontier table, never edges×rounds. Output: the
+    * distance census (nodes per distance value — bounded by the max
+    * path weight), exactly unrolled by the oracle's 12 CTE rounds.
+    */
+  def qSssp(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    var dist = s.range(1)
+      .select(lit(0L).as("id"), lit(0L).as("d")).localCheckpoint()
+    for (_ <- 1 to SsspIters) {
+      val cand = dist
+        .select(col("id").as("u"), col("d"),
+          explode(dsts(col("id"), n)).as("v"))
+        .select(col("v").as("id"),
+          (col("d") + 1L + (col("u") * 3L + col("v") * 5L) % 9L).as("d"))
+      dist = dist.union(cand)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.groupBy(col("d").as("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sssp" -> qSssp,
     "q_degree_hist" -> qDegreeHist,
     "q_bfs" -> qBfs,
     "q_pagerank" -> qPagerank,
@@ -320,7 +364,32 @@ object Graph {
         s"SELECT doc_id AS src, (doc_id * $a + $b) % (SELECT n FROM nn) AS dst FROM documents"
       }
       .mkString("\nUNION ALL\n")
+    val ssspRounds = (1 to SsspIters).map { t =>
+      val relaxes = LinkCoeffs.map { case (a, b) =>
+        s"""  SELECT v AS id, d + 1 + ((u * 3 + v * 5) % 9) AS d FROM (
+           |    SELECT id AS u, d, (id * $a + $b) % (SELECT n FROM nn) AS v
+           |    FROM d${t - 1})""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      // MATERIALIZED is load-bearing: each round references the previous
+      // CTE four times (identity + three relaxes); DuckDB's default
+      // inlining would expand the 12-round chain 4^12-fold
+      s"""d$t AS MATERIALIZED (
+         |  SELECT id, min(d) AS d FROM (
+         |  SELECT id, d FROM d${t - 1}
+         |  UNION ALL
+         |$relaxes
+         |  ) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
     Map(
+      // the identical 12-round min-plus relaxation, statically unrolled
+      "q_sssp" ->
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
+           |$ssspRounds
+           |SELECT d AS dist, count(*) AS n_nodes,
+           |  CAST(min(id) AS BIGINT) AS min_id,
+           |  CAST(max(id) AS BIGINT) AS max_id
+           |FROM d$SsspIters GROUP BY d ORDER BY dist""".stripMargin,
       // links ride per-coefficient UNION ALL selects (the q_triangles
       // oracle form), not an unnest list: DuckDB 1.x's binder fails
       // internally on an unnest-list edge source that is unnested again

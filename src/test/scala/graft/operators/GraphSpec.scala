@@ -120,4 +120,32 @@ class GraphSpec extends SparkSpec with Matchers {
       case _ => ()
     }
   }
+
+  test("q_sssp matches a driver-side hop-bounded Bellman-Ford replay") {
+    val n = graft.tables.Tables.documents(spark, sf()).count()
+    val inf = Long.MaxValue / 4
+    val dist = Array.fill(n.toInt)(inf)
+    dist(0) = 0L
+    (1 to Graph.SsspIters).foreach { _ =>
+      val snap = dist.clone()
+      snap.zipWithIndex.foreach { case (du, u) =>
+        if (du < inf) Graph.LinkCoeffs.foreach { case (a, b) =>
+          val v = ((u * a + b) % n).toInt
+          val w = 1L + (u * 3L + v * 5L) % 9L
+          if (du + w < dist(v)) dist(v) = du + w
+        }
+      }
+    }
+    val want = dist.zipWithIndex.filter(_._1 < inf)
+      .groupBy(_._1).map { case (d, g) =>
+        d -> (g.length.toLong, g.map(_._2.toLong).min, g.map(_._2.toLong).max)
+      }
+    val got = Graph.qSssp(spark, sf()).collect()
+      .map(r => r.getAs[Long]("dist") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("min_id"),
+          r.getAs[Long]("max_id"))).toMap
+    got shouldBe want
+    // the expander reaches every node inside the hop bound
+    got.values.map(_._1).sum shouldBe n
+  }
 }
