@@ -806,6 +806,67 @@ object Events {
         round(element_at(col("ew"), col("pos") + 1), 6).as("ewma"))
       .orderBy(col("event_type"), col("hour"))
 
+  // -------------------------------------------------------------------
+  // A/B experiment readout with exact integer sufficient statistics
+  // -------------------------------------------------------------------
+
+  /** Shared-verbatim IEEE two-sample pooled t readout over exact integer
+    * inputs (counts + cent sums + cent sums-of-squares) — the
+    * [[hllEstSql]] discipline: both engines evaluate this literal tree,
+    * so the statistic matches bit-for-bit. All intermediates in cents
+    * (the unit cancels in t).
+    */
+  private def abTSql(nc: String, nt: String, sc: String, st: String,
+      ssc: String, sst: String): String = {
+    val mc = s"(CAST($sc AS DOUBLE) / $nc)"
+    val mt = s"(CAST($st AS DOUBLE) / $nt)"
+    val sp2 = s"((CAST($ssc AS DOUBLE) - CAST($sc AS DOUBLE) * $sc / $nc" +
+      s" + CAST($sst AS DOUBLE) - CAST($st AS DOUBLE) * $st / $nt)" +
+      s" / ($nc + $nt - 2))"
+    s"round(($mt - $mc) / sqrt($sp2 * (1.0e0 / $nc + 1.0e0 / $nt)), 6)"
+  }
+
+  /** A/B experiment readout — the two-sample comparison every
+    * product/data team runs after a split test: users are assigned to
+    * arms by the engine-portable md5 bucket (the [[graft.operators.Sampling.splitLabel]]
+    * convention — assignment is a pure function of the randomization
+    * unit, reproducible at any scale), the metric is each user's total
+    * purchase value, and the readout is lift plus a pooled two-sample t.
+    * Scale discipline: ONE per-user aggregation (the randomization-unit
+    * rollup — per-EVENT analysis would inflate significance by
+    * correlated within-user events), then a 2-row arm rollup carrying
+    * EXACT integer sufficient statistics — counts, cent sums, cent
+    * sums-of-squares (BIGINT-safe to ~10⁹ users at this value range;
+    * a 100 TB deployment widens to DECIMAL(38,0) like [[graft.operators.Relational.dsum]]) —
+    * and the IEEE t evaluates once over that bounded frame
+    * ([[abTSql]], shared verbatim with the oracle).
+    */
+  def qAbLift(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+        graft.operators.Relational.cents(col("value")))), lit(0L)).as("v"))
+      .select(graft.operators.Sampling.hashBucket(col("user_id"), 2)
+        .as("arm"), col("v"))
+    perUser
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("ssv"))
+      .agg(
+        max(when(col("arm") === 0L, col("n"))).as("n_c"),
+        max(when(col("arm") === 1L, col("n"))).as("n_t"),
+        max(when(col("arm") === 0L, col("sv"))).as("sc"),
+        max(when(col("arm") === 1L, col("sv"))).as("st"),
+        max(when(col("arm") === 0L, col("ssv"))).as("ssc"),
+        max(when(col("arm") === 1L, col("ssv"))).as("sst"))
+      .select(col("n_c"), col("n_t"),
+        round(col("sc").cast("double") / 100d / col("n_c"), 6).as("mean_c"),
+        round(col("st").cast("double") / 100d / col("n_t"), 6).as("mean_t"),
+        round((col("st").cast("double") * col("n_c")) /
+          (col("sc").cast("double") * col("n_t")) - 1d, 6).as("lift"),
+        expr(abTSql("n_c", "n_t", "sc", "st", "ssc", "sst")).as("t_stat"))
+  }
+
   /** Prefix length for [[qFunnelPaths]]. */
   val PathLen = 3
 
@@ -1010,6 +1071,7 @@ object Events {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma" -> qEwma,
+    "q_ab_lift" -> qAbLift,
     "q_funnel_paths" -> qFunnelPaths,
     "q_ks_drift" -> qKsDrift,
     "q_changepoint" -> qChangepoint,
@@ -1040,6 +1102,39 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical per-user rollup, md5 arm assignment, and integer
+    // sufficient statistics; abTSql is shared verbatim
+    "q_ab_lift" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    coalesce(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(sign(value) * floor(abs(value) * 100.0e0 + 0.5e0)
+         |        AS BIGINT) END), 0) AS v
+         |  FROM events GROUP BY user_id),
+         |a AS (
+         |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |    ::BIGINT % 2 AS arm, v
+         |  FROM pu),
+         |g AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sv,
+         |    CAST(sum(v * v) AS BIGINT) AS ssv
+         |  FROM a GROUP BY arm),
+         |p AS (
+         |  SELECT CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_c,
+         |    CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_t,
+         |    CAST(max(CASE WHEN arm = 0 THEN sv END) AS BIGINT) AS sc,
+         |    CAST(max(CASE WHEN arm = 1 THEN sv END) AS BIGINT) AS st,
+         |    CAST(max(CASE WHEN arm = 0 THEN ssv END) AS BIGINT) AS ssc,
+         |    CAST(max(CASE WHEN arm = 1 THEN ssv END) AS BIGINT) AS sst
+         |  FROM g)
+         |SELECT n_c, n_t,
+         |  round(CAST(sc AS DOUBLE) / 100.0e0 / n_c, 6) AS mean_c,
+         |  round(CAST(st AS DOUBLE) / 100.0e0 / n_t, 6) AS mean_t,
+         |  round((CAST(st AS DOUBLE) * n_c) / (CAST(sc AS DOUBLE) * n_t)
+         |    - 1.0e0, 6) AS lift,
+         |  ${abTSql("n_c", "n_t", "sc", "st", "ssc", "sst")} AS t_stat
+         |FROM p""".stripMargin,
     // identical per-user rank + positional assembly (concat_ws skips the
     // NULL positions of short paths on both engines)
     "q_funnel_paths" -> {

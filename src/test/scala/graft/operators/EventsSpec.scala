@@ -403,4 +403,35 @@ class EventsSpec extends SparkSpec with Matchers {
     wantTop(gotTop.getString(0)).toLong shouldBe gotTop.getAs[Long]("n_users")
     wantTop.values.max.toLong shouldBe gotTop.getAs[Long]("n_users")
   }
+
+  test("q_ab_lift matches a driver-side recomputation of the pooled t") {
+    val ev = graft.tables.Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+    def cents(v: Double): Long =
+      (math.signum(v) * math.floor(math.abs(v) * 100 + 0.5)).toLong
+    val perUser = ev.groupBy(_.getLong(0)).map { case (uid, g) =>
+      uid -> g.filter(_.getString(1) == "purchase").map(r => cents(r.getDouble(2))).sum
+    }
+    def arm(uid: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val byArm = perUser.groupBy { case (uid, _) => arm(uid) }
+      .map { case (a, g) => a -> g.values.toSeq }
+    val (c, t) = (byArm(0L), byArm(1L))
+    val r = Events.qAbLift(spark, sf()).head()
+    r.getAs[Long]("n_c") shouldBe c.size.toLong
+    r.getAs[Long]("n_t") shouldBe t.size.toLong
+    def mean(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    r.getAs[Double]("mean_c") shouldBe
+      (math.rint(mean(c) / 100 * 1e6) / 1e6) +- 1e-9
+    val sp2 = (c.map(x => x.toDouble * x).sum - c.sum.toDouble * c.sum / c.size +
+      t.map(x => x.toDouble * x).sum - t.sum.toDouble * t.sum / t.size) /
+      (c.size + t.size - 2)
+    val tStat = (mean(t) - mean(c)) /
+      math.sqrt(sp2 * (1.0 / c.size + 1.0 / t.size))
+    r.getAs[Double]("t_stat") shouldBe tStat +- 1e-5
+  }
 }
