@@ -29,7 +29,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers {
     "q_pagerank", // iterative integer fixed point across checkpoints
     "q_sample_pps", // two-pass prefix-sum multiplicities
     "q_curriculum", // driver-derived histogram boundary literals
-    "q_triangles") // multi-self-join census counts
+    "q_triangles", // multi-self-join census counts
+    "q_range_search", // replicated-probe grid self-join, exact predicate
+    "q_ab_lift") // hash-arm assignment + shared-verbatim IEEE statistic
 
   test("representative queries are bit-identical with AQE off and a " +
     "different shuffle partitioning") {

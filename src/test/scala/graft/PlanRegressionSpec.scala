@@ -44,6 +44,16 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should include("partial_quantile_sketch")
   }
 
+  test("q_id_gaps: gap census plans without any Window (no global sort)") {
+    // the shifted anti-join formulation exists precisely to avoid
+    // rank-vs-key islands (a corpus-wide single-partition Window); a
+    // Window here is the banned formulation coming back
+    val plan = Relational.qIdGaps(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
   test("IVF assignment stage is row-local: no Exchange, no Window") {
     // round 1 computed this argmax with crossJoin + row_number() over a
     // Window partitioned by vec_id — N·k rows through an Exchange; the
