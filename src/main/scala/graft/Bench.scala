@@ -255,10 +255,18 @@ object Bench {
     // Holds to ≈200 queries; documented in BASELINE.md.
     val idxKey: Map[String, String] =
       names.zipWithIndex.map { case (n, i) => n -> i.toString }.toMap
+    // stage-8 squeeze (built at 195 queries, round 7 sixth continuation;
+    // engages when stage-7 crosses the budget at ≈205): the same sorted
+    // registry indices in base-36 (0-9a-z) — two characters address 1296
+    // queries; reversible from the detail line exactly like stage-7.
+    val idx36Key: Map[String, String] =
+      names.zipWithIndex.map { case (n, i) =>
+        n -> java.lang.Integer.toString(i, 36) }.toMap
     // the squeezes must stay injective over the registry: a future
     // q_t_foo would alias with q_text_foo's squeezed key and silently
     // merge two queries on the contract line (round-5 advisor note)
-    for (keys <- Seq(dropQ, famKey, vowelKey, segKey, segKey1, idxKey)) {
+    for (keys <- Seq(dropQ, famKey, vowelKey, segKey, segKey1, idxKey,
+      idx36Key)) {
       val squeezed = names.map(keys)
       require(squeezed.distinct.size == names.size,
         s"contract-line key squeeze aliases query names: ${
@@ -277,7 +285,9 @@ object Bench {
       else { val segLine = contract(segKey)
         if (segLine.length <= 2000) segLine
         else { val seg1Line = contract(segKey1)
-          if (seg1Line.length <= 2000) seg1Line else contract(idxKey) } })
+          if (seg1Line.length <= 2000) seg1Line
+          else { val idxLine = contract(idxKey)
+            if (idxLine.length <= 2000) idxLine else contract(idx36Key) } } })
     spark.stop()
   }
 }
