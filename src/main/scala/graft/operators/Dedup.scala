@@ -281,6 +281,55 @@ object Dedup {
     df
   }
 
+  /** Jaccard threshold for [[qSimjoin]], in tenths (7 → J ≥ 0.7). */
+  val SimjoinT = 7
+
+  /** EXACT all-pairs set-similarity join by prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW 2007; Xiao et al., WWW
+    * 2008): the DETERMINISTIC companion to [[qDedupMinhash]]'s
+    * probabilistic LSH. Every document's hashed shingle set is ordered by
+    * the GLOBAL rare-first key (ascending document frequency, then hash
+    * — one vocabulary census, one join); if J(x, y) ≥ t, the first
+    * |x| − ⌈t·|x|⌉ + 1 elements of x and of y must share a member under
+    * any common total order, so candidates are generated by an equi-join
+    * on prefix tokens only — rare tokens by construction, which is what
+    * keeps buckets small WITHOUT the LSH path's bucket cap (a cap here
+    * would break the exactness guarantee; [[minhashCandidates]] is
+    * reused uncapped). Verification is the integer predicate
+    * 10·|x∩y| ≥ t₁₀·|x∪y| on the shared persisted signature table — no
+    * float threshold edge. Scale shape: census + join + bounded prefix
+    * explode ((1−t)·|x|+1 per doc) + in-bucket pairs + candidate-
+    * proportional verify; the O(n²) work exists only in the small-SF
+    * oracle's brute force.
+    */
+  def qSimjoin(s: SparkSession, dir: String): DataFrame = {
+    val withHs = sharedSignatures(s, dir)
+    val flat = withHs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = flat.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ordered = flat.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("sz"))
+    // p = sz − ⌈t·sz⌉ + 1, exact integer ceil
+    val p = (col("sz") - expr(s"($SimjoinT * sz + 9) div 10") + 1).cast("int")
+    val pre = ordered
+      .select(col("doc_id"), lit(0).as("band_idx"),
+        explode(slice(col("toks"), lit(1), p)).as("t"))
+      .select(col("doc_id"), col("band_idx"), col("t.h").as("band_key"))
+    minhashCandidates(pre, Int.MaxValue)
+      .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")),
+        "doc_a")
+      .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).as("ni"),
+        size(array_distinct(concat(col("hs_a"), col("hs_b")))).as("nu"))
+      .filter(col("ni") * 10 >= col("nu") * SimjoinT)
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / col("nu")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash + LSH banding: one-pass codegen'd affine signatures over the
     * hashed shingle array, band keys, candidate pairs via band equi-join,
     * Jaccard verification on candidates only.
@@ -1308,6 +1357,7 @@ object Dedup {
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_containment" -> qContainment,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_simjoin" -> qSimjoin,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding
   )
@@ -1795,6 +1845,26 @@ object Dedup {
          |JOIN sh d ON d.doc_id = a.doc_id + $PlantOffset
          |WHERE a.doc_id < $PlantOffset
          |ORDER BY doc_id""".stripMargin,
+    // INDEPENDENT derivation: brute-force all pairs over the hashed
+    // shingle sets (length-filter pruned — implied by J >= t), integer
+    // threshold predicate — the quadratic work the prefix filter exists
+    // to avoid at scale, affordable at oracle SF
+    "q_simjoin" ->
+      s"""WITH corpus AS ($nearDupSql),
+         |shd AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus),
+         |hsd AS (SELECT doc_id,
+         |  list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)
+         |    AS hs
+         |  FROM shd WHERE len(sh) > 0),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.hs, b.hs)) AS ni,
+         |    len(list_distinct(list_concat(a.hs, b.hs))) AS nu
+         |  FROM hsd a JOIN hsd b ON a.doc_id < b.doc_id
+         |    AND len(b.hs) * 10 >= len(a.hs) * $SimjoinT
+         |    AND len(a.hs) * 10 >= len(b.hs) * $SimjoinT)
+         |SELECT doc_a, doc_b, CAST(ni AS DOUBLE) / nu AS jaccard
+         |FROM pr WHERE ni * 10 >= nu * $SimjoinT
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $minhashCteChain
          |SELECT doc_a, doc_b, n_shared_bands,

@@ -456,4 +456,27 @@ class DedupSpec extends SparkSpec with Matchers {
       j should be < 1.0
     }
   }
+
+  test("q_simjoin: prefix-filtered exact join equals an in-JVM brute force " +
+    "and recovers the planted duplicates") {
+    val got = Dedup.qSimjoin(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same hashed shingle sets
+    val sets = Dedup.withHashedShingles(Dedup.nearDupDocs(spark, sf()))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("hs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib
+      ni = (sa intersect sb).size; nu = (sa union sb).size
+      if ni * 10 >= nu * Dedup.SimjoinT
+    } yield (ia, ib)).toSet
+    got shouldBe want
+    // most planted (doc, doc+PlantOffset) pairs qualify at t=0.7
+    val planted = got.count { case (a, b) => b == a + Dedup.PlantOffset }
+    planted should be > (sets.length / 2 * 6) / 10
+  }
 }
