@@ -136,5 +136,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         FreqSketchStrings(args(0), k)
       }))
+    // opt-in AQP: exact count(DISTINCT x) -> HLL++ when the session sets
+    // spark.graft.approx_distinct=true (inert otherwise — see the rule's
+    // scaladoc for the exactness-contract rationale)
+    e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }

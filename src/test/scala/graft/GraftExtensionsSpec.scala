@@ -65,4 +65,42 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     qs(1) should be <= 1.0 / 127 / 2 // worst error within half a step
     qs(3) shouldBe 3.0
   }
+
+  test("ApproxDistinctRewrite: inert by default, swaps exact distinct for " +
+    "HLL++ under the flag, estimate inside the error envelope") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-approx-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .create()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    def q() = docs.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n"))
+    // flag off: exact plan, exact values
+    val exact = q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!q().queryExecution.executedPlan.toString
+      .contains("approx_count_distinct"))
+    try {
+      spark.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "true")
+      val plan = q().queryExecution.executedPlan.toString
+      plan should include("approx_count_distinct")
+      val approx = q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      approx.keySet shouldBe exact.keySet
+      // HLL++ default relativeSD = 0.05; allow 3 sigma + integer slack
+      exact.foreach { case (k, n) =>
+        math.abs(approx(k) - n).toDouble should be <= (n * 0.15 + 2)
+      }
+      // multi-argument distinct stays exact (scope guard)
+      val multi = docs.agg(
+        countDistinct(col("lang"), col("source")).as("n"))
+      assert(!multi.queryExecution.executedPlan.toString
+        .contains("approx_count_distinct"))
+    } finally spark.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "false")
+    // flag back off: exact again
+    q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe exact
+  }
 }
