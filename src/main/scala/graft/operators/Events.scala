@@ -806,6 +806,55 @@ object Events {
         round(element_at(col("ew"), col("pos") + 1), 6).as("ewma"))
       .orderBy(col("event_type"), col("hour"))
 
+  /** Holt coefficients — shared-verbatim IEEE literals ([[EwmaA]]
+    * discipline): level α = 0.3, trend β = 0.1.
+    */
+  val HoltA = "0.3e0"
+  val HoltA1 = "0.7e0"
+  val HoltB = "0.1e0"
+  val HoltB1 = "0.9e0"
+
+  /** Forecast horizon (hours) appended to the [[qHolt]] readout. */
+  val HoltH = 3
+
+  /** Holt double (level + trend) exponential smoothing per event type,
+    * with an h-step-ahead linear forecast — the minimal FORECASTING
+    * operator on top of [[qEwma]]'s smoothing (Holt 1957): level
+    * l ← α·y + (1−α)(l + b), trend b ← β(l − l_prev) + (1−β)b, seeded
+    * l₂ = y₂, b₂ = y₂ − y₁; forecast ŷ(T+h) = l_T + h·b_T. Same scale
+    * shape as EWMA: the inherently sequential recurrence runs inside ONE
+    * row per type over the sorted in-row hourly array (bounded by the
+    * time axis, never corpus-sized), one shuffle total; the oracle
+    * replays the identical IEEE recurrence as a recursive CTE. Output is
+    * |types| rows: final level/trend and the next [[HoltH]] hourly
+    * forecasts, rounded at the END only (intermediates carry full
+    * doubles on both engines).
+    */
+  def qHolt(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hour"), col("n"))))
+        .as("pts"))
+      .filter(size(col("pts")) >= 2)
+      .withColumn("fin", expr(
+        "aggregate(slice(pts, 3, size(pts) - 2), " +
+          "named_struct(" +
+          "'l', CAST(element_at(pts, 2).n AS DOUBLE), " +
+          "'b', CAST(element_at(pts, 2).n - element_at(pts, 1).n AS DOUBLE)), " +
+          s"(acc, p) -> named_struct(" +
+          s"'l', $HoltA * p.n + $HoltA1 * (acc.l + acc.b), " +
+          s"'b', $HoltB * (($HoltA * p.n + $HoltA1 * (acc.l + acc.b)) - acc.l)" +
+          s" + $HoltB1 * acc.b))"))
+      .select(col("event_type") +:
+        size(col("pts")).cast("long").as("n_hours") +:
+        round(col("fin.l"), 6).as("level") +:
+        round(col("fin.b"), 6).as("trend") +:
+        (1 to HoltH).map(h =>
+          round(expr(s"fin.l + $h * fin.b"), 6).as(s"f$h")): _*)
+      .orderBy(col("event_type"))
+
   // -------------------------------------------------------------------
   // A/B experiment readout with exact integer sufficient statistics
   // -------------------------------------------------------------------
@@ -923,11 +972,14 @@ object Events {
     * lower bound on the raw-value KS), the trade a 100 TB scan makes to
     * avoid a global sort of every value.
     */
-  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy()
-    val cumW = Window.partitionBy().orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(s, dir)
+  /** The bin-counting head of [[qKsDrift]], factored out so the STREAMING
+    * twin ([[graft.streaming.Streaming]]) can run the identical
+    * aggregation incrementally (update-mode keyed state = exactly these
+    * ≤ [[KsBins]] rows) and feed its snapshot into the same
+    * [[ksFromBins]] tail — batch ≡ stream by construction.
+    */
+  private[graft] def ksBins(events: DataFrame): DataFrame =
+    events
       .select(
         least(lit(KsBins - 1), greatest(lit(0),
           floor(col("value") / KsBinWidth).cast("int"))).cast("long").as("bin"),
@@ -936,6 +988,13 @@ object Events {
       .groupBy(col("bin"))
       .agg(sum(col("early")).as("ne"),
         (count(lit(1)) - sum(col("early"))).as("nl"))
+
+  /** The statistic tail of [[qKsDrift]] over a (bin, ne, nl) frame. */
+  private[graft] def ksFromBins(bins: DataFrame): DataFrame = {
+    val w = Window.partitionBy()
+    val cumW = Window.partitionBy().orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bins
       .withColumn("ce", sum(col("ne")).over(cumW))
       .withColumn("cl", sum(col("nl")).over(cumW))
       .withColumn("te", sum(col("ne")).over(w))
@@ -951,6 +1010,9 @@ object Events {
         round(col("d_scaled").cast("double") /
           (col("n_early") * col("n_late")).cast("double"), 6).as("d"))
   }
+
+  def qKsDrift(s: SparkSession, dir: String): DataFrame =
+    ksFromBins(ksBins(Tables.events(s, dir)))
 
   // -------------------------------------------------------------------
   // CUSUM change-point over the dense hourly series (exact integers)
@@ -1071,6 +1133,7 @@ object Events {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma" -> qEwma,
+    "q_holt" -> qHolt,
     "q_ab_lift" -> qAbLift,
     "q_funnel_paths" -> qFunnelPaths,
     "q_ks_drift" -> qKsDrift,
@@ -1102,6 +1165,42 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the identical two-accumulator IEEE recurrence replayed as a
+    // recursive CTE (the q_ewma pattern with (l, b) state)
+    "q_holt" -> {
+      val lNext = s"$HoltA * o.n + $HoltA1 * (r.l + r.b)"
+      val fc = (1 to HoltH)
+        .map(h => s"round(l + $h * b, 6) AS f$h").mkString(",\n  ")
+      s"""WITH RECURSIVE hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |o AS (
+         |  SELECT event_type, n,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+         |  FROM hourly),
+         |cnt AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n_hours
+         |  FROM o GROUP BY event_type),
+         |r AS (
+         |  SELECT o2.event_type, o2.rn, CAST(o2.n AS DOUBLE) AS l,
+         |    CAST(o2.n - o1.n AS DOUBLE) AS b
+         |  FROM o o2 JOIN o o1
+         |    ON o1.event_type = o2.event_type AND o1.rn = 1
+         |  WHERE o2.rn = 2
+         |  UNION ALL
+         |  SELECT r.event_type, o.rn,
+         |    $lNext AS l,
+         |    $HoltB * (($lNext) - r.l) + $HoltB1 * r.b AS b
+         |  FROM r JOIN o
+         |    ON o.event_type = r.event_type AND o.rn = r.rn + 1),
+         |fin AS (
+         |  SELECT r.event_type, cnt.n_hours, r.l AS l, r.b AS b
+         |  FROM r JOIN cnt
+         |    ON cnt.event_type = r.event_type AND r.rn = cnt.n_hours)
+         |SELECT event_type, n_hours, round(l, 6) AS level,
+         |  round(b, 6) AS trend,
+         |  $fc
+         |FROM fin ORDER BY event_type""".stripMargin
+    },
     // identical per-user rollup, md5 arm assignment, and integer
     // sufficient statistics; abTSql is shared verbatim
     "q_ab_lift" ->

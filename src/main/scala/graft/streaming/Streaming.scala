@@ -388,6 +388,20 @@ object Streaming {
       }
       .start()
 
+  /** Streaming KS drift monitor — the incremental twin of
+    * [[graft.operators.Events.qKsDrift]]: the bin-count head runs as a
+    * BUILT-IN keyed streaming aggregation (state = the same
+    * ≤ [[graft.operators.Events.KsBins]] (bin, ne, nl) rows the batch
+    * aggregation produces — bounded by the grid, never the stream), and
+    * the statistic tail evaluates over any snapshot of that state with
+    * the SAME [[graft.operators.Events.ksFromBins]] code path — batch ≡
+    * stream by construction (spec-pinned over shuffled multi-batch
+    * arrival). The production shape: complete/update-mode sink feeding a
+    * dashboard that recomputes D from ≤ 500 rows per refresh.
+    */
+  def ksDriftBins(events: DataFrame): DataFrame =
+    graft.operators.Events.ksBins(events)
+
   /** Stream-static enrichment join: tag each streamed event with its
     * user's segment from a static (batch) dimension. No watermark needed —
     * the static side is bounded, so there is no join state to expire; each

@@ -434,4 +434,27 @@ class EventsSpec extends SparkSpec with Matchers {
       math.sqrt(sp2 * (1.0 / c.size + 1.0 / t.size))
     r.getAs[Double]("t_stat") shouldBe tStat +- 1e-5
   }
+
+  test("q_holt matches a driver-side replay of the level+trend recurrence") {
+    val hourly = graft.tables.Tables.events(spark, sf())
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val rows = Events.qHolt(spark, sf()).collect()
+    rows.foreach { r =>
+      val ys = hourly.filter(_._1 == r.getString(0)).sortBy(_._2).map(_._3)
+      var l = ys(1).toDouble
+      var b = (ys(1) - ys(0)).toDouble
+      ys.drop(2).foreach { y =>
+        val ln = 0.3 * y + 0.7 * (l + b)
+        b = 0.1 * (ln - l) + 0.9 * b
+        l = ln
+      }
+      r.getAs[Long]("n_hours") shouldBe ys.length.toLong
+      r.getAs[Double]("level") shouldBe (math.rint(l * 1e6) / 1e6) +- 1e-9
+      r.getAs[Double]("trend") shouldBe (math.rint(b * 1e6) / 1e6) +- 1e-9
+      r.getAs[Double]("f3") shouldBe
+        (math.rint((l + 3 * b) * 1e6) / 1e6) +- 1e-9
+    }
+  }
 }

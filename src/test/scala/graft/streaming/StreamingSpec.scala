@@ -533,4 +533,39 @@ class StreamingSpec extends SparkSpec with Matchers {
       an[Exception] should be thrownBy qb.processAllAvailable()
     } finally qb.stop()
   }
+
+  test("streaming KS drift bins reproduce the batch statistic over " +
+    "shuffled multi-batch arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, sf())
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1)))
+    // deterministic pseudo-shuffle: Knuth multiplicative hash of position
+    val shuffled = ev.zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) & 0x7fffffffL }
+      .map(_._1)
+    val input = MemoryStream[(Timestamp, Double)]
+    val q = Streaming
+      .ksDriftBins(input.toDF().toDF("ts", "value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("ks_bins_t")
+      .start()
+    try {
+      shuffled.grouped(shuffled.length / 3 + 1).foreach { batch =>
+        input.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      val got = graft.operators.Events
+        .ksFromBins(spark.table("ks_bins_t")).head()
+      val want = graft.operators.Events.qKsDrift(spark, sf()).head()
+      got.getAs[Long]("n_early") shouldBe want.getAs[Long]("n_early")
+      got.getAs[Long]("n_late") shouldBe want.getAs[Long]("n_late")
+      got.getAs[Long]("d_scaled") shouldBe want.getAs[Long]("d_scaled")
+      got.getAs[Long]("ks_bin") shouldBe want.getAs[Long]("ks_bin")
+      got.getAs[Double]("d") shouldBe want.getAs[Double]("d")
+    } finally q.stop()
+  }
 }
