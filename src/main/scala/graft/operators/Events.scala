@@ -1014,6 +1014,53 @@ object Events {
   def qKsDrift(s: SparkSession, dir: String): DataFrame =
     ksFromBins(ksBins(Tables.events(s, dir)))
 
+  /** Theil–Sen robust trend of the hourly event-count series — the
+    * median-of-pairwise-slopes estimator (Theil 1950, Sen 1968) that a
+    * single outlier hour cannot move, where OLS (the [[graft.operators.TextAnalysis]]
+    * token-calibration fit) gets dragged. The quadratic work is over the
+    * TIME AXIS, not the corpus: H observed hours → H(H−1)/2 slope pairs
+    * (≤ ~260 k at a month of hours — bounded regardless of row count),
+    * generated from ONE in-row sorted array (the [[qEwma]] shape — no
+    * self-join re-evaluating the hourly aggregation twice, the
+    * q_dedup_lines lesson). Slope = exact-integer Δn / Δhours cast to
+    * double; slope and intercept medians are sort-based interpolating
+    * percentiles (the [[graft.operators.Relational.qMedian]]
+    * percentile ↔ quantile_cont exact pairing); intercept = median of
+    * (y − slope·x) residuals, the standard Theil–Sen second pass.
+    */
+  def qTheilsen(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val pts = hourly
+      .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("pts"))
+    val dxSql = "CAST((unix_micros(q.h) - unix_micros(p.h))" +
+      " div 3600000000 AS DOUBLE)"
+    val slopes = pts
+      .select(col("pts"), posexplode(col("pts")).as(Seq("i", "p")))
+      .select(col("p"),
+        explode(slice(col("pts"), col("i") + 2,
+          greatest(size(col("pts")) - col("i") - 1, lit(0)))).as("q"))
+      .select(((col("q.n") - col("p.n")).cast("double") /
+        expr(dxSql)).as("slope"))
+      .agg(expr("percentile(slope, 0.5D)").as("slope"),
+        count(lit(1)).as("n_pairs"))
+    val resid = hourly
+      .crossJoin(broadcast(slopes))
+      .crossJoin(broadcast(hourly.agg(min(col("h")).as("h0"))))
+      .select(col("n_pairs"),
+        (col("n").cast("double") - col("slope") *
+          expr("CAST((unix_micros(h) - unix_micros(h0))" +
+            " div 3600000000 AS DOUBLE)")).as("r"),
+        col("slope"))
+      .groupBy(col("n_pairs"), col("slope"))
+      .agg(count(lit(1)).as("n_hours"),
+        expr("percentile(r, 0.5D)").as("intercept"))
+    resid.select(col("n_hours"), col("n_pairs"),
+      round(col("slope"), 6).as("slope"),
+      round(col("intercept"), 6).as("intercept"))
+  }
+
   // -------------------------------------------------------------------
   // CUSUM change-point over the dense hourly series (exact integers)
   // -------------------------------------------------------------------
@@ -1134,6 +1181,7 @@ object Events {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma" -> qEwma,
     "q_holt" -> qHolt,
+    "q_theilsen" -> qTheilsen,
     "q_ab_lift" -> qAbLift,
     "q_funnel_paths" -> qFunnelPaths,
     "q_ks_drift" -> qKsDrift,
@@ -1165,6 +1213,33 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical pairwise-slope set (the oracle's self-join affords the
+    // re-evaluation the Spark side's in-row explode avoids), identical
+    // interpolating medians (percentile ~ quantile_cont pairing)
+    "q_theilsen" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |pr AS (
+        |  SELECT CAST(b.n - a.n AS DOUBLE)
+        |      / CAST((epoch_us(b.h) - epoch_us(a.h)) // 3600000000 AS DOUBLE)
+        |    AS slope
+        |  FROM hourly a JOIN hourly b ON a.h < b.h),
+        |sl AS (SELECT quantile_cont(slope, 0.5) AS slope,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pr),
+        |mn AS (SELECT min(h) AS h0 FROM hourly),
+        |res AS (
+        |  SELECT CAST(n AS DOUBLE) - sl.slope *
+        |      CAST((epoch_us(h) - epoch_us(h0)) // 3600000000 AS DOUBLE)
+        |    AS r
+        |  FROM hourly, sl, mn),
+        |ic AS (SELECT CAST(count(*) AS BIGINT) AS n_hours,
+        |    quantile_cont(r, 0.5) AS intercept
+        |  FROM res)
+        |SELECT n_hours, n_pairs, round(slope, 6) AS slope,
+        |  round(intercept, 6) AS intercept
+        |FROM sl, ic""".stripMargin,
     // the identical two-accumulator IEEE recurrence replayed as a
     // recursive CTE (the q_ewma pattern with (l, b) state)
     "q_holt" -> {

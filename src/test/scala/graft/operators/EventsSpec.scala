@@ -457,4 +457,33 @@ class EventsSpec extends SparkSpec with Matchers {
         (math.rint((l + 3 * b) * 1e6) / 1e6) +- 1e-9
     }
   }
+
+  test("q_theilsen matches a driver-side median-of-slopes replay") {
+    val hours = graft.tables.Tables.events(spark, sf())
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sortBy(_._1)
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    val slopes = for {
+      i <- hours.indices.toArray; j <- (i + 1) until hours.length
+    } yield (hours(j)._2 - hours(i)._2).toDouble /
+      ((hours(j)._1 - hours(i)._1) / 3600000L)
+    val slope = medianOf(slopes)
+    val h0 = hours.head._1
+    val intercept = medianOf(hours.map { case (h, n) =>
+      n.toDouble - slope * ((h - h0) / 3600000L) })
+    val r = Events.qTheilsen(spark, sf()).head()
+    r.getAs[Long]("n_hours") shouldBe hours.length.toLong
+    r.getAs[Long]("n_pairs") shouldBe slopes.length.toLong
+    r.getAs[Double]("slope") shouldBe
+      (math.rint(slope * 1e6) / 1e6) +- 1e-9
+    r.getAs[Double]("intercept") shouldBe
+      (math.rint(intercept * 1e6) / 1e6) +- 1e-9
+  }
 }
