@@ -321,8 +321,57 @@ object Graph {
       .orderBy(col("dist"))
   }
 
+  /** Core order and peel rounds for [[qKcore]]: at k = 9 the synthetic
+    * expander's near-regular degree band (7–10) produces a genuine
+    * multi-round cascade rather than an instant fixpoint.
+    */
+  val KCoreK = 9
+  val KCoreRounds = 8
+
+  /** k-core peeling census (Seidman 1983; distributed formulation à la
+    * Montresor et al. 2013) — the fourth iterative-convergence class
+    * after CC (label), PageRank (mass), and SSSP (min-plus): MONOTONE
+    * DELETION. Each round recomputes degrees over the surviving edge
+    * set (one explode + keyed aggregation — one Exchange), drops nodes
+    * below k, and restricts edges to survivors (two semi-joins against
+    * the ≤|nodes| keep list); localCheckpoint truncates the 8-round
+    * lineage, and the per-round sizes are bounded driver roundtrips
+    * (two scalars/round — the CC accumulator class). A FIXED round
+    * count, not convergence detection, keeps the oracle a static
+    * 8-round MATERIALIZED-CTE unroll (the [[qSssp]] discipline); the
+    * census output is the cascade profile itself — (round, surviving
+    * nodes, surviving edges).
+    */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    val und = docs.select(col("id").as("src"),
+      explode(array(TriCoeffs.map { case (a, b) =>
+        (col("id") * a + b) % n }: _*)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    var edges = und.localCheckpoint()
+    val profile = (1 to KCoreRounds).map { r =>
+      val keep = edges
+        .select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+        .select(col("id"))
+      edges = edges
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      (r.toLong, keep.count(), edges.count())
+    }
+    import s.implicits._
+    profile.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sssp" -> qSssp,
+    "q_kcore" -> qKcore,
     "q_degree_hist" -> qDegreeHist,
     "q_bfs" -> qBfs,
     "q_pagerank" -> qPagerank,
@@ -380,7 +429,40 @@ object Graph {
          |$relaxes
          |  ) GROUP BY id)""".stripMargin
     }.mkString(",\n")
+    val kcoreRounds = (1 to KCoreRounds).map { t =>
+      s"""d$t AS MATERIALIZED (
+         |  SELECT id, count(*) AS deg FROM (
+         |    SELECT unnest([a, b]) AS id FROM e${t - 1}) GROUP BY id),
+         |k$t AS MATERIALIZED (SELECT id FROM d$t WHERE deg >= $KCoreK),
+         |e$t AS MATERIALIZED (
+         |  SELECT a, b FROM e${t - 1}
+         |  WHERE a IN (SELECT id FROM k$t) AND b IN (SELECT id FROM k$t))"""
+        .stripMargin
+    }.mkString(",\n")
+    val kcoreSelect = (1 to KCoreRounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM k$t) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$t) AS n_edges"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
     Map(
+      // the identical 8-round peel, statically unrolled (MATERIALIZED:
+      // e_t references chain like q_sssp's rounds)
+      "q_kcore" -> {
+        val linkSelects = TriCoeffs
+          .map { case (a, b) =>
+            s"SELECT doc_id AS src, (doc_id * $a + $b) % (SELECT n FROM nn) AS dst FROM documents"
+          }
+          .mkString("\nUNION ALL\n")
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |raw AS ($linkSelects),
+           |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |    greatest(src, dst) AS b
+           |  FROM raw WHERE src <> dst),
+           |$kcoreRounds
+           |$kcoreSelect
+           |ORDER BY round""".stripMargin
+      },
       // the identical 12-round min-plus relaxation, statically unrolled
       "q_sssp" ->
         s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

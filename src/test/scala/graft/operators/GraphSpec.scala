@@ -148,4 +148,22 @@ class GraphSpec extends SparkSpec with Matchers {
     // the expander reaches every node inside the hop bound
     got.values.map(_._1).sum shouldBe n
   }
+
+  test("q_kcore matches a driver-side peel replay") {
+    val n = graft.tables.Tables.documents(spark, sf()).count()
+    var edges = (for {
+      i <- 0L until n; (a, b) <- Graph.TriCoeffs
+      j = (i * a + b) % n if i != j
+    } yield (math.min(i, j), math.max(i, j))).toSet
+    val want = (1 to Graph.KCoreRounds).map { _ =>
+      val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= Graph.KCoreK).keySet
+      edges = edges.filter { case (a, b) => keep(a) && keep(b) }
+      (keep.size.toLong, edges.size.toLong)
+    }
+    val got = Graph.qKcore(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))).toSeq
+    got shouldBe want
+  }
 }
