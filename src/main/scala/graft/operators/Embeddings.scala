@@ -219,7 +219,68 @@ object Embeddings {
       .orderBy(col("bin"))
   }
 
+  /** Leading dimensions audited by [[qEmbeddingFisher]]. */
+  val FisherDims = 8
+
+  /** Shared-verbatim IEEE within-class scatter term over exact integer
+    * per-(dim, label) stats: SS − S²/n, rounded to 6.
+    */
+  private def fisherWSql(ssg: String, sg: String, ng: String): String =
+    s"round(CAST($ssg AS DOUBLE) - CAST($sg AS DOUBLE) * $sg / $ng, 6)"
+
+  /** Shared-verbatim IEEE between-class scatter term: n_g·(m_g − m)²
+    * with the mean difference spelled out twice (no pow — one fewer
+    * engine-intrinsic to trust).
+    */
+  private def fisherBSql(ng: String, sg: String, nt: String, st: String): String = {
+    val diff = s"(CAST($sg AS DOUBLE) / $ng - CAST($st AS DOUBLE) / $nt)"
+    s"round($ng * $diff * $diff, 6)"
+  }
+
+  /** Per-dimension Fisher separability of the labeled embedding space —
+    * the feature-quality score behind "which dimensions carry the label
+    * signal?" (Fisher 1936's discriminant ratio, one-way-ANOVA F form):
+    * F_d = [between-class scatter / (G−1)] / [within-class scatter /
+    * (N−G)] over the [[FisherDims]] leading coordinates. Scale shape:
+    * coordinates quantize to exact integers row-locally (the
+    * [[qEmbeddingCov]] [[DriftScale]] grid), ONE map-side-combined
+    * aggregation produces the (dim × label) integer sufficient
+    * statistics (≤ FisherDims·|labels| rows — corpus-size independent),
+    * and the scatter terms are shared-verbatim IEEE expressions over
+    * that bounded frame, summed as DECIMAL(18,6) for order independence
+    * (the PSI-total discipline). An isotropic synthetic space scores
+    * F ≈ 1 on every dimension — the null the census correctly reports.
+    */
+  def qEmbeddingFisher(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = transform(col("embedding"),
+      v => floor(v.cast("double") * DriftScale + 0.5).cast("long"))
+    val wD = Window.partitionBy(col("d"))
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(slice(q, lit(1), lit(FisherDims))).as(Seq("d", "x")))
+      .groupBy(col("d"), col("label"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+        sum(col("x") * col("x")).as("ssg"))
+      .withColumn("nt", sum(col("ng")).over(wD))
+      .withColumn("st", sum(col("sg")).over(wD))
+      .withColumn("wterm", expr(fisherWSql("ssg", "sg", "ng")))
+      .withColumn("bterm", expr(fisherBSql("ng", "sg", "nt", "st")))
+      .groupBy(col("d"))
+      .agg(max(col("nt")).as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        sum(col("wterm").cast("decimal(18,6)")).cast("double").as("within"),
+        sum(col("bterm").cast("decimal(18,6)")).cast("double").as("between"))
+      .select(col("d").cast("long").as("dim"), col("n_vecs"),
+        col("n_labels"), col("within"), col("between"),
+        when(col("within") > 0d, expr(
+          "round(between * (n_vecs - n_labels)" +
+            " / (within * (n_labels - 1)), 6)")).as("f"))
+      .orderBy(col("dim"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_fisher" -> qEmbeddingFisher,
     "q_embedding_norms" -> qEmbeddingNorms,
     "q_embedding_quantize" -> qEmbeddingQuantize,
     "q_embedding_drift" -> qEmbeddingDrift,
@@ -247,6 +308,41 @@ object Embeddings {
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    // identical integer grid, identical shared-verbatim scatter terms,
+    // identical decimal-summed totals
+    "q_embedding_fisher" ->
+      s"""WITH ex AS (
+         |  SELECT label, CAST(i - 1 AS BIGINT) AS d,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $DriftScale + 0.5)
+         |      AS BIGINT) AS x
+         |  FROM embeddings, (SELECT unnest(generate_series(1, $FisherDims))
+         |    AS i) g),
+         |st AS (
+         |  SELECT d, label, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(x) AS BIGINT) AS sg,
+         |    CAST(sum(x * x) AS BIGINT) AS ssg
+         |  FROM ex GROUP BY d, label),
+         |tw AS (
+         |  SELECT d, label, ng, sg, ssg,
+         |    CAST(sum(ng) OVER (PARTITION BY d) AS BIGINT) AS nt,
+         |    CAST(sum(sg) OVER (PARTITION BY d) AS BIGINT) AS st
+         |  FROM st),
+         |tm AS (
+         |  SELECT d, label, ng, nt,
+         |    ${fisherWSql("ssg", "sg", "ng")} AS wterm,
+         |    ${fisherBSql("ng", "sg", "nt", "st")} AS bterm
+         |  FROM tw),
+         |agg AS (
+         |  SELECT d AS dim, CAST(max(nt) AS BIGINT) AS n_vecs,
+         |    CAST(count(*) AS BIGINT) AS n_labels,
+         |    CAST(sum(CAST(wterm AS DECIMAL(18,6))) AS DOUBLE) AS within,
+         |    CAST(sum(CAST(bterm AS DECIMAL(18,6))) AS DOUBLE) AS between
+         |  FROM tm GROUP BY d)
+         |SELECT dim, n_vecs, n_labels, within, between,
+         |  CASE WHEN within > 0 THEN
+         |    round(between * (n_vecs - n_labels)
+         |      / (within * (n_labels - 1)), 6) END AS f
+         |FROM agg ORDER BY dim""".stripMargin,
     "q_pca_project" ->
       s"""WITH v AS (
          |  SELECT list_transform(embedding[1:$CovDims],

@@ -110,4 +110,18 @@ class EmbeddingsSpec extends SparkSpec with Matchers {
     // the result is a genuine leading-direction estimate
     cos.abs should be > 0.995
   }
+
+  test("q_embedding_fisher: every leading dim scores the isotropic null " +
+    "(F near 1), sufficient statistics partition the table") {
+    val rows = Embeddings.qEmbeddingFisher(spark, sf()).collect()
+    rows.length shouldBe Embeddings.FisherDims
+    val n = graft.tables.Tables.embeddings(spark, sf()).count()
+    rows.foreach { r =>
+      r.getAs[Long]("n_vecs") shouldBe n
+      r.getAs[Long]("n_labels") shouldBe 10L
+      r.getAs[Double]("within") should be > 0.0
+      // isotropic synthetic labels: F stays in the ANOVA null band
+      r.getAs[Double]("f") should (be > 0.05 and be < 3.0)
+    }
+  }
 }
