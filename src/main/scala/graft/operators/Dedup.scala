@@ -291,16 +291,42 @@ object Dedup {
     * the GLOBAL rare-first key (ascending document frequency, then hash
     * — one vocabulary census, one join); if J(x, y) ≥ t, the first
     * |x| − ⌈t·|x|⌉ + 1 elements of x and of y must share a member under
-    * any common total order, so candidates are generated by an equi-join
-    * on prefix tokens only — rare tokens by construction, which is what
+    * any common total order, so candidates are generated by bucketing on
+    * prefix tokens only — rare tokens by construction, which is what
     * keeps buckets small WITHOUT the LSH path's bucket cap (a cap here
-    * would break the exactness guarantee; [[minhashCandidates]] is
-    * reused uncapped). Verification is the integer predicate
-    * 10·|x∩y| ≥ t₁₀·|x∪y| on the shared persisted signature table — no
-    * float threshold edge. Scale shape: census + join + bounded prefix
-    * explode ((1−t)·|x|+1 per doc) + in-bucket pairs + candidate-
-    * proportional verify; the O(n²) work exists only in the small-SF
-    * oracle's brute force.
+    * would break the exactness guarantee).
+    *
+    * Three further exactness-preserving kills run BEFORE the expensive
+    * verify, all integer comparisons:
+    *   - LENGTH filter (Bayardo §3.1), per occurrence row: J ≥ t ⟹
+    *     t·|x| ≤ |y| ≤ |x|/t, as t₁₀·sz_a ≤ 10·sz_b ∧ t₁₀·sz_b ≤ 10·sz_a.
+    *   - FIRST-MATCH positional bound (PPJoin, Xiao §3), per pair: prefix
+    *     tokens carry their 1-based position in the rare-first ordering.
+    *     Common tokens of x and y appear in the SAME relative order in
+    *     both arrays, so at the first common prefix token (i₀, j₀) =
+    *     (min pos_a, min pos_b) no common token precedes it in either
+    *     array and |x∩y| ≤ 1 + min(sz_a−i₀, sz_b−j₀).
+    *   - LAST-MATCH accumulation bound, per pair: within the prefix
+    *     window every common token IS a match (a common non-match between
+    *     two matches, or before the first, would sit inside both prefixes
+    *     — contradiction), so every non-matched common token is globally
+    *     GREATER than the last matched token and sits strictly after its
+    *     positions (I, J) = (max pos_a, max pos_b) in both arrays:
+    *     |x∩y| ≤ n_match + min(sz_a−I, sz_b−J).
+    * J ≥ t needs |x∩y| ≥ ⌈t/(1+t)·(sz_a+sz_b)⌉ (integer form: bound ×
+    * (10+t₁₀) ≥ t₁₀·(sz_a+sz_b)), so a pair failing either bound is dead.
+    * Verification computes ni = |x∩y| once per survivor and tests the
+    * algebraically identical 10·ni ≥ t₁₀·(sz_a+sz_b−ni) — hashed shingle
+    * arrays are duplicate-free by construction (distinct shingles,
+    * injective 60-bit hashing on this corpus, identical in both engines),
+    * so |x∪y| = sz_a+sz_b−ni and the O(|x|+|y|) distinct-union pass runs
+    * only for the reported jaccard of TRUE pairs, not per candidate.
+    * Scale shape: census + join + bounded prefix explode ((1−t)·|x|+1 per
+    * doc) + in-bucket pairs (one shuffle, no self-join) + pair-level
+    * bounds + candidate-proportional verify; the O(n²) work exists only
+    * in the small-SF oracle's brute force. The bounds cut the verify
+    * join's shipped volume — both full `hs` arrays per candidate — which
+    * is the bill at 100×.
     */
   def qSimjoin(s: SparkSession, dir: String): DataFrame = {
     val withHs = sharedSignatures(s, dir)
@@ -313,20 +339,53 @@ object Dedup {
     // p = sz − ⌈t·sz⌉ + 1, exact integer ceil
     val p = (col("sz") - expr(s"($SimjoinT * sz + 9) div 10") + 1).cast("int")
     val pre = ordered
-      .select(col("doc_id"), lit(0).as("band_idx"),
-        explode(slice(col("toks"), lit(1), p)).as("t"))
-      .select(col("doc_id"), col("band_idx"), col("t.h").as("band_key"))
-    minhashCandidates(pre, Int.MaxValue)
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("toks"), lit(1), p)).as(Seq("pos0", "t")))
+      .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("pos"),
+        col("t.h").as("h"))
+    // one shuffle: bucket per prefix token, walk sorted in-bucket pairs
+    // (a < b by doc_id — doc_id leads the sort struct); no self-join, so
+    // the census→order→prefix subtree is evaluated once
+    val occ = pre
+      .groupBy(col("h"))
+      .agg(sort_array(
+        collect_list(struct(col("doc_id"), col("sz"), col("pos")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (a, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            a.getField("sz").as("sz_a"), b.getField("sz").as("sz_b"),
+            a.getField("pos").as("pos_a"),
+            b.getField("pos").as("pos_b")))))).as("m"))
+      .select(col("m.*"))
+    val req = (col("sz_a") + col("sz_b")) * SimjoinT // bound·(10+t₁₀) ≥ req
+    val cand = occ
+      .filter(col("sz_b") * 10 >= col("sz_a") * SimjoinT &&
+        col("sz_a") * 10 >= col("sz_b") * SimjoinT)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("nm"),
+        min(col("pos_a")).as("i0"), min(col("pos_b")).as("j0"),
+        max(col("pos_a")).as("ia"), max(col("pos_b")).as("ja"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .filter(
+        (lit(1) + least(col("sz_a") - col("i0"),
+          col("sz_b") - col("j0"))) * (10 + SimjoinT) >= req &&
+        (col("nm") + least(col("sz_a") - col("ia"),
+          col("sz_b") - col("ja"))) * (10 + SimjoinT) >= req)
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+    cand
       .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")),
         "doc_a")
       .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
         "doc_b")
+      .withColumn("ni", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .filter(col("ni") * 10 >= (col("sz_a") + col("sz_b") - col("ni")) *
+        SimjoinT)
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).as("ni"),
-        size(array_distinct(concat(col("hs_a"), col("hs_b")))).as("nu"))
-      .filter(col("ni") * 10 >= col("nu") * SimjoinT)
-      .select(col("doc_a"), col("doc_b"),
-        (col("ni").cast("double") / col("nu")).as("jaccard"))
+        (col("ni").cast("double") /
+          size(array_distinct(concat(col("hs_a"), col("hs_b")))))
+          .as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
