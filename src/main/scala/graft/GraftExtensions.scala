@@ -136,9 +136,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         FreqSketchStrings(args(0), k)
       }))
-    // opt-in AQP: exact count(DISTINCT x) -> HLL++ when the session sets
-    // spark.graft.approx_distinct=true (inert otherwise — see the rule's
-    // scaladoc for the exactness-contract rationale)
+    // opt-in AQP family (inert unless the session sets the flag — see
+    // each rule's scaladoc for the exactness-contract rationale):
+    //   spark.graft.approx_distinct   count(DISTINCT x) -> HLL++
+    //   spark.graft.approx_percentile percentile(x, p)  -> KLL sketch
+    //   spark.graft.approx_topk       ORDER BY count(*) DESC LIMIT k ->
+    //                                 Misra-Gries propose + exact verify
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    e.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
+    e.injectOptimizerRule(_ => graft.plans.ApproxTopKRewrite)
   }
 }

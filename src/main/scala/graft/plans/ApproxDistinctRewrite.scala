@@ -37,7 +37,10 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true")) plan
     else
-      plan.transformUp { case agg: Aggregate =>
+      // transformUpWithSubqueries: a count(DISTINCT) inside a scalar/IN
+      // subquery rewrites the same as the outer one — transformUp alone
+      // leaves subquery expression plans exact, an inconsistent session
+      plan.transformUpWithSubqueries { case agg: Aggregate =>
         agg.transformExpressionsUp {
           case ae @ AggregateExpression(Count(Seq(child)), _, true, _, _)
               if child.deterministic =>

@@ -103,4 +103,94 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     // flag back off: exact again
     q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe exact
   }
+
+  test("ApproxDistinctRewrite: descends into subquery expression plans") {
+    val spark = extSession("graft-approx-subq-test")
+    import spark.implicits._
+    spark.range(1000).select(($"id" % 97).as("v"))
+      .createOrReplaceTempView("subq_vals")
+    def q() = spark.sql(
+      "SELECT (SELECT count(DISTINCT v) FROM subq_vals) AS n")
+    try {
+      spark.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "true")
+      val plan = q().queryExecution.executedPlan.toString
+      plan should include("approx_count_distinct")
+      val n = q().head().getLong(0)
+      math.abs(n - 97L).toDouble should be <= (97 * 0.15 + 2)
+    } finally spark.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "false")
+    assert(!q().queryExecution.executedPlan.toString
+      .contains("approx_count_distinct"))
+    q().head().getLong(0) shouldBe 97L
+  }
+
+  test("ApproxPercentileRewrite: inert by default, swaps exact percentile " +
+    "for the KLL sketch under the flag, rank inside the error envelope") {
+    val spark = extSession("graft-approx-pct-test")
+    import org.apache.spark.sql.functions.col
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.length(col("text"))
+        .cast("long").as("len"))
+    def q() = docs.selectExpr("percentile(len, 0.5D) AS p50")
+    val exact = q().head().getDouble(0)
+    assert(!q().queryExecution.executedPlan.toString
+      .contains("quantile_sketch"))
+    try {
+      spark.conf.set(graft.plans.ApproxPercentileRewrite.Flag, "true")
+      val plan = q().queryExecution.executedPlan.toString
+      plan should include("quantile_sketch")
+      plan should not include "percentile("
+      val est = q().head().getDouble(0)
+      // error envelope in RANK space: the estimate's exact rank must sit
+      // within eps*n of the target rank (eps ~ 1/k, generous slack)
+      val n = docs.count()
+      val rank = docs.filter(col("len") <= est).count()
+      math.abs(rank - 0.5 * n) should be <= (n / 64.0 + 2)
+      // scope guards: array percentage and fractional frequency keep exact
+      val multi = docs.selectExpr("percentile(len, array(0.5D, 0.9D)) AS ps")
+      assert(!multi.queryExecution.executedPlan.toString
+        .contains("quantile_sketch"))
+    } finally spark.conf.set(graft.plans.ApproxPercentileRewrite.Flag, "false")
+    q().head().getDouble(0) shouldBe exact
+  }
+
+  test("ApproxTopKRewrite: inert by default; under the flag the exact " +
+    "top-k plan gains a broadcast semi join against Misra-Gries " +
+    "candidates and still returns the exact heavy hitters") {
+    val spark = extSession("graft-approx-topk-test")
+    import org.apache.spark.sql.functions.{col, count, desc}
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    def q() = docs.groupBy(col("lang")).agg(count("*").as("cnt"))
+      .orderBy(desc("cnt")).limit(3)
+    val exact = q().collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(!q().queryExecution.executedPlan.toString.contains("freq_sketch"))
+    try {
+      spark.conf.set(graft.plans.ApproxTopKRewrite.Flag, "true")
+      val plan = q().queryExecution.executedPlan.toString
+      plan should include("freq_sketch")
+      plan should include("LeftSemi")
+      plan should include("Broadcast")
+      // lang cardinality << k' = 64: every key proposed, so counts AND
+      // membership are exact — the propose+verify contract at its floor
+      q().collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        exact
+      // scope guard: ascending sort keeps the exact plan
+      val asc = docs.groupBy(col("lang")).agg(count("*").as("cnt"))
+        .orderBy(col("cnt")).limit(3)
+      assert(!asc.queryExecution.executedPlan.toString.contains("freq_sketch"))
+    } finally spark.conf.set(graft.plans.ApproxTopKRewrite.Flag, "false")
+    q().collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe exact
+  }
+
+  /** Fresh session sharing the JVM's SparkContext (see first test's note). */
+  private def extSession(name: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .create()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 }
