@@ -623,7 +623,8 @@ object Scale {
     "q_zorder" -> qZorder,
     "q_join_estimate" -> qJoinEstimate,
     "q_skew_census" -> qSkewCensus,
-    "q_zonemap" -> qZonemap
+    "q_zonemap" -> qZonemap,
+    "q_cbo_stats" -> StatsInjection.qCboStats
   )
 
   /** DuckDB fragment: hash position j of `key` (same md5-prefix
@@ -783,6 +784,23 @@ object Scale {
          |SELECT layout, cls, count(*) AS n_blocks,
          |  CAST(sum(n) AS BIGINT) AS n_rows
          |FROM cls GROUP BY layout, cls
-         |ORDER BY layout, cls""".stripMargin
+         |ORDER BY layout, cls""".stripMargin,
+    // INDEPENDENT derivation: the oracle recomputes the customer profile
+    // directly; the Spark side must round-trip the same numbers through
+    // CatalogStatistics (compute -> alterTableStats -> getTableMetadata)
+    "q_cbo_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'c_custkey' AS col_name, count(*) AS row_count,
+        |    count(DISTINCT c_custkey) AS n_distinct,
+        |    count(*) - count(c_custkey) AS n_nulls,
+        |    CAST(min(c_custkey) AS BIGINT) AS min_v,
+        |    CAST(max(c_custkey) AS BIGINT) AS max_v
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(*), count(DISTINCT c_nationkey),
+        |    count(*) - count(c_nationkey),
+        |    CAST(min(c_nationkey) AS BIGINT), CAST(max(c_nationkey) AS BIGINT)
+        |  FROM customer)
+        |ORDER BY col_name""".stripMargin
   )
 }

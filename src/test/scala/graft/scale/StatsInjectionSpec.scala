@@ -1,0 +1,62 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+class StatsInjectionSpec extends SparkSpec with Matchers {
+
+  test("injected catalog stats flip a filtered-dim join from sort-merge " +
+    "to broadcast under CBO; size-only estimation keeps the shuffle") {
+    StatsInjection.registerWithStats(spark, sf())
+    // size-only estimation sees the 6.9 KB file scaled by the pruned
+    // column-width ratio (~1.4 KB); CBO + stats sees ~10 rows (~200 B).
+    // 512 sits between the two regimes.
+    val threshold = 512
+    def plan(): String = {
+      val dim = spark.table(StatsInjection.TableName)
+        .filter(col("c_custkey") <= 10)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val fact = Tables.orders(spark, sf())
+        .select(col("o_custkey"), col("o_totalprice"))
+      fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+    }
+    val old = (spark.conf.get("spark.sql.cbo.enabled", "false"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      // size-only estimation: the filter cannot shrink the estimate, the
+      // 6.9 KB file exceeds the threshold, the join keeps its shuffle
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      plan() should include("SortMergeJoin")
+      // CBO + injected rowCount/min/max: filter selectivity proves the
+      // dim side is ~10 rows -> below threshold -> broadcast
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val withStats = plan()
+      withStats should include("BroadcastHashJoin")
+      withStats should not include "SortMergeJoin"
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", old._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old._2)
+    }
+  }
+
+  test("q_cbo_stats round-trips the computed profile through the catalog") {
+    val rows = StatsInjection.qCboStats(spark, sf()).collect()
+    rows.map(_.getString(0)).toSeq shouldBe Seq("c_custkey", "c_nationkey")
+    val cust = Tables.customer(spark, sf())
+    val n = cust.count()
+    val custkey = rows(0)
+    custkey.getLong(1) shouldBe n
+    custkey.getLong(2) shouldBe
+      cust.select(countDistinct(col("c_custkey"))).head().getLong(0)
+    custkey.getLong(3) shouldBe 0L
+    custkey.getLong(4) shouldBe
+      cust.agg(min(col("c_custkey"))).head().getLong(0)
+    custkey.getLong(5) shouldBe
+      cust.agg(max(col("c_custkey"))).head().getLong(0)
+  }
+}
