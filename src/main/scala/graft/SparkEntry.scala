@@ -51,7 +51,8 @@ object SparkEntry {
       operators.GlobalOrder.queries ++
       scale.Scale.queries ++
       sources.Export.queries ++
-      sources.Ingest.queries
+      sources.Ingest.queries ++
+      streaming.Streaming.queries
 
   /** DuckDB-equivalent SQL per query key (same column names, same order). */
   def oracleSql: Map[String, String] =
@@ -69,7 +70,8 @@ object SparkEntry {
       operators.GlobalOrder.oracleSql ++
       scale.Scale.oracleSql ++
       sources.Export.oracleSql ++
-      sources.Ingest.oracleSql
+      sources.Ingest.oracleSql ++
+      streaming.Streaming.oracleSql
 
   // -------------------------------------------------------------------
   // Reference-parity query: word count (wc.go:14-38) over documents.text.

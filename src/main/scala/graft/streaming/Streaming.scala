@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Structured Streaming surface — the unbounded mirror of the batch
   * operators. The reference has no streaming at all (SURVEY §2.2: the
@@ -517,5 +518,81 @@ object Streaming {
           }
           closed.iterator.map(toOut(uid, _))
       }
+  }
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Registry query under the driver's oracle gate whose execution path is
+    * GENUINELY streaming: a file-source `readStream` over the events
+    * parquet (schema-pruned to the two consumed columns — the
+    * TIMESTAMP(NANOS) column is never requested, so the batch loader's
+    * nanosAsLong shim is not needed) drained through [[kmvDistinct]]'s
+    * `mapGroupsWithState` into a memory sink, collapsed to the final
+    * emission per key. Because the KMV buffer is a commutative-idempotent
+    * set fold (StreamingSpec pins batch≡stream under shuffled
+    * micro-batches), the drained state must hash-match the DuckDB oracle
+    * computing the same k-smallest-distinct-hashes estimate directly —
+    * putting `streaming/` under the same hard correctness signal as every
+    * batch operator. At this corpus the single file is one micro-batch;
+    * at 100 TB the same plan tails a landing directory micro-batch by
+    * micro-batch with ≤ k longs of state per key.
+    */
+  def qStreamKmv(s: SparkSession, dir: String): DataFrame = {
+    val kmvK = graft.operators.Events.KmvK
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("user_id", LongType)))
+    // glob, not bare file path: the file stream source requires its
+    // basePath to be a directory, and a glob keeps it at $dir
+    val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+    val name = s"graft_stream_kmv_${sinkSeq.incrementAndGet()}"
+    val q = kmvDistinct(src, kmvK)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // update mode re-emits changed keys; the sketch only grows, so the
+    // per-key max(struct) IS the final drained state (StreamingSpec's
+    // collapse)
+    s.table(name)
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("kmv_size"), col("est"))).as("s"))
+      .select(col("event_type"), col("s.kmv_size").as("kmv_size"),
+        col("s.est").as("est"))
+      .orderBy(col("event_type"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_kmv" -> qStreamKmv
+  )
+
+  def oracleSql: Map[String, String] = {
+    val kmvK = graft.operators.Events.KmvK
+    Map(
+      // the batch q_kmv oracle minus its exact ride-along: the streamed
+      // sketch state must equal the k-smallest-distinct-hashes estimate
+      // computed directly over the same rows
+      "q_stream_kmv" ->
+        s"""WITH h AS (
+           |  SELECT DISTINCT event_type,
+           |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+           |  FROM events),
+           |r AS (
+           |  SELECT event_type, hv,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+           |  FROM h),
+           |sizes AS (
+           |  SELECT event_type, count(*) AS n_h FROM h GROUP BY event_type),
+           |kth AS (SELECT event_type, hv AS hk FROM r WHERE rk = $kmvK)
+           |SELECT sizes.event_type AS event_type,
+           |  CAST(least(sizes.n_h, $kmvK) AS BIGINT) AS kmv_size,
+           |  CASE WHEN kth.hk IS NOT NULL
+           |       THEN round((${kmvK - 1}.0 * 1152921504606846976) / CAST(kth.hk AS DOUBLE), 6)
+           |       ELSE CAST(sizes.n_h AS DOUBLE) END AS est
+           |FROM sizes
+           |LEFT JOIN kth ON sizes.event_type = kth.event_type
+           |ORDER BY event_type""".stripMargin)
   }
 }

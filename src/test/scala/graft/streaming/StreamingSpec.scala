@@ -568,4 +568,15 @@ class StreamingSpec extends SparkSpec with Matchers {
       got.getAs[Double]("d") shouldBe want.getAs[Double]("d")
     } finally q.stop()
   }
+
+  test("q_stream_kmv: the registered file-source drain equals the batch " +
+    "q_kmv sketch columns") {
+    val got = Streaming.qStreamKmv(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.operators.Events.qKmv(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe want
+    // a second invocation in the same session must work (fresh sink name)
+    Streaming.qStreamKmv(spark, sf()).count() shouldBe want.size.toLong
+  }
 }
