@@ -1125,11 +1125,14 @@ object Events {
     * register row fans out to the ≤ 7 window anchors it contributes to
     * (a bounded explode of the SKETCH table, |days|·m rows, corpus-size
     * independent), then groupBy(anchor, register).max — the same
-    * max-merge [[qHll]] proves for one window. Exact rolling distinct
-    * rides along as the honesty check, computed from the bounded
-    * distinct-(user, day) frame, never the raw corpus. Estimate
-    * arithmetic is [[hllEstSql]] verbatim — integer registers into one
-    * shared IEEE expression.
+    * max-merge [[qHll]] proves for one window. The exact rolling
+    * distinct rides along for oracle/spec validation at small SF ONLY —
+    * its distinct-(user, day) frame scales with user cardinality × the
+    * 7-day fan-out plus a per-anchor countDistinct, so at 100 TB it
+    * would dominate and defeat the sketch's purpose; the scale pattern
+    * is the sketch columns alone (drop the exact join, keep the daily
+    * register table). Estimate arithmetic is [[hllEstSql]] verbatim —
+    * integer registers into one shared IEEE expression.
     */
   def qHllRolling(s: SparkSession, dir: String): DataFrame = {
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
@@ -1161,7 +1164,8 @@ object Events {
       .agg(count(lit(1)).as("nb"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - r)")).cast("long")
           .as("hsum"))
-    // exact honesty check from the bounded distinct-(user, day) frame
+    // exact ride-along: user-cardinality work kept only for oracle/spec
+    // validation at small SF — not part of the scale pattern (see scaladoc)
     val exact = Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
       .crossJoin(broadcast(maxDay))

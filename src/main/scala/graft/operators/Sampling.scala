@@ -460,8 +460,15 @@ object Sampling {
     */
   def qCurriculum(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // asserted domain bound (see TextAnalysis.MaxHistDomain): the collect
+    // is only safe while |n_chars domain| stays bounded, so a breach is a
+    // loud requirement failure, not a driver OOM
     val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .limit(TextAnalysis.MaxHistDomain + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(hist.length <= TextAnalysis.MaxHistDomain,
+      s"curriculum histogram exceeds ${TextAnalysis.MaxHistDomain} distinct " +
+        "n_chars values; switch to the KLL sketch path for unbounded domains")
     val n = hist.map(_._2).sum
     val cum = hist.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) => (v, acc + c) }.drop(1)
     val bounds = (1 to 9).map { k =>

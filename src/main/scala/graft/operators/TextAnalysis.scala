@@ -1277,11 +1277,15 @@ object TextAnalysis {
     * counts — the noisy histogram a curator publishes when even the
     * [[qKanonRelease]] suppression leaks too much (counts themselves are
     * the disclosure). Mechanism: truncated two-sided geometric noise
-    * ([[dpWeights]]) added to each true count, clamped at zero
-    * (post-processing preserves DP). The noise draw is SEEDED from the
-    * group key's salted md5 — deterministic so the release is
-    * reproducible and oracle-checkable; a production release would draw
-    * fresh randomness per publication, which changes ONE line (the seed).
+    * ([[dpWeights]]) added to each true count, clamped at zero.
+    * IMPORTANT: as shipped this is NOT differentially private — the
+    * "noise" is derived deterministically from the PUBLIC group key's
+    * salted md5, so the mechanism is exactly invertible by anyone who
+    * recomputes the hash; the seeding exists so the release is
+    * reproducible and oracle-checkable. It becomes the Ghosh et al.
+    * (STOC 2009) geometric mechanism — and only then do the zero-clamp's
+    * post-processing guarantees apply — once the seed is replaced with
+    * fresh per-publication randomness (one line: the seed).
     * Scale shape: one map-side-combined aggregation to a tiny keyspace;
     * the noise is row-local integer arithmetic over that bounded frame.
     */
@@ -1504,12 +1508,27 @@ object TextAnalysis {
     * argument for MAD). Lower quantiles (⌈p·N⌉-th value) keep every
     * output an exact integer on both engines — no midpoint averaging.
     */
+  /** Hard cap on the histogram driver roundtrip of [[qRobustStats]] and
+    * [[Sampling.qCurriculum]] — the domain-bounded-collect pattern is only
+    * safe while the bound HOLDS, so it is asserted, not assumed.
+    */
+  val MaxHistDomain: Int = 1 << 20
+
   def qRobustStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // the roundtrip is bounded by |sources|x|n_chars domain|, which is
+    // corpus-CONTENT-dependent — assert the bound instead of trusting it
+    // (limit makes the assertion one job, a loud failure instead of a
+    // driver OOM; past the cap the right tool is QuantileSketchLongs,
+    // the q_len_quantiles_sketch path)
     val hist = docs.groupBy(col("source"), col("n_chars"))
       .agg(count(lit(1)).as("c"))
+      .limit(MaxHistDomain + 1)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(hist.length <= MaxHistDomain,
+      s"robust-stats histogram exceeds $MaxHistDomain (source x n_chars) " +
+        "rows; switch to the KLL sketch path for unbounded domains")
     def lowerQ(sorted: Seq[(Long, Long)], pos: Long): Long =
       sorted.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) => (v, acc + c) }
         .drop(1).find(_._2 >= pos).get._1
