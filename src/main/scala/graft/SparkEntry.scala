@@ -52,7 +52,8 @@ object SparkEntry {
       scale.Scale.queries ++
       sources.Export.queries ++
       sources.Ingest.queries ++
-      streaming.Streaming.queries
+      streaming.Streaming.queries ++
+      operators.Hosts.queries
 
   /** DuckDB-equivalent SQL per query key (same column names, same order). */
   def oracleSql: Map[String, String] =
@@ -71,7 +72,8 @@ object SparkEntry {
       scale.Scale.oracleSql ++
       sources.Export.oracleSql ++
       sources.Ingest.oracleSql ++
-      streaming.Streaming.oracleSql
+      streaming.Streaming.oracleSql ++
+      operators.Hosts.oracleSql
 
   // -------------------------------------------------------------------
   // Reference-parity query: word count (wc.go:14-38) over documents.text.
