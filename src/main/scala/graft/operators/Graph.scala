@@ -369,6 +369,63 @@ object Graph {
     profile.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
   }
 
+  /** Synchronous LPA rounds — fixed so the oracle is a static unroll. */
+  val LpaIters = 4
+
+  /** Label propagation communities (Raghavan et al., Phys. Rev. E 2007)
+    * over the symmetrized functional graph — the community-detection
+    * member of the iterative family, with every nondeterminism the
+    * published algorithm leaves open PINNED: labels start as node ids,
+    * rounds are SYNCHRONOUS (asynchronous order-dependence gone), the
+    * update is the most frequent neighbor label with ties broken toward
+    * the SMALLEST label, and isolated/empty updates keep the previous
+    * label. All-integer, so after [[LpaIters]] rounds the assignment is
+    * bit-identical on both engines and the oracle unrolls the rounds as
+    * CTEs (argmax via a window on the oracle side; here via
+    * `max(struct(cnt, -lbl))` — no window, two Exchanges per round:
+    * per-(node, label) count, then per-node argmax). localCheckpoint per
+    * round truncates lineage as in every loop here. Output is the
+    * community census (size + representative), not the corpus-sized
+    * per-node table.
+    */
+  def qLpa(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = docs.count()
+    val und = docs.select(col("id").as("src"),
+      explode(array(LinkCoeffs.map { case (a, b) =>
+        (col("id") * a + b) % n }: _*)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    // both directions, repartitioned on the probe side once and persisted
+    // (the qPagerankEdges discipline: ranks arrive hash-partitioned from
+    // the previous round's aggregation, edges reuse their partitioning)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).persist()
+    var lbl = docs.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    for (_ <- 1 to LpaIters) {
+      val votes = edges
+        .join(lbl.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst"), (-col("m.nl")).as("new_lbl"))
+      lbl = lbl
+        .join(votes, lbl("id") === votes("dst"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    edges.unpersist(blocking = false)
+    lbl.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+      .select(col("lbl").as("community"), col("n_nodes"), col("min_id"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sssp" -> qSssp,
     "q_kcore" -> qKcore,
@@ -376,7 +433,8 @@ object Graph {
     "q_bfs" -> qBfs,
     "q_pagerank" -> qPagerank,
     "q_pagerank_edges" -> qPagerankEdges,
-    "q_triangles" -> qTriangles
+    "q_triangles" -> qTriangles,
+    "q_lpa" -> qLpa
   )
 
   /** The oracle unrolls all [[PrIters]] rounds as chained CTEs — the
@@ -518,6 +576,43 @@ object Graph {
       // the materialized-edge loop computes the identical recurrence —
       // one oracle text serves both (plan-only difference by design)
       "q_pagerank_edges" -> sql,
+      // INDEPENDENT derivation: per-node argmax via a window (the shape
+      // the Spark side's max(struct) avoids), rounds statically unrolled
+      "q_lpa" -> {
+        val linkSelects = LinkCoeffs
+          .map { case (a, b) =>
+            s"SELECT id AS src, (id * $a + $b) % (SELECT n FROM nn) " +
+              "AS dst FROM nodes" }
+          .mkString("\n  UNION ALL ")
+        val lpaRounds = (1 to LpaIters).map { t =>
+          s"""v$t AS (
+             |  SELECT e.dst AS id, r.lbl, count(*) AS c
+             |  FROM eu e JOIN l${t - 1} r ON e.src = r.id
+             |  GROUP BY 1, 2),
+             |w$t AS (
+             |  SELECT id, lbl FROM (
+             |    SELECT id, lbl, row_number() OVER (
+             |      PARTITION BY id ORDER BY c DESC, lbl) AS rk FROM v$t)
+             |  WHERE rk = 1),
+             |l$t AS (
+             |  SELECT r.id, coalesce(w.lbl, r.lbl) AS lbl
+             |  FROM l${t - 1} r LEFT JOIN w$t w ON w.id = r.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |nodes AS (SELECT doc_id AS id FROM documents),
+           |e0 AS ($linkSelects),
+           |ud AS (SELECT DISTINCT least(src, dst) AS a,
+           |    greatest(src, dst) AS b
+           |  FROM e0 WHERE src <> dst),
+           |eu AS (SELECT a AS src, b AS dst FROM ud
+           |  UNION ALL SELECT b, a FROM ud),
+           |l0 AS (SELECT id, id AS lbl FROM nodes),
+           |$lpaRounds
+           |SELECT lbl AS community, count(*) AS n_nodes,
+           |  CAST(min(id) AS BIGINT) AS min_id
+           |FROM l$LpaIters GROUP BY lbl
+           |ORDER BY n_nodes DESC, community LIMIT 100""".stripMargin
+      },
       "q_triangles" -> {
         val linkSelects = TriCoeffs
           .map { case (a, b) =>

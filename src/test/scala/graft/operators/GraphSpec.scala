@@ -166,4 +166,32 @@ class GraphSpec extends SparkSpec with Matchers {
       .map(r => (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))).toSeq
     got shouldBe want
   }
+
+  test("q_lpa: synchronous label propagation equals a driver-side " +
+    "evaluation of the pinned update rule") {
+    val n = Tables.documents(spark, sf()).count()
+    val raw = (0L until n).flatMap(id => Graph.LinkCoeffs.map {
+      case (a, b) => (id, (id * a + b) % n) })
+    val und = raw.filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var lbl = (0L until n).map(id => id -> id).toMap
+    for (_ <- 1 to Graph.LpaIters) {
+      lbl = lbl.map { case (id, old) =>
+        val votes = adj.getOrElse(id, Nil).map(lbl)
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        id -> (if (votes.isEmpty) old
+               else votes.minBy { case (l, c) => (-c, l) }._1)
+      }
+    }
+    val want = lbl.values.groupBy(identity).view
+      .map { case (c, xs) => (c, xs.size.toLong) }.toSeq
+      .map { case (c, sz) =>
+        (c, sz, lbl.collect { case (id, l) if l == c => id }.min) }
+      .sortBy { case (c, sz, _) => (-sz, c) }.take(100)
+    val got = Graph.qLpa(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+  }
 }
