@@ -541,6 +541,47 @@ object Similarity {
       .orderBy(col("c_id"))
   }
 
+  /** Neighbors per vector in [[qKnnGraph]]. */
+  val KnnGraphK = 3
+
+  /** Mutual-kNN graph construction — the k-NN-graph stage every
+    * embedding-space pipeline builds before graph clustering,
+    * de-outliering, or diffusion (mutual edges are the standard noise
+    * filter: an edge survives only if BOTH endpoints rank each other in
+    * their top-k, which kills hub-induced asymmetric links). Same
+    * Σ|cluster|² feasibility trick as [[qDedupSemantic]]: candidate
+    * neighbors come only from the vector's own k-means cluster (the
+    * shared [[trainedCentroids]] index), so the pairwise cost is bounded
+    * by the cluster profile, never |N|². Per-vector top-k is a window
+    * over the candidate list — partition key is the VECTOR id
+    * (high-cardinality, ≤ |cluster| rows per partition), not a funnel.
+    * Mutuality needs no self-join: directed edges collapse onto the
+    * unordered pair (cosine is symmetric), and mutual ⟺ both directions
+    * present ⟺ pair count = 2 — one aggregation on the pair key.
+    */
+  def qKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val cent = trainedCentroids(s, dir)
+    val assigned = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), assignExpr(cent).as("c_id"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id"))
+    val knn = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        cosRounded(col("a.embedding"), col("b.embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnGraphK)
+    knn
+      .select(least(col("a_id"), col("b_id")).as("vec_a"),
+        greatest(col("a_id"), col("b_id")).as("vec_b"), col("cos"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(count(lit(1)).as("nd"), max(col("cos")).as("cos"))
+      .filter(col("nd") === 2L)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   // -------------------------------------------------------------------
   // Exact ε-range search via spatial grid bucketing
   // -------------------------------------------------------------------
@@ -603,7 +644,8 @@ object Similarity {
     "q_ann_ivf_index" -> qAnnIvfIndex,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_ann_recall_ivf" -> qAnnRecallIvf,
-    "q_dedup_semantic" -> qDedupSemantic
+    "q_dedup_semantic" -> qDedupSemantic,
+    "q_knn_graph" -> qKnnGraph
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -869,6 +911,35 @@ object Similarity {
          |  coalesce(p.n_dropped, 0) AS n_dropped
          |FROM sizes s LEFT JOIN per_cluster p ON s.c_id = p.c_id
          |ORDER BY c_id""".stripMargin,
+    // INDEPENDENT derivation: same Lloyd unroll, per-vector top-k via a
+    // window over the within-cluster candidates, mutuality by pair count
+    "q_knn_graph" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS c_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS cv
+         |  FROM (SELECT * FROM embeddings
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |        LIMIT $IvfCentroids) seeds),
+         |$lloydCtes
+         |af AS (${assignSql(s"c$KmeansIters")}),
+         |scored AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosSqlCols("a.embedding", "b.embedding")} AS cos
+         |  FROM af a JOIN af b
+         |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+         |knn AS (
+         |  SELECT a_id, b_id, cos FROM (
+         |    SELECT a_id, b_id, cos, row_number() OVER (
+         |      PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+         |    FROM scored)
+         |  WHERE rk <= $KnnGraphK),
+         |und AS (
+         |  SELECT least(a_id, b_id) AS vec_a, greatest(a_id, b_id) AS vec_b,
+         |    count(*) AS nd, max(cos) AS cos
+         |  FROM knn GROUP BY 1, 2)
+         |SELECT vec_a, vec_b, cos FROM und WHERE nd = 2
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_brute" -> (bruteSql + "\nORDER BY query_id, rk"),
     "q_ann_lsh" -> (lshSql + "\nORDER BY query_id, rk"),
     "q_ann_multiprobe" -> (multiprobeSql + "\nORDER BY query_id, rk"),

@@ -265,4 +265,32 @@ class SimilaritySpec extends SparkSpec with Matchers {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q_knn_graph: mutual edges equal an in-JVM top-k over the " +
+    "Spark-scored within-cluster pairs") {
+    val cent = Similarity.trainedCentroids(spark, sf())
+    val assigned = graft.tables.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding"),
+        Similarity.assignExpr(cent).as("c_id"))
+    // same Spark arithmetic as the query (codegen cosine + round 6); only
+    // the top-k/mutual collapse is re-derived in-JVM
+    val scored = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(VectorExpressions.vecCosine(
+          col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val topk = scored.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (-t._3, t._2)).take(Similarity.KnnGraphK)
+        .map(t => t._2 -> t._3).toMap).toMap
+    val want = (for {
+      (a, nbrs) <- topk.toSeq; (b, c) <- nbrs
+      if a < b && topk.getOrElse(b, Map.empty).contains(a)
+    } yield (a, b, c)).sortBy(t => (t._1, t._2))
+    val got = Similarity.qKnnGraph(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    got shouldBe want
+    got should not be empty
+  }
 }
