@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.SessionMemo
@@ -151,6 +151,105 @@ object Ingest {
         count(lit(1)).as("n_records"),
         coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("n_chars"),
         coalesce(expr("bit_xor(cid)"), lit(0L)).as("id_xor"))
+
+  /** Plant rule for the CSV fixture: docs whose id ≡ 0 (mod 89) arrive
+    * with a non-numeric value in the typed `n_chars` column. (A
+    * token-COUNT mismatch is deliberately not the plant: Spark's CSV
+    * PERMISSIVE mode pads/drops tokens without flagging the record —
+    * only conversion failures reach `_corrupt_record`.)
+    */
+  val CsvMalformedMod = 89
+
+  /** The quoting challenge: a derived field containing BOTH the
+    * separator and the quote char, so the CSV round trip exercises
+    * quoting + quote-escaping, not just token splitting (the corpus text
+    * itself is separator-free, which would make an unquoted dialect
+    * vacuously pass).
+    */
+  private def noteCol: Column =
+    concat(lit("len=\""), col("n_chars").cast("string"),
+      lit("\", lang="), col("lang"))
+
+  /** One CSV line per doc via Spark's own writer dialect (`to_csv`,
+    * default quote/escape), malformed plant applied AFTER serialization.
+    */
+  private[graft] def fixtureLinesCsv(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("line",
+        to_csv(struct(col("source"), col("lang"), col("n_chars"),
+          noteCol.as("note"), col("text"))))
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % CsvMalformedMod === 0,
+          concat(col("source"), lit(","), col("lang"), lit(",xx,bad,bad")))
+          .otherwise(col("line")).as("value"))
+
+  /** Write the sharded CSV fixture — UNCOMPRESSED, deliberately unlike
+    * the gzip JSONL fixture: a plain text shard is byte-splittable, so at
+    * 100 TB one shard feeds many tasks (gzip pins one task per file);
+    * having both arrival modes under the gate covers both scan shapes.
+    */
+  private val csvFixtureMemo = new SessionMemo[String]()
+  private[graft] def csvFixturePath(s: SparkSession, dir: String): String =
+    csvFixtureMemo.getOrElseUpdate(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_csv/" +
+        new java.io.File(dir).getName
+      fixtureLinesCsv(s, dir)
+        .withColumn("shard",
+          graft.operators.Sampling.hashBucket(col("doc_id"), IngestShards))
+        .repartition(IngestShards, col("shard"))
+        .sortWithinPartitions(col("doc_id"))
+        .select(col("value"), col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(out)
+      out
+    }
+
+  private val CsvSchema =
+    "source STRING, lang STRING, n_chars BIGINT, note STRING, " +
+      "text STRING, _corrupt_record STRING"
+
+  /** CSV ingest ledger — [[qIngestJsonl]]'s shape over the CSV arrival
+    * format: per source, record count, distinct content ids, char
+    * volume, and an order-independent fingerprint of the PARSED quoted
+    * field (`note_xor` — proves the quote/separator round trip
+    * byte-exact, not merely that lines split); malformed lines
+    * quarantined under `__malformed__`. One pass, shard-parallel.
+    */
+  def qIngestCsv(s: SparkSession, dir: String): DataFrame = {
+    // n_chars MUST be in the projection: Spark's CSV column pruning hands
+    // the parser only the required columns, and corruption is detected at
+    // CONVERSION time — prune the typed column away and the planted 'xx'
+    // is never converted, so `_corrupt_record` stays null (measured; the
+    // char sums below therefore use the PARSED n_chars, which also pins
+    // the typed round trip)
+    val parsedCsv = s.read
+      .schema(CsvSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(csvFixturePath(s, dir))
+      .select(col("source"), col("lang"), col("n_chars"), col("note"),
+        col("text"), col("_corrupt_record").isNotNull.as("is_malformed"))
+    val noteId =
+      conv(substring(md5(col("note")), 1, 15), 16, 10).cast("long")
+    parsedCsv
+      .select(
+        when(col("is_malformed"), lit("__malformed__"))
+          .otherwise(col("source")).as("source"),
+        when(col("is_malformed"), lit(null)).otherwise(contentId).as("cid"),
+        when(col("is_malformed"), lit(null)).otherwise(noteId).as("nid"),
+        when(col("is_malformed"), lit(null))
+          .otherwise(col("n_chars")).as("n_chars"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(col("cid")).as("n_ids"),
+        coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("n_chars"),
+        coalesce(expr("bit_xor(cid)"), lit(0L)).as("id_xor"),
+        coalesce(expr("bit_xor(nid)"), lit(0L)).as("note_xor"))
+      .orderBy(col("source"))
+  }
 
   /** STREAMING ingest twin — the arrival mode of real crawl dumps: a
     * directory that fills with gzip JSONL shards, each micro-batch
@@ -409,6 +508,7 @@ object Ingest {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_jsonl" -> qIngestJsonl,
+    "q_ingest_csv" -> qIngestCsv,
     "q_crawl_delta" -> qCrawlDelta,
     "q_scd2" -> qScd2,
     "q_scd2_join" -> qScd2Join,
@@ -519,6 +619,30 @@ object Ingest {
          |  CAST(0 AS BIGINT) AS n_ids, CAST(0 AS BIGINT) AS n_langs,
          |  CAST(0 AS BIGINT) AS n_chars, CAST(0 AS BIGINT) AS id_xor
          |  FROM documents WHERE doc_id % $MalformedMod = 0)
+         |SELECT * FROM agg UNION ALL SELECT * FROM mal ORDER BY source"""
+        .stripMargin,
+    // the fixture is a deterministic function of documents, so the oracle
+    // derives the expected ledger directly — round-trip fidelity of the
+    // quoted note field is exactly what the note_xor column checks
+    "q_ingest_csv" ->
+      s"""WITH good AS (SELECT source, lang, text,
+         |  ('0x' || substr(md5(source || chr(1) || text), 1, 15))::BIGINT
+         |    AS cid,
+         |  ('0x' || substr(md5('len="' || CAST(n_chars AS VARCHAR)
+         |    || '", lang=' || lang), 1, 15))::BIGINT AS nid
+         |  FROM documents WHERE doc_id % $CsvMalformedMod <> 0),
+         |agg AS (SELECT source,
+         |  count(*) AS n_records,
+         |  count(DISTINCT cid) AS n_ids,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  bit_xor(cid) AS id_xor,
+         |  bit_xor(nid) AS note_xor
+         |  FROM good GROUP BY source),
+         |mal AS (SELECT '__malformed__' AS source,
+         |  count(*) AS n_records,
+         |  CAST(0 AS BIGINT) AS n_ids, CAST(0 AS BIGINT) AS n_chars,
+         |  CAST(0 AS BIGINT) AS id_xor, CAST(0 AS BIGINT) AS note_xor
+         |  FROM documents WHERE doc_id % $CsvMalformedMod = 0)
          |SELECT * FROM agg UNION ALL SELECT * FROM mal ORDER BY source"""
         .stripMargin
   )

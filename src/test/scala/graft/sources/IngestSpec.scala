@@ -221,4 +221,31 @@ class IngestSpec extends SparkSpec with Matchers {
       d.listFiles().count(_.getName.endsWith(".gz")) shouldBe 1
     }
   }
+
+  test("q_ingest_csv: quarantine equals the mod-89 plant, every line " +
+    "accounted, and the quoted note field round-trips byte-exactly") {
+    val ledger = Ingest.qIngestCsv(spark, sf()).collect()
+    ledger.map(_.getAs[Long]("n_records")).sum shouldBe
+      Tables.documents(spark, sf()).count()
+    val mal = ledger.filter(_.getString(0) == "__malformed__")
+    mal should have length 1
+    mal.head.getAs[Long]("n_records") shouldBe
+      Tables.documents(spark, sf())
+        .filter(col("doc_id") % Ingest.CsvMalformedMod === 0).count()
+    mal.head.getAs[Long]("n_ids") shouldBe 0L
+    // note_xor equals the fingerprint recomputed from the parquet source:
+    // the comma-and-quote-bearing note survived the CSV dialect intact
+    val want = Tables.documents(spark, sf())
+      .filter(col("doc_id") % Ingest.CsvMalformedMod =!= 0)
+      .select(col("source"),
+        conv(substring(md5(concat(lit("len=\""),
+          col("n_chars").cast("string"), lit("\", lang="), col("lang"))),
+          1, 15), 16, 10).cast("long").as("nid"))
+      .groupBy(col("source"))
+      .agg(expr("bit_xor(nid)").as("note_xor"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ledger.filter(_.getString(0) != "__malformed__").foreach { r =>
+      r.getAs[Long]("note_xor") shouldBe want(r.getString(0))
+    }
+  }
 }
