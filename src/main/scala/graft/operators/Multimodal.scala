@@ -762,6 +762,49 @@ object Multimodal {
       .toDF().orderBy(col("media_id"))
   }
 
+  /** Keyframe threshold for [[qVideoKeyframes]]: the inter-frame
+    * gray-sum delta is 7·w·h minus 256 per wrapped pixel, so 400 splits
+    * the ≤1-wrap frames (keyframes) from the rest — both engines compute
+    * the same exact integers, so the split is bit-stable.
+    */
+  val KeyframeDelta = 400L
+
+  final case class KeyframeStats(
+      media_id: Long, n_frames: Long, n_key: Long, key_xor: Long,
+      sum_key: Long, max_delta: Long)
+
+  /** Keyframe selection through the REAL codec — the shot-boundary
+    * primitive of video curation (sample frames where content CHANGES,
+    * not on a blind stride): decode every frame, reduce to per-frame
+    * gray sums, mark frame 0 plus every frame whose absolute sum delta
+    * from its predecessor reaches [[KeyframeDelta]]. All row-local
+    * executor-side work after the decode ([[qMultimodalVideo]]'s scale
+    * shape — the lag difference lives INSIDE the row's frame array, so
+    * no window function and no shuffle before the output sort). The
+    * oracle recomputes sums and deltas from the pixel formula; GIF bytes
+    * never cross engines.
+    */
+  def qVideoKeyframes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gifTable(s, dir)
+      .mapPartitions { it =>
+        it.map { gv =>
+          val (_, _, frames) = GifIoCodec.decodeGif(gv.payload)
+          val fs = frames.map(_.foldLeft(0L)(_ + _))
+          val deltas = fs.indices.map(f =>
+            if (f == 0) 0L else math.abs(fs(f) - fs(f - 1)))
+          val keys = fs.indices.filter(f =>
+            f == 0 || deltas(f) >= KeyframeDelta)
+          KeyframeStats(
+            gv.media_id, fs.length.toLong, keys.length.toLong,
+            keys.map(_.toLong).foldLeft(0L)(_ ^ _),
+            keys.map(fs(_)).sum,
+            deltas.drop(1).foldLeft(0L)(math.max))
+        }
+      }
+      .toDF().orderBy(col("media_id"))
+  }
+
   // ------------------------------------------------------------------
   // COLOR video path: the gray GIF pipeline above sidesteps palette
   // quantization with a 256-gray identity palette; this one proves the
@@ -1010,6 +1053,7 @@ object Multimodal {
     "q_multimodal_audio_feat" -> qMultimodalAudioFeat,
     "q_multimodal_video" -> qMultimodalVideo,
     "q_video_channels" -> qVideoChannels,
+    "q_video_keyframes" -> qVideoKeyframes,
     "q_audio_dedup" -> qAudioDedup,
     "q_image_dedup" -> qImageDedup
   )
@@ -1244,6 +1288,39 @@ object Multimodal {
          |  CAST(((n + ${FrameBytes - 1}) // $FrameBytes - 1) // $FrameStride + 1
          |    AS BIGINT) AS n_sampled,
          |  md5(substr(text, 1, $FrameBytes)) AS first_frame_md5
-         |FROM v WHERE n > 0 ORDER BY media_id""".stripMargin
+         |FROM v WHERE n > 0 ORDER BY media_id""".stripMargin,
+    // same pixel-formula re-derivation as q_multimodal_video, plus the
+    // lag delta (a window HERE is fine — the Spark side keeps the lag
+    // inside the row's frame array)
+    "q_video_keyframes" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id AS media_id,
+         |    4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h, 2 + doc_id % 5 AS n
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |fx AS (SELECT media_id, w, h, n, unnest(range(0, n)) AS f FROM ids),
+         |px AS (SELECT media_id, w, h, f, unnest(range(0, w)) AS x FROM fx),
+         |pxy AS (SELECT media_id, f, x, unnest(range(0, h)) AS y FROM px),
+         |fsum AS (
+         |  SELECT media_id, f,
+         |    CAST(sum((5 * media_id + 7 * f + 3 * x + 11 * y) % 256) AS BIGINT) AS fs
+         |  FROM pxy GROUP BY media_id, f),
+         |d AS (
+         |  SELECT media_id, f, fs,
+         |    coalesce(abs(fs - lag(fs) OVER (
+         |      PARTITION BY media_id ORDER BY f)), 0) AS delta
+         |  FROM fsum),
+         |k AS (
+         |  SELECT media_id, f, fs, delta,
+         |    CASE WHEN f = 0 OR delta >= $KeyframeDelta THEN 1 ELSE 0 END
+         |      AS isk
+         |  FROM d)
+         |SELECT media_id,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(isk) AS BIGINT) AS n_key,
+         |  CAST(coalesce(bit_xor(f) FILTER (isk = 1), 0) AS BIGINT)
+         |    AS key_xor,
+         |  CAST(coalesce(sum(fs) FILTER (isk = 1), 0) AS BIGINT) AS sum_key,
+         |  CAST(max(delta) AS BIGINT) AS max_delta
+         |FROM k GROUP BY media_id ORDER BY media_id""".stripMargin
   )
 }

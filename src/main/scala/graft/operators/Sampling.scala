@@ -615,7 +615,51 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  /** Sampling budget distributed by [[qMixtureAlloc]]. */
+  val MixBudget = 1000000L
+
+  /** Temperature-flattened mixture allocation — the domain-weighting
+    * step of multi-source training-data assembly (sample source i with
+    * weight ∝ n_i^τ, τ < 1, so low-resource sources are boosted relative
+    * to proportional sampling; the multilingual-LM convention). τ = 1/2
+    * keeps everything EXACT-INTEGER: the weight is isqrt(n_chars) — a
+    * float sqrt corrected by one integer comparison each way, so both
+    * engines agree on the floor for any BIGINT — and the budget split is
+    * floor(B·w_i/W) plus largest-remainder top-ups ranked by the integer
+    * remainder B·w_i mod W (deficit D = B − Σfloor top-ups, ties to the
+    * smaller source name). No IEEE summation-order hazard anywhere: the
+    * only division is integral. The per-source frame is |sources|-sized,
+    * so the ranking window is a bounded-frame walk, not a corpus funnel.
+    */
+  def qMixtureAlloc(s: SparkSession, dir: String): DataFrame = {
+    val masses = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    // corrected isqrt: exact floor(sqrt(x)) for any BIGINT despite the
+    // double-rounding of sqrt (the correction is ±1 at most)
+    val s0 = floor(sqrt(col("n_chars").cast("double"))).cast("long")
+    val w = when((s0 + 1) * (s0 + 1) <= col("n_chars"), s0 + 1)
+      .when(s0 * s0 > col("n_chars"), s0 - 1)
+      .otherwise(s0)
+    val weighted = masses.withColumn("w", w)
+    val totals = weighted.agg(sum(col("w")).as("tw"))
+    val W = org.apache.spark.sql.expressions.Window
+    val rk = W.orderBy(
+      (col("w") * MixBudget % col("tw")).desc, col("source"))
+    weighted.crossJoin(broadcast(totals))
+      .withColumn("base", expr(s"w * ${MixBudget}L div tw"))
+      .withColumn("deficit",
+        lit(MixBudget) - sum(col("base")).over(W.partitionBy()))
+      .withColumn("idx", row_number().over(rk).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("w"),
+        (col("base") +
+          when(col("idx") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_alloc" -> qMixtureAlloc,
     "q_budget_alloc" -> qBudgetAlloc,
     "q_budget_alloc_w" -> qBudgetAllocW,
     "q_curriculum" -> qCurriculum,
@@ -631,6 +675,38 @@ object Sampling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_mixture_alloc" ->
+      s"""WITH m AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY source),
+         |sq AS (
+         |  SELECT *, CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT)
+         |    AS s0
+         |  FROM m),
+         |wt AS (
+         |  SELECT source, n_docs, n_chars,
+         |    CASE WHEN (s0 + 1) * (s0 + 1) <= n_chars THEN s0 + 1
+         |         WHEN s0 * s0 > n_chars THEN s0 - 1
+         |         ELSE s0 END AS w
+         |  FROM sq),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wt),
+         |base AS (
+         |  SELECT source, n_docs, n_chars, w,
+         |    w * $MixBudget // tw AS base,
+         |    w * $MixBudget % tw AS rem
+         |  FROM wt CROSS JOIN tot),
+         |d AS (SELECT CAST($MixBudget - sum(base) AS BIGINT) AS deficit
+         |  FROM base),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+         |    AS BIGINT) AS idx
+         |  FROM base)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_chars,
+         |  CAST(w AS BIGINT) AS w,
+         |  CAST(base + CASE WHEN idx <= (SELECT deficit FROM d)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM rk ORDER BY source""".stripMargin,
     "q_budget_alloc" ->
       s"""WITH m AS (
          |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available

@@ -24,6 +24,8 @@ class SparkEntrySpec extends SparkSpec with Matchers {
       scale.Scale.queries.size,
       sources.Export.queries.size,
       sources.Ingest.queries.size,
+      streaming.Streaming.queries.size,
+      operators.Hosts.queries.size,
       1) // wc_wordcount
     SparkEntry.queries.size shouldBe moduleSizes.sum
   }

@@ -327,4 +327,31 @@ class MultimodalSpec extends SparkSpec with Matchers {
       sums.distinct.size should be > 1
     }
   }
+
+  test("q_video_keyframes equals an in-JVM replay of the pixel formula " +
+    "and always keeps frame 0") {
+    val rows = Multimodal.qVideoKeyframes(spark, sf()).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (w, h, n) = (4 + (id % 9).toInt, 3 + (id % 7).toInt,
+        2 + (id % 5).toInt)
+      val fs = (0 until n).map(f =>
+        (for (x <- 0 until w; y <- 0 until h)
+          yield (5L * id + 7L * f + 3L * x + 11L * y) % 256L).sum)
+      val deltas = (0 until n).map(f =>
+        if (f == 0) 0L else math.abs(fs(f) - fs(f - 1)))
+      val keys = (0 until n).filter(f =>
+        f == 0 || deltas(f) >= Multimodal.KeyframeDelta)
+      r.getAs[Long]("n_frames") shouldBe n.toLong
+      r.getAs[Long]("n_key") shouldBe keys.length.toLong
+      r.getAs[Long]("key_xor") shouldBe
+        keys.map(_.toLong).foldLeft(0L)(_ ^ _)
+      r.getAs[Long]("sum_key") shouldBe keys.map(fs(_)).sum
+      r.getAs[Long]("max_delta") shouldBe deltas.drop(1).foldLeft(0L)(math.max)
+      keys should contain(0)
+    }
+    // the threshold discriminates: not every video keeps every frame
+    rows.exists(r => r.getAs[Long]("n_key") < r.getAs[Long]("n_frames")) shouldBe true
+  }
 }

@@ -328,4 +328,23 @@ class SamplingSpec extends SparkSpec with Matchers {
       av * wj should be <= (aj + 1L) * wi
     }
   }
+
+  test("q_mixture_alloc: exact isqrt weights, budget conserved to the " +
+    "unit, and temperature flattening boosts small sources") {
+    val rows = Sampling.qMixtureAlloc(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("w"), r.getAs[Long]("alloc")))
+    rows.map(_._4).sum shouldBe Sampling.MixBudget
+    rows.foreach { case (_, nc, w, _) =>
+      w * w should be <= nc
+      (w + 1) * (w + 1) should be > nc
+    }
+    // flattening: the smallest source's allocation share strictly exceeds
+    // its mass share; the largest source's share shrinks
+    val totChars = rows.map(_._2).sum
+    val smallest = rows.minBy(_._2)
+    val largest = rows.maxBy(_._2)
+    smallest._4 * totChars should be > smallest._2 * Sampling.MixBudget
+    largest._4 * totChars should be < largest._2 * Sampling.MixBudget
+  }
 }
