@@ -152,6 +152,60 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderpriority"))
 
+  /** Late-batch plant for [[qIvmJoin]]: orders with key ≡ 3 (mod 17)
+    * re-arrive as a delta (the backfill shape [[Events.qIvmRefresh]]
+    * uses for the cube view, here for a JOIN view).
+    */
+  val IvmJoinMod = 17L
+  val IvmJoinResidue = 3L
+
+  /** Incremental maintenance of a JOIN view — the second IVM law after
+    * [[Events.qIvmRefresh]]'s additive cube: for V = γ(A ⋈ C) under an
+    * insert batch ΔA, the refresh is V ⊎ γ(ΔA ⋈ C) — the delta joins
+    * against the (unchanged) dimension and the results MERGE by view key
+    * (counts add; money adds exactly through the integer-cents DECIMAL
+    * route). Refresh cost is |ΔA| join work plus a |V|-sized full-outer
+    * merge — never a re-join of the full fact table, which is the entire
+    * point at 100 TB (the base view is re-evaluated in-plan only because
+    * the harness stores no state between queries; deployed, it is a
+    * stored-table scan). The oracle recomputes γ((A ∪ ΔA) ⋈ C) from
+    * scratch — agreement proves merged ≡ recomputed. `is_touched` marks
+    * the view keys the delta dirtied (the downstream cache invalidation
+    * set).
+    */
+  def qIvmJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def viewOf(orders: DataFrame): DataFrame = orders
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice")).cast("decimal(38,0)")).as("cts"))
+    val base = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+    val v0 = viewOf(base)
+    val dv = viewOf(
+      base.filter(col("o_orderkey") % IvmJoinMod === IvmJoinResidue))
+      .select(col("c_mktsegment").as("d_seg"),
+        col("o_orderpriority").as("d_pri"),
+        col("n").as("dn"), col("cts").as("dcts"))
+    v0.join(dv,
+        col("c_mktsegment") === col("d_seg") &&
+          col("o_orderpriority") === col("d_pri"),
+        "full_outer")
+      .select(
+        coalesce(col("c_mktsegment"), col("d_seg")).as("c_mktsegment"),
+        coalesce(col("o_orderpriority"), col("d_pri"))
+          .as("o_orderpriority"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        ((coalesce(col("cts"), lit(0).cast("decimal(38,0)")) +
+          coalesce(col("dcts"), lit(0).cast("decimal(38,0)"))) / 100)
+          .cast("double").as("revenue"),
+        col("dn").isNotNull.cast("long").as("is_touched"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+  }
+
   /** Left-semi join = EXISTS: customers having at least one open order. */
   def qJoinSemi(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -832,6 +886,7 @@ object Relational {
     "q_join_broadcast" -> qJoinBroadcast,
     "q_star_topk" -> qStarTopk,
     "q_join_shuffle" -> qJoinShuffle,
+    "q_ivm_join" -> qIvmJoin,
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_outer" -> qJoinOuter,
@@ -1102,6 +1157,31 @@ object Relational {
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // INDEPENDENT derivation: from-scratch recompute over base ∪ delta —
+    // agreement proves the Spark side's merged refresh ≡ recomputed view
+    "q_ivm_join" ->
+      s"""WITH delta AS (
+         |  SELECT o_custkey, o_orderpriority, o_totalprice FROM orders
+         |  WHERE o_orderkey % $IvmJoinMod = $IvmJoinResidue),
+         |allo AS (
+         |  SELECT o_custkey, o_orderpriority, o_totalprice FROM orders
+         |  UNION ALL SELECT * FROM delta),
+         |touched AS (
+         |  SELECT DISTINCT c_mktsegment, o_orderpriority
+         |  FROM delta JOIN customer ON o_custkey = c_custkey)
+         |SELECT a.c_mktsegment, a.o_orderpriority,
+         |  count(*) AS n_orders,
+         |  CAST(sum(CAST(a.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS revenue,
+         |  CAST(CASE WHEN t.c_mktsegment IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_touched
+         |FROM (SELECT c_mktsegment, o_orderpriority, o_totalprice
+         |      FROM allo JOIN customer ON o_custkey = c_custkey) a
+         |LEFT JOIN touched t
+         |  ON a.c_mktsegment = t.c_mktsegment
+         |  AND a.o_orderpriority = t.o_orderpriority
+         |GROUP BY a.c_mktsegment, a.o_orderpriority, t.c_mktsegment
+         |ORDER BY a.c_mktsegment, a.o_orderpriority""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -251,6 +251,47 @@ object Ingest {
       .orderBy(col("source"))
   }
 
+  /** Schema-evolution fixture: epoch v=1 parquet written WITHOUT the
+    * `lang` column, epoch v=2 with it — the schema-drift arrival mode of
+    * any long-lived ingestion (a producer adds a field mid-stream and the
+    * lake must keep reading both vintages).
+    */
+  private val evoFixtureMemo = new SessionMemo[String]()
+  private[graft] def evoFixturePath(s: SparkSession, dir: String): String =
+    evoFixtureMemo.getOrElseUpdate(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo/" +
+        new java.io.File(dir).getName
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"))
+        .write.mode("overwrite").parquet(s"$out/v=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/v=2")
+      out
+    }
+
+  /** Schema-merged read across parquet vintages: `mergeSchema=true`
+    * reconciles the per-file footers into the union schema and
+    * back-fills the missing `lang` with nulls for the v=1 files, while
+    * the directory name materializes as the partition column `v` — so
+    * one scan serves both vintages with partition pruning intact. The
+    * per-vintage census (null back-fill count vs real lang cardinality)
+    * is what a migration audit reads. Scale note: footer merging is a
+    * driver-side metadata operation over file FOOTERS, not data — at
+    * 100 TB pin the union schema explicitly instead of paying the
+    * inference listing on every query.
+    */
+  def qSchemaMerge(s: SparkSession, dir: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(evoFixturePath(s, dir))
+      .groupBy(col("v").cast("long").as("v"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_lang_null"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("v"))
+
   /** STREAMING ingest twin — the arrival mode of real crawl dumps: a
     * directory that fills with gzip JSONL shards, each micro-batch
     * ingesting the shards that appeared since the last trigger
@@ -509,6 +550,7 @@ object Ingest {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
+    "q_schema_merge" -> qSchemaMerge,
     "q_crawl_delta" -> qCrawlDelta,
     "q_scd2" -> qScd2,
     "q_scd2_join" -> qScd2Join,
@@ -644,6 +686,18 @@ object Ingest {
          |  CAST(0 AS BIGINT) AS id_xor, CAST(0 AS BIGINT) AS note_xor
          |  FROM documents WHERE doc_id % $CsvMalformedMod = 0)
          |SELECT * FROM agg UNION ALL SELECT * FROM mal ORDER BY source"""
-        .stripMargin
+        .stripMargin,
+    // the two vintages are deterministic parity splits of documents, so
+    // the oracle derives the merged-read census directly
+    "q_schema_merge" ->
+      """SELECT CAST(1 AS BIGINT) AS v, count(*) AS n_rows,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(*) AS n_lang_null, CAST(0 AS BIGINT) AS n_langs
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), count(DISTINCT source),
+        |  CAST(0 AS BIGINT), count(DISTINCT lang)
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY v""".stripMargin
   )
 }

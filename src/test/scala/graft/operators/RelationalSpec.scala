@@ -241,4 +241,52 @@ class RelationalSpec extends SparkSpec with Matchers {
       (keys.last - keys.head + 1 - keys.length)
     r.getAs[Long]("n_gap_runs") shouldBe runs.toLong
   }
+
+  test("q_ivm_join: incremental merge equals a from-scratch recompute " +
+    "over base union delta") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.tables.Tables.customer(spark, sf())
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val base = graft.tables.Tables.orders(spark, sf()).select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+    val delta = base.filter(
+      col("o_orderkey") % Relational.IvmJoinMod === Relational.IvmJoinResidue)
+    val want = base.union(delta)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = Relational.qIvmJoin(spark, sf()).collect()
+    got.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_orders"))
+      .toMap shouldBe want
+    // the delta dirties a strict, non-empty subset or all of the keys;
+    // every touched key's count grew vs the base-only view
+    val baseView = base.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val touched = got.filter(_.getAs[Long]("is_touched") == 1L)
+    touched.length should be > 0
+    touched.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      r.getAs[Long]("n_orders") should be > baseView(k)
+    }
+  }
+
+  test("q_schema_merge: vintage census — full null back-fill on v=1, " +
+    "none on v=2, rows partitioned by parity") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Ingest.qSchemaMerge(spark, sf()).collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    val docs = graft.tables.Tables.documents(spark, sf())
+    val even = docs.filter(col("doc_id") % 2 === 0).count()
+    rows(0).getAs[Long]("n_rows") shouldBe even
+    rows(1).getAs[Long]("n_rows") shouldBe (docs.count() - even)
+    rows(0).getAs[Long]("n_lang_null") shouldBe even
+    rows(0).getAs[Long]("n_langs") shouldBe 0L
+    rows(1).getAs[Long]("n_lang_null") shouldBe 0L
+    rows(1).getAs[Long]("n_langs") should be > 0L
+  }
 }
