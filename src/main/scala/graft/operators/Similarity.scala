@@ -424,14 +424,15 @@ object Similarity {
     * same driver-roundtrip shape Spark MLlib's KMeans uses.
     */
   private def lloydStep(
-      emb: DataFrame, cent: Seq[(Long, Array[Double])]): Seq[(Long, Array[Double])] = {
+      emb: DataFrame, cent: Seq[(Long, Array[Double])],
+      dim: Int = Dim): Seq[(Long, Array[Double])] = {
     val sums = emb
       .select(assignExpr(cent).as("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("c_id"), col("pos"))
       .agg(sum(quantLong(col("v"))).as("s"))
       .collect()
     sums.groupBy(_.getLong(0)).toSeq.map { case (id, rows) =>
-      val arr = new Array[Double](Dim)
+      val arr = new Array[Double](dim)
       rows.foreach(r => arr(r.getInt(1)) = r.getLong(2).toDouble)
       (id, arr)
     }.sortBy(_._1)
@@ -541,6 +542,75 @@ object Similarity {
       .orderBy(col("c_id"))
   }
 
+  /** Product-quantization geometry: [[PqM]] subspaces of [[PqSubDim]]
+    * coordinates each, [[IvfCentroids]] codewords per subspace — the
+    * 64-dim vector compresses to 4 bytes of codes.
+    */
+  val PqM = 4
+  val PqSubDim: Int = Dim / PqM
+
+  /** Per-subspace codebooks (spherical PQ: the same seeded cosine
+    * k-means as [[trainedCentroids]], run independently on each
+    * coordinate slice). Memoized like the IVF centroids — a production
+    * pipeline trains the codebook once per corpus.
+    */
+  private val pqCache = new SessionMemo[Seq[Seq[(Long, Array[Double])]]]()
+  private[operators] def pqCodebooks(
+      s: SparkSession, dir: String): Seq[Seq[(Long, Array[Double])]] =
+    pqCache.getOrElseUpdate(s, dir) {
+      (0 until PqM).map { m =>
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
+        val init: Seq[(Long, Array[Double])] = emb
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(IvfCentroids)
+          .collect()
+          .map { r =>
+            val v = r.getSeq[Float](1)
+            (r.getLong(0),
+              v.map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray)
+          }.sortBy(_._1).toSeq
+        (1 to KmeansIters).foldLeft(init)((c, _) =>
+          lloydStep(emb, c, PqSubDim))
+      }
+    }
+
+  /** Product-quantization codebook train + encode census (Jégou et al.,
+    * TPAMI 2011, spherical variant) — the vector-compression stage of a
+    * production ANN index (IVF-PQ): each [[PqSubDim]]-coordinate slice
+    * quantizes independently against its own [[IvfCentroids]]-codeword
+    * codebook, so the 64-float vector stores as [[PqM]] single-byte
+    * codes. Training is the same exact-integer seeded Lloyd machinery as
+    * the IVF index, per subspace; encoding is a row-local
+    * nearest-centroid expression per slice (one corpus scan, no
+    * shuffle); the census aggregates to the m×codeword grid — codeword
+    * usage plus an exact-integer fit mass (Σ ppm-quantized cosine of
+    * each slice to its codeword), the quantization-quality surface an
+    * index operator monitors. Scale shape: training ships k·d longs per
+    * iteration; encode is embarrassingly parallel; the output frame is
+    * 64 cells regardless of corpus size.
+    */
+  def qPqCodebook(s: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(s, dir)
+    val subStructs = (0 until PqM).map { m =>
+      val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+      val fit = array_max(array(books(m).map { case (_, cv) =>
+        cosRounded(sub, typedLit(cv.toSeq)) }: _*))
+      struct(lit(m.toLong).as("m"),
+        VectorExpressions.nearestCentroid(sub, books(m)).as("code"),
+        floor(fit * 1e6 + lit(0.5)).cast("long").as("fit_ppm"))
+    }
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), explode(array(subStructs: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.m").as("m"), col("sc.code").as("code"),
+        col("sc.fit_ppm").as("fit_ppm"))
+      .groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("fit_ppm")).as("fit_ppm_sum"),
+        min(col("vec_id")).as("min_vec"))
+      .orderBy(col("m"), col("code"))
+  }
+
   /** Neighbors per vector in [[qKnnGraph]]. */
   val KnnGraphK = 3
 
@@ -645,7 +715,8 @@ object Similarity {
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_ann_recall_ivf" -> qAnnRecallIvf,
     "q_dedup_semantic" -> qDedupSemantic,
-    "q_knn_graph" -> qKnnGraph
+    "q_knn_graph" -> qKnnGraph,
+    "q_pq_codebook" -> qPqCodebook
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -911,6 +982,61 @@ object Similarity {
          |  coalesce(p.n_dropped, 0) AS n_dropped
          |FROM sizes s LEFT JOIN per_cluster p ON s.c_id = p.c_id
          |ORDER BY c_id""".stripMargin,
+    // INDEPENDENT derivation: per-subspace seed + Lloyd unroll on the
+    // coordinate slices, assignment argmax via a window carrying its cos
+    "q_pq_codebook" -> {
+      def subSrc(m: Int): String = {
+        val lo = m * PqSubDim + 1
+        val hi = (m + 1) * PqSubDim
+        s"SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings"
+      }
+      def seeds(m: Int): String = {
+        val lo = m * PqSubDim + 1
+        val hi = (m + 1) * PqSubDim
+        s"""SELECT vec_id AS c_id,
+           |    list_transform(embedding[$lo:$hi],
+           |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS cv
+           |  FROM (SELECT * FROM embeddings
+           |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           |        LIMIT $IvfCentroids) seeds""".stripMargin
+      }
+      def recompute(assigned: String): String =
+        s"""SELECT c_id, list(s ORDER BY pos) AS cv FROM (
+           |  SELECT c_id, pos,
+           |    sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS s
+           |  FROM $assigned CROSS JOIN range(1, ${PqSubDim + 1}) t(pos)
+           |  GROUP BY c_id, pos) u
+           |GROUP BY c_id""".stripMargin
+      def assign(cte: String, src: String): String =
+        s"""SELECT vec_id, embedding, c_id, cos FROM (
+           |  SELECT e.vec_id, e.embedding, c.c_id,
+           |    ${cosSqlCols("e.embedding", "c.cv")} AS cos,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSqlCols("e.embedding", "c.cv")} DESC, c.c_id)
+           |      AS c_rk
+           |  FROM $src e CROSS JOIN $cte c) t
+           |WHERE c_rk = 1""".stripMargin
+      val chains = (0 until PqM).map { m =>
+        val rounds = (1 to KmeansIters).map { i =>
+          s"""pa${m}_$i AS (${assign(s"pc${m}_${i - 1}", s"ps$m")}),
+             |pc${m}_$i AS (${recompute(s"pa${m}_$i")})""".stripMargin
+        }.mkString(",\n")
+        s"""ps$m AS (${subSrc(m)}),
+           |pc${m}_0 AS (${seeds(m)}),
+           |$rounds,
+           |pf$m AS (${assign(s"pc${m}_$KmeansIters", s"ps$m")})""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 until PqM)
+        .map(m => s"SELECT $m AS m, c_id AS code, vec_id, cos FROM pf$m")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $chains,
+         |enc AS ($unions)
+         |SELECT CAST(m AS BIGINT) AS m, code, count(*) AS n_vectors,
+         |  CAST(sum(CAST(floor(cos * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS fit_ppm_sum,
+         |  CAST(min(vec_id) AS BIGINT) AS min_vec
+         |FROM enc GROUP BY m, code ORDER BY m, code""".stripMargin
+    },
     // INDEPENDENT derivation: same Lloyd unroll, per-vector top-k via a
     // window over the within-cluster candidates, mutuality by pair count
     "q_knn_graph" ->

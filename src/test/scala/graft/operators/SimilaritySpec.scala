@@ -293,4 +293,39 @@ class SimilaritySpec extends SparkSpec with Matchers {
     got shouldBe want
     got should not be empty
   }
+
+  test("q_pq_codebook: every vector encodes once per subspace, codes are " +
+    "codebook members, and the census equals an in-JVM re-aggregation") {
+    val rows = Similarity.qPqCodebook(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("fit_ppm_sum")))
+    val n = graft.tables.Tables.embeddings(spark, sf()).count()
+    (0 until Similarity.PqM).foreach { m =>
+      rows.filter(_._1 == m).map(_._3).sum shouldBe n
+    }
+    val books = Similarity.pqCodebooks(spark, sf())
+    rows.groupBy(_._1).foreach { case (m, rs) =>
+      val ids = books(m.toInt).map(_._1).toSet
+      rs.map(_._2).toSet.subsetOf(ids) shouldBe true
+    }
+    // re-derive the census from per-vector Spark-scored assignments
+    import org.apache.spark.sql.functions._
+    val perVec = (0 until Similarity.PqM).map { m =>
+      val sub = slice(col("embedding"), m * Similarity.PqSubDim + 1,
+        Similarity.PqSubDim)
+      val fit = array_max(array(books(m).map { case (_, cv) =>
+        round(graft.functions.VectorExpressions.vecCosine(
+          sub, typedLit(cv.toSeq)), 6) }: _*))
+      graft.tables.Tables.embeddings(spark, sf())
+        .select(lit(m.toLong).as("m"),
+          graft.functions.VectorExpressions.nearestCentroid(sub, books(m))
+            .as("code"),
+          floor(fit * 1e6 + lit(0.5)).cast("long").as("fit_ppm"))
+    }.reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = perVec.groupBy(t => (t._1, t._2)).map { case ((m, c), xs) =>
+      (m, c, xs.length.toLong, xs.map(_._3).sum)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    rows.toSeq.sortBy(t => (t._1, t._2)) shouldBe want
+  }
 }
