@@ -236,6 +236,52 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Integer ppb discounts 1/log2(i+1), i = 1..[[TopK]], precomputed
+    * driver-side and inlined as the SAME literals into the plan and the
+    * oracle — the shared-verbatim-constant discipline, here because the
+    * two engines' log2 may differ in the last ulp.
+    */
+  private[operators] val NdcgDiscPpb: Seq[Long] =
+    (1 to TopK).map(i =>
+      math.round(1e9 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Ideal DCG mass: the true top-k in perfect order. */
+  private[operators] val NdcgIdealPpb: Long =
+    (1 to TopK).map(i => (TopK + 1 - i).toLong * NdcgDiscPpb(i - 1)).sum
+
+  /** NDCG@k of the k-means IVF ranking against brute-force ground truth
+    * — the ORDER-sensitive retrieval metric recall@k cannot see (an index
+    * returning the right set in the wrong order scores 1.0 on recall,
+    * < 1.0 here). Graded relevance of candidate v = k+1 − its true rank
+    * (0 if outside the true top-k); DCG accumulates rel·disc(position)
+    * in EXACT ppb integers (relevances are small ints, discounts are the
+    * shared integer literals above), so the only float in the query is
+    * the final division by the ideal mass — bit-stable cross-engine with
+    * no summation-order hazard. One broadcast-sized join between two
+    * |Q|·k rankings.
+    */
+  def qAnnNdcg(s: SparkSession, dir: String): DataFrame = {
+    val truth = qAnnBrute(s, dir).select(col("query_id"), col("vec_id"),
+      (lit(TopK + 1L) - col("rk")).as("rel"))
+    val cand = qAnnIvfKmeans(s, dir)
+      .select(col("query_id").as("c_query_id"), col("rk"), col("vec_id")
+        .as("c_vec_id"))
+    cand
+      .join(truth,
+        col("c_query_id") === col("query_id") &&
+          col("c_vec_id") === col("vec_id"), "left_outer")
+      .select(col("c_query_id").as("query_id"),
+        (coalesce(col("rel"), lit(0L)) *
+          element_at(typedLit(NdcgDiscPpb), col("rk").cast("int")))
+          .as("g"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("g")).as("dcg_ppb"))
+      .select(col("query_id"), col("dcg_ppb"),
+        (col("dcg_ppb").cast("double") / lit(NdcgIdealPpb.toDouble))
+          .as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Recall@k of the two IVF paths (stand-in centroids and k-means-trained)
     * against brute-force ground truth — quantifies the probe-one-cluster
     * tradeoff: scanning |N|/k of the corpus bounds recall by how often a
@@ -716,7 +762,8 @@ object Similarity {
     "q_ann_recall_ivf" -> qAnnRecallIvf,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_knn_graph" -> qKnnGraph,
-    "q_pq_codebook" -> qPqCodebook
+    "q_pq_codebook" -> qPqCodebook,
+    "q_ann_ndcg" -> qAnnNdcg
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1066,6 +1113,20 @@ object Similarity {
          |  FROM knn GROUP BY 1, 2)
          |SELECT vec_a, vec_b, cos FROM und WHERE nd = 2
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_ndcg" -> {
+      val discList = NdcgDiscPpb.mkString("[", ", ", "]")
+      s"""WITH brute AS ($bruteSql),
+         |ivf AS ($ivfKmeansSql),
+         |g AS (
+         |  SELECT i.query_id,
+         |    coalesce(${TopK + 1} - b.rk, 0) * ($discList)[CAST(i.rk AS INT)]
+         |      AS g
+         |  FROM ivf i LEFT JOIN brute b
+         |    ON i.query_id = b.query_id AND i.vec_id = b.vec_id)
+         |SELECT query_id, CAST(sum(g) AS BIGINT) AS dcg_ppb,
+         |  CAST(sum(g) AS DOUBLE) / CAST($NdcgIdealPpb AS DOUBLE) AS ndcg
+         |FROM g GROUP BY query_id ORDER BY query_id""".stripMargin
+    },
     "q_ann_brute" -> (bruteSql + "\nORDER BY query_id, rk"),
     "q_ann_lsh" -> (lshSql + "\nORDER BY query_id, rk"),
     "q_ann_multiprobe" -> (multiprobeSql + "\nORDER BY query_id, rk"),

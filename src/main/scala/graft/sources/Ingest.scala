@@ -419,6 +419,47 @@ object Ingest {
           concat(col("text"), lit(" addendum")).as("text")))
   }
 
+  /** MERGE INTO (upsert + delete) applied as one co-partitioned
+    * full-outer join — the change-data-capture apply step [[qCrawlDelta]]
+    * only CLASSIFIES: the change feed (upserts carrying new rows, deletes
+    * carrying keys) merges into the target with Delta-style semantics —
+    * WHEN MATCHED AND op='d' THEN DELETE; WHEN MATCHED THEN UPDATE; WHEN
+    * NOT MATCHED THEN INSERT — and the result census (per source, row
+    * count + order-independent content fingerprint) must equal the
+    * post-change snapshot recomputed from scratch by the oracle. Scale
+    * shape: ONE full-outer join on the key is the entire apply (the
+    * MERGE shuffle shape of any lakehouse engine); fingerprints aggregate
+    * map-side. The feed derives from the [[snapshotB]] plant rules, so
+    * merged ≡ snapshot B by construction — the equality under test is
+    * the merge MECHANICS, not the plant.
+    */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val upserts = snapshotB(s, dir)
+      .select(col("doc_id"), col("source").as("f_source"),
+        col("text").as("f_text"), lit("u").as("op"))
+    val deletes = target
+      .filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("f_source"),
+        lit(null).cast("string").as("f_text"), lit("d").as("op"))
+    val feed = upserts.union(deletes)
+    val merged = target
+      .join(feed, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") === "u")
+      .select(col("doc_id"),
+        when(col("op") === "u", col("f_source")).otherwise(col("source"))
+          .as("source"),
+        when(col("op") === "u", col("f_text")).otherwise(col("text"))
+          .as("text"))
+    merged
+      .select(col("source"), contentId.as("cid"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(expr("bit_xor(cid)"), lit(0L)).as("id_xor"))
+      .orderBy(col("source"))
+  }
+
   /** Crawl delta report — the between-snapshots ledger a curation team
     * reads before re-running the pipeline: per source, how many docs are
     * unchanged / edited / added / removed between snapshot A and B.
@@ -551,6 +592,7 @@ object Ingest {
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
     "q_schema_merge" -> qSchemaMerge,
+    "q_merge_upsert" -> qMergeUpsert,
     "q_crawl_delta" -> qCrawlDelta,
     "q_scd2" -> qScd2,
     "q_scd2_join" -> qScd2Join,
@@ -698,6 +740,22 @@ object Ingest {
         |SELECT CAST(2 AS BIGINT), count(*), count(DISTINCT source),
         |  CAST(0 AS BIGINT), count(DISTINCT lang)
         |FROM documents WHERE doc_id % 2 = 1
-        |ORDER BY v""".stripMargin
+        |ORDER BY v""".stripMargin,
+    // INDEPENDENT derivation: the oracle recomputes the POST-change
+    // snapshot from the plant rules directly — the Spark side must reach
+    // the same census through the merge mechanics
+    "q_merge_upsert" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' updated'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $CrawlAddOffset, source, text || ' addendum'
+         |  FROM documents WHERE doc_id % 17 = 0)
+         |SELECT source, count(*) AS n_docs,
+         |  bit_xor(('0x' || substr(md5(source || chr(1) || text), 1, 15))::BIGINT)
+         |    AS id_xor
+         |FROM b GROUP BY source ORDER BY source""".stripMargin
   )
 }

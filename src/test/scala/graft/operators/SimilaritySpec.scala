@@ -328,4 +328,31 @@ class SimilaritySpec extends SparkSpec with Matchers {
     }.toSeq.sortBy(t => (t._1, t._2))
     rows.toSeq.sortBy(t => (t._1, t._2)) shouldBe want
   }
+
+  test("q_ann_ndcg equals an in-JVM replay over the two rankings and is " +
+    "1.0 exactly when the IVF ranking matches ground truth") {
+    val truth = Similarity.qAnnBrute(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val cand = Similarity.qAnnIvfKmeans(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = cand.groupBy(_._1).map { case (q, rs) =>
+      val dcg = rs.map { case (_, rk, v) =>
+        val rel = truth.get((q, v)).map(Similarity.TopK + 1L - _).getOrElse(0L)
+        rel * Similarity.NdcgDiscPpb(rk.toInt - 1)
+      }.sum
+      q -> dcg
+    }
+    val got = Similarity.qAnnNdcg(spark, sf()).collect()
+    got.foreach { r =>
+      val q = r.getLong(0)
+      r.getLong(1) shouldBe want(q)
+      r.getDouble(2) shouldBe want(q).toDouble / Similarity.NdcgIdealPpb
+      r.getDouble(2) should (be >= 0.0 and be <= 1.0)
+      // order sensitivity: ndcg is 1 iff the candidate list IS the true
+      // top-k in true-rank order
+      val perfect = cand.filter(_._1 == q)
+        .forall { case (_, rk, v) => truth.get((q, v)).contains(rk) }
+      (r.getDouble(2) == 1.0) shouldBe perfect
+    }
+  }
 }

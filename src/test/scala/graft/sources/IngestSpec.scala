@@ -248,4 +248,24 @@ class IngestSpec extends SparkSpec with Matchers {
       r.getAs[Long]("note_xor") shouldBe want(r.getString(0))
     }
   }
+
+  test("q_merge_upsert: the merge mechanics reproduce the post-change " +
+    "snapshot's census exactly") {
+    val want = Ingest.snapshotB(spark, sf())
+      .select(col("source"),
+        conv(substring(md5(concat(col("source"), lit(""),
+          col("text"))), 1, 15), 16, 10).cast("long").as("cid"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(cid)").as("id_xor"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = Ingest.qMergeUpsert(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe want
+    // deletes really deleted: merged mass < target + inserts
+    val target = Tables.documents(spark, sf()).count()
+    val inserts = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 17 === 0).count()
+    got.values.map(_._1).sum should be < (target + inserts)
+  }
 }
