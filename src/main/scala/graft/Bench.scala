@@ -262,6 +262,35 @@ object Bench {
     val idx36Key: Map[String, String] =
       names.zipWithIndex.map { case (n, i) =>
         n -> java.lang.Integer.toString(i, 36) }.toMap
+    // stage-9 squeeze (built at 216 queries, round 8; engages when
+    // stage-8 crosses the budget at ≈217): the value-precision lever
+    // BASELINE.md documents as the post-260 plan, pulled forward because
+    // base-36 keys never shrink below 9 chars/query while family sums
+    // amortize to ~0 for queries joining an existing family. Keys become
+    // the FAMILY — the first underscore segment of the full name with
+    // any "q_" prefix dropped ("dedup", "ann", "join", …) — and each
+    // value is the family's summed steady seconds. Failed queries
+    // (negative sentinel) are EXCLUDED from the sums and surfaced in an
+    // explicit "nfail" field instead (present only when nonzero), so a
+    // failure cannot hide inside an aggregate. Per-query full precision
+    // stays on the detail line and in the committed
+    // docs/BENCH_DETAIL.json; family membership is derivable from the
+    // registry name list by the same first-segment rule, so the line
+    // stays reversible like stages 7-8.
+    def famOf(k: String): String = {
+      val base = if (k.startsWith("q_")) k.substring(2) else k
+      base.takeWhile(_ != '_')
+    }
+    val famSums: Seq[(String, Double)] = results
+      .groupBy { case (k, _) => famOf(k) }
+      .map { case (f, vs) =>
+        f -> vs.collect { case (_, v) if v >= 0 => v }.sum }
+      .toSeq.sortBy(_._1)
+    val nFail = results.count(_._2 < 0)
+    def famContract: String =
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${
+        jmap(famSums, short2)
+      }${if (nFail > 0) s""","nfail":$nFail""" else ""}${canaryJson(short)},"sf":"${new java.io.File(sfDir).getName}"}"""
     // the squeezes must stay injective over the registry: a future
     // q_t_foo would alias with q_text_foo's squeezed key and silently
     // merge two queries on the contract line (round-5 advisor note)
@@ -287,7 +316,9 @@ object Bench {
         else { val seg1Line = contract(segKey1)
           if (seg1Line.length <= 2000) seg1Line
           else { val idxLine = contract(idxKey)
-            if (idxLine.length <= 2000) idxLine else contract(idx36Key) } } })
+            if (idxLine.length <= 2000) idxLine
+            else { val idx36Line = contract(idx36Key)
+              if (idx36Line.length <= 2000) idx36Line else famContract } } } })
     spark.stop()
   }
 }

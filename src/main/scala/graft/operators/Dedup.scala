@@ -689,6 +689,51 @@ object Dedup {
           .as("truth_precision"))
   }
 
+  /** Verification thresholds swept by [[qDedupPrCurve]]. */
+  val PrThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Precision/recall CURVE over the verification threshold — the tuning
+    * artifact behind [[qDedupRecall]]'s single point: one pass over the
+    * candidate+Jaccard frame the pipeline already builds, fanned out to
+    * the [[PrThresholds]] grid (a bounded 5× explode of candidate rows,
+    * never of the corpus), so choosing the dedup operating point is a
+    * measured trade instead of a cited default. Same planted ground
+    * truth and precision-lower-bound caveat as the single-point query.
+    */
+  def qDedupPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val withHs = sharedSignatures(s, dir)
+    val isTruth = col("doc_b") === col("doc_a") + PlantOffset &&
+      col("doc_a") < PlantOffset
+    val perT = minhashCandidates(minhashBanded(withHs), MaxLshBucket)
+      .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")),
+        "doc_a")
+      .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_distinct(concat(col("hs_a"), col("hs_b"))))).as("j"))
+      .select(col("doc_a"), col("doc_b"), col("j"),
+        explode(typedLit(PrThresholds)).as("t"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("j") >= col("t"), 1L).otherwise(0L)).as("n_verified"),
+        sum(when(col("j") >= col("t") && isTruth, 1L).otherwise(0L))
+          .as("n_hit"))
+    val elig = withHs.filter(size(col("hs")) > 0).select(col("doc_id"))
+    val nTrue = elig.filter(col("doc_id") < PlantOffset)
+      .join(elig.select((col("doc_id") - PlantOffset).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_true"))
+    perT.crossJoin(broadcast(nTrue))
+      .select(col("t"), col("n_verified"), col("n_hit"), col("n_true"),
+        (col("n_hit").cast("double") / col("n_true").cast("double"))
+          .as("recall"),
+        when(col("n_verified") > 0L,
+          col("n_hit").cast("double") / col("n_verified").cast("double"))
+          .as("precision_lb"))
+      .orderBy(col("t"))
+  }
+
   def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
     val withHs = sharedSignatures(s, dir)
     ConnectedComponents.components(verifiedPairs(withHs))
@@ -1395,6 +1440,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_recall" -> qDedupRecall,
+    "q_dedup_pr_curve" -> qDedupPrCurve,
     "q_delete_list" -> qDeleteList,
     "q_delete_cascade" -> qDeleteCascade,
     "q_winnow" -> qWinnow,
@@ -1757,6 +1803,34 @@ object Dedup {
          |  CAST(n_ver_hit AS DOUBLE) / CAST(n_verified AS DOUBLE)
          |    AS truth_precision
          |FROM st CROSS JOIN tr""".stripMargin,
+    "q_dedup_pr_curve" ->
+      s"""WITH $minhashCteChain,
+         |jc AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.hs, sb.hs))) AS j
+         |  FROM cand
+         |  JOIN hsd sa ON sa.doc_id = doc_a
+         |  JOIN hsd sb ON sb.doc_id = doc_b),
+         |pt AS (SELECT t,
+         |    CAST(sum(CASE WHEN j >= t THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_verified,
+         |    CAST(sum(CASE WHEN j >= t AND doc_b = doc_a + $PlantOffset
+         |      AND doc_a < $PlantOffset THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hit
+         |  FROM jc CROSS JOIN (SELECT CAST(unnest([${PrThresholds.mkString(", ")}])
+         |    AS DOUBLE)
+         |    AS t) th
+         |  GROUP BY t),
+         |el AS (SELECT doc_id FROM hsd WHERE len(sh) > 0),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM el a
+         |  WHERE a.doc_id < $PlantOffset AND EXISTS
+         |    (SELECT 1 FROM el b WHERE b.doc_id = a.doc_id + $PlantOffset))
+         |SELECT t, n_verified, n_hit, n_true,
+         |  CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall,
+         |  CASE WHEN n_verified > 0
+         |       THEN CAST(n_hit AS DOUBLE) / CAST(n_verified AS DOUBLE)
+         |       END AS precision_lb
+         |FROM pt CROSS JOIN tr ORDER BY t""".stripMargin,
     "q_delete_list" ->
       s"""WITH corpus AS ($plantedSql),
          |man AS (SELECT DISTINCT md5(text) AS del_md5 FROM documents

@@ -749,8 +749,72 @@ object Similarity {
       .orderBy(col("vid_a"), col("vid_b"))
   }
 
+  /** Core threshold for [[qDbscanCore]]: ≥ this many OTHER points within
+    * the L∞ [[RangeEps]] window.
+    */
+  val DbscanMinPts = 3
+
+  /** DBSCAN point classification (Ester et al., KDD 1996) on the leading
+    * two embedding dimensions — the density-based de-outliering census a
+    * curation pipeline runs before clustering: CORE points have ≥
+    * [[DbscanMinPts]] ε-neighbors, BORDER points are non-core with a
+    * core neighbor, the rest is NOISE (the drop set). Built entirely on
+    * [[qRangeSearch]]'s fixed-grid machinery: neighbor edges come from
+    * the 9-cell probe join (bounded replication, no cartesian — the
+    * completeness argument is qRangeSearch's), degrees from one
+    * aggregation, border status from one semi-join of edges against the
+    * core set. The oracle is the quadratic all-pairs derivation,
+    * affordable at gate SF only — which is the grid method's value
+    * proposition restated.
+    */
+  def qDbscanCore(s: SparkSession, dir: String): DataFrame = {
+    val eps = lit(RangeEps)
+    val pts = Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+    val probes = pts.select(
+      col("vec_id").as("pid"), col("x").as("px"), col("y").as("py"),
+      explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))): _*))
+        .as("c"))
+      .select(col("pid"), col("px"), col("py"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    val nbr = probes.join(pts,
+      probes("cx") === pts("cx") && probes("cy") === pts("cy") &&
+        probes("pid") =!= pts("vec_id"))
+      .filter(abs(col("px") - col("x")) <= eps &&
+        abs(col("py") - col("y")) <= eps)
+      .select(col("pid"), col("vec_id").as("nid"))
+    val deg = nbr.groupBy(col("pid")).agg(count(lit(1)).as("deg"))
+    val core = deg.filter(col("deg") >= DbscanMinPts)
+      .select(col("pid").as("core_id"))
+    val borderIds = nbr
+      .join(core, nbr("nid") === core("core_id"), "left_semi")
+      .select(col("pid")).distinct()
+      .join(core.select(col("core_id").as("pid")), Seq("pid"), "left_anti")
+    pts.select(col("vec_id"))
+      .join(core.select(col("core_id").as("vec_id"), lit(1L).as("isc")),
+        Seq("vec_id"), "left")
+      .join(borderIds.select(col("pid").as("vec_id"), lit(1L).as("isb")),
+        Seq("vec_id"), "left")
+      .join(deg.select(col("pid").as("vec_id"), col("deg")),
+        Seq("vec_id"), "left")
+      .select(
+        when(col("isc") === 1L, "core")
+          .when(col("isb") === 1L, "border")
+          .otherwise("noise").as("cls"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_points"), sum(col("deg")).as("n_edges"))
+      .orderBy(col("cls"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_search" -> qRangeSearch,
+    "q_dbscan_core" -> qDbscanCore,
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_multiprobe" -> qAnnMultiprobe,
@@ -966,6 +1030,30 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // INDEPENDENT derivation: quadratic all-pairs neighbor counts
+    "q_dbscan_core" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         |    CAST(embedding[2] AS DOUBLE) AS y
+         |  FROM embeddings),
+         |nbr AS (
+         |  SELECT a.vec_id AS pid, b.vec_id AS nid
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+         |    AND abs(a.x - b.x) <= $RangeEps AND abs(a.y - b.y) <= $RangeEps),
+         |deg AS (SELECT pid, count(*) AS deg FROM nbr GROUP BY pid),
+         |core AS (SELECT pid FROM deg WHERE deg >= $DbscanMinPts),
+         |border AS (
+         |  SELECT DISTINCT n.pid FROM nbr n JOIN core c ON n.nid = c.pid
+         |  WHERE n.pid NOT IN (SELECT pid FROM core)),
+         |cls AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN e.vec_id IN (SELECT pid FROM core) THEN 'core'
+         |         WHEN e.vec_id IN (SELECT pid FROM border) THEN 'border'
+         |         ELSE 'noise' END AS cls,
+         |    coalesce(d.deg, 0) AS deg
+         |  FROM e LEFT JOIN deg d ON e.vec_id = d.pid)
+         |SELECT cls, count(*) AS n_points, CAST(sum(deg) AS BIGINT) AS n_edges
+         |FROM cls GROUP BY cls ORDER BY cls""".stripMargin,
     // INDEPENDENT derivation: brute-force all-pairs — affordable at oracle
     // SF, which is exactly the grid method's value proposition at scale
     "q_range_search" ->

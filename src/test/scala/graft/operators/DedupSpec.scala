@@ -406,6 +406,33 @@ class DedupSpec extends SparkSpec with Matchers {
     r.getAs[Double]("truth_precision") should be > 0.5
   }
 
+  test("q_dedup_pr_curve: counts are monotone in the threshold and the " +
+    "t=0.8 row reproduces q_dedup_recall's single point exactly") {
+    val rows = Dedup.qDedupPrCurve(spark, sf()).collect()
+    rows.map(_.getAs[Double]("t")).toSeq shouldBe Dedup.PrThresholds
+    // tightening the verification threshold can only shrink both counts
+    rows.sliding(2).foreach { w =>
+      w(1).getAs[Long]("n_verified") should be <= w(0).getAs[Long]("n_verified")
+      w(1).getAs[Long]("n_hit") should be <= w(0).getAs[Long]("n_hit")
+    }
+    // per-row lattice + one shared truth denominator across the sweep
+    val nTrue = rows.head.getAs[Long]("n_true")
+    nTrue should be > 0L
+    rows.foreach { r =>
+      r.getAs[Long]("n_true") shouldBe nTrue
+      r.getAs[Long]("n_hit") should be <= r.getAs[Long]("n_verified")
+      r.getAs[Double]("recall") shouldBe
+        r.getAs[Long]("n_hit").toDouble / nTrue
+    }
+    // the curve at t = JaccardThreshold IS the single-point query: same
+    // candidate frame, same Jaccard arithmetic, same truth census
+    val p = Dedup.qDedupRecall(spark, sf()).head()
+    val at = rows.find(_.getAs[Double]("t") == Dedup.JaccardThreshold).get
+    at.getAs[Long]("n_verified") shouldBe p.getAs[Long]("n_verified")
+    at.getAs[Long]("n_hit") shouldBe p.getAs[Long]("n_ver_hit")
+    at.getAs[Long]("n_true") shouldBe p.getAs[Long]("n_true")
+  }
+
   test("list-shaped erasure: the content manifest catches the identical " +
     "copies the id rule misses, and the residual audit flags permuted kin") {
     val rows = Dedup.qDeleteList(spark, sf()).collect()

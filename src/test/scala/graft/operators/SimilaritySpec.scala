@@ -266,6 +266,41 @@ class SimilaritySpec extends SparkSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q_dbscan_core: census equals an in-JVM DBSCAN point typing over " +
+    "collected points; the grid neighbor join stays cartesian-free") {
+    val df = Similarity.qDbscanCore(spark, sf())
+    val got = df.collect().map(r => r.getAs[String]("cls") ->
+      (r.getAs[Long]("n_points"), r.getAs[Long]("n_edges"))).toMap
+    val pts = graft.tables.Tables.embeddings(spark, sf())
+      .select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val eps = Similarity.RangeEps
+    val deg = pts.map { case (i, x, y) =>
+      i -> pts.count { case (j, xj, yj) =>
+        j != i && math.abs(x - xj) <= eps && math.abs(y - yj) <= eps
+      }.toLong
+    }.toMap
+    val core = deg.collect { case (i, d) if d >= Similarity.DbscanMinPts => i }
+      .toSet
+    def cls(i: Long, x: Double, y: Double): String =
+      if (core(i)) "core"
+      else if (pts.exists { case (j, xj, yj) =>
+        j != i && core(j) &&
+          math.abs(x - xj) <= eps && math.abs(y - yj) <= eps
+      }) "border"
+      else "noise"
+    val want = pts.groupBy { case (i, x, y) => cls(i, x, y) }.map {
+      case (c, ps) => c -> (ps.length.toLong, ps.map(p => deg(p._1)).sum)
+    }
+    got shouldBe want
+    got.keySet should contain("core")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q_knn_graph: mutual edges equal an in-JVM top-k over the " +
     "Spark-scored within-cluster pairs") {
     val cent = Similarity.trainedCentroids(spark, sf())
