@@ -734,6 +734,65 @@ object Dedup {
       .orderBy(col("t"))
   }
 
+  /** Banding schemes swept by [[qLshBands]]: (rowsPerBand, nBands) with
+    * rowsPerBand × nBands = [[NumHashes]] — every scheme regroups the SAME
+    * 16 minhashes, so the sweep costs no extra signature passes.
+    */
+  val BandSchemes: Seq[(Int, Int)] =
+    Seq(1 -> NumHashes, 2 -> (NumHashes / 2), 4 -> (NumHashes / 4),
+      8 -> (NumHashes / 8))
+
+  /** LSH banding-design sweep — the S-curve receipt behind the shipped
+    * 8×2 choice: for each (rowsPerBand, nBands) regrouping of the shared
+    * 16-minhash signature, the candidate count (the cost the verify join
+    * pays downstream) and the truth recall (what the banding surfaces of
+    * the planted pairs). More rows per band sharpens the S-curve —
+    * P(candidate) = 1−(1−J^r)^b — trading candidates for recall; the
+    * sweep measures that trade on THIS corpus so the banding is chosen,
+    * not cited, completing [[qDedupPrCurve]] (threshold axis) with the
+    * banding axis. Scale shape: one signature read (memoized), then per
+    * scheme a band-key explode (16 rows/doc regardless of scheme) and
+    * one bucket aggregation — 4 bounded shuffles, no pair work beyond
+    * the capped buckets ([[MaxLshBucket]], same cap per scheme).
+    */
+  def qLshBands(s: SparkSession, dir: String): DataFrame = {
+    val withHs = sharedSignatures(s, dir)
+    val sig = withHs
+      .filter(size(col("hs")) > 0)
+      .withColumn("mh",
+        graft.functions.SketchExpressions.affineMinhashes(col("hs"), NumHashes))
+      .select(col("doc_id") +: (0 until NumHashes).map(k =>
+        element_at(col("mh"), k + 1).as(s"m$k")): _*)
+    val isTruth = col("doc_b") === col("doc_a") + PlantOffset &&
+      col("doc_a") < PlantOffset
+    val perScheme = BandSchemes.map { case (r, nb) =>
+      val bandCols = (0 until nb).map { b =>
+        val ms = (0 until r).map(i => col(s"m${b * r + i}"))
+        struct(lit(b).as("band_idx"), md5(concat_ws(",", ms: _*)).as("band_key"))
+      }
+      val banded = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+      minhashCandidates(banded, MaxLshBucket)
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(isTruth, 1L).otherwise(0L)).as("n_hit"))
+        .select(lit(r).as("rows_per_band"), lit(nb).as("n_bands"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    }.reduce(_ unionByName _)
+    val elig = withHs.filter(size(col("hs")) > 0).select(col("doc_id"))
+    val nTrue = elig.filter(col("doc_id") < PlantOffset)
+      .join(elig.select((col("doc_id") - PlantOffset).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_true"))
+    perScheme.crossJoin(broadcast(nTrue))
+      .select(col("rows_per_band"), col("n_bands"), col("n_cand"),
+        col("n_hit"), col("n_true"),
+        (col("n_hit").cast("double") / col("n_true").cast("double"))
+          .as("lsh_recall"))
+      .orderBy(col("rows_per_band"))
+  }
+
   def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
     val withHs = sharedSignatures(s, dir)
     ConnectedComponents.components(verifiedPairs(withHs))
@@ -1441,6 +1500,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_recall" -> qDedupRecall,
     "q_dedup_pr_curve" -> qDedupPrCurve,
+    "q_lsh_bands" -> qLshBands,
     "q_delete_list" -> qDeleteList,
     "q_delete_cascade" -> qDeleteCascade,
     "q_winnow" -> qWinnow,
@@ -1544,38 +1604,54 @@ object Dedup {
     * oracles — same construction as the Spark side's
     * [[withHashedShingles]] → [[minhashBanded]] → [[minhashCandidates]].
     */
-  private def minhashCteChain: String = {
+  /** corpus→sig prefix of [[minhashCteChain]] — shared with the
+    * [[qLshBands]] oracle, which regroups the same `sig` columns under
+    * every banding scheme.
+    */
+  private def minhashSigCtes: String = {
     import graft.functions.Sketches
     val sigCols = (0 until NumHashes)
       .map(k => s"list_min(list_transform(hs, h -> " +
         s"((${Sketches.a(k)} * (h % ${Sketches.Prime}) + ${Sketches.b(k)}) % ${Sketches.Prime}))) AS m$k")
       .mkString(",\n  ")
-    val bandRows = (0 until NumBands)
-      .map { b =>
-        val ms = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $ms)) AS band_key FROM sig"
-      }
-      .mkString("\nUNION ALL\n")
     s"""corpus AS ($nearDupSql),
        |shd AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus),
        |hsd AS (SELECT doc_id, sh,
        |  list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
        |  FROM shd),
-       |sig AS (SELECT doc_id, $sigCols FROM hsd WHERE len(sh) > 0),
-       |banded AS ($bandRows),
-       |ok_buckets AS (
-       |  SELECT band_idx, band_key FROM banded
+       |sig AS (SELECT doc_id, $sigCols FROM hsd WHERE len(sh) > 0)""".stripMargin
+  }
+
+  /** banded→cand suffix of [[minhashCteChain]] for an arbitrary
+    * (rowsPerBand, nBands) regrouping of `sig`; `sfx` suffixes the CTE
+    * names so the [[qLshBands]] oracle can instantiate all four schemes
+    * in one statement.
+    */
+  private def bandCandCtes(rows: Int, nBands: Int, sfx: String): String = {
+    val bandRows = (0 until nBands)
+      .map { b =>
+        val ms = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $ms)) AS band_key FROM sig"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""banded$sfx AS ($bandRows),
+       |ok_buckets$sfx AS (
+       |  SELECT band_idx, band_key FROM banded$sfx
        |  GROUP BY band_idx, band_key
        |  HAVING count(*) > 1 AND count(*) <= $MaxLshBucket),
-       |cand AS (
+       |cand$sfx AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-       |  FROM banded a JOIN banded b
+       |  FROM banded$sfx a JOIN banded$sfx b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id
-       |  JOIN ok_buckets ok
+       |  JOIN ok_buckets$sfx ok
        |    ON ok.band_idx = a.band_idx AND ok.band_key = a.band_key
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
   }
+
+  private def minhashCteChain: String =
+    s"""$minhashSigCtes,
+       |${bandCandCtes(RowsPerBand, NumBands, "")}""".stripMargin
 
   /** DuckDB twin of [[verifiedPairs]] given the [[minhashCteChain]] CTEs —
     * shared by the q_dedup_pipeline and q_split_leakage oracles.
@@ -1831,6 +1907,32 @@ object Dedup {
          |       THEN CAST(n_hit AS DOUBLE) / CAST(n_verified AS DOUBLE)
          |       END AS precision_lb
          |FROM pt CROSS JOIN tr ORDER BY t""".stripMargin,
+    "q_lsh_bands" -> {
+      val schemeCtes = BandSchemes
+        .map { case (r, nb) => bandCandCtes(r, nb, s"_$r") }
+        .mkString(",\n")
+      val schemeStats = BandSchemes
+        .map { case (r, nb) =>
+          s"""SELECT CAST($r AS INT) AS rows_per_band,
+             |  CAST($nb AS INT) AS n_bands,
+             |  CAST(count(*) AS BIGINT) AS n_cand,
+             |  CAST(coalesce(sum(CASE WHEN doc_b = doc_a + $PlantOffset
+             |    AND doc_a < $PlantOffset THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |    AS n_hit
+             |FROM cand_$r""".stripMargin
+        }
+        .mkString("\nUNION ALL\n")
+      s"""WITH $minhashSigCtes,
+         |$schemeCtes,
+         |st AS ($schemeStats),
+         |el AS (SELECT doc_id FROM hsd WHERE len(sh) > 0),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM el a
+         |  WHERE a.doc_id < $PlantOffset AND EXISTS
+         |    (SELECT 1 FROM el b WHERE b.doc_id = a.doc_id + $PlantOffset))
+         |SELECT rows_per_band, n_bands, n_cand, n_hit, n_true,
+         |  CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS lsh_recall
+         |FROM st CROSS JOIN tr ORDER BY rows_per_band""".stripMargin
+    },
     "q_delete_list" ->
       s"""WITH corpus AS ($plantedSql),
          |man AS (SELECT DISTINCT md5(text) AS del_md5 FROM documents

@@ -433,6 +433,32 @@ class DedupSpec extends SparkSpec with Matchers {
     at.getAs[Long]("n_true") shouldBe p.getAs[Long]("n_true")
   }
 
+  test("q_lsh_bands: candidate volume falls and recall degrades as rows " +
+    "per band grow; the shipped 8x2 row equals q_dedup_recall's counts") {
+    val rows = Dedup.qLshBands(spark, sf()).collect()
+    rows.map(_.getAs[Int]("rows_per_band")).toSeq shouldBe
+      Dedup.BandSchemes.map(_._1)
+    // every scheme regroups the same 16 minhashes
+    rows.foreach { r =>
+      r.getAs[Int]("rows_per_band") * r.getAs[Int]("n_bands") shouldBe
+        Dedup.NumHashes
+    }
+    // the S-curve trade: sharper bands => fewer candidates, lower recall
+    rows.sliding(2).foreach { w =>
+      w(1).getAs[Long]("n_cand") should be < w(0).getAs[Long]("n_cand")
+      w(1).getAs[Double]("lsh_recall") should be <=
+        w(0).getAs[Double]("lsh_recall")
+    }
+    // the shipped (RowsPerBand, NumBands) scheme IS q_dedup_recall's
+    // candidate stage: same banding, same cap, same truth census
+    val p = Dedup.qDedupRecall(spark, sf()).head()
+    val shipped = rows
+      .find(_.getAs[Int]("rows_per_band") == Dedup.RowsPerBand).get
+    shipped.getAs[Long]("n_cand") shouldBe p.getAs[Long]("n_cand")
+    shipped.getAs[Long]("n_hit") shouldBe p.getAs[Long]("n_cand_hit")
+    shipped.getAs[Long]("n_true") shouldBe p.getAs[Long]("n_true")
+  }
+
   test("list-shaped erasure: the content manifest catches the identical " +
     "copies the id rule misses, and the residual audit flags permuted kin") {
     val rows = Dedup.qDeleteList(spark, sf()).collect()
