@@ -767,14 +767,25 @@ object Similarity {
     * affordable at gate SF only — which is the grid method's value
     * proposition restated.
     */
-  def qDbscanCore(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, x, y, cx, cy): leading two embedding dims with their fixed
+    * [[RangeEps]]-grid cell — shared by the DBSCAN family.
+    */
+  private def dbscanPts(s: SparkSession, dir: String): DataFrame = {
     val eps = lit(RangeEps)
-    val pts = Tables.embeddings(s, dir).select(
+    Tables.embeddings(s, dir).select(
       col("vec_id"),
       element_at(col("embedding"), 1).cast("double").as("x"),
       element_at(col("embedding"), 2).cast("double").as("y"))
       .withColumn("cx", floor(col("x") / eps).cast("long"))
       .withColumn("cy", floor(col("y") / eps).cast("long"))
+  }
+
+  /** Directed ε-neighbor edges (pid, nid) over [[dbscanPts]] via the
+    * 9-cell probe join — [[qRangeSearch]]'s completeness argument, reused
+    * by [[qDbscanCore]] and [[qDbscanCluster]].
+    */
+  private def dbscanNbr(pts: DataFrame): DataFrame = {
+    val eps = lit(RangeEps)
     val probes = pts.select(
       col("vec_id").as("pid"), col("x").as("px"), col("y").as("py"),
       explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
@@ -782,12 +793,17 @@ object Similarity {
         .as("c"))
       .select(col("pid"), col("px"), col("py"),
         col("c.cx").as("cx"), col("c.cy").as("cy"))
-    val nbr = probes.join(pts,
+    probes.join(pts,
       probes("cx") === pts("cx") && probes("cy") === pts("cy") &&
         probes("pid") =!= pts("vec_id"))
       .filter(abs(col("px") - col("x")) <= eps &&
         abs(col("py") - col("y")) <= eps)
       .select(col("pid"), col("vec_id").as("nid"))
+  }
+
+  def qDbscanCore(s: SparkSession, dir: String): DataFrame = {
+    val pts = dbscanPts(s, dir)
+    val nbr = dbscanNbr(pts)
     val deg = nbr.groupBy(col("pid")).agg(count(lit(1)).as("deg"))
     val core = deg.filter(col("deg") >= DbscanMinPts)
       .select(col("pid").as("core_id"))
@@ -812,9 +828,55 @@ object Similarity {
       .orderBy(col("cls"))
   }
 
+  /** Full DBSCAN clustering (Ester et al., KDD 1996) completing
+    * [[qDbscanCore]]'s point typing: clusters are connected components of
+    * the core-core ε-neighbor graph (density-reachability restricted to
+    * cores — exactly DBSCAN's cluster relation), computed by the shared
+    * alternating-star [[ConnectedComponents]]; border points attach to
+    * the MINIMUM cluster id among their core neighbors (DBSCAN leaves
+    * the tie arbitrary; min makes it deterministic). Cluster id = the
+    * minimum core vec_id of the component. Output is the per-cluster
+    * census. Scale shape: the grid probe join for edges, two shuffles
+    * per CC round (diameter-independent via star contraction), one
+    * aggregation each for border assignment and the census — no
+    * quadratic work outside the small-SF oracle's brute-force twin.
+    */
+  def qDbscanCluster(s: SparkSession, dir: String): DataFrame = {
+    val pts = dbscanPts(s, dir)
+    val nbr = dbscanNbr(pts)
+    val deg = nbr.groupBy(col("pid")).agg(count(lit(1)).as("deg"))
+    val core = deg.filter(col("deg") >= DbscanMinPts)
+      .select(col("pid").as("core_id"))
+    val coreEdges = nbr
+      .join(core.select(col("core_id").as("pid")), Seq("pid"), "left_semi")
+      .join(core.select(col("core_id").as("nid")), Seq("nid"), "left_semi")
+      .select(col("pid").as("src"), col("nid").as("dst"))
+    // cores with no core neighbor are singleton clusters of their own id
+    val coreComp = core
+      .join(ConnectedComponents.components(coreEdges)
+        .select(col("id").as("core_id"), col("component")),
+        Seq("core_id"), "left")
+      .select(col("core_id"),
+        coalesce(col("component"), col("core_id")).as("cluster_id"))
+    val borderAssign = nbr
+      .join(core.select(col("core_id").as("pid")), Seq("pid"), "left_anti")
+      .join(coreComp.select(col("core_id").as("nid"), col("cluster_id")),
+        Seq("nid"))
+      .groupBy(col("pid"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    coreComp
+      .select(col("cluster_id"), lit(1L).as("c"), lit(0L).as("b"))
+      .unionByName(borderAssign
+        .select(col("cluster_id"), lit(0L).as("c"), lit(1L).as("b")))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("c")).as("n_core"), sum(col("b")).as("n_border"))
+      .orderBy(col("cluster_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_search" -> qRangeSearch,
     "q_dbscan_core" -> qDbscanCore,
+    "q_dbscan_cluster" -> qDbscanCluster,
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_multiprobe" -> qAnnMultiprobe,
@@ -1030,6 +1092,37 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // INDEPENDENT derivation: quadratic all-pairs edges + recursive
+    // min-label reachability over core-core edges (seeded from ALL cores,
+    // so singleton-core clusters fall out of the same CTE)
+    "q_dbscan_cluster" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         |    CAST(embedding[2] AS DOUBLE) AS y
+         |  FROM embeddings),
+         |nbr AS (
+         |  SELECT a.vec_id AS pid, b.vec_id AS nid
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+         |    AND abs(a.x - b.x) <= $RangeEps AND abs(a.y - b.y) <= $RangeEps),
+         |deg AS (SELECT pid, count(*) AS deg FROM nbr GROUP BY pid),
+         |core AS (SELECT pid FROM deg WHERE deg >= $DbscanMinPts),
+         |ce AS (SELECT n.pid AS src, n.nid AS dst FROM nbr n
+         |  JOIN core a ON a.pid = n.pid JOIN core b ON b.pid = n.nid),
+         |reach AS (
+         |  SELECT pid AS id, pid AS label FROM core
+         |  UNION
+         |  SELECT c.dst AS id, r.label FROM reach r JOIN ce c ON c.src = r.id),
+         |comp AS (SELECT id AS core_id, min(label) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |ba AS (SELECT n.pid, min(c.cluster_id) AS cluster_id
+         |  FROM nbr n JOIN comp c ON c.core_id = n.nid
+         |  WHERE n.pid NOT IN (SELECT pid FROM core)
+         |  GROUP BY n.pid),
+         |u AS (SELECT cluster_id, 1 AS c, 0 AS b FROM comp
+         |  UNION ALL SELECT cluster_id, 0 AS c, 1 AS b FROM ba)
+         |SELECT cluster_id, CAST(sum(c) AS BIGINT) AS n_core,
+         |  CAST(sum(b) AS BIGINT) AS n_border
+         |FROM u GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // INDEPENDENT derivation: quadratic all-pairs neighbor counts
     "q_dbscan_core" ->
       s"""WITH e AS (

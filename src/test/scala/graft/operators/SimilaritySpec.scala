@@ -301,6 +301,50 @@ class SimilaritySpec extends SparkSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q_dbscan_cluster: per-cluster census equals an in-JVM union-find " +
+    "over brute-force core-core edges, and totals tie to q_dbscan_core") {
+    val got = Similarity.qDbscanCluster(spark, sf()).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_core"), r.getAs[Long]("n_border"))).toMap
+    val pts = graft.tables.Tables.embeddings(spark, sf())
+      .select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val eps = Similarity.RangeEps
+    def near(a: (Long, Double, Double), b: (Long, Double, Double)) =
+      a._1 != b._1 && math.abs(a._2 - b._2) <= eps &&
+        math.abs(a._3 - b._3) <= eps
+    val deg = pts.map(p => p._1 -> pts.count(q => near(p, q))).toMap
+    val core = pts.filter(p => deg(p._1) >= Similarity.DbscanMinPts)
+    val coreIds = core.map(_._1).toSet
+    // union-find over core-core eps-edges
+    val parent = scala.collection.mutable.Map(coreIds.toSeq.map(i => i -> i): _*)
+    def find(i: Long): Long =
+      if (parent(i) == i) i else { val r = find(parent(i)); parent(i) = r; r }
+    for (a <- core; b <- core if a._1 < b._1 && near(a, b))
+      parent(find(a._1)) = find(b._1)
+    val clusterOf = coreIds.map { i =>
+      i -> coreIds.filter(j => find(j) == find(i)).min
+    }.toMap
+    val borderAssign = pts
+      .filter(p => !coreIds(p._1))
+      .flatMap { p =>
+        val cs = core.filter(c => near(p, c)).map(c => clusterOf(c._1))
+        if (cs.isEmpty) None else Some(p._1 -> cs.min)
+      }
+    val want = (clusterOf.values.map(_ -> (1L, 0L)) ++
+      borderAssign.map(_._2 -> (0L, 1L)))
+      .groupBy(_._1).map { case (cid, vs) =>
+        cid -> (vs.map(_._2._1).sum, vs.map(_._2._2).sum) }
+    got shouldBe want
+    // totals tie to the point-typing census
+    val census = Similarity.qDbscanCore(spark, sf()).collect()
+      .map(r => r.getAs[String]("cls") -> r.getAs[Long]("n_points")).toMap
+    got.values.map(_._1).sum shouldBe census.getOrElse("core", 0L)
+    got.values.map(_._2).sum shouldBe census.getOrElse("border", 0L)
+  }
+
   test("q_knn_graph: mutual edges equal an in-JVM top-k over the " +
     "Spark-scored within-cluster pairs") {
     val cent = Similarity.trainedCentroids(spark, sf())
