@@ -873,10 +873,46 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
+  /** Per-cluster assignment-margin census over the shared k-means index
+    * — the clustering-QA readout (a cosine analog of the simplified
+    * silhouette of Hruschka et al.): for every vector, margin = cos to
+    * its OWN centroid minus cos to the best OTHER centroid (both
+    * rounded-6, ties toward the smaller c_id exactly like the
+    * assignment), so margin ≥ 0 by construction and small margins mark
+    * boundary-hugging points a curation pipeline would re-examine.
+    * Per-cluster: size, worst (min) margin, and the mean margin with the
+    * sum routed through DECIMAL(18,6) — margins are differences of
+    * rounded-6 values, so the decimal sum is exact and
+    * order-independent, the one float being the final division. Scale
+    * shape: row-local 16-centroid scoring against broadcast literals
+    * (zero joins, zero windows), one map-side-combined aggregation to k
+    * rows.
+    */
+  def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val cent = trainedCentroids(s, dir)
+    val sorted = sort_array(array(cent.map { case (id, cv) =>
+      struct((-cosRounded(col("embedding"), typedLit(cv))).as("neg"),
+        lit(id).as("c_id"))
+    }: _*))
+    Tables.embeddings(s, dir)
+      .select(
+        element_at(sorted, 1).getField("c_id").as("c_id"),
+        (element_at(sorted, 2).getField("neg") -
+          element_at(sorted, 1).getField("neg"))
+          .cast("decimal(18,6)").as("margin"))
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("margin").cast("double")).as("min_margin"),
+        (sum(col("margin")).cast("double") / count(lit(1)))
+          .as("mean_margin"))
+      .orderBy(col("c_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_search" -> qRangeSearch,
     "q_dbscan_core" -> qDbscanCore,
     "q_dbscan_cluster" -> qDbscanCluster,
+    "q_silhouette" -> qSilhouette,
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_multiprobe" -> qAnnMultiprobe,
@@ -1092,6 +1128,34 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // INDEPENDENT derivation: the full Lloyd replay, then rank-1/rank-2
+    // window over all 16 cosines per vector (vs Spark's sorted literal
+    // array — same (cos DESC, c_id ASC) tie order)
+    "q_silhouette" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS c_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS cv
+         |  FROM (SELECT * FROM embeddings
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |        LIMIT $IvfCentroids) seeds),
+         |$lloydCtes
+         |sc AS (
+         |  SELECT e.vec_id, c.c_id, ${cosSqlCols("e.embedding", "c.cv")} AS cos
+         |  FROM embeddings e CROSS JOIN c$KmeansIters c),
+         |rk AS (
+         |  SELECT vec_id, c_id, cos, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, c_id) AS r
+         |  FROM sc),
+         |ab AS (
+         |  SELECT a.vec_id, a.c_id,
+         |    CAST(a.cos - b.cos AS DECIMAL(18,6)) AS margin
+         |  FROM rk a JOIN rk b ON b.vec_id = a.vec_id
+         |  WHERE a.r = 1 AND b.r = 2)
+         |SELECT c_id, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  min(CAST(margin AS DOUBLE)) AS min_margin,
+         |  CAST(sum(margin) AS DOUBLE) / count(*) AS mean_margin
+         |FROM ab GROUP BY c_id ORDER BY c_id""".stripMargin,
     // INDEPENDENT derivation: quadratic all-pairs edges + recursive
     // min-label reachability over core-core edges (seeded from ALL cores,
     // so singleton-core clusters fall out of the same CTE)

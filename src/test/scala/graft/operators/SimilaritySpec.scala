@@ -373,6 +373,43 @@ class SimilaritySpec extends SparkSpec with Matchers {
     got should not be empty
   }
 
+  test("q_silhouette: margins are nonnegative, sizes cover the corpus, " +
+    "and the census equals an in-JVM re-aggregation of Spark-scored cosines") {
+    val rows = Similarity.qSilhouette(spark, sf()).collect()
+    val total = graft.tables.Tables.embeddings(spark, sf()).count()
+    rows.map(_.getAs[Long]("n_vectors")).sum shouldBe total
+    rows.foreach { r =>
+      r.getAs[Double]("min_margin") should be >= 0.0
+      r.getAs[Double]("mean_margin") should be >= r.getAs[Double]("min_margin")
+    }
+    // same Spark cosine arithmetic; only the sort/margin/mean collapses
+    // are re-derived in-JVM (decimal-exact margins, so the mean is a
+    // single division here exactly as in the query)
+    val cent = Similarity.trainedCentroids(spark, sf())
+    val scored = graft.tables.Tables.embeddings(spark, sf())
+      .select(col("vec_id") +: cent.map { case (id, cv) =>
+        round(VectorExpressions.vecCosine(
+          col("embedding"), typedLit(cv)), 6).as(s"c$id")
+      }: _*)
+      .collect()
+      .map(r => cent.map { case (id, _) =>
+        (r.getAs[Double](s"c$id"), id) })
+    val perVec = scored.map { cos =>
+      val best = cos.minBy { case (c, id) => (-c, id) }
+      val second = cos.filterNot(_ == best).minBy { case (c, id) => (-c, id) }
+      (best._2, BigDecimal(best._1 - second._1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val want = perVec.groupBy(_._1).map { case (cid, vs) =>
+      cid -> (vs.length.toLong, vs.map(_._2).min.toDouble,
+        vs.map(_._2).sum.toDouble / vs.length)
+    }
+    val got = rows.map(r => r.getAs[Long]("c_id") ->
+      (r.getAs[Long]("n_vectors"), r.getAs[Double]("min_margin"),
+        r.getAs[Double]("mean_margin"))).toMap
+    got shouldBe want
+  }
+
   test("q_pq_codebook: every vector encodes once per subspace, codes are " +
     "codebook members, and the census equals an in-JVM re-aggregation") {
     val rows = Similarity.qPqCodebook(spark, sf()).collect()
