@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Structured Streaming surface — the unbounded mirror of the batch
   * operators. The reference has no streaming at all (SURVEY §2.2: the
@@ -564,14 +564,111 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
+  /** Second streaming query under the driver's oracle gate, this one
+    * through the APPEND-mode stateful path ([[sessionize]]'s
+    * `flatMapGroupsWithState` + event-time timeout) rather than
+    * [[qStreamKmv]]'s update-mode fold: a file-source stream over a
+    * staged landing directory — the real events file as micro-batch 0,
+    * then one far-future sentinel row appended as a second file, whose
+    * arrival advances the watermark past every real session and flushes
+    * the open state (the same drain discipline StreamingSpec uses; a
+    * bounded stream never times out state on its own because no further
+    * micro-batch fires). Values are mapped to integer cents BEFORE the
+    * fold so [[absorb]]'s double accumulation is exact on whole numbers
+    * and the emitted sums match the DECIMAL oracle bit-for-bit,
+    * order-independently. At 100 TB the same plan tails a landing
+    * directory micro-batch by micro-batch with O(open sessions) state
+    * per user; the sentinel is what a production feed's advancing event
+    * time provides for free.
+    */
+  def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // same session-level parquet/timezone posture as Tables.events — the
+    // stream schema reads the TIMESTAMP(NANOS) column as raw longs
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    val stage = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      stage.resolve("batch0.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val src = s.readStream.schema(schema).parquet(stage.toString)
+      // the streaming parquet reader delivers the TIMESTAMP(NANOS)
+      // column as MICROSECOND longs under the declared LongType schema
+      // (truncating ns -> us exactly like the batch loader's DIV 1000;
+      // verified value-identical against the batch path at the gate SF)
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .withColumn("value", round(col("value") * 100, 0))
+      .as[Event]
+    val name = s"graft_stream_sess_${sinkSeq.incrementAndGet()}"
+    val q = sessionize(src,
+      gapMinutes = graft.operators.Events.SessionGapMinutes,
+      watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      // sentinel file: one far-future row -> one more micro-batch whose
+      // begin-watermark closes every real session
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_tick")
+      Seq((-1L, 4102444800L * 1000000L, -1L, "x", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val st = java.nio.file.Files.list(tmp)
+        try st.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally st.close()
+      }
+      java.nio.file.Files.move(part, stage.resolve("z_sentinel.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"),
+        (col("session_value") / 100.0).as("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_kmv" -> qStreamKmv
+    "q_stream_kmv" -> qStreamKmv,
+    "q_stream_sessions" -> qStreamSessions
   )
 
   def oracleSql: Map[String, String] = {
     val kmvK = graft.operators.Events.KmvK
     Map(
       // the batch q_kmv oracle minus its exact ride-along: the streamed
+      // the batch sessionizer's derivation minus its session_idx /
+      // duration ride-alongs, keyed by (user, session_start) — the
+      // streamed append-mode emissions must reproduce every session row
+      "q_stream_sessions" ->
+        s"""WITH flagged AS (
+           |  SELECT user_id, event_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+           |              > ${graft.operators.Events.SessionGapMinutes} * 60 * 1000000
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sessions AS (
+           |  SELECT user_id, ts, value,
+           |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           |  FROM flagged),
+           |agg AS (
+           |  SELECT user_id,
+           |    min(ts) AS session_start, max(ts) AS session_end,
+           |    count(*) AS n_events,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+           |  FROM sessions GROUP BY user_id, session_idx)
+           |SELECT user_id, session_start, session_end, n_events, session_value
+           |FROM agg ORDER BY user_id, session_start""".stripMargin,
       // sketch state must equal the k-smallest-distinct-hashes estimate
       // computed directly over the same rows
       "q_stream_kmv" ->

@@ -579,4 +579,19 @@ class StreamingSpec extends SparkSpec with Matchers {
     // a second invocation in the same session must work (fresh sink name)
     Streaming.qStreamKmv(spark, sf()).count() shouldBe want.size.toLong
   }
+
+  test("q_stream_sessions: the registered append-mode drain reproduces " +
+    "every batch session row, values exact") {
+    val got = Streaming.qStreamSessions(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val want = graft.operators.Events.qEventsSessionize(spark, sf())
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    want should not be empty
+    got shouldBe want
+  }
 }
