@@ -155,6 +155,31 @@ object Events {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Gap-based sessionization via Spark's NATIVE `session_window`
+    * operator — the third sessionizer (after [[qEventsSessionize]]'s
+    * window-function derivation and the streaming
+    * `flatMapGroupsWithState` twin), kept because it is the form Catalyst
+    * actually optimizes as a session aggregation: ONE shuffle on
+    * (user_id) with in-operator session merging (no per-user sort
+    * window, no two-pass running sum), which is the shape to prefer at
+    * 100 TB when only the per-session aggregates are needed. Output
+    * session_end is max(ts) (the window's exclusive `end` is last+gap),
+    * so all three sessionizers share one oracle derivation and must
+    * agree exactly.
+    */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapMinutes minutes").as("w"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Conversion funnel signup → purchase: per-user first-touch times,
     * ordered-conversion flags, one summary row.
     */
@@ -1210,6 +1235,7 @@ object Events {
     "q_events_densify" -> qEventsDensify,
     "q_events_sliding" -> qEventsSliding,
     "q_events_sessionize" -> qEventsSessionize,
+    "q_session_window" -> qSessionWindow,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_topk_users" -> qEventsTopkUsers,
     "q_events_json" -> qEventsJson,
@@ -1804,6 +1830,26 @@ object Events {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
          |FROM sessions GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    "q_session_window" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+         |              > $SessionGapMinutes * 60 * 1000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM flagged)
+         |SELECT user_id,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         |FROM sessions GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_start""".stripMargin,
     "q_events_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,

@@ -29,6 +29,27 @@ class EventsSpec extends SparkSpec with Matchers {
     ()
   }
 
+  test("q_session_window: the native session aggregation reproduces the " +
+    "window-function sessionizer exactly, with no Window operator in plan") {
+    val df = Events.qSessionWindow(spark, sf())
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val want = Events.qEventsSessionize(spark, sf())
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    want should not be empty
+    got shouldBe want
+    // the operator's value: a session AGGREGATION, not a per-user sort
+    // window — Catalyst plans it without any Window node
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Window ["
+    plan should include("MergingSessions")
+  }
+
   test("funnel counts are consistent") {
     val r = Events.qEventsFunnel(spark, sf()).head()
     val (users, signed, purchased, converted) =
