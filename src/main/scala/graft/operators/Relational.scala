@@ -138,6 +138,45 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape (local-supplier volume): customer ⋈ orders ⋈
+    * lineitem ⋈ supplier ⋈ nation ⋈ region with the year filter on
+    * orders and the SAME-NATION correlation between customer and
+    * supplier — the canonical join-ORDERING workload (two fact-fact
+    * joins whose best order depends on selectivities, three dimension
+    * legs that must all end up broadcast). Declared in selectivity
+    * order — filtered region→nation pruned against customer first, the
+    * date-filtered orders next, lineitem last, supplier's equality on
+    * BOTH l_suppkey and the customer's nation at the end — and Catalyst
+    * keeps every dimension leg a BroadcastHashJoin while the two
+    * fact-fact joins shuffle on their natural keys; at 100 TB those two
+    * are the only exchanges. Revenue follows the house cents discipline
+    * (exact integer cents·bp sums, one final division).
+    */
+  def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val epC = cents(col("l_extendedprice"))
+    val d100 = lit(100L) - cents(col("l_discount"))
+    val nat = broadcast(Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey")))
+    Tables.customer(s, dir)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        (sum((epC * d100).cast("decimal(38,0)")) / 10000)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Fact-fact shuffle join (lineitem ⋈ orders on the natural key), then
     * aggregate — the repartition-join the MR model expresses via tagged
     * KeyValues (SURVEY §2.2 "Joins"), done natively. AQE may convert to
@@ -885,6 +924,7 @@ object Relational {
     "q_filter_project" -> qFilterProject,
     "q_join_broadcast" -> qJoinBroadcast,
     "q_star_topk" -> qStarTopk,
+    "q_tpch_q5" -> qTpchQ5,
     "q_join_shuffle" -> qJoinShuffle,
     "q_ivm_join" -> qIvmJoin,
     "q_join_semi" -> qJoinSemi,
@@ -1136,6 +1176,21 @@ object Relational {
         |GROUP BY n_name, year(l_shipdate)
         |ORDER BY revenue DESC, n_name, ship_year
         |LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem

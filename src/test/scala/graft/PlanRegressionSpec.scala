@@ -44,6 +44,25 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should include("partial_quantile_sketch")
   }
 
+  test("q_tpch_q5: every dimension leg broadcasts; only the two fact-fact " +
+    "joins shuffle; the orders date filter reaches the scan") {
+    val df = Relational.qTpchQ5(spark, sf())
+    val plan = formatted(df)
+    // dimension legs (region->nation, supplier, and customer against the
+    // nation-pruned probe) are broadcast joins — no dimension shuffles
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the date filter is pushed into the orders parquet scan
+    plan should include regex "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate"
+    // fact-fact joins shuffle on their natural keys; everything else is
+    // broadcast, so hash-partitioned exchanges stay <= 3 (two fact joins
+    // + the final aggregation; AQE may elide some at this SF)
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    exchanges should be <= 3
+  }
+
   test("q_id_gaps: gap census plans without any Window (no global sort)") {
     // the shifted anti-join formulation exists precisely to avoid
     // rank-vs-key islands (a corpus-wide single-partition Window); a
