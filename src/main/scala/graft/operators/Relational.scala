@@ -884,6 +884,83 @@ object Relational {
     * oracle is the INDEPENDENT quadratic derivation over the capped id
     * range, so agreement proves the index construction.
     */
+  /** Clean-side id offset of the planted linkage twin, and the integer
+    * MILLIBIT agreement/disagreement weights of the Fellegi–Sunter score
+    * (log2(m/u)·1000 for stylized m/u priors — the exact priors are
+    * documentation; what the gate checks is the scoring/classification
+    * MACHINERY, so the weights are shared verbatim constants in both
+    * engines and the score stays exact integer arithmetic).
+    */
+  val ErOffset = 1000000L
+  val ErWeights: Map[String, (Long, Long)] = Map(
+    "name" -> (6570L, -4248L), // m=.95 u=.01
+    "bal" -> (9966L, -967L), // m=.999 u=.001
+    "seg" -> (2247L, -1538L)) // m=.95 u=.20
+  val ErUpper = 10000L
+  val ErLower = 0L
+
+  /** Probabilistic record linkage (Fellegi & Sunter, JASA 1969) between
+    * customer and a deterministically corrupted twin — the entity-
+    * resolution operator a curation pipeline runs to reconcile two
+    * overlapping sources. The twin drops the name's 3rd character, flips
+    * every 3rd key's market segment, and shifts every 5th key's balance
+    * by one cent, so each comparison field has a KNOWN corruption rate.
+    * Blocking on (nationkey, last-2 name digits) — both survive every
+    * corruption — bounds candidates to ~n/2500 per block with zero
+    * planted misses; per pair, the agreement vector (name within
+    * levenshtein 2, exact balance, exact segment) maps to the integer
+    * millibit log-odds score, classified match / possible / non_match by
+    * the [[ErUpper]]/[[ErLower]] thresholds. Output is the
+    * agreement-PATTERN census with planted-truth counts per pattern —
+    * the tuning artifact linkage reviews are built on. Scale shape: one
+    * bounded block join (no cartesian), row-local scoring, one
+    * aggregation to ≤ 8 pattern rows.
+    */
+  def qErLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val dirty = c.select(
+      (col("c_custkey") + ErOffset).as("d_custkey"),
+      concat(substring(col("c_name"), 1, 2), substring(col("c_name"), 4, 30))
+        .as("d_name"),
+      col("c_nationkey").as("d_nationkey"),
+      when(col("c_custkey") % 3 === 0, lit("CORRUPTED"))
+        .otherwise(col("c_mktsegment")).as("d_mktsegment"),
+      when(col("c_custkey") % 5 === 0,
+        ((cents(col("c_acctbal")) + 1L).cast("double") / 100.0))
+        .otherwise(col("c_acctbal")).as("d_acctbal"))
+    val (wN, dN) = ErWeights("name")
+    val (wB, dB) = ErWeights("bal")
+    val (wS, dS) = ErWeights("seg")
+    val pairs = c
+      .join(dirty,
+        col("c_nationkey") === col("d_nationkey") &&
+          expr("right(c_name, 2)") === expr("right(d_name, 2)"))
+      .select(col("c_custkey"), col("d_custkey"),
+        when(levenshtein(col("c_name"), col("d_name")) <= 2, 1L)
+          .otherwise(0L).as("agree_name"),
+        when(cents(col("c_acctbal")) === cents(col("d_acctbal")), 1L)
+          .otherwise(0L).as("agree_bal"),
+        when(col("c_mktsegment") === col("d_mktsegment"), 1L)
+          .otherwise(0L).as("agree_seg"))
+      .withColumn("score_mb",
+        when(col("agree_name") === 1L, wN).otherwise(dN) +
+          when(col("agree_bal") === 1L, wB).otherwise(dB) +
+          when(col("agree_seg") === 1L, wS).otherwise(dS))
+    pairs
+      .groupBy(col("agree_name"), col("agree_bal"), col("agree_seg"),
+        col("score_mb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("d_custkey") === col("c_custkey") + ErOffset, 1L)
+          .otherwise(0L)).as("n_true"))
+      .select(col("agree_name"), col("agree_bal"), col("agree_seg"),
+        col("score_mb"),
+        when(col("score_mb") >= ErUpper, "match")
+          .when(col("score_mb") >= ErLower, "possible")
+          .otherwise("non_match").as("decision"),
+        col("n_pairs"), col("n_true"))
+      .orderBy(col("score_mb").desc)
+  }
+
   def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
       .filter(col("c_custkey") < FuzzyCap)
@@ -909,6 +986,7 @@ object Relational {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_copurchase" -> qCopurchase,
     "q_fuzzy_match" -> qFuzzyMatch,
+    "q_er_linkage" -> qErLinkage,
     "q_denormalize" -> qDenormalize,
     "q_skyline" -> qSkyline,
     "q_expectations" -> qExpectations,
@@ -991,6 +1069,53 @@ object Relational {
          |  GROUP BY cust)
          |SELECT n_neighbors, count(*) AS n_customers
          |FROM n GROUP BY n_neighbors ORDER BY n_neighbors""".stripMargin,
+    "q_er_linkage" -> {
+      val (wN, dN) = ErWeights("name")
+      val (wB, dB) = ErWeights("bal")
+      val (wS, dS) = ErWeights("seg")
+      s"""WITH dirty AS (
+         |  SELECT c_custkey + $ErOffset AS d_custkey,
+         |    substr(c_name, 1, 2) || substr(c_name, 4) AS d_name,
+         |    c_nationkey AS d_nationkey,
+         |    CASE WHEN c_custkey % 3 = 0 THEN 'CORRUPTED'
+         |         ELSE c_mktsegment END AS d_mktsegment,
+         |    CASE WHEN c_custkey % 5 = 0 THEN
+         |      CAST(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)
+         |        + 1 AS DOUBLE) / 100.0
+         |    ELSE c_acctbal END AS d_acctbal
+         |  FROM customer),
+         |pairs AS (
+         |  SELECT c.c_custkey, d.d_custkey,
+         |    CASE WHEN levenshtein(c.c_name, d.d_name) <= 2
+         |         THEN 1 ELSE 0 END AS agree_name,
+         |    CASE WHEN CAST(floor(CAST(c.c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)
+         |           = CAST(floor(CAST(d.d_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)
+         |         THEN 1 ELSE 0 END AS agree_bal,
+         |    CASE WHEN c.c_mktsegment = d.d_mktsegment
+         |         THEN 1 ELSE 0 END AS agree_seg
+         |  FROM customer c JOIN dirty d
+         |    ON c.c_nationkey = d.d_nationkey
+         |   AND right(c.c_name, 2) = right(d.d_name, 2)),
+         |scored AS (
+         |  SELECT *,
+         |    (CASE WHEN agree_name = 1 THEN $wN ELSE $dN END
+         |     + CASE WHEN agree_bal = 1 THEN $wB ELSE $dB END
+         |     + CASE WHEN agree_seg = 1 THEN $wS ELSE $dS END) AS score_mb
+         |  FROM pairs)
+         |SELECT CAST(agree_name AS BIGINT) AS agree_name,
+         |  CAST(agree_bal AS BIGINT) AS agree_bal,
+         |  CAST(agree_seg AS BIGINT) AS agree_seg,
+         |  CAST(score_mb AS BIGINT) AS score_mb,
+         |  CASE WHEN score_mb >= $ErUpper THEN 'match'
+         |       WHEN score_mb >= $ErLower THEN 'possible'
+         |       ELSE 'non_match' END AS decision,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN d_custkey = c_custkey + $ErOffset
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+         |FROM scored
+         |GROUP BY agree_name, agree_bal, agree_seg, score_mb
+         |ORDER BY score_mb DESC""".stripMargin
+    },
     "q_denormalize" ->
       """SELECT r.r_name AS cust_region, cn.n_name AS cust_nation,
         |  sn.n_name AS supp_nation,

@@ -228,6 +228,36 @@ class RelationalSpec extends SparkSpec with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("q_er_linkage: blocking finds every planted twin, matches are " +
+    "pure, and scores follow the millibit weight table") {
+    val rows = Relational.qErLinkage(spark, sf()).collect()
+    val nCust = graft.tables.Tables.customer(spark, sf()).count()
+    // recall 1.0: blocking keys survive every corruption by construction
+    rows.map(_.getAs[Long]("n_true")).sum shouldBe nCust
+    val (wN, dN) = Relational.ErWeights("name")
+    val (wB, dB) = Relational.ErWeights("bal")
+    val (wS, dS) = Relational.ErWeights("seg")
+    rows.foreach { r =>
+      // every planted pair agrees on name (single char drop, lev = 1)
+      if (r.getAs[Long]("n_true") > 0) r.getAs[Long]("agree_name") shouldBe 1L
+      // the score is exactly the pattern's weight sum
+      r.getAs[Long]("score_mb") shouldBe
+        (if (r.getAs[Long]("agree_name") == 1L) wN else dN) +
+          (if (r.getAs[Long]("agree_bal") == 1L) wB else dB) +
+          (if (r.getAs[Long]("agree_seg") == 1L) wS else dS)
+      // 'match' decisions contain planted pairs only on this corpus
+      if (r.getAs[String]("decision") == "match")
+        r.getAs[Long]("n_pairs") shouldBe r.getAs[Long]("n_true")
+      // non-matches contain none
+      if (r.getAs[String]("decision") == "non_match")
+        r.getAs[Long]("n_true") shouldBe 0L
+    }
+    val plan = Relational.qErLinkage(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q_id_gaps matches a brute-force scan of the key sequence") {
     val keys = graft.tables.Tables.orders(spark, sf())
       .select(col("o_orderkey")).distinct().collect()
