@@ -580,6 +580,103 @@ class StreamingSpec extends SparkSpec with Matchers {
     Streaming.qStreamKmv(spark, sf()).count() shouldBe want.size.toLong
   }
 
+  test("sessionizer state survives stop + restart from checkpoint: the " +
+    "resumed query emits run 1's still-open sessions (durable file sink)") {
+    import java.nio.file.Files
+    val stage = Files.createTempDirectory("graft_ckpt_stage")
+    val ckpt = Files.createTempDirectory("graft_ckpt_loc")
+    val out = Files.createTempDirectory("graft_ckpt_out")
+    def movePart(tmp: java.nio.file.Path, to: String): Unit = {
+      val st = Files.list(tmp)
+      val part =
+        try st.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally st.close()
+      Files.move(part, stage.resolve(to))
+      ()
+    }
+    // split by TIME (the watermark advances monotonically across the
+    // restart, so a user-based split would drop the second half as late):
+    // the cut bisects a known within-gap event pair, so at least one
+    // session is OPEN in checkpointed state at the stop and must be
+    // EXTENDED by run 2 — if recovery dropped or double-counted state,
+    // that session's row would diverge from the batch derivation
+    val ev = graft.tables.Tables.events(spark, sf())
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 100, 0).as("value"))
+    val gapUs = graft.operators.Events.SessionGapMinutes * 60L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val cutUs = ev
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_us").isNotNull &&
+        col("ts_us") - col("prev_us") < gapUs &&
+        col("ts_us") > col("prev_us") + 1)
+      .select(((col("prev_us") + col("ts_us")) / 2).cast("long").as("cut"))
+      .orderBy(col("cut")).head().getLong(0)
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_ckpt_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      movePart(tmp, s"$name.parquet")
+    }
+    writeFile(ev.filter(col("ts_us") < cutUs), "a")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    def startQuery() = {
+      import spark.implicits._
+      Streaming.sessionize(
+        spark.readStream.schema(schema).parquet(stage.toString)
+          .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .as[Event],
+        gapMinutes = graft.operators.Events.SessionGapMinutes,
+        watermark = "0 seconds")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+    }
+    // run 1: even users only, then a hard stop mid-stream
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // while DOWN: the rest of the timeline + the far-future flush sentinel
+    writeFile(ev.filter(col("ts_us") >= cutUs), "b")
+    import spark.implicits._
+    writeFile(Seq((-1L, 4102444800L * 1000000L, -1L, "x", 0.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value"), "z")
+    // run 2: recover from checkpoint, drain, flush everything
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out.toString).filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("session_value") / 100.0)).toSet
+    val want = graft.operators.Events.qEventsSessionize(spark, sf())
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    want should not be empty
+    got shouldBe want
+    // the recovery proof: at least one emitted session STRADDLES the cut
+    // — it was open in checkpointed state at the stop and finished after
+    // the restart
+    def us(t: Timestamp) = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    got.exists(r => us(r._2) < cutUs && us(r._3) > cutUs) shouldBe true
+  }
+
   test("q_stream_sessions: the registered append-mode drain reproduces " +
     "every batch session row, values exact") {
     val got = Streaming.qStreamSessions(spark, sf()).collect()
