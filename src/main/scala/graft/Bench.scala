@@ -42,7 +42,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // withExtensions: the Catalyst extension surface (functions, opt-in
+    // AQP rules, the TopKPerKey strategy) is installed in the SAME session
+    // the driver's gate runs — every injected rule is flag-gated off by
+    // default, so plans are unchanged except for queries that opt in
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

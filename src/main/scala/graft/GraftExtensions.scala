@@ -145,5 +145,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     e.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
     e.injectOptimizerRule(_ => graft.plans.ApproxTopKRewrite)
+    // whole-operator extension (TopKPerKey.scala): opt-in rewrite of the
+    // row_number-filter idiom to a dedicated two-phase bounded-heap
+    // physical operator; the strategy is registered unconditionally (it
+    // only fires on the custom logical node the flag-gated rule emits)
+    //   spark.graft.topk_exec         Filter(rk <= k, Window(row_number))
+    //                                 -> partial/final k-heap exec
+    e.injectOptimizerRule(_ => graft.plans.TopKExecRewrite)
+    e.injectPlannerStrategy(s => new graft.plans.TopKStrategy(s))
   }
 }

@@ -17,7 +17,12 @@ object Verify {
       s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}; " +
         s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // withExtensions: the Catalyst extension surface (functions, opt-in
+    // AQP rules, the TopKPerKey strategy) is installed in the SAME session
+    // the driver's gate runs — every injected rule is flag-gated off by
+    // default, so plans are unchanged except for queries that opt in
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

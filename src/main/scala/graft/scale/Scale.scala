@@ -589,6 +589,40 @@ object Scale {
     * then a bounded-frame rollup — the stats collection cost is one scan
     * regardless of corpus size, exactly like parquet footer collection.
     */
+  /** Grouped top-k through the CUSTOM PHYSICAL OPERATOR
+    * (`graft.plans.TopKPerKey`): top-3 events by value per event type,
+    * written as the ordinary row_number idiom, with the
+    * `spark.graft.topk_exec` flag flipped ONLY around the (lazy, forced)
+    * optimization so this one plan is rewritten to the partial/final
+    * bounded-heap exec while every other query in the session keeps its
+    * exact Window plan. Under the driver's gate the custom operator's
+    * output must hash-match the DuckDB row_number oracle — the
+    * whole-operator extension under the same hard signal as everything
+    * else (the session is built `withExtensions`; without them the flag
+    * is inert and the identical window plan runs, same rows). The
+    * ordering carries an event_id tiebreak, so the top-k is total and
+    * the rewrite is bit-exact. Scale shape: map-side per-key k-heaps
+    * prune the shuffle to ≤ k rows per key per partition — the map-side
+    * combine the Window formulation lacks.
+    */
+  def qTopkExec(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val df = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("event_type"), col("rk"))
+    val flag = graft.plans.TopKExecRewrite.Flag
+    s.conf.set(flag, "true")
+    try { df.queryExecution.optimizedPlan; () }
+    finally s.conf.set(flag, "false")
+    df
+  }
+
   def qZonemap(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(
       col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
@@ -624,6 +658,7 @@ object Scale {
     "q_join_estimate" -> qJoinEstimate,
     "q_skew_census" -> qSkewCensus,
     "q_zonemap" -> qZonemap,
+    "q_topk_exec" -> qTopkExec,
     "q_cbo_stats" -> StatsInjection.qCboStats
   )
 
@@ -759,6 +794,14 @@ object Scale {
          |FROM t ORDER BY bucket""".stripMargin
     },
     // the identical two-layout block classification from (min, max) stats
+    "q_topk_exec" ->
+      """SELECT event_type, event_id, value, rk FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS BIGINT) AS rk
+        |  FROM events) t
+        |WHERE rk <= 3
+        |ORDER BY event_type, rk""".stripMargin,
     "q_zonemap" ->
       s"""WITH li AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS d
          |  FROM lineitem),

@@ -181,6 +181,49 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     q().collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe exact
   }
 
+  test("TopKPerKey: the flag-gated rewrite plans the custom physical " +
+    "operator with map-side pruning below the exchange, rows identical " +
+    "to the exact Window plan") {
+    val spark = extSession("graft-topk-exec-test")
+    import org.apache.spark.sql.functions.{col, row_number}
+    val dir = "/root/testdata/sf0.001"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    def windowed() = graft.tables.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("event_type"), col("rk"))
+    // inert by default: the ordinary Window plan
+    val exactPlan = windowed().queryExecution.executedPlan.toString
+    exactPlan should include("Window")
+    exactPlan should not include "TopKPerKey"
+    val exact = windowed().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    exact should not be empty
+    // the registered query flips the flag around its own optimization only
+    val df = graft.scale.Scale.qTopkExec(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("TopKPerKeyFinal")
+    plan should include("TopKPerKeyPartial")
+    plan should not include "Window"
+    // partial (map-side) pruning sits BELOW the exchange in the tree
+    plan.indexOf("TopKPerKeyPartial") should be >
+      plan.indexOf("TopKPerKeyFinal")
+    plan.indexOf("TopKPerKeyPartial") should be > plan.indexOf("Exchange")
+    // bit-equality: the custom operator reproduces the window rows
+    df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq shouldBe exact
+    // the flag was restored: a fresh identical query keeps its Window plan
+    windowed().queryExecution.executedPlan.toString should not include
+      "TopKPerKey"
+  }
+
   /** Fresh session sharing the JVM's SparkContext (see first test's note). */
   private def extSession(name: String): SparkSession = {
     val spark = SparkSession.builder()
