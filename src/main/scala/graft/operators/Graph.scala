@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
+import graft.operators.SessionMemo
 
 /** Iterative link-analysis over the document graph — the second classic
   * MapReduce-era iterative workload after connected components (Page et
@@ -388,41 +389,101 @@ object Graph {
     * community census (size + representative), not the corpus-sized
     * per-node table.
     */
-  def qLpa(s: SparkSession, dir: String): DataFrame = {
+  /** Undirected functional-graph edge set (a < b, distinct) — the shared
+    * frame under [[qLpa]] and [[qModularity]].
+    */
+  private def lpaUnd(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
     val n = docs.count()
-    val und = docs.select(col("id").as("src"),
+    docs.select(col("id").as("src"),
       explode(array(LinkCoeffs.map { case (a, b) =>
         (col("id") * a + b) % n }: _*)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    // both directions, repartitioned on the probe side once and persisted
-    // (the qPagerankEdges discipline: ranks arrive hash-partitioned from
-    // the previous round's aggregation, edges reuse their partitioning)
-    val edges = und.select(col("a").as("src"), col("b").as("dst"))
-      .union(und.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).persist()
-    var lbl = docs.select(col("id"), col("id").as("lbl")).localCheckpoint()
-    for (_ <- 1 to LpaIters) {
-      val votes = edges
-        .join(lbl.select(col("id").as("src"), col("lbl")), "src")
-        .groupBy(col("dst"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("dst"))
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("dst"), (-col("m.nl")).as("new_lbl"))
-      lbl = lbl
-        .join(votes, lbl("id") === votes("dst"), "left")
-        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+  }
+
+  private val lpaMemo = new SessionMemo[DataFrame]()
+
+  /** (id, lbl) after [[LpaIters]] synchronous rounds — the LPA loop of
+    * [[qLpa]]'s scaladoc, memoized per (session, corpus) like the k-means
+    * centroids: the iterative build runs once and both the census and the
+    * [[qModularity]] quality readout reuse the checkpointed assignment
+    * (at 100 TB: the community table is materialized once and joined
+    * from).
+    */
+  private[operators] def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    lpaMemo.getOrElseUpdate(s, dir) {
+      val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      val und = lpaUnd(s, dir)
+      // both directions, repartitioned on the probe side once and persisted
+      // (the qPagerankEdges discipline: ranks arrive hash-partitioned from
+      // the previous round's aggregation, edges reuse their partitioning)
+      val edges = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")).persist()
+      var lbl = docs.select(col("id"), col("id").as("lbl")).localCheckpoint()
+      for (_ <- 1 to LpaIters) {
+        val votes = edges
+          .join(lbl.select(col("id").as("src"), col("lbl")), "src")
+          .groupBy(col("dst"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("dst"), (-col("m.nl")).as("new_lbl"))
+        lbl = lbl
+          .join(votes, lbl("id") === votes("dst"), "left")
+          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+      edges.unpersist(blocking = false)
+      lbl
     }
-    edges.unpersist(blocking = false)
-    lbl.groupBy(col("lbl"))
+
+  def qLpa(s: SparkSession, dir: String): DataFrame =
+    lpaLabels(s, dir).groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
       .select(col("lbl").as("community"), col("n_nodes"), col("min_id"))
       .orderBy(col("n_nodes").desc, col("community"))
+      .limit(100)
+
+  /** Newman modularity of the [[qLpa]] partition over the same undirected
+    * graph — the quality readout that turns "communities were found" into
+    * a measured number: Q = Σ_c [ l_c/m − (d_c/2m)² ] over communities,
+    * carried EXACTLY as the integer numerator q_num = 4m·l_c − d_c² over
+    * the shared denominator 4m² (all counts), so the only float is the
+    * final division and the assignment bit-stability of the LPA loop
+    * carries through to the score. Output is the per-community ledger
+    * (intra-edge count, degree mass, numerator) for communities touching
+    * at least one edge, plus the global Q on every row; one broadcast-
+    * sized join of the bounded community table against the edge frame.
+    */
+  def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val und = lpaUnd(s, dir)
+    val m = und.count()
+    val lab = lpaLabels(s, dir)
+    val intra = und
+      .join(lab.select(col("id").as("a"), col("lbl").as("la")), "a")
+      .join(lab.select(col("id").as("b"), col("lbl").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("n_intra"))
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .join(lab, "id")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("deg_sum"))
+    val per = deg
+      .join(intra, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("n_intra"), lit(0L)).as("n_intra"), col("deg_sum"),
+        (lit(4L * m) * coalesce(col("n_intra"), lit(0L)) -
+          col("deg_sum") * col("deg_sum")).as("q_num"))
+    val tot = per.agg(sum(col("q_num")).as("s"))
+      .select((col("s").cast("double") / lit(4.0 * m * m)).as("q_total"))
+    per.crossJoin(broadcast(tot))
+      .orderBy(col("community"))
       .limit(100)
   }
 
@@ -434,13 +495,51 @@ object Graph {
     "q_pagerank" -> qPagerank,
     "q_pagerank_edges" -> qPagerankEdges,
     "q_triangles" -> qTriangles,
-    "q_lpa" -> qLpa
+    "q_lpa" -> qLpa,
+    "q_modularity" -> qModularity
   )
 
   /** The oracle unrolls all [[PrIters]] rounds as chained CTEs — the
     * [[Bpe]] static-unroll trick: integer arithmetic makes every round
     * bit-identical, so the compare is exact, not tolerance-based.
     */
+  /** Shared LPA oracle chain (nodes → symmetrized edges → [[LpaIters]]
+    * unrolled synchronous rounds, ending in `l<iters>(id, lbl)` with `ud`
+    * and `eu` in scope) — used verbatim by the q_lpa and q_modularity
+    * oracles so the assignment they score is one derivation.
+    */
+  private lazy val lpaOracleCtes: String = {
+    val linkSelects = LinkCoeffs
+      .map { case (a, b) =>
+        s"SELECT id AS src, (id * $a + $b) % (SELECT n FROM nn) " +
+          "AS dst FROM nodes" }
+      .mkString("\n  UNION ALL ")
+    val lpaRounds = (1 to LpaIters).map { t =>
+      s"""v$t AS (
+         |  SELECT e.dst AS id, r.lbl, count(*) AS c
+         |  FROM eu e JOIN l${t - 1} r ON e.src = r.id
+         |  GROUP BY 1, 2),
+         |w$t AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (
+         |      PARTITION BY id ORDER BY c DESC, lbl) AS rk FROM v$t)
+         |  WHERE rk = 1),
+         |l$t AS (
+         |  SELECT r.id, coalesce(w.lbl, r.lbl) AS lbl
+         |  FROM l${t - 1} r LEFT JOIN w$t w ON w.id = r.id)""".stripMargin
+    }.mkString(",\n")
+    s"""nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |nodes AS (SELECT doc_id AS id FROM documents),
+       |e0 AS ($linkSelects),
+       |ud AS (SELECT DISTINCT least(src, dst) AS a,
+       |    greatest(src, dst) AS b
+       |  FROM e0 WHERE src <> dst),
+       |eu AS (SELECT a AS src, b AS dst FROM ud
+       |  UNION ALL SELECT b, a FROM ud),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |$lpaRounds""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val links = LinkCoeffs
       .map { case (a, b) => s"(id * $a + $b) % (SELECT n FROM nn)" }
@@ -578,41 +677,40 @@ object Graph {
       "q_pagerank_edges" -> sql,
       // INDEPENDENT derivation: per-node argmax via a window (the shape
       // the Spark side's max(struct) avoids), rounds statically unrolled
-      "q_lpa" -> {
-        val linkSelects = LinkCoeffs
-          .map { case (a, b) =>
-            s"SELECT id AS src, (id * $a + $b) % (SELECT n FROM nn) " +
-              "AS dst FROM nodes" }
-          .mkString("\n  UNION ALL ")
-        val lpaRounds = (1 to LpaIters).map { t =>
-          s"""v$t AS (
-             |  SELECT e.dst AS id, r.lbl, count(*) AS c
-             |  FROM eu e JOIN l${t - 1} r ON e.src = r.id
-             |  GROUP BY 1, 2),
-             |w$t AS (
-             |  SELECT id, lbl FROM (
-             |    SELECT id, lbl, row_number() OVER (
-             |      PARTITION BY id ORDER BY c DESC, lbl) AS rk FROM v$t)
-             |  WHERE rk = 1),
-             |l$t AS (
-             |  SELECT r.id, coalesce(w.lbl, r.lbl) AS lbl
-             |  FROM l${t - 1} r LEFT JOIN w$t w ON w.id = r.id)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-           |nodes AS (SELECT doc_id AS id FROM documents),
-           |e0 AS ($linkSelects),
-           |ud AS (SELECT DISTINCT least(src, dst) AS a,
-           |    greatest(src, dst) AS b
-           |  FROM e0 WHERE src <> dst),
-           |eu AS (SELECT a AS src, b AS dst FROM ud
-           |  UNION ALL SELECT b, a FROM ud),
-           |l0 AS (SELECT id, id AS lbl FROM nodes),
-           |$lpaRounds
+      "q_lpa" ->
+        s"""WITH $lpaOracleCtes
            |SELECT lbl AS community, count(*) AS n_nodes,
            |  CAST(min(id) AS BIGINT) AS min_id
            |FROM l$LpaIters GROUP BY lbl
-           |ORDER BY n_nodes DESC, community LIMIT 100""".stripMargin
-      },
+           |ORDER BY n_nodes DESC, community LIMIT 100""".stripMargin,
+      // modularity ledger over the SAME unrolled assignment: all-integer
+      // numerators 4m*l_c - d_c^2 over the shared 4m^2 denominator
+      "q_modularity" ->
+        s"""WITH $lpaOracleCtes,
+           |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ud),
+           |lab AS (SELECT id, lbl FROM l$LpaIters),
+           |intra AS (
+           |  SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS n_intra
+           |  FROM ud JOIN lab la ON la.id = ud.a
+           |  JOIN lab lb ON lb.id = ud.b
+           |  WHERE la.lbl = lb.lbl GROUP BY 1),
+           |deg AS (
+           |  SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS deg_sum
+           |  FROM eu e JOIN lab la ON la.id = e.src GROUP BY 1),
+           |per AS (
+           |  SELECT d.community, coalesce(i.n_intra, 0) AS n_intra,
+           |    d.deg_sum,
+           |    4 * mm.m * coalesce(i.n_intra, 0) - d.deg_sum * d.deg_sum
+           |      AS q_num
+           |  FROM deg d LEFT JOIN intra i ON i.community = d.community
+           |  CROSS JOIN mm),
+           |tot AS (SELECT CAST(sum(CAST(q_num AS BIGINT)) AS DOUBLE)
+           |    / (4.0 * mm.m * mm.m) AS q_total
+           |  FROM per CROSS JOIN mm GROUP BY mm.m)
+           |SELECT community, n_intra, deg_sum, CAST(q_num AS BIGINT) AS q_num,
+           |  q_total
+           |FROM per CROSS JOIN tot
+           |ORDER BY community LIMIT 100""".stripMargin,
       "q_triangles" -> {
         val linkSelects = TriCoeffs
           .map { case (a, b) =>

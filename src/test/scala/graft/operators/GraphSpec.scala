@@ -194,4 +194,41 @@ class GraphSpec extends SparkSpec with Matchers {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     got shouldBe want
   }
+
+  test("q_modularity: ledger equals a driver-side evaluation over the " +
+    "LPA assignment; degree mass covers the graph exactly") {
+    val n = Tables.documents(spark, sf()).count()
+    val raw = (0L until n).flatMap(id => Graph.LinkCoeffs.map {
+      case (a, b) => (id, (id * a + b) % n) })
+    val und = raw.filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).distinct
+    val m = und.size.toLong
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var lbl = (0L until n).map(id => id -> id).toMap
+    for (_ <- 1 to Graph.LpaIters) {
+      lbl = lbl.map { case (id, old) =>
+        val votes = adj.getOrElse(id, Nil).map(lbl)
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        id -> (if (votes.isEmpty) old
+               else votes.minBy { case (l, c) => (-c, l) }._1)
+      }
+    }
+    val intra = und.filter { case (a, b) => lbl(a) == lbl(b) }
+      .groupBy { case (a, _) => lbl(a) }.view.mapValues(_.size.toLong).toMap
+    val deg = (und ++ und.map(_.swap))
+      .groupBy { case (a, _) => lbl(a) }.view.mapValues(_.size.toLong).toMap
+    val wantQ = deg.map { case (c, d) =>
+      4L * m * intra.getOrElse(c, 0L) - d * d }.sum.toDouble / (4.0 * m * m)
+    val want = deg.keys.toSeq.sorted.take(100).map { c =>
+      val l = intra.getOrElse(c, 0L)
+      (c, l, deg(c), 4L * m * l - deg(c) * deg(c), wantQ)
+    }
+    val got = Graph.qModularity(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    got shouldBe want
+    // degree mass conservation over the full ledger (<=100 rows at spec SF)
+    got.map(_._3).sum shouldBe 2L * m
+  }
 }
