@@ -180,6 +180,37 @@ object Events {
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Weekly cohort retention matrix — the product-analytics staple: users
+    * are cohorted by their first-active epoch week (integer week index =
+    * epoch-microseconds div one week, so both engines bucket identically
+    * with no calendar/timezone surface), and each (cohort, age) cell
+    * counts users active `age` weeks after their cohort week, with the
+    * retention ratio against the cohort size. Age 0 retention is 1.0 by
+    * construction — asserted in spec, not assumed. Scale shape: one
+    * distinct over (user, week) — the only corpus-sized shuffle — then
+    * user-keyed min and two bounded aggregations; the cohort-size join is
+    * broadcast-sized (weeks², not users).
+    */
+  def qRetentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $weekUs").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_n"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_weeks"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("age_weeks"), col("n_active"),
+        col("cohort_n"),
+        (col("n_active").cast("double") / col("cohort_n").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_wk"), col("age_weeks"))
+  }
+
   /** Conversion funnel signup → purchase: per-user first-touch times,
     * ordered-conversion flags, one summary row.
     */
@@ -1236,6 +1267,7 @@ object Events {
     "q_events_sliding" -> qEventsSliding,
     "q_events_sessionize" -> qEventsSessionize,
     "q_session_window" -> qSessionWindow,
+    "q_retention_cohort" -> qRetentionCohort,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_topk_users" -> qEventsTopkUsers,
     "q_events_json" -> qEventsJson,
@@ -1830,6 +1862,24 @@ object Events {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
          |FROM sessions GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk
+        |  FROM uw GROUP BY user_id),
+        |sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n
+        |  FROM cohort GROUP BY cohort_wk),
+        |cells AS (
+        |  SELECT c.cohort_wk, uw.wk - c.cohort_wk AS age_weeks,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM uw JOIN cohort c ON c.user_id = uw.user_id
+        |  GROUP BY 1, 2)
+        |SELECT ce.cohort_wk, ce.age_weeks, ce.n_active, sz.cohort_n,
+        |  CAST(ce.n_active AS DOUBLE) / CAST(sz.cohort_n AS DOUBLE)
+        |    AS retention
+        |FROM cells ce JOIN sizes sz ON sz.cohort_wk = ce.cohort_wk
+        |ORDER BY ce.cohort_wk, ce.age_weeks""".stripMargin,
     "q_session_window" ->
       s"""WITH flagged AS (
          |  SELECT user_id, event_id, ts, value,

@@ -50,6 +50,23 @@ class EventsSpec extends SparkSpec with Matchers {
     plan should include("MergingSessions")
   }
 
+  test("q_retention_cohort: age-0 retention is 1.0, cells never exceed " +
+    "their cohort, and active mass equals the (user, week) distinct count") {
+    val rows = Events.qRetentionCohort(spark, sf()).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Long]("n_active") should be <= r.getAs[Long]("cohort_n")
+      r.getAs[Long]("age_weeks") should be >= 0L
+      if (r.getAs[Long]("age_weeks") == 0L)
+        r.getAs[Double]("retention") shouldBe 1.0
+    }
+    val weekUs = 604800000000L
+    val distinctUw = graft.tables.Tables.events(spark, sf())
+      .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs"))
+      .distinct().count()
+    rows.map(_.getAs[Long]("n_active")).sum shouldBe distinctUw
+  }
+
   test("funnel counts are consistent") {
     val r = Events.qEventsFunnel(spark, sf()).head()
     val (users, signed, purchased, converted) =
