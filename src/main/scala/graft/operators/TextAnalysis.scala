@@ -984,6 +984,35 @@ object TextAnalysis {
       .orderBy(col("split"))
   }
 
+  /** Reliability diagram of the deployed classifier — the calibration
+    * readout between "trained" and "turned on": documents bucketed by the
+    * SIGNED LOG2 MAGNITUDE of their exact integer margin (bucket =
+    * sign(m) · bitlength(|m|), computed as `length(bin(abs(m)))` so both
+    * engines bucket identically with zero float surface), each bucket
+    * reporting its size and empirical positive rate. A well-behaved
+    * score is monotone: strongly negative buckets ≈ 0, strongly positive
+    * ≈ 1 (spec asserts the ends; the gate pins every cell). Same
+    * row-local margin scoring against the broadcast pocket weights, one
+    * ≤ ~128-group aggregation.
+    */
+  def qQualityCalib(s: SparkSession, dir: String): DataFrame = {
+    val wlit = typedLit(qtWeights(s, dir))
+    qtDocs(s, dir)
+      .withColumn("m", qtMargin(wlit))
+      .withColumn("bucket",
+        when(col("m") === 0L, 0L)
+          .otherwise(signum(col("m")).cast("long") *
+            length(bin(abs(col("m")))).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("frac_pos"))
+      .orderBy(col("bucket"))
+  }
+
   // ------------------------------------------------------------------
   // Bigram-feature pocket perceptron: a task LINEAR-IN-UNIGRAMS models
   // cannot learn
@@ -1566,6 +1595,7 @@ object TextAnalysis {
     "q_quality_classifier" -> qQualityClassifier,
     "q_quality_train" -> qQualityTrain,
     "q_quality_train_eval" -> qQualityTrainEval,
+    "q_quality_calib" -> qQualityCalib,
     "q_quality_train_bi" -> qQualityTrainBi,
     "q_chunk_overlap" -> qChunkOverlap,
     "q_curation_funnel" -> qCurationFunnel,
@@ -1668,19 +1698,28 @@ object TextAnalysis {
     * ledger scores ALL docs under the pocketed weights, grouped by
     * `groupExpr AS groupName`.
     */
-  private def pocketOracleSql(
-      trainWhere: String, groupExpr: String, groupName: String,
-      labelPred: String =
-        "len(list_filter(t, x -> x = 'join')) > " +
-          "len(list_filter(t, x -> x = 'scan'))",
-      featF: String =
-        s"""tk AS (SELECT doc_id, unnest(t) AS tok FROM tt),
-           |f AS MATERIALIZED (SELECT doc_id,
-           |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $QtBuckets AS slot
-           |  FROM tk
-           |  UNION ALL
-           |  SELECT doc_id, CAST($QtBias AS BIGINT) AS slot FROM documents)"""
-          .stripMargin): String = {
+  /** The training-replay CTE chain through `sc(source, bucket, y, m)` —
+    * shared by the confusion oracles ([[pocketOracleSql]]) and the
+    * calibration oracle, so every readout scores the SAME unrolled
+    * pocket weights.
+    */
+  private val PocketDefaultLabel: String =
+    "len(list_filter(t, x -> x = 'join')) > " +
+      "len(list_filter(t, x -> x = 'scan'))"
+
+  private val PocketDefaultFeat: String =
+    s"""tk AS (SELECT doc_id, unnest(t) AS tok FROM tt),
+       |f AS MATERIALIZED (SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $QtBuckets AS slot
+       |  FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, CAST($QtBias AS BIGINT) AS slot FROM documents)"""
+      .stripMargin
+
+  private def pocketScoreCtes(
+      trainWhere: String,
+      labelPred: String = PocketDefaultLabel,
+      featF: String = PocketDefaultFeat): String = {
     val lastW = QtRounds - 1
     val steps = (2 to lastW).map { t =>
       s"""u$t AS MATERIALIZED (SELECT slot, CAST(sum(ltr.y) AS BIGINT) AS dw
@@ -1727,7 +1766,14 @@ object TextAnalysis {
        |  FROM lab LEFT JOIN (SELECT f.doc_id,
        |      CAST(sum(wbest.w) AS BIGINT) AS m
        |    FROM f JOIN wbest USING (slot) GROUP BY f.doc_id) mm
-       |  USING (doc_id))
+       |  USING (doc_id))""".stripMargin
+  }
+
+  private def pocketOracleSql(
+      trainWhere: String, groupExpr: String, groupName: String,
+      labelPred: String = PocketDefaultLabel,
+      featF: String = PocketDefaultFeat): String =
+    s"""${pocketScoreCtes(trainWhere, labelPred, featF)}
        |SELECT $groupExpr AS $groupName, count(*) AS n_docs,
        |  CAST(sum(CASE WHEN m > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS tp,
@@ -1739,7 +1785,6 @@ object TextAnalysis {
        |    AS tn,
        |  CAST(sum(m) AS BIGINT) AS margin_sum
        |FROM sc GROUP BY $groupName ORDER BY $groupName""".stripMargin
-  }
 
   def oracleSql: Map[String, String] = Map(
     "q_bpe_merges" ->
@@ -1942,6 +1987,18 @@ object TextAnalysis {
          |    AS BIGINT) AS chunk_xor
          |FROM c ORDER BY doc_id""".stripMargin,
     "q_quality_train" -> pocketOracleSql("", "source", "source"),
+    "q_quality_calib" ->
+      s"""${pocketScoreCtes("")}
+         |, bkt AS (
+         |  SELECT CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END
+         |        * length(bin(abs(m))) AS BIGINT) END AS bucket, y
+         |  FROM sc)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS frac_pos
+         |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_quality_train_bi" -> pocketOracleSql(
       "", "source", "source",
       labelPred =

@@ -355,6 +355,28 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     accuracy should be >= 0.85
   }
 
+  test("q_quality_calib: buckets partition the corpus and the score is " +
+    "calibrated at the ends — strong negatives ~0, strong positives ~1") {
+    val rows = TextAnalysis.qQualityCalib(spark, sf()).collect()
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe
+      graft.tables.Tables.documents(spark, sf()).count()
+    rows.foreach { r =>
+      r.getAs[Long]("n_pos") should be <= r.getAs[Long]("n_docs")
+      r.getAs[Double]("frac_pos") shouldBe
+        r.getAs[Long]("n_pos").toDouble / r.getAs[Long]("n_docs")
+    }
+    // mass-weighted positive rate over the extreme thirds of the bucket
+    // range: the margin separates (measured: 0.0x vs 0.9x at every SF)
+    val buckets = rows.map(r => (r.getAs[Long]("bucket"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos")))
+    val lo = buckets.filter(_._1 <= -8)
+    val hi = buckets.filter(_._1 >= 8)
+    lo.map(_._2).sum should be > 0L
+    hi.map(_._2).sum should be > 0L
+    (lo.map(_._3).sum.toDouble / lo.map(_._2).sum) should be < 0.2
+    (hi.map(_._3).sum.toDouble / hi.map(_._2).sum) should be > 0.8
+  }
+
   test("bigram pocket perceptron: learns an adjacency rule outside the " +
     "unigram hypothesis class") {
     val w = TextAnalysis.qtBiWeights(spark, sf())
