@@ -29,6 +29,7 @@ object ClusterSmoke {
 
   private def session(master: String, extra: Map[String, String]): SparkSession = {
     val b = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master(master)
       .appName(s"graft-cluster-smoke")
       .config("spark.sql.shuffle.partitions", "8")

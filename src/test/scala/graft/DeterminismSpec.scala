@@ -31,7 +31,13 @@ class DeterminismSpec extends AnyFunSuite with Matchers {
     "q_curriculum", // driver-derived histogram boundary literals
     "q_triangles", // multi-self-join census counts
     "q_range_search", // replicated-probe grid self-join, exact predicate
-    "q_ab_lift") // hash-arm assignment + shared-verbatim IEEE statistic
+    "q_ab_lift", // hash-arm assignment + shared-verbatim IEEE statistic
+    "q_dbscan_cluster", // grid edges + alternating-star CC + min-label
+    "q_er_linkage", // blocked bipartite join + integer-weight scoring
+    "q_lsh_bands", // multi-scheme banding over one signature table
+    "q_topk_exec") // custom partial/final heap exec (Window plan here —
+  // no extensions on these sessions; the exec path's replan-invariance
+  // is pinned by GraftExtensionsSpec's bit-equality against this plan
 
   test("representative queries are bit-identical with AQE off and a " +
     "different shuffle partitioning") {
