@@ -776,7 +776,7 @@ object Dedup {
       minhashCandidates(banded, MaxLshBucket)
         .agg(count(lit(1)).as("n_cand"),
           sum(when(isTruth, 1L).otherwise(0L)).as("n_hit"))
-        .select(lit(r).as("rows_per_band"), lit(nb).as("n_bands"),
+        .select(lit(r.toLong).as("rows_per_band"), lit(nb.toLong).as("n_bands"),
           coalesce(col("n_cand"), lit(0L)).as("n_cand"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"))
     }.reduce(_ unionByName _)
@@ -1913,8 +1913,8 @@ object Dedup {
         .mkString(",\n")
       val schemeStats = BandSchemes
         .map { case (r, nb) =>
-          s"""SELECT CAST($r AS INT) AS rows_per_band,
-             |  CAST($nb AS INT) AS n_bands,
+          s"""SELECT CAST($r AS BIGINT) AS rows_per_band,
+             |  CAST($nb AS BIGINT) AS n_bands,
              |  CAST(count(*) AS BIGINT) AS n_cand,
              |  CAST(coalesce(sum(CASE WHEN doc_b = doc_a + $PlantOffset
              |    AND doc_a < $PlantOffset THEN 1 ELSE 0 END), 0) AS BIGINT)

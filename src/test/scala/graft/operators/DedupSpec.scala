@@ -436,12 +436,12 @@ class DedupSpec extends SparkSpec with Matchers {
   test("q_lsh_bands: candidate volume falls and recall degrades as rows " +
     "per band grow; the shipped 8x2 row equals q_dedup_recall's counts") {
     val rows = Dedup.qLshBands(spark, sf()).collect()
-    rows.map(_.getAs[Int]("rows_per_band")).toSeq shouldBe
-      Dedup.BandSchemes.map(_._1)
+    rows.map(_.getAs[Long]("rows_per_band")).toSeq shouldBe
+      Dedup.BandSchemes.map(_._1.toLong)
     // every scheme regroups the same 16 minhashes
     rows.foreach { r =>
-      r.getAs[Int]("rows_per_band") * r.getAs[Int]("n_bands") shouldBe
-        Dedup.NumHashes
+      r.getAs[Long]("rows_per_band") * r.getAs[Long]("n_bands") shouldBe
+        Dedup.NumHashes.toLong
     }
     // the S-curve trade: sharper bands => fewer candidates, lower recall
     rows.sliding(2).foreach { w =>
@@ -453,7 +453,7 @@ class DedupSpec extends SparkSpec with Matchers {
     // candidate stage: same banding, same cap, same truth census
     val p = Dedup.qDedupRecall(spark, sf()).head()
     val shipped = rows
-      .find(_.getAs[Int]("rows_per_band") == Dedup.RowsPerBand).get
+      .find(_.getAs[Long]("rows_per_band") == Dedup.RowsPerBand.toLong).get
     shipped.getAs[Long]("n_cand") shouldBe p.getAs[Long]("n_cand")
     shipped.getAs[Long]("n_hit") shouldBe p.getAs[Long]("n_cand_hit")
     shipped.getAs[Long]("n_true") shouldBe p.getAs[Long]("n_true")
