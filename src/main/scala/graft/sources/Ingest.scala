@@ -588,7 +588,47 @@ object Ingest {
       .orderBy(col("epoch"))
   }
 
+  private val orcFixtureMemo = new SessionMemo[String]()
+
+  /** One-time ORC materialization of the lineitem projection — the
+    * columnar-format interchange a heterogeneous lake forces (ORC readers
+    * upstream, parquet downstream). Memoized per (session, corpus) like
+    * every fixture write; reported in the bench build column.
+    */
+  private def orcPath(s: SparkSession, dir: String): String =
+    orcFixtureMemo.getOrElseUpdate(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc/" +
+        new java.io.File(dir).getName
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").orc(out)
+      out
+    }
+
+  /** ORC round-trip under the gate: the built-in ORC source (write once,
+    * scan per query) must carry the EXACT row set — the aggregation over
+    * the ORC scan hash-matches the DuckDB oracle computed from the
+    * original parquet, so any value/encoding drift through the second
+    * columnar format is a hard failure, not a trust assumption. The scan
+    * gets the same pushdown treatment as parquet (predicate + column
+    * pruning — plan-pinned in SourcesSpec); money stays on the
+    * cents-decimal route.
+    */
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    s.read.orc(orcPath(s, dir))
+      .filter(col("l_quantity") > 25)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        graft.operators.Relational.dsum(col("l_extendedprice"))
+          .as("sum_price"),
+        sum(graft.operators.Relational.cents(col("l_quantity")))
+          .as("qty_cents"))
+      .orderBy(col("l_returnflag"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_ingest_jsonl" -> qIngestJsonl,
     "q_ingest_csv" -> qIngestCsv,
     "q_schema_merge" -> qSchemaMerge,
@@ -620,6 +660,14 @@ object Ingest {
        |  FROM snap GROUP BY doc_id, ver_md5)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_crawl_delta" ->
       s"""WITH a AS (SELECT doc_id, source, md5(text) AS h FROM documents),
          |b AS (SELECT doc_id, source,

@@ -70,6 +70,26 @@ class SourcesSpec extends SparkSpec with Matchers {
     back.except(orig).count() shouldBe 0L
   }
 
+  test("q_orc_roundtrip: the ORC scan gets predicate pushdown and column " +
+    "pruning, and the aggregation matches the parquet-side derivation") {
+    val df = graft.sources.Ingest.qOrcRoundtrip(spark, sf())
+    val plan = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    plan should include("orc")
+    plan should include regex "PushedFilters: \\[[^\\]]*GreaterThan\\(l_quantity"
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    readSchema should not include "l_orderkey" // pruned: unused column
+    // value parity with the same aggregation over the parquet table
+    val want = Tables.lineitem(spark, sf())
+      .filter(col("l_quantity") > 25)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.collect().map(r => r.getAs[String]("l_returnflag") ->
+      r.getAs[Long]("n_rows")).toMap shouldBe want
+  }
+
   test("text source: line semantics match the reference's Split contract") {
     val path = Files.createTempFile("txt", ".txt")
     Files.writeString(path, "line one\nline two\n\nlast without newline")
