@@ -747,6 +747,50 @@ object Events {
     * so no dedup is needed. The same shape handles any banded interval
     * join at 100 TB; only the bucket constant changes.
     */
+  /** Event-time DISORDER census — the measurement a watermark choice
+    * should rest on (and the batch-side receipt for the streaming
+    * operators' `withWatermark` settings): per user, arrival order is
+    * event_id; an event's lateness is how far its event time sits behind
+    * the per-user running maximum at arrival (0 for in-order arrivals).
+    * Output: exponential lateness buckets with counts and corpus share —
+    * read "a watermark of X retains state long enough for Y% of
+    * events". The fixture generator emits per-user events already
+    * time-ordered (measured: 100% on-time under arrival = event_id), so
+    * the disorder under census is PLANTED deterministically like every
+    * planted-structure query: every 17th event is delayed by 40 arrival
+    * slots (arrival = event_id + 40·[event_id ≡ 0 mod 17]), the
+    * shared-verbatim rule both engines derive. Scale shape: one
+    * per-user window over the user-partitioned frame (no global sort),
+    * one bounded aggregation, broadcast total.
+    */
+  def qLateness(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("arrival"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        (col("event_id") + when(col("event_id") % 17 === 0, 40L)
+          .otherwise(0L)).as("arrival"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("lateness_us",
+        greatest(lit(0L), coalesce(max(col("tu")).over(w) - col("tu"),
+          lit(0L))))
+      .select(
+        when(col("lateness_us") === 0L, "0_ontime")
+          .when(col("lateness_us") < 60L * 1000000L, "1_lt_1m")
+          .when(col("lateness_us") < 600L * 1000000L, "2_lt_10m")
+          .when(col("lateness_us") < 3600L * 1000000L, "3_lt_1h")
+          .otherwise("4_ge_1h").as("bucket"))
+    val tot = late.agg(count(lit(1)).as("n_total"))
+    late.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_events"), col("n_total"),
+        (col("n_events").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+      .orderBy(col("bucket"))
+  }
+
   def qTimeJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val p = ev.filter(col("event_type") === "purchase")
@@ -1268,6 +1312,7 @@ object Events {
     "q_events_sessionize" -> qEventsSessionize,
     "q_session_window" -> qSessionWindow,
     "q_retention_cohort" -> qRetentionCohort,
+    "q_lateness" -> qLateness,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_topk_users" -> qEventsTopkUsers,
     "q_events_json" -> qEventsJson,
@@ -1862,6 +1907,28 @@ object Events {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
          |FROM sessions GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    "q_lateness" ->
+      """WITH lt AS (
+        |  SELECT CASE
+        |    WHEN l = 0 THEN '0_ontime'
+        |    WHEN l < CAST(60000000 AS BIGINT) THEN '1_lt_1m'
+        |    WHEN l < CAST(600000000 AS BIGINT) THEN '2_lt_10m'
+        |    WHEN l < CAST(3600000000 AS BIGINT) THEN '3_lt_1h'
+        |    ELSE '4_ge_1h' END AS bucket
+        |  FROM (
+        |    SELECT greatest(0, coalesce(
+        |        max(epoch_us(ts)) OVER (PARTITION BY user_id
+        |          ORDER BY event_id
+        |            + CASE WHEN event_id % 17 = 0 THEN 40 ELSE 0 END,
+        |            event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        - epoch_us(ts), 0)) AS l
+        |    FROM events) t),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lt)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_events, tot.n_total,
+        |  CAST(count(*) AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS share
+        |FROM lt CROSS JOIN tot
+        |GROUP BY bucket, tot.n_total ORDER BY bucket""".stripMargin,
     "q_retention_cohort" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk

@@ -67,6 +67,21 @@ class EventsSpec extends SparkSpec with Matchers {
     rows.map(_.getAs[Long]("n_active")).sum shouldBe distinctUw
   }
 
+  test("q_lateness: buckets conserve the corpus; only planted-delay " +
+    "events can be late, and some genuinely are") {
+    val rows = Events.qLateness(spark, sf()).collect()
+    val total = graft.tables.Tables.events(spark, sf()).count()
+    rows.map(_.getAs[Long]("n_events")).sum shouldBe total
+    rows.foreach(_.getAs[Long]("n_total") shouldBe total)
+    val late = rows.filter(_.getAs[String]("bucket") != "0_ontime")
+      .map(_.getAs[Long]("n_events")).sum
+    // the delay plant touches exactly the event_id % 17 == 0 rows
+    val planted = graft.tables.Tables.events(spark, sf())
+      .filter(col("event_id") % 17 === 0).count()
+    late should be > 0L
+    late should be <= planted
+  }
+
   test("funnel counts are consistent") {
     val r = Events.qEventsFunnel(spark, sf()).head()
     val (users, signed, purchased, converted) =
