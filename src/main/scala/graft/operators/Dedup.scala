@@ -765,21 +765,46 @@ object Dedup {
         element_at(col("mh"), k + 1).as(s"m$k")): _*)
     val isTruth = col("doc_b") === col("doc_a") + PlantOffset &&
       col("doc_a") < PlantOffset
-    val perScheme = BandSchemes.map { case (r, nb) =>
-      val bandCols = (0 until nb).map { b =>
+    // ONE pass for all four schemes: every band key of every scheme is
+    // emitted from the same signature row tagged (scheme, band_idx), so
+    // the whole sweep is a single 30-keys/doc explode + ONE bucket
+    // aggregation + ONE in-bucket pair expansion — not 4 separate
+    // shuffles (A/B'd: 2.26 s → one-shuffle shape at sf0.1)
+    val allBandCols = BandSchemes.flatMap { case (r, nb) =>
+      (0 until nb).map { b =>
         val ms = (0 until r).map(i => col(s"m${b * r + i}"))
-        struct(lit(b).as("band_idx"), md5(concat_ws(",", ms: _*)).as("band_key"))
+        struct(lit(r.toLong).as("scheme"), lit(b).as("band_idx"),
+          md5(concat_ws(",", ms: _*)).as("band_key"))
       }
-      val banded = sig
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
-      minhashCandidates(banded, MaxLshBucket)
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(allBandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.scheme"), col("bk.band_idx"),
+        col("bk.band_key"))
+    val cand = banded
+      .groupBy(col("scheme"), col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxLshBucket)
+      .select(col("scheme"), explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("scheme"), col("p.doc_a").as("doc_a"),
+        col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    // literal scheme frame on the left: a scheme with ZERO candidates
+    // still reports its row (the oracle's per-scheme aggregate does)
+    val schemesDf = s.createDataFrame(
+      BandSchemes.map { case (r, nb) => (r.toLong, nb.toLong) })
+      .toDF("scheme", "n_bands")
+    val perScheme = schemesDf
+      .join(cand
+        .groupBy(col("scheme"))
         .agg(count(lit(1)).as("n_cand"),
-          sum(when(isTruth, 1L).otherwise(0L)).as("n_hit"))
-        .select(lit(r.toLong).as("rows_per_band"), lit(nb.toLong).as("n_bands"),
-          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-    }.reduce(_ unionByName _)
+          sum(when(isTruth, 1L).otherwise(0L)).as("n_hit")),
+        Seq("scheme"), "left")
+      .select(col("scheme").as("rows_per_band"), col("n_bands"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
     val elig = withHs.filter(size(col("hs")) > 0).select(col("doc_id"))
     val nTrue = elig.filter(col("doc_id") < PlantOffset)
       .join(elig.select((col("doc_id") - PlantOffset).as("doc_id")),
