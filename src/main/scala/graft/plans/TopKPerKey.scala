@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNo
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator Catalyst extension — the one extension point the
   * expression/aggregate/optimizer-rule surface cannot reach: a custom
@@ -114,12 +115,15 @@ private[plans] object TopKHeaps {
       order: Seq[SortOrder],
       k: Int,
       input: Seq[Attribute],
-      withRank: Boolean): Iterator[InternalRow] = {
+      withRank: Boolean,
+      numInput: SQLMetric,
+      numOutput: SQLMetric): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(grouping, input)
     val ord = RowOrdering.create(order, input)
     val heaps = new java.util.LinkedHashMap[
       InternalRow, java.util.PriorityQueue[InternalRow]]()
     it.foreach { row =>
+      numInput += 1
       val key = keyProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
@@ -137,6 +141,7 @@ private[plans] object TopKHeaps {
       var i = rows.length - 1
       // poll order is WORST-first (reversed ordering), so fill backwards
       while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
+      numOutput += rows.length
       if (!withRank) rows.iterator
       else rows.iterator.zipWithIndex.map { case (r, idx) =>
         new JoinedRow(r, new GenericInternalRow(Array[Any](idx + 1)))
@@ -156,10 +161,18 @@ case class TopKPerKeyPartialExec(
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: Nil
-  override protected def doExecute(): RDD[InternalRow] =
+  // the operator's ledger in the UI: how many rows the map-side heaps
+  // KEPT vs saw is exactly the shuffle volume the rewrite saves
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "input rows"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"))
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (in, out) = (longMetric("numInputRows"), longMetric("numOutputRows"))
     child.execute().mapPartitions(
-      TopKHeaps.prune(_, grouping, order, k, child.output, withRank = false),
+      TopKHeaps.prune(_, grouping, order, k, child.output,
+        withRank = false, in, out),
       preservesPartitioning = true)
+  }
   override protected def withNewChildInternal(c: SparkPlan) = copy(child = c)
 }
 
@@ -177,9 +190,15 @@ case class TopKPerKeyFinalExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (grouping.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(grouping) :: Nil
-  override protected def doExecute(): RDD[InternalRow] =
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "input rows"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"))
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (in, out) = (longMetric("numInputRows"), longMetric("numOutputRows"))
     child.execute().mapPartitions(
-      TopKHeaps.prune(_, grouping, order, k, child.output, withRank = true),
+      TopKHeaps.prune(_, grouping, order, k, child.output,
+        withRank = true, in, out),
       preservesPartitioning = true)
+  }
   override protected def withNewChildInternal(c: SparkPlan) = copy(child = c)
 }

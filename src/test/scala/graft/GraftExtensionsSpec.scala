@@ -222,6 +222,28 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     // the flag was restored: a fresh identical query keeps its Window plan
     windowed().queryExecution.executedPlan.toString should not include
       "TopKPerKey"
+    // metric ledger after execution: the partial heaps saw the corpus and
+    // kept at most keys x k per partition — the saved shuffle volume,
+    // reported as first-class SQLMetrics
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val partial = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case p: graft.plans.TopKPerKeyPartialExec => p
+    }.get
+    val nEvents = graft.tables.Tables.events(spark, dir).count()
+    partial.metrics("numInputRows").value shouldBe nEvents
+    val kept = partial.metrics("numOutputRows").value
+    kept should be > 0L
+    kept should be < nEvents
   }
 
   /** Fresh session sharing the JVM's SparkContext (see first test's note). */
