@@ -635,15 +635,48 @@ object Streaming {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** The REFERENCE's workload as a structured stream under the gate:
+    * word count (`wc.go:14-38` semantics — the [[wordCount]] expression
+    * tree is literally the batch `WordCount.viaSql`) over a file-source
+    * stream of the documents table, drained through the memory sink in
+    * update mode and collapsed to each word's final count (counts only
+    * grow, so per-word max IS the drained state — [[qStreamKmv]]'s
+    * collapse). Hash-matches the SAME DuckDB oracle as the batch
+    * `wc_wordcount` row: one tokenizer definition, one oracle, three
+    * execution regimes (sequential-parity MRJob, batch SQL, stream).
+    */
+  def qStreamWc(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("text", StringType)))
+    val src = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
+    val name = s"graft_stream_wc_${sinkSeq.incrementAndGet()}"
+    val q = wordCount(src, "text")
+      .writeStream.outputMode("update").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("word"))
+      .agg(max(col("cnt")).as("cnt"))
+      .orderBy(col("word"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_kmv" -> qStreamKmv,
-    "q_stream_sessions" -> qStreamSessions
+    "q_stream_sessions" -> qStreamSessions,
+    "q_stream_wc" -> qStreamWc
   )
 
   def oracleSql: Map[String, String] = {
     val kmvK = graft.operators.Events.KmvK
     Map(
       // the batch q_kmv oracle minus its exact ride-along: the streamed
+      // same oracle as the batch wc_wordcount row (one tokenizer, one
+      // derivation, three execution regimes)
+      "q_stream_wc" ->
+        """SELECT word, count(*) AS cnt
+          |FROM (SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word
+          |      FROM documents) t
+          |WHERE word <> ''
+          |GROUP BY word ORDER BY word""".stripMargin,
       // the batch sessionizer's derivation minus its session_idx /
       // duration ride-alongs, keyed by (user, session_start) — the
       // streamed append-mode emissions must reproduce every session row

@@ -677,6 +677,17 @@ class StreamingSpec extends SparkSpec with Matchers {
     got.exists(r => us(r._2) < cutUs && us(r._3) > cutUs) shouldBe true
   }
 
+  test("q_stream_wc: the reference workload drained as a stream equals " +
+    "the batch word count") {
+    val got = Streaming.qStreamWc(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.mr.WordCount
+      .viaSql(graft.tables.Tables.documents(spark, sf()), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    want should not be empty
+    got shouldBe want
+  }
+
   test("q_stream_sessions: the registered append-mode drain reproduces " +
     "every batch session row, values exact") {
     val got = Streaming.qStreamSessions(spark, sf()).collect()
