@@ -657,6 +657,55 @@ object Similarity {
       .orderBy(col("m"), col("code"))
   }
 
+  /** ADC top-k search over the PQ codes (Jégou et al., TPAMI 2011 —
+    * asymmetric distance computation, spherical variant): the query stays
+    * FULL-PRECISION while every corpus vector is represented only by its
+    * [[PqM]] codes, and the score is Σ_m cos(query-slice_m,
+    * codeword(code_m)) — per-subspace rounded-6 cosines against the
+    * BROADCAST codebook literals, so scoring a vector is [[PqM]] table
+    * lookups instead of a [[Dim]]-float dot: the memory/bandwidth shape
+    * that lets a 100 TB index hold codes in RAM and stream nothing else.
+    * Ranking mirrors [[qAnnBrute]] (score desc, vec_id tiebreak, self
+    * excluded); the quality loss vs the exact ranking is measured by the
+    * gate-checked rows themselves (compare to q_ann_brute per query).
+    * Scale shape: encode is row-local, the query side is
+    * [[QueryCount]]-row broadcast, no shuffle beyond the per-query
+    * window over candidate rows.
+    */
+  def qPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(s, dir)
+    val codeCols = (0 until PqM).map { m =>
+      VectorExpressions.nearestCentroid(
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim), books(m))
+        .as(s"code$m")
+    }
+    val enc = Tables.embeddings(s, dir).select(col("vec_id") +: codeCols: _*)
+    val queries = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // per-subspace terms quantized to exact ppm integers BEFORE the sum:
+    // a double Σ of four rounded cosines is summation-order-sensitive in
+    // the last ulp across engines; the integer sum is not
+    val adc = (0 until PqM).map { m =>
+      val qSub = slice(col("qv"), m * PqSubDim + 1, PqSubDim)
+      val cosm = books(m).foldLeft(lit(0.0)) { case (acc, (id, cw)) =>
+        when(col(s"code$m") === id, cosRounded(qSub, typedLit(cw.toSeq)))
+          .otherwise(acc)
+      }
+      floor(cosm * 1e6 + lit(0.5)).cast("long")
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id"))
+    broadcast(queries)
+      .join(enc, col("vec_id") =!= col("query_id"))
+      .withColumn("score_ppm", adc)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("score_ppm"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Neighbors per vector in [[qKnnGraph]]. */
   val KnnGraphK = 3
 
@@ -925,6 +974,7 @@ object Similarity {
     "q_dedup_semantic" -> qDedupSemantic,
     "q_knn_graph" -> qKnnGraph,
     "q_pq_codebook" -> qPqCodebook,
+    "q_pq_search" -> qPqSearch,
     "q_ann_ndcg" -> qAnnNdcg
   )
 
@@ -1127,6 +1177,55 @@ object Similarity {
        |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  /** Per-subspace Lloyd-replay CTE chains for the PQ oracles: trains
+    * each subspace codebook (pc<m>_<iters>) and assigns every vector
+    * (pf<m>) — shared by q_pq_codebook and q_pq_search so both score the
+    * SAME replayed codebooks.
+    */
+  private lazy val pqChainsSql: String = {
+    def subSrc(m: Int): String = {
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings"
+    }
+    def seeds(m: Int): String = {
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""SELECT vec_id AS c_id,
+         |    list_transform(embedding[$lo:$hi],
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS cv
+         |  FROM (SELECT * FROM embeddings
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |        LIMIT $IvfCentroids) seeds""".stripMargin
+    }
+    def recompute(assigned: String): String =
+      s"""SELECT c_id, list(s ORDER BY pos) AS cv FROM (
+         |  SELECT c_id, pos,
+         |    sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS s
+         |  FROM $assigned CROSS JOIN range(1, ${PqSubDim + 1}) t(pos)
+         |  GROUP BY c_id, pos) u
+         |GROUP BY c_id""".stripMargin
+    def assign(cte: String, src: String): String =
+      s"""SELECT vec_id, embedding, c_id, cos FROM (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    ${cosSqlCols("e.embedding", "c.cv")} AS cos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSqlCols("e.embedding", "c.cv")} DESC, c.c_id)
+         |      AS c_rk
+         |  FROM $src e CROSS JOIN $cte c) t
+         |WHERE c_rk = 1""".stripMargin
+    (0 until PqM).map { m =>
+      val rounds = (1 to KmeansIters).map { i =>
+        s"""pa${m}_$i AS (${assign(s"pc${m}_${i - 1}", s"ps$m")}),
+           |pc${m}_$i AS (${recompute(s"pa${m}_$i")})""".stripMargin
+      }.mkString(",\n")
+      s"""ps$m AS (${subSrc(m)}),
+         |pc${m}_0 AS (${seeds(m)}),
+         |$rounds,
+         |pf$m AS (${assign(s"pc${m}_$KmeansIters", s"ps$m")})""".stripMargin
+    }.mkString(",\n")
+  }
+
   def oracleSql: Map[String, String] = Map(
     // INDEPENDENT derivation: the full Lloyd replay, then rank-1/rank-2
     // window over all 16 cosines per vector (vs Spark's sorted literal
@@ -1277,57 +1376,44 @@ object Similarity {
     // INDEPENDENT derivation: per-subspace seed + Lloyd unroll on the
     // coordinate slices, assignment argmax via a window carrying its cos
     "q_pq_codebook" -> {
-      def subSrc(m: Int): String = {
-        val lo = m * PqSubDim + 1
-        val hi = (m + 1) * PqSubDim
-        s"SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings"
-      }
-      def seeds(m: Int): String = {
-        val lo = m * PqSubDim + 1
-        val hi = (m + 1) * PqSubDim
-        s"""SELECT vec_id AS c_id,
-           |    list_transform(embedding[$lo:$hi],
-           |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS cv
-           |  FROM (SELECT * FROM embeddings
-           |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-           |        LIMIT $IvfCentroids) seeds""".stripMargin
-      }
-      def recompute(assigned: String): String =
-        s"""SELECT c_id, list(s ORDER BY pos) AS cv FROM (
-           |  SELECT c_id, pos,
-           |    sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS s
-           |  FROM $assigned CROSS JOIN range(1, ${PqSubDim + 1}) t(pos)
-           |  GROUP BY c_id, pos) u
-           |GROUP BY c_id""".stripMargin
-      def assign(cte: String, src: String): String =
-        s"""SELECT vec_id, embedding, c_id, cos FROM (
-           |  SELECT e.vec_id, e.embedding, c.c_id,
-           |    ${cosSqlCols("e.embedding", "c.cv")} AS cos,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${cosSqlCols("e.embedding", "c.cv")} DESC, c.c_id)
-           |      AS c_rk
-           |  FROM $src e CROSS JOIN $cte c) t
-           |WHERE c_rk = 1""".stripMargin
-      val chains = (0 until PqM).map { m =>
-        val rounds = (1 to KmeansIters).map { i =>
-          s"""pa${m}_$i AS (${assign(s"pc${m}_${i - 1}", s"ps$m")}),
-             |pc${m}_$i AS (${recompute(s"pa${m}_$i")})""".stripMargin
-        }.mkString(",\n")
-        s"""ps$m AS (${subSrc(m)}),
-           |pc${m}_0 AS (${seeds(m)}),
-           |$rounds,
-           |pf$m AS (${assign(s"pc${m}_$KmeansIters", s"ps$m")})""".stripMargin
-      }.mkString(",\n")
       val unions = (0 until PqM)
         .map(m => s"SELECT $m AS m, c_id AS code, vec_id, cos FROM pf$m")
         .mkString("\n  UNION ALL ")
-      s"""WITH $chains,
+      s"""WITH $pqChainsSql,
          |enc AS ($unions)
          |SELECT CAST(m AS BIGINT) AS m, code, count(*) AS n_vectors,
          |  CAST(sum(CAST(floor(cos * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
          |    AS fit_ppm_sum,
          |  CAST(min(vec_id) AS BIGINT) AS min_vec
          |FROM enc GROUP BY m, code ORDER BY m, code""".stripMargin
+    },
+    // ADC replay over the same chains: query slice vs each vector's
+    // ASSIGNED codeword, per-subspace rounded-6 cosines summed
+    "q_pq_search" -> {
+      val terms = (0 until PqM).map { m =>
+        val lo = m * PqSubDim + 1
+        val hi = (m + 1) * PqSubDim
+        s"""SELECT q.query_id, f.vec_id,
+           |  CAST(floor(${cosSqlCols(s"q.qv[$lo:$hi]", "c.cv")} * 1e6 + 0.5)
+           |    AS BIGINT) AS sterm
+           |FROM qq q, pf$m f
+           |JOIN pc${m}_$KmeansIters c ON c.c_id = f.c_id
+           |WHERE f.vec_id <> q.query_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $pqChainsSql,
+         |qq AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $QueryCount),
+         |terms AS ($terms),
+         |sc AS (SELECT query_id, vec_id,
+         |  CAST(sum(sterm) AS BIGINT) AS score_ppm
+         |  FROM terms GROUP BY query_id, vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score_ppm, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_ppm DESC, vec_id) AS rk
+         |  FROM sc)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, score_ppm
+         |FROM ranked WHERE rk <= $TopK
+         |ORDER BY query_id, rk""".stripMargin
     },
     // INDEPENDENT derivation: same Lloyd unroll, per-vector top-k via a
     // window over the within-cluster candidates, mutuality by pair count

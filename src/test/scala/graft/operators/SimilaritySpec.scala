@@ -410,6 +410,34 @@ class SimilaritySpec extends SparkSpec with Matchers {
     got shouldBe want
   }
 
+  test("q_pq_search: full ranking shape, no self-retrieval, and ADC " +
+    "recall clearly above chance despite 16x compression") {
+    val rows = Similarity.qPqSearch(spark, sf()).collect()
+    rows.length shouldBe Similarity.QueryCount * Similarity.TopK
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      rs.map(_.getAs[Long]("rk")).sorted.toSeq shouldBe
+        (1L to Similarity.TopK.toLong)
+      rs.foreach(_.getAs[Long]("vec_id") should not be q)
+      // ranks follow the ppm score (desc, vec_id tiebreak)
+      rs.sortBy(_.getAs[Long]("rk")).sliding(2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        assert(a.getAs[Long]("score_ppm") > b.getAs[Long]("score_ppm") ||
+          (a.getAs[Long]("score_ppm") == b.getAs[Long]("score_ppm") &&
+            a.getAs[Long]("vec_id") < b.getAs[Long]("vec_id")))
+      }
+    }
+    val brute = Similarity.qAnnBrute(spark, sf()).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val hits = rows.groupBy(_.getAs[Long]("query_id")).map { case (q, rs) =>
+      rs.map(_.getAs[Long]("vec_id")).toSet.intersect(brute(q)).size
+    }.sum
+    val recall = hits.toDouble / (Similarity.QueryCount * Similarity.TopK)
+    // measured 0.18 at sf0.01 on the isotropic corpus — ~18x the ~0.01
+    // chance rate at 4 bytes/vector; demand clearly-above-chance
+    recall should be >= 0.05
+  }
+
   test("q_pq_codebook: every vector encodes once per subspace, codes are " +
     "codebook members, and the census equals an in-JVM re-aggregation") {
     val rows = Similarity.qPqCodebook(spark, sf()).collect()
