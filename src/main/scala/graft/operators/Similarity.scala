@@ -706,6 +706,54 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF-PQ — the production ANN index composition (Jégou et al., TPAMI
+    * 2011; the Faiss default architecture): the COARSE quantizer (the
+    * shared [[trainedCentroids]] k-means) prunes the corpus to the
+    * query's own cluster, and the FINE quantizer (the shared
+    * [[pqCodebooks]]) scores the survivors by ADC lookups instead of
+    * full-precision dots. Both stages are row-local expressions against
+    * broadcast literals; the candidate set is cluster-bounded (|N|/k
+    * expected), so per query the work is |cluster| · [[PqM]] lookups —
+    * the shape that serves billion-vector indexes from RAM. Ranking and
+    * exact-ppm scoring as in [[qPqSearch]]; recall differences vs
+    * q_pq_search (full-corpus ADC) and q_ann_ivf_kmeans (cluster +
+    * exact) quantify what each stage costs, all three gate-checked.
+    */
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val cent = trainedCentroids(s, dir)
+    val books = pqCodebooks(s, dir)
+    val codeCols = (0 until PqM).map { m =>
+      VectorExpressions.nearestCentroid(
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim), books(m))
+        .as(s"code$m")
+    }
+    val enc = Tables.embeddings(s, dir)
+      .select(col("vec_id") +: assignExpr(cent).as("c_id") +: codeCols: _*)
+    val queries = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        assignExpr(cent).as("c_id"))
+    val adc = (0 until PqM).map { m =>
+      val qSub = slice(col("qv"), m * PqSubDim + 1, PqSubDim)
+      val cosm = books(m).foldLeft(lit(0.0)) { case (acc, (id, cw)) =>
+        when(col(s"code$m") === id, cosRounded(qSub, typedLit(cw.toSeq)))
+          .otherwise(acc)
+      }
+      floor(cosm * 1e6 + lit(0.5)).cast("long")
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id"))
+    broadcast(queries)
+      .join(enc, Seq("c_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score_ppm", adc)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("score_ppm"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Neighbors per vector in [[qKnnGraph]]. */
   val KnnGraphK = 3
 
@@ -975,6 +1023,7 @@ object Similarity {
     "q_knn_graph" -> qKnnGraph,
     "q_pq_codebook" -> qPqCodebook,
     "q_pq_search" -> qPqSearch,
+    "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ndcg" -> qAnnNdcg
   )
 
@@ -1386,6 +1435,45 @@ object Similarity {
          |    AS fit_ppm_sum,
          |  CAST(min(vec_id) AS BIGINT) AS min_vec
          |FROM enc GROUP BY m, code ORDER BY m, code""".stripMargin
+    },
+    // coarse IVF assignment (full-vector Lloyd replay) + the PQ chains,
+    // candidates restricted to the query's own cluster before ADC
+    "q_ann_ivfpq" -> {
+      val terms = (0 until PqM).map { m =>
+        val lo = m * PqSubDim + 1
+        val hi = (m + 1) * PqSubDim
+        s"""SELECT q.query_id, f.vec_id,
+           |  CAST(floor(${cosSqlCols(s"q.qv[$lo:$hi]", "c.cv")} * 1e6 + 0.5)
+           |    AS BIGINT) AS sterm
+           |FROM qq q
+           |JOIN af l ON l.vec_id = q.query_id
+           |JOIN af v ON v.c_id = l.c_id AND v.vec_id <> q.query_id
+           |JOIN pf$m f ON f.vec_id = v.vec_id
+           |JOIN pc${m}_$KmeansIters c ON c.c_id = f.c_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS c_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS cv
+         |  FROM (SELECT * FROM embeddings
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |        LIMIT $IvfCentroids) seeds),
+         |$lloydCtes
+         |af AS (${assignSql(s"c$KmeansIters")}),
+         |$pqChainsSql,
+         |qq AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $QueryCount),
+         |terms AS ($terms),
+         |sc AS (SELECT query_id, vec_id,
+         |  CAST(sum(sterm) AS BIGINT) AS score_ppm
+         |  FROM terms GROUP BY query_id, vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score_ppm, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_ppm DESC, vec_id) AS rk
+         |  FROM sc)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, score_ppm
+         |FROM ranked WHERE rk <= $TopK
+         |ORDER BY query_id, rk""".stripMargin
     },
     // ADC replay over the same chains: query slice vs each vector's
     // ASSIGNED codeword, per-subspace rounded-6 cosines summed

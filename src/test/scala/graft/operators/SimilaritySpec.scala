@@ -438,6 +438,29 @@ class SimilaritySpec extends SparkSpec with Matchers {
     recall should be >= 0.05
   }
 
+  test("q_ann_ivfpq: candidates come only from the query's coarse " +
+    "cluster; ranking shape holds; recall above chance") {
+    val rows = Similarity.qAnnIvfPq(spark, sf()).collect()
+    rows.length shouldBe Similarity.QueryCount * Similarity.TopK
+    val cent = Similarity.trainedCentroids(spark, sf())
+    val cluster = graft.tables.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), Similarity.assignExpr(cent).as("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (q, v) = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      v should not be q
+      cluster(v) shouldBe cluster(q) // coarse pruning is real
+    }
+    val brute = Similarity.qAnnBrute(spark, sf()).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val hits = rows.groupBy(_.getAs[Long]("query_id")).map { case (q, rs) =>
+      rs.map(_.getAs[Long]("vec_id")).toSet.intersect(brute(q)).size
+    }.sum
+    // measured 0.20 at sf0.01 (vs 0.18 full-corpus ADC, ~0.01 chance)
+    hits.toDouble / rows.length should be >= 0.05
+  }
+
   test("q_pq_codebook: every vector encodes once per subspace, codes are " +
     "codebook members, and the census equals an in-JVM re-aggregation") {
     val rows = Similarity.qPqCodebook(spark, sf()).collect()
