@@ -153,5 +153,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     //                                 -> partial/final k-heap exec
     e.injectOptimizerRule(_ => graft.plans.TopKExecRewrite)
     e.injectPlannerStrategy(s => new graft.plans.TopKStrategy(s))
+    //   spark.graft.mv_rewrite        Aggregate(base) -> re-aggregation
+    //                                 of a registered materialized view
+    e.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }

@@ -1,0 +1,155 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Materialized-view query rewriting — the second whole-rule optimizer
+  * capability after the AQP family: a query aggregating the BASE table is
+  * answered from a pre-aggregated catalog table when (a) its grouping
+  * columns are a subset of the view's keys and (b) every aggregate has a
+  * registered re-aggregable partial in the view (counts sum, integer-cents
+  * sums sum — the house exactness discipline is what makes the rewrite
+  * bit-identical, not merely approximately right). The classic rollup
+  * property: a view at (flag, status) granularity answers GROUP BY flag,
+  * GROUP BY status, and the grand total, each with |view| input rows
+  * instead of |base|.
+  *
+  * Matching is name+template based: grouping expressions must be plain
+  * attribute references onto the view's key columns; each aggregate
+  * function must satisfy a matcher registered WITH the view — count(*)
+  * structurally, sums by the canonicalized SQL of their input expression
+  * plus its reference set (captured from an analyzed probe at view-creation
+  * time, so the matcher and the view column are derived from the same
+  * expression, never hand-synced). The base-table check anchors on the
+  * scan's root path, so a different corpus' lineitem never matches another
+  * dir's view. Strictly opt-in via [[MvRewrite.Flag]]; anything
+  * unmatched — an uncovered aggregate, a non-key grouping, a distinct —
+  * keeps its base plan (spec-pinned negative guard).
+  */
+object MaterializedViews {
+
+  /** One aggregate the view can answer: `matches` recognizes the base
+    * plan's aggregate FUNCTION; `viewCol` holds the per-group partials
+    * that re-aggregate to it by summation.
+    */
+  final case class AggMap(matches: AggregateFunction => Boolean, viewCol: String)
+
+  /** A registered view: catalog table, key column names, a token of the
+    * base table's scan path, and the aggregate maps.
+    */
+  final case class MvDef(
+      table: String, keys: Seq[String], pathToken: String, aggs: Seq[AggMap])
+
+  private val defs = new ConcurrentHashMap[String, MvDef]()
+  def register(d: MvDef): Unit = { defs.put(d.table, d); () }
+  def registered: Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    defs.values.asScala.toSeq
+  }
+
+  /** Portable normal form for an aggregate-input expression: every
+    * attribute reference is pinned to exprId 0 BEFORE canonicalization —
+    * Catalyst's commutative-operand reordering sorts by hashCode, which
+    * includes exprIds, so the raw `canonicalized.sql` of the same
+    * expression differs across plans (measured: the cents template
+    * rendered with operands in two different orders in two sessions).
+    * With ids pinned, the reorder is deterministic and the string is a
+    * stable cross-plan fingerprint.
+    */
+  def normalizedSql(e: Expression): String =
+    e.transform {
+      case a: AttributeReference =>
+        AttributeReference(a.name, a.dataType, a.nullable)(exprId = ExprId(0))
+    }.canonicalized.sql
+
+  /** count(*) / count(lit) — the shape every engine emits for COUNT(*). */
+  def countStar(f: AggregateFunction): Boolean = f match {
+    case Count(Seq(l: Literal)) => l.value != null
+    case _ => false
+  }
+
+  /** sum(e) where e's canonicalized SQL equals the probe-captured
+    * template and e references exactly `colName`.
+    */
+  def sumOf(canon: String, colName: String)(f: AggregateFunction): Boolean =
+    f match {
+      case s: Sum =>
+        s.child.references.map(_.name).toSet == Set(colName) &&
+          normalizedSql(s.child) == canon
+      case _ => false
+    }
+}
+
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** Session flag: set to "true" to enable the rewrite. */
+  val Flag = "spark.graft.mv_rewrite"
+
+  private def scansBase(child: LogicalPlan, d: MaterializedViews.MvDef): Boolean =
+    child.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains(d.pathToken))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true")) plan
+    else
+      plan.transformUpWithSubqueries {
+        case agg @ Aggregate(groupings, aggExprs, child, _) =>
+          MaterializedViews.registered.iterator
+            .flatMap { d =>
+              try rewrite(groupings, aggExprs, child, d)
+              catch { case MvNoColumn => None }
+            }
+            .nextOption()
+            .getOrElse(agg)
+      }
+
+  private def rewrite(
+      groupings: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan,
+      d: MaterializedViews.MvDef): Option[LogicalPlan] = {
+    if (!scansBase(child, d)) return None
+    val gAttrs = groupings.map {
+      case a: AttributeReference if d.keys.contains(a.name) => a
+      case _ => return None
+    }
+    // the OPTIMIZED subtree: post-optimizer plans may not contain
+    // analysis-only nodes (SubqueryAlias has no planner strategy)
+    val view = SparkSession.active.table(d.table).queryExecution.optimizedPlan
+    def vcol(n: String): org.apache.spark.sql.catalyst.expressions.Attribute =
+      view.output.find(_.name == n)
+        .getOrElse(throw MvNoColumn)
+    val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference if d.keys.contains(a.name) =>
+        Alias(vcol(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name) if !ae.isDistinct =>
+        d.aggs.find(_.matches(ae.aggregateFunction)) match {
+          case Some(m) =>
+            Alias(
+              AggregateExpression(Sum(vcol(m.viewCol)), Complete,
+                isDistinct = false),
+              name)(exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+    Some(Aggregate(gAttrs.map(a => vcol(a.name)), newAggExprs, view))
+  }
+
+  /** Control-flow sentinel: a registered view missing a declared column
+    * is a registration bug — abort the match, keep the base plan.
+    */
+  private object MvNoColumn extends RuntimeException
+}

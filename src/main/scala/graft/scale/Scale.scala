@@ -623,6 +623,76 @@ object Scale {
     df
   }
 
+  private val mvMemo = new SessionMemo[String]()
+
+  /** One-time materialized rollup of lineitem at (l_returnflag,
+    * l_linestatus) granularity — count + exact integer-cents quantity sum
+    * per cell — written to the session catalog and REGISTERED with the
+    * [[graft.plans.MaterializedViews]] matcher registry: the count
+    * matcher is structural, the sum matcher's canonical template is
+    * captured from an analyzed probe of the SAME cents expression, so
+    * matcher and view column can never drift apart. Memoized per
+    * (session, corpus); the write cost lands in the bench build column.
+    */
+  private def mvTable(s: SparkSession, dir: String): String =
+    mvMemo.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"graft_mv_li$tag"
+      dropWithLocation(s, t)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Relational.cents(col("l_quantity"))).as("qty_c"))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+      // OPTIMIZED probe, not analyzed: the rule matches post-optimizer
+      // plans, where constant folding has normalized the literals
+      val canon = Tables.lineitem(s, dir)
+        .select(Relational.cents(col("l_quantity")).as("p"))
+        .queryExecution.optimizedPlan.expressions.collectFirst {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+            graft.plans.MaterializedViews.normalizedSql(a.child)
+        }.get
+      graft.plans.MaterializedViews.register(
+        graft.plans.MaterializedViews.MvDef(
+          t, Seq("l_returnflag", "l_linestatus"),
+          new java.io.File(dir, "lineitem.parquet").getAbsolutePath,
+          Seq(
+            graft.plans.MaterializedViews.AggMap(
+              graft.plans.MaterializedViews.countStar, "n_rows"),
+            graft.plans.MaterializedViews.AggMap(
+              graft.plans.MaterializedViews.sumOf(canon, "l_quantity"),
+              "qty_c"))))
+      t
+    }
+
+  /** Rollup THROUGH the materialized-view rewrite
+    * (`graft.plans.MvRewrite`): written as the ordinary base-table
+    * aggregation at COARSER granularity than the view (GROUP BY
+    * l_returnflag over the (flag, status) view — the classic rollup
+    * answerability case), with the `spark.graft.mv_rewrite` flag flipped
+    * only around this plan's forced optimization (the q_topk_exec
+    * discipline). Under the gate the rewritten plan — |view| input rows
+    * instead of |lineitem| — must hash-match the DuckDB oracle computed
+    * from the BASE table, which is exactly the exactness contract
+    * view-based answering has to honor; sessions without the extensions
+    * run the identical base plan. Scale: the rewrite turns a corpus-scan
+    * aggregation into a ≤ |flag×status|-row one — the point of
+    * maintaining rollup views at 100 TB.
+    */
+  def qMvRollup(s: SparkSession, dir: String): DataFrame = {
+    mvTable(s, dir)
+    val df = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Relational.cents(col("l_quantity"))).as("qty_cents"))
+      .orderBy(col("l_returnflag"))
+    val flag = graft.plans.MvRewrite.Flag
+    s.conf.set(flag, "true")
+    try { df.queryExecution.optimizedPlan; () }
+    finally s.conf.set(flag, "false")
+    df
+  }
+
   def qZonemap(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(
       col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
@@ -659,6 +729,7 @@ object Scale {
     "q_skew_census" -> qSkewCensus,
     "q_zonemap" -> qZonemap,
     "q_topk_exec" -> qTopkExec,
+    "q_mv_rollup" -> qMvRollup,
     "q_cbo_stats" -> StatsInjection.qCboStats
   )
 
@@ -794,6 +865,12 @@ object Scale {
          |FROM t ORDER BY bucket""".stripMargin
     },
     // the identical two-layout block classification from (min, max) stats
+    "q_mv_rollup" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_topk_exec" ->
       """SELECT event_type, event_id, value, rk FROM (
         |  SELECT event_type, event_id, value,

@@ -246,6 +246,51 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     kept should be < nEvents
   }
 
+  test("MvRewrite: the registered rollup is answered from the view " +
+    "(coarser grouping re-aggregates), exactly; uncovered aggregates " +
+    "keep the base plan") {
+    val spark = extSession("graft-mv-test")
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val dir = "/root/testdata/sf0.001"
+    // base derivation with the flag off — the ground truth
+    def base() = graft.tables.Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(graft.operators.Relational.cents(col("l_quantity")))
+          .as("qty_cents"))
+      .orderBy(col("l_returnflag"))
+    val want = base().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    base().queryExecution.optimizedPlan.toString should include("l_shipdate")
+    // the registered query: flag flipped around its own optimization
+    val df = graft.scale.Scale.qMvRollup(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // plan swap: the view scan replaced the base relation
+    opt should include("graft_mv_li")
+    opt should not include "l_shipdate"
+    // exactness: integer-cents partials re-aggregate bit-identically
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq shouldBe want
+    // negative guard: an aggregate the view cannot answer keeps the base
+    // plan even with the flag on
+    spark.conf.set(graft.plans.MvRewrite.Flag, "true")
+    try {
+      val uncovered = graft.tables.Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(graft.operators.Relational.cents(col("l_extendedprice")))
+          .as("price_cents"))
+      val up = uncovered.queryExecution.optimizedPlan.toString
+      up should not include "graft_mv_li"
+      // and a non-key grouping is ignored too
+      val nonKey = graft.tables.Tables.lineitem(spark, dir)
+        .groupBy(col("l_shipdate")).agg(count(lit(1)).as("n"))
+      nonKey.queryExecution.optimizedPlan.toString should not include
+        "graft_mv_li"
+    } finally spark.conf.set(graft.plans.MvRewrite.Flag, "false")
+    // flag restored: a fresh base query keeps the base plan
+    base().queryExecution.optimizedPlan.toString should include("l_shipdate")
+  }
+
   /** Fresh session sharing the JVM's SparkContext (see first test's note). */
   private def extSession(name: String): SparkSession = {
     val spark = SparkSession.builder()
