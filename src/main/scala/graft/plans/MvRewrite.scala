@@ -126,8 +126,13 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     // the OPTIMIZED subtree: post-optimizer plans may not contain
-    // analysis-only nodes (SubqueryAlias has no planner strategy)
-    val view = SparkSession.active.table(d.table).queryExecution.optimizedPlan
+    // analysis-only nodes (SubqueryAlias has no planner strategy). The
+    // defs registry is JVM-global but catalogs are per-session: a session
+    // where the view table was never materialized must keep its base
+    // plan, not crash the optimizer batch
+    val view =
+      try SparkSession.active.table(d.table).queryExecution.optimizedPlan
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
     def vcol(n: String): org.apache.spark.sql.catalyst.expressions.Attribute =
       view.output.find(_.name == n)
         .getOrElse(throw MvNoColumn)
