@@ -275,6 +275,16 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     // plan even with the flag on
     spark.conf.set(graft.plans.MvRewrite.Flag, "true")
     try {
+      // the grand total (empty grouping) also answers from the view
+      val total = graft.tables.Tables.lineitem(spark, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(graft.operators.Relational.cents(col("l_quantity")))
+            .as("qty_cents"))
+      total.queryExecution.optimizedPlan.toString should include(
+        "graft_mv_li")
+      val t = total.collect().head
+      (t.getLong(0), t.getLong(1)) shouldBe
+        (want.map(_._2).sum, want.map(_._3).sum)
       val uncovered = graft.tables.Tables.lineitem(spark, dir)
         .groupBy(col("l_returnflag"))
         .agg(sum(graft.operators.Relational.cents(col("l_extendedprice")))
