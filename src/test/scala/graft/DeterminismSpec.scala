@@ -35,9 +35,11 @@ class DeterminismSpec extends AnyFunSuite with Matchers {
     "q_dbscan_cluster", // grid edges + alternating-star CC + min-label
     "q_er_linkage", // blocked bipartite join + integer-weight scoring
     "q_lsh_bands", // multi-scheme banding over one signature table
-    "q_topk_exec") // custom partial/final heap exec (Window plan here —
-  // no extensions on these sessions; the exec path's replan-invariance
-  // is pinned by GraftExtensionsSpec's bit-equality against this plan
+    "q_topk_exec", // custom partial/final heap exec (Window plan here —
+    // no extensions on these sessions; the exec path's replan-invariance
+    // is pinned by GraftExtensionsSpec's bit-equality against this plan
+    "q_pq_search", // ADC lookup-table join + exact integer ppm ranking
+    "q_stream_wc") // drained file-source stream, update-mode collapse
 
   test("representative queries are bit-identical with AQE off and a " +
     "different shuffle partitioning") {
