@@ -42,6 +42,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility by language: tokens per character and tokens per
+    * whitespace word, the compression numbers that decide how a fixed token
+    * budget translates into per-language document mass in a training mix
+    * (high-fertility languages eat the budget faster). Exact contract: the
+    * per-language sums are BIGINTs and both ratios are ppm FLOOR-DIVISIONS
+    * (`DIV` / `//` — truncation identical on positive integers), so every
+    * output cell is an exact integer. One map-side-combined aggregation to
+    * |langs| groups; pure map stage before it.
+    */
+  def qTokenFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        bpeTokenCount(col("text")).as("tk"),
+        wsTokenCount(col("text")).as("ws"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tk")).as("n_tokens"),
+        sum(col("ws")).as("n_words"),
+        sum(col("ch")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("(1000000 * n_tokens) DIV n_chars").as("fertility_ppm"),
+        expr("(1000000 * n_tokens) DIV n_words").as("tpw_ppm"))
+      .orderBy(col("lang"))
+
+  /** Inter-annotator agreement (Cohen's kappa) between two RULE-BASED
+    * labelers — the audit a pipeline runs before trusting weak labels:
+    * chance-corrected agreement near 0 means the cheap rules are not
+    * measuring the same thing and neither should gate the corpus alone.
+    * Annotator A = punctuation-clean (punct·20 ≤ chars, i.e. ≤5% punct);
+    * annotator B = stopword-rich (stopwords·5 ≥ words, i.e. ≥20% stop
+    * ratio) — both integer CROSS-MULTIPLIED predicates, no ratio doubles.
+    * κ = (pₒ−pₑ)/(1−pₑ) is carried as exact BIGINT numerator/denominator
+    * (agree·n − a₁b₁ − a₀b₀ over n² − a₁b₁ − a₀b₀) and collapsed by ONE
+    * IEEE division, bit-identical across engines; a degenerate source
+    * where an annotator is constant (pₑ=1) yields NULL, not NaN. Scale:
+    * one aggregation to |sources| groups over row-local predicates.
+    */
+  def qKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("source"),
+      when(punctCount(col("text")) * 20 <= length(col("text")), 1L)
+        .otherwise(0L).as("a"),
+      when(wordSetCount(col("text"), Stopwords) * 5
+        >= wsTokenCount(col("text")), 1L).otherwise(0L).as("b"))
+    val chance = col("a_pos") * col("b_pos") +
+      (col("n") - col("a_pos")) * (col("n") - col("b_pos"))
+    val num = col("n_agree") * col("n") - chance
+    val den = col("n") * col("n") - chance
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a")).as("a_pos"),
+        sum(col("b")).as("b_pos"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("source"), col("n"), col("a_pos"), col("b_pos"),
+        col("n_agree"),
+        (col("n_agree").cast("double") / col("n").cast("double")).as("po"),
+        (chance.cast("double") / (col("n") * col("n")).cast("double"))
+          .as("pe"),
+        when(den === 0L, lit(null).cast("double"))
+          .otherwise(num.cast("double") / den.cast("double")).as("kappa"))
+      .orderBy(col("source"))
+  }
+
   /** Language ID heuristic vs the labeled `lang` column: per (label,
     * prediction) cell counts — a confusion matrix as a query. (The corpus
     * text is synthetic English-ish vocabulary, so the interesting output is
@@ -1607,6 +1670,8 @@ object TextAnalysis {
     "q_text_entropy" -> qTextEntropy,
     "q_bm25" -> qBm25,
     "q_text_tokens" -> qTextTokens,
+    "q_token_fertility" -> qTokenFertility,
+    "q_kappa" -> qKappa,
     "q_len_hist" -> qLenHist,
     "q_text_pmi" -> qTextPmi,
     "q_vocab" -> qVocabCoverage,
@@ -2253,6 +2318,51 @@ object TextAnalysis {
         |  CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS BIGINT) AS n_punct,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same tokenizer twins as q_text_tokens; `//` and DIV truncate
+    // identically on positive integers
+    "q_token_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS tk,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws,
+        |    CAST(length(text) AS BIGINT) AS ch
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens,
+        |    CAST(sum(ws) AS BIGINT) AS n_words, CAST(sum(ch) AS BIGINT) AS n_chars
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n_docs, n_tokens, n_chars,
+        |  (1000000 * n_tokens) // n_chars AS fertility_ppm,
+        |  (1000000 * n_tokens) // n_words AS tpw_ppm
+        |FROM a ORDER BY lang""".stripMargin,
+    // identical cross-multiplied annotator predicates; κ collapsed by one
+    // IEEE division of exact BIGINTs on both engines
+    "q_kappa" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CASE WHEN length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) * 20
+         |              <= length(text) THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                              x -> x IN ($stopList))) * 5
+         |              >= len(string_split_regex(trim(text), '\\s+'))
+         |         THEN 1 ELSE 0 END AS b
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, count(*) AS n,
+         |    CAST(sum(a) AS BIGINT) AS a_pos, CAST(sum(b) AS BIGINT) AS b_pos,
+         |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         |  FROM d GROUP BY source),
+         |k AS (
+         |  SELECT *,
+         |    a_pos * b_pos + (n - a_pos) * (n - b_pos) AS chance
+         |  FROM g)
+         |SELECT source, n, a_pos, b_pos, n_agree,
+         |  CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |  CAST(chance AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+         |  CASE WHEN n * n - chance = 0 THEN NULL
+         |       ELSE CAST(n_agree * n - chance AS DOUBLE)
+         |            / CAST(n * n - chance AS DOUBLE) END AS kappa
+         |FROM k ORDER BY source""".stripMargin,
     "q_len_hist" ->
       s"""WITH t AS (
          |  SELECT CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS tk

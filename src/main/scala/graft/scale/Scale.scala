@@ -718,7 +718,45 @@ object Scale {
       .orderBy(col("layout"), col("cls"))
   }
 
+  /** Expected Benford first-digit shares, ppm-floored: ⌊10⁶·log₁₀(1+1/d)⌋.
+    * Computed once in Scala and inlined as LITERALS into both the Spark
+    * plan and the oracle SQL, so no cross-engine log10 is ever compared.
+    */
+  private[scale] val BenfordPpm: Map[Int, Long] =
+    (1 to 9).map(d =>
+      d -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong).toMap
+
+  /** Benford first-significant-digit audit over `l_extendedprice` — the
+    * data-quality screen a pipeline runs on money-like columns (fabricated
+    * or truncated feeds visibly break the log-uniform digit law). Exact
+    * integer contract: prices go to cents by the house round-half-away
+    * rule, the first digit is a string head (cents are positive), observed
+    * shares are ppm floor-divisions, and the Benford expectation is the
+    * [[BenfordPpm]] literal — so `dev_ppm` is an exact BIGINT difference,
+    * not a float tolerance. Scale shape: one map-side-combined aggregation
+    * to ≤ 9 groups plus a broadcast 1-row total; no windows, no second
+    * corpus pass.
+    */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val cents = Relational.cents(col("l_extendedprice"))
+    val digits = Tables.lineitem(s, dir)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n_total"))
+    val expPpm = (1 to 9).foldLeft(lit(0L)) { (acc, d) =>
+      when(col("digit") === d, lit(BenfordPpm(d))).otherwise(acc)
+    }
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit").cast("long").as("digit"), col("n_obs"),
+        expr("(1000000 * n_obs) DIV n_total").as("obs_ppm"),
+        expPpm.as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> qBenford,
     "q_join_bucketed" -> qJoinBucketed,
     "q_agg_salted" -> qAggSalted,
     "q_join_skew" -> qJoinSkew,
@@ -740,6 +778,25 @@ object Scale {
     s"('0x' || substr(md5(CAST($key AS VARCHAR) || '#$j'), 1, 15))::BIGINT % $BloomFprBits"
 
   def oracleSql: Map[String, String] = Map(
+    // same cents rule, same ppm floor-divisions, same inlined Benford
+    // literals — dev_ppm is an exact integer cross-engine comparison
+    "q_benford" -> {
+      val expCase = (1 to 9)
+        .map(d => s"WHEN $d THEN ${BenfordPpm(d)}").mkString(" ")
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(CAST(sign(l_extendedprice)
+         |    * floor(abs(l_extendedprice) * 100.0e0 + 0.5e0) AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM lineitem),
+         |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c)
+         |SELECT digit, n_obs,
+         |  (1000000 * n_obs) // n_total AS obs_ppm,
+         |  CAST(CASE digit $expCase END AS BIGINT) AS exp_ppm,
+         |  (1000000 * n_obs) // n_total
+         |    - CAST(CASE digit $expCase END AS BIGINT) AS dev_ppm
+         |FROM c, t ORDER BY digit""".stripMargin
+    },
     // identical to the q_join_shuffle oracle: bucketing is a plan-only change
     "q_join_bucketed" ->
       """SELECT o_orderpriority,

@@ -618,4 +618,41 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     // the noise is not vacuous: some group actually moved
     noisy.count { case (k, v) => v != truth(k) } should be > 0
   }
+
+  test("q_token_fertility: per-lang sums partition the corpus; ratios sit " +
+    "in their structural bounds (tokens ≤ chars, ≥ 1 per ws word)") {
+    val rows = TextAnalysis.qTokenFertility(spark, sf()).collect()
+    val docs = graft.tables.Tables.documents(spark, sf())
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe docs.count()
+    rows.map(_.getAs[Long]("n_chars")).sum shouldBe
+      docs.agg(sum(org.apache.spark.sql.functions.length(col("text"))))
+        .head().getLong(0)
+    rows.foreach { r =>
+      // a BPE-ish token is ≥1 non-space char and spans are disjoint
+      r.getAs[Long]("fertility_ppm") should be > 0L
+      r.getAs[Long]("fertility_ppm") should be <= 1000000L
+      // every whitespace word contains at least one BPE-ish token
+      r.getAs[Long]("tpw_ppm") should be >= 1000000L
+    }
+  }
+
+  test("q_kappa: counts partition the corpus, κ = (po−pe)/(1−pe) exactly, " +
+    "agreement bounds hold") {
+    val rows = TextAnalysis.qKappa(spark, sf()).collect()
+    rows.map(_.getAs[Long]("n")).sum shouldBe
+      graft.tables.Tables.documents(spark, sf()).count()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      r.getAs[Long]("n_agree") should be <= n
+      val po = r.getAs[Double]("po")
+      val pe = r.getAs[Double]("pe")
+      po should (be >= 0.0 and be <= 1.0)
+      pe should (be >= 0.0 and be <= 1.0)
+      if (!r.isNullAt(r.fieldIndex("kappa"))) {
+        val k = r.getAs[Double]("kappa")
+        k should (be >= -1.0 and be <= 1.0)
+        k shouldBe ((po - pe) / (1.0 - pe)) +- 1e-9
+      }
+    }
+  }
 }

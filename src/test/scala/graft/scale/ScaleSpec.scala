@@ -243,4 +243,23 @@ class ScaleSpec extends SparkSpec with Matchers {
     skipped should be > (belowCutoff * 8) / 10
     skipped should be <= belowCutoff
   }
+
+  test("q_benford: digit rows partition the table, shares are exact ppm " +
+    "floors, expectation literals sum to one within floor loss") {
+    val rows = Scale.qBenford(spark, sf()).collect()
+    rows.map(_.getAs[Long]("n_obs")).sum shouldBe
+      Tables.lineitem(spark, sf()).count()
+    rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet) shouldBe true
+    val total = rows.map(_.getAs[Long]("n_obs")).sum
+    rows.foreach { r =>
+      r.getAs[Long]("obs_ppm") shouldBe
+        1000000L * r.getAs[Long]("n_obs") / total
+      r.getAs[Long]("dev_ppm") shouldBe
+        r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm")
+    }
+    // ⌊10⁶·log₁₀(1+1/d)⌋ loses < 1 ppm per digit
+    val expSum = Scale.BenfordPpm.values.sum
+    expSum should be > (1000000L - 9)
+    expSum should be <= 1000000L
+  }
 }
