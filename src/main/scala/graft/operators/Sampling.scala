@@ -658,7 +658,74 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Bootstrap replicate count. */
+  val BootB = 200
+
+  /** Tail rank of the 95% interval: the [[BootTailRank]]-th smallest /
+    * largest replicate mean (2.5% of [[BootB]]).
+    */
+  val BootTailRank = 5
+
+  /** Cumulative Poisson(1) inverse-CDF thresholds, ppm-floored: weight k
+    * is drawn when the 60-bit hash folded to [0,10⁶) falls below the k-th
+    * threshold (k > 7 collapses to 8 — P ≈ 10⁻⁵). Computed once here and
+    * inlined as the SAME literals into the Spark when-chain and the
+    * oracle CASE, so no cross-engine exp/factorial is ever compared.
+    */
+  private[graft] val BootCumPpm: Seq[Long] = {
+    val fact = (0 to 7).scanLeft(1L)((a, k) => a * (k + 1)).init
+    fact.map(f => math.exp(-1.0) / f)
+      .scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(1e6 * c).toLong)
+  }
+
+  /** Poisson bootstrap confidence interval for the corpus mean document
+    * length — THE resampling scheme that works at 100 TB (Chamandy et al.,
+    * "Estimating uncertainty for massive data streams", Google 2012):
+    * classical bootstrap resampling needs the whole sample per replicate;
+    * Poisson bootstrap replaces it with an independent per-(row, replicate)
+    * Poisson(1) weight, so all [[BootB]] replicates ride ONE corpus pass
+    * that partial-aggregates map-side to B groups. Weights are drawn by
+    * deterministic inverse-CDF over the engine-portable 60-bit md5 hash
+    * ([[BootCumPpm]]); per-replicate sums are exact BIGINTs; each replicate
+    * mean and the interval endpoints are single IEEE divisions / order
+    * statistics of those exact sums — bit-identical across engines (no
+    * variance accumulation, no float sums). The interval is the 2.5%/97.5%
+    * rank pair over the B replicate means.
+    */
+  def qBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#boot"), col("b").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    val w = BootCumPpm.zipWithIndex.reverse
+      .foldLeft(lit(8L): Column) { case (acc, (c, k)) =>
+        when(col("u") < c, lit(k.toLong)).otherwise(acc)
+      }
+    val rep = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u", u)
+      .select(col("b"), w.as("w"), col("n_chars"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("sum_w"),
+        sum(col("w") * col("n_chars")).as("sum_wx"))
+    val means = rep.select(col("b"),
+      (col("sum_wx").cast("double") / col("sum_w").cast("double")).as("m"))
+    val lo = means.orderBy(col("m").asc, col("b").asc).limit(BootTailRank)
+      .agg(max(col("m")).as("ci_lo"))
+    val hi = means.orderBy(col("m").desc, col("b").desc).limit(BootTailRank)
+      .agg(min(col("m")).as("ci_hi"))
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sx"))
+    base.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_docs"),
+        (col("sx").cast("double") / col("n_docs").cast("double")).as("mean"),
+        lit(BootB.toLong).as("n_boot"), col("ci_lo"), col("ci_hi"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap" -> qBootstrap,
     "q_mixture_alloc" -> qMixtureAlloc,
     "q_budget_alloc" -> qBudgetAlloc,
     "q_budget_alloc_w" -> qBudgetAllocW,
@@ -675,6 +742,33 @@ object Sampling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // same md5 weight draw, same ppm thresholds, same rank-pair interval
+    "q_bootstrap" -> {
+      val caseW = BootCumPpm.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      s"""WITH r AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, $BootB)),
+         |h AS (
+         |  SELECT r.b, d.n_chars,
+         |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#boot' ||
+         |      CAST(r.b AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+         |  FROM documents d CROSS JOIN r),
+         |ww AS (SELECT b, CASE $caseW ELSE 8 END AS w, n_chars FROM h),
+         |rep AS (
+         |  SELECT b, CAST(sum(w) AS BIGINT) AS sum_w,
+         |    CAST(sum(w * n_chars) AS BIGINT) AS sum_wx
+         |  FROM ww GROUP BY b),
+         |m AS (SELECT b,
+         |    CAST(sum_wx AS DOUBLE) / CAST(sum_w AS DOUBLE) AS m FROM rep),
+         |lo AS (SELECT max(m) AS ci_lo FROM
+         |  (SELECT m FROM m ORDER BY m ASC, b ASC LIMIT $BootTailRank)),
+         |hi AS (SELECT min(m) AS ci_hi FROM
+         |  (SELECT m FROM m ORDER BY m DESC, b DESC LIMIT $BootTailRank)),
+         |base AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sx FROM documents)
+         |SELECT n_docs, CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean,
+         |  CAST($BootB AS BIGINT) AS n_boot, ci_lo, ci_hi
+         |FROM base, lo, hi""".stripMargin
+    },
     "q_mixture_alloc" ->
       s"""WITH m AS (
          |  SELECT source, count(*) AS n_docs,

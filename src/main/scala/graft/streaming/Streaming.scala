@@ -659,10 +659,71 @@ object Streaming {
       .orderBy(col("word"))
   }
 
+  /** Spend threshold (integer cents) splitting the user tiers of
+    * [[userSegments]] — chosen near the median per-user purchase spend so
+    * both tiers are populated at every SF.
+    */
+  val SegmentHiCents = 60000L
+
+  /** Static segment dimension for [[qStreamJoin]]: a user's tier by
+    * lifetime purchase spend, in exact integer cents (house round-half-away
+    * rule). One bounded aggregation to |users| rows — the classic slowly-
+    * refreshed dimension a streaming enrichment broadcasts.
+    */
+  private[streaming] def userSegments(s: SparkSession, dir: String): DataFrame =
+    graft.tables.Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(graft.operators.Relational.cents(col("value"))).as("spend_c"))
+      .select(col("user_id"),
+        when(col("spend_c") >= SegmentHiCents, "hi").otherwise("lo")
+          .as("segment"))
+
+  /** Fourth streaming query under the driver's oracle gate, exercising the
+    * remaining core Structured Streaming join regime: a STREAM-STATIC
+    * broadcast join ([[enrichWithSegments]] — stateless, no watermark, the
+    * dimension re-broadcast per micro-batch). The events parquet is tailed
+    * as a file-source stream, each event is tagged with its user's
+    * spend-tier segment from the batch-derived [[userSegments]] dimension
+    * (absent users → 'unknown' through the left-outer coalesce), drained
+    * append-mode into a memory sink, and the drained rows are rolled up to
+    * a (segment, event_type) traffic/revenue matrix in exact integer
+    * cents. The DuckDB oracle recomputes the same enrichment as a batch
+    * LEFT JOIN — the stream-static join must be row-for-row the batch
+    * join. At 100 TB the same plan tails a landing directory with ZERO
+    * stream-side shuffle: the dimension broadcasts, the stream maps.
+    */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    // same TIMESTAMP(NANOS) posture as qStreamSessions: declare ts LongType
+    // (micros under nanosAsLong) and rebuild the timestamp column
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val name = s"graft_stream_join_${sinkSeq.incrementAndGet()}"
+    val q = enrichWithSegments(src, userSegments(s, dir))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.operators.Relational.cents(col("value")))
+          .as("value_cents"))
+      .orderBy(col("segment"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_kmv" -> qStreamKmv,
     "q_stream_sessions" -> qStreamSessions,
-    "q_stream_wc" -> qStreamWc
+    "q_stream_wc" -> qStreamWc,
+    "q_stream_join" -> qStreamJoin
   )
 
   def oracleSql: Map[String, String] = {
@@ -702,6 +763,21 @@ object Streaming {
            |  FROM sessions GROUP BY user_id, session_idx)
            |SELECT user_id, session_start, session_end, n_events, session_value
            |FROM agg ORDER BY user_id, session_start""".stripMargin,
+      // the stream-static join must be row-for-row the batch LEFT JOIN:
+      // same segment derivation, same cents rule, same rollup
+      "q_stream_join" ->
+        s"""WITH seg AS (
+           |  SELECT user_id,
+           |    CASE WHEN sum(CAST(sign(value) * floor(abs(value) * 100.0e0
+           |           + 0.5e0) AS BIGINT)) >= $SegmentHiCents
+           |         THEN 'hi' ELSE 'lo' END AS segment
+           |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+           |SELECT coalesce(seg.segment, 'unknown') AS segment, event_type,
+           |  count(*) AS n_events,
+           |  CAST(sum(CAST(sign(e.value) * floor(abs(e.value) * 100.0e0
+           |    + 0.5e0) AS BIGINT)) AS BIGINT) AS value_cents
+           |FROM events e LEFT JOIN seg USING (user_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // sketch state must equal the k-smallest-distinct-hashes estimate
       // computed directly over the same rows
       "q_stream_kmv" ->

@@ -347,4 +347,30 @@ class SamplingSpec extends SparkSpec with Matchers {
     smallest._4 * totChars should be > smallest._2 * Sampling.MixBudget
     largest._4 * totChars should be < largest._2 * Sampling.MixBudget
   }
+
+  test("q_bootstrap: thresholds are a proper inverse CDF, the interval " +
+    "brackets the point estimate, and the draw is deterministic") {
+    // cumulative Poisson(1) ppm thresholds: strictly increasing, ending
+    // just under 10⁶ (P(w≤7) ≈ 0.999990)
+    Sampling.BootCumPpm.sliding(2).foreach { case Seq(a, b) =>
+      a should be < b
+    }
+    Sampling.BootCumPpm.head shouldBe 367879L
+    Sampling.BootCumPpm.last should be > 999980L
+    Sampling.BootCumPpm.last should be < 1000000L
+    val r = Sampling.qBootstrap(spark, sf()).head()
+    r.getAs[Long]("n_docs") shouldBe
+      graft.tables.Tables.documents(spark, sf()).count()
+    r.getAs[Long]("n_boot") shouldBe Sampling.BootB.toLong
+    val (lo, m, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("mean"),
+      r.getAs[Double]("ci_hi"))
+    lo should be < hi
+    m should (be >= lo and be <= hi)
+    // resampling noise is real but small: the interval is within ±20% of
+    // the mean yet not collapsed onto it
+    (hi - lo) should be < 0.4 * m
+    (hi - lo) should be > 0.0
+    // deterministic weight draw: bit-identical on re-evaluation
+    Sampling.qBootstrap(spark, sf()).head() shouldBe r
+  }
 }

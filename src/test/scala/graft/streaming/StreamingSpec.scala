@@ -702,4 +702,30 @@ class StreamingSpec extends SparkSpec with Matchers {
     want should not be empty
     got shouldBe want
   }
+
+  test("q_stream_join: the drained stream-static enrichment equals the " +
+    "batch left-join rollup, all three segments populated") {
+    val got = Streaming.qStreamJoin(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val ev = graft.tables.Tables.events(spark, sf())
+    val want = ev
+      .join(Streaming.userSegments(spark, sf()), Seq("user_id"), "left_outer")
+      .select(coalesce(col("segment"), lit("unknown")).as("segment"),
+        col("event_type"),
+        graft.operators.Relational.cents(col("value")).as("c"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("vc"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    want should not be empty
+    got shouldBe want
+    // both tiers split near the median spend; 'unknown' only appears at
+    // SFs where some user never purchased (not this one)
+    Set("hi", "lo").subsetOf(got.keySet.map(_._1)) shouldBe true
+    got.keySet.map(_._1).subsetOf(Set("hi", "lo", "unknown")) shouldBe true
+    // the rollup partitions the event stream
+    got.values.map(_._1).sum shouldBe ev.count()
+  }
 }
