@@ -201,6 +201,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** END-TO-END quote detection — the composition [[qContainment]]'s
+    * scaladoc promises: candidate pairs DISCOVERED by the winnowed
+    * fingerprint probe ([[winnowedCandidates]] over the spliced corpus —
+    * the same probe stage as [[qDedupSubstring2P]]), then scored with the
+    * asymmetric Broder containment measure in BOTH directions plus
+    * Jaccard, so a short document quoted inside a composite shows
+    * cont_ab ≈ 1 (or cont_ba from the other side) while Jaccard stays
+    * diluted. No planted pair frame: every scored pair was found by the
+    * probe. Scale shape: the probe ships ~2/(w+1) of the shingle
+    * instances and is bucket-capped ([[MaxSpanOcc]]); scoring joins the
+    * (small) candidate set onto the per-doc shingle-set table twice by
+    * doc key and intersects row-locally — candidate-proportional, never
+    * corpus².
+    */
+  def qContainmentE2e(s: SparkSession, dir: String): DataFrame = {
+    val corpus = splicedDocs(s, dir)
+    val cands = winnowedCandidates(corpus)
+    val sh = corpus.select(col("doc_id"),
+      graft.functions.SketchExpressions.wordNGrams(tokens(col("text")), 3)
+        .as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_fp"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long")
+          .as("n_common"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_fp"),
+        col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") / col("n_a")).as("cont_ab"),
+        (col("n_common").cast("double") / col("n_b")).as("cont_ba"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** (doc_id, sh, hs): shingles + their 60-bit md5 hashes, one flat pass
     * each; signatures then run through the codegen'd sketch expressions.
     */
@@ -1546,6 +1584,7 @@ object Dedup {
     "q_split_leakage" -> qSplitLeakage,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_containment" -> qContainment,
+    "q_containment_e2e" -> qContainmentE2e,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_simjoin" -> qSimjoin,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -1568,6 +1607,42 @@ object Dedup {
        |        i -> $gram)
        | ELSE [] END""".stripMargin
   }
+
+  /** The winnowed-candidate derivation over the spliced corpus as a WITH
+    * chain ending in `cand(doc_a, doc_b, n_shared_fp)` — shared verbatim
+    * by the probe census (`q_dedup_substring_win`) and the end-to-end
+    * containment composition (`q_containment_e2e`), so the probe
+    * definition lives in exactly one SQL string.
+    */
+  private lazy val winnowCandCte =
+    s"""WITH tkt AS (SELECT doc_id, $toks AS tk FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT a.doc_id + $SpliceOffset AS doc_id,
+       |    array_to_string(list_concat(a.tk[1:$SpliceLen], b.tk[1:$SpliceLen]), ' ') AS text
+       |  FROM tkt a JOIN tkt b ON b.doc_id = a.doc_id + 1),
+       |hsd AS (SELECT doc_id,
+       |  list_transform(${posShinglesSql(toks, SpanNgram)},
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+       |  FROM corpus),
+       |sel AS (
+       |  SELECT doc_id, hs,
+       |    list_distinct(list_transform(range(0, len(hs) - $WinnowWindow + 1),
+       |      i -> i + $WinnowWindow - list_position(
+       |             list_reverse(hs[i+1 : i+$WinnowWindow]),
+       |             list_aggregate(hs[i+1 : i+$WinnowWindow], 'min')))) AS sp
+       |  FROM hsd WHERE len(hs) >= $WinnowWindow),
+       |fp AS (SELECT DISTINCT doc_id, h FROM (
+       |  SELECT doc_id, unnest(list_transform(sp, p -> hs[p+1])) AS h
+       |  FROM sel)),
+       |ok AS (SELECT h FROM fp GROUP BY h
+       |       HAVING count(*) > 1 AND count(*) <= $MaxSpanOcc),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fp
+       |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.h = a.h
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB mirror of [[withShingles]] given a tokens list expression. */
   private def shinglesSql(t: String, n: Int = 3): String = {
@@ -1771,33 +1846,29 @@ object Dedup {
          |  round(CAST(n_selected AS DOUBLE) / n_grams, 9) AS density
          |FROM s ORDER BY doc_id""".stripMargin,
     "q_dedup_substring_win" ->
-      s"""WITH tkt AS (SELECT doc_id, $toks AS tk FROM documents),
-         |corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT a.doc_id + $SpliceOffset AS doc_id,
-         |    array_to_string(list_concat(a.tk[1:$SpliceLen], b.tk[1:$SpliceLen]), ' ') AS text
-         |  FROM tkt a JOIN tkt b ON b.doc_id = a.doc_id + 1),
-         |hsd AS (SELECT doc_id,
-         |  list_transform(${posShinglesSql(toks, SpanNgram)},
-         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
-         |  FROM corpus),
-         |sel AS (
-         |  SELECT doc_id, hs,
-         |    list_distinct(list_transform(range(0, len(hs) - $WinnowWindow + 1),
-         |      i -> i + $WinnowWindow - list_position(
-         |             list_reverse(hs[i+1 : i+$WinnowWindow]),
-         |             list_aggregate(hs[i+1 : i+$WinnowWindow], 'min')))) AS sp
-         |  FROM hsd WHERE len(hs) >= $WinnowWindow),
-         |fp AS (SELECT DISTINCT doc_id, h FROM (
-         |  SELECT doc_id, unnest(list_transform(sp, p -> hs[p+1])) AS h
-         |  FROM sel)),
-         |ok AS (SELECT h FROM fp GROUP BY h
-         |       HAVING count(*) > 1 AND count(*) <= $MaxSpanOcc)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fp
-         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-         |JOIN ok ON ok.h = a.h
-         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""$winnowCandCte
+         |SELECT doc_a, doc_b, n_shared_fp FROM cand
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the winnowed candidate chain verbatim, composed with the Broder
+    // containment scorer over the same spliced corpus
+    "q_containment_e2e" ->
+      s"""$winnowCandCte,
+         |sh AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus),
+         |j AS (
+         |  SELECT c.doc_a, c.doc_b, c.n_shared_fp,
+         |    len(a.sh) AS n_a, len(b.sh) AS n_b,
+         |    len(list_intersect(a.sh, b.sh)) AS n_common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+         |SELECT doc_a, doc_b, n_shared_fp,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(n_common AS DOUBLE) / n_a AS cont_ab,
+         |  CAST(n_common AS DOUBLE) / n_b AS cont_ba,
+         |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin,
     "q_source_overlap" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT source, h FROM (

@@ -1027,7 +1027,45 @@ object Similarity {
       .orderBy(col("c_id"))
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack, Clarke & Büttcher,
+    * SIGIR 2009 — k=60 is the paper's recommendation).
+    */
+  val RrfK = 60
+
+  /** Reciprocal rank fusion of two retrieval backends — the standard way
+    * a serving stack merges an exact shard with an ANN shard (or dense
+    * with sparse retrieval) WITHOUT comparing their incomparable scores:
+    * each backend contributes 1/(k+rank) for the items it returned, ranks
+    * only. Here the fused lists are the exact [[qAnnBrute]] top-k and the
+    * LSH [[qAnnLsh]] top-k; items on one list only enter at reduced mass
+    * through the coalesce-to-zero. Everything downstream of the two
+    * rankings is a |Q|·2k-row frame: a full-outer key join, one IEEE
+    * division per side (bit-identical cross-engine — no float sums beyond
+    * a fixed two-term add), and a per-query re-rank. At 100 TB the two
+    * input rankings are the expensive distributed parts and are already
+    * candidate-bounded; fusion itself never touches the corpus.
+    */
+  def qRankFusion(s: SparkSession, dir: String): DataFrame = {
+    val a = qAnnBrute(s, dir)
+      .select(col("query_id"), col("vec_id"), col("rk").as("rk_a"))
+    val b = qAnnLsh(s, dir)
+      .select(col("query_id"), col("vec_id"), col("rk").as("rk_b"))
+    val fused = a.join(b, Seq("query_id", "vec_id"), "full_outer")
+      .select(col("query_id"), col("vec_id"), col("rk_a"), col("rk_b"),
+        (coalesce(lit(1.0) / (lit(RrfK.toLong) + col("rk_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK.toLong) + col("rk_b")), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+    fused.withColumn("frk", row_number().over(w))
+      .filter(col("frk") <= TopK)
+      .select(col("query_id"), col("frk").cast("long").as("frk"),
+        col("vec_id"), col("rk_a"), col("rk_b"), col("rrf"))
+      .orderBy(col("query_id"), col("frk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_fusion" -> qRankFusion,
     "q_range_search" -> qRangeSearch,
     "q_dbscan_core" -> qDbscanCore,
     "q_dbscan_cluster" -> qDbscanCluster,
@@ -1570,6 +1608,24 @@ object Similarity {
     },
     "q_ann_brute" -> (bruteSql + "\nORDER BY query_id, rk"),
     "q_ann_lsh" -> (lshSql + "\nORDER BY query_id, rk"),
+    // fusion of the two proven ranking fragments: ranks only, one IEEE
+    // division per side, vec_id tie-break — bit-identical cross-engine
+    "q_rank_fusion" ->
+      s"""WITH brute AS ($bruteSql),
+         |lsh AS ($lshSql),
+         |f AS (
+         |  SELECT coalesce(brute.query_id, lsh.query_id) AS query_id,
+         |    coalesce(brute.vec_id, lsh.vec_id) AS vec_id,
+         |    brute.rk AS rk_a, lsh.rk AS rk_b,
+         |    coalesce(1.0e0 / ($RrfK + brute.rk), 0.0e0)
+         |      + coalesce(1.0e0 / ($RrfK + lsh.rk), 0.0e0) AS rrf
+         |  FROM brute FULL OUTER JOIN lsh
+         |    ON brute.query_id = lsh.query_id AND brute.vec_id = lsh.vec_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf DESC, vec_id) AS frk
+         |  FROM f)
+         |SELECT query_id, CAST(frk AS BIGINT) AS frk, vec_id, rk_a, rk_b, rrf
+         |FROM r WHERE frk <= $TopK ORDER BY query_id, frk""".stripMargin,
     "q_ann_multiprobe" -> (multiprobeSql + "\nORDER BY query_id, rk"),
     "q_ann_directed" -> (directedSql + "\nORDER BY query_id, rk"),
     "q_ann_recall" ->

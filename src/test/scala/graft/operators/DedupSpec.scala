@@ -532,4 +532,33 @@ class DedupSpec extends SparkSpec with Matchers {
     val planted = got.count { case (a, b) => b == a + Dedup.PlantOffset }
     planted should be > (sets.length / 2 * 6) / 10
   }
+
+  test("q_containment_e2e: scores exactly the probe's candidate pairs, " +
+    "ratios recompute from the counts, planted splices are discovered " +
+    "with asymmetric containment") {
+    val rows = Dedup.qContainmentE2e(spark, sf()).collect()
+    val probe = Dedup.qDedupSubstringWin(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet shouldBe probe
+    rows.foreach { r =>
+      val (na, nb, nc) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_common"))
+      r.getAs[Double]("cont_ab") shouldBe nc.toDouble / na
+      r.getAs[Double]("cont_ba") shouldBe nc.toDouble / nb
+      r.getAs[Double]("jaccard") shouldBe nc.toDouble / (na + nb - nc)
+    }
+    // most (orig, splice-of-orig) pairs are found by the probe, and the
+    // directional score sees the quote Jaccard dilutes
+    val planted = rows.filter(r => r.getAs[Long]("doc_b") ==
+      r.getAs[Long]("doc_a") + Dedup.SpliceOffset)
+    val nOrigs = graft.tables.Tables.documents(spark, sf()).count() - 1
+    planted.length.toLong should be > (nOrigs * 8) / 10
+    planted.foreach { r =>
+      math.max(r.getAs[Double]("cont_ab"), r.getAs[Double]("cont_ba"))
+        .should(be > 0.2)
+      r.getAs[Double]("jaccard") should be <
+        math.max(r.getAs[Double]("cont_ab"), r.getAs[Double]("cont_ba"))
+    }
+  }
 }

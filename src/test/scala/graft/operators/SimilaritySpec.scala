@@ -522,4 +522,34 @@ class SimilaritySpec extends SparkSpec with Matchers {
       (r.getDouble(2) == 1.0) shouldBe perfect
     }
   }
+
+  test("q_rank_fusion: rrf recomputes from the carried ranks, per-query " +
+    "order follows rrf, and the fusion genuinely mixes both backends") {
+    val rows = Similarity.qRankFusion(spark, sf()).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val ra = if (r.isNullAt(r.fieldIndex("rk_a"))) None
+        else Some(r.getAs[Long]("rk_a"))
+      val rb = if (r.isNullAt(r.fieldIndex("rk_b"))) None
+        else Some(r.getAs[Long]("rk_b"))
+      val want = ra.map(k => 1.0 / (Similarity.RrfK + k)).getOrElse(0.0) +
+        rb.map(k => 1.0 / (Similarity.RrfK + k)).getOrElse(0.0)
+      r.getAs[Double]("rrf") shouldBe want
+      (ra.nonEmpty || rb.nonEmpty) shouldBe true
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      rs.length should be <= Similarity.TopK
+      val sorted = rs.sortBy(_.getAs[Long]("frk"))
+      sorted.map(_.getAs[Long]("frk")) shouldBe (1L to rs.length).toSeq
+      sorted.map(_.getAs[Double]("rrf")).sliding(2).foreach {
+        case Array(a, b) => a should be >= b
+        case _ =>
+      }
+    }
+    // both single-backend and both-backend items survive fusion
+    rows.exists(r => r.isNullAt(r.fieldIndex("rk_a"))) shouldBe true
+    rows.exists(r => r.isNullAt(r.fieldIndex("rk_b"))) shouldBe true
+    rows.exists(r => !r.isNullAt(r.fieldIndex("rk_a")) &&
+      !r.isNullAt(r.fieldIndex("rk_b"))) shouldBe true
+  }
 }
