@@ -1282,7 +1282,63 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Attribution lookback window. */
+  val AttrWindowDays = 7
+
+  /** Touch channels eligible for purchase credit. */
+  val AttrTouchTypes: Seq[String] = Seq("click", "view")
+
+  /** Multi-touch revenue attribution — the marketing-analytics operator
+    * that splits each purchase's revenue across the user's preceding touch
+    * events (clicks/views) inside a [[AttrWindowDays]]-day lookback,
+    * LINEARLY and in EXACT integer cents: every touch gets ⌊cents/n⌋ and
+    * the division remainder goes to the LAST touch (latest ts, event_id
+    * tie-break), so per-purchase credit conservation is an integer
+    * identity, not a float approximation; unattributed purchases land in
+    * a 'direct' channel intact. Total credited cents across channels
+    * therefore equals total purchase cents exactly (spec-pinned).
+    *
+    * Scale shape: ONE equi-join on user_id with the lookback predicate
+    * evaluated on the co-partitioned pairs (amplification bounded by
+    * per-user touch activity inside the window, never corpus²); the
+    * last-touch winner is a max(struct) AGGREGATE keyed by purchase —
+    * no global window anywhere. The oracle re-derives credits with the
+    * per-purchase window sort Spark exists to avoid.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val touches = ev.filter(col("event_type").isInCollection(AttrTouchTypes))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("ts").as("ts_t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("ts_p"), Relational.cents(col("value")).as("cents"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("ts_t") <= col("ts_p") &&
+        col("ts_t") > col("ts_p") - expr(s"INTERVAL $AttrWindowDays DAYS"))
+      .select(col("purchase_id"), col("cents"), col("touch_id"),
+        col("channel"), col("ts_t"))
+    val per = pairs.groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        max(struct(col("ts_t"), col("touch_id"))).as("last"))
+    val credited = pairs.join(per, "purchase_id")
+      .select(col("channel"),
+        (expr("cents DIV n_touches") +
+          when(col("touch_id") === col("last.touch_id"),
+            expr("cents % n_touches")).otherwise(0L)).as("credit"))
+    val direct = purchases
+      .join(pairs.select(col("purchase_id")).distinct(),
+        Seq("purchase_id"), "left_anti")
+      .select(lit("direct").as("channel"), col("cents").as("credit"))
+    credited.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit")).as("credited_cents"))
+      .orderBy(col("channel"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> qAttribution,
     "q_ewma" -> qEwma,
     "q_holt" -> qHolt,
     "q_theilsen" -> qTheilsen,
@@ -1320,6 +1376,40 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // INDEPENDENT derivation: last touch via the per-purchase window sort
+    // the Spark side's max(struct) aggregate avoids; same integer split
+    "q_attribution" -> {
+      val touchList = AttrTouchTypes.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT user_id, event_id AS touch_id, event_type AS channel,
+         |    ts AS ts_t
+         |  FROM events WHERE event_type IN ($touchList)),
+         |p AS (
+         |  SELECT user_id, event_id AS purchase_id, ts AS ts_p,
+         |    CAST(sign(value) * floor(abs(value) * 100.0e0 + 0.5e0)
+         |      AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |pr AS (
+         |  SELECT p.purchase_id, p.cents, t.touch_id, t.channel, t.ts_t
+         |  FROM p JOIN t ON p.user_id = t.user_id
+         |    AND t.ts_t <= p.ts_p
+         |    AND t.ts_t > p.ts_p - INTERVAL $AttrWindowDays DAY),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY purchase_id
+         |      ORDER BY ts_t DESC, touch_id DESC) AS rk,
+         |    count(*) OVER (PARTITION BY purchase_id) AS n
+         |  FROM pr),
+         |cr AS (
+         |  SELECT channel,
+         |    cents // n + CASE WHEN rk = 1 THEN cents % n ELSE 0 END AS credit
+         |  FROM ranked
+         |  UNION ALL
+         |  SELECT 'direct' AS channel, cents AS credit FROM p
+         |  WHERE purchase_id NOT IN (SELECT purchase_id FROM pr))
+         |SELECT channel, count(*) AS n_credits,
+         |  CAST(sum(credit) AS BIGINT) AS credited_cents
+         |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // identical pairwise-slope set (the oracle's self-join affords the
     // re-evaluation the Spark side's in-row explode avoids), identical
     // interpolating medians (percentile ~ quantile_cont pairing)

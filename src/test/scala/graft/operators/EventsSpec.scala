@@ -539,4 +539,21 @@ class EventsSpec extends SparkSpec with Matchers {
     r.getAs[Double]("intercept") shouldBe
       (math.rint(intercept * 1e6) / 1e6) +- 1e-9
   }
+
+  test("q_attribution: credit conservation is an integer identity — " +
+    "credited cents across channels equal total purchase cents") {
+    val rows = Events.qAttribution(spark, sf()).collect()
+    val channels = rows.map(_.getString(0)).toSet
+    channels.subsetOf((Events.AttrTouchTypes :+ "direct").toSet) shouldBe true
+    Events.AttrTouchTypes.toSet.subsetOf(channels) shouldBe true
+    val totalCredited = rows.map(_.getAs[Long]("credited_cents")).sum
+    val totalPurchase = graft.tables.Tables.events(spark, sf())
+      .filter(col("event_type") === "purchase")
+      .agg(sum(graft.operators.Relational.cents(col("value"))))
+      .head().getLong(0)
+    totalCredited shouldBe totalPurchase
+    // attribution genuinely splits: touch channels carry nonzero credit
+    rows.filter(r => Events.AttrTouchTypes.contains(r.getString(0)))
+      .foreach(_.getAs[Long]("credited_cents") should be > 0L)
+  }
 }

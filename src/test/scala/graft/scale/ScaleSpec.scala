@@ -262,4 +262,22 @@ class ScaleSpec extends SparkSpec with Matchers {
     expSum should be > (1000000L - 9)
     expSum should be <= 1000000L
   }
+
+  test("q_dpp: the fact scan carries a runtime dynamicpruning partition " +
+    "filter, and pruning is semantics-free") {
+    val df = Scale.qDpp(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    plan.toLowerCase should include("dynamicpruning")
+    // equivalence against the direct-filter derivation on the
+    // unpartitioned table
+    val want = Tables.events(spark, sf())
+      .filter(dayofmonth(to_date(col("ts"))) % 7 === 3)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.operators.Relational.cents(col("value"))).as("vc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap shouldBe want
+  }
 }
