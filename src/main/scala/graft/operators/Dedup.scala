@@ -217,7 +217,7 @@ object Dedup {
     */
   def qContainmentE2e(s: SparkSession, dir: String): DataFrame = {
     val corpus = splicedDocs(s, dir)
-    val cands = winnowedCandidates(corpus)
+    val cands = sharedWinnowCandidates(s, dir)
     val sh = corpus.select(col("doc_id"),
       graft.functions.SketchExpressions.wordNGrams(tokens(col("text")), 3)
         .as("sh"))
@@ -1107,7 +1107,26 @@ object Dedup {
     * shuffle volume.
     */
   def qDedupSubstringWin(s: SparkSession, dir: String): DataFrame =
-    winnowedCandidates(splicedDocs(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+    sharedWinnowCandidates(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Shared persisted winnowed-candidate pairs over the spliced corpus —
+    * three registry queries consume the SAME probe ([[qDedupSubstringWin]],
+    * [[qDedupSubstring2P]]'s phase 1, [[qContainmentE2e]]'s discovery
+    * stage), and without the persist each of them re-tokenizes, re-hashes,
+    * and re-winnows the corpus (the [[sharedSignatures]] /
+    * [[sharedLineRows]] double-evaluation class). Memoized per
+    * (session, dir) with the same re-persist guard.
+    */
+  private val winnowCandCache =
+    new SessionMemo[DataFrame](_.unpersist(blocking = false))
+  private[graft] def sharedWinnowCandidates(
+      s: SparkSession, dir: String): DataFrame = {
+    val df = winnowCandCache.getOrElseUpdate(s, dir)(
+      winnowedCandidates(splicedDocs(s, dir)).persist())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
 
   /** (doc_a, doc_b, n_shared_fp) candidate pairs from the winnowed
     * fingerprints — see [[qDedupSubstringWin]].
@@ -1144,8 +1163,9 @@ object Dedup {
     * (`capFrom`), never the reduced one — see [[substringSpans]]; the
     * cap pass shuffles per-hash partial counts only.
     */
-  private[graft] def twoPhaseSpans(corpus: DataFrame): DataFrame = {
-    val cands = winnowedCandidates(corpus)
+  private[graft] def twoPhaseSpans(
+      corpus: DataFrame, candsOpt: Option[DataFrame] = None): DataFrame = {
+    val cands = candsOpt.getOrElse(winnowedCandidates(corpus))
     val docs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -1154,7 +1174,8 @@ object Dedup {
   }
 
   def qDedupSubstring2P(s: SparkSession, dir: String): DataFrame =
-    twoPhaseSpans(splicedDocs(s, dir))
+    twoPhaseSpans(splicedDocs(s, dir),
+      candsOpt = Some(sharedWinnowCandidates(s, dir)))
 
   /** Tokens per derived "line" for [[qDedupLines]]. */
   val LineTokens = 10
