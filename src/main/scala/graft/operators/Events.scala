@@ -1375,25 +1375,35 @@ object Events {
     "q_events_asof" -> qEventsAsof
   )
 
+  /** CTE chain ending in `pr(purchase_id, cents, touch_id, channel, ts_t)`
+    * — the attribution pair frame (touch within the lookback of a same-user
+    * purchase), shared by the q_attribution oracle and the stream-stream
+    * join oracle ([[graft.streaming.Streaming]]), so the pairing rule
+    * lives in exactly one SQL string.
+    */
+  private[graft] lazy val attrPairsCtes: String = {
+    val touchList = AttrTouchTypes.map(t => s"'$t'").mkString(", ")
+    s"""t AS (
+       |  SELECT user_id, event_id AS touch_id, event_type AS channel,
+       |    ts AS ts_t
+       |  FROM events WHERE event_type IN ($touchList)),
+       |p AS (
+       |  SELECT user_id, event_id AS purchase_id, ts AS ts_p,
+       |    CAST(sign(value) * floor(abs(value) * 100.0e0 + 0.5e0)
+       |      AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |pr AS (
+       |  SELECT p.purchase_id, p.cents, t.touch_id, t.channel, t.ts_t
+       |  FROM p JOIN t ON p.user_id = t.user_id
+       |    AND t.ts_t <= p.ts_p
+       |    AND t.ts_t > p.ts_p - INTERVAL $AttrWindowDays DAY)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // INDEPENDENT derivation: last touch via the per-purchase window sort
     // the Spark side's max(struct) aggregate avoids; same integer split
     "q_attribution" -> {
-      val touchList = AttrTouchTypes.map(t => s"'$t'").mkString(", ")
-      s"""WITH t AS (
-         |  SELECT user_id, event_id AS touch_id, event_type AS channel,
-         |    ts AS ts_t
-         |  FROM events WHERE event_type IN ($touchList)),
-         |p AS (
-         |  SELECT user_id, event_id AS purchase_id, ts AS ts_p,
-         |    CAST(sign(value) * floor(abs(value) * 100.0e0 + 0.5e0)
-         |      AS BIGINT) AS cents
-         |  FROM events WHERE event_type = 'purchase'),
-         |pr AS (
-         |  SELECT p.purchase_id, p.cents, t.touch_id, t.channel, t.ts_t
-         |  FROM p JOIN t ON p.user_id = t.user_id
-         |    AND t.ts_t <= p.ts_p
-         |    AND t.ts_t > p.ts_p - INTERVAL $AttrWindowDays DAY),
+      s"""WITH $attrPairsCtes,
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY purchase_id
          |      ORDER BY ts_t DESC, touch_id DESC) AS rk,

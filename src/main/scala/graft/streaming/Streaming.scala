@@ -719,11 +719,68 @@ object Streaming {
       .orderBy(col("segment"), col("event_type"))
   }
 
+  /** Fifth streaming query under the gate and the LAST core join regime:
+    * a watermarked STREAM-STREAM inner join with an event-time range
+    * constraint — the touch stream joins the purchase stream of the same
+    * user inside the [[graft.operators.Events.AttrWindowDays]]-day
+    * attribution lookback (the same pairing rule as the batch
+    * [[graft.operators.Events.qAttribution]], whose oracle CTE this
+    * query's oracle reuses verbatim). Both sides carry event-time
+    * watermarks, so Spark bounds the join state to the lookback instead
+    * of buffering either stream forever — at 100 TB of events per day
+    * that state bound IS the operator; the range condition is what makes
+    * it expressible. The drained pair set must equal the batch interval
+    * join row-for-row (inner join: emission order and micro-batch
+    * boundaries cannot add or drop pairs), rolled up per channel in
+    * exact cents.
+    */
+  def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def src() = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val days = graft.operators.Events.AttrWindowDays
+    val touches = src()
+      .filter(col("event_type")
+        .isInCollection(graft.operators.Events.AttrTouchTypes))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("ts").as("ts_t"))
+      .withWatermark("ts_t", s"$days days")
+    val purchases = src()
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("ts_p"),
+        graft.operators.Relational.cents(col("value")).as("cents"))
+      .withWatermark("ts_p", s"$days days")
+    val joined = touches.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("ts_t") <= col("ts_p") &&
+        col("ts_t") > col("ts_p") - expr(s"INTERVAL $days DAYS"))
+    val name = s"graft_stream_ssj_${sinkSeq.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        countDistinct(col("touch_id")).as("n_touches"),
+        sum(col("cents")).as("paired_cents"))
+      .orderBy(col("channel"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_kmv" -> qStreamKmv,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_wc" -> qStreamWc,
-    "q_stream_join" -> qStreamJoin
+    "q_stream_join" -> qStreamJoin,
+    "q_stream_stream_join" -> qStreamStreamJoin
   )
 
   def oracleSql: Map[String, String] = {
@@ -763,6 +820,15 @@ object Streaming {
            |  FROM sessions GROUP BY user_id, session_idx)
            |SELECT user_id, session_start, session_end, n_events, session_value
            |FROM agg ORDER BY user_id, session_start""".stripMargin,
+      // the drained stream-stream pairs must equal the batch interval
+      // join — the pairing CTE is q_attribution's, verbatim
+      "q_stream_stream_join" ->
+        s"""WITH ${graft.operators.Events.attrPairsCtes}
+           |SELECT channel, count(*) AS n_pairs,
+           |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           |  CAST(count(DISTINCT touch_id) AS BIGINT) AS n_touches,
+           |  CAST(sum(cents) AS BIGINT) AS paired_cents
+           |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin,
       // the stream-static join must be row-for-row the batch LEFT JOIN:
       // same segment derivation, same cents rule, same rollup
       "q_stream_join" ->

@@ -728,4 +728,32 @@ class StreamingSpec extends SparkSpec with Matchers {
     // the rollup partitions the event stream
     got.values.map(_._1).sum shouldBe ev.count()
   }
+
+  test("q_stream_stream_join: the drained watermarked interval join " +
+    "equals the batch pair rollup") {
+    val got = Streaming.qStreamStreamJoin(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val ev = graft.tables.Tables.events(spark, sf())
+    val touches = ev.filter(col("event_type")
+        .isInCollection(graft.operators.Events.AttrTouchTypes))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("ts").as("ts_t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("ts_p"),
+        graft.operators.Relational.cents(col("value")).as("cents"))
+    val days = graft.operators.Events.AttrWindowDays
+    val want = purchases.join(touches, Seq("user_id"))
+      .filter(col("ts_t") <= col("ts_p") &&
+        col("ts_t") > col("ts_p") - expr(s"INTERVAL $days DAYS"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)), countDistinct(col("purchase_id")),
+        countDistinct(col("touch_id")), sum(col("cents")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    want should not be empty
+    got shouldBe want
+  }
 }
