@@ -596,6 +596,34 @@ object Relational {
     * in DuckDB terms; here expressed as window-free SQL both engines plan
     * their own way).
     */
+  /** Correlated EXISTS / NOT EXISTS surface (TPC-H Q21/Q22 shape):
+    * customers holding a finished order but NO urgent one, per nation.
+    * The interesting part is what Catalyst does with it — both correlated
+    * predicates DECORRELATE into joins (left-semi for EXISTS, left-anti
+    * for NOT EXISTS) on o_custkey, so the plan is two key joins plus an
+    * aggregation, never a per-customer subquery execution
+    * (PlanRegressionSpec pins both join types and the absence of any
+    * residual subquery in the physical plan). Balance stays on the
+    * decimal route.
+    */
+  def qExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        col("n_cust"), col("total_bal"))
+  }
+
   def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     // only the view this query reads — a full GraftSession.init here would
     // re-register 10 views (and touch session conf) on every invocation
@@ -995,6 +1023,7 @@ object Relational {
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
     "q_scalar_subquery" -> qScalarSubquery,
+    "q_exists" -> qExists,
     "q_stats" -> qStats,
     "q_median" -> qMedian,
     "q_complex_types" -> qComplexTypes,
@@ -1229,6 +1258,18 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_exists" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal
         |FROM customer

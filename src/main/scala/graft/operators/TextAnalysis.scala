@@ -105,6 +105,62 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The corpus' closed language-label set (FIXTURES.md), in the fixed
+    * order the randomized-response index arithmetic uses on both engines.
+    */
+  val LdpLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** P(report truth) in ppm for [[qLdpFreq]] — 600000 with k=5 makes the
+    * lie mass split EXACTLY (q = 100000 ppm per other category), so the
+    * unbiased estimator's denominator is the clean constant 500000. This
+    * is ε = ln(p/q) = ln 6 k-ary randomized response (Warner 1965;
+    * generalized RR as in Kairouz et al. 2016).
+    */
+  val LdpPppm = 600000L
+
+  /** LOCAL differential privacy — the collection-side complement of the
+    * central-DP release [[qDpCounts]]: each document reports its language
+    * through k-ary randomized response (truth w.p. p, otherwise one of
+    * the k−1 other labels uniformly), and the aggregator — who never sees
+    * a trustworthy label — inverts the known noise to an unbiased
+    * frequency estimate: n̂_c = (obs_c − n·q)/(p − q). The report draw is
+    * the deterministic 60-bit md5 fold (seeded mechanism — NOT private
+    * as shipped, exactly like [[qDpCounts]]'s seed caveat: real
+    * deployments replace the hash with fresh client randomness; the
+    * MACHINERY — index arithmetic, noise inversion, exactness — is what
+    * the gate checks). True counts ride along as the honesty column.
+    * Scale: two map-side-combined aggregations to ≤ k groups, one
+    * broadcast 1-row total; the estimator is integer arithmetic collapsed
+    * by one division by the constant 500000.
+    */
+  def qLdpFreq(s: SparkSession, dir: String): DataFrame = {
+    val k = LdpLangs.length
+    val langsLit = array(LdpLangs.map(lit): _*)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#rr"))), 1, 15), 16, 10).cast("long") % 1000000L
+    val i = (array_position(langsLit, col("lang")) - 1).cast("long")
+    val j = col("u") % (k - 1)
+    val jAdj = when(j < col("i"), j).otherwise(j + 1)
+    val reported = docs
+      .withColumn("u", u).withColumn("i", i)
+      .select(col("lang"),
+        element_at(langsLit,
+          (when(col("u") < LdpPppm, col("i")).otherwise(jAdj) + 1)
+            .cast("int")).as("rep"))
+    val obs = reported.groupBy(col("rep").as("lang"))
+      .agg(count(lit(1)).as("n_obs"))
+    val truth = reported.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_true"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val qPpm = (1000000L - LdpPppm) / (k - 1)
+    truth.join(obs, Seq("lang")).crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_true"), col("n_obs"),
+        ((lit(1000000L) * col("n_obs") - lit(qPpm) * col("n"))
+          .cast("double") / (LdpPppm - qPpm)).as("est"))
+      .orderBy(col("lang"))
+  }
+
   /** Language ID heuristic vs the labeled `lang` column: per (label,
     * prediction) cell counts — a confusion matrix as a query. (The corpus
     * text is synthetic English-ish vocabulary, so the interesting output is
@@ -1672,6 +1728,7 @@ object TextAnalysis {
     "q_text_tokens" -> qTextTokens,
     "q_token_fertility" -> qTokenFertility,
     "q_kappa" -> qKappa,
+    "q_ldp_freq" -> qLdpFreq,
     "q_len_hist" -> qLenHist,
     "q_text_pmi" -> qTextPmi,
     "q_vocab" -> qVocabCoverage,
@@ -2318,6 +2375,33 @@ object TextAnalysis {
         |  CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS BIGINT) AS n_punct,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same md5 report draw, same index arithmetic, same clean-constant
+    // estimator inversion
+    "q_ldp_freq" -> {
+      val langsSql = LdpLangs.map(l => s"'$l'").mkString("[", ", ", "]")
+      val k = LdpLangs.length
+      val qPpm = (1000000L - LdpPppm) / (k - 1)
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#rr'), 1, 15))::BIGINT
+         |      % 1000000 AS u,
+         |    list_position($langsSql, lang) - 1 AS i
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang,
+         |    ($langsSql)[CASE WHEN u < $LdpPppm THEN i
+         |      ELSE CASE WHEN u % ${k - 1} < i THEN u % ${k - 1}
+         |           ELSE u % ${k - 1} + 1 END END + 1] AS rep
+         |  FROM d),
+         |obs AS (SELECT rep AS lang, count(*) AS n_obs FROM r GROUP BY 1),
+         |tr AS (SELECT lang, count(*) AS n_true FROM r GROUP BY 1),
+         |tot AS (SELECT count(*) AS n FROM documents)
+         |SELECT tr.lang AS lang, n_true, n_obs,
+         |  CAST(1000000 * n_obs - $qPpm * n AS DOUBLE) / ${LdpPppm - qPpm}
+         |    AS est
+         |FROM tr JOIN obs ON tr.lang = obs.lang CROSS JOIN tot
+         |ORDER BY lang""".stripMargin
+    },
     // same tokenizer twins as q_text_tokens; `//` and DIV truncate
     // identically on positive integers
     "q_token_fertility" ->

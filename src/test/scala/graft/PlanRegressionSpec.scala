@@ -449,4 +449,16 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     // output sort only)
     plan should not include "Exchange hashpartitioning"
   }
+
+  test("q_exists: both correlated predicates decorrelate to key joins — " +
+    "semi for EXISTS, anti for NOT EXISTS, no residual subquery") {
+    val plan = Relational.qExists(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+    // nothing executes per-row: no subquery node survives in the
+    // physical plan (scalar subqueries would show as "Subquery")
+    plan should not include "InSubquery"
+    plan.toLowerCase should not include "existencejoin"
+  }
 }

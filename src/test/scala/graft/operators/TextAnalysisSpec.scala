@@ -655,4 +655,20 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
       }
     }
   }
+
+  test("q_ldp_freq: reports and truths both partition the corpus, the " +
+    "estimator is conservation-exact and tracks the dominant class") {
+    val rows = TextAnalysis.qLdpFreq(spark, sf()).collect()
+    rows.map(_.getString(0)).sorted.toSeq shouldBe TextAnalysis.LdpLangs
+    val n = graft.tables.Tables.documents(spark, sf()).count()
+    rows.map(_.getAs[Long]("n_true")).sum shouldBe n
+    rows.map(_.getAs[Long]("n_obs")).sum shouldBe n
+    // Σ est = n exactly: the inversion is affine in obs and Σ obs = n
+    rows.map(_.getAs[Double]("est")).sum shouldBe n.toDouble +- 1e-6
+    // randomization genuinely perturbed the counts…
+    rows.exists(r => r.getAs[Long]("n_obs") != r.getAs[Long]("n_true")) shouldBe true
+    // …but the unbiased inversion still finds the dominant class
+    rows.maxBy(_.getAs[Double]("est")).getString(0) shouldBe
+      rows.maxBy(_.getAs[Long]("n_true")).getString(0)
+  }
 }
