@@ -39,7 +39,10 @@ class DeterminismSpec extends AnyFunSuite with Matchers {
     // no extensions on these sessions; the exec path's replan-invariance
     // is pinned by GraftExtensionsSpec's bit-equality against this plan
     "q_pq_search", // ADC lookup-table join + exact integer ppm ranking
-    "q_stream_wc") // drained file-source stream, update-mode collapse
+    "q_stream_wc", // drained file-source stream, update-mode collapse
+    "q_bootstrap", // per-(row, replicate) hash weights + rank-pair CI
+    "q_dpp", // runtime partition pruning must be a plan-only change
+    "q_stream_stream_join") // drained watermarked stream-stream interval join
 
   test("representative queries are bit-identical with AQE off and a " +
     "different shuffle partitioning") {
