@@ -624,6 +624,28 @@ object Relational {
         col("n_cust"), col("total_bal"))
   }
 
+  /** Correlated LATERAL subquery (SQL:1999 / TPC-DS idiom): each
+    * customer's top-2 orders by price, written as the per-row dependent
+    * subquery a SQL user writes — `FROM customer, LATERAL (... WHERE
+    * o_custkey = c_custkey ORDER BY ... LIMIT 2)` — and DECORRELATED by
+    * Catalyst into a joined per-key window/limit instead of a
+    * per-customer execution (the same class as [[qExists]]; the plan
+    * must contain a join, not a subquery loop — PlanRegressionSpec).
+    * The DuckDB oracle runs the IDENTICAL lateral SQL, so both engines'
+    * decorrelation must agree on the tie-broken row set.
+    */
+  def qLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     // only the view this query reads — a full GraftSession.init here would
     // re-register 10 views (and touch session conf) on every invocation
@@ -1024,6 +1046,7 @@ object Relational {
     "q_grouping_sets" -> qGroupingSets,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_exists" -> qExists,
+    "q_lateral" -> qLateral,
     "q_stats" -> qStats,
     "q_median" -> qMedian,
     "q_complex_types" -> qComplexTypes,
@@ -1258,6 +1281,15 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
         |ORDER BY returnflag, linestatus""".stripMargin,
+    // the IDENTICAL lateral SQL — both decorrelations must agree on the
+    // tie-broken row set
+    "q_lateral" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_exists" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |  count(*) AS n_cust,

@@ -775,12 +775,95 @@ object Streaming {
       .orderBy(col("channel"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the outer completion of
+    * [[qStreamStreamJoin]], and the semantically hard half: an unmatched
+    * touch can only emit its null-extended row once the watermark PROVES
+    * no matching purchase can still arrive (ts_t + lookback behind the
+    * purchase-side watermark). A bounded replay never advances the
+    * watermark past the data on its own, so the drain uses the
+    * [[qStreamSessions]] sentinel discipline — batch 0 is the real
+    * events file staged into a landing directory, then one far-future
+    * row PER SIDE (a click and a purchase, user −1) arrives as a second
+    * file, pushes both event-time watermarks past every real row, and
+    * flushes the outer state. The drained rollup — matched pairs plus
+    * per-channel unmatched-touch counts — must equal the batch LEFT
+    * JOIN from the same pairing CTE. At 100 TB the sentinel is what a
+    * live feed's advancing event time provides continuously; state
+    * stays bounded by the lookback on both sides.
+    */
+  def qStreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    val stage = java.nio.file.Files.createTempDirectory("graft_ssoj_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      stage.resolve("batch0.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val src = s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val days = graft.operators.Events.AttrWindowDays
+    val touches = src
+      .filter(col("event_type")
+        .isInCollection(graft.operators.Events.AttrTouchTypes))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("ts").as("ts_t"))
+      .withWatermark("ts_t", "0 seconds")
+    val purchases = src
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("ts_p"),
+        graft.operators.Relational.cents(col("value")).as("cents"))
+      .withWatermark("ts_p", "0 seconds")
+    val joined = touches.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("ts_t") <= col("ts_p") &&
+        col("ts_t") > col("ts_p") - expr(s"INTERVAL $days DAYS"),
+      "left_outer")
+    val name = s"graft_stream_ssoj_${sinkSeq.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // one far-future row per side pushes BOTH watermarks past the
+      // data and flushes the unmatched-touch state
+      val far = 4102444800L * 1000000L
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ssoj_tick")
+      Seq((-1L, far, -1L, "click", 0.0), (-2L, far, -1L, "purchase", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val st = java.nio.file.Files.list(tmp)
+        try st.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally st.close()
+      }
+      java.nio.file.Files.move(part, stage.resolve("z_sentinel.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).filter(col("user_id") >= 0)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"),
+        coalesce(sum(col("cents")), lit(0L)).as("matched_cents"))
+      .orderBy(col("channel"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_kmv" -> qStreamKmv,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_wc" -> qStreamWc,
     "q_stream_join" -> qStreamJoin,
-    "q_stream_stream_join" -> qStreamStreamJoin
+    "q_stream_stream_join" -> qStreamStreamJoin,
+    "q_stream_outer_join" -> qStreamOuterJoin
   )
 
   def oracleSql: Map[String, String] = {
@@ -820,6 +903,18 @@ object Streaming {
            |  FROM sessions GROUP BY user_id, session_idx)
            |SELECT user_id, session_start, session_end, n_events, session_value
            |FROM agg ORDER BY user_id, session_start""".stripMargin,
+      // the drained outer rollup must equal the batch LEFT JOIN from the
+      // same pairing CTE: matched pairs + per-channel unmatched touches
+      "q_stream_outer_join" ->
+        s"""WITH ${graft.operators.Events.attrPairsCtes}
+           |SELECT t.channel, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN pr.purchase_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_matched,
+           |  CAST(sum(CASE WHEN pr.purchase_id IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_unmatched,
+           |  CAST(coalesce(sum(pr.cents), 0) AS BIGINT) AS matched_cents
+           |FROM t LEFT JOIN pr ON pr.touch_id = t.touch_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       // the drained stream-stream pairs must equal the batch interval
       // join — the pairing CTE is q_attribution's, verbatim
       "q_stream_stream_join" ->

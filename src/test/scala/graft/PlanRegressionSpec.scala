@@ -461,4 +461,16 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should not include "InSubquery"
     plan.toLowerCase should not include "existencejoin"
   }
+
+  test("q_lateral: the correlated LATERAL subquery decorrelates to one " +
+    "join over a rank-limited window — never a per-customer execution") {
+    val plan = formatted(Relational.qLateral(spark, sf()))
+    plan should include("Join")
+    // Spark's rank pushdown: the per-key LIMIT runs as WindowGroupLimit,
+    // with a PARTIAL pass on the map side as well as the final one after
+    // the shuffle (≥ 2 occurrences)
+    "WindowGroupLimit".r.findAllIn(plan).size should be >= 2
+    // nothing executes per-row: no lateral/subquery node survives
+    plan.toLowerCase should not include "lateraljoin"
+  }
 }
