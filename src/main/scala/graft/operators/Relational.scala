@@ -152,6 +152,52 @@ object Relational {
     * are the only exchanges. Revenue follows the house cents discipline
     * (exact integer cents·bp sums, one final division).
     */
+  /** UNPIVOT (melt) — the inverse surface of [[qPivot]]: the three
+    * lineitem measures turned into (measure, value) long form via the
+    * native `Dataset.unpivot` (planned as a single Expand — row×3
+    * locally, no shuffle), then profiled per measure with the
+    * decimal-routed exact sum. The long form is the shape feature stores
+    * and metric pipelines standardize on; the oracle derives it as the
+    * dialect-neutral UNION ALL.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), dsum(col("val")).as("sum_val"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+      .orderBy(col("measure"))
+
+  /** TPC-H Q3 (shipping-priority) shape on this corpus' columns: orders
+    * of BUILDING-segment customers placed before the cutoff whose items
+    * shipped after it, ranked by discounted revenue, top 10. Plan: the
+    * customer leg broadcasts into the orders scan, the single fact-fact
+    * join shuffles on orderkey, revenue is the house exact-integer
+    * cents·bp route, and the top-10 runs as TakeOrderedAndProject (only
+    * 10 rows leave the aggregation) — at 100 TB the orderkey shuffle is
+    * the only full Exchange.
+    */
+  def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val epC = cents(col("l_extendedprice"))
+    val d100 = lit(100L) - cents(col("l_discount"))
+    val cut = lit("1998-06-01").cast("timestamp")
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < cut),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum((epC * d100).cast("decimal(38,0)")) / 10000)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+  }
+
   def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
     val epC = cents(col("l_extendedprice"))
     val d100 = lit(100L) - cents(col("l_discount"))
@@ -1054,6 +1100,8 @@ object Relational {
     "q_filter_project" -> qFilterProject,
     "q_join_broadcast" -> qJoinBroadcast,
     "q_star_topk" -> qStarTopk,
+    "q_tpch_q3" -> qTpchQ3,
+    "q_unpivot" -> qUnpivot,
     "q_tpch_q5" -> qTpchQ5,
     "q_join_shuffle" -> qJoinShuffle,
     "q_ivm_join" -> qIvmJoin,
@@ -1374,6 +1422,29 @@ object Relational {
         |GROUP BY n_name, year(l_shipdate)
         |ORDER BY revenue DESC, n_name, ship_year
         |LIMIT 10""".stripMargin,
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |SELECT measure, count(*) AS n,
+        |  CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |  min(val) AS min_val, max(val) AS max_val
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  o_orderdate
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,

@@ -473,4 +473,21 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     // nothing executes per-row: no lateral/subquery node survives
     plan.toLowerCase should not include "lateraljoin"
   }
+
+  test("q_tpch_q3: customer leg broadcasts, top-10 runs as " +
+    "TakeOrderedAndProject — only 10 rows leave the aggregation") {
+    val plan = Relational.qTpchQ3(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("q_unpivot: the melt is one local Expand — no shuffle before the " +
+    "3-group aggregation's exchange") {
+    val plan = Relational.qUnpivot(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("Expand")
+    // exactly one hash exchange: the final 3-group aggregation
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
 }
