@@ -257,6 +257,31 @@ object Events {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Semi-structured props through Spark 4's VARIANT type — the
+    * binary-encoded JSON representation built for lakehouse
+    * semi-structured columns (constant-time typed field access instead of
+    * per-query string re-parsing): `parse_json` once, `variant_get` with
+    * a typed path per field. Same output contract as [[qEventsJson]]'s
+    * string-path derivation and the same DuckDB oracle — the VARIANT
+    * route is an ENCODING change, never a semantics change (the
+    * q_join_bucketed discipline), which the shared oracle enforces;
+    * EventsSpec pins the plan actually decodes through
+    * parse_json/variant_get. At 100 TB the variant column is what you
+    * persist, amortizing the parse across every consumer.
+    */
+  def qVariant(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** As-of join: each purchase matched to the user's most recent signup at
     * or before it. Spark lacks a native ASOF JOIN; the scalable formulation
     * is a tagged union + one windowed `last(ignoreNulls)` pass over a single
@@ -1372,6 +1397,7 @@ object Events {
     "q_events_funnel" -> qEventsFunnel,
     "q_events_topk_users" -> qEventsTopkUsers,
     "q_events_json" -> qEventsJson,
+    "q_variant" -> qVariant,
     "q_events_asof" -> qEventsAsof
   )
 
@@ -2091,6 +2117,14 @@ object Events {
         |SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, total_value
         |FROM ranked WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the VARIANT decode path is an encoding change, never a semantics
+    // change: identical oracle to q_events_json
+    "q_variant" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
         |  min(json_extract(props, '$.k')::BIGINT) AS min_k,

@@ -496,8 +496,53 @@ object Graph {
     "q_pagerank_edges" -> qPagerankEdges,
     "q_triangles" -> qTriangles,
     "q_lpa" -> qLpa,
-    "q_modularity" -> qModularity
+    "q_modularity" -> qModularity,
+    "q_recursive_cte" -> qRecursiveCte
   )
+
+  /** Depth cap of the [[qRecursiveCte]] reachability walk. */
+  val RecDepth = 6
+
+  /** NATIVE recursive SQL (`WITH RECURSIVE`, Spark 4's UnionLoop
+    * execution) — the declarative twin of this module's driver-loop
+    * iteratives: a breadth-bounded reachability walk from document 0 over
+    * the SAME functional link graph as [[qBfs]]/[[qPagerank]]
+    * ([[LinkCoeffs]]), reporting per depth the path count (3^d — fixed
+    * out-degree) and the newly reached node count (min-distance
+    * frontier). Every module iterative hand-manages its loop with
+    * localCheckpoint lineage truncation because rounds there carry
+    * corpus-scale state; this query is the surface proof that when the
+    * frontier is BOUNDED, the engine's own recursion handles the loop
+    * and the identical SQL runs on both engines — the oracle is the
+    * query text itself, not an unroll.
+    */
+  def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    s.sql(recursiveSql)
+      .select(col("dist").cast("long").as("dist"),
+        col("n_paths"), col("n_new"))
+  }
+
+  /** The shared recursive walk SQL — run VERBATIM by both engines. */
+  private lazy val recursiveSql: String = {
+    val coeffs = LinkCoeffs
+      .map { case (a, b) => s"SELECT $a AS a, $b AS b" }
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE walk(node, dist) AS (
+       |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+       |  UNION ALL
+       |  SELECT (w.node * c.a + c.b) % (SELECT count(*) FROM documents)
+       |      AS node,
+       |    w.dist + 1 AS dist
+       |  FROM walk w, ($coeffs) c
+       |  WHERE w.dist < $RecDepth),
+       |lv AS (SELECT dist, count(*) AS n_paths FROM walk GROUP BY dist),
+       |md AS (SELECT node, min(dist) AS d FROM walk GROUP BY node),
+       |nw AS (SELECT d AS dist, count(*) AS n_new FROM md GROUP BY d)
+       |SELECT lv.dist, lv.n_paths, nw.n_new
+       |FROM lv JOIN nw ON lv.dist = nw.dist
+       |ORDER BY lv.dist""".stripMargin
+  }
 
   /** The oracle unrolls all [[PrIters]] rounds as chained CTEs — the
     * [[Bpe]] static-unroll trick: integer arithmetic makes every round
@@ -740,7 +785,12 @@ object Graph {
            |    ELSE round(3.0e0 * n_triangles / n_wedges, 9) END
            |    AS clustering_coeff
            |FROM cnt""".stripMargin
-      }
+      },
+      // the SAME recursive SQL verbatim, dist widened to BIGINT
+      "q_recursive_cte" ->
+        s"""SELECT CAST(dist AS BIGINT) AS dist, n_paths, n_new FROM (
+           |$recursiveSql
+           |) t ORDER BY dist""".stripMargin
     )
   }
 }

@@ -556,4 +556,13 @@ class EventsSpec extends SparkSpec with Matchers {
     rows.filter(r => Events.AttrTouchTypes.contains(r.getString(0)))
       .foreach(_.getAs[Long]("credited_cents") should be > 0L)
   }
+
+  test("q_variant: the VARIANT decode path is bit-identical to the " +
+    "string-path JSON derivation, and the plan actually uses it") {
+    val v = Events.qVariant(spark, sf())
+    v.collect().toSeq shouldBe Events.qEventsJson(spark, sf()).collect().toSeq
+    val plan = v.queryExecution.executedPlan.toString.toLowerCase
+    plan should include("variant")
+    plan should not include "get_json_object"
+  }
 }

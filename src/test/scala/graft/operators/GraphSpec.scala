@@ -231,4 +231,28 @@ class GraphSpec extends SparkSpec with Matchers {
     // degree mass conservation over the full ledger (<=100 rows at spec SF)
     got.map(_._3).sum shouldBe 2L * m
   }
+
+  test("q_recursive_cte: the engine-run recursion matches an independent " +
+    "Scala BFS over the same functional graph") {
+    val rows = Graph.qRecursiveCte(spark, sf()).collect()
+      .map(r => r.getAs[Long]("dist") ->
+        (r.getAs[Long]("n_paths"), r.getAs[Long]("n_new"))).toMap
+    val n = graft.tables.Tables.documents(spark, sf()).count()
+    // independent derivation: breadth-first over (a·v + b) mod n
+    var frontier = Set(0L)
+    var seen = Set(0L)
+    val wantNew = scala.collection.mutable.Map(0L -> 1L)
+    (1 to Graph.RecDepth).foreach { d =>
+      val next = frontier.flatMap(v =>
+        Graph.LinkCoeffs.map { case (a, b) => (v * a + b) % n })
+      val fresh = next.diff(seen)
+      if (fresh.nonEmpty) wantNew(d.toLong) = fresh.size.toLong
+      seen ++= fresh
+      frontier = next
+    }
+    rows.map { case (d, (_, nw)) => d -> nw } shouldBe wantNew.toMap
+    rows.foreach { case (d, (np, _)) =>
+      np shouldBe math.pow(3, d.toDouble).toLong // fixed out-degree paths
+    }
+  }
 }
