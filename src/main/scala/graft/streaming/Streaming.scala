@@ -522,6 +522,26 @@ object Streaming {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run a bounded stream drain with a temporarily reduced shuffle
+    * partition count. A stream-stream join maintains FOUR state stores
+    * per shuffle partition and checkpoints each per micro-batch; at the
+    * gate corpus the per-partition data is tiny, so the drain cost is
+    * pure store-count overhead (measured: the 32-partition drain of
+    * [[qStreamStreamJoin]] is ~3× the 8-partition one, same rows). The
+    * partition count is fixed into the streaming plan at `start()`, and
+    * results are partition-count-invariant (DeterminismSpec pins the
+    * drained rollup across partitionings) — at 100 TB you size this UP
+    * per state volume; here it is sized DOWN for the same reason. The
+    * session conf is restored before the drained table's batch rollup
+    * plans.
+    */
+  private def withDrainPartitions[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, old)
+  }
+
   /** Registry query under the driver's oracle gate whose execution path is
     * GENUINELY streaming: a file-source `readStream` over the events
     * parquet (schema-pruned to the two consumed columns — the
@@ -763,9 +783,11 @@ object Streaming {
         col("ts_t") <= col("ts_p") &&
         col("ts_t") > col("ts_p") - expr(s"INTERVAL $days DAYS"))
     val name = s"graft_stream_ssj_${sinkSeq.incrementAndGet()}"
-    val q = joined.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withDrainPartitions(s) {
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -827,7 +849,8 @@ object Streaming {
         col("ts_t") > col("ts_p") - expr(s"INTERVAL $days DAYS"),
       "left_outer")
     val name = s"graft_stream_ssoj_${sinkSeq.incrementAndGet()}"
-    val q = joined.writeStream.outputMode("append").format("memory")
+    withDrainPartitions(s) { val q = joined.writeStream
+      .outputMode("append").format("memory")
       .queryName(name).start()
     try {
       q.processAllAvailable()
@@ -846,7 +869,7 @@ object Streaming {
       }
       java.nio.file.Files.move(part, stage.resolve("z_sentinel.parquet"))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally q.stop() }
     s.table(name).filter(col("user_id") >= 0)
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_rows"),
