@@ -501,6 +501,73 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-index Hamming search geometry: [[HammingM]] substrings of
+    * [[SimhashBits]]/[[HammingM]] bits each, full-code radius [[HammingR]].
+    * Pigeonhole (Norouzi, Punjani & Fleet, CVPR 2012 "Fast Search in
+    * Hamming Space with Multi-Index Hashing"): ham ≤ R over the full code
+    * implies some substring is within ⌊R/m⌋ = 1, so probing each query
+    * substring's exact bucket plus its 8 one-bit flips finds every true
+    * match — candidates are bucket collisions, never all pairs.
+    */
+  val HammingM = 2
+  val HammingR = 3
+  val HammingQ = 10
+  val HammingTopK = 5
+
+  /** Hamming-radius retrieval over the corpus' SimHash codes via
+    * multi-index hashing: index = one row per (substring idx, substring
+    * value) — m rows per document; queries enumerate the 1 + 8 probe
+    * masks per substring (18 probe rows per query total), equi-join the
+    * index on (idx, value), then verify the FULL 16-bit distance and rank
+    * (ham asc, doc_id) to top-[[HammingTopK]]. The planted near-dup
+    * copies ([[nearDupDocs]]) are the guaranteed in-radius matches; the
+    * self code at distance 0 is excluded by id. Signatures read the
+    * SHARED persisted (doc_id, hs) table, so the shingle pipeline is not
+    * re-evaluated per branch. At 100 TB: the index is m·N small rows
+    * partitioned by (idx, value), probe volume is |Q|·m·(1+b) rows, and
+    * verify cost is candidate-proportional — the published MIH trade; with
+    * production-width codes (64/128 bits) substring buckets stay small,
+    * the 8-bit buckets here are fixture-width, not the scale shape.
+    */
+  def qHammingSearch(s: SparkSession, dir: String): DataFrame = {
+    val half = SimhashBits / HammingM
+    val subMask = (1L << half) - 1
+    val sig = sharedSignatures(s, dir)
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions.simhash(col("hs"), SimhashBits)
+          .as("simhash"))
+    def sub(i: Int): Column =
+      shiftright(col("simhash"), i * half).bitwiseAND(lit(subMask))
+    val index = sig
+      .select(col("doc_id"), col("simhash"), explode(array((0 until HammingM).map(i =>
+        struct(lit(i).as("s"), sub(i).as("k"))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.s"), col("e.k"))
+    val masks = 0L +: (0 until half).map(b => 1L << b)
+    val probes = sig
+      .filter(col("doc_id") < HammingQ)
+      .select(col("doc_id").as("query_id"), col("simhash").as("qh"),
+        explode(array((for { i <- 0 until HammingM; mk <- masks } yield
+          struct(lit(i).as("s"), sub(i).bitwiseXOR(lit(mk)).as("k"))): _*)).as("p"))
+      .select(col("query_id"), col("qh"), col("p.s"), col("p.k"))
+    val cand = broadcast(probes)
+      .join(index, Seq("s", "k"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("qh"), col("doc_id"), col("simhash"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("doc_id").asc)
+    cand
+      .select(col("query_id"), col("doc_id"),
+        bit_count(col("qh").bitwiseXOR(col("simhash"))).cast("long").as("ham"))
+      .filter(col("ham") <= HammingR)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HammingTopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("ham"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Embedding-cosine near-dup: plant identical-vector copies, bucket by
     * 16 coordinate-sign bits, equi-join within buckets, verify cosine on
     * candidates. Identical vectors share every sign bit so recall of exact
@@ -1609,6 +1676,7 @@ object Dedup {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_simjoin" -> qSimjoin,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_hamming_search" -> qHammingSearch,
     "q_dedup_embedding" -> qDedupEmbedding
   )
 
@@ -2255,6 +2323,36 @@ object Dedup {
          |    AS is_leak
          |FROM pairs GROUP BY split_lo, split_hi
          |ORDER BY split_lo, split_hi""".stripMargin,
+    // INDEPENDENT derivation: brute-force |Q|×N Hamming scan — no
+    // substring index, no pigeonhole; if the MIH probe set missed a true
+    // in-radius match, this oracle exposes it
+    "q_hamming_search" -> {
+      val bits = (0 until SimhashBits)
+        .map(j => s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) " +
+          s">= len(hs) THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH corpus AS ($nearDupSql),
+         |shd AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus),
+         |hsd AS (SELECT doc_id, sh,
+         |  list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |  FROM shd),
+         |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hsd
+         |        WHERE len(sh) > 0),
+         |q AS (SELECT doc_id AS query_id, simhash AS qh FROM sig
+         |      WHERE doc_id < $HammingQ),
+         |pairs AS (
+         |  SELECT q.query_id, s.doc_id,
+         |    CAST(bit_count(xor(q.qh, s.simhash)) AS BIGINT) AS ham
+         |  FROM q JOIN sig s ON s.doc_id <> q.query_id
+         |  WHERE bit_count(xor(q.qh, s.simhash)) <= $HammingR),
+         |rkd AS (
+         |  SELECT query_id, doc_id, ham, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY ham ASC, doc_id ASC) AS r
+         |  FROM pairs)
+         |SELECT query_id, CAST(r AS BIGINT) AS rk, doc_id, ham
+         |FROM rkd WHERE r <= $HammingTopK
+         |ORDER BY query_id, rk""".stripMargin
+    },
     "q_dedup_simhash" -> {
       val bits = (0 until SimhashBits)
         .map(j => s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) " +

@@ -561,4 +561,31 @@ class DedupSpec extends SparkSpec with Matchers {
         math.max(r.getAs[Double]("cont_ab"), r.getAs[Double]("cont_ba"))
     }
   }
+
+  test("q_hamming_search: MIH results equal an in-JVM brute-force Hamming " +
+    "scan — the pigeonhole probe set misses no in-radius match") {
+    import org.apache.spark.sql.functions._
+    val sig = Dedup.withHashedShingles(Dedup.nearDupDocs(spark, sf()))
+      .filter(org.apache.spark.sql.functions.size(col("sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions.simhash(col("hs"), Dedup.SimhashBits)
+          .as("simhash"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val queries = sig.filter(_._1 < Dedup.HammingQ)
+    val want = queries.flatMap { case (qid, qh) =>
+      sig.filter(_._1 != qid)
+        .map { case (id, h) => (id, java.lang.Long.bitCount(qh ^ h).toLong) }
+        .filter(_._2 <= Dedup.HammingR)
+        .sortBy { case (id, ham) => (ham, id) }
+        .take(Dedup.HammingTopK)
+        .zipWithIndex
+        .map { case ((id, ham), i) => (qid, (i + 1).toLong, id, ham) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = Dedup.qHammingSearch(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // the planted near-dup copy of each query lands in radius (the
+    // appended tail flips few shingles), so every query has hits
+    got.map(_._1).distinct.length shouldBe Dedup.HammingQ
+  }
 }
