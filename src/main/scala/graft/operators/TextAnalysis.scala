@@ -1132,6 +1132,76 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Flip bucket for the planted label noise of [[qLabelNoise]]: docs
+    * whose md5 split bucket equals this get their rule label INVERTED —
+    * a deterministic ~10% symmetric noise rate.
+    */
+  val QtFlipBucket = 9L
+
+  /** (doc_id, flipped, y, ss): the [[qtDocs]] frame under PLANTED label
+    * noise — the rule label inverted on the [[QtFlipBucket]] md5 bucket.
+    */
+  private def qtNoisyDocs(s: SparkSession, dir: String): DataFrame =
+    qtDocs(s, dir)
+      .withColumn("flipped", col("bucket") === QtFlipBucket)
+      .withColumn("y", when(col("flipped"), -col("y")).otherwise(col("y")))
+
+  /** Pocket weights trained on the NOISY labels — the honest CL setting
+    * (the model only ever sees the labels being audited).
+    */
+  private val qtNoisyWeightsMemo = new SessionMemo[Seq[Long]]()
+  private[graft] def qtNoisyWeights(s: SparkSession, dir: String): Seq[Long] =
+    qtNoisyWeightsMemo.getOrElseUpdate(s, dir)(
+      trainPocket(qtNoisyDocs(s, dir)))
+
+  /** Label-noise audit by CONFIDENT LEARNING (Northcutt, Jiang & Chuang,
+    * JAIR 2021): plant a deterministic ~10% label flip
+    * ([[QtFlipBucket]]), train the pocket perceptron ON the noisy
+    * labels, estimate the (noisy label × confident label) joint from the
+    * deployed scores, and read label errors off the off-diagonal — with
+    * the planted ground truth riding along (`n_flipped` per cell), so
+    * the query MEASURES the recovery rather than asserting it: the
+    * off-diagonal cells are strongly enriched in genuinely-flipped
+    * documents (spec asserts majority; the gate pins every cell).
+    * Adapted to the exact-integer margin: the per-class confidence
+    * threshold is the class's MEAN MARGIN among its own labeled examples
+    * — compared cross-multiplied (m·n_j vs S_j, the q_kappa discipline)
+    * so no division ever happens; a document is confidently positive iff
+    * its margin clears the noisy-positive class's mean, confidently
+    * negative iff it undercuts the noisy-negative class's mean, and when
+    * both hold the larger threshold EXCESS wins (again cross-multiplied,
+    * ties toward +1). Unconfident documents drop out, exactly as CL
+    * prescribes. Scale: one row-local scoring pass, one broadcast 1-row
+    * threshold frame, one ≤4-group aggregation; products are bounded by
+    * max|m|·n² — far inside BIGINT through petabyte corpora.
+    */
+  def qLabelNoise(s: SparkSession, dir: String): DataFrame = {
+    val wlit = typedLit(qtNoisyWeights(s, dir))
+    val scored = qtNoisyDocs(s, dir)
+      .withColumn("m", qtMargin(wlit))
+      .select(col("y"), col("flipped"), col("m"))
+    val th = scored.agg(
+      sum(when(col("y") === 1L, col("m")).otherwise(0L)).as("s_pos"),
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("y") === -1L, col("m")).otherwise(0L)).as("s_neg"),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)).as("n_neg"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("cpos", col("m") * col("n_pos") >= col("s_pos"))
+      .withColumn("cneg", col("m") * col("n_neg") <= col("s_neg"))
+      .filter(col("cpos") || col("cneg"))
+      .withColumn("conf",
+        when(col("cpos") && col("cneg"),
+          when((col("m") * col("n_pos") - col("s_pos")) * col("n_neg") >=
+            (col("s_neg") - col("m") * col("n_neg")) * col("n_pos"), 1L)
+            .otherwise(-1L))
+          .otherwise(when(col("cpos"), 1L).otherwise(-1L)))
+      .groupBy(col("y"), col("conf"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flipped"), 1L).otherwise(0L)).as("n_flipped"),
+        sum(col("m")).as("margin_sum"))
+      .orderBy(col("y"), col("conf"))
+  }
+
   // ------------------------------------------------------------------
   // Bigram-feature pocket perceptron: a task LINEAR-IN-UNIGRAMS models
   // cannot learn
@@ -1715,6 +1785,7 @@ object TextAnalysis {
     "q_quality_train" -> qQualityTrain,
     "q_quality_train_eval" -> qQualityTrainEval,
     "q_quality_calib" -> qQualityCalib,
+    "q_label_noise" -> qLabelNoise,
     "q_quality_train_bi" -> qQualityTrainBi,
     "q_chunk_overlap" -> qChunkOverlap,
     "q_curation_funnel" -> qCurationFunnel,
@@ -2121,6 +2192,42 @@ object TextAnalysis {
          |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
          |    AS frac_pos
          |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // same unrolled pocket replay, retrained on the FLIPPED labels;
+    // thresholds and excess comparisons are the cross-multiplied
+    // integers the Spark side uses verbatim
+    "q_label_noise" ->
+      s"""${
+        pocketScoreCtes("", labelPred =
+          s"($PocketDefaultLabel) <> " +
+            s"(${Sampling.bucketSql("doc_id", QtSplitMod)} = $QtFlipBucket)")
+      }
+         |, th AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN y = 1 THEN m ELSE 0 END) AS BIGINT) AS s_pos,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN y = -1 THEN m ELSE 0 END) AS BIGINT) AS s_neg,
+         |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+         |  FROM sc),
+         |cj AS (
+         |  SELECT sc.y, sc.m, sc.bucket,
+         |    th.s_pos, th.n_pos, th.s_neg, th.n_neg,
+         |    (sc.m * th.n_pos >= th.s_pos) AS cpos,
+         |    (sc.m * th.n_neg <= th.s_neg) AS cneg
+         |  FROM sc CROSS JOIN th),
+         |asg AS (
+         |  SELECT y, m, bucket,
+         |    CASE WHEN cpos AND cneg THEN
+         |        CASE WHEN (m * n_pos - s_pos) * n_neg >=
+         |                  (s_neg - m * n_neg) * n_pos
+         |          THEN 1 ELSE -1 END
+         |      WHEN cpos THEN 1 ELSE -1 END AS conf
+         |  FROM cj WHERE cpos OR cneg)
+         |SELECT CAST(y AS BIGINT) AS y, CAST(conf AS BIGINT) AS conf,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN bucket = $QtFlipBucket THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_flipped,
+         |  CAST(sum(m) AS BIGINT) AS margin_sum
+         |FROM asg GROUP BY y, conf ORDER BY y, conf""".stripMargin,
     "q_quality_train_bi" -> pocketOracleSql(
       "", "source", "source",
       labelPred =

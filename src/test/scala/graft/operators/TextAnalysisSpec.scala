@@ -671,4 +671,30 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     rows.maxBy(_.getAs[Double]("est")).getString(0) shouldBe
       rows.maxBy(_.getAs[Long]("n_true")).getString(0)
   }
+
+  test("q_label_noise: confident-learning off-diagonal recovers the " +
+    "planted label flips with majority precision") {
+    val rows = TextAnalysis.qLabelNoise(spark, sf()).collect()
+    rows should not be empty
+    // cells partition into diagonal (label confirmed) and off-diagonal
+    // (confident label error); both regimes must be present
+    val offDiag = rows.filter(r => r.getAs[Long]("y") != r.getAs[Long]("conf"))
+    val diag = rows.filter(r => r.getAs[Long]("y") == r.getAs[Long]("conf"))
+    offDiag should not be empty
+    diag should not be empty
+    // the audit's point: flagged label errors are overwhelmingly the
+    // genuinely-flipped documents, confirmed labels overwhelmingly not
+    val offN = offDiag.map(_.getAs[Long]("n_docs")).sum
+    val offFlipped = offDiag.map(_.getAs[Long]("n_flipped")).sum
+    offFlipped.toDouble / offN should be > 0.5
+    val diagN = diag.map(_.getAs[Long]("n_docs")).sum
+    val diagFlipped = diag.map(_.getAs[Long]("n_flipped")).sum
+    diagFlipped.toDouble / diagN should be < 0.5
+    // confident-positive cells carry positive margin mass and vice versa
+    rows.foreach { r =>
+      if (r.getAs[Long]("conf") == 1L)
+        r.getAs[Long]("margin_sum") should be > 0L
+      else r.getAs[Long]("margin_sum") should be < 0L
+    }
+  }
 }
