@@ -223,6 +223,35 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue), generalized to a
+    * per-brand census: the correlated scalar AVG subquery runs over the
+    * FACT table itself — the case where naive per-row execution is
+    * quadratic in the fact. Catalyst decorrelates it to ONE per-partkey
+    * aggregate of lineitem joined back to the outer scan, so the plan is
+    * two fact passes + one key join no matter the scale — the complement
+    * of [[qScalarSubquery]] (dim-table correlation) and [[qLateral]]
+    * (correlated top-k). Exactness: the threshold is the decimal-routed
+    * avg (exact DECIMAL sum, cast double, ONE division, ONE division by
+    * 5.0) — bit-identical cross-engine; revenue collapses exact cents by
+    * a single division by 700.0.
+    */
+  def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |    AS BIGINT) AS DOUBLE) / 700.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity <
+        |  (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     / count(*)
+        |   FROM lineitem l2 WHERE l2.l_partkey = p_partkey) / 5.0
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
   /** Fact-fact shuffle join (lineitem ⋈ orders on the natural key), then
     * aggregate — the repartition-join the MR model expresses via tagged
     * KeyValues (SURVEY §2.2 "Joins"), done natively. AQE may convert to
@@ -1101,6 +1130,7 @@ object Relational {
     "q_join_broadcast" -> qJoinBroadcast,
     "q_star_topk" -> qStarTopk,
     "q_tpch_q3" -> qTpchQ3,
+    "q_tpch_q17" -> qTpchQ17,
     "q_unpivot" -> qUnpivot,
     "q_tpch_q5" -> qTpchQ5,
     "q_join_shuffle" -> qJoinShuffle,
@@ -1445,6 +1475,18 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q17" ->
+      """SELECT p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |    AS BIGINT) AS DOUBLE) / 700.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity <
+        |  (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     / count(*)
+        |   FROM lineitem l2 WHERE l2.l_partkey = p_partkey) / 5.0
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,

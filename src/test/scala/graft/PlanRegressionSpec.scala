@@ -474,6 +474,19 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan.toLowerCase should not include "lateraljoin"
   }
 
+  test("q_tpch_q17: the correlated scalar AVG over the fact table " +
+    "decorrelates to one per-partkey aggregate joined back — never a " +
+    "per-row subquery") {
+    val plan = Relational.qTpchQ17(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the decorrelated per-partkey aggregate feeds a key join
+    plan should include("HashAggregate")
+    plan should include("Join")
+    // no scalar-subquery node survives into the physical plan
+    plan should not include "Subquery subquery"
+    plan.toLowerCase should not include "scalarsubquery"
+  }
+
   test("q_tpch_q3: customer leg broadcasts, top-10 runs as " +
     "TakeOrderedAndProject — only 10 rows leave the aggregation") {
     val plan = Relational.qTpchQ3(spark, sf())
