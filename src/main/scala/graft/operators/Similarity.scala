@@ -1027,6 +1027,47 @@ object Similarity {
       .orderBy(col("c_id"))
   }
 
+  /** Adjusted Rand Index (Hubert & Arabie 1985) between the trained
+    * k-means clustering and the corpus' ground-truth labels — the
+    * external clustering-evaluation ledger (chance-corrected pair
+    * agreement). All pair counting is EXACT integer arithmetic: with
+    * S = Σ_ij C(n_ij,2) over contingency cells, A = Σ_i C(a_i,2) over
+    * cluster sizes, B = Σ_j C(b_j,2) over label sizes, N = C(n,2),
+    *   ARI = 2·(S·N − A·B) / (N·(A+B) − 2·A·B)
+    * — the ×2 clears the half-sum so numerator and denominator are
+    * BIGINTs, collapsed by ONE division (the q_kappa discipline; the
+    * long→double casts round identically under IEEE on both engines).
+    * Scale: ONE corpus pass — cube(c_id, label) computes the cells, the
+    * cluster margins, the label margins and the grand total in a single
+    * aggregation (Expand ×4 map-side, combined to ≤ k·L + k + L + 1
+    * groups); everything downstream is arithmetic over that bounded
+    * frame. Products are bounded by pairs² — inside BIGINT up to ~10⁹
+    * rows; beyond that route the products through DECIMAL(38,0).
+    */
+  def qAri(s: SparkSession, dir: String): DataFrame = {
+    val cent = trainedCentroids(s, dir)
+    // n·(n−1) is always even, so the shift is the exact integer C(n,2)
+    // (a Divide would go through DOUBLE)
+    def comb(c: Column): Column = shiftright(c * (c - 1), 1)
+    val cells = Tables.embeddings(s, dir)
+      .select(assignExpr(cent).as("c_id"),
+        col("label").cast("long").as("label"))
+      .cube(col("c_id"), col("label"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .select(col("gid"), col("n"))
+    val parts = cells.agg(
+      sum(when(col("gid") === 0, comb(col("n"))).otherwise(0L)).as("s_pairs"),
+      sum(when(col("gid") === 1, comb(col("n"))).otherwise(0L)).as("a_pairs"),
+      sum(when(col("gid") === 2, comb(col("n"))).otherwise(0L)).as("b_pairs"),
+      sum(when(col("gid") === 3, col("n")).otherwise(0L)).as("n"))
+    parts.select(col("n"), col("s_pairs"), col("a_pairs"), col("b_pairs"),
+      ((lit(2L) * (col("s_pairs") * comb(col("n")) -
+        col("a_pairs") * col("b_pairs"))).cast("double") /
+        (comb(col("n")) * (col("a_pairs") + col("b_pairs")) -
+          lit(2L) * col("a_pairs") * col("b_pairs")).cast("double"))
+        .as("ari"))
+  }
+
   /** Reciprocal-rank-fusion constant (Cormack, Clarke & Büttcher,
     * SIGIR 2009 — k=60 is the paper's recommendation).
     */
@@ -1140,6 +1181,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_coreset" -> qCoreset,
+    "q_ari" -> qAri,
     "q_rank_fusion" -> qRankFusion,
     "q_range_search" -> qRangeSearch,
     "q_dbscan_core" -> qDbscanCore,
@@ -1442,6 +1484,43 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // INDEPENDENT derivation: full Lloyd replay -> rank-1 assignment,
+    // then the four ARI ingredients from the explicit contingency table
+    // (no cube) -- S/A/B/N as exact integer pair counts
+    "q_ari" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS c_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS cv
+         |  FROM (SELECT * FROM embeddings
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |        LIMIT $IvfCentroids) seeds),
+         |$lloydCtes
+         |sca AS (
+         |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, c.c_id,
+         |    ${cosSqlCols("e.embedding", "c.cv")} AS cos
+         |  FROM embeddings e CROSS JOIN c$KmeansIters c),
+         |asg AS (
+         |  SELECT vec_id, label, c_id FROM (
+         |    SELECT vec_id, label, c_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos DESC, c_id) AS r
+         |    FROM sca) t
+         |  WHERE r = 1),
+         |cells AS (SELECT c_id, label, count(*) AS n
+         |  FROM asg GROUP BY c_id, label),
+         |sv AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS s_pairs
+         |  FROM cells),
+         |av AS (SELECT CAST(sum((a * (a - 1)) // 2) AS BIGINT) AS a_pairs
+         |  FROM (SELECT CAST(sum(n) AS BIGINT) AS a FROM cells GROUP BY c_id)),
+         |bv AS (SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS b_pairs
+         |  FROM (SELECT CAST(sum(n) AS BIGINT) AS b FROM cells GROUP BY label)),
+         |tv AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST((count(*) * (count(*) - 1)) // 2 AS BIGINT) AS np FROM asg)
+         |SELECT tv.n, sv.s_pairs, av.a_pairs, bv.b_pairs,
+         |  CAST(2 * (sv.s_pairs * tv.np - av.a_pairs * bv.b_pairs) AS DOUBLE)
+         |    / CAST(tv.np * (av.a_pairs + bv.b_pairs)
+         |           - 2 * av.a_pairs * bv.b_pairs AS DOUBLE) AS ari
+         |FROM sv CROSS JOIN av CROSS JOIN bv CROSS JOIN tv""".stripMargin,
     "q_coreset" ->
       s"""WITH $coresetSelCtes,
          |sc AS (

@@ -578,4 +578,30 @@ class SimilaritySpec extends SparkSpec with Matchers {
     cent.map(_._2) shouldBe (0 until Similarity.CoresetK)
     cent.map(_._1).distinct.length shouldBe Similarity.CoresetK
   }
+
+  test("q_ari: pair counts recompute exactly from an in-JVM contingency " +
+    "table and the chance correction lands near zero on isotropic data") {
+    val row = Similarity.qAri(spark, sf()).collect().head
+    val cent = Similarity.trainedCentroids(spark, sf())
+    val asg = graft.tables.Tables.embeddings(spark, sf())
+      .select(Similarity.assignExpr(cent).as("c_id"),
+        col("label").cast("long").as("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def comb(x: Long): Long = x * (x - 1) / 2
+    val cells = asg.groupBy(identity).view.mapValues(_.length.toLong)
+    val s = cells.values.map(comb).sum
+    val a = asg.groupBy(_._1).values.map(g => comb(g.length.toLong)).sum
+    val b = asg.groupBy(_._2).values.map(g => comb(g.length.toLong)).sum
+    val n = asg.length.toLong
+    row.getAs[Long]("n") shouldBe n
+    row.getAs[Long]("s_pairs") shouldBe s
+    row.getAs[Long]("a_pairs") shouldBe a
+    row.getAs[Long]("b_pairs") shouldBe b
+    val ari = (2.0 * (s * comb(n) - a * b)) /
+      (comb(n) * (a + b) - 2 * a * b).toDouble
+    row.getAs[Double]("ari") shouldBe ari
+    // labels are independent of the embedding geometry, so the
+    // chance-corrected agreement must sit near zero (raw Rand would not)
+    math.abs(row.getAs[Double]("ari")) should be < 0.05
+  }
 }
