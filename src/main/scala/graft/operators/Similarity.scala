@@ -84,6 +84,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Per-kind depth of the triplet-mining query. */
+  val HardK = 3
+
+  /** Hard-example mining for contrastive/triplet training (the
+    * batch-mining strategy of FaceNet, Schroff et al. CVPR 2015, run
+    * corpus-wide): per anchor (the [[QueryCount]] query vectors), the
+    * [[HardK]] HARD NEGATIVES — most-similar vectors with a DIFFERENT
+    * label — and the [[HardK]] HARD POSITIVES — least-similar vectors
+    * with the SAME label. One scoring pass serves both sides: kind is
+    * decided row-locally from the label pair, and a single window over
+    * (anchor, kind) ranks by `when(neg, −cos).otherwise(cos)` ascending,
+    * which is cos-descending for negatives and cos-ascending for
+    * positives — no second window, no second scan. Scale: |Q|·N brute
+    * scoring (the honest baseline, same as [[qAnnBrute]]); production
+    * mining at corpus scale swaps the scorer for the ANN index
+    * ([[qAnnIvfKmeans]]) and keeps the identical rank tail.
+    */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+    val anchors = emb.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id"), col("kind"))
+      .orderBy(col("score").asc, col("vec_id").asc)
+    broadcast(anchors)
+      .join(emb, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        when(col("label") =!= col("qlabel"), "neg").otherwise("pos")
+          .as("kind"),
+        cosRounded(col("qv"), col("embedding")).as("cos"))
+      .withColumn("score",
+        when(col("kind") === "neg", -col("cos")).otherwise(col("cos")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HardK)
+      .select(col("query_id"), col("kind"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("query_id"), col("kind"), col("rk"))
+  }
+
   /** Sign-bit bucket for hash table `t` (as a Column, so query-side probe
     * construction can parameterize over an exploded table id): bit i =
     * sign of coordinate t+4i. The hyperplane layout lives ONLY here —
@@ -1182,6 +1223,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_coreset" -> qCoreset,
     "q_ari" -> qAri,
+    "q_hard_negatives" -> qHardNegatives,
     "q_rank_fusion" -> qRankFusion,
     "q_range_search" -> qRangeSearch,
     "q_dbscan_core" -> qDbscanCore,
@@ -1807,6 +1849,25 @@ object Similarity {
          |  CAST(sum(g) AS DOUBLE) / CAST($NdcgIdealPpb AS DOUBLE) AS ndcg
          |FROM g GROUP BY query_id ORDER BY query_id""".stripMargin
     },
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+         |  FROM embeddings),
+         |a AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM e WHERE vec_id < $QueryCount),
+         |scored AS (
+         |  SELECT a.query_id, e.vec_id, e.label,
+         |    CASE WHEN e.label <> a.qlabel THEN 'neg' ELSE 'pos' END AS kind,
+         |    ${cosSqlCols("a.qv", "e.embedding")} AS cos
+         |  FROM a JOIN e ON e.vec_id <> a.query_id),
+         |rkd AS (
+         |  SELECT query_id, kind, vec_id, label, cos, row_number() OVER (
+         |    PARTITION BY query_id, kind
+         |    ORDER BY CASE WHEN kind = 'neg' THEN -cos ELSE cos END ASC,
+         |      vec_id ASC) AS r
+         |  FROM scored)
+         |SELECT query_id, kind, CAST(r AS BIGINT) AS rk, vec_id, label, cos
+         |FROM rkd WHERE r <= $HardK
+         |ORDER BY query_id, kind, rk""".stripMargin,
     "q_ann_brute" -> (bruteSql + "\nORDER BY query_id, rk"),
     "q_ann_lsh" -> (lshSql + "\nORDER BY query_id, rk"),
     // fusion of the two proven ranking fragments: ranks only, one IEEE

@@ -604,4 +604,32 @@ class SimilaritySpec extends SparkSpec with Matchers {
     // chance-corrected agreement must sit near zero (raw Rand would not)
     math.abs(row.getAs[Double]("ari")) should be < 0.05
   }
+
+  test("q_hard_negatives: per anchor, negatives are the top-similarity " +
+    "other-label rows and positives the bottom-similarity same-label rows") {
+    val rows = Similarity.qHardNegatives(spark, sf()).collect()
+    rows should not be empty
+    val anchors = graft.tables.Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < Similarity.QueryCount)
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val (neg, pos) = rs.partition(_.getAs[String]("kind") == "neg")
+      neg.length shouldBe Similarity.HardK
+      pos.length shouldBe Similarity.HardK
+      neg.foreach(_.getAs[Long]("label") should not be anchors(qid))
+      pos.foreach(_.getAs[Long]("label") shouldBe anchors(qid))
+      // negatives ranked most-similar first, positives least-similar first
+      neg.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+        .sliding(2).foreach {
+          case Array(a, b) => a should be >= b
+          case _ =>
+        }
+      pos.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+        .sliding(2).foreach {
+          case Array(a, b) => a should be <= b
+          case _ =>
+        }
+    }
+  }
 }
