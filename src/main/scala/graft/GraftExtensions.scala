@@ -156,5 +156,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     //   spark.graft.mv_rewrite        Aggregate(base) -> re-aggregation
     //                                 of a registered materialized view
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    e.injectOptimizerRule(_ => graft.plans.JoinEliminationRule)
   }
 }

@@ -693,6 +693,37 @@ object Scale {
     df
   }
 
+  /** Key-only dimension join THROUGH the PK–FK elimination rule
+    * (`graft.plans.JoinEliminationRule`): the query is written with the
+    * orders join spelled out — the shape every generated-SQL/BI layer
+    * emits — but keeps no orders column, so under the declared
+    * constraints (o_orderkey unique; every l_orderkey non-null and
+    * present — true of this corpus and asserted in ScaleSpec) the join
+    * is semantically a no-op. With the flag flipped only around this
+    * plan's forced optimization (the q_topk_exec discipline) the
+    * optimizer deletes the join outright; the DuckDB oracle EXECUTES the
+    * join, so the gate hash-proves the elimination is semantics-free.
+    * Sessions without the extensions run the join as written — same
+    * rows. At 100 TB the deleted operator is a fact-sized shuffle.
+    */
+  def qJoinEliminate(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.DeclaredConstraints.register(
+      graft.plans.DeclaredConstraints.FkDef(
+        new java.io.File(dir, "orders.parquet").getAbsolutePath,
+        "o_orderkey"))
+    val df = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Relational.cents(col("l_quantity"))).as("qty_cents"))
+      .orderBy(col("l_returnflag"))
+    val flag = graft.plans.JoinEliminationRule.Flag
+    s.conf.set(flag, "true")
+    try { df.queryExecution.optimizedPlan; () }
+    finally s.conf.set(flag, "false")
+    df
+  }
+
   def qZonemap(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(
       col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
@@ -811,6 +842,7 @@ object Scale {
     "q_zonemap" -> qZonemap,
     "q_topk_exec" -> qTopkExec,
     "q_mv_rollup" -> qMvRollup,
+    "q_join_eliminate" -> qJoinEliminate,
     "q_cbo_stats" -> StatsInjection.qCboStats
   )
 
@@ -973,6 +1005,13 @@ object Scale {
          |FROM t ORDER BY bucket""".stripMargin
     },
     // the identical two-layout block classification from (min, max) stats
+    "q_join_eliminate" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_mv_rollup" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5)

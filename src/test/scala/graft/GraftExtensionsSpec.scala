@@ -301,6 +301,66 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     base().queryExecution.optimizedPlan.toString should include("l_shipdate")
   }
 
+
+  test("JoinEliminationRule: the declared PK-FK key-only join is deleted " +
+    "under the flag, bit-exactly; selective or column-keeping or " +
+    "undeclared joins keep their plan") {
+    val spark = extSession("graft-joinelim-test")
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum}
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.tables.Tables.lineitem(spark, dir)
+    val ord = graft.tables.Tables.orders(spark, dir)
+    // the facts the declaration asserts, verified on the corpus itself:
+    // o_orderkey unique, every l_orderkey present and non-null
+    ord.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count() shouldBe 0L
+    li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .count() shouldBe 0L
+    li.filter(col("l_orderkey").isNull).count() shouldBe 0L
+    // ground truth with the join executed (flag off)
+    def joined() = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(graft.operators.Relational.cents(col("l_quantity")))
+          .as("qty_cents"))
+      .orderBy(col("l_returnflag"))
+    val want = joined().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    joined().queryExecution.optimizedPlan.toString should include("Join")
+    // the registered query: flag flipped around its own optimization
+    val df = graft.scale.Scale.qJoinEliminate(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    opt should not include "Join"
+    opt should not include "o_orderkey"
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq shouldBe want
+    spark.conf.set(graft.plans.JoinEliminationRule.Flag, "true")
+    try {
+      // keeping a dimension column keeps the join
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString should include("Join")
+      // a FILTERED dimension keeps the join (selectivity would be lost)
+      li.join(ord.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString should include("Join")
+      // an UNDECLARED dimension keeps the join even when key-only
+      val cust = graft.tables.Tables.customer(spark, dir)
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString should include("Join")
+      // an OUTER join keeps its plan
+      li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString should include("Join")
+    } finally spark.conf.set(graft.plans.JoinEliminationRule.Flag, "false")
+    // flag restored: the join plans as written again
+    joined().queryExecution.optimizedPlan.toString should include("Join")
+  }
+
   /** Fresh session sharing the JVM's SparkContext (see first test's note). */
   private def extSession(name: String): SparkSession = {
     val spark = SparkSession.builder()
