@@ -1041,6 +1041,78 @@ object Events {
         expr(abTSql("n_c", "n_t", "sc", "st", "ssc", "sst")).as("t_stat"))
   }
 
+  /** Pre/post boundary for the [[qCuped]] experiment windows. */
+  val CupedCut = "2024-01-16"
+
+  /** Shared-verbatim IEEE θ (the pooled OLS slope of post on pre):
+    * θ = (Sxy − Sx·Sy/n) / (Sxx − Sx²/n) — the [[abTSql]] discipline:
+    * exact BIGINT inputs, every float op written once and evaluated
+    * literally on both engines. Numerator/denominator go through DOUBLE
+    * before the big products so nothing overflows 64 bits.
+    */
+  private def cupedThetaSql(n: String, sx: String, sy: String,
+      sxy: String, sxx: String): String =
+    s"((CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * $sy / $n) /" +
+      s" (CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * $sx / $n))"
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    * the standard experimentation-platform trick — adjust each user's
+    * experiment-period metric y by their PRE-period covariate x,
+    * y' = y − θ·(x − x̄), with θ the pooled OLS slope, which provably
+    * cannot add variance when x is pre-randomization. Everything is
+    * derived from EXACT integer sufficient statistics (per-arm counts,
+    * cent sums, cent sums-of-squares and cross-products — one per-user
+    * rollup, then a 2-row arm frame joined to a broadcast 1-row pooled
+    * frame), so the readout per arm — raw mean, adjusted mean, and the
+    * measured variance-reduction ratio var(y−θx)/var(y) — is a fixed
+    * shared-verbatim IEEE expression over BIGINTs, bit-identical
+    * cross-engine. On this corpus users' pre and post activity are only
+    * weakly coupled, so the honest ratio sits near 1 — CUPED reports the
+    * covariate's usefulness rather than assuming it. Scale: identical
+    * shape to [[qAbLift]] — nothing beyond the randomization-unit rollup
+    * is ever corpus-sized; the cross-products stay inside BIGINT to ~10⁹
+    * users at this value range (then widen to DECIMAL(38,0)).
+    */
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(CupedCut).cast("timestamp")
+    val cents = graft.operators.Relational.cents(col("value"))
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase" &&
+          col("ts") < cut, cents)), lit(0L)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase" &&
+          col("ts") >= cut, cents)), lit(0L)).as("y"))
+      .select(graft.operators.Sampling.hashBucket(col("user_id"), 2)
+        .as("arm"), col("x"), col("y"))
+    val arms = perUser.groupBy(col("arm")).agg(
+      count(lit(1)).as("n_users"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val pooled = perUser.agg(
+      count(lit(1)).as("pn"), sum(col("x")).as("psx"),
+      sum(col("y")).as("psy"), sum(col("x") * col("y")).as("psxy"),
+      sum(col("x") * col("x")).as("psxx"))
+    val theta = cupedThetaSql("pn", "psx", "psy", "psxy", "psxx")
+    // per-arm moments in DOUBLE over the exact integers, shared verbatim
+    val varY = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_users)" +
+      " / (n_users - 1))"
+    val covXY = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n_users)" +
+      " / (n_users - 1))"
+    val varX = "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_users)" +
+      " / (n_users - 1))"
+    arms.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_users"),
+        expr("round(CAST(sy AS DOUBLE) / 100.0 / n_users, 6)").as("mean_y"),
+        expr(s"round(CAST(sy AS DOUBLE) / 100.0 / n_users - $theta * " +
+          "(CAST(sx AS DOUBLE) / 100.0 / n_users - " +
+          "CAST(psx AS DOUBLE) / 100.0 / pn), 6)").as("mean_y_adj"),
+        expr(s"round(($varY - 2.0e0 * $theta * $covXY + " +
+          s"$theta * $theta * $varX) / $varY, 6)").as("var_ratio"))
+      .orderBy(col("arm"))
+  }
+
   /** Prefix length for [[qFunnelPaths]]. */
   val PathLen = 3
 
@@ -1368,6 +1440,7 @@ object Events {
     "q_holt" -> qHolt,
     "q_theilsen" -> qTheilsen,
     "q_ab_lift" -> qAbLift,
+    "q_cuped" -> qCuped,
     "q_funnel_paths" -> qFunnelPaths,
     "q_ks_drift" -> qKsDrift,
     "q_changepoint" -> qChangepoint,
@@ -1511,6 +1584,46 @@ object Events {
     },
     // identical per-user rollup, md5 arm assignment, and integer
     // sufficient statistics; abTSql is shared verbatim
+    "q_cuped" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    coalesce(sum(CASE WHEN event_type = 'purchase'
+         |        AND ts < TIMESTAMP '$CupedCut 00:00:00'
+         |      THEN CAST(sign(value) * floor(abs(value) * 100.0e0 + 0.5e0)
+         |        AS BIGINT) END), 0) AS x,
+         |    coalesce(sum(CASE WHEN event_type = 'purchase'
+         |        AND ts >= TIMESTAMP '$CupedCut 00:00:00'
+         |      THEN CAST(sign(value) * floor(abs(value) * 100.0e0 + 0.5e0)
+         |        AS BIGINT) END), 0) AS y
+         |  FROM events GROUP BY user_id),
+         |a AS (
+         |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |    ::BIGINT % 2 AS arm, x, y
+         |  FROM pu),
+         |g AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM a GROUP BY arm),
+         |p AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS pn,
+         |    CAST(sum(x) AS BIGINT) AS psx, CAST(sum(y) AS BIGINT) AS psy,
+         |    CAST(sum(x * y) AS BIGINT) AS psxy,
+         |    CAST(sum(x * x) AS BIGINT) AS psxx
+         |  FROM a)
+         |SELECT arm, n_users,
+         |  round(CAST(sy AS DOUBLE) / 100.0 / n_users, 6) AS mean_y,
+         |  round(CAST(sy AS DOUBLE) / 100.0 / n_users - ${cupedThetaSql(
+              "pn", "psx", "psy", "psxy", "psxx")} * (CAST(sx AS DOUBLE)
+         |    / 100.0 / n_users - CAST(psx AS DOUBLE) / 100.0 / pn), 6)
+         |    AS mean_y_adj,
+         |  round((((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_users) / (n_users - 1)) - 2.0e0 * ${cupedThetaSql(
+              "pn", "psx", "psy", "psxy", "psxx")} * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n_users) / (n_users - 1)) + ${cupedThetaSql(
+              "pn", "psx", "psy", "psxy", "psxx")} * ${cupedThetaSql(
+              "pn", "psx", "psy", "psxy", "psxx")} * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_users) / (n_users - 1))) / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_users) / (n_users - 1)), 6) AS var_ratio
+         |FROM g CROSS JOIN p ORDER BY arm""".stripMargin,
     "q_ab_lift" ->
       s"""WITH pu AS (
          |  SELECT user_id,

@@ -565,4 +565,55 @@ class EventsSpec extends SparkSpec with Matchers {
     plan should include("variant")
     plan should not include "get_json_object"
   }
+
+  test("q_cuped: adjusted means and variance ratio recompute exactly from " +
+    "an in-JVM per-user replay, and the covariate genuinely reduces " +
+    "variance on this corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = Events.qCuped(spark, sf()).collect()
+    rows.length shouldBe 2
+    val cut = java.sql.Timestamp.valueOf(Events.CupedCut + " 00:00:00")
+    val perUser = graft.tables.Tables.events(spark, sf())
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase" &&
+          col("ts") < lit(cut),
+          graft.operators.Relational.cents(col("value")))), lit(0L)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase" &&
+          col("ts") >= lit(cut),
+          graft.operators.Relational.cents(col("value")))), lit(0L)).as("y"))
+      .select(graft.operators.Sampling.hashBucket(col("user_id"), 2)
+        .as("arm"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pn = perUser.length.toLong
+    val psx = perUser.map(_._2).sum; val psy = perUser.map(_._3).sum
+    val psxy = perUser.map(t => t._2 * t._3).sum
+    val psxx = perUser.map(t => t._2 * t._2).sum
+    val theta = (psxy.toDouble - psx.toDouble * psy / pn) /
+      (psxx.toDouble - psx.toDouble * psx / pn)
+    rows.foreach { r =>
+      val arm = r.getAs[Long]("arm")
+      val g = perUser.filter(_._1 == arm)
+      val n = g.length.toLong
+      r.getAs[Long]("n_users") shouldBe n
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val sxx = g.map(t => t._2 * t._2).sum
+      val syy = g.map(t => t._3 * t._3).sum
+      val meanY = math.round(sy.toDouble / 100.0 / n * 1e6) / 1e6
+      r.getAs[Double]("mean_y") shouldBe meanY +- 1e-9
+      val adj = sy.toDouble / 100.0 / n -
+        theta * (sx.toDouble / 100.0 / n - psx.toDouble / 100.0 / pn)
+      r.getAs[Double]("mean_y_adj") shouldBe adj +- 1e-6
+      val varY = (syy.toDouble - sy.toDouble * sy / n) / (n - 1)
+      val covXY = (sxy.toDouble - sx.toDouble * sy / n) / (n - 1)
+      val varX = (sxx.toDouble - sx.toDouble * sx / n) / (n - 1)
+      val ratio = (varY - 2 * theta * covXY + theta * theta * varX) / varY
+      r.getAs[Double]("var_ratio") shouldBe ratio +- 1e-6
+      // pre-randomization covariate: the adjustment cannot inflate the
+      // variance materially, and on this corpus it measurably reduces it
+      r.getAs[Double]("var_ratio") should be < 1.0
+      r.getAs[Double]("var_ratio") should be > 0.5
+    }
+  }
 }
