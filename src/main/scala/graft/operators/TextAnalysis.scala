@@ -1596,6 +1596,74 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Fixed keyword queries for [[qBm25Search]] — literal, so retrieval is
+    * a pure function of the corpus (terms chosen from the synthetic
+    * vocabulary's head).
+    */
+  val SearchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("join", "scan", "filter"),
+    1L -> Seq("hash", "merge", "sort"),
+    2L -> Seq("stream", "batch", "window"),
+    3L -> Seq("vector", "query", "slow"))
+  val SearchTopK = 5
+
+  /** Top-k DOCUMENT retrieval for keyword queries — the end-to-end search
+    * path [[qBm25]] (per-doc term weights) and [[qInvertedIndex]] (the
+    * index itself) build toward: query terms broadcast-join the
+    * (doc, term) postings, each hit scores the [[qBm25]] IEEE expression
+    * (shared verbatim), and per-(query, doc) scores combine as EXACT
+    * ppb integers (each term's score snaps to its nearest 10⁻⁹ grid
+    * point before the sum), so the disjunctive accumulation is
+    * order-independent — float summation across an unordered group is
+    * exactly the nondeterminism the cents convention exists to kill.
+    * Rank (score desc, doc_id), keep [[SearchTopK]]. Scale: the postings
+    * join ships only rows whose term matches a query term (a broadcast
+    * semi-filter at the scan), the score frame is hits-proportional, and
+    * the rank moves |Q|·k rows — the inverted-index retrieval shape at
+    * any corpus size.
+    */
+  def qBm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokens = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
+        .as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfT = tokens.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tokens.agg(
+      count(lit(1)).as("total"), countDistinct(col("doc_id")).as("nd"))
+    val avgdl = col("total").cast("double") / col("nd")
+    val idf = log(lit(1.0) +
+      ((col("nd") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(Bm25K1) + lit(1.0))) /
+      (col("tf") + lit(Bm25K1) *
+        ((lit(1.0) - lit(Bm25B)) + lit(Bm25B) * col("dl") / avgdl))
+    val q = SearchQueries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_ppb").desc, col("doc_id"))
+    broadcast(q)
+      .join(tf, "term")
+      .join(dfT, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("ppb",
+        floor(round(idf * tfNorm, 9) * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ppb")).as("score_ppb"), count(lit(1)).as("n_terms"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SearchTopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_terms"),
+        (col("score_ppb").cast("double") / lit(1.0e9)).as("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Number of top adjacent-symbol pairs [[qBpeMerges]] reports. */
   val BpeTopPairs = 20
 
@@ -1786,6 +1854,7 @@ object TextAnalysis {
     "q_quality_train_eval" -> qQualityTrainEval,
     "q_quality_calib" -> qQualityCalib,
     "q_label_noise" -> qLabelNoise,
+    "q_bm25_search" -> qBm25Search,
     "q_quality_train_bi" -> qQualityTrainBi,
     "q_chunk_overlap" -> qChunkOverlap,
     "q_curation_funnel" -> qCurationFunnel,
@@ -2356,6 +2425,39 @@ object TextAnalysis {
         |        - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 9)
         |    AS entropy
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bm25_search" -> {
+      val vals = SearchQueries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      s"""WITH qv AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+         |  FROM (VALUES $vals) AS t(query_id, term)),
+         |tk AS (SELECT doc_id,
+         |  unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                     x -> length(x) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY term),
+         |st AS (SELECT count(*) AS total, count(DISTINCT doc_id) AS nd FROM tk),
+         |sc AS (SELECT qv.query_id, tf.doc_id,
+         |  CAST(floor(round(ln(1.0e0 + ((nd - df) + 0.5e0) / (df + 0.5e0)) *
+         |    ((tf * (${Bm25K1}e0 + 1.0e0)) /
+         |     (tf + ${Bm25K1}e0 * ((1.0e0 - ${Bm25B}e0) +
+         |        ${Bm25B}e0 * dl / (CAST(total AS DOUBLE) / nd)))), 9)
+         |    * 1.0e9 + 0.5e0) AS BIGINT) AS ppb
+         |  FROM qv JOIN tf USING (term) JOIN df USING (term)
+         |  JOIN dl USING (doc_id) CROSS JOIN st),
+         |agg AS (SELECT query_id, doc_id,
+         |  CAST(sum(ppb) AS BIGINT) AS score_ppb,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM sc GROUP BY query_id, doc_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_ppb DESC, doc_id) AS rk
+         |  FROM agg)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, n_terms,
+         |  CAST(score_ppb AS DOUBLE) / 1.0e9 AS score
+         |FROM r WHERE rk <= $SearchTopK ORDER BY query_id, rk""".stripMargin
+    },
     "q_bm25" ->
       s"""WITH tk AS (SELECT doc_id,
          |  unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),

