@@ -296,6 +296,39 @@ object Bench {
       s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${
         jmap(famSums, short2)
       }${if (nFail > 0) s""","nfail":$nFail""" else ""}${canaryJson(short)},"sf":"${new java.io.File(sfDir).getName}"}"""
+    // stage-10 squeeze (built at 260 queries, round 8 fourth
+    // continuation; engages when stage-9 crosses the budget at ≈270
+    // families-worth of keys): the FAMILY keys themselves go through the
+    // stage-4/5 treatment — keep the first character, vowel-drop the
+    // rest, truncate, and widen only colliding groups until injective
+    // (deterministic from the family-name SET; at full width the key is
+    // the stage-4 vowel squeeze of the family name, which is injective
+    // because the family names are distinct strings — so the loop
+    // terminates). Reversible from docs/BENCH_DETAIL.json's full names
+    // via the same first-segment + vowel rule; documented in BASELINE.md
+    // "Canary normalization".
+    val famShort: Map[String, String] = {
+      val fams = famSums.map(_._1)
+      def key(f: String, w: Int) =
+        (f.take(1) + f.drop(1).filterNot("aeiou".contains(_))).take(w)
+      var width = fams.map(_ -> 2).toMap
+      var out = fams.map(f => f -> key(f, width(f))).toMap
+      var colliding = out.groupBy(_._2).filter(_._2.size > 1)
+      while (colliding.nonEmpty) {
+        colliding.values.flatten.foreach { case (f, _) =>
+          width = width.updated(f, width(f) + 1)
+        }
+        out = fams.map(f => f -> key(f, width(f))).toMap
+        colliding = out.groupBy(_._2).filter(_._2.size > 1)
+      }
+      require(out.values.toSeq.distinct.size == fams.size,
+        "stage-10 family-key squeeze aliases family names")
+      out
+    }
+    def famContract10: String =
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${
+        jmap(famSums.map { case (f, v) => famShort(f) -> v }, short2)
+      }${if (nFail > 0) s""","nfail":$nFail""" else ""}${canaryJson(short)},"sf":"${new java.io.File(sfDir).getName}"}"""
     // the squeezes must stay injective over the registry: a future
     // q_t_foo would alias with q_text_foo's squeezed key and silently
     // merge two queries on the contract line (round-5 advisor note)
@@ -323,7 +356,9 @@ object Bench {
           else { val idxLine = contract(idxKey)
             if (idxLine.length <= 2000) idxLine
             else { val idx36Line = contract(idx36Key)
-              if (idx36Line.length <= 2000) idx36Line else famContract } } } })
+              if (idx36Line.length <= 2000) idx36Line
+              else if (famContract.length <= 2000) famContract
+              else famContract10 } } } })
     spark.stop()
   }
 }
