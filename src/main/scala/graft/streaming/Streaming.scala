@@ -699,6 +699,50 @@ object Streaming {
         when(col("spend_c") >= SegmentHiCents, "hi").otherwise("lo")
           .as("segment"))
 
+  /** Streaming EXACT dedup drained under the gate — the incremental
+    * counterpart of [[graft.operators.Dedup.qDedupExact]]'s fingerprint
+    * groupBy, run as a landing-directory re-crawl: the real documents
+    * file is staged as arrival 0 and a planted re-crawl (same texts,
+    * ids shifted by [[graft.operators.Dedup.PlantOffset]]) is written
+    * beside it, so every content fingerprint is seen at least twice.
+    * The streaming aggregate per md5(text) keeps (keeper = min doc_id,
+    * cnt = count) in update mode; both components only TIGHTEN (keeper
+    * never rises, cnt never falls), so the per-key collapse of the
+    * update sink's emission history IS the drained final state — the
+    * qStreamKmv monotone-fold discipline. The reported duplicate-size
+    * histogram (dup_count, n_groups, keep_id_sum) must hash-match the
+    * batch oracle over the same planted union. At 100 TB this plan
+    * tails a crawl landing directory with O(distinct fingerprints)
+    * state — the incremental dedup a recrawling pipeline actually runs.
+    */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      stage.resolve("batch0.parquet"))
+    graft.tables.Tables.documents(s, dir)
+      .select((col("doc_id") + graft.operators.Dedup.PlantOffset)
+        .as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(stage.toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val src = s.readStream.schema(schema).parquet(s"$stage/*.parquet")
+    val name = s"graft_stream_dedup_${sinkSeq.incrementAndGet()}"
+    val q = src
+      .select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+      .writeStream.outputMode("update").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("fp"))
+      .agg(min(col("keeper")).as("keeper"), max(col("cnt")).as("cnt"))
+      .groupBy(col("cnt").as("dup_count"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("keeper")).as("keep_id_sum"))
+      .orderBy(col("dup_count"))
+  }
+
   /** Fourth streaming query under the driver's oracle gate, exercising the
     * remaining core Structured Streaming join regime: a STREAM-STATIC
     * broadcast join ([[enrichWithSegments]] — stateless, no watermark, the
@@ -882,6 +926,7 @@ object Streaming {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_kmv" -> qStreamKmv,
+    "q_stream_dedup" -> qStreamDedup,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_wc" -> qStreamWc,
     "q_stream_join" -> qStreamJoin,
@@ -895,6 +940,21 @@ object Streaming {
       // the batch q_kmv oracle minus its exact ride-along: the streamed
       // same oracle as the batch wc_wordcount row (one tokenizer, one
       // derivation, three execution regimes)
+      // the drained fingerprint states must reproduce the batch planted
+      // union's exact-dedup histogram
+      "q_stream_dedup" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + ${graft.operators.Dedup.PlantOffset}, text
+           |  FROM documents),
+           |g AS (SELECT md5(text) AS fp,
+           |    CAST(min(doc_id) AS BIGINT) AS keeper,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM corpus GROUP BY fp)
+           |SELECT cnt AS dup_count, count(*) AS n_groups,
+           |  CAST(sum(keeper) AS BIGINT) AS keep_id_sum
+           |FROM g GROUP BY cnt ORDER BY dup_count""".stripMargin,
       "q_stream_wc" ->
         """SELECT word, count(*) AS cnt
           |FROM (SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word

@@ -791,4 +791,27 @@ class StreamingSpec extends SparkSpec with Matchers {
     // the outer semantics are non-vacuous on this corpus
     got.values.map(_._3).sum should be > 0L
   }
+
+  test("q_stream_dedup: the drained incremental fingerprint states " +
+    "reproduce the batch exact-dedup histogram over the planted union") {
+    val got = Streaming.qStreamDedup(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+    val union = docs.unionAll(docs.select(
+      (col("doc_id") + graft.operators.Dedup.PlantOffset).as("doc_id"),
+      col("text")))
+    val want = union
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+      .groupBy(col("cnt"))
+      .agg(count(lit(1)), sum(col("keeper")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    want should not be empty
+    got shouldBe want
+    // the re-crawl plant guarantees every fingerprint arrives >= twice,
+    // so a dup_count-1 bucket would mean the stream dropped an arrival
+    got.keySet.min should be >= 2L
+  }
 }
