@@ -39,6 +39,36 @@ object Bench {
     */
   private val selfCaching = Set("q_dedup_minhash", "q_dedup_pipeline")
 
+  /** Stage-10 family-key squeeze (see the call site for the full story):
+    * first char + vowel-dropped rest, truncated, colliding groups widened
+    * until injective. Families sharing a FULL vowel-squeeze ("cbo"/"cube"
+    * → "cb", "kanon"/"knn" → "knn") can never be separated by widening —
+    * the first build of this loop spun forever on exactly that pair at
+    * 261 queries — so they keep their RAW (distinct) family name, which
+    * restores termination: every other colliding key strictly lengthens
+    * toward its full distinct squeeze. Extracted from main so the spec
+    * can pin termination + injectivity on squeeze-twin inputs.
+    */
+  private[graft] def familyShortKeys(fams: Seq[String]): Map[String, String] = {
+    def sq(f: String) = f.take(1) + f.drop(1).filterNot("aeiou".contains(_))
+    val dup: Set[String] = fams.groupBy(sq)
+      .filter(_._2.size > 1).values.flatten.toSet
+    def key(f: String, w: Int) = if (dup(f)) f else sq(f).take(w)
+    var width = fams.map(_ -> 2).toMap
+    var out = fams.map(f => f -> key(f, width(f))).toMap
+    var colliding = out.groupBy(_._2).filter(_._2.size > 1)
+    while (colliding.nonEmpty) {
+      colliding.values.flatten.foreach { case (f, _) =>
+        width = width.updated(f, width(f) + 1)
+      }
+      out = fams.map(f => f -> key(f, width(f))).toMap
+      colliding = out.groupBy(_._2).filter(_._2.size > 1)
+    }
+    require(out.values.toSeq.distinct.size == fams.size,
+      "stage-10 family-key squeeze aliases family names")
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -300,31 +330,17 @@ object Bench {
     // continuation; engages when stage-9 crosses the budget at ≈270
     // families-worth of keys): the FAMILY keys themselves go through the
     // stage-4/5 treatment — keep the first character, vowel-drop the
-    // rest, truncate, and widen only colliding groups until injective
-    // (deterministic from the family-name SET; at full width the key is
-    // the stage-4 vowel squeeze of the family name, which is injective
-    // because the family names are distinct strings — so the loop
-    // terminates). Reversible from docs/BENCH_DETAIL.json's full names
-    // via the same first-segment + vowel rule; documented in BASELINE.md
-    // "Canary normalization".
-    val famShort: Map[String, String] = {
-      val fams = famSums.map(_._1)
-      def key(f: String, w: Int) =
-        (f.take(1) + f.drop(1).filterNot("aeiou".contains(_))).take(w)
-      var width = fams.map(_ -> 2).toMap
-      var out = fams.map(f => f -> key(f, width(f))).toMap
-      var colliding = out.groupBy(_._2).filter(_._2.size > 1)
-      while (colliding.nonEmpty) {
-        colliding.values.flatten.foreach { case (f, _) =>
-          width = width.updated(f, width(f) + 1)
-        }
-        out = fams.map(f => f -> key(f, width(f))).toMap
-        colliding = out.groupBy(_._2).filter(_._2.size > 1)
-      }
-      require(out.values.toSeq.distinct.size == fams.size,
-        "stage-10 family-key squeeze aliases family names")
-      out
-    }
+    // rest, truncate, and widen only colliding groups until injective.
+    // Vowel-drop is NOT injective over distinct names ("cbo"/"cube" →
+    // "cb", "kanon"/"knn" → "knn" — both pairs live in this registry),
+    // so families sharing a FULL squeeze can never be separated by
+    // widening; they keep their RAW family name (distinct by
+    // construction), which also bounds the loop: every other colliding
+    // key strictly lengthens toward its full distinct squeeze.
+    // Reversible from docs/BENCH_DETAIL.json's full names via the same
+    // first-segment + vowel rule (raw-name keys ARE the family name);
+    // documented in BASELINE.md "Canary normalization".
+    val famShort: Map[String, String] = familyShortKeys(famSums.map(_._1))
     def famContract10: String =
       s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${
         jmap(famSums.map { case (f, v) => famShort(f) -> v }, short2)

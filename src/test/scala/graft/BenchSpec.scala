@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pure contract-line machinery — no SparkSession. */
+class BenchSpec extends AnyFunSuite with Matchers {
+
+  test("stage-10 family-key squeeze terminates and stays injective on " +
+    "vowel-squeeze twins (cbo/cube, kanon/knn spun the first build forever)") {
+    val fams =
+      Seq("cbo", "cube", "kanon", "knn", "dedup", "ann", "join", "stream")
+    val out = Bench.familyShortKeys(fams)
+    out.values.toSeq.distinct.size shouldBe fams.size
+    // squeeze-twins keep their raw (distinct) names
+    out("cbo") shouldBe "cbo"
+    out("cube") shouldBe "cube"
+    out("kanon") shouldBe "kanon"
+    out("knn") shouldBe "knn"
+    // non-twins actually shrink
+    out("dedup").length should be <= 3
+  }
+
+  test("stage-10 squeeze holds over the live registry's family set") {
+    def fam(k: String) = {
+      val b = if (k.startsWith("q_")) k.substring(2) else k
+      b.takeWhile(_ != '_')
+    }
+    val real = SparkEntry.queries.keys.toSeq.map(fam).distinct.sorted
+    real.size should be > 100
+    val out = Bench.familyShortKeys(real)
+    out.values.toSeq.distinct.size shouldBe real.size
+  }
+}
