@@ -1132,6 +1132,60 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Ranking quality of the trained classifier — exact tie-corrected
+    * Mann–Whitney AUC per source (Hanley & McNeil 1982; AUC = U/(n₊n₋)
+    * with ties counted half, the rank-sum identity). Completes the
+    * evaluation suite between the threshold-bound confusion ledger
+    * ([[qQualityTrain]]) and the reliability diagram ([[qQualityCalib]]):
+    * AUC is the THRESHOLD-FREE readout a curation team uses to pick the
+    * operating point the other two then audit.
+    *
+    * Exactness: scores are the exact integer margins, so U is computed
+    * as the integer 2U = Σ_v n₊(v)·(2·cumNegBelow(v) + n₋(v)) over the
+    * per-distinct-margin frame — no per-document ranking, no float
+    * surface; `auc_ppb` is exact two-step integer division (exact while
+    * 2·n₊·n₋ < 2⁶³/10⁹ per source, asserted in the spec for this corpus;
+    * an open-ended corpus would first quantize margins into the
+    * [[qQualityCalib]] buckets) and `auc` is one IEEE division of the
+    * same exact integers. Scale: one (source, margin)-keyed aggregation
+    * (the only corpus-sized shuffle), then a window over the
+    * per-distinct-value frame partitioned by source — value-domain-sized,
+    * not corpus-sized — then a |sources|-group aggregation.
+    */
+  /** (source, y, m) under the given weight literal — the spec's
+    * brute-force pairwise cross-check reads this frame.
+    */
+  private[graft] def qAucScored(s: SparkSession, dir: String,
+      wlit: org.apache.spark.sql.Column): DataFrame =
+    qtDocs(s, dir).withColumn("m", qtMargin(wlit))
+
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val wlit = typedLit(qtWeights(s, dir))
+    val perVal = qAucScored(s, dir, wlit)
+      .groupBy(col("source"), col("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("m"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    perVal
+      .withColumn("cum_neg_lt",
+        coalesce(sum(col("n") - col("np")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np") *
+          (lit(2L) * col("cum_neg_lt") + (col("n") - col("np")))).as("u2"))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .withColumn("den", lit(2L) * col("n_pos") * col("n_neg"))
+      .select(col("source"), col("n_pos"), col("n_neg"), col("u2"),
+        (expr("u2 div den") * lit(1000000000L) +
+          expr("(u2 % den) * 1000000000 div den")).as("auc_ppb"),
+        (col("u2").cast("double") / col("den").cast("double")).as("auc"))
+      .orderBy(col("source"))
+  }
+
   /** Flip bucket for the planted label noise of [[qLabelNoise]]: docs
     * whose md5 split bucket equals this get their rule label INVERTED —
     * a deterministic ~10% symmetric noise rate.
@@ -1868,6 +1922,7 @@ object TextAnalysis {
     "q_gopher_ngram" -> qGopherNgram,
     "q_quality_classifier" -> qQualityClassifier,
     "q_quality_train" -> qQualityTrain,
+    "q_auc" -> qAuc,
     "q_quality_train_eval" -> qQualityTrainEval,
     "q_quality_calib" -> qQualityCalib,
     "q_label_noise" -> qLabelNoise,
@@ -2266,6 +2321,30 @@ object TextAnalysis {
          |    AS BIGINT) AS chunk_xor
          |FROM c ORDER BY doc_id""".stripMargin,
     "q_quality_train" -> pocketOracleSql("", "source", "source"),
+    // same unrolled pocket replay through sc(source, bucket, y, m); the
+    // tie-corrected rank-sum identity over the per-distinct-margin frame
+    "q_auc" ->
+      s"""${pocketScoreCtes("")}
+         |, pv AS (SELECT source, m, count(*) AS n,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM sc GROUP BY source, m),
+         |cum AS (SELECT source, n, np,
+         |    CAST(coalesce(sum(n - np) OVER (PARTITION BY source ORDER BY m
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_neg_lt
+         |  FROM pv),
+         |ag AS (SELECT source,
+         |    CAST(sum(np) AS BIGINT) AS n_pos,
+         |    CAST(sum(n - np) AS BIGINT) AS n_neg,
+         |    CAST(sum(np * (2 * cum_neg_lt + (n - np))) AS BIGINT) AS u2
+         |  FROM cum GROUP BY source)
+         |SELECT source, n_pos, n_neg, u2,
+         |  CAST((u2 // (2 * n_pos * n_neg)) * 1000000000
+         |    + ((u2 % (2 * n_pos * n_neg)) * 1000000000)
+         |      // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppb,
+         |  CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+         |FROM ag WHERE n_pos > 0 AND n_neg > 0
+         |ORDER BY source""".stripMargin,
     "q_quality_calib" ->
       s"""${pocketScoreCtes("")}
          |, bkt AS (

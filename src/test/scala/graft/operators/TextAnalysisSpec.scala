@@ -377,6 +377,45 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     (hi.map(_._3).sum.toDouble / hi.map(_._2).sum) should be > 0.8
   }
 
+  test("q_auc: matches a brute-force pairwise AUC, the integer-division " +
+    "exactness bound holds, and the trained ranking beats chance") {
+    val rows = TextAnalysis.qAuc(spark, sf()).collect()
+    rows should not be empty
+    // brute-force pairwise U from the raw (source, y, margin) rows —
+    // fine driver-side at sf0.001
+    import org.apache.spark.sql.functions.{col, typedLit}
+    val wlit = typedLit(TextAnalysis.qtWeights(spark, sf()))
+    val scored = TextAnalysis.qAucScored(spark, sf(), wlit)
+      .select(col("source"), col("y"), col("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (np, nn, u2) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+        r.getAs[Long]("u2"))
+      val pos = scored(src).filter(_._2 == 1L).map(_._3)
+      val neg = scored(src).filter(_._2 == -1L).map(_._3)
+      np shouldBe pos.length.toLong
+      nn shouldBe neg.length.toLong
+      val bruteU2 = (for (p <- pos; n <- neg) yield {
+        if (p > n) 2L else if (p == n) 1L else 0L
+      }).sum
+      u2 shouldBe bruteU2
+      // the two-step ppb division is exact while (u2 % den)·10⁹ fits
+      val den = 2L * np * nn
+      den should be < (Long.MaxValue / 1000000000L)
+      r.getAs[Long]("auc_ppb") shouldBe
+        (u2 / den) * 1000000000L + (u2 % den) * 1000000000L / den
+      r.getAs[Double]("auc") shouldBe u2.toDouble / den.toDouble
+    }
+    // threshold-free ranking quality: corpus-mass-weighted AUC well
+    // above chance (the trained pocket classifies 90%+ correctly)
+    val mass = rows.map(r => r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg"))
+    val wAuc = rows.zip(mass)
+      .map { case (r, m) => r.getAs[Double]("auc") * m }.sum / mass.sum
+    wAuc should be > 0.8
+  }
+
   test("bigram pocket perceptron: learns an adjacency rule outside the " +
     "unigram hypothesis class") {
     val w = TextAnalysis.qtBiWeights(spark, sf())
