@@ -724,8 +724,65 @@ object Sampling {
         lit(BootB.toLong).as("n_boot"), col("ci_lo"), col("ci_hi"))
   }
 
+  /** Poisson bootstrap for a NON-MEAN statistic — the ratio of the
+    * English-doc mean length to the corpus mean length (the relative-
+    * length readout a mixture tuner reads next to [[qMixtureAlloc]]).
+    * Same one-pass Chamandy scheme as [[qBootstrap]] (independent salt,
+    * `#bratio`), extended by CONDITIONAL sums: each replicate group
+    * carries (Σw, Σwx, Σw·1[en], Σwx·1[en]) as exact BIGINTs, so ANY
+    * algebraic functional of subgroup sums rides the same single corpus
+    * pass — the replicate statistic here is three IEEE divisions of
+    * exact integers in a fixed parenthesization, bit-identical across
+    * engines. Replicates where the en-subgroup draws zero total weight
+    * are dropped on BOTH sides (deterministic, P ≈ e^{-n_en}); the CI is
+    * the same 2.5%/97.5% rank pair. Closes docs/NEXT.md round-8
+    * opportunity "bootstrap for non-mean statistics".
+    */
+  def qBootstrapRatio(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), (col("lang") === "en").as("is_en"))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#bratio"), col("b").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    val w = BootCumPpm.zipWithIndex.reverse
+      .foldLeft(lit(8L): Column) { case (acc, (c, k)) =>
+        when(col("u") < c, lit(k.toLong)).otherwise(acc)
+      }
+    val rep = docs
+      .select(col("doc_id"), col("n_chars"), col("is_en"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u", u)
+      .select(col("b"), w.as("w"), col("n_chars"), col("is_en"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("sum_w"),
+        sum(col("w") * col("n_chars")).as("sum_wx"),
+        sum(when(col("is_en"), col("w")).otherwise(0L)).as("sum_w_en"),
+        sum(when(col("is_en"), col("w") * col("n_chars")).otherwise(0L))
+          .as("sum_wx_en"))
+      .filter(col("sum_w_en") > 0L && col("sum_w") > 0L)
+    val ratios = rep.select(col("b"),
+      ((col("sum_wx_en").cast("double") / col("sum_w_en").cast("double")) /
+        (col("sum_wx").cast("double") / col("sum_w").cast("double"))).as("m"))
+    val lo = ratios.orderBy(col("m").asc, col("b").asc).limit(BootTailRank)
+      .agg(max(col("m")).as("ci_lo"))
+    val hi = ratios.orderBy(col("m").desc, col("b").desc).limit(BootTailRank)
+      .agg(min(col("m")).as("ci_hi"))
+    val base = docs.agg(
+      sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
+      count(lit(1)).as("n_docs"),
+      sum(when(col("is_en"), col("n_chars")).otherwise(0L)).as("sx_en"),
+      sum(col("n_chars")).as("sx"))
+    base.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_en"), col("n_docs"),
+        ((col("sx_en").cast("double") / col("n_en").cast("double")) /
+          (col("sx").cast("double") / col("n_docs").cast("double")))
+          .as("ratio"),
+        lit(BootB.toLong).as("n_boot"), col("ci_lo"), col("ci_hi"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bootstrap" -> qBootstrap,
+    "q_bootstrap_ratio" -> qBootstrapRatio,
     "q_mixture_alloc" -> qMixtureAlloc,
     "q_budget_alloc" -> qBudgetAlloc,
     "q_budget_alloc_w" -> qBudgetAllocW,
@@ -766,6 +823,47 @@ object Sampling {
          |base AS (SELECT count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sx FROM documents)
          |SELECT n_docs, CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean,
+         |  CAST($BootB AS BIGINT) AS n_boot, ci_lo, ci_hi
+         |FROM base, lo, hi""".stripMargin
+    },
+    // same draw with the #bratio salt; subgroup sums as exact BIGINTs,
+    // the replicate ratio in the identical IEEE parenthesization
+    "q_bootstrap_ratio" -> {
+      val caseW = BootCumPpm.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      s"""WITH r AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, $BootB)),
+         |h AS (
+         |  SELECT r.b, d.n_chars, d.lang = 'en' AS is_en,
+         |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#bratio' ||
+         |      CAST(r.b AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+         |  FROM documents d CROSS JOIN r),
+         |ww AS (SELECT b, CASE $caseW ELSE 8 END AS w, n_chars, is_en FROM h),
+         |rep AS (
+         |  SELECT b, CAST(sum(w) AS BIGINT) AS sum_w,
+         |    CAST(sum(w * n_chars) AS BIGINT) AS sum_wx,
+         |    CAST(sum(CASE WHEN is_en THEN w ELSE 0 END) AS BIGINT)
+         |      AS sum_w_en,
+         |    CAST(sum(CASE WHEN is_en THEN w * n_chars ELSE 0 END) AS BIGINT)
+         |      AS sum_wx_en
+         |  FROM ww GROUP BY b),
+         |m AS (SELECT b,
+         |    (CAST(sum_wx_en AS DOUBLE) / CAST(sum_w_en AS DOUBLE)) /
+         |    (CAST(sum_wx AS DOUBLE) / CAST(sum_w AS DOUBLE)) AS m
+         |  FROM rep WHERE sum_w_en > 0 AND sum_w > 0),
+         |lo AS (SELECT max(m) AS ci_lo FROM
+         |  (SELECT m FROM m ORDER BY m ASC, b ASC LIMIT $BootTailRank)),
+         |hi AS (SELECT min(m) AS ci_hi FROM
+         |  (SELECT m FROM m ORDER BY m DESC, b DESC LIMIT $BootTailRank)),
+         |base AS (SELECT
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_en,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT)
+         |    AS sx_en,
+         |  CAST(sum(n_chars) AS BIGINT) AS sx FROM documents)
+         |SELECT n_en, n_docs,
+         |  (CAST(sx_en AS DOUBLE) / CAST(n_en AS DOUBLE)) /
+         |  (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS ratio,
          |  CAST($BootB AS BIGINT) AS n_boot, ci_lo, ci_hi
          |FROM base, lo, hi""".stripMargin
     },

@@ -373,4 +373,25 @@ class SamplingSpec extends SparkSpec with Matchers {
     // deterministic weight draw: bit-identical on re-evaluation
     Sampling.qBootstrap(spark, sf()).head() shouldBe r
   }
+
+  test("q_bootstrap_ratio: the ratio CI brackets the point estimate, no " +
+    "replicate is dropped on this corpus, and the draw is deterministic") {
+    val r = Sampling.qBootstrapRatio(spark, sf()).head()
+    val docs = graft.tables.Tables.documents(spark, sf())
+    r.getAs[Long]("n_docs") shouldBe docs.count()
+    r.getAs[Long]("n_en") shouldBe
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    r.getAs[Long]("n_en") should be > 0L
+    r.getAs[Long]("n_boot") shouldBe Sampling.BootB.toLong
+    val (lo, m, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ratio"),
+      r.getAs[Double]("ci_hi"))
+    lo should be < hi
+    m should (be >= lo and be <= hi)
+    // ratio of means is near 1 (one shared length distribution across
+    // langs) but the interval is not collapsed
+    m should (be > 0.5 and be < 2.0)
+    (hi - lo) should be > 0.0
+    (hi - lo) should be < 0.6 * m
+    Sampling.qBootstrapRatio(spark, sf()).head() shouldBe r
+  }
 }
