@@ -780,9 +780,69 @@ object Sampling {
         lit(BootB.toLong).as("n_boot"), col("ci_lo"), col("ci_hi"))
   }
 
+  /** Poisson bootstrap for an ORDER STATISTIC — a CI for the corpus
+    * median length, the case the replicate-sums trick of
+    * [[qBootstrapRatio]] cannot express. Each replicate's exact lower
+    * weighted median (the [[TextAnalysis.qRobustStats]] convention:
+    * smallest v with cumweight ≥ ⌈W/2⌉) comes from ONE
+    * (replicate, value)-keyed aggregation over the same single corpus
+    * pass — ≤ B·|domain| rows, the bounded-domain histogram pattern —
+    * walked by a replicate-partitioned cumulative window, so no
+    * per-replicate sort of the corpus ever happens. Every output is an
+    * exact BIGINT (medians of an integer domain; the CI is the
+    * 2.5%/97.5% rank pair over B exact medians) — zero float surface.
+    * Salt `#bmed` keeps the draw independent of the other bootstrap
+    * queries. At an unbounded value domain the histogram leg switches
+    * to per-replicate KLL sketches ([[TextAnalysis.MaxHistDomain]]
+    * rationale).
+    */
+  def qBootstrapMedian(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#bmed"), col("b").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    val w = BootCumPpm.zipWithIndex.reverse
+      .foldLeft(lit(8L): Column) { case (acc, (c, k)) =>
+        when(col("u") < c, lit(k.toLong)).otherwise(acc)
+      }
+    val W = org.apache.spark.sql.expressions.Window
+    val byB = W.partitionBy(col("b"))
+    val meds = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u", u)
+      .select(col("b"), w.as("w"), col("n_chars"))
+      .groupBy(col("b"), col("n_chars"))
+      .agg(sum(col("w")).as("sw"))
+      .filter(col("sw") > 0L)
+      .withColumn("cum", sum(col("sw"))
+        .over(byB.orderBy(col("n_chars"))
+          .rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("sw")).over(byB))
+      .filter(col("cum") >= expr("(tot + 1) div 2"))
+      .groupBy(col("b")).agg(min(col("n_chars")).as("med"))
+    val lo = meds.orderBy(col("med").asc, col("b").asc).limit(BootTailRank)
+      .agg(max(col("med")).as("ci_lo"))
+    val hi = meds.orderBy(col("med").desc, col("b").desc).limit(BootTailRank)
+      .agg(min(col("med")).as("ci_hi"))
+    // population lower median off the unweighted histogram — the global
+    // window walks the ≤|domain|-row frame, not the corpus
+    val base = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c"))
+        .over(W.orderBy(col("n_chars"))
+          .rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("c")).over(W.partitionBy()))
+      .filter(col("cum") >= expr("(tot + 1) div 2"))
+      .agg(max(col("tot")).as("n_docs"), min(col("n_chars")).as("median"))
+    base.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_docs"), col("median"),
+        lit(BootB.toLong).as("n_boot"), col("ci_lo"), col("ci_hi"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bootstrap" -> qBootstrap,
     "q_bootstrap_ratio" -> qBootstrapRatio,
+    "q_bootstrap_median" -> qBootstrapMedian,
     "q_mixture_alloc" -> qMixtureAlloc,
     "q_budget_alloc" -> qBudgetAlloc,
     "q_budget_alloc_w" -> qBudgetAllocW,
@@ -824,6 +884,47 @@ object Sampling {
          |  CAST(sum(n_chars) AS BIGINT) AS sx FROM documents)
          |SELECT n_docs, CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean,
          |  CAST($BootB AS BIGINT) AS n_boot, ci_lo, ci_hi
+         |FROM base, lo, hi""".stripMargin
+    },
+    // same draw with the #bmed salt; weighted lower medians off the
+    // per-replicate histogram, everything an exact BIGINT
+    "q_bootstrap_median" -> {
+      val caseW = BootCumPpm.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      s"""WITH r AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, $BootB)),
+         |h AS (
+         |  SELECT r.b, d.n_chars,
+         |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#bmed' ||
+         |      CAST(r.b AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+         |  FROM documents d CROSS JOIN r),
+         |ww AS (SELECT b, CASE $caseW ELSE 8 END AS w, n_chars FROM h),
+         |hist AS (SELECT b, n_chars, CAST(sum(w) AS BIGINT) AS sw
+         |  FROM ww GROUP BY b, n_chars HAVING sum(w) > 0),
+         |cw AS (SELECT b, n_chars,
+         |    sum(sw) OVER (PARTITION BY b ORDER BY n_chars
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(sw) OVER (PARTITION BY b) AS tot
+         |  FROM hist),
+         |med AS (SELECT b, CAST(min(n_chars) AS BIGINT) AS med
+         |  FROM cw WHERE cum >= (tot + 1) // 2 GROUP BY b),
+         |lo AS (SELECT max(med) AS ci_lo FROM
+         |  (SELECT med, b FROM med ORDER BY med ASC, b ASC
+         |   LIMIT $BootTailRank)),
+         |hi AS (SELECT min(med) AS ci_hi FROM
+         |  (SELECT med, b FROM med ORDER BY med DESC, b DESC
+         |   LIMIT $BootTailRank)),
+         |ph AS (SELECT n_chars, count(*) AS c FROM documents
+         |  GROUP BY n_chars),
+         |pc AS (SELECT n_chars,
+         |    sum(c) OVER (ORDER BY n_chars
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(c) OVER () AS tot
+         |  FROM ph),
+         |base AS (SELECT CAST(max(tot) AS BIGINT) AS n_docs,
+         |    CAST(min(n_chars) AS BIGINT) AS median
+         |  FROM pc WHERE cum >= (tot + 1) // 2)
+         |SELECT n_docs, median, CAST($BootB AS BIGINT) AS n_boot,
+         |  ci_lo, ci_hi
          |FROM base, lo, hi""".stripMargin
     },
     // same draw with the #bratio salt; subgroup sums as exact BIGINTs,

@@ -394,4 +394,23 @@ class SamplingSpec extends SparkSpec with Matchers {
     (hi - lo) should be < 0.6 * m
     Sampling.qBootstrapRatio(spark, sf()).head() shouldBe r
   }
+
+  test("q_bootstrap_median: all-integer outputs, CI brackets the exact " +
+    "lower median, and the draw is deterministic") {
+    val r = Sampling.qBootstrapMedian(spark, sf()).head()
+    val docs = graft.tables.Tables.documents(spark, sf())
+    r.getAs[Long]("n_docs") shouldBe docs.count()
+    r.getAs[Long]("n_boot") shouldBe Sampling.BootB.toLong
+    // the population lower median matches a driver-side recompute
+    val vals = docs.select(org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(_.getLong(0)).sorted
+    r.getAs[Long]("median") shouldBe vals(((vals.length + 1) / 2) - 1)
+    val (lo, m, hi) = (r.getAs[Long]("ci_lo"), r.getAs[Long]("median"),
+      r.getAs[Long]("ci_hi"))
+    lo should be <= hi
+    m should (be >= lo and be <= hi)
+    // resampling spread is real but bounded on this corpus
+    (hi - lo) should be < m
+    Sampling.qBootstrapMedian(spark, sf()).head() shouldBe r
+  }
 }
