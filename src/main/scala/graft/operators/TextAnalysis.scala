@@ -1735,6 +1735,72 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Mean-reciprocal-rank retrieval evaluation over the [[qBm25Search]]
+    * ranking — completes the retrieval-eval triple next to graded ANN
+    * NDCG (q_ann_ndcg) and rank fusion (q_rank_fusion). Relevance is
+    * CONJUNCTIVE MATCH (a doc is relevant to a query iff it contains
+    * every query term — a scoring-independent ground truth derivable on
+    * both engines), so the readout measures whether BM25 surfaces the
+    * all-terms docs above partial matches. The first relevant rank is
+    * computed WITHOUT ranking the corpus: the best relevant row per
+    * query is an argmax struct-aggregate, and its rank is 1 + the count
+    * of scored rows ordering strictly before it (score_ppb desc, doc_id
+    * tiebreak — the exact [[qBm25Search]] order), one candidate-
+    * proportional aggregation against the |Q|-row broadcast. `rr_ppb` is
+    * exact integer division of the ppb grid. Scale: everything after
+    * the shared postings joins is hits-proportional; no global sort, no
+    * per-query corpus window.
+    */
+  def qMrr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokens = sharedTokens(s, dir)
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfT = tokens.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tokens.agg(
+      count(lit(1)).as("total"), countDistinct(col("doc_id")).as("nd"))
+    val avgdl = col("total").cast("double") / col("nd")
+    val idf = log(lit(1.0) +
+      ((col("nd") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(Bm25K1) + lit(1.0))) /
+      (col("tf") + lit(Bm25K1) *
+        ((lit(1.0) - lit(Bm25B)) + lit(Bm25B) * col("dl") / avgdl))
+    val q = SearchQueries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.size.toLong)) }
+      .toDF("query_id", "term", "q_size")
+    val scored = broadcast(q)
+      .join(tf, "term")
+      .join(dfT, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("ppb",
+        floor(round(idf * tfNorm, 9) * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy(col("query_id"), col("q_size"), col("doc_id"))
+      .agg(sum(col("ppb")).as("score_ppb"), count(lit(1)).as("n_terms"))
+    val best = scored.filter(col("n_terms") === col("q_size"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_relevant"),
+        max(struct(col("score_ppb"), (-col("doc_id")).as("nd")))
+          .as("bst"))
+      .select(col("query_id"), col("n_relevant"),
+        col("bst.score_ppb").as("best_s"), (-col("bst.nd")).as("best_doc"))
+    scored
+      .join(broadcast(best), "query_id")
+      .groupBy(col("query_id"), col("n_relevant"),
+        col("best_s"), col("best_doc"))
+      .agg(count(lit(1)).as("n_scored"),
+        (lit(1L) + sum(when(col("score_ppb") > col("best_s") ||
+          (col("score_ppb") === col("best_s") &&
+            col("doc_id") < col("best_doc")), 1L).otherwise(0L)))
+          .as("first_rank"))
+      .select(col("query_id"), col("n_scored"), col("n_relevant"),
+        col("best_doc").as("best_doc_id"), col("first_rank"),
+        expr("1000000000 div first_rank").as("rr_ppb"))
+      .orderBy(col("query_id"))
+  }
+
   /** Number of top adjacent-symbol pairs [[qBpeMerges]] reports. */
   val BpeTopPairs = 20
 
@@ -1923,6 +1989,7 @@ object TextAnalysis {
     "q_quality_classifier" -> qQualityClassifier,
     "q_quality_train" -> qQualityTrain,
     "q_auc" -> qAuc,
+    "q_mrr" -> qMrr,
     "q_quality_train_eval" -> qQualityTrainEval,
     "q_quality_calib" -> qQualityCalib,
     "q_label_noise" -> qLabelNoise,
@@ -2553,6 +2620,51 @@ object TextAnalysis {
          |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, n_terms,
          |  CAST(score_ppb AS DOUBLE) / 1.0e9 AS score
          |FROM r WHERE rk <= $SearchTopK ORDER BY query_id, rk""".stripMargin
+    },
+    // same scoring CTEs as q_bm25_search with q_size riding qv; the
+    // first relevant rank via the ranking window, conjunctive relevance
+    "q_mrr" -> {
+      val vals = SearchQueries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t', ${ts.size})") }
+        .mkString(", ")
+      s"""WITH qv AS (SELECT CAST(query_id AS BIGINT) AS query_id, term,
+         |    CAST(q_size AS BIGINT) AS q_size
+         |  FROM (VALUES $vals) AS t(query_id, term, q_size)),
+         |tk AS (SELECT doc_id,
+         |  unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                     x -> length(x) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY term),
+         |st AS (SELECT count(*) AS total, count(DISTINCT doc_id) AS nd FROM tk),
+         |sc AS (SELECT qv.query_id, qv.q_size, tf.doc_id,
+         |  CAST(floor(round(ln(1.0e0 + ((nd - df) + 0.5e0) / (df + 0.5e0)) *
+         |    ((tf * (${Bm25K1}e0 + 1.0e0)) /
+         |     (tf + ${Bm25K1}e0 * ((1.0e0 - ${Bm25B}e0) +
+         |        ${Bm25B}e0 * dl / (CAST(total AS DOUBLE) / nd)))), 9)
+         |    * 1.0e9 + 0.5e0) AS BIGINT) AS ppb
+         |  FROM qv JOIN tf USING (term) JOIN df USING (term)
+         |  JOIN dl USING (doc_id) CROSS JOIN st),
+         |agg AS (SELECT query_id, q_size, doc_id,
+         |  CAST(sum(ppb) AS BIGINT) AS score_ppb,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM sc GROUP BY query_id, q_size, doc_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_ppb DESC, doc_id) AS rk
+         |  FROM agg),
+         |rel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+         |    CAST(min(rk) AS BIGINT) AS first_rank
+         |  FROM r WHERE n_terms = q_size GROUP BY query_id),
+         |best AS (SELECT r.query_id, r.doc_id AS best_doc_id
+         |  FROM r JOIN rel ON r.query_id = rel.query_id
+         |    AND r.rk = rel.first_rank),
+         |ns AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_scored
+         |  FROM agg GROUP BY query_id)
+         |SELECT query_id, n_scored, n_relevant, best_doc_id, first_rank,
+         |  CAST(1000000000 // first_rank AS BIGINT) AS rr_ppb
+         |FROM rel JOIN best USING (query_id) JOIN ns USING (query_id)
+         |ORDER BY query_id""".stripMargin
     },
     "q_bm25" ->
       s"""WITH tk AS (SELECT doc_id,

@@ -759,4 +759,33 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     rows.map(_.getAs[Long]("query_id")).distinct.length shouldBe
       TextAnalysis.SearchQueries.length
   }
+
+  test("q_mrr: the counted first-relevant rank matches the ranked " +
+    "q_bm25_search order, and relevance is genuinely conjunctive") {
+    val rows = TextAnalysis.qMrr(spark, sf()).collect()
+    rows should not be empty
+    val top = TextAnalysis.qBm25Search(spark, sf()).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    rows.foreach { r =>
+      val (qid, rank) =
+        (r.getAs[Long]("query_id"), r.getAs[Long]("first_rank"))
+      rank should be >= 1L
+      r.getAs[Long]("n_relevant") should be >= 1L
+      r.getAs[Long]("n_relevant") should be <= r.getAs[Long]("n_scored")
+      r.getAs[Long]("rr_ppb") shouldBe 1000000000L / rank
+      // if the first relevant doc lands inside the reported top-k, the
+      // counted rank must agree with the ranked list's row_number
+      if (rank <= TextAnalysis.SearchTopK.toLong)
+        top(qid).find(_.getAs[Long]("rk") == rank).get
+          .getAs[Long]("doc_id") shouldBe r.getAs[Long]("best_doc_id")
+      // conjunctive ground truth: the best doc really contains all terms
+      val terms = TextAnalysis.SearchQueries.find(_._1 == qid).get._2
+      val text = graft.tables.Tables.documents(spark, sf())
+        .filter(org.apache.spark.sql.functions.col("doc_id") ===
+          r.getAs[Long]("best_doc_id"))
+        .head().getAs[String]("text").toLowerCase
+      val toks = text.split("[^a-z]+").filter(_.nonEmpty).toSet
+      terms.foreach(t => toks should contain(t))
+    }
+  }
 }
