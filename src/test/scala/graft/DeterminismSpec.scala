@@ -43,7 +43,10 @@ class DeterminismSpec extends AnyFunSuite with Matchers {
     "q_bootstrap", // per-(row, replicate) hash weights + rank-pair CI
     "q_dpp", // runtime partition pruning must be a plan-only change
     "q_stream_stream_join", // drained watermarked stream-stream interval join
-    "q_coreset") // memoized greedy k-center selection + literal-array census
+    "q_coreset", // memoized greedy k-center selection + literal-array census
+    "q_auc", // per-distinct-value cumulative window + two-step integer div
+    "q_bootstrap_median", // replicate-partitioned histogram walk, integer CI
+    "q_mrr") // argmax struct tie-break + count-ordering-before rank
 
   test("representative queries are bit-identical with AQE off and a " +
     "different shuffle partitioning") {
