@@ -1751,34 +1751,52 @@ object TextAnalysis {
     * the shared postings joins is hits-proportional; no global sort, no
     * per-query corpus window.
     */
-  def qMrr(s: SparkSession, dir: String): DataFrame = {
+  /** Memoized per-(query, doc) scored frame for [[qMrr]] — the argmax
+    * leg and the count-ordering-before leg both read it, so without the
+    * persist the postings joins evaluate twice per query (the
+    * sharedSignatures double-evaluation class). Hits-proportional rows;
+    * same re-mark guard as [[sharedTokens]].
+    */
+  private val mrrScoredCache =
+    new graft.operators.SessionMemo[DataFrame](_.unpersist(blocking = false))
+  private def mrrScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tokens = sharedTokens(s, dir)
-    val tf = tokens.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val dfT = tokens.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = tokens.agg(
-      count(lit(1)).as("total"), countDistinct(col("doc_id")).as("nd"))
-    val avgdl = col("total").cast("double") / col("nd")
-    val idf = log(lit(1.0) +
-      ((col("nd") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfNorm = (col("tf") * (lit(Bm25K1) + lit(1.0))) /
-      (col("tf") + lit(Bm25K1) *
-        ((lit(1.0) - lit(Bm25B)) + lit(Bm25B) * col("dl") / avgdl))
-    val q = SearchQueries
-      .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.size.toLong)) }
-      .toDF("query_id", "term", "q_size")
-    val scored = broadcast(q)
-      .join(tf, "term")
-      .join(dfT, "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("ppb",
-        floor(round(idf * tfNorm, 9) * lit(1.0e9) + lit(0.5)).cast("long"))
-      .groupBy(col("query_id"), col("q_size"), col("doc_id"))
-      .agg(sum(col("ppb")).as("score_ppb"), count(lit(1)).as("n_terms"))
+    val df0 = mrrScoredCache.getOrElseUpdate(s, dir) {
+      val tokens = sharedTokens(s, dir)
+      val tf = tokens.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfT = tokens.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = tokens.agg(
+        count(lit(1)).as("total"), countDistinct(col("doc_id")).as("nd"))
+      val avgdl = col("total").cast("double") / col("nd")
+      val idf = log(lit(1.0) +
+        ((col("nd") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfNorm = (col("tf") * (lit(Bm25K1) + lit(1.0))) /
+        (col("tf") + lit(Bm25K1) *
+          ((lit(1.0) - lit(Bm25B)) + lit(Bm25B) * col("dl") / avgdl))
+      val q = SearchQueries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.size.toLong)) }
+        .toDF("query_id", "term", "q_size")
+      broadcast(q)
+        .join(tf, "term")
+        .join(dfT, "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("ppb",
+          floor(round(idf * tfNorm, 9) * lit(1.0e9) + lit(0.5)).cast("long"))
+        .groupBy(col("query_id"), col("q_size"), col("doc_id"))
+        .agg(sum(col("ppb")).as("score_ppb"), count(lit(1)).as("n_terms"))
+        .persist()
+    }
+    if (df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df0.persist()
+    df0
+  }
+
+  def qMrr(s: SparkSession, dir: String): DataFrame = {
+    val scored = mrrScored(s, dir)
     val best = scored.filter(col("n_terms") === col("q_size"))
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_relevant"),

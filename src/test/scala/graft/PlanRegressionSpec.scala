@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 
-import graft.operators.{Relational, Similarity, TextAnalysis}
+import graft.operators.{Relational, Sampling, Similarity, TextAnalysis}
 
 /** Locks the 100×-scale plan shapes against optimizer-visible regressions:
   * these assertions fail if a future edit reintroduces a shuffle, loses a
@@ -502,5 +502,49 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should include("Expand")
     // exactly one hash exchange: the final 3-group aggregation
     "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("q_auc: one corpus-keyed exchange with map-side partial aggregation; " +
+    "the window walks the per-value frame and the source re-group reuses " +
+    "its partitioning") {
+    val plan = TextAnalysis.qAuc(spark, sf())
+      .queryExecution.executedPlan.toString
+    // (source, m) agg partial-aggregates before its exchange, so the
+    // shuffle ships one row per distinct margin per partition
+    plan should include("partial_count")
+    // exactly two hash exchanges: (source, m) then source for the window;
+    // the post-window groupBy(source) must NOT add a third
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q_mrr: both rank legs read ONE memoized scored frame, the best " +
+    "side broadcasts, and no ranking window exists") {
+    val plan = TextAnalysis.qMrr(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    // the first-relevant rank is counted, never ranked: a Window here is
+    // the per-query corpus sort this query exists to avoid
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+    // the argmax leg and the count leg must both scan the persisted
+    // scored frame rather than rebuild the postings joins inline: two
+    // cache scans carrying score_ppb (the 1-row stats BNLJ remains
+    // visible INSIDE the InMemoryRelation's recorded build subtree,
+    // where it executes once, so it is not prohibited plan-wide);
+    "InMemoryTableScan \\[[^\\]]*score_ppb".r
+      .findAllIn(plan).size shouldBe 2
+  }
+
+  test("q_bootstrap_median: the replicate histogram partial-aggregates " +
+    "map-side before its exchange — the explode never ships raw") {
+    val plan = Sampling.qBootstrapMedian(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("partial_sum")
+    plan should not include "CartesianProduct"
+    // replicate-partitioned windows only on the histogram frame; the
+    // lone unpartitioned window is the |domain|-row population walk
+    plan should include("Window")
   }
 }
