@@ -1186,6 +1186,49 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** ROC / precision-recall sweep of the trained classifier over the
+    * [[qQualityCalib]] margin buckets — the curve whose exact area
+    * [[qAuc]] anchors: one row per signed-log2-margin threshold,
+    * reporting the confusion counts and tpr/fpr/precision at "predict
+    * positive iff bucket ≥ t". Counts cumulate FROM THE TOP over the
+    * ≤ ~128-row bucket frame (a bounded-frame window walk, the
+    * [[qQualityCalib]] scale shape — the corpus shuffles once into the
+    * bucket histogram and never again); rates are exact two-step ppb
+    * integer divisions. The bucketed sweep trades resolution for a
+    * bounded threshold axis — the exact threshold-free ranking quality
+    * lives in [[qAuc]].
+    */
+  def qRocCurve(s: SparkSession, dir: String): DataFrame = {
+    val wlit = typedLit(qtWeights(s, dir))
+    val W = org.apache.spark.sql.expressions.Window
+    val hist = qAucScored(s, dir, wlit)
+      .withColumn("bucket",
+        when(col("m") === 0L, 0L)
+          .otherwise(signum(col("m")).cast("long") *
+            length(bin(abs(col("m")))).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"))
+    hist
+      .withColumn("tp", sum(col("np"))
+        .over(W.orderBy(col("bucket").desc)
+          .rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("fp", sum(col("n") - col("np"))
+        .over(W.orderBy(col("bucket").desc)
+          .rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("pos", sum(col("np")).over(W.partitionBy()))
+      .withColumn("neg", sum(col("n") - col("np")).over(W.partitionBy()))
+      .select(col("bucket"), col("tp"), col("fp"),
+        (expr("tp div pos") * lit(1000000000L) +
+          expr("(tp % pos) * 1000000000 div pos")).as("tpr_ppb"),
+        (expr("fp div neg") * lit(1000000000L) +
+          expr("(fp % neg) * 1000000000 div neg")).as("fpr_ppb"),
+        (expr("tp div (tp + fp)") * lit(1000000000L) +
+          expr("(tp % (tp + fp)) * 1000000000 div (tp + fp)"))
+          .as("prec_ppb"))
+      .orderBy(col("bucket").desc)
+  }
+
   /** Flip bucket for the planted label noise of [[qLabelNoise]]: docs
     * whose md5 split bucket equals this get their rule label INVERTED —
     * a deterministic ~10% symmetric noise rate.
@@ -2007,6 +2050,7 @@ object TextAnalysis {
     "q_quality_classifier" -> qQualityClassifier,
     "q_quality_train" -> qQualityTrain,
     "q_auc" -> qAuc,
+    "q_roc_curve" -> qRocCurve,
     "q_mrr" -> qMrr,
     "q_quality_train_eval" -> qQualityTrainEval,
     "q_quality_calib" -> qQualityCalib,
@@ -2430,6 +2474,37 @@ object TextAnalysis {
          |  CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
          |FROM ag WHERE n_pos > 0 AND n_neg > 0
          |ORDER BY source""".stripMargin,
+    // calib's bucket histogram walked top-down; rates as the two-step
+    // exact ppb integer division
+    "q_roc_curve" ->
+      s"""${pocketScoreCtes("")}
+         |, bkt AS (
+         |  SELECT CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END
+         |        * length(bin(abs(m))) AS BIGINT) END AS bucket, y
+         |  FROM sc),
+         |h AS (SELECT bucket, count(*) AS n,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM bkt GROUP BY bucket),
+         |c AS (SELECT bucket,
+         |    CAST(sum(np) OVER (ORDER BY bucket DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS tp,
+         |    CAST(sum(n - np) OVER (ORDER BY bucket DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS fp,
+         |    CAST(sum(np) OVER () AS BIGINT) AS pos,
+         |    CAST(sum(n - np) OVER () AS BIGINT) AS neg
+         |  FROM h)
+         |SELECT bucket, tp, fp,
+         |  CAST((tp // pos) * 1000000000
+         |    + ((tp % pos) * 1000000000) // pos AS BIGINT) AS tpr_ppb,
+         |  CAST((fp // neg) * 1000000000
+         |    + ((fp % neg) * 1000000000) // neg AS BIGINT) AS fpr_ppb,
+         |  CAST((tp // (tp + fp)) * 1000000000
+         |    + ((tp % (tp + fp)) * 1000000000) // (tp + fp) AS BIGINT)
+         |    AS prec_ppb
+         |FROM c ORDER BY bucket DESC""".stripMargin,
     "q_quality_calib" ->
       s"""${pocketScoreCtes("")}
          |, bkt AS (

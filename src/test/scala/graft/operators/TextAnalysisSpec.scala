@@ -416,6 +416,32 @@ class TextAnalysisSpec extends SparkSpec with Matchers {
     wAuc should be > 0.8
   }
 
+  test("q_roc_curve: cumulative counts are monotone from the top, end at " +
+    "the class totals, and the curve dominates the diagonal") {
+    val rows = TextAnalysis.qRocCurve(spark, sf()).collect()
+    rows.length should be > 3
+    // buckets descend; tp/fp cumulate monotonically
+    rows.map(_.getAs[Long]("bucket")).sliding(2).foreach {
+      case Array(a, b) => a should be > b
+      case _ =>
+    }
+    Seq("tp", "fp").foreach { c =>
+      rows.map(_.getAs[Long](c)).sliding(2).foreach {
+        case Array(a, b) => a should be <= b
+        case _ =>
+      }
+    }
+    // the last row predicts everything positive: tpr = fpr = 1
+    rows.last.getAs[Long]("tpr_ppb") shouldBe 1000000000L
+    rows.last.getAs[Long]("fpr_ppb") shouldBe 1000000000L
+    val (pos, neg) = (rows.last.getAs[Long]("tp"), rows.last.getAs[Long]("fp"))
+    (pos + neg) shouldBe graft.tables.Tables.documents(spark, sf()).count()
+    // a trained ranker's ROC sits above the diagonal on the curve's mass
+    val above = rows.count(r =>
+      r.getAs[Long]("tpr_ppb") >= r.getAs[Long]("fpr_ppb"))
+    above.toDouble / rows.length should be > 0.8
+  }
+
   test("bigram pocket perceptron: learns an adjacency rule outside the " +
     "unigram hypothesis class") {
     val w = TextAnalysis.qtBiWeights(spark, sf())
