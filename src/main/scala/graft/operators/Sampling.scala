@@ -710,15 +710,21 @@ object Sampling {
       .groupBy(col("b"))
       .agg(sum(col("w")).as("sum_w"),
         sum(col("w") * col("n_chars")).as("sum_wx"))
-    val means = rep.select(col("b"),
-      (col("sum_wx").cast("double") / col("sum_w").cast("double")).as("m"))
-    val lo = means.orderBy(col("m").asc, col("b").asc).limit(BootTailRank)
-      .agg(max(col("m")).as("ci_lo"))
-    val hi = means.orderBy(col("m").desc, col("b").desc).limit(BootTailRank)
-      .agg(min(col("m")).as("ci_hi"))
+    // BOTH interval endpoints from ONE pass: the k-th smallest / largest
+    // of the B replicate means are positions in one sorted B-element
+    // array (identical values to the order-limit rank pair, tie-or-not),
+    // so the explode+aggregate subtree evaluates once instead of once
+    // per endpoint (the double-evaluation fix class, measured 1.5 s →
+    // ~0.8 s steady at sf0.1)
+    val ci = rep
+      .select((col("sum_wx").cast("double") / col("sum_w").cast("double"))
+        .as("m"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(element_at(col("ms"), BootTailRank).as("ci_lo"),
+        element_at(col("ms"), -BootTailRank).as("ci_hi"))
     val base = docs.agg(count(lit(1)).as("n_docs"),
       sum(col("n_chars")).as("sx"))
-    base.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    base.crossJoin(broadcast(ci))
       .select(col("n_docs"),
         (col("sx").cast("double") / col("n_docs").cast("double")).as("mean"),
         lit(BootB.toLong).as("n_boot"), col("ci_lo"), col("ci_hi"))
@@ -760,19 +766,20 @@ object Sampling {
         sum(when(col("is_en"), col("w") * col("n_chars")).otherwise(0L))
           .as("sum_wx_en"))
       .filter(col("sum_w_en") > 0L && col("sum_w") > 0L)
-    val ratios = rep.select(col("b"),
-      ((col("sum_wx_en").cast("double") / col("sum_w_en").cast("double")) /
+    // one-pass rank pair off the sorted replicate array (see qBootstrap)
+    val ci = rep
+      .select(((col("sum_wx_en").cast("double") /
+        col("sum_w_en").cast("double")) /
         (col("sum_wx").cast("double") / col("sum_w").cast("double"))).as("m"))
-    val lo = ratios.orderBy(col("m").asc, col("b").asc).limit(BootTailRank)
-      .agg(max(col("m")).as("ci_lo"))
-    val hi = ratios.orderBy(col("m").desc, col("b").desc).limit(BootTailRank)
-      .agg(min(col("m")).as("ci_hi"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(element_at(col("ms"), BootTailRank).as("ci_lo"),
+        element_at(col("ms"), -BootTailRank).as("ci_hi"))
     val base = docs.agg(
       sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
       count(lit(1)).as("n_docs"),
       sum(when(col("is_en"), col("n_chars")).otherwise(0L)).as("sx_en"),
       sum(col("n_chars")).as("sx"))
-    base.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    base.crossJoin(broadcast(ci))
       .select(col("n_en"), col("n_docs"),
         ((col("sx_en").cast("double") / col("n_en").cast("double")) /
           (col("sx").cast("double") / col("n_docs").cast("double")))
@@ -821,10 +828,11 @@ object Sampling {
       .withColumn("tot", sum(col("sw")).over(byB))
       .filter(col("cum") >= expr("(tot + 1) div 2"))
       .groupBy(col("b")).agg(min(col("n_chars")).as("med"))
-    val lo = meds.orderBy(col("med").asc, col("b").asc).limit(BootTailRank)
-      .agg(max(col("med")).as("ci_lo"))
-    val hi = meds.orderBy(col("med").desc, col("b").desc).limit(BootTailRank)
-      .agg(min(col("med")).as("ci_hi"))
+    // one-pass rank pair off the sorted replicate array (see qBootstrap)
+    val ci = meds
+      .agg(sort_array(collect_list(col("med"))).as("ms"))
+      .select(element_at(col("ms"), BootTailRank).as("ci_lo"),
+        element_at(col("ms"), -BootTailRank).as("ci_hi"))
     // population lower median off the unweighted histogram — the global
     // window walks the ≤|domain|-row frame, not the corpus
     val base = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
@@ -834,7 +842,7 @@ object Sampling {
       .withColumn("tot", sum(col("c")).over(W.partitionBy()))
       .filter(col("cum") >= expr("(tot + 1) div 2"))
       .agg(max(col("tot")).as("n_docs"), min(col("n_chars")).as("median"))
-    base.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    base.crossJoin(broadcast(ci))
       .select(col("n_docs"), col("median"),
         lit(BootB.toLong).as("n_boot"), col("ci_lo"), col("ci_hi"))
   }
