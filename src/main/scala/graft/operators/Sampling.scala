@@ -847,8 +847,30 @@ object Sampling {
         lit(BootB.toLong).as("n_boot"), col("ci_lo"), col("ci_hi"))
   }
 
+  /** Grouped k-fold cross-validation assignment — the GroupKFold
+    * discipline: folds partition GROUPS (sources), not rows, so no
+    * group's documents ever straddle a fold and within-group leakage
+    * (the failure mode [[graft.operators.Dedup.qSplitLeakage]] audits
+    * for near-dup pairs) is impossible BY CONSTRUCTION for group-level
+    * signals. Assignment is the portable md5 bucket of the source name —
+    * stable under re-partitioning, re-ingestion, and corpus growth
+    * (a new document joins its source's existing fold). Output is the
+    * per-fold balance ledger a CV harness checks before training.
+    * Scale: one row-local label + one |K·sources|-bounded aggregation.
+    */
+  val KFolds = 5
+  def qGroupKfold(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("fold", hashBucket(col("source"), KFolds))
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("fold"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bootstrap" -> qBootstrap,
+    "q_group_kfold" -> qGroupKfold,
     "q_bootstrap_ratio" -> qBootstrapRatio,
     "q_bootstrap_median" -> qBootstrapMedian,
     "q_mixture_alloc" -> qMixtureAlloc,
@@ -894,6 +916,12 @@ object Sampling {
          |  CAST($BootB AS BIGINT) AS n_boot, ci_lo, ci_hi
          |FROM base, lo, hi""".stripMargin
     },
+    "q_group_kfold" ->
+      s"""SELECT ${bucketSql("source", KFolds)} AS fold,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM documents GROUP BY fold ORDER BY fold""".stripMargin,
     // same draw with the #bmed salt; weighted lower medians off the
     // per-replicate histogram, everything an exact BIGINT
     "q_bootstrap_median" -> {

@@ -395,6 +395,24 @@ class SamplingSpec extends SparkSpec with Matchers {
     Sampling.qBootstrapRatio(spark, sf()).head() shouldBe r
   }
 
+  test("q_group_kfold: folds partition the source set — no group " +
+    "straddles a fold, and every fold is populated") {
+    val rows = Sampling.qGroupKfold(spark, sf()).collect()
+    rows.length shouldBe Sampling.KFolds
+    val docs = graft.tables.Tables.documents(spark, sf())
+    // group integrity: per-fold distinct-source counts sum to the corpus
+    // total — a source in two folds would double-count here
+    rows.map(_.getAs[Long]("n_sources")).sum shouldBe
+      docs.select("source").distinct().count()
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe docs.count()
+    rows.foreach { r =>
+      r.getAs[Long]("n_sources") should be >= 1L
+      r.getAs[Long]("n_docs") should be >= 1L
+    }
+    // assignment is a pure function of the source name
+    Sampling.qGroupKfold(spark, sf()).collect() shouldBe rows
+  }
+
   test("q_bootstrap_median: all-integer outputs, CI brackets the exact " +
     "lower median, and the draw is deterministic") {
     val r = Sampling.qBootstrapMedian(spark, sf()).head()
