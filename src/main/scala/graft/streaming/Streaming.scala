@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Structured Streaming surface — the unbounded mirror of the batch
@@ -743,6 +743,100 @@ object Streaming {
       .orderBy(col("dup_count"))
   }
 
+  /** Final emission row of [[qStreamTws]]'s stateful processor. */
+  case class TwsOut(user_id: Long, n_purchases: Long, cents: Long)
+
+  /** Arbitrary-state processor for [[qStreamTws]] — Spark 4's
+    * `transformWithState` API (the successor of the
+    * map/flatMapGroupsWithState pair the sessionizer and KMV queries
+    * exercise): typed [[ValueState]] holding (purchase count, exact
+    * cents sum) per user, re-emitted on every touch in update mode.
+    * Both components only grow on this corpus' append-only purchase
+    * stream, and the count is STRICTLY increasing per emission, so the
+    * per-key struct-max collapse of the sink history is the drained
+    * final state regardless of the cents column's sign.
+    */
+  private class SpendProcessor
+      extends StatefulProcessor[Long, (Long, Long), TwsOut] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("spend",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[TwsOut] = {
+      var (n, c) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { r => n += 1; c += r._2 }
+      st.update((n, c))
+      Iterator.single(TwsOut(key, n, c))
+    }
+  }
+
+  /** Run a bounded drain under the RocksDB state store provider —
+    * `transformWithState` REQUIRES it (the default HDFS-backed provider
+    * rejects the operator), and it is also the provider a 100 TB
+    * deployment runs for state-larger-than-heap. Session conf restored
+    * after the drain so every other query keeps the default provider.
+    */
+  private def withRocksDbState[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try f
+    finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Per-user lifetime purchase spend via the MODERN arbitrary-state API
+    * ([[SpendProcessor]], `transformWithState` + typed ValueState under
+    * the RocksDB provider) — completing the stateful-API surface the
+    * gate already covers for `mapGroupsWithState` ([[qStreamKmv]]) and
+    * `flatMapGroupsWithState` ([[qStreamSessions]]). The drained per-key
+    * states collapse by struct-max (count strictly increases per
+    * emission) and roll up into the purchases-per-user histogram the
+    * DuckDB oracle computes directly from the batch table in exact
+    * cents. At 100 TB this plan tails the purchase feed with one
+    * (count, cents) pair of RocksDB state per user.
+    */
+  def qStreamTws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+    val name = s"graft_stream_tws_${sinkSeq.incrementAndGet()}"
+    val out = src
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        graft.operators.Relational.cents(col("value")).as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SpendProcessor,
+        TimeMode.None(), OutputMode.Update())
+    withRocksDbState(s) {
+      val q = out.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_purchases"), col("cents"))).as("st"))
+      .select(col("st.n_purchases").as("n_purchases"),
+        col("st.cents").as("cents"))
+      .groupBy(col("n_purchases"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("n_purchases"))
+  }
+
   /** Fourth streaming query under the driver's oracle gate, exercising the
     * remaining core Structured Streaming join regime: a STREAM-STATIC
     * broadcast join ([[enrichWithSegments]] — stateless, no watermark, the
@@ -927,6 +1021,7 @@ object Streaming {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_kmv" -> qStreamKmv,
     "q_stream_dedup" -> qStreamDedup,
+    "q_stream_tws" -> qStreamTws,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_wc" -> qStreamWc,
     "q_stream_join" -> qStreamJoin,
@@ -940,6 +1035,19 @@ object Streaming {
       // the batch q_kmv oracle minus its exact ride-along: the streamed
       // same oracle as the batch wc_wordcount row (one tokenizer, one
       // derivation, three execution regimes)
+      // the drained transformWithState value states must reproduce the
+      // batch purchases-per-user histogram in exact cents
+      "q_stream_tws" ->
+        """WITH p AS (SELECT user_id,
+          |    CAST(sign(value) * floor(abs(value) * 100.0e0 + 0.5e0)
+          |      AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'purchase'),
+          |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+          |    CAST(sum(cents) AS BIGINT) AS cents
+          |  FROM p GROUP BY user_id)
+          |SELECT n_purchases, count(*) AS n_users,
+          |  CAST(sum(cents) AS BIGINT) AS total_cents
+          |FROM u GROUP BY n_purchases ORDER BY n_purchases""".stripMargin,
       // the drained fingerprint states must reproduce the batch planted
       // union's exact-dedup histogram
       "q_stream_dedup" ->

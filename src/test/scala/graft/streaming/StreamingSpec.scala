@@ -814,4 +814,26 @@ class StreamingSpec extends SparkSpec with Matchers {
     // so a dup_count-1 bucket would mean the stream dropped an arrival
     got.keySet.min should be >= 2L
   }
+
+  test("q_stream_tws: transformWithState value states drained under " +
+    "RocksDB reproduce the batch purchases-per-user histogram, and the " +
+    "provider conf is restored") {
+    val before = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    val got = Streaming.qStreamTws(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass") shouldBe before
+    val want = graft.tables.Tables.events(spark, sf())
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        graft.operators.Relational.cents(col("value")).as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .groupBy(col("n")).agg(count(lit(1)), sum(col("c")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    want should not be empty
+    got shouldBe want
+  }
 }
