@@ -743,6 +743,49 @@ object Streaming {
       .orderBy(col("dup_count"))
   }
 
+  /** The foreachBatch keyed-upsert SINK regime under the oracle gate —
+    * the one core streaming pattern the other gate rows don't touch: a
+    * chained aggregation after a stream-stream join is restricted, so
+    * production pipelines collapse each micro-batch and MERGE into a
+    * keyed store ([[attributionLatestDistributed]] — the fully
+    * distributed store, no driver-side state). The real events file
+    * drains through the watermarked signup×purchase interval join; the
+    * store's final mapping (latest at-or-before signup per purchase,
+    * max-merged across micro-batches) rolls up into an
+    * attribution-lag-hours histogram in exact cents, which must
+    * hash-match the DuckDB oracle pairing the batch table directly. Lag
+    * is exact integer microseconds div 3600·10⁶ on both engines. At
+    * 100 TB this is the upsert shape every serving table runs; state is
+    * one row per attributed purchase, merged idempotently.
+    */
+  def qStreamAttribution(s: SparkSession, dir: String): DataFrame = {
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val store = new DistributedAttributionStore(s)
+    val days = graft.operators.Events.AttrWindowDays
+    withDrainPartitions(s) {
+      val q = attributionLatestDistributed(src, store,
+        watermark = "1 hour", attributionWindow = s"$days days")
+      try q.processAllAvailable() finally q.stop()
+    }
+    store.mapping
+      .select(
+        expr("(unix_micros(purchase_ts) - unix_micros(signup_ts)) " +
+          "div 3600000000").as("lag_hours"),
+        graft.operators.Relational.cents(col("value")).as("cents"))
+      .groupBy(col("lag_hours"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+      .orderBy(col("lag_hours"))
+  }
+
   /** Final emission row of [[qStreamTws]]'s stateful processor. */
   case class TwsOut(user_id: Long, n_purchases: Long, cents: Long)
 
@@ -1022,6 +1065,7 @@ object Streaming {
     "q_stream_kmv" -> qStreamKmv,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_tws" -> qStreamTws,
+    "q_stream_attribution" -> qStreamAttribution,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_wc" -> qStreamWc,
     "q_stream_join" -> qStreamJoin,
@@ -1035,6 +1079,28 @@ object Streaming {
       // the batch q_kmv oracle minus its exact ride-along: the streamed
       // same oracle as the batch wc_wordcount row (one tokenizer, one
       // derivation, three execution regimes)
+      // the store's merged mapping must reproduce the batch
+      // latest-at-or-before-signup pairing, bucketed by exact lag micros
+      "q_stream_attribution" ->
+        s"""WITH p AS (SELECT event_id, user_id, ts AS pts, value
+           |  FROM events WHERE event_type = 'purchase'),
+           |sg AS (SELECT user_id, ts AS sts
+           |  FROM events WHERE event_type = 'signup'),
+           |pairs AS (SELECT p.event_id, p.pts, p.value, sg.sts
+           |  FROM p JOIN sg ON sg.user_id = p.user_id
+           |    AND sg.sts <= p.pts
+           |    AND p.pts <= sg.sts
+           |      + INTERVAL ${graft.operators.Events.AttrWindowDays} DAY),
+           |m AS (SELECT event_id, pts, value, max(sts) AS sts
+           |  FROM pairs GROUP BY event_id, pts, value),
+           |l AS (SELECT
+           |    (epoch_us(pts) - epoch_us(sts)) // 3600000000 AS lag_hours,
+           |    CAST(sign(value) * floor(abs(value) * 100.0e0 + 0.5e0)
+           |      AS BIGINT) AS cents
+           |  FROM m)
+           |SELECT CAST(lag_hours AS BIGINT) AS lag_hours,
+           |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS cents
+           |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
       // the drained transformWithState value states must reproduce the
       // batch purchases-per-user histogram in exact cents
       "q_stream_tws" ->

@@ -815,6 +815,33 @@ class StreamingSpec extends SparkSpec with Matchers {
     got.keySet.min should be >= 2L
   }
 
+  test("q_stream_attribution: the drained foreachBatch store rollup " +
+    "equals the batch latest-signup pairing") {
+    val got = Streaming.qStreamAttribution(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = graft.tables.Tables.events(spark, sf())
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"),
+        col("value"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("sts"))
+    val days = graft.operators.Events.AttrWindowDays
+    val want = p.join(sg, col("user_id") === col("s_user") &&
+        col("sts") <= col("pts") &&
+        col("pts") <= col("sts") + expr(s"INTERVAL $days DAYS"))
+      .groupBy(col("event_id"), col("pts"), col("value"))
+      .agg(max(col("sts")).as("sts"))
+      .select(expr("(unix_micros(pts) - unix_micros(sts)) div 3600000000")
+        .as("lag_hours"),
+        graft.operators.Relational.cents(col("value")).as("cents"))
+      .groupBy(col("lag_hours"))
+      .agg(count(lit(1)), sum(col("cents")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    want should not be empty
+    got shouldBe want
+  }
+
   test("q_stream_tws: transformWithState value states drained under " +
     "RocksDB reproduce the batch purchases-per-user histogram, and the " +
     "provider conf is restored") {
