@@ -835,6 +835,126 @@ object Streaming {
     }
   }
 
+  /** [[sessionize]]'s exact semantics on the MODERN state API: typed
+    * [[org.apache.spark.sql.streaming.ListState]] of open sessions per
+    * user plus explicit EVENT-TIME TIMERS ([[StatefulProcessorHandle
+    * .registerTimer]] / [[handleExpiredTimer]]) replacing
+    * `GroupStateTimeout.EventTimeTimeout` — the two halves of the
+    * transformWithState surface [[SpendProcessor]]'s ValueState leg
+    * doesn't touch. Same absorb fold, same close rule (end + gap <
+    * watermark), so the emitted session rows are identical to the
+    * flatMapGroupsWithState twin; stale timers re-fire harmlessly (a
+    * flush with nothing closable emits nothing and re-arms).
+    */
+  private class TwsSessionizer(gapMinutes: Int)
+      extends StatefulProcessor[Long, Event, SessionOut] {
+    private val gapUs = gapMinutes * 60L * 1000000L
+    @transient private var st: org.apache.spark.sql.streaming.ListState[SessionState] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit =
+      st = getHandle.getListState[SessionState]("sessions",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def tsUs(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    private def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+
+    /** Emit every session the watermark has passed; retain + re-arm the
+      * rest (timer strictly beyond the watermark, the [[sessionize]]
+      * boundary rule).
+      */
+    private def flush(key: Long, wmUs: Long): Iterator[SessionOut] = {
+      val sessions = if (st.exists()) st.get().toList else Nil
+      val (closed, open) = sessions.partition(_.endUs + gapUs < wmUs)
+      if (open.isEmpty) st.clear()
+      else {
+        st.put(open.toArray)
+        getHandle.registerTimer(math.max(
+          open.map(_.endUs).min / 1000 + gapMinutes * 60L * 1000,
+          wmUs / 1000 + 1))
+      }
+      closed.iterator.map(s =>
+        SessionOut(key, usToTs(s.startUs), usToTs(s.endUs), s.nEvents,
+          s.totalValue))
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val sessions0 = if (st.exists()) st.get().toList else Nil
+      val sorted = rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+      val sessions = sorted.foldLeft(sessions0)((acc, e) =>
+        absorb(acc, tsUs(e.ts), e.value, gapUs))
+      st.put(sessions.toArray)
+      flush(key, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] =
+      flush(key, tv.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** The gap sessionizer re-run on transformWithState (ListState +
+    * event-time timers, RocksDB provider) over the same staged landing
+    * directory and sentinel discipline as [[qStreamSessions]] — and
+    * against the SAME oracle: three execution regimes for one session
+    * derivation (batch window walk, flatMapGroupsWithState, modern
+    * arbitrary state). At 100 TB the ListState rows live in RocksDB
+    * per user — state larger than heap is the provider's point.
+    */
+  def qStreamTwsSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    val stage = java.nio.file.Files.createTempDirectory("graft_tws_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      stage.resolve("batch0.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val src = s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .withColumn("value", round(col("value") * 100, 0))
+      .as[Event]
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TwsSessionizer(graft.operators.Events.SessionGapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+    val name = s"graft_stream_tws_sess_${sinkSeq.incrementAndGet()}"
+    withRocksDbState(s) {
+      val q = src.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        q.processAllAvailable()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_tws_tick")
+        Seq((-1L, 4102444800L * 1000000L, -1L, "x", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val st0 = java.nio.file.Files.list(tmp)
+          try st0.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally st0.close()
+        }
+        java.nio.file.Files.move(part, stage.resolve("z_sentinel.parquet"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"),
+        (col("session_value") / 100.0).as("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Per-user lifetime purchase spend via the MODERN arbitrary-state API
     * ([[SpendProcessor]], `transformWithState` + typed ValueState under
     * the RocksDB provider) — completing the stateful-API surface the
@@ -1065,6 +1185,7 @@ object Streaming {
     "q_stream_kmv" -> qStreamKmv,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_tws" -> qStreamTws,
+    "q_stream_tws_sessions" -> qStreamTwsSessions,
     "q_stream_attribution" -> qStreamAttribution,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_wc" -> qStreamWc,
@@ -1072,6 +1193,33 @@ object Streaming {
     "q_stream_stream_join" -> qStreamStreamJoin,
     "q_stream_outer_join" -> qStreamOuterJoin
   )
+
+  /** The batch sessionizer derivation shared by BOTH streamed
+    * sessionizer gate rows ([[qStreamSessions]],
+    * [[qStreamTwsSessions]]) — one oracle, three execution regimes.
+    */
+  private lazy val sessionsOracle: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+       |              > ${graft.operators.Events.SessionGapMinutes} * 60 * 1000000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT user_id, ts, value,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM flagged),
+       |agg AS (
+       |  SELECT user_id,
+       |    min(ts) AS session_start, max(ts) AS session_end,
+       |    count(*) AS n_events,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+       |  FROM sessions GROUP BY user_id, session_idx)
+       |SELECT user_id, session_start, session_end, n_events, session_value
+       |FROM agg ORDER BY user_id, session_start""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val kmvK = graft.operators.Events.KmvK
@@ -1138,28 +1286,10 @@ object Streaming {
       // the batch sessionizer's derivation minus its session_idx /
       // duration ride-alongs, keyed by (user, session_start) — the
       // streamed append-mode emissions must reproduce every session row
-      "q_stream_sessions" ->
-        s"""WITH flagged AS (
-           |  SELECT user_id, event_id, ts, value,
-           |    CASE WHEN lag(ts) OVER w IS NULL
-           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-           |              > ${graft.operators.Events.SessionGapMinutes} * 60 * 1000000
-           |         THEN 1 ELSE 0 END AS is_new
-           |  FROM events
-           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-           |sessions AS (
-           |  SELECT user_id, ts, value,
-           |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-           |  FROM flagged),
-           |agg AS (
-           |  SELECT user_id,
-           |    min(ts) AS session_start, max(ts) AS session_end,
-           |    count(*) AS n_events,
-           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-           |  FROM sessions GROUP BY user_id, session_idx)
-           |SELECT user_id, session_start, session_end, n_events, session_value
-           |FROM agg ORDER BY user_id, session_start""".stripMargin,
+      "q_stream_sessions" -> sessionsOracle,
+      // same oracle, third execution regime: the transformWithState
+      // ListState + event-time-timer sessionizer must land identically
+      "q_stream_tws_sessions" -> sessionsOracle,
       // the drained outer rollup must equal the batch LEFT JOIN from the
       // same pairing CTE: matched pairs + per-channel unmatched touches
       "q_stream_outer_join" ->

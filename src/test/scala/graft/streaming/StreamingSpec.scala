@@ -815,6 +815,19 @@ class StreamingSpec extends SparkSpec with Matchers {
     got.keySet.min should be >= 2L
   }
 
+  test("q_stream_tws_sessions: the timer-driven transformWithState " +
+    "sessionizer emits exactly the flatMapGroupsWithState sessions") {
+    val got = Streaming.qStreamTwsSessions(spark, sf()).collect()
+      .map(_.toString).sorted
+    // equality here proves the TIMER path ran for every user: in the
+    // sentinel micro-batch only user -1 receives input rows, so every
+    // real user's sessions can only emit from handleExpiredTimer
+    val want = Streaming.qStreamSessions(spark, sf()).collect()
+      .map(_.toString).sorted
+    want should not be empty
+    got shouldBe want
+  }
+
   test("q_stream_attribution: the drained foreachBatch store rollup " +
     "equals the batch latest-signup pairing") {
     val got = Streaming.qStreamAttribution(spark, sf()).collect()
