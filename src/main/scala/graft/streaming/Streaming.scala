@@ -786,6 +786,93 @@ object Streaming {
       .orderBy(col("lag_hours"))
   }
 
+  /** Emission row of [[ChannelMixProcessor]]: one row per
+    * (user, event_type) the arriving batch touched, with that pair's
+    * running count.
+    */
+  case class TwsMapOut(user_id: Long, channel: String, cnt: Long)
+
+  /** Heavy/light activity split for [[qStreamTwsMap]] — pinned near the
+    * corpus' median per-user event count (~66 at sf0.001 through
+    * sf0.1), so BOTH tiers are populated at every gate SF (the spec
+    * asserts non-vacuity).
+    */
+  val TierHeavyEvents = 67L
+
+  /** [[org.apache.spark.sql.streaming.MapState]] leg of the
+    * transformWithState surface — the per-key SUB-KEYED accumulator
+    * ValueState can't express without packing: a map from event_type to
+    * its running count per user (the channel-mix profile an
+    * attribution model reads). Only the sub-keys touched by the
+    * arriving rows re-emit, so update-mode emissions are per-(user,
+    * channel) monotone counts and the sink history collapses by max —
+    * the [[qStreamKmv]] discipline one level down the key hierarchy.
+    */
+  private class ChannelMixProcessor
+      extends StatefulProcessor[Long, (Long, String), TwsMapOut] {
+    @transient private var st
+      : org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("mix",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        tv: TimerValues): Iterator[TwsMapOut] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        val ch = r._2
+        val cur = if (st.containsKey(ch)) st.getValue(ch) else 0L
+        st.updateValue(ch, cur + 1L)
+        touched += ch
+      }
+      touched.iterator.map(ch => TwsMapOut(key, ch, st.getValue(ch)))
+    }
+  }
+
+  /** Per-user channel-mix profile via transformWithState MAP STATE —
+    * with [[qStreamTws]] (ValueState) and [[qStreamTwsSessions]]
+    * (ListState + timers) this puts every state primitive of the
+    * modern API under the driver's hash gate. The drained per-(user,
+    * channel) counts collapse by max and roll up into the
+    * channel-mix-shape census (how many users have each (channel →
+    * share) profile would be unbounded; the bounded readout is events
+    * per channel by user-activity tier). At 100 TB the map rows live
+    * in RocksDB per user — the sub-keyed layout avoids rewriting one
+    * monolithic per-user blob on every event, which is the reason
+    * MapState exists.
+    */
+  def qStreamTwsMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("user_id", LongType)))
+    val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+      .select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new ChannelMixProcessor,
+        TimeMode.None(), OutputMode.Update())
+    val name = s"graft_stream_tws_map_${sinkSeq.incrementAndGet()}"
+    withRocksDbState(s) {
+      val q = src.writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // tier via a user-partitioned window over the per-(user, channel)
+    // frame (≤ |event types| rows per user) — a self-join of the memory
+    // sink view would collide on its fixed attribute ids
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    s.table(name)
+      .groupBy(col("user_id"), col("channel"))
+      .agg(max(col("cnt")).as("cnt"))
+      .withColumn("n_total", sum(col("cnt")).over(byUser))
+      .withColumn("tier",
+        when(col("n_total") >= TierHeavyEvents, "heavy").otherwise("light"))
+      .groupBy(col("tier"), col("channel"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
+      .orderBy(col("tier"), col("channel"))
+  }
+
   /** Final emission row of [[qStreamTws]]'s stateful processor. */
   case class TwsOut(user_id: Long, n_purchases: Long, cents: Long)
 
@@ -1186,6 +1273,7 @@ object Streaming {
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_tws" -> qStreamTws,
     "q_stream_tws_sessions" -> qStreamTwsSessions,
+    "q_stream_tws_map" -> qStreamTwsMap,
     "q_stream_attribution" -> qStreamAttribution,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_wc" -> qStreamWc,
@@ -1249,6 +1337,19 @@ object Streaming {
            |SELECT CAST(lag_hours AS BIGINT) AS lag_hours,
            |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS cents
            |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+      // the drained map states must reproduce the batch per-(user,
+      // channel) counts, rolled up by activity tier
+      "q_stream_tws_map" ->
+        s"""WITH uc AS (SELECT user_id, event_type AS channel,
+          |    CAST(count(*) AS BIGINT) AS cnt
+          |  FROM events GROUP BY user_id, event_type),
+          |t AS (SELECT user_id,
+          |    CASE WHEN sum(cnt) >= $TierHeavyEvents THEN 'heavy' ELSE 'light' END AS tier
+          |  FROM uc GROUP BY user_id)
+          |SELECT t.tier, uc.channel, count(*) AS n_users,
+          |  CAST(sum(uc.cnt) AS BIGINT) AS n_events
+          |FROM uc JOIN t USING (user_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // the drained transformWithState value states must reproduce the
       // batch purchases-per-user histogram in exact cents
       "q_stream_tws" ->

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
-import graft.streaming.Streaming.{Event, SessionOut}
+import graft.streaming.Streaming.{Event, SessionOut, TierHeavyEvents}
 
 /** Streaming operators driven through MemoryStream + the memory sink:
   * incremental results must equal the batch expressions on the same data.
@@ -826,6 +826,28 @@ class StreamingSpec extends SparkSpec with Matchers {
       .map(_.toString).sorted
     want should not be empty
     got shouldBe want
+  }
+
+  test("q_stream_tws_map: drained per-channel map states reproduce the " +
+    "batch channel-mix census with both tiers populated") {
+    val rows = Streaming.qStreamTwsMap(spark, sf()).collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    val uc = graft.tables.Tables.events(spark, sf())
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .withColumn("tier",
+        when(col("n_total") >= TierHeavyEvents, "heavy").otherwise("light"))
+    val want = uc.groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)), sum(col("cnt")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    want should not be empty
+    got shouldBe want
+    // the tier split is non-vacuous on this corpus
+    rows.map(_.getString(0)).distinct.sorted shouldBe Seq("heavy", "light")
   }
 
   test("q_stream_attribution: the drained foreachBatch store rollup " +
