@@ -1042,6 +1042,101 @@ object Streaming {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** [[SpendProcessor]] with a BATCH-SEEDED warm start
+    * ([[org.apache.spark.sql.streaming.StatefulProcessorWithInitialState]])
+    * — `handleInitialState` loads each user's batch-computed
+    * (count, cents) snapshot before the first micro-batch touches the
+    * key. The correctness property a migration-to-streaming cares
+    * about: snapshot + streamed delta ≡ full recompute.
+    */
+  private class SeededSpendProcessor
+      extends org.apache.spark.sql.streaming
+        .StatefulProcessorWithInitialState[
+          Long, (Long, Long), TwsOut, (Long, Long)] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("spend",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInitialState(key: Long, initial: (Long, Long),
+        tv: TimerValues): Unit =
+      st.update(initial)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[TwsOut] = {
+      var (n, c) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { r => n += 1; c += r._2 }
+      st.update((n, c))
+      Iterator.single(TwsOut(key, n, c))
+    }
+  }
+
+  /** Snapshot membership rule for [[qStreamTwsSeeded]]: a purchase is in
+    * the batch-processed history iff its user is fully migrated
+    * (user_id % 5 == 0 — those users appear ONLY via the seed, so the
+    * silent-key union path is provably exercised at every SF) or the
+    * event itself predates the cutover (even event_id).
+    */
+  private def inSeedSnapshot: org.apache.spark.sql.Column =
+    col("user_id") % 5 === 0 || col("event_id") % 2 === 0
+
+  /** Warm-started streaming migration under the gate: the spend state is
+    * SEEDED from a batch snapshot ([[inSeedSnapshot]] — the history a
+    * migrating pipeline has already processed) and the stream delivers
+    * only the DELTA (the complement); the drained final states must
+    * reproduce the batch histogram over ALL purchases — the same oracle
+    * as [[qStreamTws]], proving snapshot + delta ≡ full recompute.
+    * Fully-migrated users never receive an input row, so their final
+    * state exists ONLY via `handleInitialState` — the sink would miss
+    * them, which is why the un-emitted seeded keys are unioned back
+    * from the (batch-derived) snapshot with an anti-join on the emitted
+    * keys. At 100 TB this is the cutover shape: one batch backfill,
+    * then the feed.
+    */
+  def qStreamTwsSeeded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snapshot = graft.tables.Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && inSeedSnapshot)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.operators.Relational.cents(col("value"))).as("c"))
+      .select(col("user_id"), col("n"), col("c"))
+      .as[(Long, Long, Long)]
+    val initial = snapshot.groupByKey(_._1).mapValues(r => (r._2, r._3))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+      .filter(col("event_type") === "purchase" && !inSeedSnapshot)
+      .select(col("user_id"),
+        graft.operators.Relational.cents(col("value")).as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SeededSpendProcessor,
+        TimeMode.None(), OutputMode.Update(), initial)
+    val name = s"graft_stream_tws_seed_${sinkSeq.incrementAndGet()}"
+    withRocksDbState(s) {
+      val q = src.writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val emitted = s.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_purchases"), col("cents"))).as("st"))
+      .select(col("user_id"), col("st.n_purchases").as("n"),
+        col("st.cents").as("c"))
+    val silent = snapshot.toDF("user_id", "n", "c")
+      .join(emitted.select(col("user_id")), Seq("user_id"), "left_anti")
+    emitted.unionAll(silent)
+      .groupBy(col("n").as("n_purchases"))
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("total_cents"))
+      .orderBy(col("n_purchases"))
+  }
+
   /** Per-user lifetime purchase spend via the MODERN arbitrary-state API
     * ([[SpendProcessor]], `transformWithState` + typed ValueState under
     * the RocksDB provider) — completing the stateful-API surface the
@@ -1274,6 +1369,7 @@ object Streaming {
     "q_stream_tws" -> qStreamTws,
     "q_stream_tws_sessions" -> qStreamTwsSessions,
     "q_stream_tws_map" -> qStreamTwsMap,
+    "q_stream_tws_seeded" -> qStreamTwsSeeded,
     "q_stream_attribution" -> qStreamAttribution,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_wc" -> qStreamWc,
@@ -1308,6 +1404,23 @@ object Streaming {
        |  FROM sessions GROUP BY user_id, session_idx)
        |SELECT user_id, session_start, session_end, n_events, session_value
        |FROM agg ORDER BY user_id, session_start""".stripMargin
+
+  /** The purchases-per-user exact-cents histogram shared by the
+    * transformWithState ValueState rows ([[qStreamTws]] full-stream,
+    * [[qStreamTwsSeeded]] snapshot + delta) — one oracle proving both
+    * the cold and warm-started paths land on the full recompute.
+    */
+  private lazy val spendHistOracle: String =
+    """WITH p AS (SELECT user_id,
+      |    CAST(sign(value) * floor(abs(value) * 100.0e0 + 0.5e0)
+      |      AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+      |    CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM p GROUP BY user_id)
+      |SELECT n_purchases, count(*) AS n_users,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM u GROUP BY n_purchases ORDER BY n_purchases""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val kmvK = graft.operators.Events.KmvK
@@ -1352,17 +1465,11 @@ object Streaming {
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // the drained transformWithState value states must reproduce the
       // batch purchases-per-user histogram in exact cents
-      "q_stream_tws" ->
-        """WITH p AS (SELECT user_id,
-          |    CAST(sign(value) * floor(abs(value) * 100.0e0 + 0.5e0)
-          |      AS BIGINT) AS cents
-          |  FROM events WHERE event_type = 'purchase'),
-          |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
-          |    CAST(sum(cents) AS BIGINT) AS cents
-          |  FROM p GROUP BY user_id)
-          |SELECT n_purchases, count(*) AS n_users,
-          |  CAST(sum(cents) AS BIGINT) AS total_cents
-          |FROM u GROUP BY n_purchases ORDER BY n_purchases""".stripMargin,
+      "q_stream_tws" -> spendHistOracle,
+      // same oracle over ALL purchases: the warm-started run only
+      // streams the odd-event_id delta, so matching it proves
+      // snapshot + delta ≡ full recompute
+      "q_stream_tws_seeded" -> spendHistOracle,
       // the drained fingerprint states must reproduce the batch planted
       // union's exact-dedup histogram
       "q_stream_dedup" ->

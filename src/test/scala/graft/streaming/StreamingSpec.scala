@@ -850,6 +850,23 @@ class StreamingSpec extends SparkSpec with Matchers {
     rows.map(_.getString(0)).distinct.sorted shouldBe Seq("heavy", "light")
   }
 
+  test("q_stream_tws_seeded: the warm-started (snapshot + delta) drain " +
+    "equals the cold full-stream drain, and seed-only users exist") {
+    val warm = Streaming.qStreamTwsSeeded(spark, sf()).collect()
+      .map(_.toString).sorted
+    val cold = Streaming.qStreamTws(spark, sf()).collect()
+      .map(_.toString).sorted
+    cold should not be empty
+    warm shouldBe cold
+    // the anti-join path is non-vacuous: fully-migrated users
+    // (user_id % 5 == 0) never appear in the delta stream, so their
+    // state exists only via handleInitialState
+    graft.tables.Tables.events(spark, sf())
+      .filter(col("event_type") === "purchase" &&
+        col("user_id") % 5 === 0)
+      .count() should be > 0L
+  }
+
   test("q_stream_attribution: the drained foreachBatch store rollup " +
     "equals the batch latest-signup pairing") {
     val got = Streaming.qStreamAttribution(spark, sf()).collect()
