@@ -35,7 +35,8 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   val Flag = "spark.graft.approx_distinct"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true")) plan
+    if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true") &&
+        !RuleOptIn.active(Flag)) plan
     else
       // transformUpWithSubqueries: a count(DISTINCT) inside a scalar/IN
       // subquery rewrites the same as the outer one — transformUp alone

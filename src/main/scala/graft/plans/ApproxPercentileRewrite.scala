@@ -53,7 +53,8 @@ object ApproxPercentileRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true")) plan
+    if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true") &&
+        !RuleOptIn.active(Flag)) plan
     else
       plan.transformUpWithSubqueries { case agg: Aggregate =>
         agg.transformExpressionsUp {

@@ -74,7 +74,8 @@ object ApproxTopKRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true")) plan
+    if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true") &&
+        !RuleOptIn.active(Flag)) plan
     else
       plan.transformUpWithSubqueries {
         case gl @ GlobalLimit(IntegerLiteral(limit),

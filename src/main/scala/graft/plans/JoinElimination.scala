@@ -61,7 +61,8 @@ object JoinEliminationRule extends Rule[LogicalPlan] {
   val Flag = "spark.graft.join_elimination"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true")) plan
+    if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true") &&
+        !RuleOptIn.active(Flag)) plan
     else
       plan.transformUpWithSubqueries {
         case j @ Join(_, _, Inner, Some(_), _) => eliminate(j).getOrElse(j)

@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, ExprId, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -102,7 +102,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true")) plan
+    if (!conf.getConfString(Flag, "false").equalsIgnoreCase("true") &&
+        !RuleOptIn.active(Flag)) plan
     else
       plan.transformUpWithSubqueries {
         case agg @ Aggregate(groupings, aggExprs, child, _) =>
@@ -142,10 +143,19 @@ object MvRewrite extends Rule[LogicalPlan] {
       case al @ Alias(ae: AggregateExpression, name) if !ae.isDistinct =>
         d.aggs.find(_.matches(ae.aggregateFunction)) match {
           case Some(m) =>
-            Alias(
-              AggregateExpression(Sum(vcol(m.viewCol)), Complete,
-                isDistinct = false),
-              name)(exprId = al.exprId)
+            val summed = AggregateExpression(Sum(vcol(m.viewCol)), Complete,
+              isDistinct = false)
+            // empty-input semantics (round-8 advisor): a GLOBAL aggregate
+            // (no grouping) emits one row even over an empty base, where
+            // count(*) is 0 but sum over the (also empty) view is NULL —
+            // coalesce the count rewrite to 0. Grouped aggregates emit no
+            // row in both plans, and sum-rewrites are NULL in both.
+            val expr: Expression =
+              if (groupings.isEmpty &&
+                  ae.aggregateFunction.isInstanceOf[Count])
+                Coalesce(Seq(summed, Literal(0L)))
+              else summed
+            Alias(expr, name)(exprId = al.exprId)
           case None => return None
         }
       case _ => return None

@@ -616,10 +616,12 @@ object Scale {
       .select(col("event_type"), col("event_id"), col("value"),
         col("rk").cast("long").as("rk"))
       .orderBy(col("event_type"), col("rk"))
-    val flag = graft.plans.TopKExecRewrite.Flag
-    s.conf.set(flag, "true")
-    try { df.queryExecution.optimizedPlan; () }
-    finally s.conf.set(flag, "false")
+    // thread-scoped opt-in (round-8 advisor): the rule fires only for
+    // plans forced on THIS thread inside the scope — a query planned
+    // concurrently in the same session is never silently rewritten
+    graft.plans.RuleOptIn.withFlag(graft.plans.TopKExecRewrite.Flag) {
+      df.queryExecution.optimizedPlan; ()
+    }
     df
   }
 
@@ -686,10 +688,9 @@ object Scale {
       .agg(count(lit(1)).as("n_rows"),
         sum(Relational.cents(col("l_quantity"))).as("qty_cents"))
       .orderBy(col("l_returnflag"))
-    val flag = graft.plans.MvRewrite.Flag
-    s.conf.set(flag, "true")
-    try { df.queryExecution.optimizedPlan; () }
-    finally s.conf.set(flag, "false")
+    graft.plans.RuleOptIn.withFlag(graft.plans.MvRewrite.Flag) {
+      df.queryExecution.optimizedPlan; ()
+    }
     df
   }
 
@@ -717,10 +718,9 @@ object Scale {
       .agg(count(lit(1)).as("n_items"),
         sum(Relational.cents(col("l_quantity"))).as("qty_cents"))
       .orderBy(col("l_returnflag"))
-    val flag = graft.plans.JoinEliminationRule.Flag
-    s.conf.set(flag, "true")
-    try { df.queryExecution.optimizedPlan; () }
-    finally s.conf.set(flag, "false")
+    graft.plans.RuleOptIn.withFlag(graft.plans.JoinEliminationRule.Flag) {
+      df.queryExecution.optimizedPlan; ()
+    }
     df
   }
 

@@ -29,6 +29,15 @@ import graft.tables.Tables
   */
 object StatsInjection {
 
+  /** Recursive on-disk footprint: a single-file parquet is its length; a
+    * directory-style parquet (what Spark itself writes) is the sum of its
+    * data files' lengths.
+    */
+  private[graft] def fileFootprint(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.map(fileFootprint).sum).getOrElse(0L)
+    else f.length()
+
   /** Catalog table name the customer profile is injected under. */
   val TableName = "graft_customer_cbo"
 
@@ -75,8 +84,11 @@ object StatsInjection {
         maxLen = Some(8L))
     }.toMap
     // sizeInBytes: the actual file footprint (what size-only estimation
-    // would also see); rowCount + colStats are what CBO adds on top
-    val sizeInBytes = new java.io.File(s"$dir/customer.parquet").length()
+    // would also see); rowCount + colStats are what CBO adds on top.
+    // Summed recursively (round-8 advisor): File.length() on a
+    // DIRECTORY-style parquet returns the directory-entry size (~4096),
+    // not the data footprint, which would skew the injected statistic.
+    val sizeInBytes = fileFootprint(new java.io.File(s"$dir/customer.parquet"))
     s.sessionState.catalog.alterTableStats(
       TableIdentifier(TableName),
       Some(CatalogStatistics(

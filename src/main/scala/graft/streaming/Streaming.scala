@@ -522,6 +522,22 @@ object Streaming {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Stage a fixture file into a streaming landing directory. Fails LOUDLY
+    * on a directory-style parquet (round-8 advisor): Files.copy of a
+    * directory copies only the empty directory entry, so the file-source
+    * drain would silently produce zero rows and the gate would report a
+    * mysterious hash mismatch instead of this message.
+    */
+  private def stageFixture(
+      src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    require(java.nio.file.Files.isRegularFile(src),
+      s"streaming fixture $src is not a single parquet file; staging a " +
+        "directory-style parquet would drain empty — point the stream at " +
+        "its data files instead")
+    java.nio.file.Files.copy(src, dst)
+    ()
+  }
+
   /** Run a bounded stream drain with a temporarily reduced shuffle
     * partition count. A stream-stream join maintains FOUR state stores
     * per shuffle partition and checkpoints each per micro-batch; at the
@@ -610,7 +626,7 @@ object Streaming {
     if (s.conf.get("spark.sql.session.timeZone") != "UTC")
       s.conf.set("spark.sql.session.timeZone", "UTC")
     val stage = java.nio.file.Files.createTempDirectory("graft_sess_stream")
-    java.nio.file.Files.copy(
+    stageFixture(
       java.nio.file.Paths.get(dir, "events.parquet"),
       stage.resolve("batch0.parquet"))
     val schema = StructType(Seq(
@@ -717,7 +733,7 @@ object Streaming {
     */
   def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
-    java.nio.file.Files.copy(
+    stageFixture(
       java.nio.file.Paths.get(dir, "documents.parquet"),
       stage.resolve("batch0.parquet"))
     graft.tables.Tables.documents(s, dir)
@@ -999,7 +1015,7 @@ object Streaming {
     if (s.conf.get("spark.sql.session.timeZone") != "UTC")
       s.conf.set("spark.sql.session.timeZone", "UTC")
     val stage = java.nio.file.Files.createTempDirectory("graft_tws_sess")
-    java.nio.file.Files.copy(
+    stageFixture(
       java.nio.file.Paths.get(dir, "events.parquet"),
       stage.resolve("batch0.parquet"))
     val schema = StructType(Seq(
@@ -1303,7 +1319,7 @@ object Streaming {
     if (s.conf.get("spark.sql.session.timeZone") != "UTC")
       s.conf.set("spark.sql.session.timeZone", "UTC")
     val stage = java.nio.file.Files.createTempDirectory("graft_ssoj_stream")
-    java.nio.file.Files.copy(
+    stageFixture(
       java.nio.file.Paths.get(dir, "events.parquet"),
       stage.resolve("batch0.parquet"))
     val schema = StructType(Seq(

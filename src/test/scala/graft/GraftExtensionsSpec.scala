@@ -361,6 +361,93 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     joined().queryExecution.optimizedPlan.toString should include("Join")
   }
 
+  test("RuleOptIn scopes a rewrite to the calling thread: a plan forced " +
+    "concurrently on another thread keeps its exact Window") {
+    val spark = extSession("graft-ruleoptin-test")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val dir = "/root/testdata/sf0.001"
+    def topkShaped() = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      graft.tables.Tables.events(spark, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+    }
+    // conf flag is off throughout: only the thread-local scope opts in
+    spark.conf.get(graft.plans.TopKExecRewrite.Flag, "false") shouldBe "false"
+    graft.plans.RuleOptIn.withFlag(graft.plans.TopKExecRewrite.Flag) {
+      // THIS thread, inside the scope: the rewrite fires
+      topkShaped().queryExecution.optimizedPlan.toString should include(
+        "TopKPerKey")
+      // ANOTHER thread, planning concurrently: untouched — this is the
+      // round-8 advisor's hazard, closed by the thread-local scope
+      @volatile var otherPlan: String = null
+      val t = new Thread(() => {
+        otherPlan = topkShaped().queryExecution.optimizedPlan.toString
+      })
+      t.start(); t.join()
+      otherPlan should include("Window")
+      otherPlan should not include "TopKPerKey"
+    }
+    // scope exited: this thread plans exactly again
+    val after = topkShaped().queryExecution.optimizedPlan.toString
+    after should include("Window")
+    after should not include "TopKPerKey"
+  }
+
+  test("MvRewrite preserves empty-input semantics: a global count(*) over " +
+    "an empty base answers 0 from the (empty) view, not NULL") {
+    val spark = extSession("graft-mvempty-test")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_empty")
+    val basePath = tmp.resolve("base.parquet").toString
+    val schema = StructType(Seq(
+      StructField("k1", StringType), StructField("k2", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .write.mode("overwrite").parquet(basePath)
+    def base() = spark.read.parquet(basePath)
+    // materialize the (empty) rollup view and register its count matcher
+    val viewTable = "graft_mv_empty_test"
+    spark.sql(s"DROP TABLE IF EXISTS $viewTable")
+    // a previous aborted run can leave the managed location behind, which
+    // CREATE TABLE AS refuses; clear it like Scale.dropWithLocation does
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      viewTable)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+    base().groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("n_rows"))
+      .write.format("parquet").saveAsTable(viewTable)
+    graft.plans.MaterializedViews.register(
+      graft.plans.MaterializedViews.MvDef(
+        viewTable, Seq("k1", "k2"), basePath,
+        Seq(graft.plans.MaterializedViews.AggMap(
+          graft.plans.MaterializedViews.countStar, "n_rows"))))
+    // def, not val: QueryExecution memoizes the optimized plan, so the
+    // flag-off collect below must not pin the plan the flag-on check reads
+    def q() = base().agg(count(lit(1)).as("n_rows"))
+    // flag off: base plan, count over empty base = 0
+    q().collect().head.getLong(0) shouldBe 0L
+    spark.conf.set(graft.plans.MvRewrite.Flag, "true")
+    try {
+      val opt = q().queryExecution.optimizedPlan.toString
+      opt should include(viewTable)
+      // the rewritten sum over the empty view would be NULL without the
+      // coalesce — the row must still be 0, bit-identical to the base plan
+      val r = q().collect().head
+      r.isNullAt(0) shouldBe false
+      r.getLong(0) shouldBe 0L
+    } finally spark.conf.set(graft.plans.MvRewrite.Flag, "false")
+  }
+
   /** Fresh session sharing the JVM's SparkContext (see first test's note). */
   private def extSession(name: String): SparkSession = {
     val spark = SparkSession.builder()

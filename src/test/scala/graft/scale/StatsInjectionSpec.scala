@@ -59,4 +59,18 @@ class StatsInjectionSpec extends SparkSpec with Matchers {
     custkey.getLong(5) shouldBe
       cust.agg(max(col("c_custkey"))).head().getLong(0)
   }
+  test("fileFootprint sums a directory-style parquet recursively; a " +
+    "single file is its length") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_footprint")
+    val f1 = tmp.resolve("part-0.parquet")
+    val f2 = tmp.resolve("sub")
+    java.nio.file.Files.createDirectory(f2)
+    java.nio.file.Files.write(f1, Array.fill[Byte](100)(1))
+    java.nio.file.Files.write(f2.resolve("part-1.parquet"),
+      Array.fill[Byte](50)(2))
+    StatsInjection.fileFootprint(f1.toFile) shouldBe 100L
+    // a directory is the recursive sum of its files, never the ~4096-byte
+    // directory entry File.length() reports (round-8 advisor)
+    StatsInjection.fileFootprint(tmp.toFile) shouldBe 150L
+  }
 }
