@@ -847,6 +847,72 @@ object Sampling {
         lit(BootB.toLong).as("n_boot"), col("ci_lo"), col("ci_hi"))
   }
 
+  /** Poisson bootstrap for a REGRESSION COEFFICIENT — a CI for the OLS
+    * slope of document length (chars) on whitespace-token count, closing
+    * the last replicate-statistic class the round-8 verdict named (the
+    * algebraic / ratio / order-statistic trio plus a MODEL parameter).
+    * The slope is a rational function of five sufficient sums, so it
+    * rides [[qBootstrapRatio]]'s conditional-sum frame unchanged: each
+    * replicate group carries (Σw, Σwx, Σwy, Σwxy, Σwx²) as exact BIGINTs
+    * from the ONE corpus pass, and the replicate statistic is a single
+    * IEEE division of two exact integers —
+    * (Σw·Σwxy − Σwx·Σwy) / (Σw·Σwx² − Σwx²) — in a fixed
+    * parenthesization, bit-identical across engines. Magnitudes are
+    * bounded (w ≤ 8, x ≤ tokens/doc, y ≤ chars/doc ⇒ the numerator
+    * products stay < 2⁶³ through sf0.1 with 10³× headroom). Replicates
+    * with a degenerate design (zero weighted x-variance) are dropped on
+    * both sides; the CI is the 2.5%/97.5% rank pair. Salt `#bslope`
+    * keeps the draw independent of the sibling bootstrap queries.
+    */
+  def qBootstrapSlope(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wsTokenCount(col("text")).as("x"),
+        col("n_chars").as("y"))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#bslope"), col("b").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    val w = BootCumPpm.zipWithIndex.reverse
+      .foldLeft(lit(8L): Column) { case (acc, (c, k)) =>
+        when(col("u") < c, lit(k.toLong)).otherwise(acc)
+      }
+    val rep = docs
+      .select(col("doc_id"), col("x"), col("y"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u", u)
+      .select(col("b"), w.as("w"), col("x"), col("y"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("sum_w"),
+        sum(col("w") * col("x")).as("sum_wx"),
+        sum(col("w") * col("y")).as("sum_wy"),
+        sum(col("w") * col("x") * col("y")).as("sum_wxy"),
+        sum(col("w") * col("x") * col("x")).as("sum_wx2"))
+      .select(
+        (col("sum_w") * col("sum_wxy") - col("sum_wx") * col("sum_wy"))
+          .as("num"),
+        (col("sum_w") * col("sum_wx2") - col("sum_wx") * col("sum_wx"))
+          .as("den"))
+      .filter(col("den") > 0L)
+    // one-pass rank pair off the sorted replicate array (see qBootstrap)
+    val ci = rep
+      .select((col("num").cast("double") / col("den").cast("double")).as("m"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(element_at(col("ms"), BootTailRank).as("ci_lo"),
+        element_at(col("ms"), -BootTailRank).as("ci_hi"))
+    val base = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"))
+      .select(col("n_docs"),
+        ((col("n_docs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_docs") * col("sx2") - col("sx") * col("sx")).cast("double"))
+          .as("slope"))
+    base.crossJoin(broadcast(ci))
+      .select(col("n_docs"), col("slope"), lit(BootB.toLong).as("n_boot"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Grouped k-fold cross-validation assignment — the GroupKFold
     * discipline: folds partition GROUPS (sources), not rows, so no
     * group's documents ever straddle a fold and within-group leakage
@@ -873,6 +939,7 @@ object Sampling {
     "q_group_kfold" -> qGroupKfold,
     "q_bootstrap_ratio" -> qBootstrapRatio,
     "q_bootstrap_median" -> qBootstrapMedian,
+    "q_bootstrap_slope" -> qBootstrapSlope,
     "q_mixture_alloc" -> qMixtureAlloc,
     "q_budget_alloc" -> qBudgetAlloc,
     "q_budget_alloc_w" -> qBudgetAllocW,
@@ -1001,6 +1068,47 @@ object Sampling {
          |SELECT n_en, n_docs,
          |  (CAST(sx_en AS DOUBLE) / CAST(n_en AS DOUBLE)) /
          |  (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS ratio,
+         |  CAST($BootB AS BIGINT) AS n_boot, ci_lo, ci_hi
+         |FROM base, lo, hi""".stripMargin
+    },
+    // same draw with the #bslope salt; the slope is one IEEE division of
+    // two exact BIGINT polynomials of the five sufficient sums
+    "q_bootstrap_slope" -> {
+      val caseW = BootCumPpm.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      s"""WITH r AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, $BootB)),
+         |d AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS x,
+         |    n_chars AS y
+         |  FROM documents),
+         |h AS (
+         |  SELECT r.b, d.x, d.y,
+         |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#bslope' ||
+         |      CAST(r.b AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+         |  FROM d CROSS JOIN r),
+         |ww AS (SELECT b, CASE $caseW ELSE 8 END AS w, x, y FROM h),
+         |rep AS (
+         |  SELECT b, CAST(sum(w) AS BIGINT) AS sum_w,
+         |    CAST(sum(w * x) AS BIGINT) AS sum_wx,
+         |    CAST(sum(w * y) AS BIGINT) AS sum_wy,
+         |    CAST(sum(w * x * y) AS BIGINT) AS sum_wxy,
+         |    CAST(sum(w * x * x) AS BIGINT) AS sum_wx2
+         |  FROM ww GROUP BY b),
+         |m AS (SELECT b,
+         |    CAST(sum_w * sum_wxy - sum_wx * sum_wy AS DOUBLE) /
+         |    CAST(sum_w * sum_wx2 - sum_wx * sum_wx AS DOUBLE) AS m
+         |  FROM rep WHERE sum_w * sum_wx2 - sum_wx * sum_wx > 0),
+         |lo AS (SELECT max(m) AS ci_lo FROM
+         |  (SELECT m FROM m ORDER BY m ASC, b ASC LIMIT $BootTailRank)),
+         |hi AS (SELECT min(m) AS ci_hi FROM
+         |  (SELECT m FROM m ORDER BY m DESC, b DESC LIMIT $BootTailRank)),
+         |base AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sx2 FROM d)
+         |SELECT n_docs,
+         |  CAST(n_docs * sxy - sx * sy AS DOUBLE) /
+         |    CAST(n_docs * sx2 - sx * sx AS DOUBLE) AS slope,
          |  CAST($BootB AS BIGINT) AS n_boot, ci_lo, ci_hi
          |FROM base, lo, hi""".stripMargin
     },

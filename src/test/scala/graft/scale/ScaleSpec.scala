@@ -114,6 +114,29 @@ class ScaleSpec extends SparkSpec with Matchers {
     skew.filter(col("l_orderkey") === 0L).count() should be > Scale.SkewThreshold
   }
 
+  test("qJoinSkewAqe: AQE's runtime skew split fires on the planted hot " +
+    "key and the rollup is bit-identical to the plain join") {
+    // the constructor asserts skew=true on the final adaptive plan and
+    // restores every scoped conf — a clean return IS the plan pin
+    val got = Scale.qJoinSkewAqe(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val want = Scale.aqeSkewedLineitem(spark, sf())
+      .join(Tables.orders(spark, sf())
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.operators.Relational.dsum(col("l_extendedprice"))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    got shouldBe want
+    // scoped confs restored: the session's execution posture is untouched
+    spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "5.0") should not be "2.0"
+  }
+
   test("bloomJoin equals the plain join and its prefilter is selective") {
     val li = Tables.lineitem(spark, sf())
       .select(col("l_orderkey"), col("l_extendedprice"))
