@@ -136,6 +136,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         FreqSketchStrings(args(0), k)
       }))
+    // SQL-callable generators (LATERAL VIEW surface of the curation
+    // pipeline's per-row stages — see graft.functions.Generators)
+    e.injectFunction((
+      FunctionIdentifier("tokens"),
+      info("tokens",
+        "tokens(text) - generator: (pos, token) letter-run tokens of the " +
+          "wc contract (split on non-letters, no case folding)"),
+      args => {
+        if (args.length != 1)
+          throw new IllegalArgumentException(
+            s"tokens requires exactly 1 argument, got ${args.length}")
+        graft.functions.Generators.Tokens(args(0))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text, n) - generator: (pos, h) positional n-gram " +
+          "shingle stream, 60-bit md5 hashes (the span detectors' match unit)"),
+      args => {
+        val n = args match {
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case _ => throw new IllegalArgumentException(
+            "shingle_hashes requires (STRING column, INT literal n)")
+        }
+        graft.functions.Generators.ShingleHashes(args(0), n)
+      }))
     // opt-in AQP family (inert unless the session sets the flag — see
     // each rule's scaladoc for the exactness-contract rationale):
     //   spark.graft.approx_distinct   count(DISTINCT x) -> HLL++

@@ -53,7 +53,8 @@ object SparkEntry {
       sources.Export.queries ++
       sources.Ingest.queries ++
       streaming.Streaming.queries ++
-      operators.Hosts.queries
+      operators.Hosts.queries ++
+      operators.SqlSurface.queries
 
   /** DuckDB-equivalent SQL per query key (same column names, same order). */
   def oracleSql: Map[String, String] =
@@ -73,7 +74,8 @@ object SparkEntry {
       sources.Export.oracleSql ++
       sources.Ingest.oracleSql ++
       streaming.Streaming.oracleSql ++
-      operators.Hosts.oracleSql
+      operators.Hosts.oracleSql ++
+      operators.SqlSurface.oracleSql
 
   // -------------------------------------------------------------------
   // Reference-parity query: word count (wc.go:14-38) over documents.text.

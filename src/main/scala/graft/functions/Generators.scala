@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst `Generator`s — the SQL-callable (LATERAL VIEW) surface of the
+  * engine's tokenize/shingle pipeline stages (SURVEY §7.3's reserved
+  * extension point; round-8 verdict item 9). With these registered through
+  * [[graft.GraftExtensions]], a SQL-only user can drive the flagship
+  * curation operators end-to-end:
+  *
+  * {{{
+  * -- the reference's wc Map UDF (wc.go:14-38 semantics), in SQL:
+  * SELECT token, count(*) AS n
+  * FROM lines LATERAL VIEW tokens(line) t AS pos, token
+  * GROUP BY token
+  *
+  * -- the span detector's positional hash table (Dedup.positionalHashes):
+  * SELECT doc_id, pos, h
+  * FROM documents LATERAL VIEW shingle_hashes(text, 3) s AS pos, h
+  * }}}
+  *
+  * Both are row-local generators: the Generate operator streams output
+  * rows per input row, never materializing a per-document array in the
+  * exchange — at 100 TB the (pos, h) stream feeds the groupBy(h) shuffle
+  * directly.
+  */
+object Generators {
+
+  /** Per-session registration (idempotent) — the imperative twin of the
+    * [[graft.GraftExtensions]] injection, for sessions not built with the
+    * extensions (the shared test session; an existing session a SQL user
+    * cannot rebuild).
+    */
+  def register(s: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = s.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("tokens", args => {
+      if (args.length != 1)
+        throw new IllegalArgumentException(
+          s"tokens requires exactly 1 argument, got ${args.length}")
+      Tokens(args.head)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes", args => {
+      val n = args match {
+        case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes requires (STRING column, INT literal n)")
+      }
+      ShingleHashes(args.head, n)
+    }, "scala_udf")
+  }
+
+  /** Letter-run tokenizer of the reference wc contract
+    * (`/root/reference/wc.go:14-38`: split on non-letters, NO case
+    * folding — [[graft.mr.WordCount.TokenSep]] is the same regex), with
+    * 0-based token positions. Emitting (pos, token) rather than a bare
+    * token makes every positional downstream (n-gram windows, span
+    * diagonals) SQL-expressible.
+    */
+  case class Tokens(child: Expression) extends UnaryExpression
+      with Generator with CodegenFallback {
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("token", StringType, nullable = false)))
+    override def prettyName: String = "tokens"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING, got ${other.catalogString}")
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val t = child.eval(input)
+      if (t == null) Nil
+      else {
+        val toks = t.asInstanceOf[UTF8String].toString
+          .split(graft.mr.WordCount.TokenSep).filter(_.nonEmpty)
+        toks.iterator.zipWithIndex.map { case (tok, i) =>
+          InternalRow(i, UTF8String.fromString(tok))
+        }
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Tokens =
+      copy(child = newChild)
+  }
+
+  /** Positional n-gram shingle hashes — ONE generator composing the span
+    * detectors' whole per-row stage ([[graft.operators.Dedup]]
+    * `positionalHashes`): lowercase letter tokens (`[^a-z]+` split, the
+    * dedup-family tokenizer), n-gram shingles joined by a single space,
+    * each hashed to the engine-portable 60-bit md5 prefix
+    * ([[Md5Prefix60Array]]'s exact arithmetic — the cross-engine
+    * reproducibility contract). Output (pos, h) rows ARE the match units
+    * of `q_dedup_substring`; the spec pins bit-equality against the
+    * DataFrame path.
+    */
+  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression
+      with Generator with CodegenFallback {
+    require(n > 0, s"shingle_hashes requires n > 0, got $n")
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false)))
+    override def prettyName: String = "shingle_hashes"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING, got ${other.catalogString}")
+    }
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val t = child.eval(input)
+      if (t == null) Nil
+      else {
+        val toks = t.asInstanceOf[UTF8String].toLowerCase.toString
+          .split("[^a-z]+").filter(_.nonEmpty)
+        if (toks.length < n) Nil
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          (0 to toks.length - n).iterator.map { i =>
+            md.reset()
+            val g = toks.slice(i, i + n).mkString(" ")
+            val d = md.digest(UTF8String.fromString(g).getBytes)
+            // first 15 hex chars = first 60 bits (Md5Prefix60Array rule)
+            var v = 0L
+            var j = 0
+            while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+            v = (v << 4) | ((d(7) & 0xffL) >> 4)
+            InternalRow(i, v)
+          }
+        }
+      }
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): ShingleHashes = copy(child = newChild)
+  }
+}

@@ -275,6 +275,25 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     // plan even with the flag on
     spark.conf.set(graft.plans.MvRewrite.Flag, "true")
     try {
+      // grouping-subsumption is ANY key subset, not just a prefix: the
+      // OTHER single-key projection (GROUP BY l_linestatus over the
+      // (flag, status) view) also answers from the view, bit-exactly
+      def byStatus() = graft.tables.Tables.lineitem(spark, dir)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(graft.operators.Relational.cents(col("l_quantity")))
+            .as("qty_cents"))
+        .orderBy(col("l_linestatus"))
+      val sOpt = byStatus().queryExecution.optimizedPlan.toString
+      sOpt should include("graft_mv_li")
+      sOpt should not include "l_shipdate"
+      val sGot = byStatus().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      spark.conf.set(graft.plans.MvRewrite.Flag, "false")
+      val sWant = byStatus().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      spark.conf.set(graft.plans.MvRewrite.Flag, "true")
+      sGot shouldBe sWant
       // the grand total (empty grouping) also answers from the view
       val total = graft.tables.Tables.lineitem(spark, dir)
         .agg(count(lit(1)).as("n_rows"),
@@ -359,6 +378,65 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.set(graft.plans.JoinEliminationRule.Flag, "false")
     // flag restored: the join plans as written again
     joined().queryExecution.optimizedPlan.toString should include("Join")
+  }
+
+  test("tokens generator: the wc Map contract is SQL-callable via " +
+    "LATERAL VIEW and matches the reference tokenizer semantics") {
+    val spark = extSession("graft-tokens-gen-test")
+    // contract edge cases: case preserved, punctuation splits, unicode
+    // letters are letters, digits separate, empty line emits nothing
+    val rows = spark.sql(
+      """SELECT line, pos, token FROM VALUES
+        |  ('Hello, hello WORLD'), ('don''t stop42go'), (''), ('émigré café')
+        |  AS t(line)
+        |LATERAL VIEW tokens(line) g AS pos, token
+        |ORDER BY line, pos""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    rows.toSeq shouldBe Seq(
+      ("Hello, hello WORLD", 0, "Hello"),
+      ("Hello, hello WORLD", 1, "hello"),
+      ("Hello, hello WORLD", 2, "WORLD"),
+      ("don't stop42go", 0, "don"),
+      ("don't stop42go", 1, "t"),
+      ("don't stop42go", 2, "stop"),
+      ("don't stop42go", 3, "go"),
+      ("émigré café", 0, "émigré"),
+      ("émigré café", 1, "café"))
+    // the SQL wordcount over the generator ≡ the batch WordCount map
+    // semantics: counts by exact (unfolded) token
+    val wc = spark.sql(
+      """SELECT token, count(*) AS n FROM VALUES
+        |  ('Hello, hello WORLD'), ('hello world')
+        |  AS t(line)
+        |LATERAL VIEW tokens(line) g AS pos, token
+        |GROUP BY token ORDER BY token""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    wc.toSeq shouldBe Seq(
+      ("Hello", 1L), ("WORLD", 1L), ("hello", 2L), ("world", 1L))
+  }
+
+  test("shingle_hashes generator: the span detector's positional hash " +
+    "table is SQL-callable and bit-identical to the DataFrame path") {
+    val spark = extSession("graft-shingles-gen-test")
+    import org.apache.spark.sql.functions.{col, filter, lower,
+      posexplode, split}
+    val dir = "/root/testdata/sf0.001"
+    val viaSql = spark.sql(
+      s"""SELECT doc_id, pos, h
+         |FROM parquet.`$dir/documents.parquet`
+         |LATERAL VIEW shingle_hashes(text, 3) s AS pos, h""".stripMargin)
+    // the Dedup.positionalHashes construction, inlined (same tokenizer,
+    // same non-distinct trigram stream, same 60-bit md5 rule)
+    val viaDf = graft.tables.Tables.documents(spark, dir)
+      .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
+        graft.functions.SketchExpressions.wordNGrams(
+          filter(split(lower(col("text")), "[^a-z]+"),
+            t => org.apache.spark.sql.functions.length(t) > 0),
+          3, distinct = false)))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    viaSql.exceptAll(viaDf).count() shouldBe 0L
+    viaDf.exceptAll(viaSql).count() shouldBe 0L
+    viaSql.count() should be > 0L
   }
 
   test("RuleOptIn scopes a rewrite to the calling thread: a plan forced " +

@@ -26,6 +26,7 @@ class SparkEntrySpec extends SparkSpec with Matchers {
       sources.Ingest.queries.size,
       streaming.Streaming.queries.size,
       operators.Hosts.queries.size,
+      operators.SqlSurface.queries.size,
       1) // wc_wordcount
     SparkEntry.queries.size shouldBe moduleSizes.sum
   }
