@@ -759,6 +759,57 @@ object Streaming {
       .orderBy(col("dup_count"))
   }
 
+  /** Spark's NATIVE streaming-dedup primitive under the gate —
+    * `dropDuplicatesWithinWatermark`, the engine-managed counterpart of
+    * [[qStreamDedup]]'s explicit keyed aggregate (and the one streaming
+    * dedup regime the gate did not yet cover): first arrival of each
+    * content fingerprint is emitted in APPEND mode, later arrivals within
+    * the watermark delay are dropped by the state store, and state
+    * expires once the watermark passes — the bounded-memory contract that
+    * makes streaming dedup deployable against an unbounded crawl. The
+    * same re-crawled landing directory as [[qStreamDedup]] (every
+    * fingerprint arrives at least twice) drains with a constant event
+    * time, so no state expires mid-drain and the emitted set must be
+    * EXACTLY one row per distinct fingerprint: the output census carries
+    * n_keys, n_multi (fingerprints emitted more than once — the oracle
+    * pins it to 0, so a double emission is a hash mismatch, not a
+    * warning), and a 60-bit-prefix checksum over the emitted fingerprint
+    * VALUES (a census that counted the wrong keys also mismatches).
+    * At 100 TB the delay is sized to the re-crawl horizon; state is
+    * O(distinct keys inside the horizon), expired by the engine instead
+    * of by [[IncrementalDedup]]'s explicit retention buckets.
+    */
+  def qStreamDedupWm(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_dedupwm_stream")
+    stageFixture(
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      stage.resolve("batch0.parquet"))
+    graft.tables.Tables.documents(s, dir)
+      .select((col("doc_id") + graft.operators.Dedup.PlantOffset)
+        .as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(stage.toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val src = s.readStream.schema(schema).parquet(s"$stage/*.parquet")
+    val name = s"graft_stream_dedupwm_${sinkSeq.incrementAndGet()}"
+    val q = src
+      .select(md5(col("text")).as("fp"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val perFp = s.table(name)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("emits"))
+    perFp.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("emits") > 1L, 1L).otherwise(0L)).as("n_multi"),
+      sum(conv(substring(col("fp"), 1, 15), 16, 10).cast("long") % 9973L)
+        .as("fp_chk"))
+  }
+
   /** The foreachBatch keyed-upsert SINK regime under the oracle gate —
     * the one core streaming pattern the other gate rows don't touch: a
     * chained aggregation after a stream-stream join is restricted, so
@@ -1382,6 +1433,7 @@ object Streaming {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_kmv" -> qStreamKmv,
     "q_stream_dedup" -> qStreamDedup,
+    "q_stream_dedup_wm" -> qStreamDedupWm,
     "q_stream_tws" -> qStreamTws,
     "q_stream_tws_sessions" -> qStreamTwsSessions,
     "q_stream_tws_map" -> qStreamTwsMap,
@@ -1501,6 +1553,16 @@ object Streaming {
            |SELECT cnt AS dup_count, count(*) AS n_groups,
            |  CAST(sum(keeper) AS BIGINT) AS keep_id_sum
            |FROM g GROUP BY cnt ORDER BY dup_count""".stripMargin,
+      // exactly one append-mode emission per distinct fingerprint: the
+      // re-crawl arrives inside the watermark delay, so n_multi is 0 by
+      // the primitive's contract and the checksum pins the VALUES
+      "q_stream_dedup_wm" ->
+        """WITH d AS (SELECT DISTINCT md5(text) AS fp FROM documents)
+          |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |  CAST(0 AS BIGINT) AS n_multi,
+          |  CAST(sum(('0x' || substr(fp, 1, 15))::BIGINT % 9973) AS BIGINT)
+          |    AS fp_chk
+          |FROM d""".stripMargin,
       "q_stream_wc" ->
         """SELECT word, count(*) AS cnt
           |FROM (SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word
