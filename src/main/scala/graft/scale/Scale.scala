@@ -418,6 +418,52 @@ object Scale {
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderpriority"))
 
+  /** Spark's OWN runtime bloom-filter injection (`InjectRuntimeFilter`)
+    * on [[qJoinBloom]]'s exact shape, manual prefilter OFF — the second
+    * engine-automation validation row after [[qJoinSkewAqe]]: the join is
+    * written PLAIN and the optimizer, under fixture-sized thresholds
+    * (the 10 GB application-side default exists for real lakes; the
+    * gate corpus scans kilobytes), plants a `bloom_filter_might_contain`
+    * probe from the SELECTIVE dimension side onto the fact scan —
+    * machine-planted, semantically invisible, same contract as the
+    * hand-built [[bloomPrefilter]]. The rewrite happens at logical
+    * optimization, so the [[withConfs]] scope need only cover the
+    * memoizing `optimizedPlan` force (the qTopkExec discipline, but for
+    * execution-time-read conf THRESHOLDS rather than a rule flag — the
+    * thread-scoped [[graft.plans.RuleOptIn]] can't carry numeric confs);
+    * the plan pin REQUIRES the probe, so a Spark version that stopped
+    * firing here fails loudly instead of silently measuring a plain
+    * join. The DuckDB oracle executes the plain join — false positives
+    * are cleaned by the exact join, bit-identically. At 100 TB this is
+    * the shuffle-volume reducer a selective-dim ⋈ fact join gets for
+    * FREE when thresholds fit; [[qJoinBloom]] remains the explicit form
+    * for engines/paths the rule does not reach.
+    */
+  def qJoinBloomAuto(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(
+        Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+          .select(col("o_orderkey"), col("o_orderpriority")).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        Relational.dsum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+    withConfs(s,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val opt = df.queryExecution.optimizedPlan.toString
+      require(opt.contains("might_contain"),
+        "InjectRuntimeFilter did not plant a bloom probe — the validation " +
+          "row would silently measure a plain join; plan:\n" + opt)
+    }
+    df
+  }
+
   // -------------------------------------------------------------------
   // Cross-engine Bloom filter with MEASURED false-positive rate
   // -------------------------------------------------------------------
@@ -934,6 +980,7 @@ object Scale {
     "q_join_skew" -> qJoinSkew,
     "q_join_skew_aqe" -> qJoinSkewAqe,
     "q_join_bloom" -> qJoinBloom,
+    "q_join_bloom_auto" -> qJoinBloomAuto,
     "q_bloom_fpr" -> qBloomFpr,
     "q_zorder" -> qZorder,
     "q_join_estimate" -> qJoinEstimate,
@@ -1027,6 +1074,15 @@ object Scale {
          |  CAST(n_pass AS DOUBLE) / CAST(n_fact AS DOUBLE) AS selectivity
          |FROM agg""".stripMargin
     },
+    // the plain selective join: the machine-planted runtime bloom probe
+    // is a plan-only change, like the manual prefilter below
+    "q_join_bloom_auto" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 300000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the plain selective join: the bloom prefilter is a plan-only change
     "q_join_bloom" ->
       """SELECT o_orderpriority,
