@@ -198,6 +198,36 @@ object Relational {
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
   }
 
+  /** TPC-H Q10 shape (returned-item revenue by customer, top 20) on the
+    * fixture's customer columns: the classic fact-heavy 3-way join with a
+    * quarter date window and a selective fact predicate, grouped at
+    * customer grain with dimension ride-alongs, global top-k on an exact
+    * integer-cents revenue. Broadcast nation; revenue ties broken by
+    * c_custkey so the LIMIT is total. Scale: the only shuffle wider than
+    * the quarter's orders is the customer-grain aggregation.
+    */
+  def qTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val epC = cents(col("l_extendedprice"))
+    val d100 = lit(100L) - cents(col("l_discount"))
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg((sum((epC * d100).cast("decimal(38,0)")) / 10000)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+  }
+
   def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
     val epC = cents(col("l_extendedprice"))
     val d100 = lit(100L) - cents(col("l_discount"))
@@ -1133,6 +1163,7 @@ object Relational {
     "q_tpch_q17" -> qTpchQ17,
     "q_unpivot" -> qUnpivot,
     "q_tpch_q5" -> qTpchQ5,
+    "q_tpch_q10" -> qTpchQ10,
     "q_join_shuffle" -> qJoinShuffle,
     "q_ivm_join" -> qIvmJoin,
     "q_join_semi" -> qJoinSemi,
@@ -1487,6 +1518,21 @@ object Relational {
         |   FROM lineitem l2 WHERE l2.l_partkey = p_partkey) / 5.0
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
