@@ -495,6 +495,30 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should include("TakeOrderedAndProject")
   }
 
+  test("q_tpch_q10: nation broadcasts, top-20 runs as " +
+    "TakeOrderedAndProject — only 20 rows leave the customer-grain " +
+    "aggregation") {
+    val plan = Relational.qTpchQ10(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("TakeOrderedAndProject")
+    // both date bounds and the returnflag predicate reach the scans
+    plan should include("PushedFilters")
+  }
+
+  test("q_sql_shingles: the generator streams rows into a map-side " +
+    "partial aggregation — one exchange, no per-document array in the " +
+    "plan output") {
+    graft.functions.Generators.register(spark)
+    val plan = operators.SqlSurface.qSqlShingles(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should include("Generate")
+    // partial aggregation runs before any exchange (map-side combine on
+    // the generated stream; the DISTINCT leg adds its own phases)
+    plan should include("partial_")
+    plan should not include "CollectList"
+  }
+
   test("q_unpivot: the melt is one local Expand — no shuffle before the " +
     "3-group aggregation's exchange") {
     val plan = Relational.qUnpivot(spark, sf())
