@@ -39,6 +39,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     mrQueries ++
       operators.Relational.queries ++
+      operators.TpcH.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     mrOracle ++
       operators.Relational.oracleSql ++
+      operators.TpcH.oracleSql ++
       operators.TextAnalysis.oracleSql ++
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++

@@ -11,6 +11,7 @@ class SparkEntrySpec extends SparkSpec with Matchers {
   test("query keys are collision-free across modules") {
     val moduleSizes = Seq(
       operators.Relational.queries.size,
+      operators.TpcH.queries.size,
       operators.TextAnalysis.queries.size,
       operators.Dedup.queries.size,
       operators.Similarity.queries.size,

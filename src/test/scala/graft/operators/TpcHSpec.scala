@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** TPC-H remainder suite: smoke at sf0.001 (value parity runs through the
+  * DuckDB gate — tools/check_oracle.py, 12/12 at sf0.001 + sf0.01) plus the
+  * plan shapes each query must keep at scale. At sf0.001 AQE broadcasts the
+  * fact-fact joins too, so the pins assert what must ALWAYS hold (dimension
+  * legs broadcast, pushdown reaches the scan, top-k is a bounded heap, the
+  * semi/anti chain stays hash-joined) rather than exchange counts that are
+  * legitimately SF-dependent.
+  */
+class TpcHSpec extends SparkSpec with Matchers {
+
+  private def df(name: String) = TpcH.queries(name)(spark, sf())
+  private def plan(name: String): String =
+    df(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("all TPC-H remainder queries return rows at sf0.001") {
+    for ((name, fn) <- TpcH.queries) {
+      withClue(s"query $name: ") {
+        fn(spark, sf()).count() should be > 0L
+      }
+    }
+  }
+
+  test("q_tpch_q6: all four predicates reach the parquet scan; no join") {
+    val p = plan("q_tpch_q6")
+    p should include regex "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate"
+    p should include regex "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_discount,0.05\\)"
+    p should include regex "PushedFilters: \\[[^\\]]*LessThan\\(l_quantity,24.0\\)"
+    p should not include "Join"
+  }
+
+  test("q_tpch_q7/q8: dimension legs broadcast; never a cartesian/NL join") {
+    for (q <- Seq("q_tpch_q7", "q_tpch_q8")) {
+      val p = plan(q)
+      withClue(s"$q: ") {
+        p should include("BroadcastHashJoin")
+        p should not include "CartesianProduct"
+        p should not include "BroadcastNestedLoopJoin"
+      }
+    }
+    // q8's part leg is pruned to the promo type BEFORE broadcasting
+    plan("q_tpch_q8") should include regex
+      "PushedFilters: \\[[^\\]]*EqualTo\\(p_type,PROMO\\)"
+  }
+
+  test("q_tpch_q13: zero-order customers ride the LeftOuter join (no second pass)") {
+    plan("q_tpch_q13") should include("LeftOuter")
+  }
+
+  test("q_tpch_q15: scalar max joins back as an equi hash join, not a NL filter") {
+    val p = plan("q_tpch_q15")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_tpch_q18: top-100 is a bounded-heap TakeOrderedAndProject; threshold holds") {
+    plan("q_tpch_q18") should include("TakeOrderedAndProject")
+    import org.apache.spark.sql.functions.col
+    df("q_tpch_q18").filter(col("sum_qty") <= 150.0).count() shouldBe 0L
+  }
+
+  test("q_tpch_q19: the OR-of-ANDs stays a post-join filter over the equi join") {
+    val p = plan("q_tpch_q19")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_tpch_q21: the EXISTS/NOT-EXISTS chain plans as LeftSemi + LeftAnti " +
+    "hash joins with the suppkey inequality as a residual condition") {
+    val p = plan("q_tpch_q21")
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+    // the inequality must ride the hash join, not force a nested loop
+    p should include regex "Join condition: NOT \\(l_suppkey.* = l2_suppkey"
+  }
+
+  test("q_tpch_q22: no-urgent-orders is a LeftAnti; the 1-row threshold is " +
+    "the only nested-loop (scalar broadcast) in the plan") {
+    val p = plan("q_tpch_q22")
+    p should include("LeftAnti")
+    // exactly one BNLJ: the broadcast 1-row threshold with the > condition
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin Inner")) shouldBe 1
+  }
+}
