@@ -371,7 +371,198 @@ object TpcH {
       .orderBy(col("cntrycode"))
   }
 
+  // -------------------------------------------------------------------
+  // Derived partsupp — the fixture has no partsupp table, so Q2/Q9/Q11/
+  // Q16/Q20 derive one by the same discipline operators/Hosts.scala uses
+  // for hosts: a convention computable identically by both engines.
+  // The relation is lineitem's DISTINCT (partkey, suppkey) pairs — the
+  // pairs that demonstrably supply — with supplycost/availqty as pure
+  // integer functions of the key pair (exact on both engines, no floats).
+  // The queries join it as a REAL table (the functional shortcut — these
+  // columns are computable row-local on lineitem, eliminating the join —
+  // is deliberately NOT taken: the point of these five queries is the
+  // partsupp join shape). At production scale the derivation — one
+  // distinct-shuffle over the fact — would be materialized once and
+  // bucketed by ps_partkey; here each query derives it inline (~52 k
+  // rows at sf0.1).
+  // -------------------------------------------------------------------
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost_c",
+        (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 90000 + 10000)
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 7 + col("ps_suppkey") * 3) % 9999 + 1)
+
+  /** The same derivation as DuckDB SQL, prefixed to each oracle. */
+  private val PartsuppCte =
+    """WITH partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    (l_partkey*31 + l_suppkey*17) % 90000 + 10000 AS ps_supplycost_c,
+      |    (l_partkey*7 + l_suppkey*3) % 9999 + 1 AS ps_availqty
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Q2 — minimum-cost supplier. The correlated MIN subquery is written
+  // in its decorrelated form directly (the shape Catalyst produces for
+  // Q17): one per-part MIN over the region-restricted partsupp, joined
+  // back on (partkey, cost = min). p_mfgr doesn't exist; p_brand rides
+  // along instead.
+  // Scale: supplier/nation/region broadcast; the partsupp↔min-join
+  // shuffles on ps_partkey (both sides, co-partitioned); top-100 is a
+  // TakeOrderedAndProject.
+  // -------------------------------------------------------------------
+  def qTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val eups = partsupp(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("s_suppkey") === col("ps_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+    val minc = eups.groupBy(col("ps_partkey").as("m_partkey"))
+      .agg(min(col("ps_supplycost_c")).as("min_c"))
+    eups
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")),
+        col("p_partkey") === col("ps_partkey"))
+      .join(minc, col("ps_partkey") === col("m_partkey") &&
+        col("ps_supplycost_c") === col("min_c"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        (col("ps_supplycost_c").cast("decimal(38,0)") / 100).cast("double")
+          .as("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  // -------------------------------------------------------------------
+  // Q9 — product-type profit. Verbatim shape: the six-way join with the
+  // two-key partsupp join, profit = Σ (price·(1−disc) − supplycost·qty),
+  // all in exact integer cents·bp (both terms are value×10⁴; one final
+  // division).
+  // Scale: part (name-filtered) / supplier / nation broadcast; the
+  // partsupp join shuffles on the (partkey,suppkey) pair, orders on
+  // orderkey — the two unavoidable fact exchanges.
+  // -------------------------------------------------------------------
+  def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val profitC = volCbp -
+      col("ps_supplycost_c") * cents(col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_name").like("%bolt%")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(partsupp(s, dir),
+        col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(profitC.cast("decimal(38,0)")) / 10000).cast("double")
+        .as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  // -------------------------------------------------------------------
+  // Q11 — important stock. Verbatim shape: one nation's per-part stock
+  // value vs a scalar fraction (1/10000) of the nation total. Both sums
+  // are exact DECIMAL(38,0) over integer cost·qty products, so the
+  // threshold comparison is exact on both engines.
+  // Scale: the supplier probe broadcasts; one ps_partkey aggregation
+  // shuffle; the 1-row total broadcasts back.
+  // -------------------------------------------------------------------
+  def qTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val natps = partsupp(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_12")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))),
+        col("ps_suppkey") === col("s_suppkey"))
+    val valpp = natps.groupBy(col("ps_partkey"))
+      .agg(sum((col("ps_supplycost_c") * col("ps_availqty"))
+        .cast("decimal(38,0)")).as("v_c"))
+    valpp
+      .join(broadcast(valpp.agg(sum(col("v_c")).as("t_c"))))
+      .filter(col("v_c") * 10000 > col("t_c"))
+      .select(col("ps_partkey"),
+        (col("v_c") / 100).cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("ps_partkey"))
+  }
+
+  // -------------------------------------------------------------------
+  // Q16 — supplier-part census. The complaint-supplier NOT IN becomes a
+  // LEFT ANTI against a deterministic predicate (s_suppkey % 13 = 0 —
+  // s_comment doesn't exist); brand/type exclusions and the size
+  // IN-list keep the original shape, including the COUNT(DISTINCT)
+  // across the join.
+  // Scale: both dimension legs broadcast (the anti side is a key list);
+  // the only wide shuffle is the distinct-count aggregation.
+  // -------------------------------------------------------------------
+  def qTpchQ16(s: SparkSession, dir: String): DataFrame =
+    partsupp(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 13 === 0).select(col("s_suppkey"))),
+        col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))),
+        col("p_partkey") === col("ps_partkey"))
+      .groupBy(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
+  // -------------------------------------------------------------------
+  // Q20 — excess-stock suppliers. Verbatim shape: the nested
+  // IN-subquery chain becomes part-probe LEFT SEMI → shipped-quantity
+  // LEFT OUTER (+ coalesce 0 for never-shipped pairs, matching the
+  // correlated scalar sum's empty case) → threshold filter → supplier
+  // LEFT SEMI.
+  // Scale: the year's shipped quantities aggregate on the same
+  // (partkey,suppkey) pair the join uses — co-partitioned; part and
+  // nation probes broadcast.
+  // -------------------------------------------------------------------
+  def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+    val excess = partsupp(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_name").like("blue%")).select(col("p_partkey"))),
+        col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(shipped,
+        col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"), "left_outer")
+      .filter(col("ps_availqty") * 100 >
+        lit(50L) * coalesce(col("qty_c"), lit(0L)))
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_name") === "NATION_12")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(excess.select(col("ps_suppkey")),
+        col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_suppkey"))
+      .orderBy(col("s_suppkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2" -> qTpchQ2,
+    "q_tpch_q9" -> qTpchQ9,
+    "q_tpch_q11" -> qTpchQ11,
+    "q_tpch_q16" -> qTpchQ16,
+    "q_tpch_q20" -> qTpchQ20,
     "q_tpch_q4" -> qTpchQ4,
     "q_tpch_q6" -> qTpchQ6,
     "q_tpch_q7" -> qTpchQ7,
@@ -393,6 +584,79 @@ object TpcH {
   // cents·bp sums the Spark side uses, so both engines divide/compare
   // identical exact values.
   def oracleSql: Map[String, String] = Map(
+    "q_tpch_q2" -> (PartsuppCte +
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  CAST(CAST(ps_supplycost_c AS DECIMAL(38,0)) / 100 AS DOUBLE)
+        |    AS ps_supplycost
+        |FROM part, partsupp, supplier, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size = 15 AND p_type = 'STANDARD'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost_c = (
+        |    SELECT min(ps_supplycost_c)
+        |    FROM partsupp, supplier, nation, region
+        |    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |      AND r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+    "q_tpch_q9" -> (PartsuppCte +
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(CAST(sum(
+        |    CAST(floor(CAST(l_extendedprice AS DOUBLE)*100+0.5) AS BIGINT) *
+        |      (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100+0.5) AS BIGINT))
+        |    - ps_supplycost_c *
+        |      CAST(floor(CAST(l_quantity AS DOUBLE)*100+0.5) AS BIGINT)
+        |  ) AS DECIMAL(38,0)) / 10000 AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin),
+    "q_tpch_q11" -> (PartsuppCte.stripSuffix("\n") +
+      """,
+        |val AS (
+        |  SELECT ps_partkey, sum(ps_supplycost_c * ps_availqty) AS v_c
+        |  FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_12'
+        |  GROUP BY ps_partkey),
+        |tot AS (SELECT sum(v_c) AS t_c FROM val)
+        |SELECT ps_partkey,
+        |  CAST(CAST(v_c AS DECIMAL(38,0)) / 100 AS DOUBLE) AS part_value
+        |FROM val, tot WHERE v_c * 10000 > t_c
+        |ORDER BY part_value DESC, ps_partkey""".stripMargin),
+    "q_tpch_q16" -> (PartsuppCte +
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND ps_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    "q_tpch_q20" -> (PartsuppCte +
+      """SELECT s_name, s_suppkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_12'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN
+        |        (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+        |      AND ps_availqty * 100 > 50 * (
+        |        SELECT CAST(coalesce(sum(CAST(floor(
+        |            CAST(l_quantity AS DOUBLE)*100+0.5) AS BIGINT)), 0)
+        |          AS BIGINT)
+        |        FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s_suppkey""".stripMargin),
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -83,6 +83,44 @@ class TpcHSpec extends SparkSpec with Matchers {
     p should include regex "Join condition: NOT \\(l_suppkey.* = l2_suppkey"
   }
 
+  test("q_tpch_q2: decorrelated min-cost join, no cartesian, top-100 heap") {
+    val p = plan("q_tpch_q2")
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_tpch_q9: the two-key partsupp join stays an equi hash join; " +
+    "part's name filter reaches its scan") {
+    val p = plan("q_tpch_q9")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include regex "PushedFilters: \\[[^\\]]*StringContains\\(p_name,bolt\\)"
+  }
+
+  test("q_tpch_q11: the nation total is a 1-row broadcast; threshold filter " +
+    "is exact decimal") {
+    val p = plan("q_tpch_q11")
+    // the only nested loop is the 1-row total broadcast (scalar shape)
+    p.linesIterator.count(_.contains("BroadcastNestedLoopJoin Inner")) shouldBe 1
+    p should not include "CartesianProduct"
+  }
+
+  test("q_tpch_q16: complaint suppliers exclude via LeftAnti; census is a " +
+    "distinct-count aggregation") {
+    val p = plan("q_tpch_q16")
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+  }
+
+  test("q_tpch_q20: the nested IN chain plans as semi/outer/semi joins") {
+    val p = plan("q_tpch_q20")
+    p should include("LeftSemi")
+    p should include regex "Join type: LeftOuter|BroadcastHashJoin LeftOuter|SortMergeJoin LeftOuter"
+    p should not include "CartesianProduct"
+  }
+
   test("q_tpch_q22: no-urgent-orders is a LeftAnti; the 1-row threshold is " +
     "the only nested-loop (scalar broadcast) in the plan") {
     val p = plan("q_tpch_q22")
