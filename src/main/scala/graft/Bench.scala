@@ -208,8 +208,21 @@ object Bench {
       .collectFirst { case (n, v) if n == canaryName && v >= 0 => v }
     def canaryJson(fmt: Double => String): String =
       canary.map(v => s""","canary":{"$canaryName":${fmt(v)}}""").getOrElse("")
+    // canary variance guard (round-10 lesson: two same-box readings 20 min
+    // apart gave 0.814 vs 0.949 — a 17% swing in the NORMALIZATION DIVISOR
+    // skews every cross-round comparison): after the suite, re-read the
+    // canary three more times and report the MEDIAN on the detail line as
+    // "canary3". The contract-line "canary" field keeps its historical
+    // best-of-2 definition (the BASELINE.md table is calibrated to it);
+    // adjudications should prefer canary3 when the two disagree.
+    val canary3: Option[Double] = canary.map { _ =>
+      val reads = (1 to 3).map(_ => once(canaryName)).filter(_ >= 0).sorted
+      if (reads.isEmpty) -1.0 else reads(reads.size / 2)
+    }.filter(_ >= 0)
+    def canary3Json(fmt: Double => String): String =
+      canary3.map(v => s""","canary3":{"$canaryName":${fmt(v)}}""").getOrElse("")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)}${canary3Json(full)},"sf":"$sfDir"}"""
     // only a full-registry run may overwrite the committed artifact —
     // focused runs (explicit query args) would clobber it with a subset
     if (args.isEmpty)
