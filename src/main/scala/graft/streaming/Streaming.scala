@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** Structured Streaming surface — the unbounded mirror of the batch
   * operators. The reference has no streaming at all (SURVEY §2.2: the
@@ -693,6 +693,64 @@ object Streaming {
       .groupBy(col("word"))
       .agg(max(col("cnt")).as("cnt"))
       .orderBy(col("word"))
+  }
+
+  /** The FLAGSHIP relational query as a structured stream under the gate:
+    * the TPC-H Q1 pricing summary ([[graft.operators.Relational.q1Agg]])
+    * over a file-source stream of the lineitem table, update-mode memory
+    * sink. Every streamed aggregate is per-group MONOTONE across
+    * micro-batches (sums of positive integer cents / cents·bp products
+    * and a row count), so the per-group max over the drained updates IS
+    * the final snapshot — [[qStreamWc]]'s collapse — and every snapshot's
+    * columns are mutually consistent because they all come from the same
+    * final update row. avg_qty is derived from the collapsed sums with
+    * the batch path's exact arithmetic. Hash-matches the SAME DuckDB
+    * oracle as the batch `q1_agg` row: one derivation, four execution
+    * regimes for the flagship (batch DataFrame, verbatim SQL text
+    * — TpcHSqlSpec —, multi-JVM, stream), mirroring wc's three.
+    */
+  def qStreamQ1(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_shipdate", TimestampType)))
+    val src = s.readStream.schema(schema).parquet(s"$dir/lineitem.parque*")
+    import graft.operators.Relational.cents
+    val epC = cents(col("l_extendedprice"))
+    val d100 = lit(100L) - cents(col("l_discount"))
+    val t100 = lit(100L) + cents(col("l_tax"))
+    val name = s"graft_stream_q1_${sinkSeq.incrementAndGet()}"
+    val q = src
+      .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity")).cast("decimal(38,0)")).as("qty_c"),
+        sum(epC.cast("decimal(38,0)")).as("base_c"),
+        sum((epC * d100).cast("decimal(38,0)")).as("disc_cbp"),
+        sum((epC * d100 * t100).cast("decimal(38,0)")).as("charge_cbp2"),
+        count(lit(1)).as("count_order"))
+      .writeStream.outputMode("update").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(max(col("qty_c")).as("qty_c"), max(col("base_c")).as("base_c"),
+        max(col("disc_cbp")).as("disc_cbp"),
+        max(col("charge_cbp2")).as("charge_cbp2"),
+        max(col("count_order")).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("qty_c") / 100).cast("double").as("sum_qty"),
+        (col("base_c") / 100).cast("double").as("sum_base_price"),
+        (col("disc_cbp") / 10000).cast("double").as("sum_disc_price"),
+        (col("charge_cbp2") / 1000000).cast("double").as("sum_charge"),
+        ((col("qty_c") / 100).cast("double") / col("count_order"))
+          .as("avg_qty"),
+        col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** Spend threshold (integer cents) splitting the user tiers of
@@ -1441,6 +1499,7 @@ object Streaming {
     "q_stream_attribution" -> qStreamAttribution,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_wc" -> qStreamWc,
+    "q_stream_q1" -> qStreamQ1,
     "q_stream_join" -> qStreamJoin,
     "q_stream_stream_join" -> qStreamStreamJoin,
     "q_stream_outer_join" -> qStreamOuterJoin
@@ -1569,6 +1628,9 @@ object Streaming {
           |      FROM documents) t
           |WHERE word <> ''
           |GROUP BY word ORDER BY word""".stripMargin,
+      // the batch flagship's oracle verbatim — one derivation, four
+      // execution regimes (batch, SQL text, multi-JVM, stream)
+      "q_stream_q1" -> graft.operators.Relational.oracleSql("q1_agg"),
       // the batch sessionizer's derivation minus its session_idx /
       // duration ride-alongs, keyed by (user, session_start) — the
       // streamed append-mode emissions must reproduce every session row

@@ -39,6 +39,16 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("streaming flagship q1 equals the batch q1_agg row-for-row") {
+    // the update-mode drain + monotone per-group max collapse must land on
+    // exactly the batch plan's rows — same exact-cents arithmetic, so the
+    // comparison is bit-for-bit on every double
+    val stream = Streaming.qStreamQ1(spark, sf()).collect().map(_.toString)
+    val batch = graft.operators.Relational.q1Agg(spark, sf())
+      .collect().map(_.toString)
+    stream shouldBe batch
+  }
+
   test("streaming KMV estimate converges to the batch q_kmv estimate " +
     "under shuffled micro-batches") {
     import spark.implicits._
