@@ -350,6 +350,49 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("o_orderpriority"))
   }
 
+  /** Delete-delta predicate for [[qIvmRetract]]: a mix of partial
+    * retractions (every 7th order) and FULL-group retractions (every
+    * order of customers with custkey ≡ 3 mod 10) so the group-death path
+    * is exercised at every SF.
+    */
+  private def retractPred: Column =
+    col("o_orderkey") % 7 === 2 || col("o_custkey") % 10 === 3
+
+  /** Incremental view maintenance under a DELETE delta — the harder IVM
+    * direction [[qIvmJoin]]'s insert-only merge never exercises: COUNT and
+    * SUM retract by SUBTRACTING the delta's per-key aggregates, and a key
+    * whose count reaches zero must LEAVE the view (an insert-only merge
+    * can never delete a row). View grain is per-customer so the delta
+    * genuinely kills groups (customers ≡ 3 mod 10 lose every order).
+    * `is_touched` marks surviving keys the delta dirtied. The oracle is an
+    * independent from-scratch recompute over the kept rows — agreement
+    * proves retracted-merge ≡ recompute including the vanished keys.
+    * Scale: both branches aggregate to |customers| rows before the merge
+    * join; the merge is a key-co-partitioned left join; nothing touches
+    * the fact twice at full width.
+    */
+  def qIvmRetract(s: SparkSession, dir: String): DataFrame = {
+    def viewOf(orders: DataFrame): DataFrame = orders
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice")).cast("decimal(38,0)")).as("cts"))
+    val base = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"))
+    val v0 = viewOf(base)
+    val dv = viewOf(base.filter(retractPred))
+      .select(col("o_custkey").as("d_custkey"),
+        col("n").as("dn"), col("cts").as("dcts"))
+    v0.join(dv, col("o_custkey") === col("d_custkey"), "left_outer")
+      .select(
+        col("o_custkey").as("c_custkey"),
+        (col("n") - coalesce(col("dn"), lit(0L))).as("n_orders"),
+        ((col("cts") - coalesce(col("dcts"), lit(0).cast("decimal(38,0)")))
+          / 100).cast("double").as("revenue"),
+        col("dn").isNotNull.cast("long").as("is_touched"))
+      .filter(col("n_orders") > 0) // retraction-specific: dead keys leave
+      .orderBy(col("c_custkey"))
+  }
+
   /** Left-semi join = EXISTS: customers having at least one open order. */
   def qJoinSemi(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -1166,6 +1209,7 @@ object Relational {
     "q_tpch_q10" -> qTpchQ10,
     "q_join_shuffle" -> qJoinShuffle,
     "q_ivm_join" -> qIvmJoin,
+    "q_ivm_retract" -> qIvmRetract,
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_outer" -> qJoinOuter,
@@ -1569,6 +1613,23 @@ object Relational {
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // INDEPENDENT derivation: from-scratch recompute over the KEPT rows —
+    // agreement proves subtractive merge ≡ recompute, including the keys
+    // whose count hit zero and left the view
+    "q_ivm_retract" ->
+      """WITH kept AS (
+        |  SELECT o_custkey, o_totalprice FROM orders
+        |  WHERE NOT (o_orderkey % 7 = 2 OR o_custkey % 10 = 3)),
+        |tch AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderkey % 7 = 2 OR o_custkey % 10 = 3)
+        |SELECT k.o_custkey AS c_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(max(CASE WHEN t.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS is_touched
+        |FROM kept k LEFT JOIN tch t ON k.o_custkey = t.o_custkey
+        |GROUP BY k.o_custkey ORDER BY c_custkey""".stripMargin,
     // INDEPENDENT derivation: from-scratch recompute over base ∪ delta —
     // agreement proves the Spark side's merged refresh ≡ recomputed view
     "q_ivm_join" ->

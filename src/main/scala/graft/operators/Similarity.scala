@@ -84,6 +84,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Label allow-list for [[qAnnFiltered]]. */
+  val FilterLabels: Seq[Int] = Seq(1, 2)
+
+  /** METADATA-FILTERED vector search — the constrained-retrieval form
+    * every production vector store needs (RAG over one tenant/language,
+    * eval over one label). Strategy is PRE-filtering: the label predicate
+    * is applied to the corpus scan BEFORE the |Q|·N scoring, so the exact
+    * top-k is computed over exactly the admissible set and k always
+    * fills. The alternative — POST-filtering an unfiltered ANN result —
+    * under-fills k whenever fewer than k of the unfiltered neighbors pass
+    * (with this corpus' 4 labels, an unfiltered top-5 keeps ~5/2 = 2.5
+    * admissible rows on average), and over-fetch factors are a heuristic
+    * patch; with a selective predicate the pre-filter is strictly better
+    * and pushes to the parquet scan (plan-pinned). At index scale the
+    * same split survives: IVF partition pruning composes with a pushed
+    * metadata predicate (the persisted index of [[qAnnIvfIndex]] is
+    * partitioned by cluster; a label subdirectory or row-group filter
+    * plays the same role here).
+    */
+  def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+    val queries = emb.filter(col("vec_id") < QueryCount)
+    val corpus = emb.filter(col("label").isin(FilterLabels.map(_.toLong): _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")))
+      .join(corpus, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosRounded(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Per-kind depth of the triplet-mining query. */
   val HardK = 3
 
@@ -1230,6 +1269,7 @@ object Similarity {
     "q_dbscan_cluster" -> qDbscanCluster,
     "q_silhouette" -> qSilhouette,
     "q_ann_brute" -> qAnnBrute,
+    "q_ann_filtered" -> qAnnFiltered,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_multiprobe" -> qAnnMultiprobe,
     "q_ann_directed" -> qAnnLshDirected,
@@ -1869,6 +1909,24 @@ object Similarity {
          |FROM rkd WHERE r <= $HardK
          |ORDER BY query_id, kind, rk""".stripMargin,
     "q_ann_brute" -> (bruteSql + "\nORDER BY query_id, rk"),
+    // the brute fragment with the label allow-list applied BEFORE scoring
+    // (pre-filter semantics: exact top-k over exactly the admissible set)
+    "q_ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < $QueryCount),
+         |scored AS (
+         |  SELECT query_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+         |    $cosSql AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id <> query_id
+         |   AND e.label IN (${FilterLabels.mkString(", ")})),
+         |ranked AS (
+         |  SELECT query_id, vec_id, label, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, label, cos
+         |FROM ranked WHERE rk <= $TopK
+         |ORDER BY query_id, rk""".stripMargin,
     "q_ann_lsh" -> (lshSql + "\nORDER BY query_id, rk"),
     // fusion of the two proven ranking fragments: ranks only, one IEEE
     // division per side, vec_id tie-break — bit-identical cross-engine

@@ -272,6 +272,32 @@ class RelationalSpec extends SparkSpec with Matchers {
     r.getAs[Long]("n_gap_runs") shouldBe runs.toLong
   }
 
+  test("q_ivm_retract: subtractive merge equals a from-scratch recompute " +
+    "and fully-retracted keys LEAVE the view") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.tables.Tables.orders(spark, sf())
+    val got = Relational.qIvmRetract(spark, sf()).collect()
+    // group death actually fires: every custkey ≡ 3 mod 10 with orders is
+    // absent from the merged view (all its rows retracted)
+    val dead = orders.filter(col("o_custkey") % 10 === 3)
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    dead.nonEmpty shouldBe true
+    got.map(_.getAs[Long]("c_custkey")).toSet.intersect(dead) shouldBe empty
+    // no negative counts survived the subtraction
+    got.count(_.getAs[Long]("n_orders") <= 0L) shouldBe 0
+    // touched flag: survivors that lost every-7th orders are marked
+    val touched = got.filter(_.getAs[Long]("is_touched") == 1L)
+    touched.nonEmpty shouldBe true
+    // independent recompute over kept rows matches row-for-row
+    val want = orders
+      .filter(!(col("o_orderkey") % 7 === 2 || col("o_custkey") % 10 === 3))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.map(r => r.getAs[Long]("c_custkey") -> r.getAs[Long]("n_orders"))
+      .toMap shouldBe want
+  }
+
   test("q_ivm_join: incremental merge equals a from-scratch recompute " +
     "over base union delta") {
     import org.apache.spark.sql.functions._

@@ -68,6 +68,24 @@ class SimilaritySpec extends SparkSpec with Matchers {
     ()
   }
 
+  test("filtered search: every result passes the label allow-list, k fills, " +
+    "and the predicate is pushed to the corpus scan (pre-filter, not post)") {
+    import org.apache.spark.sql.functions.col
+    val df = Similarity.qAnnFiltered(spark, sf()).cache()
+    val allowed = Similarity.FilterLabels.map(_.toLong).toSet
+    df.collect().foreach(r => allowed should contain(r.getAs[Long]("label")))
+    // pre-filter semantics: k always fills (the admissible set is >> k)
+    df.groupBy("query_id").count().filter(col("count") =!=
+      Similarity.TopK.toLong).count() shouldBe 0L
+    // the label predicate reaches the parquet scan BEFORE scoring
+    val plan = Similarity.qAnnFiltered(spark, sf()).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    plan should include regex "PushedFilters: \\[[^\\]]*In\\(label"
+    df.unpersist()
+    ()
+  }
+
   test("LSH candidates join on bucket keys (hash join, not nested loop)") {
     val plan = Similarity.qAnnLsh(spark, sf()).queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
