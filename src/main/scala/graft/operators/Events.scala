@@ -118,6 +118,42 @@ object Events {
     * per-window pass), so cost is 2× the tumbling rollup regardless of
     * corpus size.
     */
+  /** Reference instant (2024-02-01T00:00:00Z, just past the corpus' last
+    * event) and half-life for [[qEventsDecay]].
+    */
+  val DecayRefUs = 1706745600000000L
+  val DecayHalflifeDays = 3L
+
+  /** Exponentially-decayed per-user event count — the recency weighting a
+    * training-data pipeline uses to favor fresh interactions (recsys
+    * examples, crawl freshness). Exactness strategy: BUCKETED decay — age
+    * is floored to half-life buckets k (integer division, capped at 62)
+    * and each event contributes the power-of-two weight 2^(62−k), summed
+    * as DECIMAL(38,0). The sum is exact and order-independent (no float
+    * accumulation anywhere), divided back by 2^62 ONCE at the end — both
+    * engines round the identical exact value to the identical double.
+    * `freshness` = decayed/n, the average recency weight, same mirrored
+    * arithmetic. Scale: one map-side-partial aggregation to |users| rows;
+    * the weight is a row-local shift, no join, no window.
+    */
+  def qEventsDecay(s: SparkSession, dir: String): DataFrame = {
+    // SQL form: the Scala shiftleft() overload takes a literal bit count
+    val w = expr("shiftleft(1L, cast(62 - least(" +
+      s"($DecayRefUs - unix_micros(ts)) div 86400000000 " +
+      s"div $DecayHalflifeDays, 62L) as int))")
+    val two62 = lit(4611686018427387904L) // 2^62
+    Tables.events(s, dir)
+      .select(col("user_id"), w.as("wt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("wt").cast("decimal(38,0)")).as("wsum"))
+      .select(col("user_id"), col("n_events"),
+        (col("wsum").cast("double") / two62).as("decayed"),
+        round(col("wsum").cast("double") / two62 / col("n_events"), 6)
+          .as("freshness"))
+      .orderBy(col("user_id"))
+  }
+
   def qEventsSliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(
@@ -1463,6 +1499,7 @@ object Events {
     "q_events_hourly" -> qEventsHourly,
     "q_events_densify" -> qEventsDensify,
     "q_events_sliding" -> qEventsSliding,
+    "q_events_decay" -> qEventsDecay,
     "q_events_sessionize" -> qEventsSessionize,
     "q_session_window" -> qSessionWindow,
     "q_retention_cohort" -> qRetentionCohort,
@@ -2125,6 +2162,20 @@ object Events {
         |SELECT window_start, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM hops GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // exact bucketed decay: power-of-two weights summed as HUGEINT,
+    // one double division at the end — mirrors the Spark arithmetic
+    "q_events_decay" ->
+      s"""WITH w AS (
+         |  SELECT user_id,
+         |    1::BIGINT << CAST(62 - least(
+         |      ($DecayRefUs - epoch_us(ts)) // 86400000000
+         |        // $DecayHalflifeDays, 62) AS INT) AS wt
+         |  FROM events)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(wt) AS DOUBLE) / 4611686018427387904 AS decayed,
+         |  round(CAST(sum(wt) AS DOUBLE) / 4611686018427387904 / count(*), 6)
+         |    AS freshness
+         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_events_sessionize" ->
       s"""WITH flagged AS (
          |  SELECT user_id, event_id, ts, value,

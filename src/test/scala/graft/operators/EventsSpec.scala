@@ -7,6 +7,25 @@ import graft.SparkSpec
 
 class EventsSpec extends SparkSpec with Matchers {
 
+  test("q_events_decay: weights bounded by (0, 1], exact-sum plan is a " +
+    "pure aggregation (no join, no window)") {
+    val rows = Events.qEventsDecay(spark, sf()).collect()
+    rows.nonEmpty shouldBe true
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events").toDouble
+      val d = r.getAs[Double]("decayed")
+      // each event's weight is in (0, 1], so 0 < decayed <= n_events
+      assert(d > 0.0 && d <= n, s"decayed $d outside (0, $n]")
+      val f = r.getAs[Double]("freshness")
+      assert(f > 0.0 && f <= 1.0, s"freshness $f outside (0, 1]")
+    }
+    val plan = Events.qEventsDecay(spark, sf())
+      .queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "Window"
+    plan should include("HashAggregate")
+  }
+
   test("sessionize: every event lands in exactly one session; gaps split") {
     val events = graft.tables.Tables.events(spark, sf())
     val sessions = Events.qEventsSessionize(spark, sf()).cache()
