@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, FreqSketchStrings, MaxFreqCount, MinKDistinctLongs, MinKLongs, QuantileSketchLongs, WinnowedPositions}
+import graft.functions.{BitmapAgg, BitmapAndCard, BitmapCard, Bitmaps, FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, FreqSketchStrings, MaxFreqCount, MinKDistinctLongs, MinKLongs, QuantileSketchLongs, WinnowedPositions}
 
 /** Spark extensions entry point: install the engine's native functions at
   * session build time, with zero user code —
@@ -54,6 +54,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         FloatVecQuantStats(args(0), levels)
       }))
+    e.injectFunction((
+      FunctionIdentifier("bitmap_agg"),
+      info("bitmap_agg",
+        "bitmap_agg(id) - exact mergeable bitset over BIGINT ids in " +
+          s"[0, 2^${Bitmaps.UserDomainBits}) as BINARY"),
+      args => {
+        if (args.length != 1)
+          throw new IllegalArgumentException(
+            s"bitmap_agg requires exactly 1 argument, got ${args.length}")
+        BitmapAgg(args(0), Bitmaps.UserDomainBits)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bitmap_card"),
+      info("bitmap_card",
+        "bitmap_card(bm) - popcount of a bitmap_agg BINARY (exact distinct)"),
+      args => {
+        if (args.length != 1)
+          throw new IllegalArgumentException(
+            s"bitmap_card requires exactly 1 argument, got ${args.length}")
+        BitmapCard(args(0))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bitmap_and_card"),
+      info("bitmap_and_card",
+        "bitmap_and_card(a, b) - exact intersection cardinality of two bitmap_agg BINARYs"),
+      binary("bitmap_and_card")(BitmapAndCard)))
     e.injectFunction((
       FunctionIdentifier("max_freq_count"),
       info("max_freq_count",

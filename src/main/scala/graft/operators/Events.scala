@@ -154,6 +154,33 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Exact segment-overlap matrix via mergeable bitmaps
+    * ([[graft.functions.BitmapAgg]] — the groupBitmap capability): one
+    * bitmap aggregation per event-type segment over the bounded user-id
+    * domain, then every pairwise intersection cardinality as a word-wise
+    * AND of two 16 KiB buffers. Scale: J segments cost J bitmap
+    * aggregations (map-side mergeable, buffer sized by the DOMAIN, not
+    * the row count) + a J²/2 nested-loop over J tiny rows — versus J²/2
+    * shuffled COUNT(DISTINCT) self-joins of the fact. The oracle derives
+    * the same matrix from first principles (DISTINCT pairs + self-join).
+    */
+  def qBitmapSegments(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bitmaps._
+    val segs = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(bitmapAgg(col("user_id")).as("bm"))
+    val a = segs.select(col("event_type").as("seg_a"), col("bm").as("bm_a"))
+    val b = segs.select(col("event_type").as("seg_b"), col("bm").as("bm_b"))
+    a.join(b, col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        bitmapCard(col("bm_a")).as("n_a"),
+        bitmapCard(col("bm_b")).as("n_b"),
+        bitmapAndCard(col("bm_a"), col("bm_b")).as("n_both"))
+      .withColumn("jaccard", round(col("n_both").cast("double") /
+        (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
   def qEventsSliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(
@@ -1500,6 +1527,7 @@ object Events {
     "q_events_densify" -> qEventsDensify,
     "q_events_sliding" -> qEventsSliding,
     "q_events_decay" -> qEventsDecay,
+    "q_bitmap_segments" -> qBitmapSegments,
     "q_events_sessionize" -> qEventsSessionize,
     "q_session_window" -> qSessionWindow,
     "q_retention_cohort" -> qRetentionCohort,
@@ -2162,6 +2190,25 @@ object Events {
         |SELECT window_start, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM hops GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // INDEPENDENT derivation: distinct (segment, user) pairs self-joined —
+    // the matrix the bitmap algebra must reproduce exactly
+    "q_bitmap_segments" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+        |        count(*) AS n_both
+        |      FROM s a JOIN s b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ca.event_type AS seg_a, cb.event_type AS seg_b,
+        |  ca.n AS n_a, cb.n AS n_b,
+        |  coalesce(p.n_both, 0) AS n_both,
+        |  round(CAST(coalesce(p.n_both, 0) AS DOUBLE) /
+        |    CAST(ca.n + cb.n - coalesce(p.n_both, 0) AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN p ON p.seg_a = ca.event_type AND p.seg_b = cb.event_type
+        |ORDER BY seg_a, seg_b""".stripMargin,
     // exact bucketed decay: power-of-two weights summed as HUGEINT,
     // one double division at the end — mirrors the Spark arithmetic
     "q_events_decay" ->

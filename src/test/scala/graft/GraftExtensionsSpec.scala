@@ -44,6 +44,16 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       .head()
     kd.getSeq[Long](0) shouldBe Seq(1L, 2L, 5L)
 
+    // exact bitmap distinct + intersection from pure SQL
+    val bm = spark
+      .sql("SELECT bitmap_card(bitmap_agg(v)) n, " +
+        "bitmap_and_card(bitmap_agg(v), bitmap_agg(v + 1L)) both " +
+        "FROM VALUES (1L), (1L), (2L), (64L), (200L) AS t(v)")
+      .head()
+    bm.getLong(0) shouldBe 4L // {1, 2, 64, 200}
+    bm.getLong(1) shouldBe 1L // {1,2,64,200} ∩ {2,3,65,201} = {2}
+
+
     // n < 2k: sketch is exact — value at 1-based rank ceil(p*n)
     val sk = spark
       .sql("SELECT quantile_sketch(v, 16, 0.5D, 0.9D) q FROM " +
