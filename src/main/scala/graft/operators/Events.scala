@@ -137,10 +137,14 @@ object Events {
     * the weight is a row-local shift, no join, no window.
     */
   def qEventsDecay(s: SparkSession, dir: String): DataFrame = {
-    // SQL form: the Scala shiftleft() overload takes a literal bit count
-    val w = expr("shiftleft(1L, cast(62 - least(" +
+    // SQL form: the Scala shiftleft() overload takes a literal bit count.
+    // greatest(0, …): an event AFTER the reference instant would make the
+    // bucket negative and the shift count exceed 63 — Java's shift wraps
+    // mod 64 SILENTLY (and DuckDB's does not), so future events clamp to
+    // bucket 0 (full weight) instead of diverging.
+    val w = expr("shiftleft(1L, cast(62 - greatest(0L, least(" +
       s"($DecayRefUs - unix_micros(ts)) div 86400000000 " +
-      s"div $DecayHalflifeDays, 62L) as int))")
+      s"div $DecayHalflifeDays, 62L)) as int))")
     val two62 = lit(4611686018427387904L) // 2^62
     Tables.events(s, dir)
       .select(col("user_id"), w.as("wt"))
@@ -2214,9 +2218,9 @@ object Events {
     "q_events_decay" ->
       s"""WITH w AS (
          |  SELECT user_id,
-         |    1::BIGINT << CAST(62 - least(
+         |    1::BIGINT << CAST(62 - greatest(0, least(
          |      ($DecayRefUs - epoch_us(ts)) // 86400000000
-         |        // $DecayHalflifeDays, 62) AS INT) AS wt
+         |        // $DecayHalflifeDays, 62)) AS INT) AS wt
          |  FROM events)
          |SELECT user_id, count(*) AS n_events,
          |  CAST(sum(wt) AS DOUBLE) / 4611686018427387904 AS decayed,
