@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitmapAgg, BitmapAndCard, BitmapCard, Bitmaps, FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, FreqSketchStrings, MaxFreqCount, MinKDistinctLongs, MinKLongs, QuantileSketchLongs, WinnowedPositions}
+import graft.functions.{BitmapAgg, BitmapAndCard, BitmapCard, BitmapOrCard, Bitmaps, FloatVecCosine, FloatVecDotProduct, FloatVecQuantStats, FreqSketchStrings, MaxFreqCount, MinKDistinctLongs, MinKLongs, QuantileSketchLongs, WinnowedPositions}
 
 /** Spark extensions entry point: install the engine's native functions at
   * session build time, with zero user code —
@@ -80,6 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bitmap_and_card",
         "bitmap_and_card(a, b) - exact intersection cardinality of two bitmap_agg BINARYs"),
       binary("bitmap_and_card")(BitmapAndCard)))
+    e.injectFunction((
+      FunctionIdentifier("bitmap_or_card"),
+      info("bitmap_or_card",
+        "bitmap_or_card(a, b) - exact union cardinality of two bitmap_agg BINARYs"),
+      binary("bitmap_or_card")(BitmapOrCard)))
     e.injectFunction((
       FunctionIdentifier("max_freq_count"),
       info("max_freq_count",

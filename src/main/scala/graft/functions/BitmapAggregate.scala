@@ -184,6 +184,59 @@ case class BitmapAndCard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Popcount of the word-wise OR of two [[BitmapAgg]] BINARYs → exact
+  * union cardinality. Bits beyond the shorter (trimmed) bitmap come only
+  * from the longer one, so the scan runs to the longer length.
+  */
+case class BitmapOrCard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_or_card"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, BINARY), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    val n = math.max(a.length, b.length)
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      val av = if (i < a.length) a(i) else 0: Byte
+      val bv = if (i < b.length) b(i) else 0: Byte
+      cnt += java.lang.Integer.bitCount((av | bv) & 0xFF)
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val av = ctx.freshName("av")
+      val bv = ctx.freshName("bv")
+      s"""
+         |${ev.value} = 0L;
+         |int $n = java.lang.Math.max($a.length, $b.length);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  byte $av = $i < $a.length ? $a[$i] : (byte) 0;
+         |  byte $bv = $i < $b.length ? $b[$i] : (byte) 0;
+         |  ${ev.value} += java.lang.Integer.bitCount(($av | $bv) & 0xFF);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API wrappers. */
 object Bitmaps {
   /** Domain for the corpus' user-id bitmaps: 2^17 ids (16 KiB buffers) —
@@ -201,5 +254,8 @@ object Bitmaps {
     GraftColumnBridge.column(BitmapCard(GraftColumnBridge.expression(c)))
   def bitmapAndCard(a: Column, b: Column): Column =
     GraftColumnBridge.column(BitmapAndCard(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def bitmapOrCard(a: Column, b: Column): Column =
+    GraftColumnBridge.column(BitmapOrCard(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

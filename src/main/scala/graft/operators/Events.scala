@@ -179,7 +179,10 @@ object Events {
       .select(col("seg_a"), col("seg_b"),
         bitmapCard(col("bm_a")).as("n_a"),
         bitmapCard(col("bm_b")).as("n_b"),
-        bitmapAndCard(col("bm_a"), col("bm_b")).as("n_both"))
+        bitmapAndCard(col("bm_a"), col("bm_b")).as("n_both"),
+        // computed by word-wise OR; the oracle cross-checks it via
+        // inclusion-exclusion over independently-derived exact counts
+        bitmapOrCard(col("bm_a"), col("bm_b")).as("n_union"))
       .withColumn("jaccard", round(col("n_both").cast("double") /
         (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6))
       .orderBy(col("seg_a"), col("seg_b"))
@@ -2207,6 +2210,7 @@ object Events {
         |SELECT ca.event_type AS seg_a, cb.event_type AS seg_b,
         |  ca.n AS n_a, cb.n AS n_b,
         |  coalesce(p.n_both, 0) AS n_both,
+        |  ca.n + cb.n - coalesce(p.n_both, 0) AS n_union,
         |  round(CAST(coalesce(p.n_both, 0) AS DOUBLE) /
         |    CAST(ca.n + cb.n - coalesce(p.n_both, 0) AS DOUBLE), 6)
         |    AS jaccard

@@ -753,6 +753,36 @@ object Streaming {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** EXACT streaming distinct via domain-bounded bitmap state — the exact
+    * counterpart of [[qStreamKmv]]'s approximate sketch: per event-type
+    * segment, [[graft.functions.BitmapAgg]] accumulates user ids in the
+    * streaming state store (state size fixed by the declared id DOMAIN —
+    * 16 KiB per segment — regardless of how many rows stream through),
+    * and the drained per-batch cardinalities collapse by max (cardinality
+    * only grows). The schema reads ONLY (event_type, user_id), so the
+    * fixture's timestamp physical-annotation drift never enters this
+    * stream. Same oracle class as the batch `q_bitmap_segments` counts:
+    * exact COUNT(DISTINCT) per segment.
+    */
+  def qStreamBitmap(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("user_id", LongType)))
+    val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+    val name = s"graft_stream_bitmap_${sinkSeq.incrementAndGet()}"
+    val q = src
+      .groupBy(col("event_type"))
+      .agg(graft.functions.Bitmaps.bitmapCard(
+        graft.functions.Bitmaps.bitmapAgg(col("user_id"))).as("n_users"))
+      .writeStream.outputMode("update").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("event_type"))
+      .agg(max(col("n_users")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** Spend threshold (integer cents) splitting the user tiers of
     * [[userSegments]] — chosen near the median per-user purchase spend so
     * both tiers are populated at every SF.
@@ -1500,6 +1530,7 @@ object Streaming {
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_wc" -> qStreamWc,
     "q_stream_q1" -> qStreamQ1,
+    "q_stream_bitmap" -> qStreamBitmap,
     "q_stream_join" -> qStreamJoin,
     "q_stream_stream_join" -> qStreamStreamJoin,
     "q_stream_outer_join" -> qStreamOuterJoin
@@ -1631,6 +1662,10 @@ object Streaming {
       // the batch flagship's oracle verbatim — one derivation, four
       // execution regimes (batch, SQL text, multi-JVM, stream)
       "q_stream_q1" -> graft.operators.Relational.oracleSql("q1_agg"),
+      // exact streaming distinct (domain-bounded bitmap state)
+      "q_stream_bitmap" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the batch sessionizer's derivation minus its session_idx /
       // duration ride-alongs, keyed by (user, session_start) — the
       // streamed append-mode emissions must reproduce every session row

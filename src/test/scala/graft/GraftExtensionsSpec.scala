@@ -52,6 +52,11 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       .head()
     bm.getLong(0) shouldBe 4L // {1, 2, 64, 200}
     bm.getLong(1) shouldBe 1L // {1,2,64,200} ∩ {2,3,65,201} = {2}
+    val bu = spark
+      .sql("SELECT bitmap_or_card(bitmap_agg(v), bitmap_agg(v + 1L)) u " +
+        "FROM VALUES (1L), (1L), (2L), (64L), (200L) AS t(v)")
+      .head()
+    bu.getLong(0) shouldBe 7L // {1,2,64,200} ∪ {2,3,65,201} = {1,2,3,64,65,200,201}
 
 
     // n < 2k: sketch is exact — value at 1-based rank ceil(p*n)

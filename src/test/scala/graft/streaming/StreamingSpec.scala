@@ -49,6 +49,17 @@ class StreamingSpec extends SparkSpec with Matchers {
     stream shouldBe batch
   }
 
+  test("streaming bitmap distinct equals batch countDistinct per segment") {
+    import org.apache.spark.sql.functions._
+    val stream = Streaming.qStreamBitmap(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.tables.Tables.events(spark, sf())
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stream shouldBe batch
+  }
+
   test("streaming KMV estimate converges to the batch q_kmv estimate " +
     "under shuffled micro-batches") {
     import spark.implicits._
