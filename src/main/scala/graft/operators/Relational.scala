@@ -350,6 +350,52 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("o_orderpriority"))
   }
 
+  /** One-pass Pearson correlation MATRIX over the fact's numeric columns —
+    * the profiling capability (feature screening, drift watch) at scale:
+    * a SINGLE aggregation computes every Σa, Σa², Σab as exact
+    * DECIMAL(38,0) sums of integer cents products (a LONG sum of e²
+    * terms wraps at ~10⁵ rows — 10¹⁴ per row — so the decimal route is
+    * load-bearing, not style), then each pairwise r derives from the
+    * shared sufficient statistics with the IDENTICAL double expression
+    * the oracle uses (cast-then-multiply order mirrored term by term).
+    * Scale: one map-side-partial pass over the fact, 15 numbers per
+    * partition to the driver-side single row; the 6-pair fan-out is over
+    * that one row.
+    */
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val (q, e) = (cents(col("l_quantity")), cents(col("l_extendedprice")))
+    val (d, t) = (cents(col("l_discount")), cents(col("l_tax")))
+    def ds(c: Column) = sum(c.cast("decimal(38,0)"))
+    val agg = Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n"),
+      ds(q).as("sq"), ds(e).as("se"), ds(d).as("sd"), ds(t).as("st"),
+      ds(q * q).as("sqq"), ds(e * e).as("see"), ds(d * d).as("sdd"),
+      ds(t * t).as("stt"),
+      ds(q * e).as("sqe"), ds(q * d).as("sqd"), ds(q * t).as("sqt"),
+      ds(e * d).as("sed"), ds(e * t).as("set_"), ds(d * t).as("sdt"))
+    def corr(ab: String, sa: String, sb: String, saa: String,
+        sbb: String): Column = {
+      val n = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      round((n * dbl(ab) - dbl(sa) * dbl(sb)) /
+        sqrt((n * dbl(saa) - dbl(sa) * dbl(sa)) *
+          (n * dbl(sbb) - dbl(sb) * dbl(sb))), 6)
+    }
+    Seq(
+      ("discount", "extendedprice", "sed", "sd", "se", "sdd", "see"),
+      ("discount", "quantity", "sqd", "sd", "sq", "sdd", "sqq"),
+      ("discount", "tax", "sdt", "sd", "st", "sdd", "stt"),
+      ("extendedprice", "quantity", "sqe", "se", "sq", "see", "sqq"),
+      ("extendedprice", "tax", "set_", "se", "st", "see", "stt"),
+      ("quantity", "tax", "sqt", "sq", "st", "sqq", "stt"))
+      .map { case (a, b, ab, sa, sb, saa, sbb) =>
+        agg.select(lit(a).as("col_a"), lit(b).as("col_b"),
+          corr(ab, sa, sb, saa, sbb).as("corr"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** Delete-delta predicate for [[qIvmRetract]]: a mix of partial
     * retractions (every 7th order) and FULL-group retractions (every
     * order of customers with custkey ≡ 3 mod 10) so the group-death path
@@ -1210,6 +1256,7 @@ object Relational {
     "q_join_shuffle" -> qJoinShuffle,
     "q_ivm_join" -> qIvmJoin,
     "q_ivm_retract" -> qIvmRetract,
+    "q_corr_matrix" -> qCorrMatrix,
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_outer" -> qJoinOuter,
@@ -1613,6 +1660,39 @@ object Relational {
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // same sufficient statistics, cast-then-multiply order mirrored
+    // term by term so both engines produce identical doubles
+    "q_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(CAST(l_quantity AS DOUBLE)*100+0.5) AS BIGINT) AS q,
+        |    CAST(floor(CAST(l_extendedprice AS DOUBLE)*100+0.5) AS BIGINT) AS e,
+        |    CAST(floor(CAST(l_discount AS DOUBLE)*100+0.5) AS BIGINT) AS d,
+        |    CAST(floor(CAST(l_tax AS DOUBLE)*100+0.5) AS BIGINT) AS t
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    sum(q) AS sq, sum(e) AS se, sum(d) AS sd, sum(t) AS st,
+        |    sum(q*q) AS sqq, sum(e*e) AS see, sum(d*d) AS sdd,
+        |    sum(t*t) AS stt,
+        |    sum(q*e) AS sqe, sum(q*d) AS sqd, sum(q*t) AS sqt,
+        |    sum(e*d) AS sed, sum(e*t) AS set_, sum(d*t) AS sdt
+        |  FROM c)
+        |SELECT col_a, col_b,
+        |  round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS corr
+        |FROM (
+        |  SELECT 'discount' AS col_a, 'extendedprice' AS col_b,
+        |    n, sed AS sab, sd AS sa, se AS sb, sdd AS saa, see AS sbb FROM s
+        |  UNION ALL SELECT 'discount', 'quantity', n, sqd, sd, sq, sdd, sqq FROM s
+        |  UNION ALL SELECT 'discount', 'tax', n, sdt, sd, st, sdd, stt FROM s
+        |  UNION ALL SELECT 'extendedprice', 'quantity', n, sqe, se, sq, see, sqq FROM s
+        |  UNION ALL SELECT 'extendedprice', 'tax', n, set_, se, st, see, stt FROM s
+        |  UNION ALL SELECT 'quantity', 'tax', n, sqt, sq, st, sqq, stt FROM s)
+        |ORDER BY col_a, col_b""".stripMargin,
     // INDEPENDENT derivation: from-scratch recompute over the KEPT rows —
     // agreement proves subtractive merge ≡ recompute, including the keys
     // whose count hit zero and left the view
