@@ -63,6 +63,61 @@ class BitmapSpec extends SparkSpec with Matchers {
     many shouldBe one
   }
 
+  test("property: buffer algebra matches Set semantics under random ids, " +
+    "random partitioning, and serialize/deserialize round-trips") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    val bits = 12 // 4096-id domain keeps the property fast
+    val agg = BitmapAgg(BoundReference(0, LongType, nullable = false), bits)
+    def bitmapOf(ids: Seq[Long], splits: Int): Array[Byte] = {
+      // partition the stream, build partial buffers, merge — the
+      // distributed shape in miniature
+      val parts = ids.grouped(math.max(1, ids.size / math.max(splits, 1)))
+        .map { chunk =>
+          val b = agg.createAggregationBuffer()
+          chunk.foreach(id => agg.update(b, InternalRow(id)))
+          // each partial crosses a (de)serialization boundary like a
+          // shuffle would
+          agg.deserialize(agg.serialize(b))
+        }.toSeq
+      val merged = parts.foldLeft(agg.createAggregationBuffer())(agg.merge)
+      agg.eval(merged).asInstanceOf[Array[Byte]]
+    }
+    def card(bm: Array[Byte]): Long =
+      BitmapCard(BoundReference(0, org.apache.spark.sql.types.BinaryType,
+        nullable = false)).nullSafeEval(bm).asInstanceOf[Long]
+
+    val idsGen = for {
+      n <- Gen.choose(0, 300)
+      ids <- Gen.listOfN(n, Gen.choose(0L, (1L << bits) - 1))
+    } yield ids
+    for (i <- 0 until 25) {
+      val ids = idsGen(Gen.Parameters.default, Seed(7L + i)).get
+      val other = idsGen(Gen.Parameters.default, Seed(1007L + i)).get
+      val splits = 1 + i % 5
+      val (bmA, bmB) = (bitmapOf(ids, splits), bitmapOf(other, 6 - splits))
+      val (sa, sb) = (ids.toSet, other.toSet)
+      withClue(s"case $i: ") {
+        card(bmA) shouldBe sa.size.toLong
+        // partitioning must not change the emitted bytes (trim invariant)
+        bmA.toSeq shouldBe bitmapOf(scala.util.Random.javaRandomToRandom(
+          new java.util.Random(i)).shuffle(ids), splits % 3 + 1).toSeq
+        BitmapAndCard(
+          BoundReference(0, org.apache.spark.sql.types.BinaryType, false),
+          BoundReference(1, org.apache.spark.sql.types.BinaryType, false))
+          .nullSafeEval(bmA, bmB) shouldBe sa.intersect(sb).size.toLong
+        BitmapOrCard(
+          BoundReference(0, org.apache.spark.sql.types.BinaryType, false),
+          BoundReference(1, org.apache.spark.sql.types.BinaryType, false))
+          .nullSafeEval(bmA, bmB) shouldBe sa.union(sb).size.toLong
+      }
+    }
+  }
+
   test("out-of-domain ids fail loudly instead of silently truncating") {
     import spark.implicits._
     val bad = Seq(0L, 1L << Bitmaps.UserDomainBits).toDF("id")
