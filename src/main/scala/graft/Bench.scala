@@ -217,7 +217,13 @@ object Bench {
     // adjudications should prefer canary3 when the two disagree.
     val canary3: Option[Double] = canary.map { _ =>
       val reads = (1 to 3).map(_ => once(canaryName)).filter(_ >= 0).sorted
-      if (reads.isEmpty) -1.0 else reads(reads.size / 2)
+      // true median for any survivor count: with an EVEN count (a read
+      // failed) average the two middle values — reads(size/2) would pick
+      // the MAX of 2 survivors, biasing the normalization divisor upward
+      // in exactly the degraded-host case this guards against
+      if (reads.isEmpty) -1.0
+      else if (reads.size % 2 == 1) reads(reads.size / 2)
+      else (reads(reads.size / 2 - 1) + reads(reads.size / 2)) / 2.0
     }.filter(_ >= 0)
     def canary3Json(fmt: Double => String): String =
       canary3.map(v => s""","canary3":{"$canaryName":${fmt(v)}}""").getOrElse("")

@@ -57,13 +57,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("bitmap_agg"),
       info("bitmap_agg",
-        "bitmap_agg(id) - exact mergeable bitset over BIGINT ids in " +
-          s"[0, 2^${Bitmaps.UserDomainBits}) as BINARY"),
+        "bitmap_agg(id[, domainBits]) - exact mergeable bitset over BIGINT " +
+          s"ids in [0, 2^domainBits) as BINARY; domainBits defaults to " +
+          s"${Bitmaps.UserDomainBits} and is capped at 27 (16 MiB buffer) — " +
+          "ids at or past the domain fail loudly rather than truncate"),
       args => {
-        if (args.length != 1)
-          throw new IllegalArgumentException(
-            s"bitmap_agg requires exactly 1 argument, got ${args.length}")
-        BitmapAgg(args(0), Bitmaps.UserDomainBits)
+        val domainBits = args match {
+          case Seq(_) => Bitmaps.UserDomainBits
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case Seq(_, _) => throw new IllegalArgumentException(
+            "bitmap_agg's second argument must be an INT literal domainBits (6..27)")
+          case _ => throw new IllegalArgumentException(
+            s"bitmap_agg requires 1 or 2 arguments, got ${args.length}")
+        }
+        BitmapAgg(args(0), domainBits)
       }))
     e.injectFunction((
       FunctionIdentifier("bitmap_card"),

@@ -26,9 +26,13 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *
   * Buffer: Array[Long] of domain/64 words; update sets a bit (ids outside
   * the declared domain fail loudly — silent truncation would corrupt
-  * cardinalities); merge is word-wise OR; eval emits the words
-  * little-endian-word-order as BINARY with trailing zero words trimmed, so
-  * equal sets serialize identically regardless of partitioning.
+  * cardinalities); merge is word-wise OR; eval emits a 2-byte magic header
+  * ("BM") followed by the words in big-endian-word-order with trailing zero
+  * words trimmed, so equal sets serialize identically regardless of
+  * partitioning. The header makes cross-type misuse fail loudly: feeding an
+  * HLL/KMV sketch's bytes (or any non-bitmap BINARY) to the cardinality
+  * expressions throws instead of returning a silently meaningless count —
+  * the same fail-loud posture as the out-of-domain id guard.
   */
 case class BitmapAgg(
     child: Expression,
@@ -76,7 +80,8 @@ case class BitmapAgg(
   override def eval(b: Array[Long]): Any = {
     var last = words - 1
     while (last >= 0 && b(last) == 0L) last -= 1
-    val bb = java.nio.ByteBuffer.allocate((last + 1) * 8)
+    val bb = java.nio.ByteBuffer.allocate(2 + (last + 1) * 8)
+    bb.put(Bitmaps.Magic0).put(Bitmaps.Magic1)
     var i = 0
     while (i <= last) { bb.putLong(b(i)); i += 1 }
     bb.array()
@@ -118,8 +123,9 @@ case class BitmapCard(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
+    Bitmaps.requireBitmap(b, prettyName)
     var cnt = 0L
-    var i = 0
+    var i = Bitmaps.HeaderLen
     while (i < b.length) { cnt += java.lang.Integer.bitCount(b(i) & 0xFF); i += 1 }
     cnt
   }
@@ -128,8 +134,9 @@ case class BitmapCard(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, arr => {
       val i = ctx.freshName("i")
       s"""
+         |graft.functions.Bitmaps.requireBitmap($arr, "$prettyName");
          |${ev.value} = 0L;
-         |for (int $i = 0; $i < $arr.length; $i++) {
+         |for (int $i = ${Bitmaps.HeaderLen}; $i < $arr.length; $i++) {
          |  ${ev.value} += java.lang.Integer.bitCount($arr[$i] & 0xFF);
          |}
        """.stripMargin
@@ -159,9 +166,11 @@ case class BitmapAndCard(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[Array[Byte]]
     val b = r.asInstanceOf[Array[Byte]]
+    Bitmaps.requireBitmap(a, prettyName)
+    Bitmaps.requireBitmap(b, prettyName)
     val n = math.min(a.length, b.length)
     var cnt = 0L
-    var i = 0
+    var i = Bitmaps.HeaderLen
     while (i < n) { cnt += java.lang.Integer.bitCount(a(i) & b(i) & 0xFF); i += 1 }
     cnt
   }
@@ -171,9 +180,11 @@ case class BitmapAndCard(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
+         |graft.functions.Bitmaps.requireBitmap($a, "$prettyName");
+         |graft.functions.Bitmaps.requireBitmap($b, "$prettyName");
          |${ev.value} = 0L;
          |int $n = java.lang.Math.min($a.length, $b.length);
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = ${Bitmaps.HeaderLen}; $i < $n; $i++) {
          |  ${ev.value} += java.lang.Integer.bitCount($a[$i] & $b[$i] & 0xFF);
          |}
        """.stripMargin
@@ -203,9 +214,11 @@ case class BitmapOrCard(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[Array[Byte]]
     val b = r.asInstanceOf[Array[Byte]]
+    Bitmaps.requireBitmap(a, prettyName)
+    Bitmaps.requireBitmap(b, prettyName)
     val n = math.max(a.length, b.length)
     var cnt = 0L
-    var i = 0
+    var i = Bitmaps.HeaderLen
     while (i < n) {
       val av = if (i < a.length) a(i) else 0: Byte
       val bv = if (i < b.length) b(i) else 0: Byte
@@ -222,9 +235,11 @@ case class BitmapOrCard(left: Expression, right: Expression)
       val av = ctx.freshName("av")
       val bv = ctx.freshName("bv")
       s"""
+         |graft.functions.Bitmaps.requireBitmap($a, "$prettyName");
+         |graft.functions.Bitmaps.requireBitmap($b, "$prettyName");
          |${ev.value} = 0L;
          |int $n = java.lang.Math.max($a.length, $b.length);
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = ${Bitmaps.HeaderLen}; $i < $n; $i++) {
          |  byte $av = $i < $a.length ? $a[$i] : (byte) 0;
          |  byte $bv = $i < $b.length ? $b[$i] : (byte) 0;
          |  ${ev.value} += java.lang.Integer.bitCount(($av | $bv) & 0xFF);
@@ -237,7 +252,9 @@ case class BitmapOrCard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Column-API wrappers. */
+/** Column-API wrappers + the BINARY wire format shared by the expressions
+  * and the codegen they emit.
+  */
 object Bitmaps {
   /** Domain for the corpus' user-id bitmaps: 2^17 ids (16 KiB buffers) —
     * covers sf0.1's 1,500 users and the 10× rehearsal's stride-shifted
@@ -245,6 +262,32 @@ object Bitmaps {
     * loudly in [[BitmapAgg.update]].
     */
   val UserDomainBits = 17
+
+  /** 2-byte magic header ("BM") on every emitted bitmap BINARY, so the
+    * cardinality expressions can reject non-bitmap bytes (HLL/KMV sketch
+    * payloads, arbitrary BINARY columns) instead of popcounting garbage.
+    */
+  val Magic0: Byte = 'B'.toByte
+  val Magic1: Byte = 'M'.toByte
+  val HeaderLen: Int = 2
+  /** Max payload: 2^27 bits (the BitmapAgg domain ceiling) = 16 MiB. */
+  val MaxPayloadBytes: Int = (1 << 27) / 8
+
+  /** Structural guard called from both interpreted eval and generated Java
+    * (the object's static forwarder makes it codegen-callable). Checks the
+    * magic header, word alignment, and the domain-ceiling bound.
+    */
+  def requireBitmap(b: Array[Byte], fn: String): Unit = {
+    if (b.length < HeaderLen || b(0) != Magic0 || b(1) != Magic1)
+      throw new IllegalArgumentException(
+        s"$fn: input BINARY is not a bitmap_agg bitmap (missing BM " +
+          "header) — was this an HLL/KMV sketch or raw bytes?")
+    val payload = b.length - HeaderLen
+    if (payload % 8 != 0 || payload > MaxPayloadBytes)
+      throw new IllegalArgumentException(
+        s"$fn: malformed bitmap payload ($payload bytes — must be " +
+          s"8-byte words, <= $MaxPayloadBytes)")
+  }
 
   def bitmapAgg(c: Column, domainBits: Int = UserDomainBits): Column =
     GraftColumnBridge.column(

@@ -359,8 +359,10 @@ object Relational {
     * shared sufficient statistics with the IDENTICAL double expression
     * the oracle uses (cast-then-multiply order mirrored term by term).
     * Scale: one map-side-partial pass over the fact, 15 numbers per
-    * partition to the driver-side single row; the 6-pair fan-out is over
-    * that one row.
+    * partition to the driver-side single row; the 6-pair fan-out is a
+    * `stack()` over that one row — STRUCTURALLY one scan + one
+    * aggregation (plan-pinned in PlanRegressionSpec), not six union
+    * branches hoping ReuseExchange fires.
     */
   def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
     val (q, e) = (cents(col("l_quantity")), cents(col("l_extendedprice")))
@@ -381,18 +383,24 @@ object Relational {
         sqrt((n * dbl(saa) - dbl(sa) * dbl(sa)) *
           (n * dbl(sbb) - dbl(sb) * dbl(sb))), 6)
     }
-    Seq(
+    val pairs = Seq(
       ("discount", "extendedprice", "sed", "sd", "se", "sdd", "see"),
       ("discount", "quantity", "sqd", "sd", "sq", "sdd", "sqq"),
       ("discount", "tax", "sdt", "sd", "st", "sdd", "stt"),
       ("extendedprice", "quantity", "sqe", "se", "sq", "see", "sqq"),
       ("extendedprice", "tax", "set_", "se", "st", "see", "stt"),
       ("quantity", "tax", "sqt", "sq", "st", "sqq", "stt"))
-      .map { case (a, b, ab, sa, sb, saa, sbb) =>
-        agg.select(lit(a).as("col_a"), lit(b).as("col_b"),
-          corr(ab, sa, sb, saa, sbb).as("corr"))
-      }
-      .reduce(_.unionAll(_))
+    // One select computes all six r values off the single aggregate row;
+    // stack() unpivots them. One scan, one aggregation — by construction.
+    val wide = agg.select(pairs.map { case (a, b, ab, sa, sb, saa, sbb) =>
+      corr(ab, sa, sb, saa, sbb).as(s"r_${a}_$b")
+    }: _*)
+    val stackArgs = pairs.map { case (a, b, _, _, _, _, _) =>
+      s"'$a', '$b', r_${a}_$b"
+    }.mkString(", ")
+    wide
+      .selectExpr(
+        s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)")
       .orderBy(col("col_a"), col("col_b"))
   }
 

@@ -231,11 +231,13 @@ object TpcH {
   // the 1-row max joined back on exact-integer equality (ties would all
   // surface, as in the spec query; ORDER BY s_suppkey keeps the output
   // total).
-  // Scale: one suppkey shuffle builds the view; the max re-read is a
-  // broadcast of one row — the view is NOT recomputed twice because the
-  // aggregation is derived from the same frame Catalyst plans once per
-  // branch (both branches are sub-second aggregations of the pruned
-  // quarter scan).
+  // Scale: one suppkey shuffle builds the view branch; the max side is a
+  // broadcast of one row. NOTE: a DataFrame self-join against its own
+  // max() plans the quarter aggregation independently in BOTH branches
+  // unless ReuseExchange happens to fire — both branches are cheap
+  // (pruned quarter scan + partial agg), so we do not rely on reuse
+  // here; callers who need single-computation should persist `rev` or
+  // register it as an MV (see qMvRollup / plans/MvRewrite.scala).
   // -------------------------------------------------------------------
   def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(s, dir)

@@ -58,6 +58,26 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       .head()
     bu.getLong(0) shouldBe 7L // {1,2,64,200} ∪ {2,3,65,201} = {1,2,3,64,65,200,201}
 
+    // optional domainBits literal: ids past the default 2^17 domain work
+    // when the SQL user widens the domain explicitly…
+    val wide = spark
+      .sql("SELECT bitmap_card(bitmap_agg(v, 21)) n FROM " +
+        s"VALUES (1L), (${1L << 17}L), (${(1L << 21) - 1}L) AS t(v)")
+      .head()
+    wide.getLong(0) shouldBe 3L
+    // …and the same ids fail loudly at the default domain
+    val exDom = intercept[Exception] {
+      spark.sql(s"SELECT bitmap_agg(v) FROM VALUES (${1L << 17}L) AS t(v)")
+        .collect()
+    }
+    exDom.getMessage should include("outside declared domain")
+    // a non-literal second argument is rejected at resolution
+    val exArg = intercept[Exception] {
+      spark.sql("SELECT bitmap_agg(v, cast(v AS INT)) FROM VALUES (1L) AS t(v)")
+        .collect()
+    }
+    exArg.getMessage should include("INT literal")
+
 
     // n < 2k: sketch is exact — value at 1-based rank ceil(p*n)
     val sk = spark

@@ -571,4 +571,19 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     // lone unpartitioned window is the |domain|-row population walk
     plan should include("Window")
   }
+
+  test("q_corr_matrix: ONE lineitem scan + ONE aggregation — the 6-pair " +
+    "matrix is a stack() over the single sufficient-stats row") {
+    val plan = Relational.qCorrMatrix(spark, sf())
+      .queryExecution.executedPlan.toString
+    // structural one-pass: the six correlations used to be six union
+    // branches each re-aggregating the fact (6 full scans at 100 TB if
+    // ReuseExchange doesn't fire); now the unpivot runs over one row
+    "Scan parquet".r.findAllIn(plan).size shouldBe 1
+    // exactly one partial+final aggregate pair over the fact
+    "HashAggregate".r.findAllIn(plan).size shouldBe 2
+    // the unpivot is a Generate(stack), not a Union of re-aggregations
+    plan should include("Generate stack")
+    plan should not include "Union"
+  }
 }

@@ -126,4 +126,32 @@ class BitmapSpec extends SparkSpec with Matchers {
     }
     ex.getMessage should include("outside declared domain")
   }
+
+  test("non-bitmap BINARY fails loudly in the cardinality expressions — " +
+    "an HLL/KMV sketch's bytes must not popcount to a meaningless number") {
+    import spark.implicits._
+    // 16 bytes that are word-aligned but lack the BM header (a sketch
+    // payload shape)
+    val fake = Seq(Array.fill[Byte](16)(0x5A)).toDF("b")
+    val exCard = intercept[Exception] {
+      fake.select(bitmapCard(col("b"))).collect()
+    }
+    exCard.getMessage should include("BM header")
+    val exAnd = intercept[Exception] {
+      fake.select(bitmapAndCard(col("b"), col("b"))).collect()
+    }
+    exAnd.getMessage should include("BM header")
+    val exOr = intercept[Exception] {
+      fake.select(bitmapOrCard(col("b"), col("b"))).collect()
+    }
+    exOr.getMessage should include("BM header")
+    // a real bitmap still passes end-to-end through all three
+    val ok = Seq(1L, 5L, 5L, 99L).toDF("id")
+      .agg(bitmapAgg(col("id")).as("bm"))
+      .select(bitmapCard(col("bm")).as("c"),
+        bitmapAndCard(col("bm"), col("bm")).as("a"),
+        bitmapOrCard(col("bm"), col("bm")).as("o"))
+      .collect()(0)
+    (ok.getLong(0), ok.getLong(1), ok.getLong(2)) shouldBe ((3L, 3L, 3L))
+  }
 }
