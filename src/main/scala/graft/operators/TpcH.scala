@@ -383,20 +383,34 @@ object TpcH {
   // The queries join it as a REAL table (the functional shortcut — these
   // columns are computable row-local on lineitem, eliminating the join —
   // is deliberately NOT taken: the point of these five queries is the
-  // partsupp join shape). At production scale the derivation — one
-  // distinct-shuffle over the fact — would be materialized once and
-  // bucketed by ps_partkey; here each query derives it inline (~52 k
-  // rows at sf0.1).
+  // partsupp join shape). The derivation — one distinct-shuffle over the
+  // fact — is MATERIALIZED ONCE per (session, corpus) and partitioned by
+  // ps_partkey (the bucketing discipline a warehouse would use), so
+  // Q2/Q9/Q11/Q16/Q20 — and Q2's TWO branches — all read the same
+  // persisted, already-partitioned relation instead of re-deriving a
+  // full-fact distinct shuffle each (six per suite before this). Joins
+  // keyed on ps_partkey reuse the persisted hash partitioning (the
+  // partsupp-side exchange elides); plan-pinned in TpcHSpec.
   // -------------------------------------------------------------------
-  private def partsupp(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .select(col("l_partkey").as("ps_partkey"),
-        col("l_suppkey").as("ps_suppkey"))
-      .distinct()
-      .withColumn("ps_supplycost_c",
-        (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 90000 + 10000)
-      .withColumn("ps_availqty",
-        (col("ps_partkey") * 7 + col("ps_suppkey") * 3) % 9999 + 1)
+  private val partsuppCache: SessionMemo[DataFrame] =
+    new SessionMemo[DataFrame](_.unpersist(blocking = false))
+
+  private[operators] def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val df = partsuppCache.getOrElseUpdate(s, dir)(
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .withColumn("ps_supplycost_c",
+          (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 90000 + 10000)
+        .withColumn("ps_availqty",
+          (col("ps_partkey") * 7 + col("ps_suppkey") * 3) % 9999 + 1)
+        .repartition(col("ps_partkey"))
+        .persist())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
 
   /** The same derivation as DuckDB SQL, prefixed to each oracle. */
   private val PartsuppCte =

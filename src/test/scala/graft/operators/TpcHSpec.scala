@@ -128,4 +128,40 @@ class TpcHSpec extends SparkSpec with Matchers {
     // exactly one BNLJ: the broadcast 1-row threshold with the > condition
     p.linesIterator.count(_.contains("BroadcastNestedLoopJoin Inner")) shouldBe 1
   }
+
+  test("derived partsupp is materialized ONCE per session and read from " +
+    "cache by every consumer — Q2's two branches and Q9/Q11/Q16/Q20 " +
+    "share one persisted, ps_partkey-partitioned relation") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // same cached relation object across queries: one derivation/session
+    def cacheBuilders(name: String) =
+      TpcH.queries(name)(spark, sf()).queryExecution.optimizedPlan.collect {
+        case im: InMemoryRelation => im.cacheBuilder
+      }
+    val q2 = cacheBuilders("q_tpch_q2")
+    // Q2 derives partsupp in BOTH its min-cost and probe branches — with
+    // the memo both branches hit the SAME cache entry
+    q2.size shouldBe 2
+    (q2(0) eq q2(1)) shouldBe true
+    for (other <- Seq("q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20")) {
+      val cbs = cacheBuilders(other)
+      cbs should not be empty
+      withClue(s"$other must reuse Q2's cached partsupp: ")(
+        cbs.forall(_ eq q2(0)) shouldBe true)
+    }
+    // the cached build carries the ps_partkey repartition — the bucketing
+    // discipline the production materialization would write. (Whether a
+    // downstream ps_partkey join/groupBy can ELIDE its exchange off the
+    // cache depends on canChangeCachedPlanOutputPartitioning: Spark 4
+    // defaults it true, wrapping the cached plan in AQE and hiding its
+    // partitioning from EnsureRequirements — the honest 100 TB path is a
+    // bucketed TABLE, not an in-memory cache; what this memo buys
+    // unconditionally is ONE full-fact distinct shuffle per session
+    // instead of six.)
+    val cachedBuild = TpcH.partsupp(spark, sf())
+      .queryExecution.optimizedPlan.collectFirst {
+        case im: InMemoryRelation => im.cachedPlan.toString
+      }.get
+    cachedBuild should include regex "Exchange hashpartitioning\\(ps_partkey[^)]*\\), REPARTITION_BY_COL"
+  }
 }
