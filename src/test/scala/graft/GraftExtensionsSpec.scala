@@ -356,6 +356,75 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
   }
 
 
+  test("MvRewrite on the canonical workload: TPC-H Q15's quarter revenue " +
+    "view answers the quarter roll-up bit-exactly; filter templates gate " +
+    "the match — a different quarter, an unfiltered query, and a " +
+    "filtered query against the unfiltered view all keep the base plan") {
+    val spark = extSession("graft-mv-q15-test")
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val dir = "/root/testdata/sf0.001"
+    def revC = (graft.operators.Relational.cents(col("l_extendedprice")) *
+      (lit(100L) - graft.operators.Relational.cents(col("l_discount"))))
+      .cast("decimal(38,0)")
+    def quarter(from: String, to: String) =
+      col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(to).cast("timestamp")
+    // ground truth with the flag off
+    def base() = graft.tables.Tables.lineitem(spark, dir)
+      .filter(quarter("1997-01-01", "1997-04-01"))
+      .agg(count(lit(1)).as("n_lines"), sum(revC).as("rev_cbp"))
+    val want = base().collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toString)).toSeq
+    base().queryExecution.optimizedPlan.toString should not include
+      "graft_mv_q15rev"
+    // through the gate query (registers + materializes the view)
+    val df = graft.scale.Scale.qMvTpchQ15(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    opt should include("graft_mv_q15rev")
+    // the rewritten plan reads the VIEW, not the quarter fact scan
+    opt should not include "lineitem.parquet"
+    spark.conf.set(graft.plans.MvRewrite.Flag, "true")
+    try {
+      // bit-equality of the re-aggregated partials with the base plan
+      base().collect()
+        .map(r => (r.getLong(0), r.getDecimal(1).toString))
+        .toSeq shouldBe want
+      base().queryExecution.optimizedPlan.toString should include(
+        "graft_mv_q15rev")
+      // per-supplier grain (the view's own keys) also answers from it
+      val bySupp = graft.tables.Tables.lineitem(spark, dir)
+        .filter(quarter("1997-01-01", "1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(revC).as("rev_cbp"))
+      bySupp.queryExecution.optimizedPlan.toString should include(
+        "graft_mv_q15rev")
+      // a DIFFERENT quarter must keep the base plan — answering it from
+      // this view would be silently wrong
+      val otherQ = graft.tables.Tables.lineitem(spark, dir)
+        .filter(quarter("1997-04-01", "1997-07-01"))
+        .agg(count(lit(1)).as("n_lines"), sum(revC).as("rev_cbp"))
+      otherQ.queryExecution.optimizedPlan.toString should not include
+        "graft_mv_q15rev"
+      // an UNFILTERED query must not match the filtered view…
+      val unfiltered = graft.tables.Tables.lineitem(spark, dir)
+        .agg(count(lit(1)).as("n_lines"), sum(revC).as("rev_cbp"))
+      unfiltered.queryExecution.optimizedPlan.toString should not include
+        "graft_mv_q15rev"
+      // …and — the shape-check guard — a FILTERED query must not match
+      // the UNFILTERED rollup view either: a subtree-contains-scan test
+      // would rewrite this and silently drop the filter
+      graft.scale.Scale.qMvRollup(spark, dir) // registers the rollup view
+      val filteredRollup = graft.tables.Tables.lineitem(spark, dir)
+        .filter(quarter("1997-01-01", "1997-04-01"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(graft.operators.Relational.cents(col("l_quantity")))
+            .as("qty_cents"))
+      filteredRollup.queryExecution.optimizedPlan.toString should not
+        include("graft_mv_li")
+    } finally spark.conf.set(graft.plans.MvRewrite.Flag, "false")
+  }
+
   test("JoinEliminationRule: the declared PK-FK key-only join is deleted " +
     "under the flag, bit-exactly; selective or column-keeping or " +
     "undeclared joins keep their plan") {
