@@ -200,6 +200,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.Generators.ShingleHashes(args(0), n)
       }))
+    // SQL-callable curation primitives: with tokens/shingle_hashes above,
+    // these make the MinHash-signature and line-dedup pipelines drivable
+    // from pure SQL text (operators/SqlSurface.scala q_sql_minhash /
+    // q_sql_lines_keep — oracle-gated against the DataFrame paths)
+    e.injectFunction((
+      FunctionIdentifier("affine_minhashes"),
+      info("affine_minhashes",
+        "affine_minhashes(hs, k) - all k universal-hash MinHash values of " +
+          "an ARRAY<BIGINT> shingle-hash set in one pass -> ARRAY<BIGINT>"),
+      args => {
+        val k = args match {
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case _ => throw new IllegalArgumentException(
+            "affine_minhashes requires (ARRAY<BIGINT> column, INT literal k)")
+        }
+        graft.functions.AffineMinHashes(args(0), k)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("token_chunks"),
+      info("token_chunks",
+        "token_chunks(tokens, k) - fixed-k-token line chunks of an " +
+          "ARRAY<STRING>, space-joined (the line-dedup granularity)"),
+      args => {
+        val k = args match {
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case _ => throw new IllegalArgumentException(
+            "token_chunks requires (ARRAY<STRING> column, INT literal k)")
+        }
+        graft.functions.TokenChunks(args(0), k, k)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("md5_prefix60"),
+      info("md5_prefix60",
+        "md5_prefix60(arr) - engine-portable 60-bit md5-prefix hash of " +
+          "each element of ARRAY<STRING> -> ARRAY<BIGINT>"),
+      args => {
+        if (args.length != 1)
+          throw new IllegalArgumentException(
+            s"md5_prefix60 requires exactly 1 argument, got ${args.length}")
+        graft.functions.Md5Prefix60Array(args(0))
+      }))
     // opt-in AQP family (inert unless the session sets the flag — see
     // each rule's scaladoc for the exactness-contract rationale):
     //   spark.graft.approx_distinct   count(DISTINCT x) -> HLL++

@@ -52,6 +52,30 @@ object Generators {
       }
       ShingleHashes(args.head, n)
     }, "scala_udf")
+    // the scalar curation primitives the SQL pipeline entry points need
+    // next to the generators (SqlSurface q_sql_minhash / q_sql_lines_keep)
+    reg.createOrReplaceTempFunction("affine_minhashes", args => {
+      val k = args match {
+        case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+        case _ => throw new IllegalArgumentException(
+          "affine_minhashes requires (ARRAY<BIGINT> column, INT literal k)")
+      }
+      AffineMinHashes(args.head, k)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("token_chunks", args => {
+      val k = args match {
+        case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+        case _ => throw new IllegalArgumentException(
+          "token_chunks requires (ARRAY<STRING> column, INT literal k)")
+      }
+      TokenChunks(args.head, k, k)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("md5_prefix60", args => {
+      if (args.length != 1)
+        throw new IllegalArgumentException(
+          s"md5_prefix60 requires exactly 1 argument, got ${args.length}")
+      Md5Prefix60Array(args.head)
+    }, "scala_udf")
   }
 
   /** Letter-run tokenizer of the reference wc contract

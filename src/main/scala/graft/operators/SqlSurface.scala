@@ -52,9 +52,119 @@ object SqlSurface {
          |LATERAL VIEW shingle_hashes(text, 3) s AS pos, h""".stripMargin)
   }
 
+  /** MinHash SIGNATURES from pure SQL text — the first stage of the
+    * dedup pipeline as a SQL-only entry point: shingle-hash stream via
+    * the `shingle_hashes` generator, per-document hash sets, all
+    * [[Dedup.NumHashes]] universal-hash minima via the registered
+    * `affine_minhashes` codegen expression. Output is the signature
+    * table itself (doc_id + m0..m15), so a SQL user can band/bucket it
+    * with plain GROUP BYs downstream; the oracle replicates the affine
+    * arithmetic from the same [[graft.functions.Sketches]] constants the
+    * DataFrame path uses. Documents with zero shingles are excluded on
+    * both engines (the generator emits nothing; the oracle filters),
+    * mirroring [[Dedup.minhashBanded]].
+    */
+  def qSqlMinhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Generators.register(s)
+    val ms = (0 until Dedup.NumHashes)
+      .map(k => s"CAST(element_at(mh, ${k + 1}) AS BIGINT) AS m$k")
+      .mkString(",\n  ")
+    s.sql(
+      s"""WITH hs AS (
+         |  SELECT doc_id, collect_list(h) AS hs
+         |  FROM parquet.`$dir/documents.parquet`
+         |  LATERAL VIEW shingle_hashes(text, 3) s AS pos, h
+         |  GROUP BY doc_id),
+         |sig AS (SELECT doc_id, affine_minhashes(hs, ${Dedup.NumHashes}) AS mh
+         |        FROM hs)
+         |SELECT doc_id, $ms
+         |FROM sig
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Keep-first line-level dedup from pure SQL text — the CCNet-style
+    * line filter as a SQL-only entry point: fixed-[[Dedup.LineTokens]]
+    * token lines via the registered `token_chunks` + `md5_prefix60`
+    * expressions, global first instance per line hash as one exact
+    * BIGINT min (doc_id·2³² + line_no — the [[Dedup.linesKeepCorpus]]
+    * packing), per-document kept/duplicate accounting plus a positional
+    * checksum of the kept line numbers so a wrong keep-set can't hide
+    * behind a right count.
+    */
+  def qSqlLinesKeep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Generators.register(s)
+    s.sql(
+      s"""WITH ln AS (
+         |  SELECT doc_id, line_no, h, doc_id * ${1L << 32} + line_no AS inst
+         |  FROM parquet.`$dir/documents.parquet`
+         |  LATERAL VIEW posexplode(md5_prefix60(token_chunks(
+         |    filter(split(lower(text), '[^a-z]+'), t -> t != ''),
+         |    ${Dedup.LineTokens}))) t AS line_no, h),
+         |fi AS (SELECT h, min(inst) AS first_inst FROM ln GROUP BY h)
+         |SELECT doc_id,
+         |  count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN inst = first_inst THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN inst = first_inst THEN line_no ELSE -1 END)
+         |    AS BIGINT) AS kept_pos_chk
+         |FROM ln JOIN fi USING (h)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The Gopher rule battery from pure SQL text — identical thresholds,
+    * flags and output shape to [[TextAnalysis.qGopher]] (bit-equality of
+    * the two paths is spec-pinned), written with Spark SQL builtins only:
+    * the quality-gate stage of the curation pipeline needs no extension
+    * functions at all, just the SQL dialect.
+    */
+  def qSqlGopher(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val stops = graft.functions.TextFunctions.Stopwords
+      .map(w => s"'$w'").mkString(", ")
+    s.sql(
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    filter(split(lower(text), '[^a-z]+'), x -> x != '') AS tk
+         |  FROM parquet.`$dir/documents.parquet`),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(size(tk) AS BIGINT) AS n_words,
+         |    CAST(aggregate(tk, 0L, (a, w) -> a + length(w)) AS DOUBLE)
+         |      / size(tk) AS mean_word_len,
+         |    CAST(size(array_intersect(array_distinct(tk), array($stops)))
+         |      AS BIGINT) AS n_stop_distinct,
+         |    1.0D - CAST(size(array_distinct(tk)) AS DOUBLE) / size(tk)
+         |      AS dup_word_frac
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, n_stop_distinct, dup_word_frac,
+         |  CASE WHEN n_words >= ${TA.GopherMinWords}
+         |        AND n_words <= ${TA.GopherMaxWords}
+         |    THEN 1L ELSE 0L END AS r_words,
+         |  CASE WHEN mean_word_len >= ${TA.GopherMinMeanWordLen}D
+         |        AND mean_word_len <= ${TA.GopherMaxMeanWordLen}D
+         |    THEN 1L ELSE 0L END AS r_word_len,
+         |  CASE WHEN n_stop_distinct >= ${TA.GopherMinDistinctStop}
+         |    THEN 1L ELSE 0L END AS r_stop,
+         |  CASE WHEN dup_word_frac <= ${TA.GopherMaxDupFrac}D
+         |    THEN 1L ELSE 0L END AS r_dup,
+         |  CASE WHEN n_words >= ${TA.GopherMinWords}
+         |        AND n_words <= ${TA.GopherMaxWords}
+         |        AND mean_word_len >= ${TA.GopherMinMeanWordLen}D
+         |        AND mean_word_len <= ${TA.GopherMaxMeanWordLen}D
+         |        AND n_stop_distinct >= ${TA.GopherMinDistinctStop}
+         |        AND dup_word_frac <= ${TA.GopherMaxDupFrac}D
+         |    THEN 1L ELSE 0L END AS keep
+         |FROM m
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_tokens" -> qSqlTokens,
-    "q_sql_shingles" -> qSqlShingles
+    "q_sql_shingles" -> qSqlShingles,
+    "q_sql_minhash" -> qSqlMinhash,
+    "q_sql_lines_keep" -> qSqlLinesKeep,
+    "q_sql_gopher" -> qSqlGopher
   )
 
   private val hsql = (g: String) => s"('0x' || substr(md5($g), 1, 15))::BIGINT"
@@ -92,6 +202,77 @@ object SqlSurface {
          |  CAST(sum(h % 9973) AS BIGINT) AS chk,
          |  CAST(sum(pos) AS BIGINT) AS pos_sum
          |FROM h""".stripMargin
-    }
+    },
+    // same lowercase trigram shingles + 60-bit hashes, same affine
+    // constants (graft.functions.Sketches a/b/Prime), same
+    // empty-signature exclusion
+    "q_sql_minhash" -> {
+      import graft.functions.Sketches
+      val ms = (0 until Dedup.NumHashes)
+        .map(k => s"CAST(list_min(list_transform(hs, h -> " +
+          s"((${Sketches.a(k)} * (h % ${Sketches.Prime}) + ${Sketches.b(k)})" +
+          s" % ${Sketches.Prime}))) AS BIGINT) AS m$k")
+        .mkString(",\n  ")
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                x -> length(x) > 0) AS ts
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(ts) >= 3
+         |    THEN list_transform(range(0, len(ts) - 2),
+         |           i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+         |    ELSE [] END AS sh
+         |  FROM tk),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)
+         |      AS hs
+         |  FROM sh WHERE len(sh) > 0)
+         |SELECT doc_id, $ms
+         |FROM hs
+         |ORDER BY doc_id""".stripMargin
+    },
+    // same 10-token line chunks (partial tail chunk included), same
+    // 60-bit line hashes, same packed-BIGINT first-instance rule
+    "q_sql_lines_keep" -> {
+      val L = Dedup.LineTokens
+      s"""WITH tkt AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |ln0 AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, (len(tk) + ${L - 1}) // $L),
+         |      i -> ('0x' || substr(md5(
+         |        array_to_string(tk[i*$L+1 : i*$L+$L], ' ')), 1, 15))::BIGINT)
+         |      AS hs
+         |  FROM tkt),
+         |ph0 AS (SELECT doc_id, unnest(range(0, len(hs))) AS pos, hs FROM ln0),
+         |ph AS (SELECT doc_id, CAST(pos AS BIGINT) AS line_no, hs[pos+1] AS h,
+         |       doc_id * ${1L << 32} + pos AS inst FROM ph0),
+         |fi AS (SELECT h, min(inst) AS first_inst FROM ph GROUP BY h)
+         |SELECT doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN inst = first_inst THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN inst = first_inst THEN line_no ELSE -1 END)
+         |    AS BIGINT) AS kept_pos_chk
+         |FROM ph JOIN fi USING (h)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+    // the q_gopher oracle verbatim (shared CTE builder) — the SQL entry
+    // point and the DataFrame path answer to the same ground truth
+    "q_sql_gopher" ->
+      s"""WITH ${TextAnalysis.gopherSqlCtes("doc_id")}
+         |SELECT doc_id, n_words, mean_word_len, n_stop_distinct, dup_word_frac,
+         |  CAST(r_words AS BIGINT) AS r_words,
+         |  CAST(r_word_len AS BIGINT) AS r_word_len,
+         |  CAST(r_stop AS BIGINT) AS r_stop,
+         |  CAST(r_dup AS BIGINT) AS r_dup,
+         |  CAST(CASE WHEN r_words + r_word_len + r_stop + r_dup = 4
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
   )
 }

@@ -2123,7 +2123,7 @@ object TextAnalysis {
     * carried through — the SQL twin of [[withGopherCols]], used by both
     * the q_gopher and q_data_card oracles.
     */
-  private def gopherSqlCtes(passCols: String, from: String = "documents"): String =
+  private[operators] def gopherSqlCtes(passCols: String, from: String = "documents"): String =
     s"""t AS (SELECT $passCols, text,
        |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
        |              x -> length(x) > 0) AS tk

@@ -543,6 +543,64 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     viaSql.count() should be > 0L
   }
 
+  test("SQL pipeline entry points are bit-identical to the DataFrame " +
+    "paths: minhash signatures, keep-first line dedup, gopher flags") {
+    val spark = extSession("graft-sql-surface-test")
+    import org.apache.spark.sql.functions.{col, filter, lower, split}
+    val dir = "/root/testdata/sf0.001"
+
+    // minhash signatures: SQL text vs the SketchExpressions pipeline
+    val sqlSig = graft.operators.SqlSurface.qSqlMinhash(spark, dir)
+    val toks = filter(split(lower(col("text")), "[^a-z]+"),
+      t => org.apache.spark.sql.functions.length(t) > 0)
+    val dfSig = graft.tables.Tables.documents(spark, dir)
+      .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
+        graft.functions.SketchExpressions.wordNGrams(
+          toks, 3, distinct = false)))
+      .filter(org.apache.spark.sql.functions.size(col("hs")) > 0)
+      .withColumn("mh", graft.functions.SketchExpressions.affineMinhashes(
+        col("hs"), graft.operators.Dedup.NumHashes))
+      .select(col("doc_id") +:
+        (0 until graft.operators.Dedup.NumHashes).map(k =>
+          org.apache.spark.sql.functions
+            .element_at(col("mh"), k + 1).as(s"m$k")): _*)
+    sqlSig.exceptAll(dfSig).count() shouldBe 0L
+    dfSig.exceptAll(sqlSig).count() shouldBe 0L
+    sqlSig.count() should be > 0L
+
+    // keep-first line dedup: SQL text vs the TokenChunks/Md5Prefix60
+    // packed-instance construction
+    import org.apache.spark.sql.functions.{count => cnt, lit, min => mn,
+      posexplode, sum => sm, when}
+    val sqlLines = graft.operators.SqlSurface.qSqlLinesKeep(spark, dir)
+    val lineRows = graft.tables.Tables.documents(spark, dir)
+      .withColumn("hs", graft.functions.SketchExpressions.md5Prefix60(
+        graft.functions.SketchExpressions.tokenChunks(
+          toks, graft.operators.Dedup.LineTokens)))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("line_no", "h")))
+      .withColumn("inst", col("doc_id") * lit(1L << 32) + col("line_no"))
+    val first = lineRows.groupBy(col("h"))
+      .agg(mn(col("inst")).as("first_inst"))
+    val dfLines = lineRows.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(cnt(lit(1)).as("n_lines"),
+        sm(when(col("inst") === col("first_inst"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sm(when(col("inst") === col("first_inst"), col("line_no").cast("long"))
+          .otherwise(-1L)).as("kept_pos_chk"))
+    sqlLines.exceptAll(dfLines).count() shouldBe 0L
+    dfLines.exceptAll(sqlLines).count() shouldBe 0L
+    sqlLines.count() should be > 0L
+
+    // gopher battery: SQL text vs TextAnalysis.qGopher, same output shape
+    val sqlGopher = graft.operators.SqlSurface.qSqlGopher(spark, dir)
+    val dfGopher = graft.operators.TextAnalysis.qGopher(spark, dir)
+    sqlGopher.columns.toSeq shouldBe dfGopher.columns.toSeq
+    sqlGopher.exceptAll(dfGopher).count() shouldBe 0L
+    dfGopher.exceptAll(sqlGopher).count() shouldBe 0L
+    sqlGopher.count() should be > 0L
+  }
+
   test("RuleOptIn scopes a rewrite to the calling thread: a plan forced " +
     "concurrently on another thread keeps its exact Window") {
     val spark = extSession("graft-ruleoptin-test")
