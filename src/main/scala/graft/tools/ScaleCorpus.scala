@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   *     (per-copy positional tags) planted the same token in EVERY doc of a
   *     copy and made exact similarity joins quadratic in their own OUTPUT —
   *     the failure this generator exists to avoid.
+  *     VOCABULARY GROWS WITH THE CORPUS (round-11 lesson): with a fixed
+  *     vocabulary, shingle document frequencies grow linearly in the copy
+  *     count and candidate volume for exact similarity joins grows
+  *     QUADRATICALLY — measured at 30×: 4,352× the 1× Σdf² pair volume,
+  *     max shingle df 25 → 31,595 (BASELINE.md round-11 rehearsal). Real
+  *     corpora follow Heaps' law (vocab ~ n^0.5), so rare-half draws of
+  *     copy i take a per-copy-GROUP letter suffix (⌈√n⌉ groups): rare
+  *     vocabulary scales ~√copies, frequent words stay corpus-wide —
+  *     rare-first prefix filters then behave as they would on organic
+  *     growth, while frequent-shingle collisions (real in any corpus)
+  *     remain.
   *   - `embeddings.embedding` of copy i>0 gets a deterministic nudge of
   *     0.1·i on dimension (i mod dim) — distinct points, geometry intact.
   *
@@ -108,21 +119,29 @@ object ScaleCorpus {
     shifted("customer"); shifted("supplier"); shifted("part")
     shifted("orders"); shifted("lineitem"); shifted("events")
 
-    // documents: fresh synthetic text per copy from the base vocabulary
+    // documents: fresh synthetic text per copy from the base vocabulary,
+    // rare half Heaps-diversified across ⌈√n⌉ copy groups (scaladoc)
     val vw = vocab(read("documents"))
     val v = vw.length
     val varr = array(vw.map(lit): _*)
+    val nGroups = math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
     shifted("documents", (i, df) =>
       if (i == 0) df
       else {
         // per-(copy, doc, position) 60-bit md5 uniform, squared toward
         // frequent ranks — one row-local transform, no state
         val ntok = greatest(size(split(col("text"), " ")), lit(1))
-        val word = (p: org.apache.spark.sql.Column) => element_at(varr,
-          (floor(
+        // letters-only group suffix (digits would split under the
+        // [^a-z]+ tokenizers and reintroduce shared tokens)
+        val sfx = "q" + ('a' + i % nGroups).toChar
+        val word = (p: org.apache.spark.sql.Column) => {
+          val idx = (floor(
             pow(conv(substring(md5(concat(lit(i), lit("/"), col("doc_id"),
               lit("/"), p)), 1, 15), 16, 10).cast("double") / lit(math.pow(2, 60)),
-              2.0) * lit(v)).cast("int") + 1))
+              2.0) * lit(v)).cast("int") + 1)
+          val w = element_at(varr, idx)
+          when(idx > v / 2, concat(w, lit(sfx))).otherwise(w)
+        }
         val txt = array_join(transform(sequence(lit(1), ntok), word), " ")
         df.withColumn("text", txt)
           .withColumn("n_chars", length(col("text")))
