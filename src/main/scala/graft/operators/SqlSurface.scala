@@ -159,12 +159,60 @@ object SqlSurface {
          |ORDER BY doc_id""".stripMargin)
   }
 
+  /** The rest of the MinHash-LSH pipeline from pure SQL text —
+    * [[qSqlMinhash]]'s signatures banded ([[Dedup.NumBands]] bands ×
+    * [[Dedup.RowsPerBand]] rows, md5 band keys), bucket-capped at
+    * [[Dedup.MaxLshBucket]], expanded to candidate pairs with their
+    * shared-band counts: the [[Dedup.minhashBanded]] →
+    * [[Dedup.minhashCandidates]] stages as GROUP BYs a SQL user can
+    * write, constants pinned to the Scala path's. With q_sql_minhash /
+    * q_sql_lines_keep / q_sql_gopher, the dedup surface is now drivable
+    * end to end from a SQL notebook: quality-gate → line-clean →
+    * signature → candidate pairs.
+    */
+  def qSqlLshPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Generators.register(s)
+    val bandKeys = (0 until Dedup.NumBands).map { b =>
+      val ms = (0 until Dedup.RowsPerBand)
+        .map(r => s"element_at(mh, ${b * Dedup.RowsPerBand + r + 1})")
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $ms)) AS band_key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s.sql(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM parquet.`$dir/documents.parquet`
+         |  UNION ALL
+         |  SELECT doc_id + ${Dedup.PlantOffset}, text || '${Dedup.Tail}'
+         |  FROM parquet.`$dir/documents.parquet`),
+         |hs AS (
+         |  SELECT doc_id, collect_list(h) AS hs
+         |  FROM corpus
+         |  LATERAL VIEW shingle_hashes(text, 3) s AS pos, h
+         |  GROUP BY doc_id),
+         |sig AS (SELECT doc_id, affine_minhashes(hs, ${Dedup.NumHashes}) AS mh
+         |        FROM hs),
+         |banded AS ($bandKeys),
+         |ok AS (
+         |  SELECT band_idx, band_key FROM banded
+         |  GROUP BY band_idx, band_key
+         |  HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxLshBucket})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS n_shared_bands
+         |FROM banded a
+         |JOIN banded b ON a.band_idx = b.band_idx
+         |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |JOIN ok ON ok.band_idx = a.band_idx AND ok.band_key = a.band_key
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_tokens" -> qSqlTokens,
     "q_sql_shingles" -> qSqlShingles,
     "q_sql_minhash" -> qSqlMinhash,
     "q_sql_lines_keep" -> qSqlLinesKeep,
-    "q_sql_gopher" -> qSqlGopher
+    "q_sql_gopher" -> qSqlGopher,
+    "q_sql_lsh_pairs" -> qSqlLshPairs
   )
 
   private val hsql = (g: String) => s"('0x' || substr(md5($g), 1, 15))::BIGINT"
@@ -261,6 +309,56 @@ object SqlSurface {
          |FROM ph JOIN fi USING (h)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
+    },
+    // same signatures as the q_sql_minhash oracle, same banding and
+    // bucket-cap arithmetic as the Dedup oracle chain
+    "q_sql_lsh_pairs" -> {
+      import graft.functions.Sketches
+      val sigCols = (0 until Dedup.NumHashes)
+        .map(k => s"list_min(list_transform(hs, h -> " +
+          s"((${Sketches.a(k)} * (h % ${Sketches.Prime}) + ${Sketches.b(k)})" +
+          s" % ${Sketches.Prime}))) AS m$k")
+        .mkString(",\n  ")
+      val bandRows = (0 until Dedup.NumBands).map { b =>
+        val ms = (0 until Dedup.RowsPerBand)
+          .map(r => s"m${b * Dedup.RowsPerBand + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $ms)) AS band_key FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${Dedup.PlantOffset}, text || '${Dedup.Tail}'
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                x -> length(x) > 0) AS ts
+         |  FROM corpus),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(ts) >= 3
+         |    THEN list_transform(range(0, len(ts) - 2),
+         |           i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+         |    ELSE [] END AS sh
+         |  FROM tk),
+         |hsd AS (
+         |  SELECT doc_id,
+         |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)
+         |      AS hs
+         |  FROM sh WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, $sigCols FROM hsd),
+         |banded AS ($bandRows),
+         |ok AS (
+         |  SELECT band_idx, band_key FROM banded
+         |  GROUP BY band_idx, band_key
+         |  HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxLshBucket})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS n_shared_bands
+         |FROM banded a
+         |JOIN banded b ON a.band_idx = b.band_idx
+         |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |JOIN ok ON ok.band_idx = a.band_idx AND ok.band_key = a.band_key
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     // the q_gopher oracle verbatim (shared CTE builder) — the SQL entry
     // point and the DataFrame path answer to the same ground truth

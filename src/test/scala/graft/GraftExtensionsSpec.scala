@@ -592,6 +592,20 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     dfLines.exceptAll(sqlLines).count() shouldBe 0L
     sqlLines.count() should be > 0L
 
+    // LSH candidate pairs: SQL text vs the minhashBanded →
+    // minhashCandidates stages over the same planted near-dup corpus
+    val sqlPairs = graft.operators.SqlSurface.qSqlLshPairs(spark, dir)
+    val dfPairs = graft.operators.Dedup.minhashCandidates(
+      graft.operators.Dedup.minhashBanded(
+        graft.operators.Dedup.withHashedShingles(
+          graft.operators.Dedup.nearDupDocs(spark, dir))
+          .select(col("doc_id"), col("hs"))),
+      graft.operators.Dedup.MaxLshBucket)
+    sqlPairs.exceptAll(dfPairs).count() shouldBe 0L
+    dfPairs.exceptAll(sqlPairs).count() shouldBe 0L
+    // the planted tail-copies guarantee candidates at every SF
+    sqlPairs.count() should be > 0L
+
     // gopher battery: SQL text vs TextAnalysis.qGopher, same output shape
     val sqlGopher = graft.operators.SqlSurface.qSqlGopher(spark, dir)
     val dfGopher = graft.operators.TextAnalysis.qGopher(spark, dir)
