@@ -169,15 +169,25 @@ object SqlSurface {
     * q_sql_lines_keep / q_sql_gopher, the dedup surface is now drivable
     * end to end from a SQL notebook: quality-gate → line-clean →
     * signature → candidate pairs.
+    *
+    * Plan discipline (pinned in PlanRegressionSpec): the pair expansion
+    * is a bucket-collect + in-bucket explode, NOT a banded-table
+    * self-join — Spark shares no uncached subtrees, so a self-join here
+    * re-evaluates the whole tokenize→shingle→signature pipeline per
+    * reference (the round-1 sharedSignatures lesson, SQL edition; the
+    * self-join draft measured 2.62 s vs this shape's one evaluation).
     */
   def qSqlLshPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Generators.register(s)
-    val bandKeys = (0 until Dedup.NumBands).map { b =>
+    // ONE array-of-structs explode over the single sig frame — a UNION
+    // ALL of per-band SELECTs would re-evaluate the signature pipeline
+    // once per band (8×), the same unshared-subtree trap as a self-join
+    val bandStructs = (0 until Dedup.NumBands).map { b =>
       val ms = (0 until Dedup.RowsPerBand)
         .map(r => s"element_at(mh, ${b * Dedup.RowsPerBand + r + 1})")
         .mkString(", ")
-      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $ms)) AS band_key FROM sig"
-    }.mkString("\nUNION ALL\n")
+      s"struct($b AS band_idx, md5(concat_ws(',', $ms)) AS band_key)"
+    }.mkString(",\n    ")
     s.sql(
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM parquet.`$dir/documents.parquet`
@@ -191,18 +201,24 @@ object SqlSurface {
          |  GROUP BY doc_id),
          |sig AS (SELECT doc_id, affine_minhashes(hs, ${Dedup.NumHashes}) AS mh
          |        FROM hs),
-         |banded AS ($bandKeys),
-         |ok AS (
-         |  SELECT band_idx, band_key FROM banded
-         |  GROUP BY band_idx, band_key
-         |  HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxLshBucket})
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |banded AS (
+         |  SELECT doc_id, bk.band_idx AS band_idx, bk.band_key AS band_key
+         |  FROM sig
+         |  LATERAL VIEW explode(array(
+         |    $bandStructs)) t AS bk),
+         |buckets AS (
+         |  SELECT sort_array(collect_list(doc_id)) AS ids
+         |  FROM banded GROUP BY band_idx, band_key),
+         |pairs AS (
+         |  SELECT explode(flatten(transform(ids, (a, i) ->
+         |    transform(slice(ids, i + 2, size(ids)),
+         |      b -> struct(a AS doc_a, b AS doc_b))))) AS p
+         |  FROM buckets
+         |  WHERE size(ids) > 1 AND size(ids) <= ${Dedup.MaxLshBucket})
+         |SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
          |  count(*) AS n_shared_bands
-         |FROM banded a
-         |JOIN banded b ON a.band_idx = b.band_idx
-         |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |JOIN ok ON ok.band_idx = a.band_idx AND ok.band_key = a.band_key
-         |GROUP BY a.doc_id, b.doc_id
+         |FROM pairs
+         |GROUP BY p.doc_a, p.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 

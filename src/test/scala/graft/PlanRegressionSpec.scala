@@ -572,6 +572,23 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should include("Window")
   }
 
+  test("q_sql_lsh_pairs: the signature pipeline evaluates ONCE — bucket " +
+    "explode, never a banded self-join") {
+    val plan = graft.operators.SqlSurface.qSqlLshPairs(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the tokenize→shingle→signature pipeline must appear EXACTLY once:
+    // a banded self-join or a UNION ALL of per-band SELECTs re-evaluates
+    // it per reference (2 resp. 8 generators in the plan)
+    "shingle_hashes".r.findAllIn(plan).size shouldBe 1
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastHashJoin"
+    // exactly one Union: the planted near-dup corpus (base + tail
+    // copies) BELOW the generator — a band-leg UNION above it would
+    // multiply the generator count asserted above
+    "Union".r.findAllIn(plan).size shouldBe 1
+    plan should include("Generate explode")
+  }
+
   test("q_corr_matrix: ONE lineitem scan + ONE aggregation — the 6-pair " +
     "matrix is a stack() over the single sufficient-stats row") {
     val plan = Relational.qCorrMatrix(spark, sf())
