@@ -64,19 +64,28 @@ object SqlSurface {
     * both engines (the generator emits nothing; the oracle filters),
     * mirroring [[Dedup.minhashBanded]].
     */
+  /** Shared Spark-SQL CTE text ending in `sig(doc_id, mh)` — the
+    * shingle-hash collection + MinHash signature stages over `fromSql`
+    * (any relation/subquery producing (doc_id, text)); used verbatim by
+    * [[qSqlMinhash]] and [[qSqlLshPairs]] so the two entry points cannot
+    * drift in shingle width, hash rule, or signature count.
+    */
+  private def sigCtesSql(fromSql: String): String =
+    s"""hs AS (
+       |  SELECT doc_id, collect_list(h) AS hs
+       |  FROM $fromSql
+       |  LATERAL VIEW shingle_hashes(text, 3) s AS pos, h
+       |  GROUP BY doc_id),
+       |sig AS (SELECT doc_id, affine_minhashes(hs, ${Dedup.NumHashes}) AS mh
+       |        FROM hs)""".stripMargin
+
   def qSqlMinhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Generators.register(s)
     val ms = (0 until Dedup.NumHashes)
       .map(k => s"CAST(element_at(mh, ${k + 1}) AS BIGINT) AS m$k")
       .mkString(",\n  ")
     s.sql(
-      s"""WITH hs AS (
-         |  SELECT doc_id, collect_list(h) AS hs
-         |  FROM parquet.`$dir/documents.parquet`
-         |  LATERAL VIEW shingle_hashes(text, 3) s AS pos, h
-         |  GROUP BY doc_id),
-         |sig AS (SELECT doc_id, affine_minhashes(hs, ${Dedup.NumHashes}) AS mh
-         |        FROM hs)
+      s"""WITH ${sigCtesSql(s"parquet.`$dir/documents.parquet`")}
          |SELECT doc_id, $ms
          |FROM sig
          |ORDER BY doc_id""".stripMargin)
@@ -194,13 +203,7 @@ object SqlSurface {
          |  UNION ALL
          |  SELECT doc_id + ${Dedup.PlantOffset}, text || '${Dedup.Tail}'
          |  FROM parquet.`$dir/documents.parquet`),
-         |hs AS (
-         |  SELECT doc_id, collect_list(h) AS hs
-         |  FROM corpus
-         |  LATERAL VIEW shingle_hashes(text, 3) s AS pos, h
-         |  GROUP BY doc_id),
-         |sig AS (SELECT doc_id, affine_minhashes(hs, ${Dedup.NumHashes}) AS mh
-         |        FROM hs),
+         |${sigCtesSql("corpus")},
          |banded AS (
          |  SELECT doc_id, bk.band_idx AS band_idx, bk.band_key AS band_key
          |  FROM sig
@@ -232,6 +235,40 @@ object SqlSurface {
   )
 
   private val hsql = (g: String) => s"('0x' || substr(md5($g), 1, 15))::BIGINT"
+
+  /** DuckDB twin of [[sigCtesSql]]'s inputs: the tokenize → trigram →
+    * 60-bit-hash chain ending in `hsd(doc_id, hs)` over `from`, shared
+    * by the q_sql_minhash and q_sql_lsh_pairs oracles.
+    */
+  private def duckHsCtes(from: String): String =
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> length(x) > 0) AS ts
+       |  FROM $from),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(ts) >= 3
+       |    THEN list_transform(range(0, len(ts) - 2),
+       |           i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+       |    ELSE [] END AS sh
+       |  FROM tk),
+       |hsd AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, x -> ${hsql("x")}) AS hs
+       |  FROM sh WHERE len(sh) > 0)""".stripMargin
+
+  /** DuckDB twin of the `affine_minhashes` expression: the m0..m15
+    * signature columns from `hsd.hs`, same [[graft.functions.Sketches]]
+    * constants — shared by both MinHash-family oracles.
+    */
+  private def duckSigCols: String = {
+    import graft.functions.Sketches
+    (0 until Dedup.NumHashes)
+      .map(k => s"CAST(list_min(list_transform(hs, h -> " +
+        s"((${Sketches.a(k)} * (h % ${Sketches.Prime}) + ${Sketches.b(k)})" +
+        s" % ${Sketches.Prime}))) AS BIGINT) AS m$k")
+      .mkString(",\n  ")
+  }
 
   def oracleSql: Map[String, String] = Map(
     // same tokenizer (\p{L} runs, empties dropped BEFORE numbering),
@@ -270,33 +307,11 @@ object SqlSurface {
     // same lowercase trigram shingles + 60-bit hashes, same affine
     // constants (graft.functions.Sketches a/b/Prime), same
     // empty-signature exclusion
-    "q_sql_minhash" -> {
-      import graft.functions.Sketches
-      val ms = (0 until Dedup.NumHashes)
-        .map(k => s"CAST(list_min(list_transform(hs, h -> " +
-          s"((${Sketches.a(k)} * (h % ${Sketches.Prime}) + ${Sketches.b(k)})" +
-          s" % ${Sketches.Prime}))) AS BIGINT) AS m$k")
-        .mkString(",\n  ")
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |                x -> length(x) > 0) AS ts
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, CASE WHEN len(ts) >= 3
-         |    THEN list_transform(range(0, len(ts) - 2),
-         |           i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
-         |    ELSE [] END AS sh
-         |  FROM tk),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)
-         |      AS hs
-         |  FROM sh WHERE len(sh) > 0)
-         |SELECT doc_id, $ms
-         |FROM hs
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_sql_minhash" ->
+      s"""WITH ${duckHsCtes("documents")}
+         |SELECT doc_id, $duckSigCols
+         |FROM hsd
+         |ORDER BY doc_id""".stripMargin,
     // same 10-token line chunks (partial tail chunk included), same
     // 60-bit line hashes, same packed-BIGINT first-instance rule
     "q_sql_lines_keep" -> {
@@ -329,12 +344,6 @@ object SqlSurface {
     // same signatures as the q_sql_minhash oracle, same banding and
     // bucket-cap arithmetic as the Dedup oracle chain
     "q_sql_lsh_pairs" -> {
-      import graft.functions.Sketches
-      val sigCols = (0 until Dedup.NumHashes)
-        .map(k => s"list_min(list_transform(hs, h -> " +
-          s"((${Sketches.a(k)} * (h % ${Sketches.Prime}) + ${Sketches.b(k)})" +
-          s" % ${Sketches.Prime}))) AS m$k")
-        .mkString(",\n  ")
       val bandRows = (0 until Dedup.NumBands).map { b =>
         val ms = (0 until Dedup.RowsPerBand)
           .map(r => s"m${b * Dedup.RowsPerBand + r}").mkString(", ")
@@ -345,23 +354,8 @@ object SqlSurface {
          |  UNION ALL
          |  SELECT doc_id + ${Dedup.PlantOffset}, text || '${Dedup.Tail}'
          |  FROM documents),
-         |tk AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |                x -> length(x) > 0) AS ts
-         |  FROM corpus),
-         |sh AS (
-         |  SELECT doc_id, CASE WHEN len(ts) >= 3
-         |    THEN list_transform(range(0, len(ts) - 2),
-         |           i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
-         |    ELSE [] END AS sh
-         |  FROM tk),
-         |hsd AS (
-         |  SELECT doc_id,
-         |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)
-         |      AS hs
-         |  FROM sh WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id, $sigCols FROM hsd),
+         |${duckHsCtes("corpus")},
+         |sig AS (SELECT doc_id, $duckSigCols FROM hsd),
          |banded AS ($bandRows),
          |ok AS (
          |  SELECT band_idx, band_key FROM banded

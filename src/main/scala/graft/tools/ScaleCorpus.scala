@@ -132,8 +132,13 @@ object ScaleCorpus {
         // frequent ranks — one row-local transform, no state
         val ntok = greatest(size(split(col("text"), " ")), lit(1))
         // letters-only group suffix (digits would split under the
-        // [^a-z]+ tokenizers and reintroduce shared tokens)
-        val sfx = "q" + ('a' + i % nGroups).toChar
+        // [^a-z]+ tokenizers and reintroduce shared tokens); base-26 so
+        // nGroups > 26 can't walk past 'z' into non-letter ASCII and
+        // silently merge groups
+        def letters(x: Int): String =
+          if (x < 26) ('a' + x).toChar.toString
+          else letters(x / 26 - 1) + ('a' + x % 26).toChar
+        val sfx = "q" + letters(i % nGroups)
         val word = (p: org.apache.spark.sql.Column) => {
           val idx = (floor(
             pow(conv(substring(md5(concat(lit(i), lit("/"), col("doc_id"),

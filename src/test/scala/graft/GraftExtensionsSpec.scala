@@ -13,14 +13,7 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     // create() (not getOrCreate) so extensions apply even when another
     // suite's session exists; shares the JVM's SparkContext, so no stop()
     // — stopping would kill the context under the other suites
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .create()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = extSession("graft-ext-test")
     val r = spark
       .sql("SELECT vec_dot(array(1f,2f), array(3f,4f)) d, " +
         "vec_cosine(array(1f,0f), array(0f,1f)) c")
@@ -103,14 +96,7 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
 
   test("ApproxDistinctRewrite: inert by default, swaps exact distinct for " +
     "HLL++ under the flag, estimate inside the error envelope") {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-approx-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .create()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = extSession("graft-approx-test")
     import org.apache.spark.sql.functions.{col, countDistinct}
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
     def q() = docs.groupBy(col("lang"))
@@ -420,8 +406,8 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
         .agg(count(lit(1)).as("n_rows"),
           sum(graft.operators.Relational.cents(col("l_quantity")))
             .as("qty_cents"))
-      filteredRollup.queryExecution.optimizedPlan.toString should not
-        include("graft_mv_li")
+      (filteredRollup.queryExecution.optimizedPlan.toString
+        should not include "graft_mv_li")
     } finally spark.conf.set(graft.plans.MvRewrite.Flag, "false")
   }
 
@@ -702,8 +688,15 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.set(graft.plans.MvRewrite.Flag, "false")
   }
 
-  /** Fresh session sharing the JVM's SparkContext (see first test's note). */
+  /** Fresh session sharing the JVM's SparkContext (see first test's note).
+    * Forces the canonical [[SparkSpec.session]] context FIRST: if this
+    * suite happens to run before any SparkSpec suite, `.create()` would
+    * otherwise build the JVM-wide context at local[2] and every later
+    * suite's file-scan bin-packing (e.g. the q_ingest_jsonl shard
+    * parallelism pin) would inherit defaultParallelism 2.
+    */
   private def extSession(name: String): SparkSession = {
+    SparkSpec.session
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(name)
