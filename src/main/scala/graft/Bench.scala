@@ -37,7 +37,20 @@ object Bench {
   /** Queries whose construction persists an intermediate — rebuilt per
     * pass against a cleared cache (see scaladoc).
     */
-  private val selfCaching = Set("q_dedup_minhash", "q_dedup_pipeline")
+  private val selfCaching =
+    Set("q_dedup_minhash", "q_dedup_pipeline", "q_sql_pipeline")
+
+  /** Canary-basket membership (one member per execution class; see the
+    * basket comment in main and BASELINE.md "Canary normalization" v2).
+    * Keys are the 2-char contract-line labels; values must stay registered
+    * steady (non-selfCaching) queries — pinned in BenchSpec.
+    */
+  private[graft] val CanaryBasket: Seq[(String, String)] = Seq(
+    "sc" -> "q_filter_project", // scan-bound: pushdown filter + project
+    "sh" -> "q_agg_salted", // shuffle-bound: two-phase salted aggregation
+    "ex" -> "q_sql_tokens", // explode-bound: generator + token census
+    "wi" -> "q_window_range", // window-bound: range-frame window agg
+    "jo" -> "q_tpch_q12") // join-bound: lineitem⋈orders fact join
 
   /** Stage-10 family-key squeeze (see the call site for the full story):
     * first char + vowel-dropped rest, truncated, colliding groups widened
@@ -82,6 +95,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // let a bucketed table's subset-key HashPartitioning satisfy
+      // multi-key joins (the partsupp (partkey,suppkey) joins ride the
+      // ps_partkey bucketing with no exchange); Spark 4 defaults this
+      // true out of skew caution — our bucket keys are the HIGH-cardinality
+      // halves of their key pairs, so the subset reuse cannot concentrate
+      // keys (documented in BASELINE.md, plan-pinned in TpcHSpec)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -215,20 +235,43 @@ object Bench {
     // "canary3". The contract-line "canary" field keeps its historical
     // best-of-2 definition (the BASELINE.md table is calibrated to it);
     // adjudications should prefer canary3 when the two disagree.
-    val canary3: Option[Double] = canary.map { _ =>
-      val reads = (1 to 3).map(_ => once(canaryName)).filter(_ >= 0).sorted
-      // true median for any survivor count: with an EVEN count (a read
-      // failed) average the two middle values — reads(size/2) would pick
-      // the MAX of 2 survivors, biasing the normalization divisor upward
-      // in exactly the degraded-host case this guards against
-      if (reads.isEmpty) -1.0
-      else if (reads.size % 2 == 1) reads(reads.size / 2)
-      else (reads(reads.size / 2 - 1) + reads(reads.size / 2)) / 2.0
-    }.filter(_ >= 0)
+    // true median for any survivor count: with an EVEN count (a read
+    // failed) average the two middle values — reads(size/2) would pick
+    // the MAX of 2 survivors, biasing the normalization divisor upward
+    // in exactly the degraded-host case this guards against
+    def medianOf(reads: Seq[Double]): Option[Double] = {
+      val r = reads.filter(_ >= 0).sorted
+      if (r.isEmpty) None
+      else if (r.size % 2 == 1) Some(r(r.size / 2))
+      else Some((r(r.size / 2 - 1) + r(r.size / 2)) / 2.0)
+    }
+    val canary3: Option[Double] =
+      canary.flatMap(_ => medianOf((1 to 3).map(_ => once(canaryName))))
     def canary3Json(fmt: Double => String): String =
       canary3.map(v => s""","canary3":{"$canaryName":${fmt(v)}}""").getOrElse("")
+    // canary BASKET (round-12; the round-11 verdict's item 1): the single
+    // q_median canary swung ±35% within one session — a one-query divisor
+    // is hostage to whatever the host was doing during ITS two reads, and
+    // it turned an instrument artifact into a round-long adjudication in
+    // each of r08/r10/r11. The basket is five DIVERSE steady queries —
+    // one per execution class, so a class-specific stall (shuffle-heavy
+    // contention, codegen JIT, page-cache eviction) moves one member, not
+    // the median — each re-read 3× POST-suite (same warm state as
+    // canary3) and reported as its per-member median. Normalization rule
+    // (BASELINE.md §"Canary normalization" v2): host factor = MEDIAN over
+    // members of (member_now / member_ref); per-member references live in
+    // the BASELINE.md basket table. Keys stay 2 chars for the contract
+    // line's ~2040-char tail budget.
+    val basketReads: Seq[(String, Double)] = Bench.CanaryBasket.flatMap {
+      case (k, q) =>
+        if (!names.contains(q)) None
+        else medianOf((1 to 3).map(_ => once(q))).map(k -> _)
+    }
+    def basketJson(fmt: Double => String): String =
+      if (basketReads.isEmpty) ""
+      else s""","basket":${jmap(basketReads, fmt)}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)}${canary3Json(full)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)}${canary3Json(full)}${basketJson(full)},"sf":"$sfDir"}"""
     // only a full-registry run may overwrite the committed artifact —
     // focused runs (explicit query args) would clobber it with a subset
     if (args.isEmpty)
@@ -244,7 +287,7 @@ object Bench {
     def contract(keys: String => String): String =
       s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${
         jmap(results.map { case (k, v) => keys(k) -> v }, short2)
-      }${canaryJson(short)},"sf":"${new java.io.File(sfDir).getName}"}"""
+      }${canaryJson(short)}${basketJson(short)},"sf":"${new java.io.File(sfDir).getName}"}"""
     // adaptive squeeze (documented in BASELINE.md "Canary normalization"):
     // while full names fit the driver's ~2040-char stdout-tail budget they
     // are used verbatim; once the registry grows past it, the redundant
@@ -344,7 +387,7 @@ object Bench {
     def famContract: String =
       s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${
         jmap(famSums, short2)
-      }${if (nFail > 0) s""","nfail":$nFail""" else ""}${canaryJson(short)},"sf":"${new java.io.File(sfDir).getName}"}"""
+      }${if (nFail > 0) s""","nfail":$nFail""" else ""}${canaryJson(short)}${basketJson(short)},"sf":"${new java.io.File(sfDir).getName}"}"""
     // stage-10 squeeze (built at 260 queries, round 8 fourth
     // continuation; engages when stage-9 crosses the budget at ≈270
     // families-worth of keys): the FAMILY keys themselves go through the
@@ -363,7 +406,7 @@ object Bench {
     def famContract10: String =
       s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":${
         jmap(famSums.map { case (f, v) => famShort(f) -> v }, short2)
-      }${if (nFail > 0) s""","nfail":$nFail""" else ""}${canaryJson(short)},"sf":"${new java.io.File(sfDir).getName}"}"""
+      }${if (nFail > 0) s""","nfail":$nFail""" else ""}${canaryJson(short)}${basketJson(short)},"sf":"${new java.io.File(sfDir).getName}"}"""
     // the squeezes must stay injective over the registry: a future
     // q_t_foo would alias with q_text_foo's squeezed key and silently
     // merge two queries on the contract line (round-5 advisor note)

@@ -62,14 +62,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${Bitmaps.UserDomainBits} and is capped at 27 (16 MiB buffer) — " +
           "ids at or past the domain fail loudly rather than truncate"),
       args => {
+        // INT or BIGINT literal accepted (SQL users write 21 or 21L);
+        // the 6..27 range is checked HERE so the error matches the
+        // message below — BitmapAgg's own require stays as defense
         val domainBits = args match {
           case Seq(_) => Bitmaps.UserDomainBits
           case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _))
+              if v.isValidInt => v.toInt
           case Seq(_, _) => throw new IllegalArgumentException(
             "bitmap_agg's second argument must be an INT literal domainBits (6..27)")
           case _ => throw new IllegalArgumentException(
             s"bitmap_agg requires 1 or 2 arguments, got ${args.length}")
         }
+        if (domainBits < 6 || domainBits > 27)
+          throw new IllegalArgumentException(
+            "bitmap_agg's second argument must be an INT literal domainBits (6..27)")
         BitmapAgg(args(0), domainBits)
       }))
     e.injectFunction((

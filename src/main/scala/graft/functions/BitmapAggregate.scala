@@ -33,6 +33,16 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * HLL/KMV sketch's bytes (or any non-bitmap BINARY) to the cardinality
   * expressions throws instead of returning a silently meaningless count —
   * the same fail-loud posture as the out-of-domain id guard.
+  *
+  * WIRE-FORMAT COMPATIBILITY (round-11 break, advisor-noted): the 'BM'
+  * magic header changed the emitted BINARY incompatibly — bitmap bytes
+  * persisted by a pre-header build (parquet, checkpoints) are REJECTED by
+  * bitmap_card/bitmap_and_card/bitmap_or_card with the magic-header error
+  * rather than read as a legacy payload. This is deliberate: a headerless
+  * word-aligned blob is indistinguishable from any other 8-byte-aligned
+  * BINARY, so a silent legacy read path would reintroduce exactly the
+  * cross-type misuse the header exists to catch. Externally stored
+  * bitmaps from builds before the header must be re-aggregated.
   */
 case class BitmapAgg(
     child: Expression,

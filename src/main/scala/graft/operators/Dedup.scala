@@ -307,17 +307,11 @@ object Dedup {
     * keeps each measured pass computing signatures exactly once, same as
     * the pre-memo semantics.
     */
-  private val signatureCache =
-    new SessionMemo[DataFrame](_.unpersist(blocking = false))
-  private def sharedSignatures(s: SparkSession, dir: String): DataFrame = {
-    val df = signatureCache.getOrElseUpdate(s, dir)(
+  private val signatureCache = new SessionMemo.PersistedDF
+  private def sharedSignatures(s: SparkSession, dir: String): DataFrame =
+    signatureCache.getOrElseUpdate(s, dir)(
       withHashedShingles(nearDupDocs(s, dir))
-        .select(col("doc_id"), col("hs"))
-        .persist())
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    df
-  }
+        .select(col("doc_id"), col("hs")))
 
   /** Jaccard threshold for [[qSimjoin]], in tenths (7 → J ≥ 0.7). */
   val SimjoinT = 7
@@ -738,7 +732,7 @@ object Dedup {
     * (doc_id, hs) signature table — the shared front half of
     * [[qDedupPipeline]] and [[qSplitLeakage]].
     */
-  private def verifiedPairs(withHs: DataFrame): DataFrame =
+  private[operators] def verifiedPairs(withHs: DataFrame): DataFrame =
     minhashCandidates(minhashBanded(withHs), MaxLshBucket)
       .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
@@ -1184,16 +1178,11 @@ object Dedup {
     * [[sharedLineRows]] double-evaluation class). Memoized per
     * (session, dir) with the same re-persist guard.
     */
-  private val winnowCandCache =
-    new SessionMemo[DataFrame](_.unpersist(blocking = false))
+  private val winnowCandCache = new SessionMemo.PersistedDF
   private[graft] def sharedWinnowCandidates(
-      s: SparkSession, dir: String): DataFrame = {
-    val df = winnowCandCache.getOrElseUpdate(s, dir)(
-      winnowedCandidates(splicedDocs(s, dir)).persist())
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    df
-  }
+      s: SparkSession, dir: String): DataFrame =
+    winnowCandCache.getOrElseUpdate(s, dir)(
+      winnowedCandidates(splicedDocs(s, dir)))
 
   /** (doc_a, doc_b, n_shared_fp) candidate pairs from the winnowed
     * fingerprints — see [[qDedupSubstringWin]].
@@ -1309,15 +1298,9 @@ object Dedup {
     * re-persist guard as [[sharedSignatures]] (Bench's cache clears
     * unpersist the frame without evicting the memo entry).
     */
-  private val lineRowsCache =
-    new SessionMemo[DataFrame](_.unpersist(blocking = false))
-  private[graft] def sharedLineRows(s: SparkSession, dir: String): DataFrame = {
-    val df = lineRowsCache.getOrElseUpdate(s, dir)(
-      lineRows(nearDupDocs(s, dir)).persist())
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    df
-  }
+  private val lineRowsCache = new SessionMemo.PersistedDF
+  private[graft] def sharedLineRows(s: SparkSession, dir: String): DataFrame =
+    lineRowsCache.getOrElseUpdate(s, dir)(lineRows(nearDupDocs(s, dir)))
 
   def qDedupLines(s: SparkSession, dir: String): DataFrame = {
     val lines = sharedLineRows(s, dir)
@@ -1587,10 +1570,9 @@ object Dedup {
     * corpus must evaluate once, not three times (Spark shares no
     * uncached subtrees — the q_dedup_lines round-6 lesson).
     */
-  private val markedErasureCache =
-    new SessionMemo[DataFrame](_.unpersist(blocking = false))
-  private def markedErasure(s: SparkSession, dir: String): DataFrame = {
-    val df = markedErasureCache.getOrElseUpdate(s, dir) {
+  private val markedErasureCache = new SessionMemo.PersistedDF
+  private def markedErasure(s: SparkSession, dir: String): DataFrame =
+    markedErasureCache.getOrElseUpdate(s, dir) {
       val manifest = Tables.documents(s, dir)
         .filter(col("doc_id") % DeleteListMod === DeleteListResidue)
         .select(md5(col("text")).as("del_md5")).distinct()
@@ -1600,12 +1582,7 @@ object Dedup {
         .join(broadcast(manifest), col("m") === col("del_md5"), "left_outer")
         .select(col("doc_id"), col("fpn"),
           col("del_md5").isNotNull.as("del"))
-        .persist()
     }
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    df
-  }
 
   /** Erasure by takedown LIST, content-addressed: delete every corpus doc
     * whose md5(text) appears in the manifest — which catches the

@@ -814,6 +814,12 @@ object TextAnalysis {
         flag(col("r_words") + col("r_word_len") + col("r_stop") + col("r_dup") === 4L))
   }
 
+  /** (doc_id, keep) Gopher verdicts for an arbitrary (doc_id, text)
+    * corpus — the quality-gate stage of [[SqlSurface.pipelineTwin]].
+    */
+  private[operators] def gopherKeep(corpus: DataFrame): DataFrame =
+    withGopherCols(corpus).select(col("doc_id"), col("keep"))
+
   def qGopher(s: SparkSession, dir: String): DataFrame =
     withGopherCols(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
@@ -1657,19 +1663,13 @@ object TextAnalysis {
     * Same re-mark guard as Dedup.sharedSignatures: Bench's cache clear
     * unpersists the frame without evicting the memo entry.
     */
-  private val postingsCache =
-    new graft.operators.SessionMemo[DataFrame](_.unpersist(blocking = false))
-  private def sharedTokens(s: SparkSession, dir: String): DataFrame = {
-    val df = postingsCache.getOrElseUpdate(s, dir)(
+  private val postingsCache = new graft.operators.SessionMemo.PersistedDF
+  private def sharedTokens(s: SparkSession, dir: String): DataFrame =
+    postingsCache.getOrElseUpdate(s, dir)(
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(
           filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0))
-          .as("term"))
-        .persist())
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    df
-  }
+          .as("term")))
 
   /** BM25 scoring (the [[qTfidf]] shape with document-length
     * normalization and the Lucene idf): top-3 terms for the first 20 docs,
@@ -1800,11 +1800,10 @@ object TextAnalysis {
     * sharedSignatures double-evaluation class). Hits-proportional rows;
     * same re-mark guard as [[sharedTokens]].
     */
-  private val mrrScoredCache =
-    new graft.operators.SessionMemo[DataFrame](_.unpersist(blocking = false))
+  private val mrrScoredCache = new graft.operators.SessionMemo.PersistedDF
   private def mrrScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val df0 = mrrScoredCache.getOrElseUpdate(s, dir) {
+    mrrScoredCache.getOrElseUpdate(s, dir) {
       val tokens = sharedTokens(s, dir)
       val tf = tokens.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
@@ -1831,11 +1830,7 @@ object TextAnalysis {
           floor(round(idf * tfNorm, 9) * lit(1.0e9) + lit(0.5)).cast("long"))
         .groupBy(col("query_id"), col("q_size"), col("doc_id"))
         .agg(sum(col("ppb")).as("score_ppb"), count(lit(1)).as("n_terms"))
-        .persist()
     }
-    if (df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df0.persist()
-    df0
   }
 
   def qMrr(s: SparkSession, dir: String): DataFrame = {

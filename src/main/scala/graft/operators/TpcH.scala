@@ -384,33 +384,38 @@ object TpcH {
   // columns are computable row-local on lineitem, eliminating the join —
   // is deliberately NOT taken: the point of these five queries is the
   // partsupp join shape). The derivation — one distinct-shuffle over the
-  // fact — is MATERIALIZED ONCE per (session, corpus) and partitioned by
-  // ps_partkey (the bucketing discipline a warehouse would use), so
-  // Q2/Q9/Q11/Q16/Q20 — and Q2's TWO branches — all read the same
-  // persisted, already-partitioned relation instead of re-deriving a
-  // full-fact distinct shuffle each (six per suite before this). Joins
-  // keyed on ps_partkey reuse the persisted hash partitioning (the
-  // partsupp-side exchange elides); plan-pinned in TpcHSpec.
+  // fact — is written ONCE per (session, corpus) as a BUCKETED TABLE in
+  // the session warehouse (bucketBy ps_partkey, the production path the
+  // r11 memoized-cache note called for: Spark 4's
+  // canChangeCachedPlanOutputPartitioning default hides a cached plan's
+  // partitioning from EnsureRequirements, but a bucketed SCAN's
+  // HashPartitioning is structural — no flag, no cache manager), so
+  // Q2/Q9/Q11/Q16/Q20 — and Q2's TWO branches — read the same on-disk,
+  // already-bucketed relation instead of re-deriving a full-fact
+  // distinct shuffle each (six per suite before the r11 memo). Every
+  // join/groupBy keyed on ps_partkey — including the TWO-key (partkey,
+  // suppkey) joins, bucketing on a SUBSET of the join keys satisfies
+  // ClusteredDistribution — rides the bucketing with NO exchange on the
+  // partsupp side; plan-pinned in TpcHSpec.
   // -------------------------------------------------------------------
-  private val partsuppCache: SessionMemo[DataFrame] =
-    new SessionMemo[DataFrame](_.unpersist(blocking = false))
+  private val partsuppTableMemo: SessionMemo[String] = new SessionMemo[String]()
 
-  private[operators] def partsupp(s: SparkSession, dir: String): DataFrame = {
-    val df = partsuppCache.getOrElseUpdate(s, dir)(
-      Tables.lineitem(s, dir)
-        .select(col("l_partkey").as("ps_partkey"),
-          col("l_suppkey").as("ps_suppkey"))
-        .distinct()
-        .withColumn("ps_supplycost_c",
-          (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 90000 + 10000)
-        .withColumn("ps_availqty",
-          (col("ps_partkey") * 7 + col("ps_suppkey") * 3) % 9999 + 1)
-        .repartition(col("ps_partkey"))
-        .persist())
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    df
-  }
+  private[operators] def partsupp(s: SparkSession, dir: String): DataFrame =
+    s.table(partsuppTableMemo.getOrElseUpdate(s, dir) {
+      val t = "graft_partsupp" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.scale.Scale.dropWithLocation(s, t)
+      graft.scale.Scale.writeBucketed(
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .distinct()
+          .withColumn("ps_supplycost_c",
+            (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 90000 + 10000)
+          .withColumn("ps_availqty",
+            (col("ps_partkey") * 7 + col("ps_suppkey") * 3) % 9999 + 1),
+        t, "ps_partkey", graft.scale.Scale.JoinBuckets)
+      t
+    })
 
   /** The same derivation as DuckDB SQL, prefixed to each oracle. */
   private val PartsuppCte =

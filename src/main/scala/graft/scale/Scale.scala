@@ -103,7 +103,7 @@ object Scale {
     * warehouse directory survives the in-memory catalog, and saveAsTable
     * refuses to create a managed table over an existing path.
     */
-  private def dropWithLocation(s: SparkSession, table: String): Unit = {
+  private[graft] def dropWithLocation(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new java.io.File(
       s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
@@ -597,6 +597,60 @@ object Scale {
       .orderBy(col("zshard"))
   }
 
+  /** File count for the EXECUTED Z-order write ([[zorderPath]]): 16
+    * range-partitions of the 16-bit Z-value ≈ the 16 quadrant stripes of
+    * the (pb, ob) plane — small enough that sf0.001 files stay non-empty,
+    * large enough that per-file min/max stats show real pruning.
+    */
+  val ZWriteFiles = 16
+
+  private val zorderWriteMemo = new SessionMemo[String]()
+
+  /** EXECUTED Z-order write — the artifact [[qZorder]] audits, actually
+    * written (the Export.writeCompacted discipline): lineitem's (pb, ob)
+    * key plane clustered two ways under `…/graft_zorder/<sf>/`:
+    * `z/` = repartitionByRange(16, zv).sortWithinPartitions(zv) — the
+    * OPTIMIZE ZORDER BY layout; `single/` = the same write keyed by pb
+    * alone — the one-dimensional strawman. ZorderWriteSpec reads the
+    * parquet ROW-GROUP footers back (ParquetFileReader, not a re-scan)
+    * and proves the skipping the audit predicted: a range probe on
+    * EITHER dimension prunes most z-layout row groups, while the
+    * single-key layout prunes only on its sort key. Memoized per
+    * (session, corpus); the write cost lands in the bench build column.
+    */
+  private[graft] def zorderPath(s: SparkSession, dir: String): String =
+    zorderWriteMemo.getOrElseUpdate(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder/" +
+        new java.io.File(dir).getName
+      val keyed = Tables.lineitem(s, dir).select(
+        (col("l_partkey") % ZShards).as("pb"),
+        (col("l_orderkey") % ZShards).as("ob"))
+      keyed.withColumn("zv", zValueSpark("pb", "ob"))
+        .repartitionByRange(ZWriteFiles, col("zv"))
+        .sortWithinPartitions(col("zv"))
+        .write.mode("overwrite").parquet(s"$out/z")
+      keyed
+        .repartitionByRange(ZWriteFiles, col("pb"))
+        .sortWithinPartitions(col("pb"))
+        .write.mode("overwrite").parquet(s"$out/single")
+      out
+    }
+
+  /** Range scan over the RE-READ z-clustered table — the gate row over
+    * the executed artifact: a 16-wide pb band aggregated per key must
+    * hash-match DuckDB's recompute from lineitem (same % derivations), so
+    * the clustered copy is proven byte-faithful to its source, not just
+    * well-laid-out. At scale this filtered scan is exactly the query the
+    * Z-layout accelerates: the pb predicate prunes ~3/4 of the row
+    * groups via the footer stats ZorderWriteSpec reads back.
+    */
+  def qZorderScan(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${zorderPath(s, dir)}/z")
+      .filter(col("pb") >= 32 && col("pb") <= 47)
+      .groupBy(col("pb"))
+      .agg(count(lit(1)).as("n"), sum(col("ob")).as("ob_sum"))
+      .orderBy(col("pb"))
+
   // -------------------------------------------------------------------
   // Optimizer statistics: sampled join-cardinality estimation
   // -------------------------------------------------------------------
@@ -918,6 +972,128 @@ object Scale {
     df
   }
 
+  // -------------------------------------------------------------------
+  // MV × IVM composition (round-12): the MV machinery ANSWERS queries
+  // from a view; the IVM machinery MAINTAINS aggregates under deltas
+  // (q_ivm_refresh's additive-merge law). q_mv_ivm composes them — the
+  // warehouse lifecycle a user actually runs: a late batch lands on the
+  // fact, the revenue view is refreshed with DELTA-SIZED work (stored
+  // view + the delta's own cube, never a rescan of the updated fact),
+  // and the optimizer answers the next revenue query from the MAINTAINED
+  // view — hash-equal to DuckDB's from-scratch recompute over
+  // base ∪ delta, which is exactly the merged ≡ recomputed contract.
+  // -------------------------------------------------------------------
+
+  /** Delta-batch selector for [[qMvIvm]]: ~1/13 of lineitem re-shipped
+    * two days later — deterministic from the base table so the DuckDB
+    * oracle re-derives the SAME updated fact and recomputes from scratch.
+    */
+  val MvIvmDeltaMod = 13L
+  val MvIvmDeltaResidue = 7L
+
+  private def mvIvmDelta(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % MvIvmDeltaMod === MvIvmDeltaResidue)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+        (col("l_shipdate") + expr("INTERVAL 2 DAYS")).as("l_shipdate"))
+
+  private val mvIvmMemo = new SessionMemo[(String, String)]()
+
+  /** One-time fixture for [[qMvIvm]] — returns (updatedBasePath,
+    * maintainedViewTable):
+    *
+    *  1. APPLY the delta: base ∪ delta written as a real parquet lake
+    *     (projected to the revenue workload's columns) — the updated fact
+    *     a downstream query would scan.
+    *  2. MAINTAIN the Q15 revenue view incrementally: the STORED view
+    *     table ([[mvQ15Table]]) full-outer-merged with the delta's own
+    *     per-supplier cube — counts add, DECIMAL(38,0) revenue partials
+    *     add exactly (the q_ivm_refresh additive-merge law applied to a
+    *     REGISTERED view). The maintenance plan reads |view| + |delta|
+    *     rows; the updated base is never rescanned. Out-of-quarter delta
+    *     rows are excluded by the view's own filter template — the +2-day
+    *     shift pushes late-March lines past the quarter edge, so the
+    *     filter is load-bearing, not decorative.
+    *  3. REGISTER the maintained table with [[graft.plans
+    *     .MaterializedViews]], anchored on the UPDATED base's scan path
+    *     and the same quarter filter template (probe-captured over the
+    *     updated base, the sumOf discipline).
+    */
+  private def mvIvmFixture(s: SparkSession, dir: String): (String, String) =
+    mvIvmMemo.getOrElseUpdate(s, dir) {
+      val basePath = s"${System.getProperty("java.io.tmpdir")}/graft_mv_ivm/" +
+        new java.io.File(dir).getName
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+          col("l_shipdate"))
+        .unionByName(mvIvmDelta(s, dir))
+        .write.mode("overwrite").parquet(basePath)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"graft_mv_ivm_q15$tag"
+      dropWithLocation(s, t)
+      val dcube = mvIvmDelta(s, dir)
+        .filter(q15Quarter)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("d_lines"), sum(q15RevCbp).as("d_rev"))
+      s.table(mvQ15Table(s, dir))
+        .join(dcube, Seq("l_suppkey"), "full_outer")
+        .select(col("l_suppkey"),
+          (coalesce(col("n_lines"), lit(0L)) +
+            coalesce(col("d_lines"), lit(0L))).as("n_lines"),
+          (coalesce(col("rev_cbp"), lit(0).cast("decimal(38,0)")) +
+            coalesce(col("d_rev"), lit(0).cast("decimal(38,0)")))
+            .cast("decimal(38,0)").as("rev_cbp"))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+      val probe = s.read.parquet(basePath)
+        .filter(q15Quarter)
+        .select(q15RevCbp.as("p"))
+        .queryExecution.optimizedPlan
+      val sumCanon = probe.expressions.collectFirst {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+          graft.plans.MaterializedViews.normalizedSql(a.child)
+      }.get
+      graft.plans.MaterializedViews.register(
+        graft.plans.MaterializedViews.MvDef(
+          t, Seq("l_suppkey"), basePath,
+          Seq(
+            graft.plans.MaterializedViews.AggMap(
+              graft.plans.MaterializedViews.countStar, "n_lines"),
+            graft.plans.MaterializedViews.AggMap(
+              graft.plans.MaterializedViews.sumOfExpr(
+                sumCanon, Set("l_extendedprice", "l_discount")),
+              "rev_cbp")),
+          filterCanon = graft.plans.MaterializedViews.filterCanonOf(probe)))
+      (basePath, t)
+    }
+
+  /** Per-supplier quarter revenue over the UPDATED fact THROUGH the MV
+    * rewrite reading the incrementally MAINTAINED view: the query is the
+    * ordinary filtered base aggregation against the post-delta lake (the
+    * view's own key grain), the flag flipped only around this plan's
+    * forced optimization. Under the gate the rewritten plan — |view| rows
+    * — must hash-match DuckDB's FROM-SCRATCH recompute over base ∪ delta,
+    * closing the loop: delta-sized maintenance produced exactly the table
+    * a full rebuild would have. Plan-pinned in GraftExtensionsSpec (the
+    * optimized plan scans graft_mv_ivm_q15, not the updated lake).
+    * Scale: at 100 TB this is the only sane refresh cadence — the view
+    * update costs O(|delta| + |view|) instead of O(|fact|), and the
+    * optimizer's answer path costs O(|view|).
+    */
+  def qMvIvm(s: SparkSession, dir: String): DataFrame = {
+    val (basePath, _) = mvIvmFixture(s, dir)
+    val df = s.read.parquet(basePath)
+      .filter(q15Quarter)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(q15RevCbp).as("rev_cbp"))
+      .select(col("l_suppkey"), col("n_lines"),
+        (col("rev_cbp") / 10000).cast("double").as("total_revenue"))
+      .orderBy(col("l_suppkey"))
+    graft.plans.RuleOptIn.withFlag(graft.plans.MvRewrite.Flag) {
+      df.queryExecution.optimizedPlan; ()
+    }
+    df
+  }
+
   /** Key-only dimension join THROUGH the PK–FK elimination rule
     * (`graft.plans.JoinEliminationRule`): the query is written with the
     * orders join spelled out — the shape every generated-SQL/BI layer
@@ -1063,12 +1239,14 @@ object Scale {
     "q_join_bloom_auto" -> qJoinBloomAuto,
     "q_bloom_fpr" -> qBloomFpr,
     "q_zorder" -> qZorder,
+    "q_zorder_scan" -> qZorderScan,
     "q_join_estimate" -> qJoinEstimate,
     "q_skew_census" -> qSkewCensus,
     "q_zonemap" -> qZonemap,
     "q_topk_exec" -> qTopkExec,
     "q_mv_rollup" -> qMvRollup,
     "q_mv_tpch_q15" -> qMvTpchQ15,
+    "q_mv_ivm" -> qMvIvm,
     "q_join_eliminate" -> qJoinEliminate,
     "q_cbo_stats" -> StatsInjection.qCboStats
   )
@@ -1195,8 +1373,17 @@ object Scale {
         |JOIN orders ON l.k = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the identical interleave arithmetic, re-derived from the base table
+    // recompute from lineitem with the same % bucketing — agreement
+    // proves the re-read clustered artifact is byte-faithful
+    "q_zorder_scan" ->
+      s"""SELECT pb, count(*) AS n, CAST(sum(ob) AS BIGINT) AS ob_sum
+         |FROM (SELECT l_partkey % $ZShards AS pb, l_orderkey % $ZShards AS ob
+         |      FROM lineitem)
+         |WHERE pb >= 32 AND pb <= 47
+         |GROUP BY pb
+         |ORDER BY pb""".stripMargin,
     "q_zorder" ->
-      s"""WITH keyed AS (
+s"""WITH keyed AS (
          |  SELECT l_partkey % $ZShards AS pb, l_orderkey % $ZShards AS ob
          |  FROM lineitem),
          |z AS (
@@ -1265,6 +1452,28 @@ object Scale {
         |    AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // from-scratch recompute over base ∪ delta (same %-selector, same
+    // +2-day shift, same cents·bp revenue arithmetic): agreement with the
+    // Spark path — which answers from the incrementally MAINTAINED view —
+    // proves merged ≡ recomputed, the IVM correctness contract
+    "q_mv_ivm" ->
+      s"""WITH updated AS (
+         |  SELECT l_suppkey, l_extendedprice, l_discount, l_shipdate
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT l_suppkey, l_extendedprice, l_discount,
+         |    l_shipdate + INTERVAL 2 DAY AS l_shipdate
+         |  FROM lineitem
+         |  WHERE l_orderkey % $MvIvmDeltaMod = $MvIvmDeltaResidue)
+         |SELECT l_suppkey, count(*) AS n_lines,
+         |  CAST(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) *
+         |    (100 - CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT)))
+         |    AS DECIMAL(38,0)) / 10000 AS DOUBLE) AS total_revenue
+         |FROM updated
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |GROUP BY l_suppkey
+         |ORDER BY l_suppkey""".stripMargin,
     "q_mv_tpch_q15" ->
       """SELECT count(*) AS n_lines,
         |  CAST(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) *

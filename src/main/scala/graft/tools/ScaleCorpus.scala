@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   *     QUADRATICALLY — measured at 30×: 4,352× the 1× Σdf² pair volume,
   *     max shingle df 25 → 31,595 (BASELINE.md round-11 rehearsal). Real
   *     corpora follow Heaps' law (vocab ~ n^0.5), so rare-half draws of
-  *     copy i take a per-copy-GROUP letter suffix (⌈√n⌉ groups): rare
+  *     copy i take a per-copy-GROUP letter suffix (round(√n) groups): rare
   *     vocabulary scales ~√copies, frequent words stay corpus-wide —
   *     rare-first prefix filters then behave as they would on organic
   *     growth, while frequent-shingle collisions (real in any corpus)
@@ -120,7 +120,9 @@ object ScaleCorpus {
     shifted("orders"); shifted("lineitem"); shifted("events")
 
     // documents: fresh synthetic text per copy from the base vocabulary,
-    // rare half Heaps-diversified across ⌈√n⌉ copy groups (scaladoc)
+    // rare half Heaps-diversified across round(√n) copy groups (scaladoc;
+    // the r11 30× corpora were generated with round — 5 groups at n=30 —
+    // so the group law stays round, not ceil, for reproducibility)
     val vw = vocab(read("documents"))
     val v = vw.length
     val varr = array(vw.map(lit): _*)

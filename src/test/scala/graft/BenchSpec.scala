@@ -21,6 +21,24 @@ class BenchSpec extends AnyFunSuite with Matchers {
     out("dedup").length should be <= 3
   }
 
+  test("canary basket: five distinct registered steady queries with " +
+    "injective 2-char keys (the normalization divisor must never read a " +
+    "missing or self-caching query)") {
+    val b = Bench.CanaryBasket
+    b.size shouldBe 5
+    b.map(_._1).distinct.size shouldBe 5
+    b.map(_._2).distinct.size shouldBe 5
+    all(b.map(_._1).map(_.length)) shouldBe 2
+    for ((_, q) <- b) {
+      withClue(s"$q must be registered: ")(
+        SparkEntry.queries.contains(q) shouldBe true)
+      // a self-caching member would be re-measured with cleared caches,
+      // making the divisor track build cost instead of the host
+      withClue(s"$q must not be self-caching: ")(
+        Set("q_dedup_minhash", "q_dedup_pipeline").contains(q) shouldBe false)
+    }
+  }
+
   test("stage-10 squeeze holds over the live registry's family set") {
     def fam(k: String) = {
       val b = if (k.startsWith("q_")) k.substring(2) else k

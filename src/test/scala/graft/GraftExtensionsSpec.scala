@@ -411,6 +411,79 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.set(graft.plans.MvRewrite.Flag, "false")
   }
 
+  test("MV × IVM composition (q_mv_ivm): the incrementally MAINTAINED " +
+    "Q15 view answers the post-delta revenue query — the optimized plan " +
+    "scans the maintained table, not the updated lake; the maintained " +
+    "rows are bit-equal to a from-scratch recompute; an out-of-quarter " +
+    "query against the updated lake keeps its base plan") {
+    val spark = extSession("graft-mv-ivm-test")
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val dir = "/root/testdata/sf0.001"
+    // the gate query (builds lake + maintained view, registers the def,
+    // optimizes under the thread-scoped flag)
+    val df = graft.scale.Scale.qMvIvm(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    opt should include("graft_mv_ivm_q15")
+    // the rewritten plan reads the maintained VIEW, not the updated lake
+    opt should not include "graft_mv_ivm/"
+    def revC = (graft.operators.Relational.cents(col("l_extendedprice")) *
+      (lit(100L) - graft.operators.Relational.cents(col("l_discount"))))
+      .cast("decimal(38,0)")
+    def quarter(from: String, to: String) =
+      col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(to).cast("timestamp")
+    val lake = spark.read.parquet(
+      s"${System.getProperty("java.io.tmpdir")}/graft_mv_ivm/" +
+        new java.io.File(dir).getName)
+    // merged ≡ recomputed: the maintained table's rows equal a
+    // from-scratch aggregation of the updated lake (per supplier, exact
+    // count + DECIMAL(38,0) revenue partials) — the IVM contract proven
+    // against the SAME bits the rewrite will serve
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val maintained = spark.table(s"graft_mv_ivm_q15$tag")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDecimal(2).toString)).toSet
+    val scratch = lake.filter(quarter("1997-01-01", "1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(revC).as("rev_cbp"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDecimal(2).toString)).toSet
+    maintained shouldBe scratch
+    // the delta changed the view (the composition is not vacuous): the
+    // maintained table differs from the pre-delta stored view
+    val stored = spark.table(s"graft_mv_q15rev$tag")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDecimal(2).toString)).toSet
+    maintained should not be stored
+    // gate-query bit-equality: rewritten ≡ base plan over the lake
+    spark.conf.set(graft.plans.MvRewrite.Flag, "true")
+    try {
+      def q() = lake.filter(quarter("1997-01-01", "1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(revC).as("rev_cbp"))
+        .orderBy(col("l_suppkey"))
+      q().queryExecution.optimizedPlan.toString should include(
+        "graft_mv_ivm_q15")
+      val got = q().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toString))
+        .toSeq
+      spark.conf.set(graft.plans.MvRewrite.Flag, "false")
+      val want = q().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toString))
+        .toSeq
+      spark.conf.set(graft.plans.MvRewrite.Flag, "true")
+      got shouldBe want
+      // a different-quarter query against the updated lake keeps its base
+      // plan (the filter template gates the maintained view exactly like
+      // the original q15 view)
+      val otherQ = lake.filter(quarter("1997-04-01", "1997-07-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(revC).as("rev_cbp"))
+      otherQ.queryExecution.optimizedPlan.toString should not include
+        "graft_mv_ivm_q15"
+    } finally spark.conf.set(graft.plans.MvRewrite.Flag, "false")
+  }
+
   test("JoinEliminationRule: the declared PK-FK key-only join is deleted " +
     "under the flag, bit-exactly; selective or column-keeping or " +
     "undeclared joins keep their plan") {

@@ -589,6 +589,41 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should include("Generate explode")
   }
 
+  test("q_sql_pipeline: the ledger is bit-equal to the Scala-DSL twin, " +
+    "scans MATERIALIZED stage tables (signature pipeline evaluated once, " +
+    "zero live generators in the final plan), and the cluster stage is " +
+    "non-vacuous") {
+    val df = graft.operators.SqlSurface.qSqlPipeline(spark, sf())
+    // single evaluation: every heavy stage (gate, signatures, edges,
+    // label rounds) MATERIALIZED as a parquet stage table during
+    // construction, so the ledger's optimized plan SCANS stage tables —
+    // re-running the tokenize→shingle→signature pipeline here would
+    // surface as a live Generate node in the ledger plan
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val opt = df.queryExecution.optimizedPlan
+    val stageScans = opt.collect {
+      case lr: LogicalRelation
+          if lr.catalogTable.exists(_.identifier.table.startsWith("graft_pl_"))
+            || lr.relation.toString.contains("graft_pl_") => lr
+    }
+    stageScans.size should be >= 2
+    opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    } shouldBe empty
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // all three ledger states occur (a pipeline where the gate or the
+    // dedup stage never fires would pass a vacuous equality)
+    got.map(_._2).toSet shouldBe Set("gated", "kept", "duplicate")
+    // every duplicate's canonical is a kept doc of the same cluster
+    val keptIds = got.collect { case (id, "kept", _) => id }.toSet
+    got.collect { case (_, "duplicate", c) => c }
+      .forall(keptIds.contains) shouldBe true
+    val want = graft.operators.SqlSurface.pipelineTwin(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    got shouldBe want
+  }
+
   test("q_corr_matrix: ONE lineitem scan + ONE aggregation — the 6-pair " +
     "matrix is a stack() over the single sufficient-stats row") {
     val plan = Relational.qCorrMatrix(spark, sf())

@@ -129,39 +129,80 @@ class TpcHSpec extends SparkSpec with Matchers {
     p.linesIterator.count(_.contains("BroadcastNestedLoopJoin Inner")) shouldBe 1
   }
 
-  test("derived partsupp is materialized ONCE per session and read from " +
-    "cache by every consumer — Q2's two branches and Q9/Q11/Q16/Q20 " +
-    "share one persisted, ps_partkey-partitioned relation") {
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    // same cached relation object across queries: one derivation/session
-    def cacheBuilders(name: String) =
-      TpcH.queries(name)(spark, sf()).queryExecution.optimizedPlan.collect {
-        case im: InMemoryRelation => im.cacheBuilder
+  test("derived partsupp is a BUCKETED TABLE (bucketBy ps_partkey): every " +
+    "consumer reads a bucketed scan and no shuffle exchange ever lands on " +
+    "the partsupp side of its joins or aggregations — including the " +
+    "two-key (partkey, suppkey) joins, where bucketing on a key SUBSET " +
+    "still satisfies the clustered distribution") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    // broadcast OFF (except explicit hints, which survive the threshold):
+    // at 100 TB partsupp never broadcasts, so the elision must be proven
+    // under shuffle-join planning — the r11 in-memory cache could NOT
+    // elide here (Spark 4's canChangeCachedPlanOutputPartitioning hides a
+    // cached plan's partitioning); the bucketed scan's HashPartitioning
+    // is structural and needs no flag
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevReq = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the Bench/Verify sessions run with subset-key co-partitioning on
+    // (see Bench.scala) — mirror it here so the pin tests the shipped plan
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      def initial(name: String): SparkPlan =
+        TpcH.queries(name)(spark, sf()).queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p => p
+        }
+      // scans feeding a subtree's STREAMED lanes (broadcast legs don't
+      // constrain the streamed side's partitioning, so they're skipped)
+      def streamedScans(p: SparkPlan): Seq[String] = p match {
+        case _: BroadcastExchangeExec => Nil
+        case f: FileSourceScanExec =>
+          Seq(f.tableIdentifier.map(_.table).getOrElse("path:" +
+            f.relation.location.rootPaths.headOption.fold("?")(_.getName)))
+        case other => other.children.flatMap(streamedScans)
       }
-    val q2 = cacheBuilders("q_tpch_q2")
-    // Q2 derives partsupp in BOTH its min-cost and probe branches — with
-    // the memo both branches hit the SAME cache entry
-    q2.size shouldBe 2
-    (q2(0) eq q2(1)) shouldBe true
-    for (other <- Seq("q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20")) {
-      val cbs = cacheBuilders(other)
-      cbs should not be empty
-      withClue(s"$other must reuse Q2's cached partsupp: ")(
-        cbs.forall(_ eq q2(0)) shouldBe true)
+      for (q <- Seq("q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16",
+        "q_tpch_q20")) {
+        val plan = initial(q)
+        val scans = plan.collect {
+          case f: FileSourceScanExec if f.tableIdentifier
+            .exists(_.table.startsWith("graft_partsupp")) => f
+        }
+        withClue(s"$q reads the partsupp table: ")(scans should not be empty)
+        withClue(s"$q partsupp scans engage bucketing: ")(
+          scans.forall(_.bucketedScan) shouldBe true)
+        // a hash shuffle over partsupp-only streamed input whose keys
+        // INCLUDE ps_partkey re-clusters what the bucketing already
+        // provides (HashPartitioning(ps_partkey) satisfies any clustering
+        // whose key set contains it under subset co-partitioning) — the
+        // defect this pin exists to catch. Shuffles on OTHER keys
+        // (Q16's brand/type/size census, a presentation rangepartition)
+        // are the queries' own semantics; post-fact-join shuffles stream
+        // other tables too and are the documented fact exchanges.
+        val offenders = plan.collect {
+          case e: ShuffleExchangeExec
+              if (e.outputPartitioning match {
+                case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+                  h.expressions.exists(_.references.exists(_.name == "ps_partkey"))
+                case _ => false
+              }) && streamedScans(e.child).nonEmpty && streamedScans(e.child)
+                .forall(_.startsWith("graft_partsupp")) => e
+        }
+        withClue(s"$q must not re-shuffle the bucketed partsupp side: ")(
+          offenders shouldBe empty)
+      }
+      // Q2 is the showcase: dims broadcast by hint, the per-part MIN rides
+      // the bucketing, the min-cost join is co-partitioned (BOTH sides
+      // derive from the same bucketed scan), top-100 is a heap — ZERO
+      // shuffle exchanges in the whole plan
+      initial("q_tpch_q2")
+        .collect { case e: ShuffleExchangeExec => e } shouldBe empty
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prevReq)
     }
-    // the cached build carries the ps_partkey repartition — the bucketing
-    // discipline the production materialization would write. (Whether a
-    // downstream ps_partkey join/groupBy can ELIDE its exchange off the
-    // cache depends on canChangeCachedPlanOutputPartitioning: Spark 4
-    // defaults it true, wrapping the cached plan in AQE and hiding its
-    // partitioning from EnsureRequirements — the honest 100 TB path is a
-    // bucketed TABLE, not an in-memory cache; what this memo buys
-    // unconditionally is ONE full-fact distinct shuffle per session
-    // instead of six.)
-    val cachedBuild = TpcH.partsupp(spark, sf())
-      .queryExecution.optimizedPlan.collectFirst {
-        case im: InMemoryRelation => im.cachedPlan.toString
-      }.get
-    cachedBuild should include regex "Exchange hashpartitioning\\(ps_partkey[^)]*\\), REPARTITION_BY_COL"
   }
 }
