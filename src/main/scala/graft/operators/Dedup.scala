@@ -788,6 +788,76 @@ object Dedup {
           .as("truth_precision"))
   }
 
+  /** Relative shingle-df kill rule for [[qDedupMinhashDfkill]]: a shingle
+    * hash present in MORE than corpus/[[ShingleDfKillDenom]] distinct
+    * documents (2% document frequency — the classic boilerplate cut) is
+    * template mass and is dropped from every signature. Expressed as
+    * `df · denom > n_corpus` so both engines compare exact integers.
+    */
+  val ShingleDfKillDenom = 50L
+
+  /** [[qDedupRecall]]'s census with TEMPLATE SHINGLES KILLED before
+    * signing — the measured fix for the round-12 100× finding: LSH
+    * candidate mass grows ~n^1.45 because the 2-row banding's
+    * false-positive rate is driven by the BACKGROUND Jaccard between
+    * unrelated documents, and that background is carried almost entirely
+    * by shared template/boilerplate shingles (df > 2% of the corpus).
+    * Killing them before `affine_minhashes` lowers J_background — and FP
+    * candidates fall ∝ J² per band — while planted-duplicate pairs,
+    * whose similarity lives in their full shingle sets, keep their
+    * recall (asserted against the same planted truth as q_dedup_recall).
+    * Scale shape: ONE extra df aggregation over the exploded shingle
+    * stream + a broadcast anti-join (the hot set is ≤ |stream|·denom/n —
+    * single-digit shingles on this corpus); everything downstream is the
+    * unchanged banding/verify pipeline. The n_hot receipt column
+    * re-evaluates the df aggregation once (Spark shares no uncached
+    * subtrees); a production run omits the receipt.
+    */
+  def qDedupMinhashDfkill(s: SparkSession, dir: String): DataFrame = {
+    val withHs = sharedSignatures(s, dir)
+    val nCorpus = withHs.agg(count(lit(1)).as("n_corpus"))
+    def hotSet = withHs
+      .select(explode(array_distinct(col("hs"))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nCorpus))
+      .filter(col("df") * ShingleDfKillDenom > col("n_corpus"))
+      .select(col("h"))
+    val filtered = withHs
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(hotSet), Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"))
+    val isTruth = col("doc_b") === col("doc_a") + PlantOffset &&
+      col("doc_a") < PlantOffset
+    val verified = col("j") >= JaccardThreshold
+    val stats = minhashCandidates(minhashBanded(filtered), MaxLshBucket)
+      .join(filtered.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(filtered.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_distinct(concat(col("hs_a"), col("hs_b"))))).as("j"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(isTruth, 1L).otherwise(0L)).as("n_cand_hit"),
+        sum(when(verified, 1L).otherwise(0L)).as("n_verified"),
+        sum(when(isTruth && verified, 1L).otherwise(0L)).as("n_ver_hit"))
+    val elig = filtered.select(col("doc_id"))
+    val nTrue = elig.filter(col("doc_id") < PlantOffset)
+      .join(elig.select((col("doc_id") - PlantOffset).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_true"))
+    val nHot = hotSet.agg(count(lit(1)).as("n_hot"))
+    stats.crossJoin(nTrue).crossJoin(broadcast(nHot))
+      .select(col("n_hot"), col("n_true"), col("n_cand"), col("n_cand_hit"),
+        col("n_verified"), col("n_ver_hit"),
+        (col("n_cand_hit").cast("double") / col("n_true").cast("double"))
+          .as("lsh_recall"),
+        (col("n_ver_hit").cast("double") / col("n_true").cast("double"))
+          .as("e2e_recall"),
+        (col("n_ver_hit").cast("double") / col("n_verified").cast("double"))
+          .as("truth_precision"))
+  }
+
   /** Verification thresholds swept by [[qDedupPrCurve]]. */
   val PrThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
 
@@ -1627,6 +1697,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_recall" -> qDedupRecall,
+    "q_dedup_minhash_dfkill" -> qDedupMinhashDfkill,
     "q_dedup_pr_curve" -> qDedupPrCurve,
     "q_lsh_bands" -> qLshBands,
     "q_delete_list" -> qDeleteList,
@@ -1774,19 +1845,32 @@ object Dedup {
     * [[qLshBands]] oracle, which regroups the same `sig` columns under
     * every banding scheme.
     */
-  private def minhashSigCtes: String = {
+  /** The affine m0..m15 signature columns over an `hs` hash-list column —
+    * shared by [[minhashSigCtes]] and the df-kill oracle (which signs a
+    * FILTERED hs).
+    */
+  private def sigColsSql: String = {
     import graft.functions.Sketches
-    val sigCols = (0 until NumHashes)
+    (0 until NumHashes)
       .map(k => s"list_min(list_transform(hs, h -> " +
         s"((${Sketches.a(k)} * (h % ${Sketches.Prime}) + ${Sketches.b(k)}) % ${Sketches.Prime}))) AS m$k")
       .mkString(",\n  ")
+  }
+
+  /** corpus→hsd prefix of [[minhashSigCtes]] — the tokenize/shingle/hash
+    * chain without the signature, so the df-kill oracle can filter hs
+    * before signing.
+    */
+  private def minhashHsdCtes: String =
     s"""corpus AS ($nearDupSql),
        |shd AS (SELECT doc_id, ${shinglesSql(toks)} AS sh FROM corpus),
        |hsd AS (SELECT doc_id, sh,
        |  list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
-       |  FROM shd),
-       |sig AS (SELECT doc_id, $sigCols FROM hsd WHERE len(sh) > 0)""".stripMargin
-  }
+       |  FROM shd)""".stripMargin
+
+  private def minhashSigCtes: String =
+    s"""$minhashHsdCtes,
+       |sig AS (SELECT doc_id, $sigColsSql FROM hsd WHERE len(sh) > 0)""".stripMargin
 
   /** banded→cand suffix of [[minhashCteChain]] for an arbitrary
     * (rowsPerBand, nBands) regrouping of `sig`; `sfx` suffixes the CTE
@@ -2041,6 +2125,51 @@ object Dedup {
          |  CAST(n_ver_hit AS DOUBLE) / CAST(n_verified AS DOUBLE)
          |    AS truth_precision
          |FROM st CROSS JOIN tr""".stripMargin,
+    // same chain as q_dedup_recall with the >2%-df template shingles
+    // killed BEFORE signing (df·denom > n_corpus, exact integers); the
+    // banding/verify suffix is the shared bandCandCtes builder over the
+    // re-signed hs
+    "q_dedup_minhash_dfkill" ->
+      s"""WITH $minhashHsdCtes,
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+         |hot AS (SELECT h FROM (
+         |    SELECT h, CAST(count(*) AS BIGINT) AS df FROM (
+         |      SELECT doc_id, unnest(list_distinct(hs)) AS h FROM hsd)
+         |    GROUP BY h), nc
+         |  WHERE df * $ShingleDfKillDenom > n),
+         |fhs AS (SELECT doc_id, list(h) AS hs FROM (
+         |    SELECT doc_id, unnest(hs) AS h FROM hsd) u
+         |  WHERE h NOT IN (SELECT h FROM hot)
+         |  GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigColsSql FROM fhs),
+         |${bandCandCtes(RowsPerBand, NumBands, "")},
+         |jc AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.hs, sb.hs))) AS j
+         |  FROM cand
+         |  JOIN fhs sa ON sa.doc_id = doc_a
+         |  JOIN fhs sb ON sb.doc_id = doc_b),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         |    CAST(sum(CASE WHEN doc_b = doc_a + $PlantOffset
+         |      AND doc_a < $PlantOffset THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cand_hit,
+         |    CAST(sum(CASE WHEN j >= $JaccardThreshold THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_verified,
+         |    CAST(sum(CASE WHEN j >= $JaccardThreshold
+         |      AND doc_b = doc_a + $PlantOffset AND doc_a < $PlantOffset
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ver_hit
+         |  FROM jc),
+         |el AS (SELECT doc_id FROM fhs),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM el a
+         |  WHERE a.doc_id < $PlantOffset AND EXISTS
+         |    (SELECT 1 FROM el b WHERE b.doc_id = a.doc_id + $PlantOffset)),
+         |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hot FROM hot)
+         |SELECT n_hot, n_true, n_cand, n_cand_hit, n_verified, n_ver_hit,
+         |  CAST(n_cand_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS lsh_recall,
+         |  CAST(n_ver_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS e2e_recall,
+         |  CAST(n_ver_hit AS DOUBLE) / CAST(n_verified AS DOUBLE)
+         |    AS truth_precision
+         |FROM st CROSS JOIN tr CROSS JOIN nh""".stripMargin,
     "q_dedup_pr_curve" ->
       s"""WITH $minhashCteChain,
          |jc AS (SELECT doc_a, doc_b,

@@ -406,6 +406,25 @@ class DedupSpec extends SparkSpec with Matchers {
     r.getAs[Double]("truth_precision") should be > 0.5
   }
 
+  test("q_dedup_minhash_dfkill: the >2%-df template kill actually fires, " +
+    "never inflates the candidate set, and RAISES end-to-end recall (the " +
+    "killed mass includes the planted tail, so true pairs re-converge " +
+    "to J = 1 — the boilerplate-removal recall effect)") {
+    val k = Dedup.qDedupMinhashDfkill(spark, sf()).head()
+    val base = Dedup.qDedupRecall(spark, sf()).head()
+    k.getAs[Long]("n_hot") should be > 0L
+    // same eligibility (the 2% rule kills no document on this corpus)
+    k.getAs[Long]("n_true") shouldBe base.getAs[Long]("n_true")
+    // fewer (or equal) candidates — the FP mass shrinks, never grows
+    k.getAs[Long]("n_cand") should be <= base.getAs[Long]("n_cand")
+    // banding recall stays perfect AND verify recall strictly improves:
+    // the tail shingles that pushed short docs' J below 0.8 are template
+    // mass by the df rule, so base and copy sign identical filtered sets
+    k.getAs[Double]("lsh_recall") shouldBe 1.0
+    k.getAs[Double]("e2e_recall") should be >= base.getAs[Double]("e2e_recall")
+    k.getAs[Double]("e2e_recall") should be >= 0.99
+  }
+
   test("q_dedup_pr_curve: counts are monotone in the threshold and the " +
     "t=0.8 row reproduces q_dedup_recall's single point exactly") {
     val rows = Dedup.qDedupPrCurve(spark, sf()).collect()
