@@ -182,73 +182,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         FreqSketchStrings(args(0), k)
       }))
-    // SQL-callable generators (LATERAL VIEW surface of the curation
-    // pipeline's per-row stages — see graft.functions.Generators)
-    e.injectFunction((
-      FunctionIdentifier("tokens"),
-      info("tokens",
-        "tokens(text) - generator: (pos, token) letter-run tokens of the " +
-          "wc contract (split on non-letters, no case folding)"),
-      args => {
-        if (args.length != 1)
-          throw new IllegalArgumentException(
-            s"tokens requires exactly 1 argument, got ${args.length}")
-        graft.functions.Generators.Tokens(args(0))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("shingle_hashes"),
-      info("shingle_hashes",
-        "shingle_hashes(text, n) - generator: (pos, h) positional n-gram " +
-          "shingle stream, 60-bit md5 hashes (the span detectors' match unit)"),
-      args => {
-        val n = args match {
-          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-          case _ => throw new IllegalArgumentException(
-            "shingle_hashes requires (STRING column, INT literal n)")
-        }
-        graft.functions.Generators.ShingleHashes(args(0), n)
-      }))
-    // SQL-callable curation primitives: with tokens/shingle_hashes above,
-    // these make the MinHash-signature and line-dedup pipelines drivable
-    // from pure SQL text (operators/SqlSurface.scala q_sql_minhash /
-    // q_sql_lines_keep — oracle-gated against the DataFrame paths)
-    e.injectFunction((
-      FunctionIdentifier("affine_minhashes"),
-      info("affine_minhashes",
-        "affine_minhashes(hs, k) - all k universal-hash MinHash values of " +
-          "an ARRAY<BIGINT> shingle-hash set in one pass -> ARRAY<BIGINT>"),
-      args => {
-        val k = args match {
-          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-          case _ => throw new IllegalArgumentException(
-            "affine_minhashes requires (ARRAY<BIGINT> column, INT literal k)")
-        }
-        graft.functions.AffineMinHashes(args(0), k)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("token_chunks"),
-      info("token_chunks",
-        "token_chunks(tokens, k) - fixed-k-token line chunks of an " +
-          "ARRAY<STRING>, space-joined (the line-dedup granularity)"),
-      args => {
-        val k = args match {
-          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-          case _ => throw new IllegalArgumentException(
-            "token_chunks requires (ARRAY<STRING> column, INT literal k)")
-        }
-        graft.functions.TokenChunks(args(0), k, k)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("md5_prefix60"),
-      info("md5_prefix60",
-        "md5_prefix60(arr) - engine-portable 60-bit md5-prefix hash of " +
-          "each element of ARRAY<STRING> -> ARRAY<BIGINT>"),
-      args => {
-        if (args.length != 1)
-          throw new IllegalArgumentException(
-            s"md5_prefix60 requires exactly 1 argument, got ${args.length}")
-        graft.functions.Md5Prefix60Array(args(0))
-      }))
+    // SQL-callable generators + curation primitives (the LATERAL VIEW /
+    // scalar surface of the curation pipeline's per-row stages): one
+    // shared name → (usage, builder) table drives BOTH this injection
+    // path and Generators.register, so the two can never drift on arity
+    // rules or literal parsing (see Generators.SqlCurationBuilders)
+    graft.functions.Generators.SqlCurationBuilders.foreach {
+      case (name, usage, builder) =>
+        e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
     // opt-in AQP family (inert unless the session sets the flag — see
     // each rule's scaladoc for the exactness-contract rationale):
     //   spark.graft.approx_distinct   count(DISTINCT x) -> HLL++

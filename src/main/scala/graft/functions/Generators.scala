@@ -31,51 +31,75 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Generators {
 
+  /** One arg, no literals. */
+  private def unaryBuilder(name: String)(
+      mk: Expression => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != 1)
+        throw new IllegalArgumentException(
+          s"$name requires exactly 1 argument, got ${args.length}")
+      mk(args.head)
+    }
+
+  /** (column, INT literal) — the literal-parsing lambda previously written
+    * once per function per registry.
+    */
+  private def intLitBuilder(sig: String)(
+      mk: (Expression, Int) => Expression): Seq[Expression] => Expression =
+    args => args match {
+      case Seq(e, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) =>
+        mk(e, v)
+      case _ => throw new IllegalArgumentException(sig)
+    }
+
+  /** The SQL curation surface as ONE name → (usage, builder) table,
+    * iterated by BOTH registration paths — the extension injection
+    * ([[graft.GraftExtensions]]) and the per-session imperative
+    * [[register]] — so the two can never drift on arity rules, literal
+    * parsing, or semantics (the round-11 verdict's deferred-refactor
+    * item: these lambdas were previously written twice).
+    */
+  private[graft] val SqlCurationBuilders
+      : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("tokens",
+      "tokens(text) - generator: (pos, token) letter-run tokens of the " +
+        "wc contract (split on non-letters, no case folding)",
+      unaryBuilder("tokens")(Tokens)),
+    ("shingle_hashes",
+      "shingle_hashes(text, n) - generator: (pos, h) positional n-gram " +
+        "shingle stream, 60-bit md5 hashes (the span detectors' match unit)",
+      intLitBuilder("shingle_hashes requires (STRING column, INT literal n)")(
+        ShingleHashes)),
+    // the scalar curation primitives the SQL pipeline entry points need
+    // next to the generators (SqlSurface q_sql_minhash / q_sql_lines_keep)
+    ("affine_minhashes",
+      "affine_minhashes(hs, k) - all k universal-hash MinHash values of " +
+        "an ARRAY<BIGINT> shingle-hash set in one pass -> ARRAY<BIGINT>",
+      intLitBuilder(
+        "affine_minhashes requires (ARRAY<BIGINT> column, INT literal k)")(
+        AffineMinHashes)),
+    ("token_chunks",
+      "token_chunks(tokens, k) - fixed-k-token line chunks of an " +
+        "ARRAY<STRING>, space-joined (the line-dedup granularity)",
+      intLitBuilder(
+        "token_chunks requires (ARRAY<STRING> column, INT literal k)")(
+        (e, k) => TokenChunks(e, k, k))),
+    ("md5_prefix60",
+      "md5_prefix60(arr) - engine-portable 60-bit md5-prefix hash of " +
+        "each element of ARRAY<STRING> -> ARRAY<BIGINT>",
+      unaryBuilder("md5_prefix60")(Md5Prefix60Array)))
+
   /** Per-session registration (idempotent) — the imperative twin of the
     * [[graft.GraftExtensions]] injection, for sessions not built with the
     * extensions (the shared test session; an existing session a SQL user
-    * cannot rebuild).
+    * cannot rebuild). Iterates the SAME [[SqlCurationBuilders]] table as
+    * the extension path.
     */
   def register(s: org.apache.spark.sql.SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("tokens", args => {
-      if (args.length != 1)
-        throw new IllegalArgumentException(
-          s"tokens requires exactly 1 argument, got ${args.length}")
-      Tokens(args.head)
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("shingle_hashes", args => {
-      val n = args match {
-        case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-        case _ => throw new IllegalArgumentException(
-          "shingle_hashes requires (STRING column, INT literal n)")
-      }
-      ShingleHashes(args.head, n)
-    }, "scala_udf")
-    // the scalar curation primitives the SQL pipeline entry points need
-    // next to the generators (SqlSurface q_sql_minhash / q_sql_lines_keep)
-    reg.createOrReplaceTempFunction("affine_minhashes", args => {
-      val k = args match {
-        case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-        case _ => throw new IllegalArgumentException(
-          "affine_minhashes requires (ARRAY<BIGINT> column, INT literal k)")
-      }
-      AffineMinHashes(args.head, k)
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("token_chunks", args => {
-      val k = args match {
-        case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-        case _ => throw new IllegalArgumentException(
-          "token_chunks requires (ARRAY<STRING> column, INT literal k)")
-      }
-      TokenChunks(args.head, k, k)
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("md5_prefix60", args => {
-      if (args.length != 1)
-        throw new IllegalArgumentException(
-          s"md5_prefix60 requires exactly 1 argument, got ${args.length}")
-      Md5Prefix60Array(args.head)
-    }, "scala_udf")
+    SqlCurationBuilders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 
   /** Letter-run tokenizer of the reference wc contract
