@@ -37,7 +37,7 @@ object Bench {
   /** Queries whose construction persists an intermediate — rebuilt per
     * pass against a cleared cache (see scaladoc).
     */
-  private val selfCaching =
+  private[graft] val selfCaching =
     Set("q_dedup_minhash", "q_dedup_pipeline", "q_sql_pipeline")
 
   /** Canary-basket membership (one member per execution class; see the

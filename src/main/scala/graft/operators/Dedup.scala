@@ -756,8 +756,17 @@ object Dedup {
     * one co-partitioned id semi-join; everything else is two 1-row
     * frames.
     */
-  def qDedupRecall(s: SparkSession, dir: String): DataFrame = {
-    val withHs = sharedSignatures(s, dir)
+  def qDedupRecall(s: SparkSession, dir: String): DataFrame =
+    recallCensus(sharedSignatures(s, dir))
+
+  /** The candidate/truth/verify census readout shared by [[qDedupRecall]]
+    * and [[qDedupMinhashDfkill]] over any (doc_id, hs) signature frame:
+    * banding → bucket-capped candidates → exact Jaccard → counts against
+    * the planted truth. One arithmetic, two inputs — the two censuses
+    * DedupSpec A/B-compares can never desynchronize on a threshold or a
+    * ratio.
+    */
+  private def recallCensus(withHs: DataFrame): DataFrame = {
     val isTruth = col("doc_b") === col("doc_a") + PlantOffset &&
       col("doc_a") < PlantOffset
     val verified = col("j") >= JaccardThreshold
@@ -813,49 +822,46 @@ object Dedup {
     * re-evaluates the df aggregation once (Spark shares no uncached
     * subtrees); a production run omits the receipt.
     */
-  def qDedupMinhashDfkill(s: SparkSession, dir: String): DataFrame = {
-    val withHs = sharedSignatures(s, dir)
-    val nCorpus = withHs.agg(count(lit(1)).as("n_corpus"))
-    def hotSet = withHs
+  private val dfkillFilteredCache = new SessionMemo.PersistedDF
+
+  /** Memoized+persisted df-killed (doc_id, hs) signature frame — the
+    * census fans out over it five ways (banding + both Jaccard sides +
+    * both truth-eligibility legs), and Spark shares no uncached subtrees,
+    * so without the persist the explode→anti-join→regroup pipeline (and
+    * the hot-set df aggregation feeding it) would re-run per reference —
+    * the sharedSignatures double-evaluation class this round's
+    * SessionMemo.PersistedDF exists to kill.
+    */
+  private def dfkillFiltered(s: SparkSession, dir: String): DataFrame =
+    dfkillFilteredCache.getOrElseUpdate(s, dir) {
+      val withHs = sharedSignatures(s, dir)
+      withHs
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .join(broadcast(dfkillHotSet(withHs)), Seq("h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("h")).as("hs"))
+    }
+
+  /** The >2%-df hot-shingle set over a (doc_id, hs) frame. */
+  private def dfkillHotSet(withHs: DataFrame): DataFrame =
+    withHs
       .select(explode(array_distinct(col("hs"))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nCorpus))
+      .crossJoin(broadcast(withHs.agg(count(lit(1)).as("n_corpus"))))
       .filter(col("df") * ShingleDfKillDenom > col("n_corpus"))
       .select(col("h"))
-    val filtered = withHs
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-      .join(broadcast(hotSet), Seq("h"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("hs"))
-    val isTruth = col("doc_b") === col("doc_a") + PlantOffset &&
-      col("doc_a") < PlantOffset
-    val verified = col("j") >= JaccardThreshold
-    val stats = minhashCandidates(minhashBanded(filtered), MaxLshBucket)
-      .join(filtered.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(filtered.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_distinct(concat(col("hs_a"), col("hs_b"))))).as("j"))
-      .agg(
-        count(lit(1)).as("n_cand"),
-        sum(when(isTruth, 1L).otherwise(0L)).as("n_cand_hit"),
-        sum(when(verified, 1L).otherwise(0L)).as("n_verified"),
-        sum(when(isTruth && verified, 1L).otherwise(0L)).as("n_ver_hit"))
-    val elig = filtered.select(col("doc_id"))
-    val nTrue = elig.filter(col("doc_id") < PlantOffset)
-      .join(elig.select((col("doc_id") - PlantOffset).as("doc_id")),
-        Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)).as("n_true"))
-    val nHot = hotSet.agg(count(lit(1)).as("n_hot"))
-    stats.crossJoin(nTrue).crossJoin(broadcast(nHot))
+
+  def qDedupMinhashDfkill(s: SparkSession, dir: String): DataFrame = {
+    // the n_hot receipt re-evaluates the df aggregation once per pass
+    // (it reads the persisted sharedSignatures, one map-side-combined
+    // aggregation); a production run omits the receipt
+    val nHot = dfkillHotSet(sharedSignatures(s, dir))
+      .agg(count(lit(1)).as("n_hot"))
+    recallCensus(dfkillFiltered(s, dir))
+      .crossJoin(broadcast(nHot))
       .select(col("n_hot"), col("n_true"), col("n_cand"), col("n_cand_hit"),
-        col("n_verified"), col("n_ver_hit"),
-        (col("n_cand_hit").cast("double") / col("n_true").cast("double"))
-          .as("lsh_recall"),
-        (col("n_ver_hit").cast("double") / col("n_true").cast("double"))
-          .as("e2e_recall"),
-        (col("n_ver_hit").cast("double") / col("n_verified").cast("double"))
-          .as("truth_precision"))
+        col("n_verified"), col("n_ver_hit"), col("lsh_recall"),
+        col("e2e_recall"), col("truth_precision"))
   }
 
   /** Verification thresholds swept by [[qDedupPrCurve]]. */

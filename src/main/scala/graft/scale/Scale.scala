@@ -892,6 +892,32 @@ object Scale {
     df
   }
 
+  /** Probe-capture + registration shared by the two Q15 revenue views
+    * ([[mvQ15Table]] and the IVM-maintained twin in [[mvIvmFixture]]):
+    * the sum template AND the filter template derive from the SAME probe
+    * plan (the sumOf discipline), anchored on `pathToken` — one copy of
+    * the capture logic, so a future normalizedSql/filterCanon change
+    * cannot desynchronize the two registrations.
+    */
+  private def registerRevView(table: String, pathToken: String,
+      probe: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    val sumCanon = probe.expressions.collectFirst {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        graft.plans.MaterializedViews.normalizedSql(a.child)
+    }.get
+    graft.plans.MaterializedViews.register(
+      graft.plans.MaterializedViews.MvDef(
+        table, Seq("l_suppkey"), pathToken,
+        Seq(
+          graft.plans.MaterializedViews.AggMap(
+            graft.plans.MaterializedViews.countStar, "n_lines"),
+          graft.plans.MaterializedViews.AggMap(
+            graft.plans.MaterializedViews.sumOfExpr(
+              sumCanon, Set("l_extendedprice", "l_discount")),
+            "rev_cbp")),
+        filterCanon = graft.plans.MaterializedViews.filterCanonOf(probe)))
+  }
+
   private val mvQ15Memo = new SessionMemo[String]()
 
   /** TPC-H Q15 revenue-view expression: exact cents·bp revenue of one
@@ -926,26 +952,12 @@ object Scale {
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n_lines"), sum(q15RevCbp).as("rev_cbp"))
         .write.mode("overwrite").format("parquet").saveAsTable(t)
-      val probe = Tables.lineitem(s, dir)
-        .filter(q15Quarter)
-        .select(q15RevCbp.as("p"))
-        .queryExecution.optimizedPlan
-      val sumCanon = probe.expressions.collectFirst {
-        case a: org.apache.spark.sql.catalyst.expressions.Alias =>
-          graft.plans.MaterializedViews.normalizedSql(a.child)
-      }.get
-      graft.plans.MaterializedViews.register(
-        graft.plans.MaterializedViews.MvDef(
-          t, Seq("l_suppkey"),
-          new java.io.File(dir, "lineitem.parquet").getAbsolutePath,
-          Seq(
-            graft.plans.MaterializedViews.AggMap(
-              graft.plans.MaterializedViews.countStar, "n_lines"),
-            graft.plans.MaterializedViews.AggMap(
-              graft.plans.MaterializedViews.sumOfExpr(
-                sumCanon, Set("l_extendedprice", "l_discount")),
-              "rev_cbp")),
-          filterCanon = graft.plans.MaterializedViews.filterCanonOf(probe)))
+      registerRevView(t,
+        new java.io.File(dir, "lineitem.parquet").getAbsolutePath,
+        Tables.lineitem(s, dir)
+          .filter(q15Quarter)
+          .select(q15RevCbp.as("p"))
+          .queryExecution.optimizedPlan)
       t
     }
 
@@ -1044,25 +1056,11 @@ object Scale {
             coalesce(col("d_rev"), lit(0).cast("decimal(38,0)")))
             .cast("decimal(38,0)").as("rev_cbp"))
         .write.mode("overwrite").format("parquet").saveAsTable(t)
-      val probe = s.read.parquet(basePath)
-        .filter(q15Quarter)
-        .select(q15RevCbp.as("p"))
-        .queryExecution.optimizedPlan
-      val sumCanon = probe.expressions.collectFirst {
-        case a: org.apache.spark.sql.catalyst.expressions.Alias =>
-          graft.plans.MaterializedViews.normalizedSql(a.child)
-      }.get
-      graft.plans.MaterializedViews.register(
-        graft.plans.MaterializedViews.MvDef(
-          t, Seq("l_suppkey"), basePath,
-          Seq(
-            graft.plans.MaterializedViews.AggMap(
-              graft.plans.MaterializedViews.countStar, "n_lines"),
-            graft.plans.MaterializedViews.AggMap(
-              graft.plans.MaterializedViews.sumOfExpr(
-                sumCanon, Set("l_extendedprice", "l_discount")),
-              "rev_cbp")),
-          filterCanon = graft.plans.MaterializedViews.filterCanonOf(probe)))
+      registerRevView(t, basePath,
+        s.read.parquet(basePath)
+          .filter(q15Quarter)
+          .select(q15RevCbp.as("p"))
+          .queryExecution.optimizedPlan)
       (basePath, t)
     }
 

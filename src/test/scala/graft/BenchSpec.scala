@@ -33,9 +33,10 @@ class BenchSpec extends AnyFunSuite with Matchers {
       withClue(s"$q must be registered: ")(
         SparkEntry.queries.contains(q) shouldBe true)
       // a self-caching member would be re-measured with cleared caches,
-      // making the divisor track build cost instead of the host
+      // making the divisor track build cost instead of the host — checked
+      // against the REAL set, not a copy that can go stale
       withClue(s"$q must not be self-caching: ")(
-        Set("q_dedup_minhash", "q_dedup_pipeline").contains(q) shouldBe false)
+        Bench.selfCaching.contains(q) shouldBe false)
     }
   }
 
