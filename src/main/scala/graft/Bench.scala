@@ -52,6 +52,20 @@ object Bench {
     "wi" -> "q_window_range", // window-bound: range-frame window agg
     "jo" -> "q_tpch_q12") // join-bound: lineitem⋈orders fact join
 
+  /** In-suite canary STRIP member + cadence (round-12 verdict item 3: the
+    * v2 basket/canary instruments are all POST-suite, so they can DETECT
+    * an unstable window — basket vs in-suite canary disagreement — but
+    * cannot localize drift WITHIN a run, and the whole bench becomes
+    * non-adjudicatable, as BENCH_r12 did). The strip re-reads the
+    * cheapest basket member every [[StripEvery]] measured query slots
+    * through BOTH passes and emits the readings in order on the detail
+    * line ("strip"); slot→query membership is deterministic (sorted
+    * names, pass 1 then pass 2), so the v3 rule in BASELINE.md can
+    * assign each query its SEGMENT's host factor.
+    */
+  private[graft] val StripQuery = "q_filter_project"
+  private[graft] val StripEvery = 30
+
   /** Stage-10 family-key squeeze (see the call site for the full story):
     * first char + vowel-dropped rest, truncated, colliding groups widened
     * until injective. Families sharing a FULL vowel-squeeze ("cbo"/"cube"
@@ -164,12 +178,25 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
       } catch { case _: Throwable => -1.0 }
-    val pass1 = names.map(n => n -> once(n)).toMap
+    // in-suite canary strip (full-registry runs only — a focused subset's
+    // slot numbering wouldn't match the v3 rule's segment map): one cheap
+    // scan-bound read every StripEvery measured slots, plus a closing
+    // read, so mid-run host drift is localizable per segment
+    val stripEnabled = args.isEmpty && names.contains(StripQuery)
+    val strip = scala.collection.mutable.ArrayBuffer[Double]()
+    var slot = 0
+    def measured(n: String): Double = {
+      if (stripEnabled && slot % StripEvery == 0) strip += once(StripQuery)
+      slot += 1
+      once(n)
+    }
+    val pass1 = names.map(n => n -> measured(n)).toMap
     val results = names.map { n =>
       val a = pass1(n)
-      val b = once(n)
+      val b = measured(n)
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
+    if (stripEnabled) strip += once(StripQuery) // closing strip point
     // Build attribution (r06 lesson: a GC/JIT stall during a pure-DSL
     // construction put a 2.89 s "build" on a plain outer join). A query's
     // construction cost = memoized one-time work (SessionMemo thunks:
@@ -262,16 +289,29 @@ object Bench {
     // members of (member_now / member_ref); per-member references live in
     // the BASELINE.md basket table. Keys stay 2 chars for the contract
     // line's ~2040-char tail budget.
-    val basketReads: Seq[(String, Double)] = Bench.CanaryBasket.flatMap {
-      case (k, q) =>
-        if (!names.contains(q)) None
-        else medianOf((1 to 3).map(_ => once(q))).map(k -> _)
-    }
+    // full-registry runs only (round-12 advisor note): a focused run's
+    // partial, differently-warmed basket readings are not comparable to
+    // the full-run reference medians BASELINE.md's v2 ratio rule defines,
+    // and a 'basket' field on a focused contract line invites exactly
+    // that misuse — mirror the BENCH_DETAIL overwrite guard instead
+    val basketReads: Seq[(String, Double)] =
+      if (args.nonEmpty) Seq.empty
+      else Bench.CanaryBasket.flatMap {
+        case (k, q) =>
+          if (!names.contains(q)) None
+          else medianOf((1 to 3).map(_ => once(q))).map(k -> _)
+      }
     def basketJson(fmt: Double => String): String =
       if (basketReads.isEmpty) ""
       else s""","basket":${jmap(basketReads, fmt)}"""
+    // detail line only (the contract line's ~2040-char tail budget has no
+    // room for ~23 more values): readings in slot order, full precision
+    val stripJson: String =
+      if (strip.isEmpty) ""
+      else s""","strip":{"q":"$StripQuery","every":$StripEvery,"sec":[${
+        strip.map(full).mkString(",")}]}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)}${canary3Json(full)}${basketJson(full)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)}${canary3Json(full)}${basketJson(full)}$stripJson,"sf":"$sfDir"}"""
     // only a full-registry run may overwrite the committed artifact —
     // focused runs (explicit query args) would clobber it with a subset
     if (args.isEmpty)

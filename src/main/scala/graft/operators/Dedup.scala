@@ -272,17 +272,28 @@ object Dedup {
 
   /** Band keys (doc_id, band_idx, band_key) for a (doc_id, hs) DF — the
     * signature + banding stage of MinHash-LSH, shared by the query and the
-    * degenerate-corpus spec.
+    * degenerate-corpus spec. `rowsPerBand` is the production operating
+    * knob (round-12 100× metrology: the default 2-row banding's candidate
+    * mass grows ~n^1.45 because its per-band FP rate is J_background², so
+    * a fleet-scale run wants WIDER bands — 4 rows drops the per-band FP
+    * rate to J⁴ at the cost of per-band recall, measured in-registry by
+    * [[qLshBands]] and end-to-end by q_dedup_minhash_wide); the same 16
+    * minhashes regroup under any divisor geometry, so changing the knob
+    * costs no extra signature passes.
     */
-  private[graft] def minhashBanded(withHs: DataFrame): DataFrame = {
+  private[graft] def minhashBanded(
+      withHs: DataFrame, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(NumHashes % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide NumHashes=$NumHashes")
+    val nBands = NumHashes / rowsPerBand
     val sig = withHs
       .filter(size(col("hs")) > 0)
       .withColumn("mh",
         graft.functions.SketchExpressions.affineMinhashes(col("hs"), NumHashes))
       .select(col("doc_id") +: (0 until NumHashes).map(k =>
         element_at(col("mh"), k + 1).as(s"m$k")): _*)
-    val bandCols = (0 until NumBands).map { b =>
-      val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+    val bandCols = (0 until nBands).map { b =>
+      val ms = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", ms: _*)).as("band_key"))
     }
     sig
@@ -423,15 +434,19 @@ object Dedup {
 
   /** MinHash + LSH banding: one-pass codegen'd affine signatures over the
     * hashed shingle array, band keys, candidate pairs via band equi-join,
-    * Jaccard verification on candidates only.
+    * Jaccard verification on candidates only. `rowsPerBand` is the band
+    * geometry knob ([[minhashBanded]]'s scaladoc for the scale story);
+    * the 8×2 default matches the reference pipeline's historical shape.
     */
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def qDedupMinhash(s: SparkSession, dir: String,
+      rowsPerBand: Int = RowsPerBand): DataFrame = {
     val withHs = sharedSignatures(s, dir)
 
     // docs with no shingles can't be minhashed (and a null signature would
     // make every such doc collide on every band) — minhashBanded excludes
     // them before banding
-    val cand = minhashCandidates(minhashBanded(withHs), MaxLshBucket)
+    val cand =
+      minhashCandidates(minhashBanded(withHs, rowsPerBand), MaxLshBucket)
 
     // verify on the 60-bit hashed shingles, not the strings: same jaccard
     // modulo md5 collisions (identical in both engines, so still
@@ -446,6 +461,21 @@ object Dedup {
           size(array_distinct(concat(col("hs_a"), col("hs_b"))))).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Rows-per-band of the WIDE-band registry row `q_dedup_minhash_wide`:
+    * 4×4 over the same 16 minhashes — the fleet-scale operating point the
+    * round-12 100× metrology argues for (per-band FP rate J⁴ instead of
+    * J², cutting the candidate-mass growth exponent; the recall trade is
+    * measured by [[qLshBands]] on the same signatures).
+    */
+  val WideRowsPerBand = 4
+
+  /** [[qDedupMinhash]] at the wide-band operating point — same output
+    * contract (verified candidate pairs + n_shared_bands + exact
+    * Jaccard), band geometry [[WideRowsPerBand]].
+    */
+  def qDedupMinhashWide(s: SparkSession, dir: String): DataFrame =
+    qDedupMinhash(s, dir, rowsPerBand = WideRowsPerBand)
 
   /** SimHash near-dup signatures: 16-bit bitwise-majority over shingle
     * hashes (one-pass codegen expression — the earlier explode+groupBy
@@ -816,8 +846,12 @@ object Dedup {
     * whose similarity lives in their full shingle sets, keep their
     * recall (asserted against the same planted truth as q_dedup_recall).
     * Scale shape: ONE extra df aggregation over the exploded shingle
-    * stream + a broadcast anti-join (the hot set is ≤ |stream|·denom/n —
-    * single-digit shingles on this corpus); everything downstream is the
+    * stream + a broadcast anti-join. The hot set is bounded by
+    * ≤ |stream|·denom/n_corpus distinct shingles (each needs > n/denom
+    * occurrences — the bound scales with the MEAN PER-DOC shingle count,
+    * not the corpus); measured 120 killed at the 100× rehearsal
+    * (BASELINE.md round-12) — broadcast-trivial. Everything downstream
+    * is the
     * unchanged banding/verify pipeline. The n_hot receipt column
     * re-evaluates the df aggregation once (Spark shares no uncached
     * subtrees); a production run omits the receipt.
@@ -1727,7 +1761,8 @@ object Dedup {
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_containment" -> qContainment,
     "q_containment_e2e" -> qContainmentE2e,
-    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_minhash" -> (qDedupMinhash(_, _)),
+    "q_dedup_minhash_wide" -> qDedupMinhashWide,
     "q_simjoin" -> qSimjoin,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_hamming_search" -> qHammingSearch,
@@ -1905,9 +1940,14 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
   }
 
-  private def minhashCteChain: String =
+  private def minhashCteChain: String = minhashCteChainAt(RowsPerBand)
+
+  /** [[minhashCteChain]] at an arbitrary band geometry — shared by the
+    * default and wide-band minhash oracles.
+    */
+  private def minhashCteChainAt(rows: Int): String =
     s"""$minhashSigCtes,
-       |${bandCandCtes(RowsPerBand, NumBands, "")}""".stripMargin
+       |${bandCandCtes(rows, NumHashes / rows, "")}""".stripMargin
 
   /** DuckDB twin of [[verifiedPairs]] given the [[minhashCteChain]] CTEs —
     * shared by the q_dedup_pipeline and q_split_leakage oracles.
@@ -2399,6 +2439,18 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $minhashCteChain
+         |SELECT doc_a, doc_b, n_shared_bands,
+         |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
+         |FROM cand
+         |JOIN hsd sa ON sa.doc_id = doc_a
+         |JOIN hsd sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the SAME chain regrouped at the wide 4×4 band geometry — band math
+    // from the shared bandCandCtes builder, so the two operating points
+    // cannot drift in key derivation or bucket cap
+    "q_dedup_minhash_wide" ->
+      s"""WITH ${minhashCteChainAt(WideRowsPerBand)}
          |SELECT doc_a, doc_b, n_shared_bands,
          |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
          |    / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard

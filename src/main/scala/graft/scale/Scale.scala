@@ -606,6 +606,19 @@ object Scale {
 
   private val zorderWriteMemo = new SessionMemo[String]()
 
+  /** Per-JVM tmp path for rewrite-in-place fixture artifacts (the Z-order
+    * dual layout, the MV+IVM lake): `tmpdir/<family>/<appId>/<corpus>`.
+    * The appId component keeps two concurrent JVMs on the same box (a
+    * forked test suite and a bench run) from overwriting each other's
+    * files mid-read — overwrite-on-first-use only protects within one
+    * session (round-12 advisor note). Warehouse-managed tables get the
+    * same isolation from the session warehouse dir itself.
+    */
+  private[scale] def jvmTmpPath(
+      s: SparkSession, family: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$family/" +
+      s"${s.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+
   /** EXECUTED Z-order write — the artifact [[qZorder]] audits, actually
     * written (the Export.writeCompacted discipline): lineitem's (pb, ob)
     * key plane clustered two ways under `…/graft_zorder/<sf>/`:
@@ -620,8 +633,7 @@ object Scale {
     */
   private[graft] def zorderPath(s: SparkSession, dir: String): String =
     zorderWriteMemo.getOrElseUpdate(s, dir) {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder/" +
-        new java.io.File(dir).getName
+      val out = jvmTmpPath(s, "graft_zorder", dir)
       val keyed = Tables.lineitem(s, dir).select(
         (col("l_partkey") % ZShards).as("pb"),
         (col("l_orderkey") % ZShards).as("ob"))
@@ -667,32 +679,34 @@ object Scale {
   /** Sampled join-cardinality estimate — the optimizer statistic a
     * cost-based planner needs BEFORE committing to a join strategy at
     * 100 TB (broadcast vs shuffle vs skew-split), made an oracle-checked
-    * measurement. Each side is read ONCE with the hash predicate pushed
-    * to the scan, partially aggregated to per-key counts over the 1/P
-    * key sample (output ≤ |keys|/P rows), and the estimate is
-    * P · Σ cL·cO over the sampled-key join — never the join itself. The
-    * exact |L ⋈ O| rides along as the honesty check (the [[qBloomFpr]]
-    * discipline): it too is computed from per-key COUNT tables, not by
-    * materializing the join. All-integer until the final rel_err
-    * division; deterministic on both engines.
+    * measurement. Each side is read ONCE and aggregated ONCE to per-key
+    * counts (round-12 verdict item 3: separate sampled/exact passes
+    * scanned each side twice — the sampled-key restriction is a
+    * per-KEY predicate, so it can ride the single per-key table
+    * instead of a second scan); the 1/P key-sample flag is re-derived
+    * AFTER the bounded per-key join, and one final aggregation computes
+    * both the estimate — P · Σ cL·cO over flagged keys — and the exact
+    * |L ⋈ O| honesty check (the [[qBloomFpr]] discipline: per-key COUNT
+    * arithmetic, never the join itself). At the 100 TB pre-flight this
+    * is 2 fact scans where the r12 shape paid 4 — and the fact scan is
+    * the whole cost of this probe. All-integer until the final rel_err
+    * division; deterministic on both engines. Plan-pinned in
+    * PlanRegressionSpec: exactly one scan per side.
     */
   def qJoinEstimate(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sampling
-    def perKey(df: DataFrame, key: String, out: String, sampled: Boolean) = {
-      val base = if (sampled)
-        df.filter(Sampling.hashBucket(col(key), JoinEstP) === 0) else df
-      base.groupBy(col(key).as("k")).agg(count(lit(1)).as(out))
-    }
+    def perKey(df: DataFrame, key: String, out: String) =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as(out))
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
     val o = Tables.orders(s, dir).select(col("o_orderkey"))
-    val est = perKey(li, "l_orderkey", "cl", sampled = true)
-      .join(perKey(o, "o_orderkey", "co", sampled = true), "k")
-      .agg(count(lit(1)).as("n_sample_keys"),
-        (sum(col("cl") * col("co")) * JoinEstP).as("est"))
-    val exact = perKey(li, "l_orderkey", "cl", sampled = false)
-      .join(perKey(o, "o_orderkey", "co", sampled = false), "k")
-      .agg(sum(col("cl") * col("co")).as("exact"))
-    est.crossJoin(broadcast(exact))
+    perKey(li, "l_orderkey", "cl")
+      .join(perKey(o, "o_orderkey", "co"), "k")
+      .withColumn("in_sample", Sampling.hashBucket(col("k"), JoinEstP) === 0)
+      .agg(
+        count(when(col("in_sample"), lit(1))).as("n_sample_keys"),
+        (sum(when(col("in_sample"), col("cl") * col("co"))) * JoinEstP)
+          .as("est"),
+        sum(col("cl") * col("co")).as("exact"))
       .select(col("n_sample_keys"), col("est"), col("exact"),
         round(abs(col("est") - col("exact")).cast("double") /
           col("exact").cast("double"), 6).as("rel_err"))
@@ -1033,8 +1047,7 @@ object Scale {
     */
   private def mvIvmFixture(s: SparkSession, dir: String): (String, String) =
     mvIvmMemo.getOrElseUpdate(s, dir) {
-      val basePath = s"${System.getProperty("java.io.tmpdir")}/graft_mv_ivm/" +
-        new java.io.File(dir).getName
+      val basePath = jvmTmpPath(s, "graft_mv_ivm", dir)
       Tables.lineitem(s, dir)
         .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
           col("l_shipdate"))
@@ -1077,6 +1090,12 @@ object Scale {
     * update costs O(|delta| + |view|) instead of O(|fact|), and the
     * optimizer's answer path costs O(|view|).
     */
+  /** The updated-lake path of [[mvIvmFixture]] — exposed for the spec,
+    * which recomputes the view from scratch over the same bits.
+    */
+  private[graft] def mvIvmLakePath(s: SparkSession, dir: String): String =
+    mvIvmFixture(s, dir)._1
+
   def qMvIvm(s: SparkSession, dir: String): DataFrame = {
     val (basePath, _) = mvIvmFixture(s, dir)
     val df = s.read.parquet(basePath)

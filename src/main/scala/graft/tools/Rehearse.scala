@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Regenerable scale-rehearsal harness (round-12 verdict item 5): the
+  * 1×/10×/30×/100× scaling tables in BASELINE.md were hand-assembled from
+  * session logs; this main rebuilds each scale point with
+  * [[ScaleCorpus.build]], runs a named query list at every point, and
+  * emits one JSON line per (query, scale) — `{"query":…,"scale":N,
+  * "wall_sec":…,"wall_p1":…,"wall_p2":…,"candidates":…,"cols":{…}}` — so
+  * the scaling curves are regenerable and diffable per round
+  * (docs/REHEARSAL_r13.json is the committed artifact).
+  *
+  * Measurement protocol (deliberately simpler than graft.Bench's steady
+  * model, and documented because the numbers are compared across rounds):
+  * every query at every scale runs TWO passes with the cache CLEARED
+  * before each, construction inside the timer — i.e. every pass pays its
+  * full pipeline end to end, including memoized-but-unpersisted shared
+  * intermediates (the Bench selfCaching semantics applied uniformly).
+  * wall_sec = min of the two passes; both raw passes ride along so a
+  * window stall is visible instead of silently absorbed.
+  *
+  * `candidates`: for a single-row census result carrying an `n_cand`
+  * column (q_dedup_recall, q_dedup_minhash_dfkill) the column value; for
+  * a pair-table result (q_dedup_minhash, q_dedup_minhash_wide — whose
+  * rows ARE the capped LSH candidates) the row count, computed by one
+  * extra pass AFTER the timed ones. Single-row results additionally dump
+  * every numeric column under "cols" (recalls, precision, n_hot, …), so
+  * the recall-vs-geometry trade rides the same artifact as the mass.
+  *
+  * Scale points reuse an existing derived corpus when its `_REHEARSAL_OK`
+  * marker is present (corpus derivation is deterministic from (src, n)),
+  * so re-runs measure queries, not corpus writes.
+  *
+  * Usage:
+  *   SPARK_DRIVER_MEM=48g sbt 'runMain graft.tools.Rehearse \
+  *     <srcSfDir> <workDir> <scalesCsv> <queriesCsv> [outJson]'
+  * Defaults: /root/testdata/sf0.1 /tmp/graft_rehearse 1,10,30,100 and the
+  * dedup-family list below.
+  */
+object Rehearse {
+
+  /** Default rehearsal set — the dedup scaling family BASELINE.md tracks:
+    * census queries (direct candidate metrology + recall columns) at both
+    * band geometries' production entry points, the two-phase span
+    * detector (the flat-per-unit contract), and the exact AllPairs join
+    * (the documented superlinear member, for curve contrast).
+    */
+  val DefaultQueries: Seq[String] = Seq(
+    "q_dedup_recall", "q_dedup_minhash_dfkill",
+    "q_dedup_minhash", "q_dedup_minhash_wide",
+    "q_dedup_substring_2p", "q_simjoin")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft_rehearse")
+    val scales = args.lift(2).getOrElse("1,10,30,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val queries = args.lift(3)
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultQueries)
+    val out = args.lift(4)
+    val unknown = queries.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .master(s"local[$cpus]")
+      .appName("graft-rehearse")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+
+    def corpusDir(n: Int): String =
+      if (n == 1) src
+      else {
+        val dst = s"$work/x$n"
+        val marker = new java.io.File(dst, "_REHEARSAL_OK")
+        if (!marker.exists()) {
+          ScaleCorpus.build(s, src, dst, n)
+          marker.createNewFile(); ()
+        }
+        dst
+      }
+
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    for (n <- scales.sorted; dir = corpusDir(n); q <- queries) {
+      def pass(): Double = {
+        s.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(s, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (p1, p2) = (pass(), pass())
+      // candidate metrology AFTER the timed passes (extra pass, cached
+      // intermediates from pass 2 may serve it — it is not a timing)
+      val df = graft.SparkEntry.queries(q)(s, dir)
+      val hasNCand = df.schema.fieldNames.contains("n_cand")
+      val (cand, colsJson) =
+        if (hasNCand) {
+          val row = df.head()
+          val cols = df.schema.fields.zipWithIndex.collect {
+            case (f, i) if !row.isNullAt(i) &&
+              (f.dataType.typeName == "long" ||
+                f.dataType.typeName == "double") =>
+              s""""${f.name}":${row.get(i)}"""
+          }
+          (row.getLong(row.fieldIndex("n_cand")),
+            s""","cols":{${cols.mkString(",")}}""")
+        } else (df.count(), "")
+      val line =
+        f"""{"query":"$q","scale":$n,"wall_sec":${math.min(p1, p2)}%.2f,""" +
+          f""""wall_p1":$p1%.2f,"wall_p2":$p2%.2f,""" +
+          s""""candidates":$cand$colsJson}"""
+      println(s"[rehearse] $line")
+      lines += line
+    }
+    val body = lines.mkString("\n") + "\n"
+    out.foreach { p =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), body.getBytes("UTF-8")); ()
+    }
+    s.stop()
+  }
+}

@@ -66,6 +66,14 @@ object ScaleCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    build(s, src, dst, n)
+    s.stop()
+  }
+
+  /** The derivation itself, callable from another tool's session
+    * ([[Rehearse]] builds each scale point through this).
+    */
+  def build(s: SparkSession, src: String, dst: String, n: Int): Unit = {
     new java.io.File(dst).mkdirs()
 
     def read(t: String): DataFrame = s.read.parquet(s"$src/$t.parquet")
@@ -163,6 +171,5 @@ object ScaleCorpus {
             x + lit(0.1f * i)).otherwise(x))))
 
     println(s"[scale] done: $n x $src -> $dst")
-    s.stop()
   }
 }

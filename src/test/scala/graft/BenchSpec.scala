@@ -40,6 +40,16 @@ class BenchSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("in-suite strip: the strip query is a registered, non-self-caching " +
+    "basket member (a self-caching strip would pay a cache-cleared rebuild " +
+    "~23 times per run; an unregistered one would silently disable the " +
+    "v3 segment rule)") {
+    SparkEntry.queries.contains(Bench.StripQuery) shouldBe true
+    Bench.selfCaching.contains(Bench.StripQuery) shouldBe false
+    Bench.CanaryBasket.map(_._2) should contain(Bench.StripQuery)
+    Bench.StripEvery should be > 0
+  }
+
   test("stage-10 squeeze holds over the live registry's family set") {
     def fam(k: String) = {
       val b = if (k.startsWith("q_")) k.substring(2) else k

@@ -433,8 +433,7 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       col("l_shipdate") >= lit(from).cast("timestamp") &&
         col("l_shipdate") < lit(to).cast("timestamp")
     val lake = spark.read.parquet(
-      s"${System.getProperty("java.io.tmpdir")}/graft_mv_ivm/" +
-        new java.io.File(dir).getName)
+      graft.scale.Scale.mvIvmLakePath(spark, dir))
     // merged ≡ recomputed: the maintained table's rows equal a
     // from-scratch aggregation of the updated lake (per supplier, exact
     // count + DECIMAL(38,0) revenue partials) — the IVM contract proven

@@ -610,6 +610,19 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     opt.collect {
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
     } shouldBe empty
+    // round-13 scale pin: label propagation is seeded from the
+    // EDGE-INCIDENT node set, so every round table is duplicate-set-sized
+    // (≤ 2·|edges| rows), never corpus-sized — seeding from the sig table
+    // (the round-12 `weak`) would make |lbl_0| = |sig| here
+    val pt = (n: String) => graft.operators.SqlSurface.plTable(sf(), n)
+    val edges = spark.table(pt("edges"))
+    val nEdges = edges.count()
+    val nIncident = edges.select(col("src"))
+      .union(edges.select(col("dst"))).distinct().count()
+    val nLbl0 = spark.table(pt("lbl_0")).count()
+    nLbl0 shouldBe nIncident
+    nLbl0 should be <= 2 * nEdges
+    nLbl0 should be < spark.table(pt("sig")).count()
     val got = df.collect().map(r =>
       (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     // all three ledger states occur (a pipeline where the gate or the

@@ -478,6 +478,24 @@ class DedupSpec extends SparkSpec with Matchers {
     shipped.getAs[Long]("n_true") shouldBe p.getAs[Long]("n_true")
   }
 
+  test("q_dedup_minhash_wide: the 4x4 production entry point's pair set " +
+    "IS q_lsh_bands' 4-row scheme (same banding, same cap), strictly " +
+    "fewer candidates than the 8x2 default") {
+    val wide = Dedup.qDedupMinhashWide(spark, sf())
+    val wideCand = wide.count()
+    val scheme4 = Dedup.qLshBands(spark, sf()).collect()
+      .find(_.getAs[Long]("rows_per_band") == Dedup.WideRowsPerBand.toLong)
+      .get
+    wideCand shouldBe scheme4.getAs[Long]("n_cand")
+    wideCand should be < Dedup.qDedupMinhash(spark, sf()).count()
+    // same output contract as the default entry point
+    wide.schema.fieldNames.toSeq shouldBe
+      Seq("doc_a", "doc_b", "n_shared_bands", "jaccard")
+    // n_shared_bands is bounded by the wide geometry's band count
+    wide.agg(max(col("n_shared_bands"))).head().getLong(0) should be <=
+      (Dedup.NumHashes / Dedup.WideRowsPerBand).toLong
+  }
+
   test("list-shaped erasure: the content manifest catches the identical " +
     "copies the id rule misses, and the residual audit flags permuted kin") {
     val rows = Dedup.qDeleteList(spark, sf()).collect()

@@ -231,6 +231,13 @@ class ScaleSpec extends SparkSpec with Matchers {
     // 1/8 key sample over ~1.5k keys: well within ±50% (measured ~2-6%)
     r.getAs[Double]("rel_err") should be < 0.5
     r.getAs[Long]("n_sample_keys") should be > 0L
+    // round-13 scale pin (r12 verdict item 3): sampled and exact per-key
+    // counts come from ONE aggregation per side — exactly one scan of
+    // lineitem and one of orders; at the 100 TB pre-flight the fact scan
+    // is the whole cost of this probe, and the r12 shape paid it twice
+    val plan = Scale.qJoinEstimate(spark, sf())
+      .queryExecution.executedPlan.toString
+    "Scan parquet".r.findAllIn(plan).size shouldBe 2
   }
 
   test("q_skew_census: buckets partition the table, exactly one hot bucket " +
