@@ -789,18 +789,20 @@ object Dedup {
   def qDedupRecall(s: SparkSession, dir: String): DataFrame =
     recallCensus(sharedSignatures(s, dir))
 
-  /** The candidate/truth/verify census readout shared by [[qDedupRecall]]
-    * and [[qDedupMinhashDfkill]] over any (doc_id, hs) signature frame:
-    * banding → bucket-capped candidates → exact Jaccard → counts against
-    * the planted truth. One arithmetic, two inputs — the two censuses
-    * DedupSpec A/B-compares can never desynchronize on a threshold or a
-    * ratio.
+  /** The candidate/truth/verify census readout shared by [[qDedupRecall]],
+    * [[qDedupMinhashDfkill]] and [[qDedupDfkillWide]] over any (doc_id,
+    * hs) signature frame and band geometry: banding → bucket-capped
+    * candidates → exact Jaccard → counts against the planted truth. One
+    * arithmetic, three inputs — the censuses DedupSpec A/B-compares can
+    * never desynchronize on a threshold or a ratio.
     */
-  private def recallCensus(withHs: DataFrame): DataFrame = {
+  private def recallCensus(
+      withHs: DataFrame, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val isTruth = col("doc_b") === col("doc_a") + PlantOffset &&
       col("doc_a") < PlantOffset
     val verified = col("j") >= JaccardThreshold
-    val stats = minhashCandidates(minhashBanded(withHs), MaxLshBucket)
+    val stats =
+      minhashCandidates(minhashBanded(withHs, rowsPerBand), MaxLshBucket)
       .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -897,6 +899,20 @@ object Dedup {
         col("n_verified"), col("n_ver_hit"), col("lsh_recall"),
         col("e2e_recall"), col("truth_precision"))
   }
+
+  /** The COMPOSED fleet recipe: template-shingle df-kill BEFORE signing
+    * ([[qDedupMinhashDfkill]]) + the wide 4×4 band geometry
+    * ([[WideRowsPerBand]]) — the two measured knobs the round-12 100×
+    * metrology recommends, applied together. The df-kill restores the
+    * recall the banding's width costs (killed template mass re-converges
+    * planted pairs to J = 1, so even 4-row bands collide on them), while
+    * the wide geometry holds candidate mass LINEAR in the corpus
+    * (round-13 rehearsal, docs/REHEARSAL_r13.json: default 2-row
+    * candidates ~n^1.46 vs 4-row ~n^0.99) — together: linear candidates
+    * AND ≈1.0 e2e recall. Same census contract as q_dedup_recall.
+    */
+  def qDedupDfkillWide(s: SparkSession, dir: String): DataFrame =
+    recallCensus(dfkillFiltered(s, dir), WideRowsPerBand)
 
   /** Verification thresholds swept by [[qDedupPrCurve]]. */
   val PrThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
@@ -1738,6 +1754,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_recall" -> qDedupRecall,
     "q_dedup_minhash_dfkill" -> qDedupMinhashDfkill,
+    "q_dedup_dfkill_wide" -> qDedupDfkillWide,
     "q_dedup_pr_curve" -> qDedupPrCurve,
     "q_lsh_bands" -> qLshBands,
     "q_delete_list" -> qDeleteList,
@@ -2216,6 +2233,48 @@ object Dedup {
          |  CAST(n_ver_hit AS DOUBLE) / CAST(n_verified AS DOUBLE)
          |    AS truth_precision
          |FROM st CROSS JOIN tr CROSS JOIN nh""".stripMargin,
+    // the dfkill chain re-banded at the wide 4×4 geometry (shared
+    // bandCandCtes builder), census columns only — no n_hot receipt
+    "q_dedup_dfkill_wide" ->
+      s"""WITH $minhashHsdCtes,
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+         |hot AS (SELECT h FROM (
+         |    SELECT h, CAST(count(*) AS BIGINT) AS df FROM (
+         |      SELECT doc_id, unnest(list_distinct(hs)) AS h FROM hsd)
+         |    GROUP BY h), nc
+         |  WHERE df * $ShingleDfKillDenom > n),
+         |fhs AS (SELECT doc_id, list(h) AS hs FROM (
+         |    SELECT doc_id, unnest(hs) AS h FROM hsd) u
+         |  WHERE h NOT IN (SELECT h FROM hot)
+         |  GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigColsSql FROM fhs),
+         |${bandCandCtes(WideRowsPerBand, NumHashes / WideRowsPerBand, "")},
+         |jc AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.hs, sb.hs))) AS j
+         |  FROM cand
+         |  JOIN fhs sa ON sa.doc_id = doc_a
+         |  JOIN fhs sb ON sb.doc_id = doc_b),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         |    CAST(sum(CASE WHEN doc_b = doc_a + $PlantOffset
+         |      AND doc_a < $PlantOffset THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cand_hit,
+         |    CAST(sum(CASE WHEN j >= $JaccardThreshold THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_verified,
+         |    CAST(sum(CASE WHEN j >= $JaccardThreshold
+         |      AND doc_b = doc_a + $PlantOffset AND doc_a < $PlantOffset
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ver_hit
+         |  FROM jc),
+         |el AS (SELECT doc_id FROM fhs),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM el a
+         |  WHERE a.doc_id < $PlantOffset AND EXISTS
+         |    (SELECT 1 FROM el b WHERE b.doc_id = a.doc_id + $PlantOffset))
+         |SELECT n_true, n_cand, n_cand_hit, n_verified, n_ver_hit,
+         |  CAST(n_cand_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS lsh_recall,
+         |  CAST(n_ver_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS e2e_recall,
+         |  CAST(n_ver_hit AS DOUBLE) / CAST(n_verified AS DOUBLE)
+         |    AS truth_precision
+         |FROM st CROSS JOIN tr""".stripMargin,
     "q_dedup_pr_curve" ->
       s"""WITH $minhashCteChain,
          |jc AS (SELECT doc_a, doc_b,

@@ -26,7 +26,11 @@ import org.apache.spark.sql.SparkSession
   * rows ARE the capped LSH candidates) the row count, computed by one
   * extra pass AFTER the timed ones. Single-row results additionally dump
   * every numeric column under "cols" (recalls, precision, n_hot, …), so
-  * the recall-vs-geometry trade rides the same artifact as the mass.
+  * the recall-vs-geometry trade rides the same artifact as the mass; a
+  * pair table with (doc_a, doc_b, jaccard) columns gets the same truth
+  * census computed over it (planted-pair rule, [[graft.operators
+  * .Dedup.PlantOffset]]), so a banding geometry's recall at scale is
+  * read off the artifact, not re-derived by hand.
   *
   * Scale points reuse an existing derived corpus when its `_REHEARSAL_OK`
   * marker is present (corpus derivation is deterministic from (src, n)),
@@ -100,9 +104,9 @@ object Rehearse {
       // candidate metrology AFTER the timed passes (extra pass, cached
       // intermediates from pass 2 may serve it — it is not a timing)
       val df = graft.SparkEntry.queries(q)(s, dir)
-      val hasNCand = df.schema.fieldNames.contains("n_cand")
+      val fn = df.schema.fieldNames.toSet
       val (cand, colsJson) =
-        if (hasNCand) {
+        if (fn.contains("n_cand")) {
           val row = df.head()
           val cols = df.schema.fields.zipWithIndex.collect {
             case (f, i) if !row.isNullAt(i) &&
@@ -112,6 +116,26 @@ object Rehearse {
           }
           (row.getLong(row.fieldIndex("n_cand")),
             s""","cols":{${cols.mkString(",")}}""")
+        } else if (Set("doc_a", "doc_b", "jaccard").subsetOf(fn)) {
+          // candidate pair table: one truth census over it (the
+          // q_dedup_recall arithmetic applied to this geometry's output)
+          import org.apache.spark.sql.functions._
+          val off = graft.operators.Dedup.PlantOffset
+          val t = graft.operators.Dedup.JaccardThreshold
+          val isTruth = col("doc_b") === col("doc_a") + off &&
+            col("doc_a") < off
+          val r = df.agg(
+            count(lit(1)).as("n_cand"),
+            sum(when(isTruth, 1L).otherwise(0L)).as("n_cand_hit"),
+            sum(when(col("jaccard") >= t, 1L).otherwise(0L))
+              .as("n_verified"),
+            sum(when(isTruth && col("jaccard") >= t, 1L).otherwise(0L))
+              .as("n_ver_hit")).head()
+          (r.getLong(0),
+            s""","cols":{"n_cand":${r.getLong(0)},""" +
+              s""""n_cand_hit":${r.getLong(1)},""" +
+              s""""n_verified":${r.getLong(2)},""" +
+              s""""n_ver_hit":${r.getLong(3)}}""")
         } else (df.count(), "")
       val line =
         f"""{"query":"$q","scale":$n,"wall_sec":${math.min(p1, p2)}%.2f,""" +

@@ -496,6 +496,20 @@ class DedupSpec extends SparkSpec with Matchers {
       (Dedup.NumHashes / Dedup.WideRowsPerBand).toLong
   }
 
+  test("q_dedup_dfkill_wide: the composed fleet recipe keeps the df-kill's " +
+    "end-to-end recall at (or under) the wide geometry's candidate mass — " +
+    "the two knobs do not fight") {
+    val c = Dedup.qDedupDfkillWide(spark, sf()).head()
+    val dk = Dedup.qDedupMinhashDfkill(spark, sf()).head()
+    // df-kill re-converges planted pairs to J = 1, so even 4-row bands
+    // collide on them: composing must not lose the df-kill's recall
+    c.getAs[Double]("e2e_recall") shouldBe
+      dk.getAs[Double]("e2e_recall") +- 0.005
+    // …while the wide banding can only shrink the candidate set
+    c.getAs[Long]("n_cand") should be <= dk.getAs[Long]("n_cand")
+    c.getAs[Long]("n_true") shouldBe dk.getAs[Long]("n_true")
+  }
+
   test("list-shaped erasure: the content manifest catches the identical " +
     "copies the id rule misses, and the residual audit flags permuted kin") {
     val rows = Dedup.qDeleteList(spark, sf()).collect()
