@@ -637,6 +637,21 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     got shouldBe want
   }
 
+  test("q_sql_pipeline: dir-tagged stage tables let two corpora coexist — " +
+    "a ledger collected AFTER a second-corpus build still reads its own " +
+    "corpus (the round-12 advisor's silent-rebind hazard)") {
+    val a = graft.operators.SqlSurface.qSqlPipeline(spark, sf())
+    def snap() = a.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val before = snap()
+    // building the second corpus's pipeline would, WITHOUT the dir tags,
+    // rebind every graft_pl_* name under `a`'s lazy plan
+    val other = graft.operators.SqlSurface
+      .qSqlPipeline(spark, sf("sf0.01")).collect()
+    other should not be empty
+    snap() shouldBe before
+  }
+
   test("q_corr_matrix: ONE lineitem scan + ONE aggregation — the 6-pair " +
     "matrix is a stack() over the single sufficient-stats row") {
     val plan = Relational.qCorrMatrix(spark, sf())
