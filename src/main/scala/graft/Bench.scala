@@ -183,6 +183,11 @@ object Bench {
     // scan-bound read every StripEvery measured slots, plus a closing
     // read, so mid-run host drift is localizable per segment
     val stripEnabled = args.isEmpty && names.contains(StripQuery)
+    // a failed strip read stays in the array as once()'s -1.0 sentinel:
+    // dropping it would shift every later reading's slot alignment (the
+    // v3 segment map is positional); consumers (tools/adjudicate.py)
+    // treat negative readings as missing — excluded from the median,
+    // their segment falls back to the whole-run factor
     val strip = scala.collection.mutable.ArrayBuffer[Double]()
     var slot = 0
     def measured(n: String): Double = {
@@ -191,9 +196,10 @@ object Bench {
       once(n)
     }
     val pass1 = names.map(n => n -> measured(n)).toMap
+    val pass2 = names.map(n => n -> measured(n)).toMap
     val results = names.map { n =>
       val a = pass1(n)
-      val b = measured(n)
+      val b = pass2(n)
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     if (stripEnabled) strip += once(StripQuery) // closing strip point
@@ -310,8 +316,15 @@ object Bench {
       if (strip.isEmpty) ""
       else s""","strip":{"q":"$StripQuery","every":$StripEvery,"sec":[${
         strip.map(full).mkString(",")}]}"""
+    // raw per-pass values ride the detail line (file artifact + pre-tail
+    // stdout only): the v3 rule normalizes each PASS by its own segment
+    // factor before the min, which needs p1/p2, not just the min
+    val passJson: String =
+      if (!stripEnabled) ""
+      else s""","p1":${jmap(names.map(n => n -> pass1(n)), full)}""" +
+        s""","p2":${jmap(names.map(n => n -> pass2(n)), full)}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)}${canary3Json(full)}${basketJson(full)}$stripJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)}${canary3Json(full)}${basketJson(full)}$stripJson$passJson,"sf":"$sfDir"}"""
     // only a full-registry run may overwrite the committed artifact —
     // focused runs (explicit query args) would clobber it with a subset
     if (args.isEmpty)

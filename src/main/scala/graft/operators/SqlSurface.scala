@@ -306,10 +306,18 @@ object SqlSurface {
     * the Scala-DSL twin [[pipelineTwin]].
     */
   /** Dir-tagged stage-table/view name for [[qSqlPipeline]] — exposed so
-    * the spec can read the round tables back by name.
+    * the spec can read the round tables back by name. The readable tag
+    * alone is NOT injective (`/a.b` and `/a/b` both map to `_a_b`), so
+    * an 8-hex md5 of the raw dir string rides along: two distinct dirs
+    * can never alias each other's stage tables — the exact silent-rebind
+    * hazard the tagging exists to close.
     */
-  private[graft] def plTable(dir: String, name: String): String =
-    s"graft_pl_$name${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  private[graft] def plTable(dir: String, name: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    s"graft_pl_$name${dir.replaceAll("[^A-Za-z0-9]", "_")}_$h"
+  }
 
   def qSqlPipeline(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Generators.register(s)

@@ -613,11 +613,33 @@ object Scale {
     * files mid-read — overwrite-on-first-use only protects within one
     * session (round-12 advisor note). Warehouse-managed tables get the
     * same isolation from the session warehouse dir itself.
+    *
+    * Growth bound: appId dirs would otherwise accumulate one
+    * lineitem-scale artifact per JVM forever, so stale SIBLING dirs
+    * (mtime older than [[TmpSiblingTtlMs]]) are best-effort deleted on
+    * first use — old enough that a concurrent live run (the hazard the
+    * appId exists for) is never touched.
     */
+  private[scale] val TmpSiblingTtlMs: Long = 6L * 3600 * 1000
+
   private[scale] def jvmTmpPath(
-      s: SparkSession, family: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/$family/" +
-      s"${s.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+      s: SparkSession, family: String, dir: String): String = {
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/$family")
+    val appId = s.sparkContext.applicationId
+    val cutoff = System.currentTimeMillis() - TmpSiblingTtlMs
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName != appId && f.lastModified() < cutoff)
+        try {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        } catch { case _: Throwable => () } // cleanup is best-effort
+    }
+    s"$root/$appId/${new java.io.File(dir).getName}"
+  }
 
   /** EXECUTED Z-order write — the artifact [[qZorder]] audits, actually
     * written (the Export.writeCompacted discipline): lineitem's (pb, ob)

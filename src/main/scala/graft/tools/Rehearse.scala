@@ -126,20 +126,28 @@ object Rehearse {
             col("doc_a") < off
           val r = df.agg(
             count(lit(1)).as("n_cand"),
-            sum(when(isTruth, 1L).otherwise(0L)).as("n_cand_hit"),
-            sum(when(col("jaccard") >= t, 1L).otherwise(0L))
-              .as("n_verified"),
-            sum(when(isTruth && col("jaccard") >= t, 1L).otherwise(0L))
-              .as("n_ver_hit")).head()
+            // coalesce: sum over an EMPTY pair table is NULL, not 0 —
+            // a zero-candidate scale point must not crash the sweep
+            coalesce(sum(when(isTruth, 1L).otherwise(0L)), lit(0L))
+              .as("n_cand_hit"),
+            coalesce(sum(when(col("jaccard") >= t, 1L).otherwise(0L)),
+              lit(0L)).as("n_verified"),
+            coalesce(
+              sum(when(isTruth && col("jaccard") >= t, 1L).otherwise(0L)),
+              lit(0L)).as("n_ver_hit")).head()
           (r.getLong(0),
             s""","cols":{"n_cand":${r.getLong(0)},""" +
               s""""n_cand_hit":${r.getLong(1)},""" +
               s""""n_verified":${r.getLong(2)},""" +
               s""""n_ver_hit":${r.getLong(3)}}""")
         } else (df.count(), "")
+      // Locale.ROOT: f"%.2f" is locale-sensitive — a comma-decimal JVM
+      // locale would emit unparseable JSON into the committed artifact
+      def s2(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       val line =
-        f"""{"query":"$q","scale":$n,"wall_sec":${math.min(p1, p2)}%.2f,""" +
-          f""""wall_p1":$p1%.2f,"wall_p2":$p2%.2f,""" +
+        s"""{"query":"$q","scale":$n,"wall_sec":${s2(math.min(p1, p2))},""" +
+          s""""wall_p1":${s2(p1)},"wall_p2":${s2(p2)},""" +
           s""""candidates":$cand$colsJson}"""
       println(s"[rehearse] $line")
       lines += line

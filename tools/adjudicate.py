@@ -16,11 +16,19 @@ Output:
     slots after strip reading k; slot order is deterministic: sorted
     query names, pass 1 then pass 2), CONTENDED segments marked
     (reading > 1.5x the run's own strip median);
-  - the top-N normalized per-query regressions, each shown with its two
-    segment factors and a contended flag. The detail line records only
-    min(pass1, pass2), so per-query normalization uses the SMALLER of
-    the two segment factors (the min usually comes from the quieter
-    pass; this is the conservative direction for flagging regressions).
+  - the top-N normalized per-query regressions, each shown with its
+    effective segment factor and a contended flag.
+
+Strip readings of -1.0 are failed reads (graft.Bench keeps them in
+place to preserve slot alignment): excluded from medians, and their
+segment falls back to the whole-run factor.
+
+Per-query normalization: when the detail line carries the raw per-pass
+maps ("p1"/"p2", emitted from round 13), each pass is divided by its
+OWN segment's factor before taking the min — the v3 rule as stated.
+For older artifacts without p1/p2 the tool falls back to dividing the
+stored min by the smaller of the two segment factors (conservative:
+over-flags rather than hides; re-measure focused before acting).
 
 A query flagged ONLY in contended segments is a window artifact per the
 v3 rule - re-measure focused before treating it as a code regression.
@@ -50,19 +58,23 @@ def main():
     truth = sum(qn[k] for k in shared) / sum(qr[k] for k in shared)
     print(f"shared queries: {len(shared)}  steady truth: {truth:.3f}")
 
-    sref = ref.get("strip", {}).get("sec", [])
-    snow = now.get("strip", {}).get("sec", [])
+    sref = [v for v in ref.get("strip", {}).get("sec", []) if v >= 0]
+    snow_raw = now.get("strip", {}).get("sec", [])
+    snow = [v for v in snow_raw if v >= 0]
     factors = {}
     if sref and snow:
         mref = statistics.median(sref)
         mnow = statistics.median(snow)
         factors["strip"] = mnow / mref
         every = now["strip"].get("every", 30)
-        contended = [i for i, v in enumerate(snow) if v > 1.5 * mnow]
+        contended = [i for i, v in enumerate(snow_raw) if v > 1.5 * mnow]
+        failed = [i for i, v in enumerate(snow_raw) if v < 0]
         print(f"strip: ref median {mref:.3f}  now median {mnow:.3f}  "
               f"factor {factors['strip']:.3f}  "
-              f"contended segments: {contended or 'none'}")
-        seg_factor = [v / mref for v in snow]
+              f"contended segments: {contended or 'none'}"
+              + (f"  failed reads: {failed}" if failed else ""))
+        # failed reading -> that segment falls back to the run factor
+        seg_factor = [v / mref if v >= 0 else mnow / mref for v in snow_raw]
     else:
         every, seg_factor, contended = 30, [], []
         print("strip: absent on one side (pre-r13 artifact) — "
@@ -83,24 +95,31 @@ def main():
     host = factors.get("strip") or factors.get("basket") or truth
     names = sorted(qn)  # the Bench measurement order
     n = len(names)
+    p1, p2 = now.get("p1", {}), now.get("p2", {})
 
-    def segs(q):
-        """Segment indices of q's two passes (pass1 slot i, pass2 slot n+i)."""
-        i = names.index(q)
-        return i // every, (n + i) // every
+    def segf(slot):
+        k = slot // every
+        return seg_factor[k] if k < len(seg_factor) else host
 
     rows = []
     for q in shared:
-        s1, s2 = segs(q)
-        f1 = seg_factor[s1] if s1 < len(seg_factor) else host
-        f2 = seg_factor[s2] if s2 < len(seg_factor) else host
-        f = min(f1, f2)  # min(pass) likely from the quieter segment
-        norm = (qn[q] / f) / qr[q] if qr[q] > 0 and f > 0 else float("nan")
-        rows.append((norm, q, qn[q], qr[q], f, s1 in contended or
-                     s2 in contended))
+        i = names.index(q)
+        f1, f2 = segf(i), segf(n + i)
+        if q in p1 and q in p2 and (p1[q] >= 0 or p2[q] >= 0):
+            # v3 as stated: each pass normalized by its own segment
+            cands = [p / f for p, f in ((p1[q], f1), (p2[q], f2))
+                     if p >= 0 and f > 0]
+            normed_now = min(cands)
+            f = f1 if normed_now == (p1[q] / f1 if f1 > 0 else -1) else f2
+        else:
+            f = min(f1, f2)  # pre-p1/p2 fallback: conservative
+            normed_now = qn[q] / f if f > 0 else float("inf")
+        norm = normed_now / qr[q] if qr[q] > 0 else float("inf")
+        cont = (i // every) in contended or ((n + i) // every) in contended
+        rows.append((norm, q, qn[q], qr[q], f, cont))
     rows.sort(reverse=True)
     print(f"\ntop {top_n} normalized regressions "
-          f"(norm = now / segment_factor / ref):")
+          f"(norm = pass/segment_factor, min over passes, / ref):")
     print(f"{'query':32s} {'ref':>7s} {'now':>7s} {'seg_f':>6s} "
           f"{'norm':>6s}  window?")
     for norm, q, vn, vr, f, cont in rows[:top_n]:
