@@ -38,7 +38,8 @@ object Bench {
     * pass against a cleared cache (see scaladoc).
     */
   private[graft] val selfCaching =
-    Set("q_dedup_minhash", "q_dedup_pipeline", "q_sql_pipeline")
+    Set("q_dedup_minhash", "q_dedup_pipeline", "q_sql_pipeline",
+      "q_sql_pipeline_wide")
 
   /** Canary-basket membership (one member per execution class; see the
     * basket comment in main and BASELINE.md "Canary normalization" v2).
@@ -65,6 +66,77 @@ object Bench {
     */
   private[graft] val StripQuery = "q_filter_project"
   private[graft] val StripEvery = 30
+
+  /** Per-query task-metrics telemetry (round-13 verdict task 2): the r13
+    * driver window showed q_join_estimate/q_join_eliminate >2× slower
+    * IN-SUITE on a strip-certified-quiet window while focused runs on the
+    * same box beat baseline — an in-suite context effect the bench could
+    * not adjudicate because it records no memory behavior. This listener
+    * accumulates, per completed task: spilled bytes (memory+disk), JVM GC
+    * wall millis overlapping the task, and the max per-task
+    * peakExecutionMemory. Bench snapshots the counters around each
+    * serially-measured query (after draining the async listener bus via
+    * [[org.apache.spark.GraftListenerBridge]]) and emits per-pass maps on
+    * the detail line — `spl1/spl2` (bytes, nonzero entries only),
+    * `gc1/gc2` (ms, nonzero only), `pk1/pk2` (bytes, all queries) — so
+    * the memory-pressure hypothesis is data on the next driver run, and
+    * the strip's 30-slot blind window gets a per-query burst trail.
+    * Note the GC sum over 32 concurrent tasks counts a shared pause once
+    * PER TASK — it is a relative pressure signal, not a wall-time share.
+    */
+  private[graft] final class TaskTelemetry
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val spill = new AtomicLong(0L)
+    val gc = new AtomicLong(0L)
+    private val peak = new AtomicLong(0L)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        gc.addAndGet(m.jvmGCTime)
+        peak.accumulateAndGet(m.peakExecutionMemory, math.max(_, _)); ()
+      }
+    }
+    def peakAndReset(): Long = peak.getAndSet(0L)
+  }
+
+  /** One host-state sample (round-13 verdict task 1: the r13 in-suite
+    * join anomaly reproduces ONLY on the driver environment, and the
+    * strip — a short query — can certify "quiet" while missing
+    * contention that only bites long all-core queries; these gauges make
+    * the environment itself part of the artifact):
+    * MemAvailable (MB), 1-min load average, and the kernel PSI
+    * cumulative "some" stall totals (µs) for cpu/memory/io — deltas
+    * between consecutive samples localize host stalls per strip
+    * segment, including classes invisible to the strip's wall reading.
+    * All fields best-effort (-1 when the /proc file is absent).
+    */
+  private[graft] def hostGauge(): Seq[(String, Long)] = {
+    def slurp(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+      catch { case _: Throwable => None }
+    val memMb = slurp("/proc/meminfo")
+      .flatMap(_.linesIterator.find(_.startsWith("MemAvailable:")))
+      .flatMap(_.split("\\s+").lift(1)).map(_.toLong / 1024).getOrElse(-1L)
+    // milli-load: loadavg's 1-min figure at integer precision loses the
+    // whole signal on an idle box
+    val load1m = slurp("/proc/loadavg")
+      .flatMap(_.split("\\s+").headOption)
+      .flatMap(v => scala.util.Try((v.toDouble * 1000).toLong).toOption)
+      .getOrElse(-1L)
+    def psi(kind: String): Long = slurp(s"/proc/pressure/$kind")
+      .flatMap(_.linesIterator.find(_.startsWith("some")))
+      .flatMap(_.split("\\s+").collectFirst {
+        case f if f.startsWith("total=") => f.substring(6).toLong
+      })
+      .getOrElse(-1L)
+    Seq("mem_mb" -> memMb, "load1m" -> load1m,
+      "cpu_stall_us" -> psi("cpu"), "mem_stall_us" -> psi("memory"),
+      "io_stall_us" -> psi("io"))
+  }
 
   /** Stage-10 family-key squeeze (see the call site for the full story):
     * first char + vowel-dropped rest, truncated, colliding groups widened
@@ -178,11 +250,17 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
       } catch { case _: Throwable => -1.0 }
-    // in-suite canary strip (full-registry runs only — a focused subset's
-    // slot numbering wouldn't match the v3 rule's segment map): one cheap
-    // scan-bound read every StripEvery measured slots, plus a closing
-    // read, so mid-run host drift is localizable per segment
-    val stripEnabled = args.isEmpty && names.contains(StripQuery)
+    // in-suite canary strip: one cheap scan-bound read every StripEvery
+    // measured slots, plus a closing read, so mid-run host drift is
+    // localizable per segment. Default = full-registry runs only (a
+    // focused subset's slot numbering wouldn't match the v3 rule's
+    // POSITIONAL segment map); SPARK_GRAFT_STRIP=1 opts a focused A/B in
+    // (round-13 verdict task 6) — its readings certify the WINDOW
+    // (compare against the committed reference's strip median), they do
+    // not feed the segment map.
+    val stripEnabled =
+      (args.isEmpty || sys.env.get("SPARK_GRAFT_STRIP").contains("1")) &&
+        names.contains(StripQuery)
     // a failed strip read stays in the array as once()'s -1.0 sentinel:
     // dropping it would shift every later reading's slot alignment (the
     // v3 segment map is positional); consumers (tools/adjudicate.py)
@@ -190,19 +268,47 @@ object Bench {
     // their segment falls back to the whole-run factor
     val strip = scala.collection.mutable.ArrayBuffer[Double]()
     var slot = 0
-    def measured(n: String): Double = {
-      if (stripEnabled && slot % StripEvery == 0) strip += once(StripQuery)
-      slot += 1
-      once(n)
+    // task-metrics telemetry (scaladoc at TaskTelemetry): counters are
+    // cumulative; each measured query is attributed the DELTA across its
+    // window, with the async listener bus drained at both edges so a
+    // query's trailing task-end events cannot leak into its successor
+    val tel = new TaskTelemetry
+    spark.sparkContext.addSparkListener(tel)
+    final case class Reading(sec: Double, spill: Long, gc: Long, peak: Long)
+    def instrumented(n: String): Reading = {
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      tel.peakAndReset()
+      val s0 = tel.spill.get()
+      val g0 = tel.gc.get()
+      val sec = once(n)
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      Reading(sec, tel.spill.get() - s0, tel.gc.get() - g0, tel.peakAndReset())
     }
-    val pass1 = names.map(n => n -> measured(n)).toMap
-    val pass2 = names.map(n => n -> measured(n)).toMap
+    // host-state samples ride the strip cadence (one sample per strip
+    // reading + run start/end), so PSI/memory deltas align with the v3
+    // rule's segments; sampled even when the strip is off (focused runs
+    // still get start/end environment bounds)
+    val gauges = scala.collection.mutable.ArrayBuffer[Seq[(String, Long)]]()
+    gauges += hostGauge()
+    def measured(n: String): Reading = {
+      if (stripEnabled && slot % StripEvery == 0) {
+        strip += once(StripQuery)
+        gauges += hostGauge()
+      }
+      slot += 1
+      instrumented(n)
+    }
+    val read1 = names.map(n => n -> measured(n)).toMap
+    val read2 = names.map(n => n -> measured(n)).toMap
+    val pass1 = read1.map { case (n, r) => n -> r.sec }
+    val pass2 = read2.map { case (n, r) => n -> r.sec }
     val results = names.map { n =>
       val a = pass1(n)
       val b = pass2(n)
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     if (stripEnabled) strip += once(StripQuery) // closing strip point
+    gauges += hostGauge() // closing host sample
     // Build attribution (r06 lesson: a GC/JIT stall during a pure-DSL
     // construction put a 2.89 s "build" on a plain outer join). A query's
     // construction cost = memoized one-time work (SessionMemo thunks:
@@ -323,8 +429,35 @@ object Bench {
       if (!stripEnabled) ""
       else s""","p1":${jmap(names.map(n => n -> pass1(n)), full)}""" +
         s""","p2":${jmap(names.map(n => n -> pass2(n)), full)}"""
+    // per-pass task-metrics maps (detail line only; TaskTelemetry
+    // scaladoc): spill/GC keep nonzero entries only — most queries spill
+    // nothing and the zeros would double the artifact for no signal —
+    // while peak is emitted for EVERY query (its absolute level is the
+    // signal; a "missing" peak must not be confusable with a small one)
+    def jmapL(m: Iterable[(String, Long)]): String = m
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    def telJson(tag: String, reads: Map[String, Reading]): String = {
+      val ks = names.filter(reads.contains)
+      s""","spl$tag":${jmapL(ks.map(n => n -> reads(n).spill).filter(_._2 > 0))}""" +
+        s""","gc$tag":${jmapL(ks.map(n => n -> reads(n).gc).filter(_._2 > 0))}""" +
+        s""","pk$tag":${jmapL(ks.map(n => n -> reads(n).peak))}"""
+    }
+    val telemetryJson = telJson("1", read1) + telJson("2", read2)
+    // host gauge series, one array per gauge, sample k taken with strip
+    // reading k-1 (sample 0 = run start, last = run end); PSI totals are
+    // CUMULATIVE µs — consumers diff consecutive samples per segment
+    val hostJson: String = {
+      val keys = gauges.headOption.map(_.map(_._1)).getOrElse(Seq.empty)
+      if (keys.isEmpty) ""
+      else s""","host":{${
+        keys.map { k =>
+          "\"" + k + "\":[" +
+            gauges.map(_.toMap.getOrElse(k, -1L)).mkString(",") + "]"
+        }.mkString(",")}}"""
+    }
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)}${canary3Json(full)}${basketJson(full)}$stripJson$passJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)}${canary3Json(full)}${basketJson(full)}$stripJson$passJson$telemetryJson$hostJson,"sf":"$sfDir"}"""
     // only a full-registry run may overwrite the committed artifact —
     // focused runs (explicit query args) would clobber it with a subset
     if (args.isEmpty)

@@ -324,6 +324,24 @@ object Dedup {
       withHashedShingles(nearDupDocs(s, dir))
         .select(col("doc_id"), col("hs")))
 
+  /** Eligible planted-pair count over [[sharedSignatures]] — the n_true
+    * denominator of [[recallCensus]], exposed for the rehearsal
+    * harness's pair-table census (round-13 advisor low 4: pair tables
+    * emitted n_cand_hit/n_ver_hit without n_true, so recall at scale
+    * required a hand-join against a census query's line from the same
+    * sweep). Same eligibility rule as the census: a planted (base,
+    * base + [[PlantOffset]]) pair counts iff BOTH sides carry ≥ 1
+    * shingle.
+    */
+  private[graft] def nTrueEligible(s: SparkSession, dir: String): Long = {
+    val elig = sharedSignatures(s, dir)
+      .filter(size(col("hs")) > 0).select(col("doc_id"))
+    elig.filter(col("doc_id") < PlantOffset)
+      .join(elig.select((col("doc_id") - PlantOffset).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .count()
+  }
+
   /** Jaccard threshold for [[qSimjoin]], in tenths (7 → J ≥ 0.7). */
   val SimjoinT = 7
 
@@ -762,8 +780,9 @@ object Dedup {
     * (doc_id, hs) signature table — the shared front half of
     * [[qDedupPipeline]] and [[qSplitLeakage]].
     */
-  private[operators] def verifiedPairs(withHs: DataFrame): DataFrame =
-    minhashCandidates(minhashBanded(withHs), MaxLshBucket)
+  private[operators] def verifiedPairs(
+      withHs: DataFrame, rowsPerBand: Int = RowsPerBand): DataFrame =
+    minhashCandidates(minhashBanded(withHs, rowsPerBand), MaxLshBucket)
       .join(withHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(withHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a").as("src"), col("doc_b").as("dst"),
@@ -796,7 +815,7 @@ object Dedup {
     * arithmetic, three inputs — the censuses DedupSpec A/B-compares can
     * never desynchronize on a threshold or a ratio.
     */
-  private def recallCensus(
+  private[operators] def recallCensus(
       withHs: DataFrame, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val isTruth = col("doc_b") === col("doc_a") + PlantOffset &&
       col("doc_a") < PlantOffset
@@ -868,7 +887,7 @@ object Dedup {
     * the sharedSignatures double-evaluation class this round's
     * SessionMemo.PersistedDF exists to kill.
     */
-  private def dfkillFiltered(s: SparkSession, dir: String): DataFrame =
+  private[operators] def dfkillFiltered(s: SparkSession, dir: String): DataFrame =
     dfkillFilteredCache.getOrElseUpdate(s, dir) {
       val withHs = sharedSignatures(s, dir)
       withHs

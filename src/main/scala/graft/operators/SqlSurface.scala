@@ -70,12 +70,21 @@ object SqlSurface {
     * [[qSqlMinhash]] and [[qSqlLshPairs]] so the two entry points cannot
     * drift in shingle width, hash rule, or signature count.
     */
-  private def sigCtesSql(fromSql: String): String =
+  /** The shingle-collection half of [[sigCtesSql]] — a CTE ending in
+    * `hs(doc_id, hs)`; split out so the df-kill pipeline variant can
+    * materialize the collected shingles BEFORE the kill + minhash stage
+    * (the kill's df census references the frame three ways, and Spark
+    * shares no uncached CTE subtrees).
+    */
+  private def hsCteSql(fromSql: String): String =
     s"""hs AS (
        |  SELECT doc_id, collect_list(h) AS hs
        |  FROM $fromSql
        |  LATERAL VIEW shingle_hashes(text, 3) s AS pos, h
-       |  GROUP BY doc_id),
+       |  GROUP BY doc_id)""".stripMargin
+
+  private def sigCtesSql(fromSql: String): String =
+    s"""${hsCteSql(fromSql)},
        |sig AS (SELECT doc_id, hs,
        |          affine_minhashes(hs, ${Dedup.NumHashes}) AS mh
        |        FROM hs)""".stripMargin
@@ -319,10 +328,32 @@ object SqlSurface {
     s"graft_pl_$name${dir.replaceAll("[^A-Za-z0-9]", "_")}_$h"
   }
 
-  def qSqlPipeline(s: SparkSession, dir: String): DataFrame = {
+  def qSqlPipeline(s: SparkSession, dir: String): DataFrame =
+    sqlPipeline(s, dir, Dedup.RowsPerBand, dfKill = false, variant = "")
+
+  /** [[qSqlPipeline]] at the MEASURED 100 TB operating point (round-13
+    * verdict task 3): the same six-stage SQL-text pipeline with the two
+    * knobs the round-12/13 metrology priced applied together — template
+    * shingles df-killed before signing ([[Dedup.ShingleDfKillDenom]],
+    * its own materialized stage, the [[Dedup.qDedupDfkillWide]] rule
+    * re-expressed as SQL text over the pipeline's CLEANED corpus) and
+    * the wide [[Dedup.WideRowsPerBand]] band geometry — the combination
+    * docs/REHEARSAL_r13.json measured at candidates ~n^0.97 with e2e
+    * recall 0.990, vs the default geometry's ~n^1.46. Stage tables carry
+    * a `w_` variant prefix so both pipelines coexist in one session on
+    * one corpus. Hash-gated against DuckDB's from-scratch recompute of
+    * the SAME composition (kill included) and spec-pinned bit-equal to
+    * the parameterized Scala twin.
+    */
+  def qSqlPipelineWide(s: SparkSession, dir: String): DataFrame =
+    sqlPipeline(s, dir, Dedup.WideRowsPerBand, dfKill = true, variant = "w_")
+
+  private def sqlPipeline(
+      s: SparkSession, dir: String,
+      rowsPerBand: Int, dfKill: Boolean, variant: String): DataFrame = {
     graft.functions.Generators.register(s)
     val L = Dedup.LineTokens
-    def pt(name: String): String = plTable(dir, name)
+    def pt(name: String): String = plTable(dir, variant + name)
     def mat(table: String, query: String): Unit = {
       // DROP TABLE IF EXISTS covers this session; dropWithLocation also
       // clears a previous JVM's on-disk location (the in-memory catalog
@@ -340,8 +371,10 @@ object SqlSurface {
     mat(pt("gate"),
       s"""WITH ${gopherCtesSql(pt("corpus"))}
          |SELECT doc_id, keep FROM gmet""".stripMargin)
-    mat(pt("sig"),
-      s"""WITH kept AS (
+    // gate → boilerplate line-clean → collected shingle sets per doc,
+    // ending in `hs(doc_id, hs)` — shared by both signature routes
+    val cleanedHsCtes =
+      s"""kept AS (
          |  SELECT c.doc_id, c.text FROM ${pt("corpus")} c
          |  JOIN ${pt("gate")} g ON c.doc_id = g.doc_id
          |  WHERE g.keep = 1),
@@ -365,27 +398,65 @@ object SqlSurface {
          |      named_struct('line_no', line_no, 'chunk', chunk))),
          |      x -> x.chunk), ' ') AS text
          |  FROM ln LEFT ANTI JOIN bp ON ln.h = bp.h
-         |  GROUP BY ln.doc_id),
-         |${sigCtesSql("cleaned")}
-         |SELECT doc_id, hs, mh FROM sig""".stripMargin)
-    mat(pt("edges"),
+         |  GROUP BY ln.doc_id)""".stripMargin
+    if (!dfKill)
+      mat(pt("sig"),
+        s"""WITH $cleanedHsCtes,
+           |${sigCtesSql("cleaned")}
+           |SELECT doc_id, hs, mh FROM sig""".stripMargin)
+    else {
+      // the collected shingle sets materialize as their OWN stage: the
+      // kill's df census below references the frame three ways, and a
+      // CTE would re-run the whole tokenize→shingle pipeline per
+      // reference (Spark shares no uncached subtrees)
+      mat(pt("shs"),
+        s"""WITH $cleanedHsCtes,
+           |${hsCteSql("cleaned")}
+           |SELECT doc_id, hs FROM hs""".stripMargin)
+      // template-shingle df-kill before signing ([[Dedup.dfkillFiltered]]
+      // as SQL text): a shingle hash in MORE than |corpus|/denom distinct
+      // docs (each doc's hs counted once via array_distinct) is template
+      // mass — dropped from every doc's shingle set; docs whose set
+      // empties drop out of the signature table (→ 'kept' in the ledger)
+      mat(pt("sig"),
+        s"""WITH hot AS (
+           |  SELECT h FROM (
+           |    SELECT doc_id, explode(array_distinct(hs)) AS h
+           |    FROM ${pt("shs")}) d
+           |  GROUP BY h
+           |  HAVING count(*) * ${Dedup.ShingleDfKillDenom} >
+           |    (SELECT count(*) FROM ${pt("shs")})),
+           |kil AS (
+           |  SELECT e.doc_id, collect_list(e.h) AS hs
+           |  FROM (SELECT doc_id, explode(hs) AS h FROM ${pt("shs")}) e
+           |  LEFT ANTI JOIN hot ON e.h = hot.h
+           |  GROUP BY e.doc_id)
+           |SELECT doc_id, hs,
+           |  affine_minhashes(hs, ${Dedup.NumHashes}) AS mh
+           |FROM kil""".stripMargin)
+    }
+    // the candidate stage materializes separately from the verify (split
+    // in round 14 so the rehearsal harness can census candidate mass per
+    // scale directly off the stage table — the quantity whose growth
+    // exponent the band geometry controls)
+    mat(pt("cand"),
       s"""WITH banded AS (
          |  SELECT doc_id, bk.band_idx AS band_idx, bk.band_key AS band_key
          |  FROM ${pt("sig")}
          |  LATERAL VIEW explode(array(
-         |    ${bandStructsSql()})) t AS bk),
+         |    ${bandStructsSql(rowsPerBand)})) t AS bk),
          |buckets AS (
          |  SELECT sort_array(collect_list(doc_id)) AS ids
-         |  FROM banded GROUP BY band_idx, band_key),
-         |cand AS (
-         |  SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM (
-         |    SELECT explode(flatten(transform(ids, (a, i) ->
-         |      transform(slice(ids, i + 2, size(ids)),
-         |        b -> named_struct('doc_a', a, 'doc_b', b))))) AS p
-         |    FROM buckets
-         |    WHERE size(ids) > 1 AND size(ids) <= ${Dedup.MaxLshBucket}) t)
-         |SELECT cand.doc_a AS src, cand.doc_b AS dst
-         |FROM cand
+         |  FROM banded GROUP BY band_idx, band_key)
+         |SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM (
+         |  SELECT explode(flatten(transform(ids, (a, i) ->
+         |    transform(slice(ids, i + 2, size(ids)),
+         |      b -> named_struct('doc_a', a, 'doc_b', b))))) AS p
+         |  FROM buckets
+         |  WHERE size(ids) > 1 AND size(ids) <= ${Dedup.MaxLshBucket}) t""".stripMargin)
+    mat(pt("edges"),
+      s"""SELECT cand.doc_a AS src, cand.doc_b AS dst
+         |FROM ${pt("cand")} cand
          |JOIN ${pt("sig")} a ON cand.doc_a = a.doc_id
          |JOIN ${pt("sig")} b ON cand.doc_b = b.doc_id
          |WHERE CAST(size(array_intersect(a.hs, b.hs)) AS DOUBLE) /
@@ -448,7 +519,10 @@ object SqlSurface {
     * surface and the DataFrame engine can never drift on the pipeline's
     * semantics.
     */
-  private[graft] def pipelineTwin(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def pipelineTwin(
+      s: SparkSession, dir: String,
+      rowsPerBand: Int = Dedup.RowsPerBand,
+      dfKill: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.SketchExpressions
     val corpus = Dedup.nearDupDocs(s, dir)
@@ -475,9 +549,27 @@ object SqlSurface {
           array_sort(collect_list(struct(col("line_no"), col("chunk")))),
           x => x.getField("chunk")),
         " ").as("text"))
-    val withHs = Dedup.withHashedShingles(cleaned)
+    val withHs0 = Dedup.withHashedShingles(cleaned)
       .filter(size(col("hs")) > 0)
-    val comp = ConnectedComponents.components(Dedup.verifiedPairs(withHs))
+    // the wide pipeline's df-kill stage, DSL edition: same >1/denom-df
+    // rule as the SQL text (census over docs-with-≥1-shingle, per-doc
+    // distinct membership), so the twin pin covers the kill too
+    val withHs =
+      if (!dfKill) withHs0
+      else {
+        val hot = withHs0
+          .select(explode(array_distinct(col("hs"))).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(withHs0.agg(count(lit(1)).as("n_corpus"))))
+          .filter(col("df") * Dedup.ShingleDfKillDenom > col("n_corpus"))
+          .select(col("h"))
+        withHs0.select(col("doc_id"), explode(col("hs")).as("h"))
+          .join(broadcast(hot), Seq("h"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(collect_list(col("h")).as("hs"))
+      }
+    val comp = ConnectedComponents.components(
+      Dedup.verifiedPairs(withHs, rowsPerBand))
     corpus
       .join(gate, "doc_id")
       .join(comp, col("doc_id") === col("id"), "left")
@@ -499,7 +591,8 @@ object SqlSurface {
     "q_sql_lines_keep" -> qSqlLinesKeep,
     "q_sql_gopher" -> qSqlGopher,
     "q_sql_lsh_pairs" -> qSqlLshPairs,
-    "q_sql_pipeline" -> qSqlPipeline
+    "q_sql_pipeline" -> qSqlPipeline,
+    "q_sql_pipeline_wide" -> qSqlPipelineWide
   )
 
   private val hsql = (g: String) => s"('0x' || substr(md5($g), 1, 15))::BIGINT"
@@ -536,6 +629,123 @@ object SqlSurface {
         s"((${Sketches.a(k)} * (h % ${Sketches.Prime}) + ${Sketches.b(k)})" +
         s" % ${Sketches.Prime}))) AS BIGINT) AS m$k")
       .mkString(",\n  ")
+  }
+
+  /** DuckDB from-scratch recompute of the WHOLE pipeline composition at
+    * a given band geometry, optionally with the template-shingle df-kill
+    * between shingle collection and signing — the shared oracle builder
+    * behind q_sql_pipeline (8×2, no kill) and q_sql_pipeline_wide
+    * ([[Dedup.WideRowsPerBand]]×4 + kill): gopher gate (shared CTE
+    * builder), boilerplate line removal, trigram 60-bit shingles +
+    * affine minhash over the CLEANED (and optionally killed) text,
+    * banding, bucket-capped candidate pairs, exact-Jaccard verify on
+    * distinct shingle sets, transitive closure via recursive CTE (min
+    * reachable id = canonical), and the gated/kept/duplicate ledger.
+    */
+  private def duckPipelineSql(rowsPerBand: Int, dfKill: Boolean): String = {
+    val L = Dedup.LineTokens
+    val nBands = Dedup.NumHashes / rowsPerBand
+    val bandRows = (0 until nBands).map { b =>
+      val ms = (0 until rowsPerBand)
+        .map(r => s"m${b * rowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $ms)) AS band_key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    // the kill re-derives each doc's shingle list with >1/denom-df hashes
+    // removed (df counts distinct docs via list_distinct; the corpus size
+    // is |docs with ≥1 shingle| = |hsd|, matching the Spark stage's |shs|)
+    val killCtes =
+      if (!dfKill) ""
+      else
+        s"""hot AS (
+           |  SELECT h FROM (
+           |    SELECT doc_id, unnest(list_distinct(hs)) AS h FROM hsd) d
+           |  GROUP BY h
+           |  HAVING count(*) * ${Dedup.ShingleDfKillDenom} >
+           |    (SELECT count(*) FROM hsd)),
+           |ke AS (
+           |  SELECT doc_id, unnest(hs) AS h FROM hsd),
+           |khs AS (
+           |  SELECT doc_id, list(h) AS hs FROM ke
+           |  WHERE h NOT IN (SELECT h FROM hot)
+           |  GROUP BY doc_id),
+           |""".stripMargin
+    val sigFrom = if (dfKill) "khs" else "hsd"
+    s"""WITH RECURSIVE plcorpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${Dedup.PlantOffset}, text || '${Dedup.Tail}'
+       |  FROM documents),
+       |${TextAnalysis.gopherSqlCtes("doc_id", "plcorpus")},
+       |gate AS (
+       |  SELECT doc_id,
+       |    CASE WHEN r_words + r_word_len + r_stop + r_dup = 4
+       |      THEN 1 ELSE 0 END AS keep
+       |  FROM f),
+       |keepd AS (SELECT doc_id, text FROM f
+       |          WHERE r_words + r_word_len + r_stop + r_dup = 4),
+       |tkk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> length(x) > 0) AS tk
+       |  FROM keepd),
+       |ln0 AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, (len(tk) + ${L - 1}) // $L),
+       |      i -> struct_pack(line_no := i,
+       |             chunk := array_to_string(tk[i*$L+1 : i*$L+$L], ' ')))
+       |      AS ls
+       |  FROM tkk),
+       |ph0 AS (SELECT doc_id, unnest(ls) AS s FROM ln0),
+       |ph AS (SELECT doc_id, CAST(s.line_no AS BIGINT) AS line_no,
+       |         s.chunk AS chunk,
+       |         ('0x' || substr(md5(s.chunk), 1, 15))::BIGINT AS h
+       |       FROM ph0),
+       |bpl AS (SELECT h FROM ph GROUP BY h
+       |        HAVING count(DISTINCT doc_id) > ${Dedup.BoilerplateDf}),
+       |cleaned AS (
+       |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY line_no) AS text
+       |  FROM ph WHERE h NOT IN (SELECT h FROM bpl)
+       |  GROUP BY doc_id),
+       |${duckHsCtes("cleaned")},
+       |${killCtes}sig AS (SELECT doc_id, $duckSigCols FROM $sigFrom),
+       |dh AS (SELECT doc_id, list_distinct(hs) AS dh FROM $sigFrom),
+       |banded AS ($bandRows),
+       |ok AS (
+       |  SELECT band_idx, band_key FROM banded
+       |  GROUP BY band_idx, band_key
+       |  HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxLshBucket}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a
+       |  JOIN banded b ON a.band_idx = b.band_idx
+       |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band_idx = a.band_idx AND ok.band_key = a.band_key),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst
+       |  FROM cand
+       |  JOIN dh x ON cand.doc_a = x.doc_id
+       |  JOIN dh y ON cand.doc_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.dh, y.dh)) AS DOUBLE) /
+       |        (len(x.dh) + len(y.dh) - len(list_intersect(x.dh, y.dh)))
+       |        >= ${Dedup.JaccardThreshold}),
+       |edges2 AS (SELECT src AS a, dst AS b FROM edges
+       |           UNION SELECT dst, src FROM edges),
+       |reach AS (
+       |  SELECT a, b FROM edges2
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+       |roots AS (SELECT a AS doc_id, least(a, min(b)) AS root
+       |          FROM reach GROUP BY a)
+       |SELECT c.doc_id,
+       |  CASE WHEN g.keep = 0 THEN 'gated'
+       |       WHEN r.root IS NULL OR r.root = c.doc_id THEN 'kept'
+       |       ELSE 'duplicate' END AS status,
+       |  CASE WHEN g.keep = 0 THEN CAST(-1 AS BIGINT)
+       |       ELSE coalesce(r.root, c.doc_id) END AS cluster_id
+       |FROM plcorpus c
+       |JOIN gate g ON c.doc_id = g.doc_id
+       |LEFT JOIN roots r ON c.doc_id = r.doc_id
+       |ORDER BY c.doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -644,90 +854,12 @@ object SqlSurface {
     // candidate pairs, exact-Jaccard verify on distinct shingle sets,
     // transitive closure via recursive CTE (min reachable id = canonical),
     // and the same gated/kept/duplicate ledger rules
-    "q_sql_pipeline" -> {
-      val L = Dedup.LineTokens
-      val bandRows = (0 until Dedup.NumBands).map { b =>
-        val ms = (0 until Dedup.RowsPerBand)
-          .map(r => s"m${b * Dedup.RowsPerBand + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $ms)) AS band_key FROM sig"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH RECURSIVE plcorpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + ${Dedup.PlantOffset}, text || '${Dedup.Tail}'
-         |  FROM documents),
-         |${TextAnalysis.gopherSqlCtes("doc_id", "plcorpus")},
-         |gate AS (
-         |  SELECT doc_id,
-         |    CASE WHEN r_words + r_word_len + r_stop + r_dup = 4
-         |      THEN 1 ELSE 0 END AS keep
-         |  FROM f),
-         |keepd AS (SELECT doc_id, text FROM f
-         |          WHERE r_words + r_word_len + r_stop + r_dup = 4),
-         |tkk AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |                x -> length(x) > 0) AS tk
-         |  FROM keepd),
-         |ln0 AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, (len(tk) + ${L - 1}) // $L),
-         |      i -> struct_pack(line_no := i,
-         |             chunk := array_to_string(tk[i*$L+1 : i*$L+$L], ' ')))
-         |      AS ls
-         |  FROM tkk),
-         |ph0 AS (SELECT doc_id, unnest(ls) AS s FROM ln0),
-         |ph AS (SELECT doc_id, CAST(s.line_no AS BIGINT) AS line_no,
-         |         s.chunk AS chunk,
-         |         ('0x' || substr(md5(s.chunk), 1, 15))::BIGINT AS h
-         |       FROM ph0),
-         |bpl AS (SELECT h FROM ph GROUP BY h
-         |        HAVING count(DISTINCT doc_id) > ${Dedup.BoilerplateDf}),
-         |cleaned AS (
-         |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY line_no) AS text
-         |  FROM ph WHERE h NOT IN (SELECT h FROM bpl)
-         |  GROUP BY doc_id),
-         |${duckHsCtes("cleaned")},
-         |sig AS (SELECT doc_id, $duckSigCols FROM hsd),
-         |dh AS (SELECT doc_id, list_distinct(hs) AS dh FROM hsd),
-         |banded AS ($bandRows),
-         |ok AS (
-         |  SELECT band_idx, band_key FROM banded
-         |  GROUP BY band_idx, band_key
-         |  HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxLshBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a
-         |  JOIN banded b ON a.band_idx = b.band_idx
-         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |  JOIN ok ON ok.band_idx = a.band_idx AND ok.band_key = a.band_key),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst
-         |  FROM cand
-         |  JOIN dh x ON cand.doc_a = x.doc_id
-         |  JOIN dh y ON cand.doc_b = y.doc_id
-         |  WHERE CAST(len(list_intersect(x.dh, y.dh)) AS DOUBLE) /
-         |        (len(x.dh) + len(y.dh) - len(list_intersect(x.dh, y.dh)))
-         |        >= ${Dedup.JaccardThreshold}),
-         |edges2 AS (SELECT src AS a, dst AS b FROM edges
-         |           UNION SELECT dst, src FROM edges),
-         |reach AS (
-         |  SELECT a, b FROM edges2
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
-         |roots AS (SELECT a AS doc_id, least(a, min(b)) AS root
-         |          FROM reach GROUP BY a)
-         |SELECT c.doc_id,
-         |  CASE WHEN g.keep = 0 THEN 'gated'
-         |       WHEN r.root IS NULL OR r.root = c.doc_id THEN 'kept'
-         |       ELSE 'duplicate' END AS status,
-         |  CASE WHEN g.keep = 0 THEN CAST(-1 AS BIGINT)
-         |       ELSE coalesce(r.root, c.doc_id) END AS cluster_id
-         |FROM plcorpus c
-         |JOIN gate g ON c.doc_id = g.doc_id
-         |LEFT JOIN roots r ON c.doc_id = r.doc_id
-         |ORDER BY c.doc_id""".stripMargin
-    },
+    "q_sql_pipeline" ->
+      duckPipelineSql(Dedup.RowsPerBand, dfKill = false),
+    // the same composition with the 100 TB knobs: >1/denom-df shingles
+    // killed between collection and signing, 4-row bands
+    "q_sql_pipeline_wide" ->
+      duckPipelineSql(Dedup.WideRowsPerBand, dfKill = true),
     // the q_gopher oracle verbatim (shared CTE builder) — the SQL entry
     // point and the DataFrame path answer to the same ground truth
     "q_sql_gopher" ->

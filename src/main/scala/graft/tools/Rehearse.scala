@@ -29,8 +29,16 @@ import org.apache.spark.sql.SparkSession
   * the recall-vs-geometry trade rides the same artifact as the mass; a
   * pair table with (doc_a, doc_b, jaccard) columns gets the same truth
   * census computed over it (planted-pair rule, [[graft.operators
-  * .Dedup.PlantOffset]]), so a banding geometry's recall at scale is
-  * read off the artifact, not re-derived by hand.
+  * .Dedup.PlantOffset]]) INCLUDING the n_true denominator
+  * ([[graft.operators.Dedup.nTrueEligible]] — same eligible-planted-pair
+  * rule as the census queries) and the derived lsh/e2e recalls, so a
+  * banding geometry's recall at scale is read off the artifact directly.
+  *
+  * `q_sql_pipeline*` ledgers get a STAGE-TABLE census instead: per-status
+  * ledger counts plus row counts of every materialized stage (sig, cand,
+  * edges, each lbl_i propagation round) read back by name — the
+  * duplicate-set-sized claim (|lbl_i| ≤ 2·|edges|) and the candidate
+  * stage's growth exponent become regenerable numbers at every scale.
   *
   * Scale points reuse an existing derived corpus when its `_REHEARSAL_OK`
   * marker is present (corpus derivation is deterministic from (src, n)),
@@ -135,11 +143,43 @@ object Rehearse {
             coalesce(
               sum(when(isTruth && col("jaccard") >= t, 1L).otherwise(0L)),
               lit(0L)).as("n_ver_hit")).head()
+          // same eligible-planted-pair denominator as the census queries,
+          // so recall is a column of THIS line, not a cross-line join
+          val nTrue = graft.operators.Dedup.nTrueEligible(s, dir)
+          def rec(hit: Long): String =
+            if (nTrue == 0L) "null"
+            else String.format(java.util.Locale.ROOT, "%.4f",
+              Double.box(hit.toDouble / nTrue))
           (r.getLong(0),
             s""","cols":{"n_cand":${r.getLong(0)},""" +
               s""""n_cand_hit":${r.getLong(1)},""" +
               s""""n_verified":${r.getLong(2)},""" +
-              s""""n_ver_hit":${r.getLong(3)}}""")
+              s""""n_ver_hit":${r.getLong(3)},""" +
+              s""""n_true":$nTrue,""" +
+              s""""lsh_recall":${rec(r.getLong(1))},""" +
+              s""""e2e_recall":${rec(r.getLong(3))}}""")
+        } else if (q.startsWith("q_sql_pipeline")) {
+          // stage-table census (round-13 verdict task 4): ledger status
+          // counts + every materialized stage's row count, read back by
+          // the same dir-tagged names the pipeline wrote — |lbl_i| vs
+          // 2·|edges| (the duplicate-set-sized claim) and the cand
+          // stage's mass become per-scale artifact columns
+          val variant = if (q.endsWith("_wide")) "w_" else ""
+          def pt(n: String) =
+            graft.operators.SqlSurface.plTable(dir, variant + n)
+          val statuses = df.groupBy("status").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          def tcount(n: String): Option[Long] =
+            if (s.catalog.tableExists(pt(n))) Some(s.table(pt(n)).count())
+            else None
+          val stages = (Seq("sig", "cand", "edges") ++
+            (0 to graft.operators.SqlSurface.PipelineMaxRounds)
+              .map(i => s"lbl_$i"))
+            .flatMap(n => tcount(n).map(c => s""""n_$n":$c"""))
+          val led = Seq("gated", "kept", "duplicate")
+            .map(k => s""""n_$k":${statuses.getOrElse(k, 0L)}""")
+          (statuses.getOrElse("duplicate", 0L),
+            s""","cols":{${(led ++ stages).mkString(",")}}""")
         } else (df.count(), "")
       // Locale.ROOT: f"%.2f" is locale-sensitive — a comma-decimal JVM
       // locale would emit unparseable JSON into the committed artifact

@@ -50,6 +50,22 @@ class BenchSpec extends AnyFunSuite with Matchers {
     Bench.StripEvery should be > 0
   }
 
+  test("host gauge: emits exactly the five documented fields, and the " +
+    "cumulative PSI totals never run backwards between samples (the " +
+    "per-segment delta arithmetic in tools/adjudicate.py relies on it)") {
+    val g1 = Bench.hostGauge()
+    val g2 = Bench.hostGauge()
+    g1.map(_._1) shouldBe Seq("mem_mb", "load1m", "cpu_stall_us",
+      "mem_stall_us", "io_stall_us")
+    val (m1, m2) = (g1.toMap, g2.toMap)
+    for (k <- Seq("cpu_stall_us", "mem_stall_us", "io_stall_us"))
+      if (m1(k) >= 0 && m2(k) >= 0) m2(k) should be >= m1(k)
+    // every field is -1 (file absent) or a plausible reading — a parse
+    // slip would surface as a garbage magnitude here
+    m1("mem_mb") should be >= -1L
+    m1("load1m") should be >= -1L
+  }
+
   test("stage-10 squeeze holds over the live registry's family set") {
     def fam(k: String) = {
       val b = if (k.startsWith("q_")) k.substring(2) else k

@@ -637,6 +637,47 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     got shouldBe want
   }
 
+  test("q_sql_pipeline_wide: the composed 100 TB recipe (df-kill + wide " +
+    "bands) is bit-equal to the parameterized Scala twin, its candidate " +
+    "stage never exceeds the default geometry's, and both pipelines " +
+    "coexist under distinct variant-tagged stage tables") {
+    val wide = graft.operators.SqlSurface.qSqlPipelineWide(spark, sf())
+    val got = wide.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = graft.operators.SqlSurface.pipelineTwin(spark, sf(),
+      rowsPerBand = graft.operators.Dedup.WideRowsPerBand, dfKill = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    got shouldBe want
+    // the dedup stage stays non-vacuous at the wide geometry: the
+    // df-kill re-converges planted pairs to J = 1, so even 4-row bands
+    // collide on them (the q_dedup_dfkill_wide recall argument)
+    got.map(_._2).toSet shouldBe Set("gated", "kept", "duplicate")
+    val pt = (n: String) => graft.operators.SqlSurface.plTable(sf(), n)
+    val ptW = (n: String) => graft.operators.SqlSurface.plTable(sf(), "w_" + n)
+    // run the DEFAULT pipeline too (fresh tables) and compare stages:
+    // wide candidates ⊆-sized vs default — the measured linear-mass claim
+    // at the gate SF — while both variants' tables coexist by name
+    graft.operators.SqlSurface.qSqlPipeline(spark, sf()).collect()
+    val candDefault = spark.table(pt("cand")).count()
+    val candWide = spark.table(ptW("cand")).count()
+    candWide should be <= candDefault
+    candWide should be > 0L
+    // duplicate-set-sized propagation holds for the wide variant too
+    val edgesW = spark.table(ptW("edges"))
+    val nEdgesW = edgesW.count()
+    spark.table(ptW("lbl_0")).count() should be <= 2 * nEdgesW
+    // the df-kill stage materialized and killed at least one template
+    // shingle at this SF (nonempty hot set ⇒ some doc's set shrank);
+    // assert via total shingle mass: killed sig ≤ collected shs mass
+    val shsMass = spark.table(ptW("shs"))
+      .agg(sum(org.apache.spark.sql.functions.size(col("hs"))))
+      .head().getLong(0)
+    val sigMass = spark.table(ptW("sig"))
+      .agg(sum(org.apache.spark.sql.functions.size(col("hs"))))
+      .head().getLong(0)
+    sigMass should be < shsMass
+  }
+
   test("q_sql_pipeline: dir-tagged stage tables let two corpora coexist — " +
     "a ledger collected AFTER a second-corpus build still reads its own " +
     "corpus (the round-12 advisor's silent-rebind hazard)") {

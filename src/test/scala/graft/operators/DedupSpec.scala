@@ -508,6 +508,19 @@ class DedupSpec extends SparkSpec with Matchers {
     // …while the wide banding can only shrink the candidate set
     c.getAs[Long]("n_cand") should be <= dk.getAs[Long]("n_cand")
     c.getAs[Long]("n_true") shouldBe dk.getAs[Long]("n_true")
+    // geometry-coupling pin (round-13 verdict item 7): BOTH wide rows —
+    // q_dedup_minhash_wide and this composed recipe — band at the SAME
+    // constant, and that constant is the 4-row q_lsh_bands scheme the
+    // committed rehearsal curves (docs/REHEARSAL_r13.json) were measured
+    // at; an edit that moves either off that operating point must fail
+    // here, not silently decouple the two measured curves. The composed
+    // recipe's candidate count at WideRowsPerBand is asserted against a
+    // direct census at the SAME literal geometry, so a call-site drift
+    // (not just a constant edit) is also caught.
+    Dedup.WideRowsPerBand shouldBe 4
+    val direct = Dedup.recallCensus(
+      Dedup.dfkillFiltered(spark, sf()), 4).head()
+    c.getAs[Long]("n_cand") shouldBe direct.getAs[Long]("n_cand")
   }
 
   test("list-shaped erasure: the content manifest catches the identical " +

@@ -79,6 +79,28 @@ def main():
         every, seg_factor, contended = 30, [], []
         print("strip: absent on one side (pre-r13 artifact) — "
               "whole-run factors only")
+    host_g = now.get("host", {})
+    if host_g.get("cpu_stall_us"):
+        # PSI totals are cumulative us; consecutive-sample deltas align
+        # with strip segments (sample 0 = run start). A segment with a
+        # flat strip reading but a large cpu/mem stall delta had
+        # contention the short strip query slept through.
+        def deltas(key):
+            v = [x for x in host_g.get(key, []) if x >= 0]
+            return [b - a for a, b in zip(v, v[1:])]
+        cpu_d, mem_d, io_d = (deltas(k + "_stall_us")
+                              for k in ("cpu", "mem", "io"))
+        mm = [x for x in host_g.get("mem_mb", []) if x >= 0]
+        if mm:
+            print(f"host: MemAvailable {min(mm)}-{max(mm)} MB; "
+                  f"PSI stall totals over run (s): "
+                  f"cpu {sum(cpu_d)/1e6:.1f} mem {sum(mem_d)/1e6:.1f} "
+                  f"io {sum(io_d)/1e6:.1f}")
+        hot = sorted(range(len(cpu_d)), key=lambda i: -cpu_d[i])[:3]
+        if cpu_d and max(cpu_d) > 0:
+            print("host: top cpu-stall segments (idx: stall_s): "
+                  + "  ".join(f"{i}: {cpu_d[i]/1e6:.1f}" for i in hot
+                              if cpu_d[i] > 0))
     if ref.get("basket") and now.get("basket"):
         factors["basket"] = statistics.median(
             now["basket"][k] / ref["basket"][k] for k in ref["basket"]
@@ -92,39 +114,62 @@ def main():
     for k, v in factors.items():
         print(f"{k:8s} factor {v:.3f}  (err vs truth {abs(v - truth):.2f})")
 
-    host = factors.get("strip") or factors.get("basket") or truth
+    # explicit membership checks, not truthiness: a (theoretical) 0.0
+    # factor must read as "present and alarming", not "absent"
+    host = next((factors[k] for k in ("strip", "basket") if k in factors),
+                truth)
     names = sorted(qn)  # the Bench measurement order
     n = len(names)
     p1, p2 = now.get("p1", {}), now.get("p2", {})
+    # per-pass task-metrics maps (round-14 Bench telemetry): spill bytes
+    # and GC ms per measured query, keyed like p1/p2
+    spl = (now.get("spl1", {}), now.get("spl2", {}))
+    gc = (now.get("gc1", {}), now.get("gc2", {}))
 
     def segf(slot):
         k = slot // every
         return seg_factor[k] if k < len(seg_factor) else host
 
+    def fallback(q, f1, f2):
+        # pre-p1/p2 path: conservative (over-flags rather than hides)
+        f = min(f1, f2)
+        return (qn[q] / f if f > 0 else float("inf")), f
+
     rows = []
     for q in shared:
         i = names.index(q)
         f1, f2 = segf(i), segf(n + i)
-        if q in p1 and q in p2 and (p1[q] >= 0 or p2[q] >= 0):
-            # v3 as stated: each pass normalized by its own segment
-            cands = [p / f for p, f in ((p1[q], f1), (p2[q], f2))
-                     if p >= 0 and f > 0]
-            normed_now = min(cands)
-            f = f1 if normed_now == (p1[q] / f1 if f1 > 0 else -1) else f2
+        # v3 as stated: each pass normalized by its own segment; the
+        # winning pass selected by index, not by float re-comparison
+        cands = [(p / f, f) for p, f in ((p1.get(q, -1.0), f1),
+                                         (p2.get(q, -1.0), f2))
+                 if p >= 0 and f > 0]
+        if cands:
+            normed_now, f = min(cands)
         else:
-            f = min(f1, f2)  # pre-p1/p2 fallback: conservative
-            normed_now = qn[q] / f if f > 0 else float("inf")
+            normed_now, f = fallback(q, f1, f2)
         norm = normed_now / qr[q] if qr[q] > 0 else float("inf")
         cont = (i // every) in contended or ((n + i) // every) in contended
         rows.append((norm, q, qn[q], qr[q], f, cont))
     rows.sort(reverse=True)
+    has_tel = bool(spl[0] or spl[1] or gc[0] or gc[1])
     print(f"\ntop {top_n} normalized regressions "
           f"(norm = pass/segment_factor, min over passes, / ref):")
     print(f"{'query':32s} {'ref':>7s} {'now':>7s} {'seg_f':>6s} "
-          f"{'norm':>6s}  window?")
+          f"{'norm':>6s}"
+          + (f" {'spill p1/p2':>15s} {'gc_ms p1/p2':>12s}" if has_tel else "")
+          + "  window?")
+
+    def mb(b):
+        return f"{b / 1048576:.0f}M" if b else "0"
+
     for norm, q, vn, vr, f, cont in rows[:top_n]:
         flag = "CONTENDED-SEGMENT" if cont else ""
-        print(f"{q:32s} {vr:7.2f} {vn:7.2f} {f:6.2f} {norm:6.2f}  {flag}")
+        tel = ""
+        if has_tel:
+            tel = (f" {mb(spl[0].get(q, 0)) + '/' + mb(spl[1].get(q, 0)):>15s}"
+                   f" {str(gc[0].get(q, 0)) + '/' + str(gc[1].get(q, 0)):>12s}")
+        print(f"{q:32s} {vr:7.2f} {vn:7.2f} {f:6.2f} {norm:6.2f}{tel}  {flag}")
 
 
 if __name__ == "__main__":
