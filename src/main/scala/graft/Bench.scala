@@ -67,6 +67,23 @@ object Bench {
   private[graft] val StripQuery = "q_filter_project"
   private[graft] val StripEvery = 30
 
+  /** Post-suite probe set (round 14, the r13 verdict item-1 protocol):
+    * the driver-window join-trio anomaly is IN-SUITE only — both passes
+    * slow on a strip-certified-quiet window while focused runs on the
+    * same box beat baseline, and the round-14 heap A/B (BASELINE.md)
+    * refutes the memory-squeeze mechanism. Re-measuring the three
+    * affected queries once more AFTER the whole suite (same warm state
+    * as canary3/basket; "post" map on the detail line) splits the
+    * remaining mechanisms on the driver's own artifact: post ≈ the slow
+    * in-suite reads ⇒ persistent JVM-state degradation (JIT state,
+    * fragmentation); post fast ⇒ transient contention local to those
+    * measurement slots that the strip's 30-slot cadence bracketed but
+    * did not sample. Members must stay registered steady queries —
+    * pinned in BenchSpec.
+    */
+  private[graft] val PostProbes: Seq[String] =
+    Seq("q_join_estimate", "q_join_eliminate", "q_join_bucketed")
+
   /** Per-query task-metrics telemetry (round-13 verdict task 2): the r13
     * driver window showed q_join_estimate/q_join_eliminate >2× slower
     * IN-SUITE on a strip-certified-quiet window while focused runs on the
@@ -416,6 +433,15 @@ object Bench {
     def basketJson(fmt: Double => String): String =
       if (basketReads.isEmpty) ""
       else s""","basket":${jmap(basketReads, fmt)}"""
+    // post-suite probes (scaladoc at PostProbes); full-registry runs
+    // only, for the same reason as the basket — a focused run's probe
+    // rides a differently-warmed JVM and is not the instrument
+    val postReads: Seq[(String, Double)] =
+      if (args.nonEmpty) Seq.empty
+      else PostProbes.filter(names.contains)
+        .map(n => n -> once(n)).filter(_._2 >= 0)
+    def postJson(fmt: Double => String): String =
+      if (postReads.isEmpty) "" else s""","post":${jmap(postReads, fmt)}"""
     // detail line only (the contract line's ~2040-char tail budget has no
     // room for ~23 more values): readings in slot order, full precision
     val stripJson: String =
@@ -457,7 +483,7 @@ object Bench {
         }.mkString(",")}}"""
     }
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)}${canary3Json(full)}${basketJson(full)}$stripJson$passJson$telemetryJson$hostJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, full)},"build":${jmap(builds, full)}${canaryJson(full)}${canary3Json(full)}${basketJson(full)}${postJson(full)}$stripJson$passJson$telemetryJson$hostJson,"sf":"$sfDir"}"""
     // only a full-registry run may overwrite the committed artifact —
     // focused runs (explicit query args) would clobber it with a subset
     if (args.isEmpty)

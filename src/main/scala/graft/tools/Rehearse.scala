@@ -40,9 +40,11 @@ import org.apache.spark.sql.SparkSession
   * duplicate-set-sized claim (|lbl_i| ≤ 2·|edges|) and the candidate
   * stage's growth exponent become regenerable numbers at every scale.
   *
-  * Scale points reuse an existing derived corpus when its `_REHEARSAL_OK`
-  * marker is present (corpus derivation is deterministic from (src, n)),
-  * so re-runs measure queries, not corpus writes.
+  * Scale points reuse an existing derived corpus when its generator-
+  * versioned `_REHEARSAL_OK_v<N>` marker is present (corpus derivation is
+  * deterministic from (src, n, [[ScaleCorpus.GeneratorVersion]])), so
+  * re-runs measure queries, not corpus writes — and a generator change
+  * rebuilds rather than silently reusing older text.
   *
   * Usage:
   *   SPARK_DRIVER_MEM=48g sbt 'runMain graft.tools.Rehearse \
@@ -91,7 +93,8 @@ object Rehearse {
       if (n == 1) src
       else {
         val dst = s"$work/x$n"
-        val marker = new java.io.File(dst, "_REHEARSAL_OK")
+        val marker = new java.io.File(dst,
+          s"_REHEARSAL_OK_v${ScaleCorpus.GeneratorVersion}")
         if (!marker.exists()) {
           ScaleCorpus.build(s, src, dst, n)
           marker.createNewFile(); ()

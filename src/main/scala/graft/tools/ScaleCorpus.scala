@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
   *     rare-first prefix filters then behave as they would on organic
   *     growth, while frequent-shingle collisions (real in any corpus)
   *     remain.
+  *     STOPWORDS ARE EXEMPT from the rare-half suffix (round-14 lesson,
+  *     [[GeneratorVersion]] 3): the base corpus's whitespace vocabulary
+  *     is only 31 words and its two stopwords ("the", "a") rank in the
+  *     rare half, so generator v2 suffixed them out of every derived
+  *     document — zero stopwords → the Gopher `r_stop` rule gated 100%
+  *     of derived docs, and any quality-gated operator (q_sql_pipeline's
+  *     gate stage) measured a CONSTANT post-gate corpus at every scale.
+  *     Real corpus growth never diversifies function words;
+  *     [[graft.functions.TextFunctions.Stopwords]] stay corpus-wide at
+  *     any rank, restoring the base corpus's two-distinct-stopword rate
+  *     on derived docs.
   *   - `embeddings.embedding` of copy i>0 gets a deterministic nudge of
   *     0.1·i on dimension (i mod dim) — distinct points, geometry intact.
   *
@@ -40,6 +51,13 @@ import org.apache.spark.sql.functions._
   * 8 g default).
   */
 object ScaleCorpus {
+
+  /** Bumped whenever the derivation's OUTPUT changes for the same (src,
+    * n) input, so cached derived corpora (the `_REHEARSAL_OK_v*` markers
+    * [[Rehearse]] writes) can never silently serve text from an older
+    * generator. v3 = stopwords exempt from the rare-half suffix.
+    */
+  val GeneratorVersion = 3
 
   /** Frequency-ranked whitespace-token vocabulary of the base documents,
     * capped so the generated plan literal stays task-shippable.
@@ -155,7 +173,12 @@ object ScaleCorpus {
               lit("/"), p)), 1, 15), 16, 10).cast("double") / lit(math.pow(2, 60)),
               2.0) * lit(v)).cast("int") + 1)
           val w = element_at(varr, idx)
-          when(idx > v / 2, concat(w, lit(sfx))).otherwise(w)
+          // stopwords stay corpus-wide at any rank (scaladoc: the v3
+          // rule — a suffixed "the" zeroed the Gopher stopword rule on
+          // every derived doc and froze the post-gate corpus size)
+          val stop = graft.functions.TextFunctions.Stopwords
+          when(idx > v / 2 && !w.isin(stop: _*), concat(w, lit(sfx)))
+            .otherwise(w)
         }
         val txt = array_join(transform(sequence(lit(1), ntok), word), " ")
         df.withColumn("text", txt)

@@ -40,6 +40,19 @@ class BenchSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("post-suite probes: registered, non-self-caching, distinct (a " +
+    "self-caching probe would read a cache-cleared rebuild, not the " +
+    "in-suite anomaly it exists to re-test after the suite)") {
+    val p = Bench.PostProbes
+    p.distinct.size shouldBe p.size
+    for (q <- p) {
+      withClue(s"$q must be registered: ")(
+        SparkEntry.queries.contains(q) shouldBe true)
+      withClue(s"$q must not be self-caching: ")(
+        Bench.selfCaching.contains(q) shouldBe false)
+    }
+  }
+
   test("in-suite strip: the strip query is a registered, non-self-caching " +
     "basket member (a self-caching strip would pay a cache-cleared rebuild " +
     "~23 times per run; an unregistered one would silently disable the " +

@@ -171,6 +171,18 @@ def main():
                    f" {str(gc[0].get(q, 0)) + '/' + str(gc[1].get(q, 0)):>12s}")
         print(f"{q:32s} {vr:7.2f} {vn:7.2f} {f:6.2f} {norm:6.2f}{tel}  {flag}")
 
+    # post-suite probes (Bench.PostProbes): same-JVM re-reads AFTER the
+    # whole suite. post ~ in-suite ⇒ persistent JVM-state degradation;
+    # post << in-suite ⇒ transient slot-local contention.
+    post = now.get("post")
+    if post:
+        print("\npost-suite probes (in-suite best-of-2 vs post re-read):")
+        for q, v in post.items():
+            base = qn.get(q)
+            ratio = f"{v / base:5.2f}x" if base else "    ?"
+            print(f"{q:32s} in-suite {base if base is not None else -1:7.2f}"
+                  f"  post {v:7.2f}  ({ratio})")
+
 
 if __name__ == "__main__":
     main()
