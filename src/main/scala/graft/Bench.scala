@@ -137,7 +137,11 @@ object Bench {
       catch { case _: Throwable => None }
     val memMb = slurp("/proc/meminfo")
       .flatMap(_.linesIterator.find(_.startsWith("MemAvailable:")))
-      .flatMap(_.split("\\s+").lift(1)).map(_.toLong / 1024).getOrElse(-1L)
+      .flatMap(_.split("\\s+").lift(1))
+      // Try, not bare toLong: a torn concurrent /proc read must yield
+      // this sample's -1, never abort a multi-minute suite mid-run
+      .flatMap(v => scala.util.Try(v.toLong / 1024).toOption)
+      .getOrElse(-1L)
     // milli-load: loadavg's 1-min figure at integer precision loses the
     // whole signal on an idle box
     val load1m = slurp("/proc/loadavg")
@@ -147,8 +151,9 @@ object Bench {
     def psi(kind: String): Long = slurp(s"/proc/pressure/$kind")
       .flatMap(_.linesIterator.find(_.startsWith("some")))
       .flatMap(_.split("\\s+").collectFirst {
-        case f if f.startsWith("total=") => f.substring(6).toLong
+        case f if f.startsWith("total=") => f.substring(6)
       })
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
       .getOrElse(-1L)
     Seq("mem_mb" -> memMb, "load1m" -> load1m,
       "cpu_stall_us" -> psi("cpu"), "mem_stall_us" -> psi("memory"),
@@ -275,9 +280,14 @@ object Bench {
     // (round-13 verdict task 6) — its readings certify the WINDOW
     // (compare against the committed reference's strip median), they do
     // not feed the segment map.
+    // registration (not focused-subset membership) is the availability
+    // test: once() resolves the strip query from the full registry, so a
+    // focused A/B like `SPARK_GRAFT_STRIP=1 Bench q_join_estimate ...`
+    // must get its strip even though q_filter_project isn't an arg —
+    // the subset guard silently no-opped exactly that documented use
     val stripEnabled =
       (args.isEmpty || sys.env.get("SPARK_GRAFT_STRIP").contains("1")) &&
-        names.contains(StripQuery)
+        SparkEntry.queries.contains(StripQuery)
     // a failed strip read stays in the array as once()'s -1.0 sentinel:
     // dropping it would shift every later reading's slot alignment (the
     // v3 segment map is positional); consumers (tools/adjudicate.py)

@@ -889,13 +889,21 @@ object Dedup {
     */
   private[operators] def dfkillFiltered(s: SparkSession, dir: String): DataFrame =
     dfkillFilteredCache.getOrElseUpdate(s, dir) {
-      val withHs = sharedSignatures(s, dir)
-      withHs
-        .select(col("doc_id"), explode(col("hs")).as("h"))
-        .join(broadcast(dfkillHotSet(withHs)), Seq("h"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(collect_list(col("h")).as("hs"))
+      dfkillApply(sharedSignatures(s, dir))
     }
+
+  /** The df-kill applied to an ARBITRARY (doc_id, hs) frame: drop every
+    * >1/[[ShingleDfKillDenom]]-df shingle (df census over the frame's
+    * own docs) and regroup. Shared by the memoized census path above and
+    * [[SqlSurface.pipelineTwin]]'s kill stage, so the twin pin and the
+    * production kill rule cannot drift apart through a second copy.
+    */
+  private[operators] def dfkillApply(withHs: DataFrame): DataFrame =
+    withHs
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(dfkillHotSet(withHs)), Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"))
 
   /** The >2%-df hot-shingle set over a (doc_id, hs) frame. */
   private def dfkillHotSet(withHs: DataFrame): DataFrame =

@@ -551,23 +551,11 @@ object SqlSurface {
         " ").as("text"))
     val withHs0 = Dedup.withHashedShingles(cleaned)
       .filter(size(col("hs")) > 0)
-    // the wide pipeline's df-kill stage, DSL edition: same >1/denom-df
-    // rule as the SQL text (census over docs-with-≥1-shingle, per-doc
-    // distinct membership), so the twin pin covers the kill too
-    val withHs =
-      if (!dfKill) withHs0
-      else {
-        val hot = withHs0
-          .select(explode(array_distinct(col("hs"))).as("h"))
-          .groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(withHs0.agg(count(lit(1)).as("n_corpus"))))
-          .filter(col("df") * Dedup.ShingleDfKillDenom > col("n_corpus"))
-          .select(col("h"))
-        withHs0.select(col("doc_id"), explode(col("hs")).as("h"))
-          .join(broadcast(hot), Seq("h"), "left_anti")
-          .groupBy(col("doc_id"))
-          .agg(collect_list(col("h")).as("hs"))
-      }
+    // the wide pipeline's df-kill stage: THE production kill
+    // ([[Dedup.dfkillApply]] — >1/denom-df census over this frame's own
+    // docs, per-doc distinct membership), not a copy of it, so the twin
+    // pin certifies the exact operator the census family deploys
+    val withHs = if (!dfKill) withHs0 else Dedup.dfkillApply(withHs0)
     val comp = ConnectedComponents.components(
       Dedup.verifiedPairs(withHs, rowsPerBand))
     corpus

@@ -81,26 +81,39 @@ def main():
               "whole-run factors only")
     host_g = now.get("host", {})
     if host_g.get("cpu_stall_us"):
-        # PSI totals are cumulative us; consecutive-sample deltas align
-        # with strip segments (sample 0 = run start). A segment with a
-        # flat strip reading but a large cpu/mem stall delta had
-        # contention the short strip query slept through.
+        # PSI totals are cumulative us. Sample 0 is taken at run start
+        # and sample k+1 immediately AFTER strip reading k (Bench's
+        # gauge cadence), so delta[i] = sample[i+1]-sample[i] covers
+        # strip SEGMENT i-1 (plus reading i); delta[0] spans only the
+        # first strip read itself. A -1 (failed) sample stays in place
+        # and voids the two deltas it touches — dropping it would shift
+        # every later delta off its segment, the same slot-alignment
+        # discipline Bench applies to failed strip reads.
         def deltas(key):
-            v = [x for x in host_g.get(key, []) if x >= 0]
-            return [b - a for a, b in zip(v, v[1:])]
+            v = host_g.get(key, [])
+            return [(b - a) if (a >= 0 and b >= 0) else None
+                    for a, b in zip(v, v[1:])]
         cpu_d, mem_d, io_d = (deltas(k + "_stall_us")
                               for k in ("cpu", "mem", "io"))
+        def tot(d):
+            return sum(x for x in d if x is not None)
         mm = [x for x in host_g.get("mem_mb", []) if x >= 0]
         if mm:
             print(f"host: MemAvailable {min(mm)}-{max(mm)} MB; "
                   f"PSI stall totals over run (s): "
-                  f"cpu {sum(cpu_d)/1e6:.1f} mem {sum(mem_d)/1e6:.1f} "
-                  f"io {sum(io_d)/1e6:.1f}")
-        hot = sorted(range(len(cpu_d)), key=lambda i: -cpu_d[i])[:3]
-        if cpu_d and max(cpu_d) > 0:
-            print("host: top cpu-stall segments (idx: stall_s): "
-                  + "  ".join(f"{i}: {cpu_d[i]/1e6:.1f}" for i in hot
-                              if cpu_d[i] > 0))
+                  f"cpu {tot(cpu_d)/1e6:.1f} mem {tot(mem_d)/1e6:.1f} "
+                  f"io {tot(io_d)/1e6:.1f}")
+        # delta index i>=1 labels strip segment i-1 (delta[0] is the
+        # pre-suite span — reported as 'pre' if it ever dominates)
+        hot = sorted((i for i in range(len(cpu_d))
+                      if cpu_d[i] is not None and cpu_d[i] > 0),
+                     key=lambda i: -cpu_d[i])[:3]
+        if hot:
+            def seg_label(i):
+                return "pre" if i == 0 else str(i - 1)
+            print("host: top cpu-stall segments (segment: stall_s): "
+                  + "  ".join(f"{seg_label(i)}: {cpu_d[i]/1e6:.1f}"
+                              for i in hot))
     if ref.get("basket") and now.get("basket"):
         factors["basket"] = statistics.median(
             now["basket"][k] / ref["basket"][k] for k in ref["basket"]
@@ -179,8 +192,10 @@ def main():
         print("\npost-suite probes (in-suite best-of-2 vs post re-read):")
         for q, v in post.items():
             base = qn.get(q)
-            ratio = f"{v / base:5.2f}x" if base else "    ?"
-            print(f"{q:32s} in-suite {base if base is not None else -1:7.2f}"
+            # -1.0 is Bench's both-passes-failed sentinel, not a baseline
+            ok = base is not None and base >= 0
+            ratio = f"{v / base:5.2f}x" if ok else "in-suite failed"
+            print(f"{q:32s} in-suite {base if ok else float('nan'):7.2f}"
                   f"  post {v:7.2f}  ({ratio})")
 
 
