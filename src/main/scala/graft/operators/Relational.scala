@@ -1098,17 +1098,29 @@ object Relational {
       .agg(count(lit(1)).as("n"))
     val top = pairs.orderBy(col("n").desc, col("p1"), col("p2"))
       .limit(CopurchaseTopK)
-    val topParts = top.select(col("p1").as("pk"))
-      .union(top.select(col("p2"))).distinct()
-    // per-part order counts for ONLY the named parts (bounded two-phase)
-    val np = li.join(broadcast(topParts), col("l_partkey") === col("pk"))
-      .select(col("l_partkey"), col("l_orderkey")).distinct()
-      .groupBy(col("l_partkey")).agg(count(lit(1)).as("np"))
+    // per-part order counts for ONLY the named parts (bounded two-phase),
+    // with the mining subtree evaluated ONCE: the r13-code phrasing
+    // (topParts = union of two selects, np broadcast twice) referenced
+    // `top` five ways, and Spark shares no uncached subtrees, so the
+    // whole basket-pairs aggregation + TakeOrdered ran 5× per pass (r14
+    // plan audit: 5 TakeOrderedAndProject / 16 Exchange nodes). Here each
+    // top pair fans out to its two member parts, the denominators ride
+    // one broadcast join against lineitem, and the pair row re-assembles
+    // by conditional aggregation — `top` appears exactly once.
+    val sides = top.select(col("p1"), col("p2"), col("n"),
+      explode(array(
+        struct(lit(1).as("side"), col("p1").as("pk")),
+        struct(lit(2).as("side"), col("p2").as("pk")))).as("e"))
+      .select(col("p1"), col("p2"), col("n"),
+        col("e.side").as("side"), col("e.pk").as("pk"))
+    val np = li.join(broadcast(sides), col("l_partkey") === col("pk"))
+      .groupBy(col("p1"), col("p2"), col("n"), col("side"))
+      .agg(countDistinct(col("l_orderkey")).as("cnt"))
+      .groupBy(col("p1"), col("p2"), col("n"))
+      .agg(max(when(col("side") === 1, col("cnt"))).as("np1"),
+        max(when(col("side") === 2, col("cnt"))).as("np2"))
     val nOrders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    top
-      .join(broadcast(np.select(col("l_partkey").as("p1"), col("np").as("np1"))), "p1")
-      .join(broadcast(np.select(col("l_partkey").as("p2"), col("np").as("np2"))), "p2")
-      .crossJoin(broadcast(nOrders))
+    np.crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("n"),
         round(col("n").cast("double") * col("n_orders") /
           (col("np1") * col("np2")), 6).as("lift"))
