@@ -718,7 +718,57 @@ case class SelfSpans(child: Expression, n: Int, minRun: Int, maxOcc: Int)
     copy(child = newChild)
 }
 
+/** Scalar 60-bit md5 prefix: value-identical to the SQL chain
+  * `CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)` (the first 15
+  * hex chars of the digest = its first 60 bits, positive in a long), which
+  * a dozen operators used per row for bucketing/fingerprinting. The chain
+  * is pathologically expensive at row rate: commons-codec re-instantiates
+  * a MessageDigest AND renders the full 32-char hex string per call, then
+  * `conv` re-parses it through NumberConverter (r14 measurement: the
+  * 4-probe bloom position chain alone was 2.8 s over 600 k rows on 32
+  * cores — effectively serial). This expression reuses a thread-local
+  * digest and reads the 60 bits straight off the digest bytes, exactly as
+  * [[Md5Prefix60Array]] does per element. DuckDB oracles keep their
+  * `('0x' || substr(md5(x), 1, 15))::BIGINT` twin — the identity the SQL
+  * curation surface already relies on.
+  */
+case class Md5Prefix60Scalar(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60_scalar"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = Md5Prefix60Scalar.digests.get()
+    md.reset()
+    val d = md.digest(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    (v << 4) | ((d(7) & 0xffL) >> 4)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Prefix60Scalar {
+  private[functions] val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 object SketchExpressions {
+  /** `CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)`, fast —
+    * see [[Md5Prefix60Scalar]].
+    */
+  def md5Prefix60Long(c: Column): Column =
+    GraftColumnBridge.column(Md5Prefix60Scalar(GraftColumnBridge.expression(c)))
   def affineMinhashes(hashes: Column, k: Int): Column =
     GraftColumnBridge.column(AffineMinHashes(GraftColumnBridge.expression(hashes), k))
   def simhash(hashes: Column, bits: Int): Column =

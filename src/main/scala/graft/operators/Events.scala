@@ -459,8 +459,8 @@ object Events {
     * IEEE arithmetic so the DuckDB oracle reproduces it bit-for-bit.
     */
   def qKmv(s: SparkSession, dir: String): DataFrame = {
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.functions.SketchExpressions
+      .md5Prefix60Long(col("user_id").cast("string"))
     Tables.events(s, dir)
       .select(col("event_type"), col("user_id"), h.as("hv"))
       .groupBy(col("event_type"))
@@ -532,8 +532,8 @@ object Events {
     * below saturation, sf0.1 above).
     */
   def qKmvSet(s: SparkSession, dir: String): DataFrame = {
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.functions.SketchExpressions
+      .md5Prefix60Long(col("user_id").cast("string"))
     val est = (sk: String) =>
       when(size(col(sk)) < KmvK, size(col(sk)).cast("double"))
         .otherwise(expr(
@@ -592,8 +592,8 @@ object Events {
     * along as the honesty check, as in [[qKmv]].
     */
   def qHll(s: SparkSession, dir: String): DataFrame = {
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.functions.SketchExpressions
+      .md5Prefix60Long(col("user_id").cast("string"))
     val low48 = lit((1L << 48) - 1)
     val regs = Tables.events(s, dir)
       .select(col("event_type"), h.as("hv"))
@@ -1402,8 +1402,8 @@ object Events {
     * integer registers into one shared IEEE expression.
     */
   def qHllRolling(s: SparkSession, dir: String): DataFrame = {
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.functions.SketchExpressions
+      .md5Prefix60Long(col("user_id").cast("string"))
     val low48 = lit((1L << 48) - 1)
     val days = Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"), h.as("hv"))

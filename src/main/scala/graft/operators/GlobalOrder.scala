@@ -65,7 +65,7 @@ object GlobalOrder {
     * the modulus: the shuffle is a permutation, not a bucketing.
     */
   private def orderHash(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.SketchExpressions.md5Prefix60Long(c.cast("string"))
 
   private def orderHashSql(key: String): String =
     s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT"

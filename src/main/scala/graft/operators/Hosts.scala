@@ -48,9 +48,9 @@ object Hosts {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"),
         floor(sqrt(
-          conv(substring(md5(concat(col("doc_id").cast("string"),
-            lit("#host"))), 1, 15), 16, 10)
-            .cast("long") % HostBuckets))
+          graft.functions.SketchExpressions.md5Prefix60Long(concat(
+            col("doc_id").cast("string"),
+            lit("#host"))) % HostBuckets))
           .cast("long").as("host_id"))
       .withColumn("host",
         concat(lit("h"), lpad(col("host_id").cast("string"), 2, "0")))

@@ -1023,10 +1023,9 @@ object Relational {
       .join(Tables.part(s, dir).select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"))
       .withColumn("fp",
-        conv(substring(md5(concat_ws("|",
+        graft.functions.SketchExpressions.md5Prefix60Long(concat_ws("|",
           col("l_orderkey"), col("l_linenumber"), col("c_custkey"),
-          col("s_suppkey"), col("p_partkey"))), 1, 15), 16, 10)
-          .cast("long"))
+          col("s_suppkey"), col("p_partkey"))))
       .groupBy(col("cust_region"), col("cust_nation"), col("supp_nation"))
       .agg(count(lit(1)).as("n"),
         dsum(col("l_extendedprice")).as("sum_price"),

@@ -30,8 +30,8 @@ object Sampling {
     * everywhere; 15 hex chars = 60 bits fits a long exactly).
     */
   private[graft] def hashBucket(key: Column, mod: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("long") % mod
+    graft.functions.SketchExpressions
+      .md5Prefix60Long(key.cast("string")) % mod
 
   private[graft] def bucketSql(key: String, mod: Int): String =
     s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT % $mod"
@@ -695,9 +695,9 @@ object Sampling {
     */
   def qBootstrap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit("#boot"), col("b").cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 1000000L
+    val u = graft.functions.SketchExpressions.md5Prefix60Long(concat(
+      col("doc_id").cast("string"),
+      lit("#boot"), col("b").cast("string"))) % 1000000L
     val w = BootCumPpm.zipWithIndex.reverse
       .foldLeft(lit(8L): Column) { case (acc, (c, k)) =>
         when(col("u") < c, lit(k.toLong)).otherwise(acc)
@@ -747,9 +747,9 @@ object Sampling {
   def qBootstrapRatio(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"), (col("lang") === "en").as("is_en"))
-    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit("#bratio"), col("b").cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 1000000L
+    val u = graft.functions.SketchExpressions.md5Prefix60Long(concat(
+      col("doc_id").cast("string"),
+      lit("#bratio"), col("b").cast("string"))) % 1000000L
     val w = BootCumPpm.zipWithIndex.reverse
       .foldLeft(lit(8L): Column) { case (acc, (c, k)) =>
         when(col("u") < c, lit(k.toLong)).otherwise(acc)
@@ -805,9 +805,9 @@ object Sampling {
     */
   def qBootstrapMedian(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit("#bmed"), col("b").cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 1000000L
+    val u = graft.functions.SketchExpressions.md5Prefix60Long(concat(
+      col("doc_id").cast("string"),
+      lit("#bmed"), col("b").cast("string"))) % 1000000L
     val w = BootCumPpm.zipWithIndex.reverse
       .foldLeft(lit(8L): Column) { case (acc, (c, k)) =>
         when(col("u") < c, lit(k.toLong)).otherwise(acc)
@@ -869,9 +869,9 @@ object Sampling {
       .select(col("doc_id"),
         graft.functions.TextFunctions.wsTokenCount(col("text")).as("x"),
         col("n_chars").as("y"))
-    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit("#bslope"), col("b").cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 1000000L
+    val u = graft.functions.SketchExpressions.md5Prefix60Long(concat(
+      col("doc_id").cast("string"),
+      lit("#bslope"), col("b").cast("string"))) % 1000000L
     val w = BootCumPpm.zipWithIndex.reverse
       .foldLeft(lit(8L): Column) { case (acc, (c, k)) =>
         when(col("u") < c, lit(k.toLong)).otherwise(acc)

@@ -354,7 +354,18 @@ object SqlSurface {
     graft.functions.Generators.register(s)
     val L = Dedup.LineTokens
     def pt(name: String): String = plTable(dir, variant + name)
-    def mat(table: String, query: String): Unit = {
+    // GRAFT_PL_PROFILE=1: per-stage wall timings on stdout (optimization
+    // instrumentation only; default silent)
+    val profile = sys.env.get("GRAFT_PL_PROFILE").contains("1")
+    def timed[A](label: String)(thunk: => A): A =
+      if (!profile) thunk
+      else {
+        val t0 = System.nanoTime()
+        val r = thunk
+        println(f"## pl $variant$label%-12s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        r
+      }
+    def mat(table: String, query: String): Unit = timed(table.take(24)) {
       // DROP TABLE IF EXISTS covers this session; dropWithLocation also
       // clears a previous JVM's on-disk location (the in-memory catalog
       // forgets managed tables at shutdown but their files survive)
@@ -476,6 +487,21 @@ object SqlSurface {
          |  SELECT dst FROM ${pt("edges")}) inc""".stripMargin)
     var round = 0
     var converged = false
+    // Convergence via the MONOTONE LABEL MASS instead of a two-table
+    // join (r14: each round's old convergence statement joined two label
+    // tables — at this table size pure job overhead, ~0.2-0.4 s per
+    // round and pass): a node's root only ever DECREASES
+    // (least(d.root, …) ≤ d.root), so Σroot is unchanged between rounds
+    // iff NO node changed — the same fixpoint decision from ONE scan of
+    // the just-written round table. DECIMAL(38,0) keeps the sum exact at
+    // any corpus size (BIGINT ids × trillions of rows would wrap).
+    // coalesce: an edge-free corpus has EMPTY label tables (sum → NULL)
+    // and must converge on the first unchanged-mass comparison
+    def rootMass(table: String): java.math.BigDecimal = s.sql(
+      s"""SELECT coalesce(sum(CAST(root AS DECIMAL(38,0))),
+         |  CAST(0 AS DECIMAL(38,0))) AS m
+         |FROM $table""".stripMargin).head().getDecimal(0)
+    var mass = timed("conv_seed")(rootMass(pt("lbl_0")))
     while (!converged && round < PipelineMaxRounds) {
       mat(pt(s"lbl_${round + 1}"),
         s"""SELECT d.doc_id AS doc_id,
@@ -487,10 +513,9 @@ object SqlSurface {
            |  ON d.doc_id = e.a
            |LEFT JOIN ${pt(s"lbl_$round")} r ON e.b = r.doc_id
            |GROUP BY d.doc_id, d.root""".stripMargin)
-      converged = s.sql(
-        s"""SELECT count(*) AS c FROM ${pt(s"lbl_${round + 1}")} n
-           |JOIN ${pt(s"lbl_$round")} o ON n.doc_id = o.doc_id
-           |WHERE n.root < o.root""".stripMargin).head().getLong(0) == 0L
+      val next = timed(s"conv_$round")(rootMass(pt(s"lbl_${round + 1}")))
+      converged = next.compareTo(mass) == 0
+      mass = next
       round += 1
     }
     require(converged,

@@ -137,8 +137,8 @@ object TextAnalysis {
     val k = LdpLangs.length
     val langsLit = array(LdpLangs.map(lit): _*)
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit("#rr"))), 1, 15), 16, 10).cast("long") % 1000000L
+    val u = graft.functions.SketchExpressions.md5Prefix60Long(concat(
+      col("doc_id").cast("string"), lit("#rr"))) % 1000000L
     val i = (array_position(langsLit, col("lang")) - 1).cast("long")
     val j = col("u") % (k - 1)
     val jAdj = when(j < col("i"), j).otherwise(j + 1)
@@ -1834,26 +1834,30 @@ object TextAnalysis {
   }
 
   def qMrr(s: SparkSession, dir: String): DataFrame = {
-    val scored = mrrScored(s, dir)
-    val best = scored.filter(col("n_terms") === col("q_size"))
+    // ONE pass over the scored frame (r14): the argmax leg + the
+    // rank-count leg used to read `scored` twice (and rebuild it from the
+    // postings when a self-caching slot had just cleared the session
+    // cache); the first relevant document's global rank under
+    // (score desc, doc_id asc) IS the row_number at that document, so a
+    // single window + same-key aggregation produces best/rank/counts in
+    // one evaluation — rank counted, not ranked-and-joined, exactly as
+    // before (ties broken identically; spec + oracle unchanged).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_ppb").desc, col("doc_id").asc)
+    mrrScored(s, dir)
+      .withColumn("rk", row_number().over(w))
       .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_relevant"),
-        max(struct(col("score_ppb"), (-col("doc_id")).as("nd")))
-          .as("bst"))
-      .select(col("query_id"), col("n_relevant"),
-        col("bst.score_ppb").as("best_s"), (-col("bst.nd")).as("best_doc"))
-    scored
-      .join(broadcast(best), "query_id")
-      .groupBy(col("query_id"), col("n_relevant"),
-        col("best_s"), col("best_doc"))
       .agg(count(lit(1)).as("n_scored"),
-        (lit(1L) + sum(when(col("score_ppb") > col("best_s") ||
-          (col("score_ppb") === col("best_s") &&
-            col("doc_id") < col("best_doc")), 1L).otherwise(0L)))
-          .as("first_rank"))
+        sum(when(col("n_terms") === col("q_size"), 1L).otherwise(0L))
+          .as("n_relevant"),
+        min(when(col("n_terms") === col("q_size"),
+          struct(col("rk"), col("doc_id")))).as("bst"))
+      .filter(col("bst").isNotNull)
       .select(col("query_id"), col("n_scored"), col("n_relevant"),
-        col("best_doc").as("best_doc_id"), col("first_rank"),
-        expr("1000000000 div first_rank").as("rr_ppb"))
+        col("bst.doc_id").as("best_doc_id"),
+        col("bst.rk").cast("long").as("first_rank"))
+      .withColumn("rr_ppb", expr("1000000000 div first_rank"))
       .orderBy(col("query_id"))
   }
 

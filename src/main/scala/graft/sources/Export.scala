@@ -37,8 +37,8 @@ object Export {
 
   /** 60-bit md5 fingerprint of one exported row (`doc_id:clean_text`). */
   private def docFp =
-    conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-      col("clean_text"))), 1, 15), 16, 10).cast("long")
+    graft.functions.SketchExpressions.md5Prefix60Long(concat(
+      col("doc_id").cast("string"), lit(":"), col("clean_text")))
 
   /** The export frame: the line-dedup rewritten corpus + shard + row
     * fingerprint.

@@ -49,8 +49,8 @@ object Ingest {
     * concatenation injective for any text free of control chars).
     */
   private def contentId =
-    conv(substring(md5(concat(col("source"), lit("\u0001"), col("text"))),
-      1, 15), 16, 10).cast("long")
+    graft.functions.SketchExpressions.md5Prefix60Long(
+      concat(col("source"), lit("\u0001"), col("text")))
 
   /** One JSON line per doc (doc_id deliberately NOT serialized), with
     * the deterministic malformed plant applied.
@@ -232,7 +232,7 @@ object Ingest {
       .select(col("source"), col("lang"), col("n_chars"), col("note"),
         col("text"), col("_corrupt_record").isNotNull.as("is_malformed"))
     val noteId =
-      conv(substring(md5(col("note")), 1, 15), 16, 10).cast("long")
+      graft.functions.SketchExpressions.md5Prefix60Long(col("note"))
     parsedCsv
       .select(
         when(col("is_malformed"), lit("__malformed__"))

@@ -71,8 +71,8 @@ object Streaming {
     val pow60 = 1152921504606846976L // 2^60, the hash range
     events
       .select(col("event_type"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("hv"))
+        graft.functions.SketchExpressions
+          .md5Prefix60Long(col("user_id").cast("string")).as("hv"))
       .as[KmvInput]
       .groupByKey(_.event_type)
       .mapGroupsWithState[List[Long], KmvEstimate](GroupStateTimeout.NoTimeout()) {
@@ -550,6 +550,15 @@ object Streaming {
     * per state volume; here it is sized DOWN for the same reason. The
     * session conf is restored before the drained table's batch rollup
     * plans.
+    *
+    * Round 14: applied to EVERY bounded drain in this module, not just
+    * the stream-stream joins — each stateful operator checkpoints one
+    * state store per shuffle partition per micro-batch (RocksDB opens an
+    * instance per store), so the 32→8 cut is the same state-volume
+    * sizing argument for the keyed aggregates / dedup / tws drains
+    * (measured r14: sessions 2.73→1.95 s, stream_q1 1.77→1.17 s, the
+    * dedup pair −0.8 s build, at flat canary; all 15 streaming rows
+    * re-gated at sf0.01 after the change).
     */
   private def withDrainPartitions[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -582,13 +591,15 @@ object Streaming {
     // basePath to be a directory, and a glob keeps it at $dir
     val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
     val name = s"graft_stream_kmv_${sinkSeq.incrementAndGet()}"
-    val q = kmvDistinct(src, kmvK)
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withDrainPartitions(s) {
+      val q = kmvDistinct(src, kmvK)
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // update mode re-emits changed keys; the sketch only grows, so the
     // per-key max(struct) IS the final drained state (StreamingSpec's
     // collapse)
@@ -642,6 +653,7 @@ object Streaming {
       .withColumn("value", round(col("value") * 100, 0))
       .as[Event]
     val name = s"graft_stream_sess_${sinkSeq.incrementAndGet()}"
+    withDrainPartitions(s) {
     val q = sessionize(src,
       gapMinutes = graft.operators.Events.SessionGapMinutes,
       watermark = "0 seconds")
@@ -664,6 +676,7 @@ object Streaming {
       java.nio.file.Files.move(part, stage.resolve("z_sentinel.parquet"))
       q.processAllAvailable()
     } finally q.stop()
+    }
     s.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"),
@@ -685,10 +698,12 @@ object Streaming {
     val schema = StructType(Seq(StructField("text", StringType)))
     val src = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
     val name = s"graft_stream_wc_${sinkSeq.incrementAndGet()}"
-    val q = wordCount(src, "text")
-      .writeStream.outputMode("update").format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withDrainPartitions(s) {
+      val q = wordCount(src, "text")
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .groupBy(col("word"))
       .agg(max(col("cnt")).as("cnt"))
@@ -724,18 +739,20 @@ object Streaming {
     val d100 = lit(100L) - cents(col("l_discount"))
     val t100 = lit(100L) + cents(col("l_tax"))
     val name = s"graft_stream_q1_${sinkSeq.incrementAndGet()}"
-    val q = src
-      .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        sum(cents(col("l_quantity")).cast("decimal(38,0)")).as("qty_c"),
-        sum(epC.cast("decimal(38,0)")).as("base_c"),
-        sum((epC * d100).cast("decimal(38,0)")).as("disc_cbp"),
-        sum((epC * d100 * t100).cast("decimal(38,0)")).as("charge_cbp2"),
-        count(lit(1)).as("count_order"))
-      .writeStream.outputMode("update").format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withDrainPartitions(s) {
+      val q = src
+        .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity")).cast("decimal(38,0)")).as("qty_c"),
+          sum(epC.cast("decimal(38,0)")).as("base_c"),
+          sum((epC * d100).cast("decimal(38,0)")).as("disc_cbp"),
+          sum((epC * d100 * t100).cast("decimal(38,0)")).as("charge_cbp2"),
+          count(lit(1)).as("count_order"))
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(max(col("qty_c")).as("qty_c"), max(col("base_c")).as("base_c"),
@@ -770,13 +787,15 @@ object Streaming {
       StructField("user_id", LongType)))
     val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
     val name = s"graft_stream_bitmap_${sinkSeq.incrementAndGet()}"
-    val q = src
-      .groupBy(col("event_type"))
-      .agg(graft.functions.Bitmaps.bitmapCard(
-        graft.functions.Bitmaps.bitmapAgg(col("user_id"))).as("n_users"))
-      .writeStream.outputMode("update").format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withDrainPartitions(s) {
+      val q = src
+        .groupBy(col("event_type"))
+        .agg(graft.functions.Bitmaps.bitmapCard(
+          graft.functions.Bitmaps.bitmapAgg(col("user_id"))).as("n_users"))
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .groupBy(col("event_type"))
       .agg(max(col("n_users")).as("n_users"))
@@ -832,13 +851,15 @@ object Streaming {
       StructField("doc_id", LongType), StructField("text", StringType)))
     val src = s.readStream.schema(schema).parquet(s"$stage/*.parquet")
     val name = s"graft_stream_dedup_${sinkSeq.incrementAndGet()}"
-    val q = src
-      .select(md5(col("text")).as("fp"), col("doc_id"))
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
-      .writeStream.outputMode("update").format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withDrainPartitions(s) {
+      val q = src
+        .select(md5(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .groupBy(col("fp"))
       .agg(min(col("keeper")).as("keeper"), max(col("cnt")).as("cnt"))
@@ -880,14 +901,16 @@ object Streaming {
       StructField("doc_id", LongType), StructField("text", StringType)))
     val src = s.readStream.schema(schema).parquet(s"$stage/*.parquet")
     val name = s"graft_stream_dedupwm_${sinkSeq.incrementAndGet()}"
-    val q = src
-      .select(md5(col("text")).as("fp"),
-        lit("2026-01-01 00:00:00").cast("timestamp").as("ts"))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("fp")
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withDrainPartitions(s) {
+      val q = src
+        .select(md5(col("text")).as("fp"),
+          lit("2026-01-01 00:00:00").cast("timestamp").as("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("fp")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val perFp = s.table(name)
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("emits"))
@@ -1007,11 +1030,11 @@ object Streaming {
       .transformWithState(new ChannelMixProcessor,
         TimeMode.None(), OutputMode.Update())
     val name = s"graft_stream_tws_map_${sinkSeq.incrementAndGet()}"
-    withRocksDbState(s) {
+    withRocksDbState(s) { withDrainPartitions(s) {
       val q = src.writeStream.outputMode("update").format("memory")
         .queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-    }
+    } }
     // tier via a user-partitioned window over the per-(user, channel)
     // frame (≤ |event types| rows per user) — a self-join of the memory
     // sink view would collide on its fixed attribute ids
@@ -1171,7 +1194,7 @@ object Streaming {
         new TwsSessionizer(graft.operators.Events.SessionGapMinutes),
         TimeMode.EventTime(), OutputMode.Append())
     val name = s"graft_stream_tws_sess_${sinkSeq.incrementAndGet()}"
-    withRocksDbState(s) {
+    withRocksDbState(s) { withDrainPartitions(s) {
       val q = src.writeStream.outputMode("append").format("memory")
         .queryName(name).start()
       try {
@@ -1189,7 +1212,7 @@ object Streaming {
         java.nio.file.Files.move(part, stage.resolve("z_sentinel.parquet"))
         q.processAllAvailable()
       } finally q.stop()
-    }
+    } }
     s.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"),
@@ -1274,11 +1297,11 @@ object Streaming {
       .transformWithState(new SeededSpendProcessor,
         TimeMode.None(), OutputMode.Update(), initial)
     val name = s"graft_stream_tws_seed_${sinkSeq.incrementAndGet()}"
-    withRocksDbState(s) {
+    withRocksDbState(s) { withDrainPartitions(s) {
       val q = src.writeStream.outputMode("update").format("memory")
         .queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-    }
+    } }
     val emitted = s.table(name)
       .groupBy(col("user_id"))
       .agg(max(struct(col("n_purchases"), col("cents"))).as("st"))
@@ -1319,14 +1342,14 @@ object Streaming {
       .groupByKey(_._1)
       .transformWithState(new SpendProcessor,
         TimeMode.None(), OutputMode.Update())
-    withRocksDbState(s) {
+    withRocksDbState(s) { withDrainPartitions(s) {
       val q = out.writeStream
         .outputMode("update")
         .format("memory")
         .queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-    }
+    } }
     s.table(name)
       .groupBy(col("user_id"))
       .agg(max(struct(col("n_purchases"), col("cents"))).as("st"))
@@ -1365,10 +1388,12 @@ object Streaming {
     val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
       .withColumn("ts", timestamp_micros(col("ts")))
     val name = s"graft_stream_join_${sinkSeq.incrementAndGet()}"
-    val q = enrichWithSegments(src, userSegments(s, dir))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withDrainPartitions(s) {
+      val q = enrichWithSegments(src, userSegments(s, dir))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .groupBy(col("segment"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -117,6 +117,22 @@ class ExpressionParitySpec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("Md5Prefix60Scalar: matches the conv(substring(md5)) SQL chain it " +
+    "replaced (r14)") {
+    val expr = Md5Prefix60Scalar(BoundReference(0, StringType, nullable = true))
+    val strs = Seq("", "a", "12345#0", "hello world", "žluťoučký kůň",
+      "9999999#bmed199", "the quick brown fox")
+    for (s <- strs) {
+      val got = expr.eval(InternalRow(UTF8String.fromString(s)))
+        .asInstanceOf[Long]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      got shouldBe java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // null in -> null out, like the builtin chain
+    assert(expr.eval(InternalRow(null)) == null)
+  }
+
   test("FloatVecDotProduct/Cosine: interpreted equals manual loop") {
     val vecGen = Gen.listOfN(8, Gen.choose(-100, 100).map(_ / 10.0f))
     val dot = FloatVecDotProduct(
