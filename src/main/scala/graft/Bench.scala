@@ -41,6 +41,24 @@ object Bench {
     Set("q_dedup_minhash", "q_dedup_pipeline", "q_sql_pipeline",
       "q_sql_pipeline_wide")
 
+  /** The selfCaching members whose OWN lineage reads session-persisted
+    * frames (the MinHash signature table; the dedup pipeline's closure
+    * inputs) — only these need the pre-pass `clearCache()` so that their
+    * measured pass rebuilds the signature pipeline instead of reading the
+    * previous pass's cached blocks. The two SQL pipelines materialize
+    * their stages as PARQUET TABLES (CACHE TABLE was measured unstable
+    * and rejected — SqlSurface scaladoc) and reference no persisted
+    * frame, so clearing for them was pure collateral: a round-14
+    * measurement-attribution fix — each of their two clears per pass
+    * unpersisted EVERY shared frame (signatures, line rows, tokens, span
+    * hashes, …) mid-suite, and whichever unrelated query next consumed a
+    * frame paid a full rebuild inside its steady window. Results are
+    * unchanged; every persisted frame is still rebuilt from parquet at
+    * the two remaining clear slots per pass.
+    */
+  private[graft] val clearsCache =
+    Set("q_dedup_minhash", "q_dedup_pipeline")
+
   /** Canary-basket membership (one member per execution class; see the
     * basket comment in main and BASELINE.md "Canary normalization" v2).
     * Keys are the 2-char contract-line labels; values must stay registered
@@ -243,7 +261,7 @@ object Bench {
     val memoSec = scala.collection.mutable.Map[String, Double]()
     def dfFor(name: String): DataFrame =
       if (selfCaching(name)) {
-        spark.catalog.clearCache()
+        if (clearsCache(name)) spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sfDir)
       } else
         memo.getOrElseUpdate(name, {

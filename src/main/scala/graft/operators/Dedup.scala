@@ -1606,24 +1606,29 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > BoilerplateDf)
       .select(col("h"))
-    val keptPos = linesH
-      .join(broadcast(bp), Seq("h"), "left_anti")
+    // ONE aggregation over the persisted line rows (r14): the previous
+    // keptPos/counts pair ran two groupBy(doc_id) passes (one over the
+    // anti-joined frame, one over the raw frame) plus a second corpus
+    // join; a broadcast MARKING join + null-skipping collect_list (the
+    // linesKeepCorpus trick) produces both columns in one pass — a doc
+    // whose every line is boilerplate gets an EMPTY kept list from the
+    // all-null collect, exactly what the old left-join + coalesce
+    // produced.
+    val perDoc = linesH
+      .join(broadcast(bp.withColumn("is_bp", lit(1))), Seq("h"), "left")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("line_no"))).as("kept"))
-    val counts = linesH.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_lines"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sort_array(collect_list(
+          when(col("is_bp").isNull, col("line_no")))).as("kept"))
     corpus
-      .join(counts, "doc_id")
-      .join(keptPos, Seq("doc_id"), "left")
+      .join(perDoc, "doc_id")
       .select(
         col("doc_id"),
         col("n_lines"),
-        (col("n_lines") -
-          size(coalesce(col("kept"), array().cast("array<int>"))).cast("long"))
-          .as("n_removed"),
+        (col("n_lines") - size(col("kept")).cast("long")).as("n_removed"),
         md5(array_join(graft.functions.SketchExpressions.elementsAt(
-          chunks, coalesce(col("kept"), array().cast("array<int>"))), " "))
-          .as("clean_md5"))
+          chunks, col("kept")), " ")).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -1673,6 +1678,10 @@ object Dedup {
           struct(a.as("s1"), b.as("s2")))))).as("p"))
       .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("n_shared"))
+      // two broadcast legs, alias-only difference: their canonicalized
+      // plans are equal, so ReusedExchange evaluates perSource ONCE at
+      // runtime (r14 audit: an explode/re-aggregate melt was tried here
+      // and measured ~20% SLOWER — the reuse was already doing the work)
       .join(broadcast(perSource.select(
         col("source").as("s1"), col("n").as("n_s1"))), "s1")
       .join(broadcast(perSource.select(

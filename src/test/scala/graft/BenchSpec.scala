@@ -53,6 +53,14 @@ class BenchSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("clearsCache: a subset of selfCaching containing exactly the " +
+    "persisted-lineage members (r14 scoped-clear fix — a clearsCache " +
+    "entry outside selfCaching would clear caches for a memoized query " +
+    "whose pass-2 timing then silently includes rebuild cost)") {
+    Bench.clearsCache.subsetOf(Bench.selfCaching) shouldBe true
+    Bench.clearsCache shouldBe Set("q_dedup_minhash", "q_dedup_pipeline")
+  }
+
   test("in-suite strip: the strip query is a registered, non-self-caching " +
     "basket member (a self-caching strip would pay a cache-cleared rebuild " +
     "~23 times per run; an unregistered one would silently disable the " +
