@@ -1027,19 +1027,26 @@ object TextAnalysis {
       val w = Array.fill(buckets + 1)(0L)
       var pocket = w.clone()
       var pocketErr = Long.MaxValue
-      for (_ <- 1 to QtRounds) {
+      for (round <- 1 to QtRounds) {
         val wlit = typedLit(w.toSeq)
-        val margins = docs.withColumn("m", qtMargin(wlit))
-        val err = margins
-          .filter((col("m") > 0L) =!= (col("y") === 1L)).count()
-        if (err < pocketErr) { pocket = w.clone(); pocketErr = err }
-        margins
+        // ONE job per round (r14): the error census rides the update
+        // job as an observe() metric over the margin rows (the
+        // CollectMetrics node sits above the update filter, so it sees
+        // every document) — previously err was its own count() job, i.e.
+        // 2 jobs × QtRounds × four trainings of pure job overhead.
+        val obs = new org.apache.spark.sql.Observation(s"pocket_err_$round")
+        val updates = docs.withColumn("m", qtMargin(wlit))
+          .observe(obs, sum(when((col("m") > 0L) =!= (col("y") === 1L), 1L)
+            .otherwise(0L)).as("err"))
           .filter(col("y") * col("m") <= 0)
           .select(col("y"), explode(col("ss")).as("slot"))
           .groupBy(col("slot")).agg(sum(col("y")).as("dw"))
           .collect()
-          .foreach(r => w(r.getAs[Long]("slot").toInt) +=
-            r.getAs[Long]("dw"))
+        val err = obs.get.get("err").collect { case v: Long => v }
+          .getOrElse(0L)
+        if (err < pocketErr) { pocket = w.clone(); pocketErr = err }
+        updates.foreach(r => w(r.getAs[Long]("slot").toInt) +=
+          r.getAs[Long]("dw"))
       }
       pocket.toSeq
     } finally { docs.unpersist(blocking = false); () }

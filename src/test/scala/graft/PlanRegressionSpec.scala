@@ -543,22 +543,26 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     plan should not include "CartesianProduct"
   }
 
-  test("q_mrr: both rank legs read ONE memoized scored frame, the best " +
-    "side broadcasts, and no ranking window exists") {
+  test("q_mrr: ONE pass over the memoized scored frame — a single " +
+    "query-partitioned window + same-key aggregation, no re-join") {
     val plan = TextAnalysis.qMrr(spark, sf())
       .queryExecution.executedPlan.toString
-    plan should include("BroadcastHashJoin")
-    // the first-relevant rank is counted, never ranked: a Window here is
-    // the per-query corpus sort this query exists to avoid
-    plan should not include "Window"
-    plan should not include "CartesianProduct"
-    // the argmax leg and the count leg must both scan the persisted
-    // scored frame rather than rebuild the postings joins inline: two
-    // cache scans carrying score_ppb (the 1-row stats BNLJ remains
-    // visible INSIDE the InMemoryRelation's recorded build subtree,
-    // where it executes once, so it is not prohibited plan-wide);
+    // r14 restructure: the first relevant document's row_number under
+    // (score desc, doc_id) IS its rank, so the old two-leg shape (argmax
+    // broadcast-joined back, rank counted on a second cache scan) is one
+    // window over hits-proportional per-query frames + a groupBy on the
+    // SAME key — no join of any kind remains, and the scored frame scans
+    // exactly once
+    // the postings joins live INSIDE the InMemoryRelation's recorded
+    // build subtree (they execute once at frame build); the live query
+    // above the cache boundary must be join-free
+    val live = plan.split("InMemoryRelation", 2).head
+    "Window".r.findAllIn(live).size shouldBe 1
+    live should not include "BroadcastHashJoin"
+    live should not include "SortMergeJoin"
+    live should not include "CartesianProduct"
     "InMemoryTableScan \\[[^\\]]*score_ppb".r
-      .findAllIn(plan).size shouldBe 2
+      .findAllIn(plan).size shouldBe 1
   }
 
   test("q_bootstrap_median: the replicate histogram partial-aggregates " +
