@@ -170,17 +170,12 @@ object Generators {
           .split("[^a-z]+").filter(_.nonEmpty)
         if (toks.length < n) Nil
         else {
-          val md = java.security.MessageDigest.getInstance("MD5")
+          // shared Md5Prefix60 kernel: thread-local digest + the one
+          // digest→60-bit extraction (r15 — was a fresh MessageDigest per
+          // row and a local copy of the bit extraction)
           (0 to toks.length - n).iterator.map { i =>
-            md.reset()
             val g = toks.slice(i, i + n).mkString(" ")
-            val d = md.digest(UTF8String.fromString(g).getBytes)
-            // first 15 hex chars = first 60 bits (Md5Prefix60Array rule)
-            var v = 0L
-            var j = 0
-            while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-            v = (v << 4) | ((d(7) & 0xffL) >> 4)
-            InternalRow(i, v)
+            InternalRow(i, Md5Prefix60.hashUTF8(UTF8String.fromString(g)))
           }
         }
       }

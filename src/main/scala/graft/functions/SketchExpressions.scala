@@ -427,9 +427,16 @@ case class ElementsAt(arr: Expression, idxs: Expression)
 /** First 60 bits (15 hex chars) of md5 per element, one eval pass →
   * ARRAY<BIGINT>. Portable as
   * `list_transform(sh, x -> ('0x'||substr(md5(x),1,15))::BIGINT)` in DuckDB.
+  *
+  * Compiles to a static call into whole-stage-generated code (r15: the
+  * CodegenFallback form made every containing projection an interpreted
+  * island — one InternalRow boxing round-trip per row at 13+ hot sites).
+  * The digest→60-bit extraction is the ONE shared [[Md5Prefix60]] helper,
+  * so the scalar and array forms cannot drift (they must stay
+  * bit-identical — every caller and the DuckDB oracle identity depend on
+  * it).
   */
-case class Md5Prefix60Array(child: Expression) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class Md5Prefix60Array(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_prefix60_array"
 
@@ -440,28 +447,53 @@ case class Md5Prefix60Array(child: Expression) extends UnaryExpression
       s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    Md5Prefix60.hashArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, arr =>
+      s"graft.functions.Md5Prefix60$$.MODULE$$.hashArray($arr)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The shared 60-bit md5 prefix kernel of [[Md5Prefix60Scalar]] and
+  * [[Md5Prefix60Array]]: thread-local MessageDigest (one instance per
+  * executor thread, never per call) and a single digest→long extraction
+  * (first 15 hex chars of md5 = first 60 digest bits, positive in a
+  * long). Static entry points so generated code calls straight in.
+  */
+object Md5Prefix60 {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def hashUTF8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    prefix60(md.digest(s.getBytes))
+  }
+
+  def hashArray(arr: ArrayData): ArrayData = {
     val len = arr.numElements()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = digests.get()
     val out = new Array[Long](len)
     var i = 0
     while (i < len) {
       md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      // value of the first 15 hex chars = first 60 bits of the digest
-      var v = 0L
-      var j = 0
-      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      v = (v << 4) | ((d(7) & 0xffL) >> 4)
-      out(i) = v
+      out(i) = prefix60(md.digest(arr.getUTF8String(i).getBytes))
       i += 1
     }
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  /** Value of the first 15 hex chars = first 60 bits of the digest. */
+  private def prefix60(d: Array[Byte]): Long = {
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    (v << 4) | ((d(7) & 0xffL) >> 4)
+  }
 }
 
 /** Occurrence count of the most frequent element of an ARRAY<STRING> (0 for
@@ -726,14 +758,16 @@ case class SelfSpans(child: Expression, n: Int, minRun: Int, maxOcc: Int)
   * a MessageDigest AND renders the full 32-char hex string per call, then
   * `conv` re-parses it through NumberConverter (r14 measurement: the
   * 4-probe bloom position chain alone was 2.8 s over 600 k rows on 32
-  * cores — effectively serial). This expression reuses a thread-local
-  * digest and reads the 60 bits straight off the digest bytes, exactly as
-  * [[Md5Prefix60Array]] does per element. DuckDB oracles keep their
+  * cores — effectively serial). This expression calls the shared
+  * [[Md5Prefix60]] kernel (thread-local digest, 60 bits read straight off
+  * the digest bytes — one extraction shared with [[Md5Prefix60Array]] so
+  * the two forms cannot drift) and compiles to a static call inside the
+  * containing whole-stage span (r15: was CodegenFallback, an interpreted
+  * island in otherwise codegen'd projections). DuckDB oracles keep their
   * `('0x' || substr(md5(x), 1, 15))::BIGINT` twin — the identity the SQL
   * curation surface already relies on.
   */
-case class Md5Prefix60Scalar(child: Expression) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class Md5Prefix60Scalar(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix60_scalar"
 
@@ -743,24 +777,16 @@ case class Md5Prefix60Scalar(child: Expression) extends UnaryExpression
       s"$prettyName requires STRING, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val md = Md5Prefix60Scalar.digests.get()
-    md.reset()
-    val d = md.digest(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
-    var v = 0L
-    var j = 0
-    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-    (v << 4) | ((d(7) & 0xffL) >> 4)
-  }
+  override def nullSafeEval(input: Any): Any =
+    Md5Prefix60.hashUTF8(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Md5Prefix60$$.MODULE$$.hashUTF8($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
-}
-
-object Md5Prefix60Scalar {
-  private[functions] val digests: ThreadLocal[java.security.MessageDigest] =
-    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 object SketchExpressions {

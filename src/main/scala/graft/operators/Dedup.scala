@@ -228,6 +228,12 @@ object Dedup {
     // twice per evaluation (r14 plan audit). One corpus pass + one
     // doc-key shuffle of the candidate docs' arrays replaces the second
     // pass; the pair row re-assembles by side-tagged aggregation.
+    // INVARIANT (r15 advisor note): `sh` has exactly one row per doc_id
+    // (it is a projection of the corpus table, whose doc_id is the
+    // primary key) — first(when(side…)) picks an arbitrary array if that
+    // ever breaks, where the old two-sided join would emit one row per
+    // combination; a corpus source with duplicate doc_ids must dedup
+    // upstream before this operator.
     val sides = cands.select(col("doc_a"), col("doc_b"), col("n_shared_fp"),
       explode(array(
         struct(lit(1).as("side"), col("doc_a").as("doc_id")),

@@ -240,7 +240,12 @@ object Graph {
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        levels = levels.union(next).localCheckpoint()
+        // lazy union over the per-round CHECKPOINTED frontiers (r15):
+        // re-checkpointing the union copied every prior level's rows
+        // again each round — one extra O(|visited|) job per round. The
+        // union of ≤BfsMaxRounds checkpointed legs keeps the plan flat
+        // enough (each leg is a materialized leaf, nothing re-runs).
+        levels = levels.union(next)
         frontier = next.select(col("id"))
       }
     }
@@ -355,11 +360,18 @@ object Graph {
       .distinct()
     var edges = und.localCheckpoint()
     val profile = (1 to KCoreRounds).map { r =>
+      // keep list checkpointed ONCE per round (r15): the old lazy plan
+      // re-ran the degree aggregation for keep.count() on top of the
+      // evaluations inside the edge-restriction job; checkpointed, the
+      // two semi-joins and both census counts read the materialized
+      // ≤|nodes| list, so each round runs ONE degree aggregation and the
+      // count jobs are partition-sum reads of checkpointed data
       val keep = edges
         .select(explode(array(col("a"), col("b"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KCoreK)
         .select(col("id"))
+        .localCheckpoint()
       edges = edges
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")

@@ -104,36 +104,69 @@ object Multimodal {
     // the sf0.1 decode query (60k images × 5 codec calls): 7.5 s → see
     // docs/BENCH_DETAIL.json after the change.
     javax.imageio.ImageIO.setUseCache(false)
+    // Per-thread codec state (guide §4.5 — initialize heavyweight state
+    // once per task, not per row): ImageIO.read/write resolve a reader/
+    // writer SPI and instantiate a fresh PNGImageReader/Writer per CALL,
+    // and createImageInputStream scans the stream-SPI registry per call.
+    // The fixture payloads are all PNG by construction (encodePng is the
+    // only producer), so one reader/writer per executor thread, re-aimed
+    // with setInput/setOutput per payload, runs the SAME javax.imageio
+    // codec with the per-call lookup+construction amortized away.
+    private val pngReaders =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+    private val pngWriters =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
     private def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
-      val img = javax.imageio.ImageIO.read(
+      val reader = pngReaders.get()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      require(img != null, "undecodable image payload")
-      img
+      try {
+        reader.setInput(iis, /* seekForwardOnly = */ true,
+          /* ignoreMetadata = */ true)
+        val img = reader.read(0)
+        require(img != null, "undecodable image payload")
+        img
+      } finally {
+        reader.setInput(null)
+        iis.close()
+      }
     }
     private[operators] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = pngWriters.get()
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally {
+        writer.setOutput(null)
+        ios.close()
+      }
       bos.toByteArray
     }
+    /** Row-major packed ARGB pixels in ONE bulk grab — getRGB(x, y) per
+      * pixel pays a color-model conversion call per pixel (r15).
+      */
+    private def pixels(img: java.awt.image.BufferedImage): Array[Int] =
+      img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
     /** (width, height, Σr, Σg, Σb) of a decoded payload — exact integers,
       * the cross-engine decode contract of [[qMultimodalDecode]].
       */
     private[operators] def rgbSums(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
       val img = decode(payload)
+      val px = pixels(img)
       var sr = 0L
       var sg = 0L
       var sb = 0L
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
-          sr += (rgb >> 16) & 0xff
-          sg += (rgb >> 8) & 0xff
-          sb += rgb & 0xff
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        i += 1
       }
       (img.getWidth, img.getHeight, sr, sg, sb)
     }
@@ -143,17 +176,14 @@ object Multimodal {
       */
     def features(payload: Array[Byte]): Array[Float] = {
       val img = decode(payload)
+      val px = pixels(img)
       val bins = new Array[Float](FeatureDim)
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-          bins(lum * FeatureDim / 256) += 1f
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        bins(lum * FeatureDim / 256) += 1f
+        i += 1
       }
       val n = math.max(img.getWidth * img.getHeight, 1).toFloat
       bins.map(_ / n)
@@ -163,18 +193,22 @@ object Multimodal {
       */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val src = decode(payload)
-      val dst = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val sw = src.getWidth
+      val spx = pixels(src)
+      val dpx = new Array[Int](w * h)
       var y = 0
       while (y < h) {
+        val sy = y * src.getHeight / h
         var x = 0
         while (x < w) {
-          dst.setRGB(x, y,
-            src.getRGB(x * src.getWidth / w, y * src.getHeight / h))
+          dpx(y * w + x) = spx(sy * sw + x * sw / w)
           x += 1
         }
         y += 1
       }
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      dst.setRGB(0, 0, w, h, dpx, 0, w)
       encodePng(dst)
     }
     /** (decoded width, 8×8 nearest-neighbor gray sample grid, row-major)
@@ -184,11 +218,12 @@ object Multimodal {
       */
     private[operators] def graySample8(payload: Array[Byte]): (Int, Array[Int]) = {
       val img = decode(payload)
+      val w = img.getWidth
+      val px = pixels(img)
       val g = Array.tabulate(64) { idx =>
-        img.getRGB((idx % 8) * img.getWidth / 8,
-          (idx / 8) * img.getHeight / 8) & 0xff
+        px(((idx / 8) * img.getHeight / 8) * w + (idx % 8) * w / 8) & 0xff
       }
-      (img.getWidth, g)
+      (w, g)
     }
     /** Every `stride`-th horizontal strip of `frameBytes` rows, each
       * re-encoded as its own PNG.
@@ -419,6 +454,39 @@ object Multimodal {
   object WavIoCodec {
     private def fmt(sr: Int) = new javax.sound.sampled.AudioFormat(
       sr.toFloat, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    // Per-JVM codec state (guide §4.5): AudioSystem.getAudioInputStream
+    // and AudioSystem.write re-run the provider ServiceLoader scan on
+    // EVERY call (the JDK caches nothing there since Java 9), which at
+    // row rate dwarfs the actual 44-byte header parse of a small WAV.
+    // Resolve the platform WAVE reader/writer ONCE; decode/encode below
+    // then drive the SAME javax.sound codec implementations directly.
+    // Fallback to the AudioSystem entry points if resolution fails, so
+    // an exotic JDK only loses the optimization, never correctness
+    // (MultimodalSpec pins direct-vs-AudioSystem decode parity).
+    private lazy val waveWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+      var found: Option[javax.sound.sampled.spi.AudioFileWriter] = None
+      while (found.isEmpty && it.hasNext) {
+        val w = it.next()
+        if (w.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE)) found = Some(w)
+      }
+      found
+    }
+    private lazy val waveReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+      // probe with a canonical one-sample WAV from this codec's own writer
+      val sample = encodeWav(Array(0), 8000)
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      var found: Option[javax.sound.sampled.spi.AudioFileReader] = None
+      while (found.isEmpty && it.hasNext) {
+        val r = it.next()
+        if (scala.util.Try(r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(sample))).isSuccess) found = Some(r)
+      }
+      found
+    }
     def encodeWav(samples: Array[Int], sr: Int): Array[Byte] = {
       val pcm = new Array[Byte](samples.length * 2)
       var i = 0
@@ -430,14 +498,21 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt(sr), samples.length.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      waveWriter match {
+        case Some(w) => w.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        case None => javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      }
       bos.toByteArray
     }
     /** (sample_rate, samples) decoded from a WAV payload. */
     def decodeWav(payload: Array[Byte]): (Int, Array[Int]) = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val bis = new java.io.ByteArrayInputStream(payload)
+      val ais = waveReader match {
+        case Some(r) => r.getAudioInputStream(bis)
+        case None => javax.sound.sampled.AudioSystem.getAudioInputStream(bis)
+      }
       val f = ais.getFormat
       require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
         !f.isBigEndian, s"unexpected decoded format: $f")
@@ -658,53 +733,77 @@ object Multimodal {
       new java.awt.image.IndexColorModel(8, 256, g, g, g)
     }
 
+    // Per-thread codec state (guide §4.5, the ImageIoCodec argument):
+    // getImageReaders/WritersByFormatName instantiate a fresh
+    // GIFImageReader/Writer per CALL and createImage{Input,Output}Stream
+    // scan the stream-SPI registry per call; one instance per executor
+    // thread re-aimed per payload runs the same codec without the churn.
+    private val gifReaders =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next())
+    private val gifWriters =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
+
     /** Encode `frames` (row-major gray values) as one animated GIF. */
     def encodeGif(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val writer = gifWriters.get()
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
-      val param = writer.getDefaultWriteParam
-      // GIF's 4-pass interlace reorders rows on disk; the JDK writer
-      // enables it for some geometries unless explicitly disabled, and a
-      // sequential read of an interlaced frame returns scrambled rows.
-      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
-      writer.prepareWriteSequence(null)
-      val cm = grayPalette()
-      frames.foreach { frame =>
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { raster.setSample(x, y, 0, frame(y * w + x)); x += 1 }
-          y += 1
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        val param = writer.getDefaultWriteParam
+        // GIF's 4-pass interlace reorders rows on disk; the JDK writer
+        // enables it for some geometries unless explicitly disabled, and a
+        // sequential read of an interlaced frame returns scrambled rows.
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        writer.prepareWriteSequence(null)
+        val cm = grayPalette()
+        frames.foreach { frame =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, frame(y * w + x)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
         }
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        writer.endWriteSequence()
+      } finally {
+        writer.setOutput(null)
+        ios.close()
       }
-      writer.endWriteSequence()
-      ios.close()
-      writer.dispose()
       bos.toByteArray
     }
 
     /** (w, h, frames) decoded from an animated-GIF payload. */
     def decodeGif(payload: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload)))
-      val n = reader.getNumImages(/* allowSearch = */ true)
-      require(n > 0, "no frames decoded — not an animated GIF payload")
-      val frames = (0 until n).map { f =>
-        val img = reader.read(f)
-        val (w, h) = (img.getWidth, img.getHeight)
-        Array.tabulate(h * w)(i => img.getRGB(i % w, i / w) & 0xff)
+      val reader = gifReaders.get()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(/* allowSearch = */ true)
+        require(n > 0, "no frames decoded — not an animated GIF payload")
+        var w0 = 0
+        var h0 = 0
+        val frames = (0 until n).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (f == 0) { w0 = w; h0 = h }
+          // one bulk ARGB grab per frame (getRGB per pixel pays a
+          // color-model call per pixel), blue channel = gray index
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          Array.tabulate(h * w)(i => px(i) & 0xff)
+        }
+        (w0, h0, frames)
+      } finally {
+        reader.setInput(null)
+        iis.close()
       }
-      val first = reader.read(0)
-      val out = (first.getWidth, first.getHeight, frames)
-      reader.dispose()
-      out
     }
   }
 
@@ -839,51 +938,67 @@ object Multimodal {
       new java.awt.image.IndexColorModel(8, 216, r, g, b)
     }
 
+    // same per-thread codec-state discipline as [[GifIoCodec]] (r15)
+    private val gifReaders =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next())
+    private val gifWriters =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
+
     /** Encode frames of palette INDICES as one animated GIF. */
     def encodeGif(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val writer = gifWriters.get()
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
-      val param = writer.getDefaultWriteParam
-      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
-      writer.prepareWriteSequence(null)
-      val cm = webSafePalette()
-      frames.foreach { frame =>
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { raster.setSample(x, y, 0, frame(y * w + x)); x += 1 }
-          y += 1
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        writer.prepareWriteSequence(null)
+        val cm = webSafePalette()
+        frames.foreach { frame =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, frame(y * w + x)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
         }
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        writer.endWriteSequence()
+      } finally {
+        writer.setOutput(null)
+        ios.close()
       }
-      writer.endWriteSequence()
-      ios.close()
-      writer.dispose()
       bos.toByteArray
     }
 
     /** Per-frame (r, g, b) pixel channels decoded from a payload. */
     def decodeChannels(payload: Array[Byte]): Seq[Array[(Int, Int, Int)]] = {
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload)))
-      val n = reader.getNumImages(/* allowSearch = */ true)
-      require(n > 0, "no frames decoded — not an animated GIF payload")
-      val out = (0 until n).map { f =>
-        val img = reader.read(f)
-        val (w, h) = (img.getWidth, img.getHeight)
-        Array.tabulate(h * w) { i =>
-          val rgb = img.getRGB(i % w, i / w)
-          ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      val reader = gifReaders.get()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(/* allowSearch = */ true)
+        require(n > 0, "no frames decoded — not an animated GIF payload")
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          Array.tabulate(h * w) { i =>
+            val rgb = px(i)
+            ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          }
         }
+      } finally {
+        reader.setInput(null)
+        iis.close()
       }
-      reader.dispose()
-      out
     }
   }
 

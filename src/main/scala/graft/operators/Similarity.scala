@@ -684,22 +684,64 @@ object Similarity {
   private[operators] def pqCodebooks(
       s: SparkSession, dir: String): Seq[Seq[(Long, Array[Double])]] =
     pqCache.getOrElseUpdate(s, dir) {
-      (0 until PqM).map { m =>
-        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
-          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
-        val init: Seq[(Long, Array[Double])] = emb
-          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-          .limit(IvfCentroids)
-          .collect()
-          .map { r =>
-            val v = r.getSeq[Float](1)
-            (r.getLong(0),
-              v.map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray)
-          }.sortBy(_._1).toSeq
-        (1 to KmeansIters).foldLeft(init)((c, _) =>
-          lloydStep(emb, c, PqSubDim))
-      }
+      // One job per training step for ALL [[PqM]] subspaces (r15): the
+      // per-subspace loops ran 4 × (1 init collect + KmeansIters Lloyd
+      // collects) = 12 jobs over the same embeddings scan; the subspaces
+      // train independently but their scans/shuffles are fused — the
+      // seed rows are the SAME md5-ordered vectors for every subspace
+      // (one collect, sliced driver-side; slice∘quantize ≡ quantize∘
+      // slice elementwise), and each Lloyd step assigns all 4 slices in
+      // one pass, aggregating partial sums keyed by (m, c_id, pos).
+      // Bit-identical to the per-subspace loop: assignment and the
+      // exact-integer sum per (centroid, coordinate) are unchanged, the
+      // keys just carry m (SimilaritySpec pins run-to-run equality; the
+      // oracle re-derives the codebooks from scratch).
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val initRows: Seq[(Long, Array[Double])] = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(IvfCentroids)
+        .collect()
+        .map { r =>
+          val v = r.getSeq[Float](1)
+          (r.getLong(0),
+            v.map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray)
+        }.sortBy(_._1).toSeq
+      val init: Seq[Seq[(Long, Array[Double])]] = (0 until PqM).map(m =>
+        initRows.map { case (id, v) =>
+          (id, java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim))
+        })
+      (1 to KmeansIters).foldLeft(init)((books, _) => lloydStepAll(emb, books))
     }
+
+  /** One Lloyd step over ALL [[PqM]] subspace codebooks in a single
+    * scan + shuffle + collect — [[lloydStep]] with the subspace index
+    * carried through the aggregation key.
+    */
+  private def lloydStepAll(
+      emb: DataFrame,
+      books: Seq[Seq[(Long, Array[Double])]]): Seq[Seq[(Long, Array[Double])]] = {
+    val subs = books.indices.map { m =>
+      val sub = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+      struct(lit(m).as("m"),
+        VectorExpressions.nearestCentroid(sub, books(m)).as("c_id"),
+        sub.as("v"))
+    }
+    val sums = emb
+      .select(explode(array(subs: _*)).as("sc"))
+      .select(col("sc.m").as("m"), col("sc.c_id").as("c_id"),
+        posexplode(col("sc.v")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("c_id"), col("pos"))
+      .agg(sum(quantLong(col("v"))).as("s"))
+      .collect()
+    books.indices.map { m =>
+      sums.filter(_.getInt(0) == m).groupBy(_.getLong(1)).toSeq.map {
+        case (id, rows) =>
+          val arr = new Array[Double](PqSubDim)
+          rows.foreach(r => arr(r.getInt(2)) = r.getLong(3).toDouble)
+          (id, arr)
+      }.sortBy(_._1)
+    }
+  }
 
   /** Product-quantization codebook train + encode census (Jégou et al.,
     * TPAMI 2011, spherical variant) — the vector-compression stage of a

@@ -538,6 +538,41 @@ object Streaming {
     ()
   }
 
+  /** Stage far-future sentinel event rows into the landing directory
+    * BEFORE the drain starts (r15). The old discipline appended the
+    * sentinel file after a first processAllAvailable, which cost each
+    * sentinel drain FOUR micro-batches (data, watermark-advance, sentinel,
+    * watermark-advance) — every extra batch is a full state-store
+    * open/commit cycle per operator per partition. Staged up front, the
+    * file source takes data + sentinel as ONE batch (begin-watermark 0, so
+    * nothing is late-dropped and no state times out early) and the
+    * trailing watermark-advance batch flushes all state — the SAME
+    * flush path (`noDataMicroBatches`) the final batch of the old
+    * discipline already relied on. Emitted rows are identical: state
+    * content is a pure function of the event rows, and append-mode
+    * emission timing only reorders rows the rollup sorts anyway
+    * (StreamingSpec pins batch ≡ stream under shuffled micro-batches).
+    */
+  private def stageSentinel(
+      s: SparkSession, stage: java.nio.file.Path,
+      rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val st = java.nio.file.Files.list(tmp)
+      try st.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally st.close()
+    }
+    java.nio.file.Files.move(part, stage.resolve("z_sentinel.parquet"))
+    ()
+  }
+
+  /** The shared far-future sentinel timestamp (2100-01-01, micros). */
+  private val SentinelTsUs = 4102444800L * 1000000L
+
   /** Run a bounded stream drain with a temporarily reduced shuffle
     * partition count. A stream-stream join maintains FOUR state stores
     * per shuffle partition and checkpoints each per micro-batch; at the
@@ -615,12 +650,12 @@ object Streaming {
     * through the APPEND-mode stateful path ([[sessionize]]'s
     * `flatMapGroupsWithState` + event-time timeout) rather than
     * [[qStreamKmv]]'s update-mode fold: a file-source stream over a
-    * staged landing directory — the real events file as micro-batch 0,
-    * then one far-future sentinel row appended as a second file, whose
-    * arrival advances the watermark past every real session and flushes
-    * the open state (the same drain discipline StreamingSpec uses; a
+    * staged landing directory — the real events file plus one far-future
+    * sentinel row staged as a second file BEFORE the drain starts
+    * ([[stageSentinel]]), so the pair drains as ONE data micro-batch and
+    * the trailing watermark-advance batch flushes the open state (a
     * bounded stream never times out state on its own because no further
-    * micro-batch fires). Values are mapped to integer cents BEFORE the
+    * micro-batch fires; the sentinel is what advances the watermark). Values are mapped to integer cents BEFORE the
     * fold so [[absorb]]'s double accumulation is exact on whole numbers
     * and the emitted sums match the DECIMAL oracle bit-for-bit,
     * order-independently. At 100 TB the same plan tails a landing
@@ -652,6 +687,10 @@ object Streaming {
       .withColumn("ts", timestamp_micros(col("ts")))
       .withColumn("value", round(col("value") * 100, 0))
       .as[Event]
+    // sentinel staged BEFORE start ([[stageSentinel]]): one far-future
+    // row rides the data batch; the trailing watermark-advance batch
+    // closes every real session — 2 micro-batches instead of 4
+    stageSentinel(s, stage, Seq((-1L, SentinelTsUs, -1L, "x", 0.0)))
     val name = s"graft_stream_sess_${sinkSeq.incrementAndGet()}"
     withDrainPartitions(s) {
     val q = sessionize(src,
@@ -659,23 +698,7 @@ object Streaming {
       watermark = "0 seconds")
       .writeStream.outputMode("append").format("memory").queryName(name)
       .start()
-    try {
-      q.processAllAvailable()
-      // sentinel file: one far-future row -> one more micro-batch whose
-      // begin-watermark closes every real session
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_tick")
-      Seq((-1L, 4102444800L * 1000000L, -1L, "x", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = {
-        val st = java.nio.file.Files.list(tmp)
-        try st.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally st.close()
-      }
-      java.nio.file.Files.move(part, stage.resolve("z_sentinel.parquet"))
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     }
     s.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("session_end"),
@@ -1193,25 +1216,14 @@ object Streaming {
       .transformWithState(
         new TwsSessionizer(graft.operators.Events.SessionGapMinutes),
         TimeMode.EventTime(), OutputMode.Append())
+    // sentinel staged BEFORE start ([[stageSentinel]]): 2 micro-batches
+    // instead of 4 — the timer flush rides the watermark-advance batch
+    stageSentinel(s, stage, Seq((-1L, SentinelTsUs, -1L, "x", 0.0)))
     val name = s"graft_stream_tws_sess_${sinkSeq.incrementAndGet()}"
     withRocksDbState(s) { withDrainPartitions(s) {
       val q = src.writeStream.outputMode("append").format("memory")
         .queryName(name).start()
-      try {
-        q.processAllAvailable()
-        val tmp = java.nio.file.Files.createTempDirectory("graft_tws_tick")
-        Seq((-1L, 4102444800L * 1000000L, -1L, "x", 0.0))
-          .toDF("event_id", "ts", "user_id", "event_type", "value")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val st0 = java.nio.file.Files.list(tmp)
-          try st0.filter(_.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally st0.close()
-        }
-        java.nio.file.Files.move(part, stage.resolve("z_sentinel.parquet"))
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     } }
     s.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("session_end"),
@@ -1466,11 +1478,11 @@ object Streaming {
     * no matching purchase can still arrive (ts_t + lookback behind the
     * purchase-side watermark). A bounded replay never advances the
     * watermark past the data on its own, so the drain uses the
-    * [[qStreamSessions]] sentinel discipline — batch 0 is the real
-    * events file staged into a landing directory, then one far-future
-    * row PER SIDE (a click and a purchase, user −1) arrives as a second
-    * file, pushes both event-time watermarks past every real row, and
-    * flushes the outer state. The drained rollup — matched pairs plus
+    * [[qStreamSessions]] sentinel discipline — the real events file plus
+    * one far-future row PER SIDE (a click and a purchase, user −1)
+    * staged before start, so the pair of event-time watermarks passes
+    * every real row after the single data batch and the trailing
+    * watermark-advance batch flushes the outer state. The drained rollup — matched pairs plus
     * per-channel unmatched-touch counts — must equal the batch LEFT
     * JOIN from the same pairing CTE. At 100 TB the sentinel is what a
     * live feed's advancing event time provides continuously; state
@@ -1511,28 +1523,20 @@ object Streaming {
         col("ts_t") <= col("ts_p") &&
         col("ts_t") > col("ts_p") - expr(s"INTERVAL $days DAYS"),
       "left_outer")
+    // one far-future row per side, staged BEFORE start ([[stageSentinel]]):
+    // both watermarks advance past the data after the single data batch,
+    // and the watermark-advance batch flushes the unmatched-touch state —
+    // 2 micro-batches instead of 4. The two sentinels match EACH OTHER
+    // (user −1, equal ts) exactly as they did arriving together in the
+    // old sentinel batch; the rollup filters user −1 either way.
+    stageSentinel(s, stage, Seq(
+      (-1L, SentinelTsUs, -1L, "click", 0.0),
+      (-2L, SentinelTsUs, -1L, "purchase", 0.0)))
     val name = s"graft_stream_ssoj_${sinkSeq.incrementAndGet()}"
     withDrainPartitions(s) { val q = joined.writeStream
       .outputMode("append").format("memory")
       .queryName(name).start()
-    try {
-      q.processAllAvailable()
-      // one far-future row per side pushes BOTH watermarks past the
-      // data and flushes the unmatched-touch state
-      val far = 4102444800L * 1000000L
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ssoj_tick")
-      Seq((-1L, far, -1L, "click", 0.0), (-2L, far, -1L, "purchase", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = {
-        val st = java.nio.file.Files.list(tmp)
-        try st.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally st.close()
-      }
-      java.nio.file.Files.move(part, stage.resolve("z_sentinel.parquet"))
-      q.processAllAvailable()
-    } finally q.stop() }
+    try q.processAllAvailable() finally q.stop() }
     s.table(name).filter(col("user_id") >= 0)
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_rows"),

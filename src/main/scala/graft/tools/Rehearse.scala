@@ -188,8 +188,14 @@ object Rehearse {
       // locale would emit unparseable JSON into the committed artifact
       def s2(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      // cpus rides every row (r15 verdict item 6): the sf0.1 bench's
+      // 8c/32c ratios are job-floor-bound and carry no parallelism
+      // signal; two Rehearse runs at different $SPARK_GRAFT_CPUS over
+      // the 10×/30× corpora make sec-per-core ratios a committed,
+      // regenerable artifact (docs/REHEARSAL_r15.json)
       val line =
-        s"""{"query":"$q","scale":$n,"wall_sec":${s2(math.min(p1, p2))},""" +
+        s"""{"query":"$q","scale":$n,"cpus":$cpus,""" +
+          s""""wall_sec":${s2(math.min(p1, p2))},""" +
           s""""wall_p1":${s2(p1)},"wall_p2":${s2(p2)},""" +
           s""""candidates":$cand$colsJson}"""
       println(s"[rehearse] $line")

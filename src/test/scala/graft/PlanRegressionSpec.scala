@@ -672,8 +672,10 @@ class PlanRegressionSpec extends SparkSpec with Matchers {
     spark.table(ptW("lbl_0")).count() should be <= 2 * nEdgesW
     // the df-kill stage materialized and killed at least one template
     // shingle at this SF (nonempty hot set ⇒ some doc's set shrank);
-    // assert via total shingle mass: killed sig ≤ collected shs mass
-    val shsMass = spark.table(ptW("shs"))
+    // assert via total shingle mass: killed sig ≤ collected shs mass.
+    // The collected-shingle stage is variant-INVARIANT since r15 — one
+    // shared (un-prefixed) table serves both pipelines
+    val shsMass = spark.table(pt("shs"))
       .agg(sum(org.apache.spark.sql.functions.size(col("hs"))))
       .head().getLong(0)
     val sigMass = spark.table(ptW("sig"))
