@@ -583,16 +583,30 @@ object Similarity {
       s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
     centroidCache.getOrElseUpdate(s, dir) {
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        val init: Seq[(Long, Array[Double])] = emb
-          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-          .limit(IvfCentroids)
-          .collect()
-          .map { r =>
-            val v = r.getSeq[Float](1)
-            (r.getLong(0),
-              v.map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray)
-          }.sortBy(_._1).toSeq
-        (1 to KmeansIters).foldLeft(init)((c, _) => lloydStep(emb, c))
+        (1 to KmeansIters).foldLeft(seedRows(s, dir))((c, _) => lloydStep(emb, c))
+    }
+
+  /** The shared k-means seed: the [[IvfCentroids]] md5-ordered vectors,
+    * quantized — the SAME rows seed the full-dim IVF training and every
+    * PQ subspace (the subspace seed is a slice, and slice∘quantize ≡
+    * quantize∘slice elementwise), so the collect runs once per
+    * (session, corpus) instead of once per training (r15). Consumers
+    * never mutate the arrays (Lloyd steps build fresh ones; assignment
+    * reads them as literals).
+    */
+  private val seedCache = new SessionMemo[Seq[(Long, Array[Double])]]()
+  private def seedRows(
+      s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    seedCache.getOrElseUpdate(s, dir) {
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(IvfCentroids)
+        .collect()
+        .map { r =>
+          val v = r.getSeq[Float](1)
+          (r.getLong(0),
+            v.map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray)
+        }.sortBy(_._1).toSeq
     }
 
   /** IVF with TRAINED centroids: seeded k-means (init = a deterministic
@@ -697,15 +711,7 @@ object Similarity {
       // keys just carry m (SimilaritySpec pins run-to-run equality; the
       // oracle re-derives the codebooks from scratch).
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val initRows: Seq[(Long, Array[Double])] = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(IvfCentroids)
-        .collect()
-        .map { r =>
-          val v = r.getSeq[Float](1)
-          (r.getLong(0),
-            v.map(x => math.floor(x.toDouble * 1e7 + 0.5)).toArray)
-        }.sortBy(_._1).toSeq
+      val initRows: Seq[(Long, Array[Double])] = seedRows(s, dir)
       val init: Seq[Seq[(Long, Array[Double])]] = (0 until PqM).map(m =>
         initRows.map { case (id, v) =>
           (id, java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim))
